@@ -1,0 +1,9 @@
+"""Declared query library: import all query modules to populate the
+registry, then expose QUERIES / ORACLES."""
+
+from .registry import ORACLES, QUERIES, query  # noqa: F401
+
+# Import order is load order in the registry; keep stable.
+from . import relational  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]
