@@ -1,0 +1,101 @@
+"""Snapshot merge / diff — the reference's signature upsert operators
+re-expressed as deterministic DataFrame joins (SURVEY §2.5).
+
+Reference parity:
+ - upsert_newer_wins: ``INSERT ... ON CONFLICT(key) DO UPDATE ...
+   WHERE excluded.modified_time > files.modified_time``
+   (scanner.py:225-244, parallel_scanner.py:752-771)
+ - insert_or_replace: ``INSERT OR REPLACE`` last-writer-wins
+   (db_duckdb.py:242-245, direct_links.py:169-172)
+ - snapshot_diff: removed/added/changed detection
+   (main.py:339-362, scanner.py:414-463, db_duckdb.py:296-312)
+
+Scale design: there is no table format with MERGE here (no Delta in
+the image), so merge = one full-outer join on the key. At 100 TB the
+snapshot is stored partitioned by a stable prefix of the key hash
+(see sinks/snapshot.py); incoming batches touch few partitions, and a
+partition-pruned merge (join only the affected partitions, copy the
+rest forward) keeps the rewrite proportional to the batch, not the
+table. Both sides arrive hash-partitioned on the key → sort-merge
+join with no extra exchange when bucketed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def upsert_newer_wins(
+    current: DataFrame,
+    batch: DataFrame,
+    key: str,
+    version_col: str,
+) -> DataFrame:
+    """Insert new keys; update existing keys only when the incoming row
+    is strictly newer (P8 staleness predicate, scanner.py:243).
+
+    Implemented as a full-outer join + per-column ``when`` pick —
+    deterministic, idempotent (re-applying the same batch is a no-op).
+    """
+    cols = current.columns
+    if set(cols) != set(batch.columns):
+        raise ValueError(
+            f"schema mismatch: current={sorted(cols)} batch={sorted(batch.columns)}"
+        )
+    cur = current.alias("cur")
+    new = batch.alias("new")
+    take_new = F.col(f"cur.{key}").isNull() | (
+        F.col(f"new.{version_col}") > F.col(f"cur.{version_col}")
+    )
+    joined = cur.join(new, F.col(f"cur.{key}") == F.col(f"new.{key}"), "full_outer")
+    picked = [
+        F.when(
+            F.col(f"new.{key}").isNotNull() & take_new, F.col(f"new.{c}")
+        )
+        .otherwise(F.col(f"cur.{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    return joined.select(*picked)
+
+
+def insert_or_replace(current: DataFrame, batch: DataFrame, key: str) -> DataFrame:
+    """Last-writer-wins whole-row upsert (INSERT OR REPLACE,
+    db_duckdb.py:242-245): keep current rows whose key is absent from
+    the batch, then append the batch."""
+    survivors = current.join(batch.select(key), on=key, how="left_anti")
+    return survivors.unionByName(batch)
+
+
+def snapshot_diff(
+    previous: DataFrame, current: DataFrame, key: str, compare_cols: list[str] | None = None
+) -> DataFrame:
+    """Change detection between two snapshots → DataFrame of
+    ``(key, change)`` with change ∈ {'added', 'removed', 'changed'}.
+
+    Replaces the reference's three separate passes (ES-ids set minus,
+    DELETE..NOT IN, last_seen watermark) with one full-outer join; the
+    'removed' set is exactly the reference's cleanup list and has no
+    10k cap (fixes elasticsearch_integration.py:495-499).
+    """
+    prev = previous.alias("p")
+    cur = current.alias("c")
+    joined = prev.join(cur, F.col(f"p.{key}") == F.col(f"c.{key}"), "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols or []:
+        changed = changed | ~(
+            F.col(f"p.{c}").eqNullSafe(F.col(f"c.{c}"))
+        )
+    status = (
+        F.when(F.col(f"p.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"c.{key}").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col(f"p.{key}"), F.col(f"c.{key}")).alias(key),
+            status.alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

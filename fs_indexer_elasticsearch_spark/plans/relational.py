@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..tables import load
-from .registry import query
+from .registry import query, stable_round
 
 # --------------------------------------------------------------------------
 # TPC-H-shaped headline queries
@@ -33,13 +33,13 @@ from .registry import query
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2)                                    AS avg_qty,
-           round(avg(l_extendedprice), 2)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           round(sum(l_quantity) + 1e-7, 2)                                    AS sum_qty,
+           round(sum(l_extendedprice) + 1e-7, 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-7, 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-7, 2) AS sum_charge,
+           round(avg(l_quantity) + 1e-7, 2)                                    AS avg_qty,
+           round(avg(l_extendedprice) + 1e-7, 2)                               AS avg_price,
+           round(avg(l_discount) + 1e-7, 4)                                    AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -59,13 +59,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            stable_round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            stable_round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            stable_round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -75,7 +75,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_top_revenue_orders",
     oracle="""
     SELECT o_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-7, 2) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -107,7 +107,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -121,7 +121,7 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_regional_supplier_volume",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-7, 2) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -154,7 +154,7 @@ def q05_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -184,8 +184,8 @@ def agg_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_totals",
     oracle="""
     SELECT count(*)                        AS n_rows,
-           round(sum(o_totalprice), 2)     AS total_price,
-           round(avg(o_totalprice), 2)     AS avg_price,
+           round(sum(o_totalprice) + 1e-7, 2)     AS total_price,
+           round(avg(o_totalprice) + 1e-7, 2)     AS avg_price,
            count(DISTINCT o_custkey)       AS n_customers
     FROM orders
     """,
@@ -194,8 +194,8 @@ def agg_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-1/A-2 (reference db_duckdb.py:342-349 — COUNT(*) + SUM totals)."""
     return load(spark, sf_dir, "orders").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        stable_round(F.sum("o_totalprice"), 2).alias("total_price"),
+        stable_round(F.avg("o_totalprice"), 2).alias("avg_price"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
 
@@ -204,7 +204,7 @@ def agg_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional_sum",
     oracle="""
     SELECT o_orderpriority,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) + 1e-7, 2)
                AS finished_value,
            count(*) AS n
     FROM orders
@@ -261,7 +261,7 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            coalesce(c_name, 'unknown')            AS customer_name,
-           coalesce(round(c_acctbal, 2), 0.0)     AS acctbal
+           coalesce(round(c_acctbal + 1e-7, 2), 0.0)     AS acctbal
     FROM orders LEFT JOIN customer ON o_custkey = c_custkey
     """,
 )
@@ -274,7 +274,7 @@ def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
         "o_orderkey",
         F.coalesce("c_name", F.lit("unknown")).alias("customer_name"),
-        F.coalesce(F.round("c_acctbal", 2), F.lit(0.0)).alias("acctbal"),
+        F.coalesce(stable_round("c_acctbal", 2), F.lit(0.0)).alias("acctbal"),
     )
 
 
@@ -349,7 +349,7 @@ def work_discovery_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "topk_orders",
     oracle="""
-    SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderdate
+    SELECT o_orderkey, round(o_totalprice + 1e-7, 2) AS total, o_orderdate
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 25
@@ -363,14 +363,14 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(25)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"), "o_orderdate")
+        .select("o_orderkey", stable_round("o_totalprice", 2).alias("total"), "o_orderdate")
     )
 
 
 @query(
     "topk_per_group",
     oracle="""
-    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+    SELECT o_custkey, o_orderkey, round(o_totalprice + 1e-7, 2) AS total
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey
@@ -387,7 +387,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .select("o_custkey", "o_orderkey", stable_round("o_totalprice", 2).alias("total"))
     )
 
 

@@ -1,0 +1,163 @@
+"""Event-time window queries over the ``events`` table.
+
+The reference's only event-time logic is last_seen/modified_time
+comparisons (SURVEY §2.10) — tumbling/hopping/session windows are the
+natural Spark extension the engine exposes (same operators power the
+streaming pipeline in streaming/).
+
+Oracle note: Spark's ``window()`` starts are epoch-aligned, so the
+DuckDB twin computes ``TIMESTAMP '1970-01-01' + floor(epoch/width)*width``
+— identical bucketing, no timezone involved (all NTZ).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import load
+from .registry import query, stable_round
+
+
+@query(
+    "window_tumbling_10m",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * INTERVAL 1 SECOND
+               AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value) + 1e-7, 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event type — one shuffle on
+    (window, type), map-side partial aggregation."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), stable_round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "window_hopping_10m_5m",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + (CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - shift) * INTERVAL 1 SECOND
+               AS window_start,
+           count(*) AS n,
+           round(avg(value) + 1e-7, 2) AS avg_value
+    FROM events, (SELECT unnest([0, 300]) AS shift)
+    GROUP BY 1
+    """,
+)
+def window_hopping_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 10-minute width, 5-minute slide —
+    every event lands in exactly two windows."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), stable_round(F.avg("value"), 2).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+@query(
+    "window_session_30m",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value) + 1e-7, 2) AS total_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 30-minute inactivity gap.
+
+    Spark's ``session_window`` (gap-merge semantics: an event at
+    exactly prev_ts+gap starts a NEW session) matches the oracle's
+    lag/cumsum formulation with ``>= INTERVAL 30 MINUTE``.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), stable_round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "total_value"
+        )
+    )
+
+
+@query(
+    "window_rank_lag_gap",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(avg(gap_us / 1000000.0) + 1e-7, 1) AS avg_gap_sec
+    FROM (
+        SELECT user_id,
+               date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id
+                                                      ORDER BY ts, event_id), ts) AS gap_us
+        FROM events
+    )
+    GROUP BY user_id
+    HAVING count(*) >= 5
+    """,
+)
+def window_rank_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window surface (lag + per-group aggregation): average
+    inter-event gap per user. avg ignores the first-event NULL gap in
+    both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("timestampdiff(MICROSECOND, lag_ts, ts)")
+    return (
+        ev.withColumn("lag_ts", F.lag("ts").over(w))
+        .withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.avg(F.col("gap_us") / 1000000.0), 1).alias("avg_gap_sec"),
+        )
+        .filter(F.col("n_events") >= 5)
+    )
+
+
+@query(
+    "freshness_last_hours",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 72 HOUR
+    GROUP BY event_type
+    """,
+)
+def freshness_last_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — the direct-link freshness/TTL predicate
+    (direct_links.py:117-122: last_updated > now - INTERVAL 1 HOUR)
+    anchored to max(ts) for determinism."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.join(F.broadcast(mx))
+        .filter(F.col("ts") > F.col("max_ts") - F.expr("INTERVAL 72 HOUR"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
