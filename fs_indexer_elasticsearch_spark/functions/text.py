@@ -1,0 +1,162 @@
+"""Text-analysis column expressions for the LLM-data pipeline layer.
+
+All builders are deterministic, engine-portable (the DuckDB oracle
+reproduces each via string/list lambdas), and UDF-free.
+
+Design notes for 100 TB:
+ - everything is per-row columnar work (no shuffle); tokenization and
+   hashing run inside whole-stage codegen.
+ - md5 is used as the portable hash (byte-identical in Spark and
+   DuckDB); the per-permutation MinHash trick is ``min(md5(i:shingle))``
+   over the shingle set — string min is a valid permutation surrogate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+# Small English stopword list for quality scoring / lang-id heuristics.
+EN_STOPWORDS = (
+    "the a an and or of to in is are was for on with as by at it this that be from".split()
+)
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Lower-cased word tokens (alnum runs)."""
+    return F.filter(F.split(F.lower(_c(text)), TOKEN_PATTERN), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; whole text as one shingle when shorter
+    than n tokens (so tiny docs still dedup)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+
+    def mk(i: Column) -> Column:
+        pieces = []
+        for k in range(n):
+            if k:
+                pieces.append(F.lit(" "))
+            pieces.append(F.element_at(toks, i + F.lit(k)))
+        return F.concat(*pieces)
+
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, mk))
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature: for permutation i, min over shingles of
+    md5(f"{i}:{shingle}") — lexicographic min of a keyed hash is a
+    deterministic permutation surrogate reproducible in any engine."""
+    def keyed(i: int):
+        prefix = f"{i}:"
+        # Single-arg lambda: a two-arg lambda would make F.transform
+        # pass the ARRAY INDEX as the second argument.
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return [
+        F.array_min(F.transform(shingles, keyed(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def band_hashes(sig_cols: list[Column | str], bands: int) -> list[Column]:
+    """LSH banding: hash each contiguous band of signature values."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in sig_cols]
+    rows_per_band = len(cols) // bands
+    out = []
+    for b in range(bands):
+        chunk = cols[b * rows_per_band : (b + 1) * rows_per_band]
+        out.append(F.md5(F.concat_ws("|", *chunk)).alias(f"band_{b}"))
+    return out
+
+
+def token_hash32(tok: Column) -> Column:
+    """First 32 bits of md5(token) as a non-negative long — portable
+    (DuckDB: ('0x' || substr(md5(t),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash over the distinct token set: bit j is set when
+    more than half the tokens have bit j set in their 32-bit hash
+    (#set*2 > n form avoids a ±1 accumulator). The bit loop is
+    unrolled in Python (shiftright requires a literal shift)."""
+    n = F.size(toks)
+
+    def bit_set(j: int):
+        # Single-arg lambda (two-arg would receive the array index).
+        return lambda t: F.shiftright(token_hash32(t), j).bitwiseAND(F.lit(1)) == 1
+
+    code = F.lit(0).cast("long")
+    for j in range(32):
+        set_cnt = F.size(F.filter(toks, bit_set(j)))
+        code = code + F.when(set_cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return code
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.when(F.size(toks) > 0, sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return F.when(F.length(t) > 0, punct / F.length(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length factor + stopword
+    presence − punctuation noise (the usual pre-training quality
+    gates, deterministic + portable)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    length_factor = F.least(n / F.lit(100.0), F.lit(1.0))
+    return F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            0.5 * length_factor + 0.5 * stopword_ratio(text) * 2 - punct_ratio(text),
+        ),
+    )
+
+
+def rolling_fingerprint(toks: Column, window: int = 4) -> Column:
+    """Document fingerprint: minimum md5 over all ``window``-gram
+    token windows (winnowing-style min-sampling of a rolling hash)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (window - 1))
+
+    def mk(i: Column) -> Column:
+        pieces = []
+        for k in range(window):
+            if k:
+                pieces.append(F.lit(" "))
+            pieces.append(F.element_at(toks, i + F.lit(k)))
+        return F.md5(F.concat(*pieces))
+
+    return F.when(F.size(toks) >= window, F.array_min(F.transform(idx, mk))).otherwise(
+        F.md5(F.array_join(toks, " "))
+    )

@@ -1,0 +1,178 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four dedup families, all shuffle-architected for 100 TB:
+ - exact: hash-groupBy on a content fingerprint (one shuffle on the
+   16-byte hash; map-side combine keeps it tiny).
+ - MinHash + LSH: shingle → signature → band → bucket self-join.
+   The candidate join shuffles on (band_index, band_hash) — buckets
+   are small by construction, so the join is linear-ish; the exact
+   Jaccard verify touches only candidate pairs, never the full cross
+   product.
+ - SimHash: 32-bit fingerprints, byte-banding for blocking, Hamming
+   verify on candidates.
+ - n-gram Jaccard: exact all-pairs within a blocking key (for
+   bounded blocks only — the LSH paths are the scale route).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.text import (
+    band_hashes,
+    distinct_tokens,
+    hamming32,
+    minhash_signature,
+    simhash32,
+    tokens,
+    word_shingles,
+)
+from ..plans.registry import stable_round
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: (keeper_id, n_dups, content_hash) for every
+    content hash appearing more than once; keeper = min id."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("sid"), word_shingles(toks, n).alias("shingles")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) via MinHash-LSH
+    candidate generation + exact Jaccard verification.
+
+    With b bands of r rows, a pair with true Jaccard s is a candidate
+    with probability 1-(1-s^r)^b (the standard S-curve); the exact
+    verify then removes false positives, so precision is exact and
+    recall follows the curve.
+    """
+    sh = shingle_sets(df, id_col, text_col, shingle_n).cache()
+    sig = sh.select("sid", "shingles", *minhash_signature(F.col("shingles"), num_hashes))
+    banded = sig.select(
+        "sid", *band_hashes([f"mh_{i}" for i in range(num_hashes)], bands)
+    )
+    long = banded.select(
+        "sid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("h"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("sid", "band.b", "band.h")
+    a = long.alias("a")
+    b_ = long.alias("b")
+    cands = (
+        a.join(b_, (F.col("a.b") == F.col("b.b")) & (F.col("a.h") == F.col("b.h")))
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("sid").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("sid").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", stable_round(jac, 3).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by 32-bit SimHash: byte-band blocking
+    (4 bands × 8 bits) then Hamming-distance verify on candidates."""
+    s = df.select(
+        F.col(id_col).alias("sid"), simhash32(distinct_tokens(F.col(text_col))).alias("sh")
+    ).cache()
+    long = s.select(
+        "sid",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("sh", 8 * b).bitwiseAND(F.lit(255)).alias("h"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("sid", "sh", "band.b", "band.h")
+    a = long.alias("a")
+    b_ = long.alias("b")
+    return (
+        a.join(b_, (F.col("a.b") == F.col("b.b")) & (F.col("a.h") == F.col("b.h")))
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            hamming32(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact unigram-set Jaccard over all pairs within a block.
+    Quadratic per block — use only with bounded blocks; the LSH
+    operators are the unbounded-scale path."""
+    t = df.select(
+        F.col(id_col).alias("sid"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        distinct_tokens(F.col(text_col)).alias("toks"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    return (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            stable_round(inter / union, 3).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

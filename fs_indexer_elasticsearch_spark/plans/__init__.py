@@ -7,5 +7,6 @@ from .registry import ORACLES, QUERIES, query  # noqa: F401
 from . import relational  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import window_queries  # noqa: E402,F401
+from . import llm_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,436 @@
+"""LLM-training-data pipeline queries: deduplication, similarity
+search, text analysis, multimodal binary plumbing — first-class engine
+extensions beyond the reference's surface (BASELINE.json north star).
+
+The documents corpus carries no planted duplicates, so the dedup
+queries build an augmented corpus in-query (exact copies for
+doc_id%10, 60%-prefix truncations for doc_id%7) — identical
+construction in both engines, so the oracle checks real dedup hits.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.text import (
+    EN_STOPWORDS,
+    distinct_tokens,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from ..operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.similarity import brute_force_topk, lsh_ann_topk
+from ..tables import load
+from .registry import query, stable_round
+
+# --------------------------------------------------------------------------
+# Augmented dedup corpus (shared by the three dedup queries)
+# --------------------------------------------------------------------------
+
+_CORPUS_SQL = """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+               array_to_string(tk[1:CAST(ceil(len(tk) * 0.6) AS INT)], ' ') AS text
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS tk
+            FROM base
+        )
+        WHERE doc_id % 7 = 0 AND len(tk) >= 5
+    )
+"""
+
+_TOKS_SQL = """
+    , toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM corpus
+    )
+"""
+
+_SHINGLES_SQL = (
+    _TOKS_SQL
+    + """
+    , sh AS (
+        SELECT doc_id AS sid,
+               CASE WHEN len(tk) >= 3
+                    THEN list_distinct(list_transform(
+                             range(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    ELSE [array_to_string(tk, ' ')] END AS shingles
+        FROM toks
+    )
+"""
+)
+
+
+def _aug_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    tk = tokens(F.col("text"))
+    truncs = (
+        base.select("doc_id", tk.alias("tk"))
+        .filter((F.col("doc_id") % 7 == 0) & (F.size("tk") >= 5))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    F.col("tk"),
+                    F.lit(1),
+                    F.ceil(F.size("tk") * 0.6).cast("int"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return base.unionByName(copies).unionByName(truncs)
+
+
+@query(
+    "dedup_exact",
+    oracle=_CORPUS_SQL
+    + """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
+    FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(content) — one shuffle on the
+    16-byte hash with map-side combine; at 100 TB this is the cheapest
+    possible full-corpus dedup."""
+    return exact_duplicates(_aug_corpus(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_CORPUS_SQL
+    + _SHINGLES_SQL
+    + """
+    , sig AS (
+        SELECT sid, shingles,
+               list_transform(range(0, 16),
+                   h -> list_min(list_transform(shingles,
+                            s -> md5(h::VARCHAR || ':' || s)))) AS sg
+        FROM sh
+    ),
+    bands AS (
+        SELECT sid, b, md5(array_to_string(sg[(4*b+1):(4*b+4)], '|')) AS h
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cands AS (
+        SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.sid < b.sid
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+               round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                     / (len(x.shingles) + len(y.shingles)
+                        - len(list_intersect(x.shingles, y.shingles))) + 1e-7,
+                     3) AS jaccard
+        FROM cands JOIN sh x ON cands.id_a = x.sid JOIN sh y ON cands.id_b = y.sid
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4×4) near-dup pairs with exact-Jaccard verify.
+    Candidate generation shuffles on (band, hash) buckets — never the
+    cross product — and verification touches candidates only."""
+    return minhash_lsh_pairs(
+        _aug_corpus(spark, sf_dir), "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=_CORPUS_SQL
+    + _TOKS_SQL
+    + """
+    , dtoks AS (SELECT doc_id AS sid, list_distinct(tk) AS tk FROM toks),
+    sim AS (
+        SELECT sid,
+               list_sum(list_transform(range(0, 32), j ->
+                   CASE WHEN 2 * len(list_filter(tk,
+                            t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT >> j) & 1) = 1))
+                          > len(tk)
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sh
+        FROM dtoks
+    ),
+    bands AS (
+        SELECT sid, sh, b, (sh >> (8 * b)) & 255 AS h
+        FROM sim, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.sid AS id_a, b.sid AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.sid < b.sid
+    )
+    SELECT hamming, count(*) AS n_pairs, min(id_a) AS sample_id_a, min(id_b) AS sample_id_b
+    FROM pairs WHERE hamming <= 6
+    GROUP BY hamming
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup detection: byte-band blocking + Hamming
+    verify (bit_count(xor)) on candidates. The synthetic word-bag
+    corpus collides heavily at low Hamming distance, so the declared
+    query reports the pair histogram (bounded at every SF); the
+    operator itself (operators/dedup.simhash_pairs) emits the pairs."""
+    pairs = simhash_pairs(_aug_corpus(spark, sf_dir), "doc_id", "text", max_hamming=6)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("id_a").alias("sample_id_a"),
+        F.min("id_b").alias("sample_id_b"),
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH sub AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 0),
+    t AS (
+        SELECT doc_id AS sid, lang AS blk,
+               list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS toks
+        FROM sub
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.sid AS id_a, b.sid AS id_b,
+               round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                     / (len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks))) + 1e-7, 3) AS jaccard
+        FROM t a JOIN t b ON a.blk = b.blk AND a.sid < b.sid
+    ) WHERE jaccard >= 0.9
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-set Jaccard within language blocks (bounded
+    quadratic — the LSH paths are the unbounded-scale route)."""
+    sub = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    return ngram_jaccard_pairs(sub, "doc_id", "text", block_col="lang", threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           len(list_distinct(tk)) AS n_distinct,
+           round(CASE WHEN len(tk) > 0
+                      THEN len(list_filter(tk, t -> list_contains({_SW_SQL}, t)))::DOUBLE
+                           / len(tk)
+                      ELSE 0 END + 1e-7, 4) AS sw_ratio,
+           round(greatest(0.0, least(1.0,
+                 0.5 * least(len(tk) / 100.0, 1.0)
+               + 0.5 * (CASE WHEN len(tk) > 0
+                             THEN len(list_filter(tk, t -> list_contains({_SW_SQL}, t)))::DOUBLE
+                                  / len(tk)
+                             ELSE 0 END) * 2
+               - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                 / length(text)
+           )) + 1e-7, 4) AS quality
+    FROM toks
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality gates: token counts, stopword ratio,
+    composite quality score — pure columnar expressions."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(distinct_tokens("text")).alias("n_distinct"),
+        stable_round(stopword_ratio("text"), 4).alias("sw_ratio"),
+        stable_round(quality_score("text"), 4).alias("quality"),
+    )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN len(tk) > 0
+                 AND len(list_filter(tk, t -> list_contains({_SW_SQL}, t)))::DOUBLE
+                     / len(tk) >= 0.08
+                THEN 'en' ELSE 'und' END AS guess,
+           count(*) AS n
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labeled lang column —
+    the n-gram-heuristic family from the LLM-pipeline extension set."""
+    d = load(spark, sf_dir, "documents")
+    guess = F.when(stopword_ratio("text") >= 0.08, F.lit("en")).otherwise(F.lit("und"))
+    return d.groupBy("lang", guess.alias("guess")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 4
+                THEN list_min(list_transform(range(1, len(tk) - 2),
+                         i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                  || ' ' || tk[i+3])))
+                ELSE md5(array_to_string(tk, ' ')) END AS fingerprint
+    FROM toks
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min-sampled rolling hash
+    over 4-token windows."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return d.select(
+        "doc_id", rolling_fingerprint(tokens(F.col("text")), 4).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_COS_SQL = """
+    round( list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * nv[i]::DOUBLE))
+         / ( sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> nv[i]::DOUBLE * nv[i]::DOUBLE))) )
+         + 1e-7, 6)
+"""
+
+
+@query(
+    "similarity_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim
+        FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 for 8 query vectors: broadcast queries ×
+    corpus scan, fold-based dot products, per-query window top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=3
+    )
+
+
+_BUCKET_SQL = """
+    list_sum(list_transform(range(0, 8), h ->
+        CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                 emb[d]::DOUBLE
+                 * ((((('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT)
+                      % 2001) - 1000) / 1000.0))) > 0
+             THEN (1::BIGINT << h) ELSE 0::BIGINT END))::BIGINT
+"""
+
+
+@query(
+    "similarity_lsh_ann_topk",
+    oracle=f"""
+    WITH coded AS (
+        SELECT vec_id, embedding, {_BUCKET_SQL.replace("emb[", "embedding[")} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM coded WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM coded),
+    scored AS (
+        SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim
+        FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def similarity_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-random-projection buckets (md5-derived
+    hyperplanes, no stored state) — the bucket equi-join replaces the
+    cross join; only same-bucket candidates are scored."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k=3, num_planes=8,
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary plumbing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "binary_payload_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(md5(text), 1, 8) AS sig
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+)
+def binary_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing (multimodal pattern): payload
+    byte length + content signature over a binary-typed column; the
+    decode/feature UDFs live in operators/multimodal.py."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("int").alias("n_bytes"),
+        F.substring(F.md5("text"), 1, 8).alias("sig"),
+    )
