@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: timed runs of the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Each query is executed to completion (collect) — timings include the
+full plan: scan, shuffle, agg, and driver fetch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_regional_supplier_volume",
+    "topk_per_group",
+    "rollup_directory_sizes",
+    "merge_upsert_newer_wins",
+    "snapshot_diff_changes",
+    "window_tumbling_10m",
+    "window_session_30m",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from fs_indexer_elasticsearch_spark.plans import QUERIES
+    from fs_indexer_elasticsearch_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers with a trivial action so the first
+    # timed query doesn't absorb session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        out = QUERIES[name](spark, sf_dir)
+        # collect(), not count(): count() would let Catalyst prune the
+        # computed columns and under-report the real work.
+        n = len(out.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "rows": rows,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

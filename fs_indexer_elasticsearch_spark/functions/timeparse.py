@@ -30,13 +30,15 @@ def find_ls_timestamp(raw: Column | str, now: Column | None = None) -> Column:
     raw_c = F.trim(_c(raw))
     now = F.current_timestamp() if now is None else now
     year = F.date_format(now, "yyyy")
-    with_year = F.to_timestamp(
-        F.concat(raw_c, F.lit(" "), year), "MMM d HH:mm yyyy"
+    # try_to_timestamp: unmatched format → NULL (Spark 4's to_timestamp
+    # raises), which is what the two-format coalesce needs.
+    with_year = F.try_to_timestamp(
+        F.concat(raw_c, F.lit(" "), year), F.lit("MMM d HH:mm yyyy")
     )
     rolled = F.when(
         with_year > now, with_year - F.expr("INTERVAL 1 YEAR")
     ).otherwise(with_year)
-    old_form = F.to_timestamp(raw_c, "MMM d yyyy")
+    old_form = F.try_to_timestamp(raw_c, F.lit("MMM d yyyy"))
     return F.coalesce(old_form, rolled)
 
 

@@ -43,11 +43,13 @@ def hyperplane_weight(h: int | Column, d: Column) -> Column:
     return ((v % 2001) - 1000) / F.lit(1000.0)
 
 
-def lsh_bucket(vec: Column | str, num_planes: int = 8) -> Column:
+def lsh_bucket(vec: Column | str, num_planes: int = 8, table: int = 0) -> Column:
     """Sign-random-projection LSH bucket code (num_planes bits).
 
     Scale path for ANN: vectors land in 2^num_planes buckets; search
     joins on the bucket key instead of crossing the full corpus.
+    ``table`` offsets the hyperplane keys so multiple independent
+    tables (the recall-boosting OR-construction) reuse this builder.
     """
     v = _c(vec)
     dims = F.sequence(F.lit(1), F.size(v))
@@ -55,7 +57,8 @@ def lsh_bucket(vec: Column | str, num_planes: int = 8) -> Column:
     def plane_bit(h: int) -> Column:
         prods = F.transform(
             dims,
-            lambda d: F.element_at(v, d).cast("double") * hyperplane_weight(h, d),
+            lambda d: F.element_at(v, d).cast("double")
+            * hyperplane_weight(table * 64 + h, d),
         )
         dp = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         return F.when(dp > 0, F.shiftleft(F.lit(1).cast("long"), h)).otherwise(

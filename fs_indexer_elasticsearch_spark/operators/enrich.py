@@ -1,0 +1,136 @@
+"""Direct-link enrichment (J1/J2/P9 + the side-effecting API calls).
+
+Reference parity: DirectLinkManager (direct_links.py) discovers work
+with a LEFT JOIN + (missing OR stale) predicate (204-233), pages it
+with ORDER BY/LIMIT/OFFSET (221-238), calls the LucidLink API per item
+under an asyncio.Semaphore(50) (lucidlink_api.py:62, 325-412), and
+upserts results (169-172).
+
+Spark-first shape:
+ - work discovery: one left join + predicate — no OFFSET pagination
+   (the whole work set is partition-parallel already).
+ - API calls: mapInPandas with a bounded thread pool per task;
+   total in-flight = tasks × per_task_concurrency, the cluster-level
+   analog of the reference's 300-request cap. Requests are idempotent
+   (keyed by file id) so Spark task retries are safe; disable
+   speculation on this stage in production (SURVEY §7 hard part #3).
+ - the fetcher is injected (fetch_fn) — tests use a deterministic
+   fake; the real LucidLink daemon never exists in CI (reference
+   tests mock it the same way, test_configuration_modes.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+LINK_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.StringType()),
+        T.StructField("direct_link", T.StringType()),
+        T.StructField("link_type", T.StringType()),
+        T.StructField("fsentry_id", T.StringType()),
+        T.StructField("last_updated", T.TimestampType()),
+    ]
+)
+
+
+def discover_link_work(
+    entries: DataFrame,
+    links: DataFrame | None,
+    *,
+    id_col: str = "id",
+    mtime_col: str = "modified_time",
+) -> DataFrame:
+    """Files needing a (re)fetch: no link row, or the link is staler
+    than the file (direct_links.py:223-233:
+    ``dl.file_id IS NULL OR dl.last_updated < f.modified_time``)."""
+    files = entries.filter(F.col("type") == "file")
+    if links is None:
+        return files
+    l = links.select("file_id", F.col("last_updated").alias("_lu"))
+    return (
+        files.join(l, files[id_col] == l.file_id, "left")
+        .filter(F.col("file_id").isNull() | (F.col("_lu") < F.col(mtime_col)))
+        .drop("file_id", "_lu")
+    )
+
+
+def fake_link_fetcher(version: str = "v2") -> Callable[[str, str], dict]:
+    """Deterministic stand-in for the LucidLink API: v2 returns
+    ``lucid://links/file/<id-prefix>`` (lucidlink_api.py:339 shape),
+    v3 an https URL."""
+
+    def fetch(file_id: str, path: str) -> dict:
+        if version == "v2":
+            return {
+                "direct_link": f"lucid://links/file/{file_id[:16]}",
+                "link_type": "v2",
+                "fsentry_id": f"13:{abs(hash(path)) % 100000}",
+            }
+        return {
+            "direct_link": f"https://links.example/v3/{file_id[:16]}",
+            "link_type": "v3",
+            "fsentry_id": None,
+        }
+
+    return fetch
+
+
+def fetch_direct_links(
+    work: DataFrame,
+    fetch_fn: Callable[[str, str], dict],
+    *,
+    id_col: str = "id",
+    path_col: str = "relative_path",
+    per_task_concurrency: int = 8,
+) -> DataFrame:
+    """Run the side-effecting fetch per work row inside partitions,
+    with a bounded thread pool per task. Returns direct_links-shaped
+    rows (last_updated = fetch time)."""
+
+    def run(batches: Iterator) -> Iterator:
+        from concurrent.futures import ThreadPoolExecutor
+        from datetime import datetime, timezone
+
+        import pandas as pd
+
+        with ThreadPoolExecutor(max_workers=per_task_concurrency) as pool:
+            for pdf in batches:
+                ids = pdf[id_col].tolist()
+                paths = pdf[path_col].tolist()
+                results = list(pool.map(fetch_fn, ids, paths))
+                now = datetime.now(timezone.utc).replace(tzinfo=None)
+                yield pd.DataFrame(
+                    {
+                        "file_id": ids,
+                        "direct_link": [r.get("direct_link") for r in results],
+                        "link_type": [r.get("link_type") for r in results],
+                        "fsentry_id": [r.get("fsentry_id") for r in results],
+                        "last_updated": [now] * len(ids),
+                    }
+                )
+
+    return work.select(id_col, path_col).mapInPandas(run, LINK_RESULT_SCHEMA)
+
+
+def enrich_with_links(entries: DataFrame, links: DataFrame) -> DataFrame:
+    """J1: left-join enrichment with empty-string default
+    (elasticsearch_integration.py:357-369). The links side is small
+    per batch → broadcast."""
+    l = links.select(
+        "file_id",
+        F.col("direct_link").alias("_dl"),
+        F.col("fsentry_id").alias("_fid"),
+    )
+    out = entries.join(
+        F.broadcast(l), entries["id"] == l["file_id"], "left"
+    )
+    return (
+        out.withColumn("direct_link", F.coalesce(F.col("_dl"), F.lit("")))
+        .withColumn("fsentry_id", F.col("_fid"))
+        .drop("file_id", "_dl", "_fid")
+    )

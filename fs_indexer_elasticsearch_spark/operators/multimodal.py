@@ -1,0 +1,119 @@
+"""Multimodal column operators: opaque binary payloads + typed
+metadata, processed with Arrow-batched pandas transforms.
+
+The image/audio libraries are NOT in this container, so the decode
+kernels are stubbed (NotImplementedError or a deterministic fake
+behind ``fake=True``) — but the Spark-side plumbing is real: schema
+(schema.MEDIA_ASSET_SCHEMA), mapInPandas batch shape, partitioning,
+and the UDF signatures are what a production decode would use.
+
+Scale notes: payloads ride as parquet binary; repartition by asset id
+before decode so one poison payload can't skew a task; decode output
+(features) is columnar float arrays that feed the similarity
+operators directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build an asset DataFrame from any table: payload = utf-8 bytes
+    of a text column (deterministic fixture for the binary path)."""
+    return df.select(
+        F.col(id_col).cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def extract_features(
+    assets: DataFrame, dim: int = 16, fake: bool = True
+) -> DataFrame:
+    """Decode + feature-extract per asset (Arrow-batched).
+
+    ``fake=True`` produces a deterministic byte-histogram feature (so
+    tests are stable); ``fake=False`` raises NotImplementedError where
+    a real image decoder (PIL/torchvision — absent here) would run.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/libav — not in this image"
+                )
+            feats, sizes = [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload or b"")
+                sizes.append(len(b))
+                hist = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8) % dim, minlength=dim
+                ).astype("float32")
+                total = hist.sum() or 1.0
+                feats.append((hist / total).tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pd.array(sizes, dtype="int32"),
+                    "features": feats,
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing (video pattern): slice the payload into
+    pseudo-frames every ``every_n_bytes`` — a real implementation
+    would demux keyframes; the batch/explode shape is identical."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                for i in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_index": pd.array(idxs, dtype="int32"),
+                    "frame_payload": frames,
+                }
+            )
+
+    return assets.mapInPandas(run, FRAME_SCHEMA)

@@ -68,27 +68,41 @@ def lsh_ann_topk(
     *,
     k: int = 3,
     num_planes: int = 8,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via sign-projection LSH buckets: only
-    candidates in the query's bucket are scored. Deterministic
+    candidates sharing a bucket with the query (in ANY of the
+    ``num_tables`` independent tables — the OR-construction that
+    trades candidate volume for recall) are scored. Deterministic
     (hyperplanes derived from md5) → oracle-reproducible."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nvec"),
-        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            stable_round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
+
+    def coded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(F.col(vec_col), num_planes, table=t).alias("code"),
+                )
+                for t in range(num_tables)
+            ]
         )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(buckets).alias("bk"),
+        ).select(out_id, out_vec, "bk.t", "bk.code")
+
+    q = coded(queries, "query_id", "qvec")
+    c = coded(corpus, "neighbor_id", "nvec")
+    cands = (
+        c.join(F.broadcast(q), ["t", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qvec", "neighbor_id", "nvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        stable_round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
     )
     return _ranked_topk(scored, k)

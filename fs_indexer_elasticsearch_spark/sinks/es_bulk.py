@@ -1,0 +1,125 @@
+"""Elasticsearch bulk sink (S9/S10) — connector-gated with a
+bulk-file fallback.
+
+Reference parity: elasticsearch_integration.py:298-451 formats docs
+(ISO timestamps 98-112, human size 390-409), joins enrichments, and
+POSTs `client.bulk` with explicit `_id`; deletes go in 1000-id batches
+(253-275, 526-551). The index mapping is §1.3.
+
+Spark-first shape: the document projection is ONE select (Catalyst
+fuses it with the upstream join/rollup instead of the reference's two
+materialized DuckDB queries); the write is either
+  - the elasticsearch-spark connector when its jar is present
+    (``es.mapping.id = id``), or
+  - an NDJSON "bulk file" sink: one part per partition in the exact
+    _bulk wire format, so tests (and external shippers) can assert on
+    byte-accurate actions. No ES server exists in this image.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions import format_size, iso_format
+
+# §1.3 field set (elasticsearch_integration.py:43-96).
+ES_DOC_FIELDS = [
+    "id",
+    "name",
+    "relative_path",
+    "filepath",
+    "type",
+    "size_bytes",
+    "size",
+    "extension",
+    "checksum",
+    "direct_link",
+    "fsentry_id",
+    "modified_time",
+    "creation_time",
+    "last_seen",
+]
+
+
+def format_documents(entries: DataFrame) -> DataFrame:
+    """Project fs entries into ES document shape: ISO timestamps,
+    human-readable ``size``, empty-string defaults (the COALESCE /
+    CASE projection P10, elasticsearch_integration.py:158-170)."""
+    cols: dict[str, Column] = {
+        "id": F.col("id"),
+        "name": F.col("name"),
+        "relative_path": F.col("relative_path"),
+        "filepath": F.col("filepath"),
+        "type": F.col("type"),
+        "size_bytes": F.col("size_bytes"),
+        "size": format_size("size_bytes"),
+        "extension": F.coalesce(F.col("extension"), F.lit("")),
+        "checksum": F.coalesce(F.col("checksum"), F.lit("")),
+        "direct_link": F.coalesce(F.col("direct_link"), F.lit(""))
+        if "direct_link" in entries.columns
+        else F.lit(""),
+        "fsentry_id": F.col("fsentry_id")
+        if "fsentry_id" in entries.columns
+        else F.lit(None).cast("string"),
+        "modified_time": iso_format("modified_time"),
+        "creation_time": iso_format("creation_time"),
+        "last_seen": iso_format("last_seen"),
+    }
+    return entries.select(*[c.alias(n) for n, c in cols.items()])
+
+
+def bulk_actions(docs: DataFrame, index: str) -> DataFrame:
+    """NDJSON `_bulk` action pairs: one row per line, alternating
+    action and source — `{"index":{"_index":...,"_id":...}}\\n{doc}`."""
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(index).alias("_index"), F.col("id").alias("_id")
+            ).alias("index")
+        )
+    )
+    source = F.to_json(F.struct(*[F.col(c) for c in docs.columns]))
+    paired = docs.select(
+        F.concat(action, F.lit("\n"), source).alias("value")
+    )
+    return paired
+
+
+def delete_actions(ids: DataFrame, index: str, id_col: str = "id") -> DataFrame:
+    """Bulk delete actions from an id DataFrame (the anti-join result)
+    — replaces the reference's driver-side 1000-id batching and its
+    10k-scroll cap (S10, elasticsearch_integration.py:526-551)."""
+    return ids.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit(index).alias("_index"), F.col(id_col).alias("_id")
+                ).alias("delete")
+            )
+        ).alias("value")
+    )
+
+
+def write_bulk_file(actions: DataFrame, out_dir: str) -> None:
+    """Partitioned NDJSON bulk files — one part per partition; each
+    part is a valid `_bulk` request body."""
+    actions.write.mode("overwrite").text(out_dir)
+
+
+def write_elasticsearch(docs: DataFrame, index: str, es_conf: dict[str, str]) -> bool:
+    """Write through the elasticsearch-spark connector when present.
+    Returns False (caller falls back to the bulk file) when the jar
+    is not on the classpath."""
+    try:
+        (
+            docs.write.format("org.elasticsearch.spark.sql")
+            .option("es.mapping.id", "id")
+            .option("es.resource", index)
+            .options(**es_conf)
+            .mode("append")
+            .save()
+        )
+        return True
+    except Exception:  # noqa: BLE001 - connector jar absent in this image
+        return False

@@ -1,0 +1,70 @@
+"""YAML pipeline config (S13 — reference config/config.py:6-26 with
+its search-path fallback; keys follow config/indexer-config.yaml)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+DEFAULT_SEARCH_PATHS = [
+    "indexer-config.yaml",
+    "config/indexer-config.yaml",
+]
+
+
+@dataclass
+class PipelineConfig:
+    root_path: str = "."
+    mode: str = "elasticsearch"  # elasticsearch | index-only
+    skip_patterns: list[str] = field(
+        default_factory=lambda: [".git", "__pycache__", "*.tmp", "node_modules", ".DS_Store"]
+    )
+    scan_chunk_size: int = 100_000
+    direct_links_enabled: bool = False
+    direct_links_version: str = "v2"
+    es_index: str = "fs-entries"
+    es_bulk_size: int = 100_000
+    snapshot_path: str = "./snapshots"
+    num_buckets: int = 32
+    raw: dict[str, Any] = field(default_factory=dict)
+
+
+def load_config(path: str | None = None) -> PipelineConfig:
+    """Load YAML config, searching the reference's fallback paths when
+    no explicit path is given; missing file → defaults."""
+    candidates = [path] if path else DEFAULT_SEARCH_PATHS
+    data: dict[str, Any] = {}
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            try:
+                import yaml
+
+                with open(cand) as f:
+                    data = yaml.safe_load(f) or {}
+            except ImportError:  # yaml absent: accept defaults
+                data = {}
+            break
+    skips = data.get("skip_patterns")
+    if isinstance(skips, dict):  # reference nests hidden_files/hidden_dirs
+        patterns = [p for v in skips.values() for p in (v or [])]
+    elif skips:
+        patterns = list(skips)
+    else:
+        patterns = PipelineConfig().skip_patterns
+    perf = data.get("performance", {})
+    ll = data.get("lucidlink_filespace", {})
+    return PipelineConfig(
+        root_path=data.get("root_path", "."),
+        mode=data.get("mode", "elasticsearch"),
+        skip_patterns=patterns,
+        scan_chunk_size=int(perf.get("scan_chunk_size", 100_000)),
+        direct_links_enabled=bool(ll.get("enabled", False)),
+        direct_links_version=f"v{ll.get('port', 2)}"
+        if isinstance(ll.get("port"), int) and ll.get("port") in (2, 3)
+        else data.get("direct_links_version", "v2"),
+        es_index=data.get("elasticsearch", {}).get("index_name", "fs-entries"),
+        es_bulk_size=int(data.get("elasticsearch", {}).get("bulk_size", 100_000)),
+        snapshot_path=data.get("database", {}).get("path", "./snapshots"),
+        raw=data,
+    )

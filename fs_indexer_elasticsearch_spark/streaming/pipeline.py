@@ -1,0 +1,111 @@
+"""Streaming shape of the pipeline (SURVEY §2.10).
+
+The reference is batch with streaming bones: a bounded
+producer/consumer queue (scanner.py:364-403), size-thresholded
+micro-batches (main.py:273-295), and snapshot-diff change detection.
+Structured Streaming gives each one natively:
+
+ - queue/back-pressure  → source back-pressure + maxFilesPerTrigger
+ - micro-batches        → foreachBatch
+ - snapshot-diff        → the same merge operator, applied per batch
+ - counters             → observe() / StreamingQueryListener
+
+``run_incremental_pipeline`` watches a directory of fs-entry parquet
+drops and merges each micro-batch into a SnapshotStore — the
+streaming twin of the batch ingest, sharing the identical merge
+operator (one code path to test at both cadences).
+
+``windowed_event_counts`` is the watermarked tumbling aggregation
+over an events stream (late data dropped past the watermark).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..sinks.snapshot import SnapshotStore
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    store: SnapshotStore,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Merge every micro-batch of entry files into the snapshot store
+    (exactly-once per epoch via the checkpointed foreachBatch)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # Within one micro-batch the same key may appear twice; keep
+        # the newest (same rule the merge applies across batches).
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(store.key)
+            .orderBy(F.desc(store.version_col))
+        )
+        deduped = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        store.merge(deduped)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling counts per event type over a STREAMING
+    events DataFrame; append-mode emits each window once it's final.
+
+    Watermarks require TimestampType (not NTZ) — cast up front; with
+    the session pinned to UTC the instant is unchanged."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sessionized_event_stats(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Streaming session windows per user (state cleaned up past the
+    watermark) — the streaming twin of plans.window_session_30m."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "total_value"
+        )
+    )

@@ -1,0 +1,135 @@
+"""Scalar expression library vs known-good values (the reference's
+exact-schema/value assertion style, test_parallel_scanner.py:64-77)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fs_indexer_elasticsearch_spark.functions import (
+    ancestors,
+    basename,
+    entry_id,
+    extension,
+    find_ls_timestamp,
+    format_size,
+    glob_to_regex,
+    is_hidden,
+    path_depth,
+    relative_to,
+    skip_filter,
+)
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+@pytest.mark.parametrize(
+    ("path", "expected"),
+    [
+        ("/a/b/c.txt", "c.txt"),
+        ("file.tar.gz", "file.tar.gz"),
+        ("/a/dir name/f f.txt", "f f.txt"),
+    ],
+)
+def test_basename(spark, path, expected):
+    assert one(spark, basename(F.lit(path))) == expected
+
+
+@pytest.mark.parametrize(
+    ("name", "expected"),
+    [
+        ("report.PDF", "pdf"),
+        ("archive.tar.gz", "gz"),
+        (".bashrc", ""),  # dotfile: no extension (os.path.splitext parity)
+        ("noext", ""),
+        ("weird.", ""),
+    ],
+)
+def test_extension(spark, name, expected):
+    assert one(spark, extension(F.lit(name))) == expected
+
+
+def test_entry_id_is_sha256(spark):
+    import hashlib
+
+    assert one(spark, entry_id(F.lit("/a/b.txt"))) == hashlib.sha256(
+        b"/a/b.txt"
+    ).hexdigest()
+
+
+def test_ancestors(spark):
+    assert one(spark, ancestors(F.lit("/a/b/c.txt"))) == ["/a", "/a/b"]
+    assert one(spark, ancestors(F.lit("/a/b"), include_self=True)) == ["/a", "/a/b"]
+    assert one(spark, ancestors(F.lit("/top"))) == []
+
+
+def test_path_depth_and_hidden(spark):
+    assert one(spark, path_depth(F.lit("/a/b/c"))) == 3
+    assert one(spark, is_hidden(F.lit(".git"))) is True
+    assert one(spark, is_hidden(F.lit("src"))) is False
+
+
+def test_relative_to(spark):
+    assert one(spark, relative_to(F.lit("/mnt/fs/a/b"), "/mnt/fs")) == "/a/b"
+    assert one(spark, relative_to(F.lit("/mnt/fs"), "/mnt/fs")) == "/"
+
+
+@pytest.mark.parametrize(
+    ("n", "expected"),
+    [
+        (512, "512.0 B"),
+        (1536, "1.5 KB"),
+        (1048576, "1.0 MB"),
+        (3 * 1024**3, "3.0 GB"),
+        (None, None),
+    ],
+)
+def test_format_size(spark, n, expected):
+    col = format_size(F.lit(n).cast("long"))
+    assert one(spark, col) == expected
+
+
+def test_glob_to_regex_semantics():
+    import re
+
+    assert re.match(glob_to_regex("*.tmp"), "x.tmp")
+    assert not re.match(glob_to_regex("*.tmp"), "a/x.tmp")  # * doesn't cross /
+    assert re.match(glob_to_regex("**/*.tmp"), "a/b/x.tmp")
+    assert re.match(glob_to_regex("file?.txt"), "file1.txt")
+    assert not re.match(glob_to_regex("file?.txt"), "file12.txt")
+
+
+def test_skip_filter_matches_reference_fnmatch(spark):
+    # Reference semantics (scanner.py:71-97): drop when the whole path
+    # OR any component matches a glob.
+    rows = [
+        ("/src/app.py", True),
+        ("/src/.git/config", False),  # component match
+        ("/node_modules/x.js", False),
+        ("/data/file.tmp", False),  # *.tmp component
+        ("/data/file.txt", True),
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in rows], "path string")
+    keep = df.filter(
+        skip_filter(F.col("path"), [".git", "node_modules", "*.tmp"])
+    )
+    kept = {r.path for r in keep.collect()}
+    assert kept == {p for p, ok in rows if ok}
+
+
+def test_find_ls_timestamp_two_formats(spark):
+    now = F.lit("2026-08-13 12:00:00").cast("timestamp")
+    # Old format: explicit year.
+    assert str(one(spark, find_ls_timestamp(F.lit("Mar 15 2019"), now=now))) == (
+        "2019-03-15 00:00:00"
+    )
+    # Recent format: resolved against current year.
+    assert str(one(spark, find_ls_timestamp(F.lit("Mar 15 10:30"), now=now))) == (
+        "2026-03-15 10:30:00"
+    )
+    # Future-looking date rolls back one year (scanner.py:155-156).
+    assert str(one(spark, find_ls_timestamp(F.lit("Dec 25 10:30"), now=now))) == (
+        "2025-12-25 10:30:00"
+    )

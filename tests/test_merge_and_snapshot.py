@@ -1,0 +1,83 @@
+"""Merge/diff operator semantics + the versioned snapshot store
+(reference DB-behavior test coverage, tests/database/test_db_behavior.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fs_indexer_elasticsearch_spark.operators.merge import (
+    insert_or_replace,
+    snapshot_diff,
+    upsert_newer_wins,
+)
+from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int, payload string")
+
+
+def test_upsert_newer_wins(spark):
+    cur = _df(spark, [("a", 1, "old-a"), ("b", 5, "old-b")])
+    batch = _df(spark, [("a", 2, "new-a"), ("b", 3, "stale-b"), ("c", 1, "new-c")])
+    out = {r.k: r for r in upsert_newer_wins(cur, batch, "k", "v").collect()}
+    assert out["a"].payload == "new-a"  # newer wins
+    assert out["b"].payload == "old-b"  # stale batch row ignored
+    assert out["c"].payload == "new-c"  # insert
+    # Idempotent: re-applying the same batch changes nothing.
+    again = upsert_newer_wins(
+        upsert_newer_wins(cur, batch, "k", "v"), batch, "k", "v"
+    )
+    assert {(r.k, r.v, r.payload) for r in again.collect()} == {
+        (r.k, r.v, r.payload) for r in upsert_newer_wins(cur, batch, "k", "v").collect()
+    }
+
+
+def test_insert_or_replace(spark):
+    cur = _df(spark, [("a", 1, "old-a"), ("b", 1, "old-b")])
+    batch = _df(spark, [("b", 0, "replaced-b"), ("c", 9, "new-c")])
+    out = {r.k: r.payload for r in insert_or_replace(cur, batch, "k").collect()}
+    assert out == {"a": "old-a", "b": "replaced-b", "c": "new-c"}  # LWW even if older
+
+
+def test_snapshot_diff(spark):
+    prev = _df(spark, [("a", 1, "x"), ("b", 1, "y"), ("c", 1, "z")])
+    cur = _df(spark, [("b", 1, "y"), ("c", 1, "z2"), ("d", 1, "w")])
+    out = {r.k: r.change for r in snapshot_diff(prev, cur, "k", ["payload"]).collect()}
+    assert out == {"a": "removed", "c": "changed", "d": "added"}
+
+
+def test_snapshot_store_roundtrip(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4)
+    assert store.read() is None
+    store.overwrite(_df(spark, [("a", 1, "p1"), ("b", 1, "p1")]))
+    assert store.current_version() == 1
+
+    store.merge(_df(spark, [("a", 2, "p2"), ("c", 1, "p1")]))
+    assert store.current_version() == 2
+    out = {r.k: (r.v, r.payload) for r in store.read().drop("_bucket").collect()}
+    assert out == {"a": (2, "p2"), "b": (1, "p1"), "c": (1, "p1")}
+
+    # Older batch must not regress the row (P8 staleness predicate).
+    store.merge(_df(spark, [("a", 0, "stale")]))
+    out = {r.k: r.payload for r in store.read().collect()}
+    assert out["a"] == "p2"
+
+    # Time travel: v2 still readable; vacuum keeps the newest 2.
+    assert store.current_version() == 3
+    victims = store.vacuum(keep=2)
+    assert victims == [1]
+
+
+def test_snapshot_store_bucket_layout(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4)
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(100)]))
+    df = store.read()
+    assert "_bucket" in df.columns
+    buckets = {r._bucket for r in df.select("_bucket").distinct().collect()}
+    assert buckets.issubset(set(range(4)))
+    # Stable: same key always lands in the same bucket.
+    b1 = {r.k: r._bucket for r in df.collect()}
+    store.merge(_df(spark, [("k0", 2, "p2")]))
+    b2 = {r.k: r._bucket for r in store.read().collect()}
+    assert all(b1[k] == b2[k] for k in b1)

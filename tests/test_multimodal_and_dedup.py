@@ -1,0 +1,102 @@
+"""Multimodal binary plumbing + dedup/similarity operator invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fs_indexer_elasticsearch_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+)
+from fs_indexer_elasticsearch_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    sample_frames,
+)
+from fs_indexer_elasticsearch_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+)
+
+
+def test_multimodal_feature_plumbing(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    assets = attach_payload(docs, "text", "doc_id")
+    feats = extract_features(assets, dim=16, fake=True).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-5  # normalized histogram
+        assert r.n_bytes > 0
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(1)
+    assets = attach_payload(docs, "text", "doc_id")
+    with pytest.raises(Exception, match="NotImplementedError|not in this image"):
+        extract_features(assets, fake=False).collect()
+
+
+def test_frame_sampling_shape(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    frames = sample_frames(attach_payload(docs, "text", "doc_id"), every_n_bytes=32).collect()
+    assert all(len(bytes(r.frame_payload)) <= 32 for r in frames)
+    per_asset = {}
+    for r in frames:
+        per_asset.setdefault(r.asset_id, []).append(r.frame_index)
+    for idxs in per_asset.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense frame index
+
+
+def test_exact_duplicates_operator(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    out = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert (out[0].keeper_id, out[0].n_dups) == (1, 3)
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again"
+    far = "completely different words in this one with no overlap whatsoever present"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    assert pairs[0].jaccard > 0.7
+
+
+def test_bruteforce_topk_self_similarity(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    assert len(out) == 15
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    for rows in per_q.values():
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)  # ranked
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+        assert all(r.neighbor_id != r.query_id for r in rows)  # self excluded
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=1).collect()
+    approx = lsh_ann_topk(
+        emb, q, "vec_id", "embedding", k=1, num_planes=4, num_tables=6
+    ).collect()
+    exact_best = {r.query_id: r.neighbor_id for r in exact}
+    approx_best = {r.query_id: r.neighbor_id for r in approx}
+    # Multi-table OR-construction (6 tables × 4 planes): at least half
+    # the queries should recover their true nearest neighbor.
+    hits = sum(1 for k, v in approx_best.items() if exact_best.get(k) == v)
+    assert hits >= len(exact_best) // 2
+    assert len(approx_best) >= 8  # nearly all queries found candidates

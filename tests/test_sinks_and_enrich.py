@@ -1,0 +1,127 @@
+"""ES bulk formatting, DuckDB interop, direct-link enrichment."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pyspark.sql.functions as F
+
+from fs_indexer_elasticsearch_spark.operators.enrich import (
+    discover_link_work,
+    enrich_with_links,
+    fake_link_fetcher,
+    fetch_direct_links,
+)
+from fs_indexer_elasticsearch_spark.sinks.duckdb_file import read_duckdb, write_duckdb
+from fs_indexer_elasticsearch_spark.sinks.es_bulk import (
+    bulk_actions,
+    delete_actions,
+    format_documents,
+    write_bulk_file,
+)
+
+
+def _entries(spark):
+    rows = [
+        (
+            "id-1",
+            "a.txt",
+            "/d/a.txt",
+            "/mnt/d/a.txt",
+            "file",
+            1536,
+            "txt",
+            "",
+            "2024-01-02 10:00:00",
+            "2024-01-01 10:00:00",
+            "2024-03-01 00:00:00",
+        ),
+        (
+            "id-2",
+            "d",
+            "/d",
+            "/mnt/d",
+            "directory",
+            None,
+            "",
+            "",
+            "2024-01-02 10:00:00",
+            "2024-01-01 10:00:00",
+            "2024-03-01 00:00:00",
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, name string, relative_path string, filepath string, type string,"
+        "size_bytes long, extension string, checksum string, modified_time string,"
+        "creation_time string, last_seen string",
+    )
+    for c in ("modified_time", "creation_time", "last_seen"):
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def test_format_documents_and_bulk(spark, tmp_path):
+    docs = format_documents(_entries(spark))
+    rows = {r.id: r for r in docs.collect()}
+    assert rows["id-1"].size == "1.5 KB"
+    assert rows["id-1"].modified_time == "2024-01-02T10:00:00"  # ISO format
+    assert rows["id-1"].direct_link == ""  # empty default
+    assert rows["id-2"].size_bytes is None
+
+    out = str(tmp_path / "bulk")
+    write_bulk_file(bulk_actions(docs, "fs-entries"), out)
+    lines = []
+    for part in glob.glob(out + "/part-*"):
+        with open(part) as f:
+            lines += [l for l in f.read().splitlines() if l]
+    assert len(lines) == 4  # action + source per doc
+    actions = [json.loads(l) for l in lines if '"index"' in l and "_id" in l]
+    assert {a["index"]["_id"] for a in actions} == {"id-1", "id-2"}
+    assert all(a["index"]["_index"] == "fs-entries" for a in actions)
+    sources = [json.loads(l) for l in lines if '"index"' not in l]
+    assert {s["id"] for s in sources} == {"id-1", "id-2"}
+
+
+def test_delete_actions(spark):
+    ids = spark.createDataFrame([("id-9",), ("id-8",)], "id string")
+    acts = [json.loads(r.value) for r in delete_actions(ids, "fs-entries").collect()]
+    assert {a["delete"]["_id"] for a in acts} == {"id-8", "id-9"}
+
+
+def test_duckdb_roundtrip(spark, tmp_path):
+    df = _entries(spark).select("id", "relative_path", "size_bytes", "modified_time")
+    db = str(tmp_path / "files.duckdb")
+    assert write_duckdb(df, db, "lucidlink_files") == 2
+    back = read_duckdb(spark, db, "lucidlink_files")
+    assert {r.id for r in back.collect()} == {"id-1", "id-2"}
+    # Queryable by plain DuckDB (the oracle interop contract).
+    import duckdb
+
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*) FROM lucidlink_files").fetchone()[0] == 2
+    con.close()
+
+
+def test_link_work_discovery_and_enrichment(spark):
+    entries = _entries(spark)
+    # No link table yet → every file is work (dirs excluded).
+    work = discover_link_work(entries, None)
+    assert {r.id for r in work.collect()} == {"id-1"}
+
+    links = fetch_direct_links(work, fake_link_fetcher("v2"))
+    got = links.collect()
+    assert len(got) == 1
+    assert got[0].file_id == "id-1"
+    assert got[0].direct_link.startswith("lucid://links/file/")
+    assert got[0].link_type == "v2"
+
+    enriched = {r.id: r for r in enrich_with_links(entries, links).collect()}
+    assert enriched["id-1"].direct_link.startswith("lucid://")
+    assert enriched["id-2"].direct_link == ""  # left-join miss default
+
+    # Freshness: a link newer than the file's mtime → no work
+    # (direct_links.py:223-233 predicate).
+    stale_check = discover_link_work(entries, links)
+    assert stale_check.count() == 0

@@ -1,0 +1,101 @@
+"""find-ls / tab parsers and the distributed filesystem walker."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from fs_indexer_elasticsearch_spark.sources.find_ls import (
+    parse_find_ls,
+    parse_tab_format,
+)
+from fs_indexer_elasticsearch_spark.sources.walker import (
+    list_top_dirs,
+    scan_filesystem,
+    to_fs_entries,
+)
+
+FIND_LINES = [
+    "1234 8 -rw-r--r-- 1 root root 5120 Mar 15 2019 /mnt/fs/data/file.txt",
+    "1235 0 drwxr-xr-x 2 root root 4096 Mar 15 10:30 /mnt/fs/data",
+    "1236 8 -rw-r--r-- 1 root root 77 Jan 2 2020 /mnt/fs/data/name with spaces.PDF",
+    "garbage line",  # malformed: must be dropped
+]
+
+
+def test_parse_find_ls(spark):
+    now = F.lit("2026-08-13 12:00:00").cast("timestamp")
+    df = spark.createDataFrame([(l,) for l in FIND_LINES], "value string")
+    out = parse_find_ls(df, root="/mnt/fs", now=now).orderBy("filepath").collect()
+    assert len(out) == 3  # malformed dropped
+    by_path = {r.filepath: r for r in out}
+    f = by_path["/mnt/fs/data/file.txt"]
+    assert (f.type, f.size_bytes, f.extension, f.name) == ("file", 5120, "txt", "file.txt")
+    assert f.relative_path == "/data/file.txt"
+    assert str(f.modified_time).startswith("2019-03-15")
+    assert len(f.id) == 64  # sha256 hex
+    d = by_path["/mnt/fs/data"]
+    assert (d.type, d.size_bytes) == ("directory", None)
+    s = by_path["/mnt/fs/data/name with spaces.PDF"]
+    assert (s.name, s.extension) == ("name with spaces.PDF", "pdf")
+
+
+def test_parse_tab_format(spark):
+    lines = [
+        "/mnt/a.bin\t123\t2024-01-01 10:00:00\t2023-12-31 09:00:00",
+        "short\tline",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    out = parse_tab_format(df, root="/mnt").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.relative_path, r.size_bytes, r.extension) == ("/a.bin", 123, "bin")
+    assert str(r.modified_time) == "2024-01-01 10:00:00"
+    assert str(r.creation_time) == "2023-12-31 09:00:00"
+
+
+def _mk_tree(tmp):
+    os.makedirs(f"{tmp}/proj/src", exist_ok=True)
+    os.makedirs(f"{tmp}/proj/.git", exist_ok=True)
+    os.makedirs(f"{tmp}/data/sub", exist_ok=True)
+    for p, content in [
+        (f"{tmp}/proj/src/app.py", b"print('hi')\n"),
+        (f"{tmp}/proj/readme.md", b"# hi\n"),
+        (f"{tmp}/proj/.git/config", b"[core]\n"),
+        (f"{tmp}/data/sub/big.bin", b"\x00" * 1000),
+        (f"{tmp}/data/x.tmp", b"junk"),
+    ]:
+        with open(p, "wb") as f:
+            f.write(content)
+
+
+def test_scan_filesystem(spark, tmp_path):
+    tmp = str(tmp_path)
+    _mk_tree(tmp)
+    raw = scan_filesystem(spark, tmp, skip_patterns=[".git", "*.tmp"])
+    rows = raw.collect()
+    paths = {r.filepath for r in rows}
+    # .git subtree and *.tmp pruned; everything else present.
+    assert f"{tmp}/proj/src/app.py" in paths
+    assert f"{tmp}/data/sub/big.bin" in paths
+    assert not any(".git" in p or p.endswith(".tmp") for p in paths)
+    by_path = {r.filepath: r for r in rows}
+    assert by_path[f"{tmp}/data/sub/big.bin"].size_bytes == 1000
+    assert by_path[f"{tmp}/proj/src"].type == "directory"
+
+    entries = to_fs_entries(raw, tmp)
+    e = {r.relative_path: r for r in entries.collect()}
+    assert "/proj/src/app.py" in e
+    assert e["/proj/src/app.py"].extension == "py"
+    assert len(e["/proj/src/app.py"].id) == 64
+
+
+def test_frontier_pruning(tmp_path):
+    tmp = str(tmp_path)
+    _mk_tree(tmp)
+    dirs = list_top_dirs(tmp, [".git"], depth=1)
+    assert f"{tmp}/proj" in dirs and f"{tmp}/data" in dirs
+    deeper = list_top_dirs(tmp, [".git"], depth=2)
+    assert f"{tmp}/proj/.git" not in deeper  # pruned before fan-out
+    assert f"{tmp}/proj/src" in deeper
