@@ -92,24 +92,35 @@ def token_hash32(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
 
-def simhash32(toks: Column) -> Column:
-    """32-bit SimHash over the distinct token set: bit j is set when
-    more than half the tokens have bit j set in their 32-bit hash
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a MATERIALIZED array of 32-bit token
+    hashes: bit j is set when more than half the tokens have bit j set
     (#set*2 > n form avoids a ±1 accumulator). The bit loop is
-    unrolled in Python (shiftright requires a literal shift)."""
-    n = F.size(toks)
+    unrolled in Python (shiftright requires a literal shift).
+
+    Callers must project the hash array in a prior select —
+    ``transform(tk, token_hash32)`` inlined here would recompute the
+    md5 once per (token, bit): 32× the work (no CSE across lambdas).
+    """
+    n = F.size(hashes)
 
     def bit_set(j: int):
         # Single-arg lambda (two-arg would receive the array index).
-        return lambda t: F.shiftright(token_hash32(t), j).bitwiseAND(F.lit(1)) == 1
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
 
     code = F.lit(0).cast("long")
     for j in range(32):
-        set_cnt = F.size(F.filter(toks, bit_set(j)))
+        set_cnt = F.size(F.filter(hashes, bit_set(j)))
         code = code + F.when(set_cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return code
+
+
+def simhash32(toks: Column) -> Column:
+    """Convenience single-expression SimHash (fine for tests / small
+    data; the staged operator path projects the hash array first)."""
+    return simhash32_from_hashes(F.transform(toks, token_hash32))
 
 
 def hamming32(a: Column, b: Column) -> Column:

@@ -24,7 +24,8 @@ from ..functions.text import (
     distinct_tokens,
     hamming32,
     minhash_signature,
-    simhash32,
+    simhash32_from_hashes,
+    token_hash32,
     tokens,
     word_shingles,
 )
@@ -43,10 +44,13 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    toks = tokens(F.col(text_col))
+    # Two-step projection: materialize the token array BEFORE building
+    # shingles. Inlining tokens() into word_shingles would re-evaluate
+    # the regex split inside every element_at of the shingle lambda
+    # (no CSE across lambda bodies) — O(tokens²) regex work per doc.
     return df.select(
-        F.col(id_col).alias("sid"), word_shingles(toks, n).alias("shingles")
-    )
+        F.col(id_col).alias("sid"), tokens(F.col(text_col)).alias("tk")
+    ).select("sid", word_shingles(F.col("tk"), n).alias("shingles"))
 
 
 def minhash_lsh_pairs(
@@ -72,17 +76,23 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "sid", *band_hashes([f"mh_{i}" for i in range(num_hashes)], bands)
     )
-    long = banded.select(
-        "sid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("h"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("sid", "band.b", "band.h")
+    long = (
+        banded.select(
+            "sid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("h"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("sid", "band.b", "band.h")
+        # cache: the self-join would otherwise execute the whole
+        # minhash pipeline twice (once per side).
+        .cache()
+    )
     a = long.alias("a")
     b_ = long.alias("b")
     cands = (
@@ -113,9 +123,14 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by 32-bit SimHash: byte-band blocking
     (4 bands × 8 bits) then Hamming-distance verify on candidates."""
-    s = df.select(
-        F.col(id_col).alias("sid"), simhash32(distinct_tokens(F.col(text_col))).alias("sh")
-    ).cache()
+    s = (
+        df.select(
+            F.col(id_col).alias("sid"), distinct_tokens(F.col(text_col)).alias("tk")
+        )
+        .select("sid", F.transform(F.col("tk"), token_hash32).alias("th"))
+        .select("sid", simhash32_from_hashes(F.col("th")).alias("sh"))
+        .cache()
+    )
     long = s.select(
         "sid",
         "sh",
@@ -159,9 +174,9 @@ def ngram_jaccard_pairs(
     operators are the unbounded-scale path."""
     t = df.select(
         F.col(id_col).alias("sid"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
         distinct_tokens(F.col(text_col)).alias("toks"),
-    )
+    ).cache()
     a = t.alias("a")
     b = t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))

@@ -267,14 +267,27 @@ _SW_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 )
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training quality gates: token counts, stopword ratio,
-    composite quality score — pure columnar expressions."""
+    composite quality score — pure columnar expressions over a
+    token array materialized ONCE (inlining tokens() into each stat
+    would re-run the regex split per reference)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return d.select(
+    staged = d.select("doc_id", "text", tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    sw = F.size(F.filter(F.col("tk"), lambda t: t.isin(*EN_STOPWORDS)))
+    swr = F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    ) / F.length("text")
+    quality = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0), 0.5 * F.least(n / F.lit(100.0), F.lit(1.0)) + 0.5 * swr * 2 - punct),
+    )
+    return staged.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        F.size(distinct_tokens("text")).alias("n_distinct"),
-        stable_round(stopword_ratio("text"), 4).alias("sw_ratio"),
-        stable_round(quality_score("text"), 4).alias("quality"),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        stable_round(swr, 4).alias("sw_ratio"),
+        stable_round(quality, 4).alias("quality"),
     )
 
 
@@ -300,8 +313,14 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID vs the labeled lang column —
     the n-gram-heuristic family from the LLM-pipeline extension set."""
     d = load(spark, sf_dir, "documents")
-    guess = F.when(stopword_ratio("text") >= 0.08, F.lit("en")).otherwise(F.lit("und"))
-    return d.groupBy("lang", guess.alias("guess")).agg(F.count(F.lit(1)).alias("n"))
+    staged = d.select("lang", tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    sw = F.size(F.filter(F.col("tk"), lambda t: t.isin(*EN_STOPWORDS)))
+    swr = F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+    guess = F.when(swr >= 0.08, F.lit("en")).otherwise(F.lit("und"))
+    return staged.groupBy("lang", guess.alias("guess")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
 
 @query(
@@ -326,8 +345,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: min-sampled rolling hash
     over 4-token windows."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    return d.select(
-        "doc_id", rolling_fingerprint(tokens(F.col("text")), 4).alias("fingerprint")
+    return d.select("doc_id", tokens(F.col("text")).alias("tk")).select(
+        "doc_id", rolling_fingerprint(F.col("tk"), 4).alias("fingerprint")
     )
 
 
