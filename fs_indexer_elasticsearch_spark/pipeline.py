@@ -1,0 +1,142 @@
+"""End-to-end indexing pipeline — the engine's `main` (reference
+main.py:32-375), Spark-first.
+
+Stages (each one a declarative DataFrame plan; Catalyst owns the
+physical strategy — compare SURVEY §3.1's hand-managed queues/threads):
+
+  1. scan        distributed filesystem walk (sources/walker)
+  2. normalize   canonical fs_entries projection + skip filters
+  3. merge       newer-wins upsert into the versioned SnapshotStore
+  4. diff        added/removed/changed vs the previous snapshot
+  5. enrich      direct-link fetch for missing/stale rows (J2 + API)
+  6. rollup      recursive directory sizes (explode-ancestors)
+  7. publish     ES document projection → bulk NDJSON (or connector);
+                 deletes propagated from the diff — uncapped
+  8. stats       observe()-collected counters (A-7 accumulator parity)
+
+Returns a PipelineResult with the per-stage DataFrames/metrics so
+callers (tests, notebooks) can assert on any intermediate.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
+
+from .functions import skip_filter
+from .operators.enrich import (
+    discover_link_work,
+    enrich_with_links,
+    fake_link_fetcher,
+    fetch_direct_links,
+)
+from .operators.rollup import directory_rollup
+from .sinks.es_bulk import bulk_actions, delete_actions, format_documents, write_bulk_file
+from .sinks.snapshot import SnapshotStore
+from .sources.config import PipelineConfig
+from .sources.walker import scan_filesystem, to_fs_entries
+
+
+@dataclass
+class PipelineResult:
+    snapshot_version: int
+    entries: DataFrame
+    diff: DataFrame | None
+    rollup: DataFrame
+    stats: dict[str, Any] = field(default_factory=dict)
+    bulk_dir: str | None = None
+    delete_dir: str | None = None
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    *,
+    out_dir: str,
+    link_fetcher=None,
+) -> PipelineResult:
+    """One full scan→index cycle (the reference's `python -m
+    fs_indexer_elasticsearch.main`)."""
+    store = SnapshotStore(
+        spark,
+        os.path.join(cfg.snapshot_path, "fs_entries"),
+        key="id",
+        version_col="modified_time",
+        num_buckets=cfg.num_buckets,
+    )
+    previous = store.read()
+    if previous is not None:
+        previous = previous.drop("_bucket").cache()
+        previous.count()
+
+    # 1-2: scan + normalize (+ observe-based counters, A-7).
+    raw = scan_filesystem(spark, cfg.root_path, cfg.skip_patterns)
+    entries = to_fs_entries(raw, cfg.root_path)
+    entries = entries.filter(skip_filter(F.col("relative_path"), cfg.skip_patterns))
+    obs = Observation("scan_stats")
+    entries = entries.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_entries"),
+        F.sum(F.when(F.col("type") == "file", 1).otherwise(0)).alias("files"),
+        F.sum(F.when(F.col("type") == "directory", 1).otherwise(0)).alias("dirs"),
+        F.sum(F.coalesce("size_bytes", F.lit(0))).alias("total_bytes"),
+    )
+    entries = entries.cache()
+
+    # 3+4: diff the previous snapshot against the NEW SCAN (not the
+    # merged table — merge is additive and would mask removals), then
+    # merge updates and delete the removed rows, reference parity with
+    # ON CONFLICT upsert + DELETE..NOT IN (scanner.py:225-244,447-454).
+    diff = None
+    if previous is None:
+        version = store.merge(entries)
+    else:
+        from .operators.merge import snapshot_diff, upsert_newer_wins
+
+        diff = snapshot_diff(
+            previous, entries, key="id", compare_cols=["modified_time", "size_bytes"]
+        ).cache()
+        removed_ids = diff.filter(F.col("change") == "removed").select("id")
+        merged = upsert_newer_wins(previous, entries, key="id", version_col="modified_time")
+        final = merged.join(removed_ids, on="id", how="left_anti")
+        version = store.overwrite(final)
+    current = store.read().drop("_bucket").cache()
+
+    # 5: enrichment (injectable fetcher; disabled → empty links).
+    if cfg.direct_links_enabled:
+        fetcher = link_fetcher or fake_link_fetcher(cfg.direct_links_version)
+        work = discover_link_work(current, None)
+        links = fetch_direct_links(work, fetcher)
+        enriched = enrich_with_links(current, links)
+    else:
+        enriched = current.withColumn("direct_link", F.lit("")).withColumn(
+            "fsentry_id", F.lit(None).cast("string")
+        )
+
+    # 6: rollup.
+    rollup = directory_rollup(current, path_col="relative_path")
+
+    # 7: publish — bulk upserts + deletes from the diff.
+    docs = format_documents(enriched)
+    bulk_dir = os.path.join(out_dir, "bulk")
+    write_bulk_file(bulk_actions(docs, cfg.es_index), bulk_dir)
+    delete_dir = None
+    if diff is not None:
+        removed = diff.filter(F.col("change") == "removed").select("id")
+        delete_dir = os.path.join(out_dir, "deletes")
+        write_bulk_file(delete_actions(removed, cfg.es_index), delete_dir)
+
+    stats = dict(obs.get)
+    return PipelineResult(
+        snapshot_version=version,
+        entries=current,
+        diff=diff,
+        rollup=rollup,
+        stats=stats,
+        bulk_dir=bulk_dir,
+        delete_dir=delete_dir,
+    )

@@ -1,0 +1,123 @@
+"""End-to-end pipeline: scan → merge → diff → enrich → rollup →
+publish across two generations (the reference's mode matrix +
+snapshot-diff behavior, main.py:245-362)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from fs_indexer_elasticsearch_spark.pipeline import run_pipeline
+from fs_indexer_elasticsearch_spark.sinks.kibana import data_view_objects, to_ndjson
+from fs_indexer_elasticsearch_spark.sources.config import PipelineConfig
+
+
+def _write(path, content=b"x"):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(content)
+
+
+def test_two_generation_pipeline(spark, tmp_path):
+    root = str(tmp_path / "fsroot")
+    _write(f"{root}/projects/alpha/readme.md", b"hello world")
+    _write(f"{root}/projects/alpha/data.bin", b"\x00" * 500)
+    _write(f"{root}/projects/beta/notes.txt", b"notes")
+    _write(f"{root}/scratch/junk.tmp", b"junk")
+    _write(f"{root}/.git/config", b"[core]")
+
+    cfg = PipelineConfig(
+        root_path=root,
+        skip_patterns=[".git", "*.tmp"],
+        snapshot_path=str(tmp_path / "snapshots"),
+        direct_links_enabled=True,
+        es_index="fs-entries",
+        num_buckets=4,
+    )
+
+    # Generation 1.
+    r1 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "out1"))
+    assert r1.snapshot_version == 1
+    paths = {r.relative_path for r in r1.entries.collect()}
+    assert "/projects/alpha/readme.md" in paths
+    assert not any(".git" in p or p.endswith(".tmp") for p in paths)
+    assert r1.stats["files"] == 3
+    assert r1.diff is None  # first generation: nothing to diff
+
+    roll = {r.directory: r for r in r1.rollup.collect()}
+    assert roll["/projects"].total_size == 500 + 11 + 5
+    assert roll["/projects/alpha"].file_count == 2
+
+    # Enrichment reached the ES docs.
+    bulk_lines = []
+    for part in glob.glob(r1.bulk_dir + "/part-*"):
+        with open(part) as f:
+            bulk_lines += [json.loads(l) for l in f.read().splitlines() if l]
+    docs = [l for l in bulk_lines if "index" not in l]
+    by_path = {d["relative_path"]: d for d in docs}
+    assert by_path["/projects/alpha/readme.md"]["direct_link"].startswith("lucid://")
+    assert by_path["/projects/alpha"]["direct_link"] == ""  # dirs unenriched
+
+    # Generation 2: one file modified, one removed, one added.
+    time.sleep(1.1)  # ensure a strictly newer mtime at 1s granularity
+    _write(f"{root}/projects/alpha/readme.md", b"hello world v2 with more bytes")
+    os.remove(f"{root}/projects/beta/notes.txt")
+    _write(f"{root}/projects/beta/new.csv", b"a,b\n1,2")
+
+    r2 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "out2"))
+    assert r2.snapshot_version > r1.snapshot_version
+    changes = {r.id: r.change for r in r2.diff.collect()}
+    ids = {r.relative_path: r.id for r in r2.entries.collect()}
+    old_ids = {r.relative_path: r.id for r in r1.entries.collect()}
+    assert changes[ids["/projects/beta/new.csv"]] == "added"
+    assert changes[old_ids["/projects/beta/notes.txt"]] == "removed"
+    assert changes[ids["/projects/alpha/readme.md"]] == "changed"
+
+    # Removed file produced a bulk delete action.
+    del_lines = []
+    for part in glob.glob(r2.delete_dir + "/part-*"):
+        with open(part) as f:
+            del_lines += [json.loads(l) for l in f.read().splitlines() if l]
+    assert {d["delete"]["_id"] for d in del_lines} == {
+        old_ids["/projects/beta/notes.txt"]
+    }
+
+    # Removed file is also deleted from the snapshot (reference
+    # DELETE..NOT IN parity, scanner.py:447-454).
+    removed_id = old_ids["/projects/beta/notes.txt"]
+    kept = {r.id for r in r2.entries.collect()}
+    assert removed_id not in kept
+
+
+def test_index_only_mode_skips_enrichment(spark, tmp_path):
+    root = str(tmp_path / "fsroot")
+    _write(f"{root}/a/file.txt", b"data")
+    cfg = PipelineConfig(
+        root_path=root,
+        skip_patterns=[],
+        snapshot_path=str(tmp_path / "snapshots"),
+        direct_links_enabled=False,
+        num_buckets=2,
+    )
+    r = run_pipeline(spark, cfg, out_dir=str(tmp_path / "out"))
+    docs = []
+    for part in glob.glob(r.bulk_dir + "/part-*"):
+        with open(part) as f:
+            docs += [json.loads(l) for l in f.read().splitlines() if l and '"index"' not in l]
+    assert all(d["direct_link"] == "" for d in docs)
+
+
+def test_kibana_saved_objects():
+    objs = data_view_objects("fs-entries")
+    assert [o["type"] for o in objs] == ["config", "index-pattern", "search"]
+    nd = to_ndjson(objs)
+    lines = [json.loads(l) for l in nd.strip().split("\n")]
+    assert len(lines) == 3
+    fields = json.loads(lines[1]["attributes"]["fields"])
+    names = {f["name"] for f in fields}
+    assert {"id", "filepath", "size_bytes", "modified_time"} <= names
+    assert lines[1]["attributes"]["timeFieldName"] == "modified_time"
