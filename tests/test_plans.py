@@ -1,0 +1,86 @@
+"""Physical-plan assertions: the 100-TB-survival checks.
+
+Each declared query must compile to the plan we designed, not merely
+a correct one: filters pushed into the parquet scan, dims broadcast,
+columns pruned, top-k as TakeOrdered, no accidental cartesian joins.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fs_indexer_elasticsearch_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString() + "\n" + (
+        df._jdf.queryExecution().toString()
+    )
+
+
+def test_q01_scan_pushdown_and_pruning(spark):
+    p = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # Column pruning: unused lineitem columns never leave the scan.
+    assert "l_orderkey" not in p.split("ReadSchema")[1].split("\n")[0]
+    assert "HashAggregate" in p  # partial+final agg, not sort-based
+
+
+def test_q03_broadcasts_dimension(spark):
+    p = plan_of(spark, "q03_top_revenue_orders")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-k, not global sort
+
+
+def test_q05_star_join_broadcast_only_fact_shuffle(spark):
+    p = plan_of(spark, "q05_regional_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 4  # all dims broadcast
+    assert "CartesianProduct" not in p
+
+
+def test_topk_orders_is_take_ordered(spark):
+    p = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in p  # per-partition top-k + merge
+
+
+def test_rollup_is_linear_no_nested_loop(spark):
+    p = plan_of(spark, "rollup_directory_sizes")
+    assert "BroadcastNestedLoopJoin" not in p  # the reference's O(n²) shape
+    assert "CartesianProduct" not in p
+    assert "Generate explode" in p or "Generate" in p  # ancestors explode
+
+
+def test_scalar_max_is_broadcast_not_collect(spark):
+    # The 1-row aggregate joins in as a broadcast, not a driver value.
+    p = plan_of(spark, "scalar_max_filter")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_merge_join_is_key_partitioned(spark):
+    p = plan_of(spark, "merge_upsert_newer_wins")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "FullOuter" in p
+
+
+def test_anti_and_semi_joins(spark):
+    assert "LeftAnti" in plan_of(spark, "anti_join_missing")
+    assert "LeftSemi" in plan_of(spark, "semi_join_active")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_pricing_summary",
+        "q03_top_revenue_orders",
+        "q05_regional_supplier_volume",
+        "left_join_enrich",
+        "rollup_directory_sizes",
+        "window_tumbling_10m",
+        "dedup_exact",
+    ],
+)
+def test_no_cartesian_anywhere(spark, name):
+    assert "CartesianProduct" not in plan_of(spark, name)
