@@ -9,5 +9,6 @@ from . import relational_ext  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import window_queries  # noqa: E402,F401
 from . import llm_queries  # noqa: E402,F401
+from . import misc_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -428,6 +428,94 @@ def similarity_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUG_EMB_SQL = """
+    WITH aug AS (
+        SELECT vec_id,
+               list_transform(range(1, 65), d -> embedding[d]::DOUBLE) AS emb
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(range(1, 65), d ->
+                   embedding[d]::DOUBLE
+                   + 0.1 * ((((('0x' || substr(md5('p:' || d::VARCHAR), 1, 8))::BIGINT)
+                              % 2001) - 1000) / 1000.0))
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    coded AS (
+        SELECT vec_id, emb,
+               list_sum(list_transform(range(0, 8), h ->
+                   CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                            emb[d]
+                            * ((((('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT)
+                                 % 2001) - 1000) / 1000.0))) > 0
+                        THEN (1::BIGINT << h) ELSE 0::BIGINT END))::BIGINT AS bucket
+        FROM aug
+    )
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_AUG_EMB_SQL
+    + """
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round( list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]))
+                    / ( sqrt(list_sum(list_transform(range(1, 65), i -> a.emb[i] * a.emb[i])))
+                      * sqrt(list_sum(list_transform(range(1, 65), i -> b.emb[i] * b.emb[i]))) )
+                    + 1e-7, 6) AS cos_sim
+        FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket blocking (8
+    sign-projection planes) + exact cosine verify ≥ 0.9. The corpus is
+    augmented with deterministically perturbed copies (vec + 0.1·w,
+    w md5-derived) so real near-dups exist at every SF."""
+    from ..functions.vectors import cosine, hyperplane_weight, lsh_bucket
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    dims = F.sequence(F.lit(1), F.lit(64))
+
+    def perturb_weight(d):
+        key = F.concat(F.lit("p:"), d.cast("string"))
+        v = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        return ((v % 2001) - 1000) / F.lit(1000.0)
+
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            dims,
+            lambda d: F.element_at(F.col("embedding"), d).cast("double")
+            + 0.1 * perturb_weight(d),
+        ).alias("emb"),
+    )
+    aug = base.unionByName(planted)
+    coded = aug.select(
+        "vec_id", "emb", lsh_bucket(F.col("emb"), 8).alias("bucket")
+    )
+    a = coded.alias("a")
+    b = coded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            stable_round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal binary plumbing
 # --------------------------------------------------------------------------

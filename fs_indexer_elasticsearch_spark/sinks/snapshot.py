@@ -1,21 +1,27 @@
-"""Versioned parquet snapshot store with atomic pointer swap.
+"""Versioned parquet snapshot store with atomic pointer swap and
+bucket-pruned merges.
 
 Replaces the reference's DuckDB transactional storage
 (db_duckdb.py:184-268, scanner.py:220-248 BEGIN/COMMIT/ROLLBACK):
-each merge writes a NEW snapshot directory ``v<N>``, then atomically
+each write creates a NEW snapshot directory ``v<N>``, then atomically
 updates the ``_CURRENT`` pointer file — readers always see a complete
 snapshot; a failed write leaves the pointer untouched (A5 semantics).
 
-Scale design (the §7 "hard part" #1):
- - data is hash-partitioned on the key into ``num_buckets`` files via
-   repartition(key) so merges co-partition without re-shuffling the
-   incoming batch against a differently-laid-out table.
- - at 100 TB, a batch touching few keys only needs the merge join on
-   buckets containing those keys; untouched bucket files could be
-   hard-linked forward (partition-pruned merge). The bucket column is
-   written into the data so readers can prune on it.
- - old versions are retained for time travel / rollback; ``vacuum``
-   drops all but the newest k.
+Layout: data is hash-bucketed on the key (``_bucket = pmod(xxhash64(
+key), num_buckets)``) and written ``partitionBy("_bucket")`` — one
+directory per bucket.
+
+Partition-pruned merge (the §7 "hard part" #1 — the property that
+makes upsert-without-a-table-format survive 100 TB): a merge only
+joins + rewrites the buckets the batch actually touches; every
+untouched bucket's files are hard-linked forward into the new version
+(O(1) per file, no data copy). A batch touching 1% of keys rewrites
+≈1% of the table regardless of table size.
+
+Old versions are retained for time travel / rollback; ``vacuum``
+drops all but the newest k. NOTE: vacuum + hard links interact
+safely — links keep bytes alive until the last referencing version
+is removed.
 """
 
 from __future__ import annotations
@@ -67,6 +73,9 @@ class SnapshotStore:
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version}")
 
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets)).cast("int")
+
     # -- read / write -------------------------------------------------------
     def read(self) -> DataFrame | None:
         v = self.current_version()
@@ -74,35 +83,71 @@ class SnapshotStore:
             return None
         return self.spark.read.parquet(self._version_dir(v))
 
-    def _write_version(self, df: DataFrame, version: int) -> None:
-        out = self._version_dir(version)
+    def _write_buckets(self, df: DataFrame, out: str) -> None:
         (
-            df.withColumn(
-                "_bucket", F.pmod(F.xxhash64(F.col(self.key)), self.num_buckets)
-            )
+            df.withColumn("_bucket", self._bucket_col())
             .repartition(self.num_buckets, "_bucket")
-            .write.mode("overwrite")
+            .write.mode("append")
+            .partitionBy("_bucket")
             .parquet(out)
         )
-        self._swap_pointer(version)
 
     def overwrite(self, df: DataFrame) -> int:
         v = (self.current_version() or 0) + 1
-        self._write_version(df.drop("_bucket"), v)
+        out = self._version_dir(v)
+        shutil.rmtree(out, ignore_errors=True)
+        self._write_buckets(df.drop("_bucket"), out)
+        self._swap_pointer(v)
         return v
 
     def merge(self, batch: DataFrame) -> int:
         """Newer-wins upsert of a batch into the current snapshot
-        (the reference's ON CONFLICT ... WHERE excluded newer)."""
-        cur = self.read()
+        (the reference's ON CONFLICT ... WHERE excluded newer), joining
+        and rewriting ONLY the buckets the batch touches; untouched
+        bucket files are hard-linked into the new version."""
+        cur_v = self.current_version()
         batch = batch.drop("_bucket")
-        if cur is None:
+        if cur_v is None:
             return self.overwrite(batch)
-        merged = upsert_newer_wins(
-            cur.drop("_bucket"), batch, self.key, self.version_col
+
+        batch = batch.withColumn("_bucket", self._bucket_col()).cache()
+        touched = sorted(
+            r._bucket for r in batch.select("_bucket").distinct().collect()
         )
-        v = (self.current_version() or 0) + 1
-        self._write_version(merged, v)
+        cur_dir = self._version_dir(cur_v)
+        v = cur_v + 1
+        out = self._version_dir(v)
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+
+        if touched:
+            # Merge only the touched buckets (partition pruning on the
+            # _bucket directory column keeps the read proportional to
+            # the batch, not the table).
+            cur_touched = (
+                self.spark.read.parquet(cur_dir)
+                .filter(F.col("_bucket").isin(touched))
+                .drop("_bucket")
+            )
+            merged = upsert_newer_wins(
+                cur_touched, batch.drop("_bucket"), self.key, self.version_col
+            )
+            self._write_buckets(merged, out)
+        batch.unpersist()
+
+        # Hard-link every untouched bucket directory forward.
+        touched_dirs = {f"_bucket={b}" for b in touched}
+        for entry in os.listdir(cur_dir):
+            if not entry.startswith("_bucket=") or entry in touched_dirs:
+                continue
+            src = os.path.join(cur_dir, entry)
+            dst = os.path.join(out, entry)
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                if fname.startswith((".", "_")):
+                    continue
+                os.link(os.path.join(src, fname), os.path.join(dst, fname))
+        self._swap_pointer(v)
         return v
 
     def vacuum(self, keep: int = 2) -> list[int]:

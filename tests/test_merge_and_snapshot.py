@@ -81,3 +81,41 @@ def test_snapshot_store_bucket_layout(spark, tmp_path):
     store.merge(_df(spark, [("k0", 2, "p2")]))
     b2 = {r.k: r._bucket for r in store.read().collect()}
     assert all(b1[k] == b2[k] for k in b1)
+
+
+def test_merge_is_bucket_pruned(spark, tmp_path):
+    """A merge touching one key must hard-link (not rewrite) every
+    untouched bucket — the property that keeps a small batch O(batch)
+    at 100 TB table size."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=8
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(200)]))
+    v1_dir = f"{store.path}/v1"
+
+    store.merge(_df(spark, [("k0", 2, "p2")]))
+    v2_dir = f"{store.path}/v2"
+
+    import os
+
+    def bucket_inodes(d):
+        out = {}
+        for b in os.listdir(d):
+            if not b.startswith("_bucket="):
+                continue
+            out[b] = {
+                f: os.stat(os.path.join(d, b, f)).st_ino
+                for f in os.listdir(os.path.join(d, b))
+                if not f.startswith((".", "_"))
+            }
+        return out
+
+    i1, i2 = bucket_inodes(v1_dir), bucket_inodes(v2_dir)
+    shared = [b for b in i2 if b in i1 and set(i2[b].values()) & set(i1[b].values())]
+    rewritten = [b for b in i2 if b not in shared]
+    assert len(rewritten) == 1  # only k0's bucket
+    assert len(shared) >= 6  # everything else linked forward
+
+    # And the data is still right.
+    out = {r.k: r.payload for r in store.read().collect()}
+    assert out["k0"] == "p2" and len(out) == 200
