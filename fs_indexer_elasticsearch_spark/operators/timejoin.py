@@ -1,0 +1,129 @@
+"""Time-series joins Spark lacks natively: as-of and range joins.
+
+Neither exists in the reference (SURVEY §2.3 notes their absence) nor
+as a Spark builtin; both are analytics-surface staples, so the engine
+provides them as compositions of built-in operators — no UDFs, no
+mapPartitions:
+
+ - as-of join: union-sort-fill. Tag both streams, union, and carry
+   the most recent right-side attributes forward with a window
+   ``last(..., ignorenulls)`` ordered by (time, side). ONE shuffle on
+   the join key, linear in rows — the classic merge-asof, expressed
+   relationally. (pd.merge_asof per group via applyInPandas is the
+   fallback for exotic variants.)
+ - range join: equi-join on coarse time buckets (bucket width = range
+   width → each left row probes exactly 2 buckets) + exact filter.
+   Turns the quadratic inequality join into a bounded-fanout hash
+   join — the standard bucketized range-join strategy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the most recent
+    right row with the same ``by`` key and right.on <= left.on
+    (direction='backward'; 'forward' = earliest at-or-after).
+
+    Output: every left column plus ``right_<c>`` for each value col
+    (NULL when no matching right row exists — ASOF LEFT JOIN
+    semantics). A right row at the exact left instant matches.
+
+    ``value_cols`` must not overlap left's column names; right rows
+    should be unique per (by, on) — pre-aggregate ties upstream.
+    """
+    if set(value_cols) & set(left.columns):
+        raise ValueError("value_cols must not collide with left columns")
+    l = left.withColumn("_is_left", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        F.col(by).alias(by),
+        F.col(on).alias(on),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).withColumn("_is_left", F.lit(0))
+    for c in left.columns:
+        if c not in (on, by):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.unionByName(r)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.asc(on), F.asc("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = [
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ]
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.asc(on), F.desc("_is_left"))
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        filled = [
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ]
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+
+    out = u.select(*left.columns, "_is_left", *filled).filter(
+        F.col("_is_left") == 1
+    )
+    return out.select(
+        *left.columns, *[F.col(f"_f_{c}").alias(f"right_{c}") for c in value_cols]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_time: str,
+    right_time: str,
+    by: str,
+    max_gap_seconds: int,
+    condition: Column | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with equal ``by`` keys and
+    ``0 < right_time - left_time <= max_gap_seconds``.
+
+    ``left_time`` / ``right_time`` must be uniquely named across the
+    two frames (rename before calling); ``by`` is the same name in
+    both (the right copy is dropped from the output).
+    """
+    gap_us = max_gap_seconds * 1_000_000
+    lb = F.floor(
+        F.unix_micros(F.col(left_time).cast("timestamp")) / F.lit(gap_us)
+    )
+    rb = F.floor(
+        F.unix_micros(F.col(right_time).cast("timestamp")) / F.lit(gap_us)
+    )
+    l = left.withColumn("_lb", lb).withColumn(
+        "_probe", F.explode(F.array(F.lit(0), F.lit(1)))
+    )
+    r = right.withColumn("_rb", rb).withColumnRenamed(by, "_rkey")
+    joined = l.join(
+        r, (l[by] == r["_rkey"]) & ((l["_lb"] + l["_probe"]) == r["_rb"])
+    )
+    diff_us = F.unix_micros(F.col(right_time).cast("timestamp")) - F.unix_micros(
+        F.col(left_time).cast("timestamp")
+    )
+    out = joined.filter((diff_us > 0) & (diff_us <= F.lit(gap_us)))
+    if condition is not None:
+        out = out.filter(condition)
+    return out.drop("_lb", "_rb", "_probe", "_rkey")

@@ -1,0 +1,97 @@
+"""As-of and range join declared queries over the events table,
+oracle-checked against DuckDB's native ASOF JOIN / inequality join —
+the strongest possible parity evidence for composed operators.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.timejoin import asof_join, range_join
+from ..tables import load
+from .registry import query, stable_round
+
+
+@query(
+    "asof_click_before_purchase",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, max(event_id) AS click_event, max(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_event AS click_event,
+           round(c.click_value + 1e-7, 2) AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's most recent click at
+    or before it (NULL when none) — union-sort-fill vs DuckDB's native
+    ASOF LEFT JOIN. Right side pre-aggregated per (user, ts) so exact
+    ties are unambiguous in both engines."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_event"),
+            F.max("value").alias("click_value"),
+        )
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        value_cols=["click_event", "click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("right_click_event").alias("click_event"),
+        stable_round(F.col("right_click_value"), 2).alias("click_value"),
+    )
+
+
+@query(
+    "range_join_error_after_purchase",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS p_event, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+        SELECT event_id AS e_event, user_id, ts AS e_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT p_event, e_event, user_id,
+           date_diff('microsecond', p_ts, e_ts) AS gap_us
+    FROM p JOIN e USING (user_id)
+    WHERE e_ts > p_ts AND e_ts <= p_ts + INTERVAL 600 SECOND
+    """,
+)
+def range_join_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: errors within 10 minutes AFTER a purchase by the
+    same user — bucketized equi-join + exact filter vs DuckDB's
+    inequality join."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"), "user_id", F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_event"), "user_id", F.col("ts").alias("e_ts")
+    )
+    out = range_join(
+        p, e, left_time="p_ts", right_time="e_ts", by="user_id", max_gap_seconds=600
+    )
+    gap = F.expr("timestampdiff(MICROSECOND, p_ts, e_ts)")
+    return out.select("p_event", "e_event", "user_id", gap.alias("gap_us"))

@@ -1,0 +1,72 @@
+"""As-of/range join operators + salted-join skew utility."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fs_indexer_elasticsearch_spark.operators.skew import salted_join
+from fs_indexer_elasticsearch_spark.operators.timejoin import asof_join, range_join
+
+
+def test_asof_backward_and_forward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1.0, 10.0), ("A", 5.0, 11.0), ("B", 2.0, 20.0)],
+        "sym string, t double, px double",
+    ).select("sym", F.col("t").cast("timestamp").alias("t"), "px")
+    trades = spark.createDataFrame(
+        [("A", 0.5), ("A", 1.0), ("A", 6.0), ("B", 1.0)],
+        "sym string, t double",
+    ).select("sym", F.col("t").cast("timestamp").alias("t"))
+
+    back = asof_join(trades, quotes, on="t", by="sym", value_cols=["px"])
+    got = {(r.sym, r.t.timestamp()): r.right_px for r in back.collect()}
+    assert got[("A", 0.5)] is None        # before first quote
+    assert got[("A", 1.0)] == 10.0        # exact tie matches
+    assert got[("A", 6.0)] == 11.0        # most recent carried
+    assert got[("B", 1.0)] is None
+
+    fwd = asof_join(trades, quotes, on="t", by="sym", value_cols=["px"],
+                    direction="forward")
+    gotf = {(r.sym, r.t.timestamp()): r.right_px for r in fwd.collect()}
+    assert gotf[("A", 0.5)] == 10.0
+    assert gotf[("A", 6.0)] is None       # nothing after
+    assert gotf[("B", 1.0)] == 20.0
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100.0), (2, "u", 1000.0)], "p_event long, user string, p_t double"
+    ).select("p_event", "user", F.col("p_t").cast("timestamp").alias("p_t"))
+    right = spark.createDataFrame(
+        [(10, "u", 100.0), (11, "u", 150.0), (12, "u", 700.0), (13, "u", 1600.5),
+         (14, "v", 120.0)],
+        "e_event long, user string, e_t double",
+    ).select("e_event", "user", F.col("e_t").cast("timestamp").alias("e_t"))
+
+    out = range_join(left, right, left_time="p_t", right_time="e_t",
+                     by="user", max_gap_seconds=600)
+    pairs = {(r.p_event, r.e_event) for r in out.collect()}
+    # p1@100: e11@150 (+50s), e12@700 (+600s inclusive); NOT e10 (same
+    # instant, gap must be > 0), NOT e14 (other user).
+    # p2@1000: e13@1600.5 (+600.5s exclusive) must NOT match.
+    assert pairs == {(1, 11), (1, 12)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    # One hot key dominating, correctness must be unchanged by salting.
+    skewed = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"cold{i}") for i in range(1000)],
+        "row_id long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"cold{i}", f"C{i}") for i in range(0, 1000, 10)],
+        "k string, v string",
+    )
+    plain = skewed.join(dim, "k").select("row_id", "v")
+    salted = salted_join(skewed, dim, "k", salt_col="row_id", factor=8).select(
+        "row_id", "v"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # The salted plan spreads the hot key across `factor` join keys.
+    p = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in p
