@@ -13,16 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.text import (
-    EN_STOPWORDS,
-    distinct_tokens,
-    punct_ratio,
-    quality_score,
-    rolling_fingerprint,
-    stopword_ratio,
-    token_count,
-    tokens,
-)
+from ..functions.text import EN_STOPWORDS, rolling_fingerprint, tokens
 from ..operators.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
@@ -473,7 +464,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-projection planes) + exact cosine verify ≥ 0.9. The corpus is
     augmented with deterministically perturbed copies (vec + 0.1·w,
     w md5-derived) so real near-dups exist at every SF."""
-    from ..functions.vectors import cosine, hyperplane_weight, lsh_bucket
+    from ..functions.vectors import cosine, lsh_bucket
 
     emb = load(spark, sf_dir, "embeddings")
     base = emb.select(

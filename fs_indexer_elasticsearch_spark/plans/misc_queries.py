@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import format_size
 from ..tables import load
-from .registry import query, stable_round
+from .registry import query
 
 
 @query(

@@ -1,0 +1,257 @@
+"""Second extension batch: multi-nation volume analytics, customer
+distribution, windowed supplier ranking, set operations, and the
+struct/map type surface via from_json.
+
+TPC-H adaptations note: the driver's star schema has no partsupp /
+shipmode / commitdate columns, so q7/q8/q9 keep the JOIN/AGG shape
+with the available columns (supplier nation via l_suppkey, customer
+nation via o_custkey).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import load
+from .registry import query, stable_round
+
+
+@query(
+    "q07_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume) + 1e-7, 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair volume by year."""
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("ck"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q08_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume) + 1e-7, 4) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n1.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND s_nationkey = n1.n_nationkey
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+          AND p_type LIKE 'ECONOMY%'
+    )
+    GROUP BY o_year
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share within a region."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type").like("ECONOMY%"))
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+    )
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("ck"))
+        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            stable_round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation over a filtered left
+    join (COUNT of a nullable column counts only matches)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_suppliers",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-7, 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the max-revenue supplier(s) via a window max
+    over the aggregated view (no second scan, no scalar collect)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        stable_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    ranked = revenue.withColumn(
+        "mx", F.max("total_revenue").over(Window.partitionBy())
+    )
+    return (
+        ranked.filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    SELECT c_custkey, 'both' AS membership FROM (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT c_custkey, 'urgent_only' FROM (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations the reference only emulated: INTERSECT and
+    EXCEPT (distinct semantics), tagged and unioned."""
+    o = load(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    both = urgent.intersect(finished).withColumn("membership", F.lit("both"))
+    only = urgent.exceptAll(finished).withColumn("membership", F.lit("urgent_only"))
+    return both.unionByName(only)
+
+
+@query(
+    "json_struct_surface",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           count(*) AS n,
+           max(event_type) AS max_type
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INTEGER) BETWEEN 10 AND 20
+    GROUP BY 1
+    """,
+)
+def json_struct_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map type surface: from_json with an explicit schema →
+    typed struct field access (not string get_json_object), filter +
+    agg on the extracted field."""
+    ev = load(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = ev.withColumn("p", F.from_json("props", schema))
+    return (
+        parsed.filter(F.col("p.k").between(10, 20))
+        .groupBy(F.col("p.k").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_type").alias("max_type"))
+    )
