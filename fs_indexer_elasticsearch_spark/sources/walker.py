@@ -112,16 +112,30 @@ def scan_filesystem(
     root: str,
     skip_patterns: list[str] | None = None,
     num_partitions: int | None = None,
-    split_depth: int = 1,
+    split_depth: int | None = None,
 ) -> DataFrame:
     """Distributed recursive scan of ``root`` → raw entry DataFrame.
 
-    The driver enumerates ``split_depth`` levels (plus the shallow
-    entries themselves); each deeper subtree is walked inside a task.
+    The driver enumerates the first levels (plus the shallow entries
+    themselves); each deeper subtree is walked inside a task.
+    ``split_depth=None`` adapts: descend until the frontier has at
+    least 2× the target parallelism work items (a tree with 2 huge
+    top dirs must not run 2 tasks), capped at depth 4.
     """
     patterns = skip_patterns or []
+    target = num_partitions or spark.sparkContext.defaultParallelism
+    if split_depth is None:
+        split_depth = 1
+        while split_depth < 4:
+            dirs = list_top_dirs(root, patterns, split_depth)
+            if len(dirs) >= 2 * target or not dirs:
+                break
+            deeper = list_top_dirs(root, patterns, split_depth + 1)
+            if len(deeper) <= len(dirs):
+                break  # no further fan-out available
+            split_depth += 1
     dirs = list_top_dirs(root, patterns, split_depth)
-    n = num_partitions or max(len(dirs), 1)
+    n = num_partitions or max(min(len(dirs), 2 * target), 1)
 
     def scan_partition(it: Iterator) -> Iterator:
         import pandas as pd
