@@ -144,13 +144,21 @@ def format_size(size_bytes: Column | str) -> Column:
         bound = 1024.0 ** (i + 1)
         div = 1024.0**i
         cases.append((bound, div, unit))
+    # format_string("%.1f"), NOT format_number: the latter inserts
+    # thousands separators ("1,020.0 B" for sizes in [1000, 1024)),
+    # which DuckDB's printf never does. The +1e-7 shifts exact-half
+    # ties (e.g. 196864 B = 192.25 KB) off the knife edge where Java's
+    # HALF_UP and C's half-even disagree — oracle SQL twins add the
+    # same epsilon (stable_round convention).
+    eps = F.lit(1e-7)
     result = F.when(s.isNull(), F.lit(None).cast("string"))
     for bound, div, unit in cases[:-1]:
         result = result.when(
-            s < bound, F.concat(F.format_number(s / div, 1), F.lit(" " + unit))
+            s < bound,
+            F.concat(F.format_string("%.1f", s / div + eps), F.lit(" " + unit)),
         )
     _, div, unit = cases[-1]
     result = result.otherwise(
-        F.concat(F.format_number(s / div, 1), F.lit(" " + unit))
+        F.concat(F.format_string("%.1f", s / div + eps), F.lit(" " + unit))
     )
     return result

@@ -99,11 +99,11 @@ def parse_two_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (WHERE l_returnflag = 'R') AS returned,
            CAST(sum(l_quantity) AS BIGINT) AS total_qty,
            CASE
-               WHEN sum(l_quantity) * 1024 < 1024 THEN printf('%.1f', sum(l_quantity) * 1024 / 1.0) || ' B'
-               WHEN sum(l_quantity) * 1024 < 1048576 THEN printf('%.1f', sum(l_quantity) * 1024 / 1024.0) || ' KB'
-               WHEN sum(l_quantity) * 1024 < 1073741824 THEN printf('%.1f', sum(l_quantity) * 1024 / 1048576.0) || ' MB'
-               WHEN sum(l_quantity) * 1024 < 1099511627776 THEN printf('%.1f', sum(l_quantity) * 1024 / 1073741824.0) || ' GB'
-               ELSE printf('%.1f', sum(l_quantity) * 1024 / 1099511627776.0) || ' TB'
+               WHEN sum(l_quantity) * 1024 < 1024 THEN printf('%.1f', sum(l_quantity) * 1024 / 1.0 + 1e-7) || ' B'
+               WHEN sum(l_quantity) * 1024 < 1048576 THEN printf('%.1f', sum(l_quantity) * 1024 / 1024.0 + 1e-7) || ' KB'
+               WHEN sum(l_quantity) * 1024 < 1073741824 THEN printf('%.1f', sum(l_quantity) * 1024 / 1048576.0 + 1e-7) || ' MB'
+               WHEN sum(l_quantity) * 1024 < 1099511627776 THEN printf('%.1f', sum(l_quantity) * 1024 / 1073741824.0 + 1e-7) || ' GB'
+               ELSE printf('%.1f', sum(l_quantity) * 1024 / 1099511627776.0 + 1e-7) || ' TB'
            END AS total_human
     FROM lineitem
     """,

@@ -125,10 +125,10 @@ def skip_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_filter(string_split(filepath, '/'), x -> x <> '')[-1] AS name,
            CASE
                WHEN size_bytes IS NULL THEN NULL
-               WHEN size_bytes < 1024 THEN printf('%.1f', size_bytes / 1.0) || ' B'
-               WHEN size_bytes < 1048576 THEN printf('%.1f', size_bytes / 1024.0) || ' KB'
-               WHEN size_bytes < 1073741824 THEN printf('%.1f', size_bytes / 1048576.0) || ' MB'
-               ELSE printf('%.1f', size_bytes / 1073741824.0) || ' GB'
+               WHEN size_bytes < 1024 THEN printf('%.1f', size_bytes / 1.0 + 1e-7) || ' B'
+               WHEN size_bytes < 1048576 THEN printf('%.1f', size_bytes / 1024.0 + 1e-7) || ' KB'
+               WHEN size_bytes < 1073741824 THEN printf('%.1f', size_bytes / 1048576.0 + 1e-7) || ' MB'
+               ELSE printf('%.1f', size_bytes / 1073741824.0 + 1e-7) || ' GB'
            END AS size_h,
            len(list_filter(string_split(filepath, '/'), x -> x <> '')) AS depth
     FROM entries WHERE type = 'file' AND size_bytes >= 0
