@@ -29,7 +29,7 @@ from ..functions.text import (
     tokens,
     word_shingles,
 )
-from ..plans.registry import stable_round
+from ..functions.rounding import stable_round
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

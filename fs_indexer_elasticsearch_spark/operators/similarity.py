@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..functions.vectors import cosine, lsh_bucket
-from ..plans.registry import stable_round
+from ..functions.rounding import stable_round
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -51,6 +51,62 @@ def brute_force_topk(
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: every corpus vector is assigned to its
+    nearest centroid (one broadcast pass); a query scores only vectors
+    in its ``nprobe`` nearest centroid cells.
+
+    ``centroids`` is caller-provided (id_col, vec_col) — here a
+    deterministic seed subset; production would k-means them. At 100 TB
+    the assign pass is a broadcast argmin (no shuffle) and the search
+    join shuffles on the small centroid-id key.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, n_keep: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            .join(F.broadcast(c))
+            .select(
+                out_id,
+                out_vec,
+                "cid",
+                stable_round(cosine(out_vec, "cvec"), 6).alias("csim"),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("csim"), F.asc("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_keep)
+            .drop("rn", "csim")
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", "nvec", 1)
+    query_cells = assign(queries, "query_id", "qvec", nprobe)
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

@@ -507,6 +507,81 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_PAIR = """
+    round( list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))
+         / ( sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i]))) )
+         + 1e-7, 6)
+"""
+
+
+@query(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id < 16),
+    assign_scored AS (
+        SELECT v.vec_id, c.cid,
+               {_COS_PAIR.format(a="v.emb", b="c.cv")} AS csim
+        FROM v, c
+    ),
+    corpus_cells AS (
+        SELECT vec_id AS neighbor_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS rn
+            FROM assign_scored
+        ) WHERE rn = 1
+    ),
+    query_cells AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS rn
+            FROM assign_scored WHERE vec_id < 8
+        ) WHERE rn <= 2
+    ),
+    cands AS (
+        SELECT DISTINCT q.query_id, cc.neighbor_id
+        FROM query_cells q JOIN corpus_cells cc USING (cid)
+        WHERE cc.neighbor_id <> q.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {_COS_PAIR.format(a="qv.emb", b="nv.emb")} AS cos_sim
+        FROM cands
+        JOIN v qv ON qv.vec_id = cands.query_id
+        JOIN v nv ON nv.vec_id = cands.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: corpus assigned to nearest-centroid cells
+    (deterministic seed centroids vec_id<16), queries probe their 2
+    nearest cells only."""
+    from ..operators.similarity import ivf_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    return ivf_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        emb.filter(F.col("vec_id") < 16),
+        "vec_id",
+        "emb",
+        k=3,
+        nprobe=2,
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal binary plumbing
 # --------------------------------------------------------------------------

@@ -100,3 +100,25 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     hits = sum(1 for k, v in approx_best.items() if exact_best.get(k) == v)
     assert hits >= len(exact_best) // 2
     assert len(approx_best) >= 8  # nearly all queries found candidates
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    import pyspark.sql.functions as F
+    from fs_indexer_elasticsearch_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, "vec_id", "emb", k=1).collect()
+    approx = ivf_ann_topk(
+        emb, q, emb.filter(F.col("vec_id") < 16), "vec_id", "emb", k=1, nprobe=4
+    ).collect()
+    exact_best = {r.query_id: r.neighbor_id for r in exact}
+    approx_best = {r.query_id: r.neighbor_id for r in approx}
+    hits = sum(1 for k, v in approx_best.items() if exact_best.get(k) == v)
+    # 16 cells, probe 4 → a quarter of the corpus scanned; expect at
+    # least a third of true NNs recovered on clustered embeddings.
+    assert len(approx_best) == 10
+    assert hits >= 3
