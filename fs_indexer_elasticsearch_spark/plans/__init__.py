@@ -13,5 +13,6 @@ from . import window_queries  # noqa: E402,F401
 from . import llm_queries  # noqa: E402,F401
 from . import misc_queries  # noqa: E402,F401
 from . import timejoin_queries  # noqa: E402,F401
+from . import sql_surface  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

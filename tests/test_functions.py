@@ -133,3 +133,44 @@ def test_find_ls_timestamp_two_formats(spark):
     assert str(one(spark, find_ls_timestamp(F.lit("Dec 25 10:30"), now=now))) == (
         "2025-12-25 10:30:00"
     )
+
+
+def test_ns_epoch_to_timestamp_exact(spark):
+    from fs_indexer_elasticsearch_spark.functions import ns_epoch_to_timestamp
+
+    # 1.7e18 ns exceeds double's 2^53 exact range — the conversion must
+    # not drift by a microsecond.
+    ns = 1700000000123456789
+    got = one(spark, ns_epoch_to_timestamp(F.lit(ns)))
+    assert got.strftime("%Y-%m-%d %H:%M:%S.%f") == "2023-11-14 22:13:20.123456"
+
+
+def test_iso_format(spark):
+    from fs_indexer_elasticsearch_spark.functions import iso_format
+
+    got = one(spark, iso_format(F.lit("2024-03-01 10:20:30").cast("timestamp")))
+    assert got == "2024-03-01T10:20:30"
+
+
+def test_entry_id_sized(spark):
+    import hashlib
+
+    from fs_indexer_elasticsearch_spark.functions import entry_id_sized
+
+    got = one(
+        spark,
+        entry_id_sized(
+            F.lit("/a/b.txt"),
+            F.lit(123).cast("long"),
+            F.lit("2024-01-02 03:04:05.000001").cast("timestamp"),
+        ),
+    )
+    expect = hashlib.sha256(b"/a/b.txt:123:2024-01-02T03:04:05.000001").hexdigest()
+    assert got == expect
+
+
+def test_format_size_tb_branch(spark):
+    from fs_indexer_elasticsearch_spark.functions import format_size
+
+    assert one(spark, format_size(F.lit(3 * 1024**4).cast("long"))) == "3.0 TB"
+    assert one(spark, format_size(F.lit(2 * 1024**5).cast("long"))) == "2.0 PB"
