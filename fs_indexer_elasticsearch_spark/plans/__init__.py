@@ -8,6 +8,7 @@ from . import relational  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
 from . import relational_ext2  # noqa: E402,F401
 from . import relational_ext3  # noqa: E402,F401
+from . import relational_ext4  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import window_queries  # noqa: E402,F401
 from . import llm_queries  # noqa: E402,F401

@@ -1,0 +1,170 @@
+"""Fourth extension batch: adapted q09/q12/q20/q21 (the star schema
+has no partsupp/shipmode/commitdate, so cost and lateness are derived
+from the available columns — the JOIN/subquery shapes are intact)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import load
+from .registry import query, stable_round
+
+
+@query(
+    "q09_product_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount) + 1e-7, 2) AS sum_profit
+    FROM (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (cost = 0.6·retailprice·qty in lieu of
+    ps_supplycost): profit by supplier nation and order year."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(stable_round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q12_late_shipping",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS prio_class,
+           count(*) AS late_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def q12_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (lateness threshold in lieu of shipmode):
+    priority-class counts of items shipped >90 days after ordering."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    prio = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy(prio.alias("prio_class"))
+        .agg(F.count(F.lit(1)).alias("late_items"))
+    )
+
+
+@query(
+    "q20_bulk_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%widget%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100
+    )
+    """,
+)
+def q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN-subquery over a grouped HAVING (suppliers
+    who moved >100 units of widget parts in 1996)."""
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    bulk = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    return s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM li l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey AND l2.late = 0)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: late supplier on an order where another
+    supplier shipped on time — self-join EXISTS over a grouped CTE."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    li = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+        .cache()
+    )
+    l1 = li.filter(F.col("late") == 1).alias("l1")
+    ontime = li.filter(F.col("late") == 0).select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    waited = l1.join(
+        ontime,
+        (F.col("l1.l_orderkey") == F.col("ok2"))
+        & (F.col("l1.l_suppkey") != F.col("sk2")),
+        "left_semi",
+    )
+    return (
+        waited.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -84,3 +84,30 @@ def test_anti_and_semi_joins(spark):
 )
 def test_no_cartesian_anywhere(spark, name):
     assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    # The as-of composition is union + window — there must be NO join
+    # operator at all, just one shuffle on the by-key.
+    p = plan_of(spark, "asof_click_before_purchase")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p.split("Window")[0]
+    assert "Window" in p
+
+
+def test_range_join_is_hash_join(spark):
+    p = plan_of(spark, "range_join_error_after_purchase")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # the naive inequality plan
+    assert "Join" in p  # bucketized equi-join
+
+
+def test_ivf_centroids_broadcast(spark):
+    p = plan_of(spark, "similarity_ivf_topk")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q08_all_dims_broadcast(spark):
+    p = plan_of(spark, "q08_market_share")
+    assert p.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in p
