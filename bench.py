@@ -87,7 +87,11 @@ def main() -> None:
     from fs_indexer_elasticsearch_spark.plans import QUERIES
     from fs_indexer_elasticsearch_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Shuffle partitions sized to the data, not the core count: sf0.1
+    # is ~100 MB, so 8 partitions keep post-shuffle chunks ~12 MB and
+    # avoid paying 32 task launches per tiny stage. On a real cluster
+    # the session default (cores) + AQE coalescing applies instead.
+    spark = get_spark("bench", shuffle_partitions=max(8, int(32 * min(sf, 1.0))))
     # Warm the JVM + parquet footers with a trivial action so the first
     # timed query doesn't absorb session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
