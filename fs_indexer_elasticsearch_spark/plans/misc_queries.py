@@ -119,3 +119,28 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("long").alias("total_qty"),
         format_size(F.sum("l_quantity") * 1024).alias("total_human"),
     )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5) + 1e-7, 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9) + 1e-7, 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99) + 1e-7, 2) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont` — both linear interpolation over the sorted set).
+    At 100 TB switch to `approx_percentile` (t-digest) — sketches are
+    engine-specific, so the exact form is the oracle-checked one."""
+    from .registry import stable_round as _sr
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        _sr(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        _sr(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        _sr(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+    )

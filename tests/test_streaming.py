@@ -87,3 +87,38 @@ def test_windowed_event_counts_stream(spark, tmp_path):
         assert got is not None and 0 < got <= full_total
     finally:
         q.stop()
+
+
+def test_sessionized_event_stats_stream(spark, tmp_path):
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        sessionized_event_stats,
+    )
+    from fs_indexer_elasticsearch_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").limit(300).cache()
+    src = str(tmp_path / "sess-stream")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = sessionized_event_stats(stream, gap="30 minutes", watermark="60 minutes")
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT sum(n_events) AS n FROM sess_out").collect()[0].n
+        # Append mode emits sessions closed by the watermark — a
+        # subset of all events, but non-trivial.
+        assert got is not None and 0 < got <= 300
+        # Session starts must be unique per user (no split sessions).
+        dup = spark.sql(
+            """SELECT user_id, session_start, count(*) c FROM sess_out
+               GROUP BY 1, 2 HAVING count(*) > 1"""
+        ).count()
+        assert dup == 0
+    finally:
+        q.stop()
