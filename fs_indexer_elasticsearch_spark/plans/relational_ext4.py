@@ -168,3 +168,55 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q02_min_cost_part",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_name, round(p.p_retailprice + 1e-7, 2) AS price
+    FROM part p
+    WHERE p.p_retailprice = (
+        SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    ORDER BY p.p_brand, p.p_partkey
+    """,
+)
+def q02_min_cost_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery): the cheapest part(s)
+    per brand, decorrelated into a per-group aggregate join."""
+    p = load(spark, sf_dir, "part")
+    mn = p.groupBy(F.col("p_brand").alias("b")).agg(
+        F.min("p_retailprice").alias("mn")
+    )
+    return (
+        p.join(F.broadcast(mn), (p.p_brand == F.col("b")) & (p.p_retailprice == F.col("mn")))
+        .orderBy("p_brand", "p_partkey")
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            stable_round("p_retailprice", 2).alias("price"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size IN (1, 14, 23, 45)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem in lieu of partsupp): distinct
+    supplier count per brand/size — COUNT(DISTINCT) expands to a
+    two-phase aggregate, partial-dedup before the shuffle."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 14, 23, 45))
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
