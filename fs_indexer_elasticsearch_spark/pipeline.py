@@ -95,15 +95,19 @@ def run_pipeline(
     if previous is None:
         version = store.merge(entries)
     else:
-        from .operators.merge import snapshot_diff, upsert_newer_wins
+        from .operators.merge import snapshot_diff
 
         diff = snapshot_diff(
             previous, entries, key="id", compare_cols=["modified_time", "size_bytes"]
         ).cache()
         removed_ids = diff.filter(F.col("change") == "removed").select("id")
-        merged = upsert_newer_wins(previous, entries, key="id", version_col="modified_time")
-        final = merged.join(removed_ids, on="id", how="left_anti")
-        version = store.overwrite(final)
+        # Reduce the batch to the actual delta (added/changed rows), so
+        # the bucket-pruned merge rewrites only the buckets with real
+        # changes — a 1% nightly delta costs ~1% of the table, not 100%
+        # (the O(table) overwrite was round 1's one genuine scale-killer).
+        upsert_ids = diff.filter(F.col("change").isin("added", "changed")).select("id")
+        delta = entries.join(upsert_ids, on="id", how="left_semi")
+        version = store.merge(delta, removed=removed_ids)
     current = store.read().drop("_bucket").cache()
 
     # 5: enrichment (injectable fetcher; disabled → empty links).

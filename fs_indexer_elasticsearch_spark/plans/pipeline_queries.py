@@ -81,7 +81,10 @@ def _fs_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM entries
         )
     )
-    SELECT directory, sum(sz) AS total_size, sum(f) AS file_count, sum(d) AS dir_count
+    SELECT directory,
+           CAST(sum(sz) AS BIGINT) AS total_size,
+           CAST(sum(f) AS BIGINT) AS file_count,
+           CAST(sum(d) AS BIGINT) AS dir_count
     FROM exploded GROUP BY directory
     """,
 )

@@ -216,7 +216,7 @@ def agg_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM(CASE WHEN type='file' ...) in the directory rollup)."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(
+        stable_round(
             F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0)),
             2,
         ).alias("finished_value"),

@@ -100,20 +100,39 @@ class SnapshotStore:
         self._swap_pointer(v)
         return v
 
-    def merge(self, batch: DataFrame) -> int:
+    def merge(self, batch: DataFrame, removed: DataFrame | None = None) -> int:
         """Newer-wins upsert of a batch into the current snapshot
-        (the reference's ON CONFLICT ... WHERE excluded newer), joining
-        and rewriting ONLY the buckets the batch touches; untouched
-        bucket files are hard-linked into the new version."""
+        (the reference's ON CONFLICT ... WHERE excluded newer), plus
+        optional key deletions (the reference's DELETE ... NOT IN,
+        scanner.py:447-454), joining and rewriting ONLY the buckets the
+        batch or the removals touch; untouched bucket files are
+        hard-linked into the new version.
+
+        ``removed`` is a one-column DataFrame of keys to delete.
+        Removals land in the same buckets their keys hash to, so the
+        incremental pipeline's steady-state cycle (upserts + deletes)
+        stays O(delta) instead of O(table)."""
         cur_v = self.current_version()
         batch = batch.drop("_bucket")
         if cur_v is None:
+            if removed is not None:
+                batch = batch.join(
+                    removed.select(F.col(removed.columns[0]).alias(self.key)),
+                    on=self.key,
+                    how="left_anti",
+                )
             return self.overwrite(batch)
 
         batch = batch.withColumn("_bucket", self._bucket_col()).cache()
-        touched = sorted(
-            r._bucket for r in batch.select("_bucket").distinct().collect()
-        )
+        touched = {r._bucket for r in batch.select("_bucket").distinct().collect()}
+        if removed is not None:
+            removed = (
+                removed.select(F.col(removed.columns[0]).alias(self.key))
+                .withColumn("_bucket", self._bucket_col())
+                .cache()
+            )
+            touched |= {r._bucket for r in removed.select("_bucket").distinct().collect()}
+        touched = sorted(touched)
         cur_dir = self._version_dir(cur_v)
         v = cur_v + 1
         out = self._version_dir(v)
@@ -132,8 +151,14 @@ class SnapshotStore:
             merged = upsert_newer_wins(
                 cur_touched, batch.drop("_bucket"), self.key, self.version_col
             )
+            if removed is not None:
+                merged = merged.join(
+                    removed.select(self.key), on=self.key, how="left_anti"
+                )
             self._write_buckets(merged, out)
         batch.unpersist()
+        if removed is not None:
+            removed.unpersist()
 
         # Hard-link every untouched bucket directory forward.
         touched_dirs = {f"_bucket={b}" for b in touched}

@@ -83,6 +83,50 @@ def test_snapshot_store_bucket_layout(spark, tmp_path):
     assert all(b1[k] == b2[k] for k in b1)
 
 
+def test_merge_with_removals(spark, tmp_path):
+    """merge(batch, removed=...) applies deletions inside the touched
+    buckets (reference DELETE..NOT IN, scanner.py:447-454) while still
+    hard-linking every untouched bucket forward."""
+    import os
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=8
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(200)]))
+
+    removed = spark.createDataFrame([("k1",), ("k2",)], "k string")
+    store.merge(_df(spark, [("k0", 2, "p2"), ("k200", 1, "new")]), removed=removed)
+
+    out = {r.k: r.payload for r in store.read().collect()}
+    assert "k1" not in out and "k2" not in out  # deletions applied
+    assert out["k0"] == "p2" and out["k200"] == "new"
+    assert len(out) == 199  # 200 - 2 removed + 1 added (k0 updated in place)
+
+    # Buckets untouched by both the batch AND the removals are links.
+    def bucket_inodes(d):
+        return {
+            b: {
+                os.stat(os.path.join(d, b, f)).st_ino
+                for f in os.listdir(os.path.join(d, b))
+                if not f.startswith((".", "_"))
+            }
+            for b in os.listdir(d)
+            if b.startswith("_bucket=")
+        }
+
+    i1 = bucket_inodes(f"{store.path}/v1")
+    i2 = bucket_inodes(f"{store.path}/v2")
+    shared = [b for b in i2 if b in i1 and i2[b] & i1[b]]
+    assert len(i2) - len(shared) <= 4  # ≤4 keys touched → ≤4 buckets rewritten
+    assert len(shared) >= 4
+
+    # Deleting a key also works when it's the ONLY change in its bucket.
+    only_removed = spark.createDataFrame([("k10",)], "k string")
+    store.merge(_df(spark, []), removed=only_removed)
+    out3 = {r.k for r in store.read().collect()}
+    assert "k10" not in out3 and len(out3) == 198
+
+
 def test_merge_is_bucket_pruned(spark, tmp_path):
     """A merge touching one key must hard-link (not rewrite) every
     untouched bucket — the property that keeps a small batch O(batch)

@@ -93,6 +93,60 @@ def test_two_generation_pipeline(spark, tmp_path):
     assert removed_id not in kept
 
 
+def test_incremental_pipeline_is_bucket_pruned(spark, tmp_path):
+    """The steady-state scan cycle must be O(delta), not O(table):
+    generation 2 touches 3 files out of 30, so most of gen-1's bucket
+    files must be hard-linked (same inode) into gen-2's snapshot —
+    round 1 rewrote the whole table every cycle via overwrite()."""
+    root = str(tmp_path / "fsroot")
+    for i in range(30):
+        _write(f"{root}/data/f{i:02d}.txt", b"x" * (i + 1))
+
+    cfg = PipelineConfig(
+        root_path=root,
+        skip_patterns=[],
+        snapshot_path=str(tmp_path / "snapshots"),
+        direct_links_enabled=False,
+        num_buckets=8,
+    )
+    r1 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "out1"))
+
+    time.sleep(1.1)
+    _write(f"{root}/data/f00.txt", b"y" * 100)  # changed
+    os.remove(f"{root}/data/f01.txt")  # removed
+    _write(f"{root}/data/f99.txt", b"new")  # added
+
+    r2 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "out2"))
+
+    # Contents are diff-correct.
+    paths = {r.relative_path: r for r in r2.entries.collect()}
+    assert "/data/f01.txt" not in paths
+    assert paths["/data/f00.txt"].size_bytes == 100
+    assert paths["/data/f99.txt"].size_bytes == 3
+    assert len([p for p in paths if paths[p].type == "file"]) == 30
+
+    # Untouched buckets are hard-links of the previous version.
+    snap = str(tmp_path / "snapshots" / "fs_entries")
+
+    def bucket_inodes(d):
+        return {
+            b: {
+                os.stat(os.path.join(d, b, f)).st_ino
+                for f in os.listdir(os.path.join(d, b))
+                if not f.startswith((".", "_"))
+            }
+            for b in os.listdir(d)
+            if b.startswith("_bucket=")
+        }
+
+    i1 = bucket_inodes(f"{snap}/v{r1.snapshot_version}")
+    i2 = bucket_inodes(f"{snap}/v{r2.snapshot_version}")
+    shared = [b for b in i2 if b in i1 and i2[b] & i1[b]]
+    # ≤4 touched keys (3 files + the /data dir) → ≥4 of 8 buckets linked.
+    assert len(shared) >= 4
+    assert len(i2) - len(shared) <= 4
+
+
 def test_index_only_mode_skips_enrichment(spark, tmp_path):
     root = str(tmp_path / "fsroot")
     _write(f"{root}/a/file.txt", b"data")

@@ -29,10 +29,12 @@ def _norm_cell(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # Do NOT fold whole-number floats into ints: the driver's pandas
+        # path renders DuckDB HUGEINT as float64 ('3.0'), and folding here
+        # would mask exactly that cross-engine type drift (round-1 lesson:
+        # rollup_directory_sizes passed locally, failed the driver gate).
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     if isinstance(v, bool):
         return str(int(v))
@@ -84,11 +86,21 @@ def run(sf_dir: str, only: list[str]) -> int:
             n_weak += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        # The driver fetches oracle results through pandas, where HUGEINT
+        # (DuckDB's sum-of-integer type) degrades to float64 and flips the
+        # value hash against Spark's BIGINT. Any HUGEINT output column is
+        # an oracle bug: wrap the aggregate in CAST(... AS BIGINT).
+        huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t.upper()]
+        if huge:
+            print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — cast to BIGINT")
             n_fail += 1
             continue
         sn, sh = table_hash(scols, srows)
