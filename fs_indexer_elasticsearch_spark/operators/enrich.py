@@ -117,18 +117,23 @@ def fetch_direct_links(
     return work.select(id_col, path_col).mapInPandas(run, LINK_RESULT_SCHEMA)
 
 
-def enrich_with_links(entries: DataFrame, links: DataFrame) -> DataFrame:
+def enrich_with_links(
+    entries: DataFrame, links: DataFrame, *, broadcast_links: bool = True
+) -> DataFrame:
     """J1: left-join enrichment with empty-string default
-    (elasticsearch_integration.py:357-369). The links side is small
-    per batch → broadcast."""
+    (elasticsearch_integration.py:357-369). A freshly-fetched batch is
+    small → broadcast; the PERSISTENT links table is one row per file
+    (same cardinality as entries) → pass ``broadcast_links=False`` so
+    the planner uses a shuffled join instead of materializing the whole
+    table on every executor."""
     l = links.select(
         "file_id",
         F.col("direct_link").alias("_dl"),
         F.col("fsentry_id").alias("_fid"),
     )
-    out = entries.join(
-        F.broadcast(l), entries["id"] == l["file_id"], "left"
-    )
+    if broadcast_links:
+        l = F.broadcast(l)
+    out = entries.join(l, entries["id"] == l["file_id"], "left")
     return (
         out.withColumn("direct_link", F.coalesce(F.col("_dl"), F.lit("")))
         .withColumn("fsentry_id", F.col("_fid"))

@@ -111,11 +111,37 @@ def run_pipeline(
     current = store.read().drop("_bucket").cache()
 
     # 5: enrichment (injectable fetcher; disabled → empty links).
+    # Links persist in their own SnapshotStore (the reference's
+    # direct_links table with TTL reuse, direct_links.py:117-122,
+    # 204-233): only files with NO link row, or a link staler than the
+    # file's mtime, are refetched — a steady-state cycle fetches
+    # O(delta), not O(corpus), HTTP calls.
     if cfg.direct_links_enabled:
+        links_store = SnapshotStore(
+            spark,
+            os.path.join(cfg.snapshot_path, "direct_links"),
+            key="file_id",
+            version_col="last_updated",
+            num_buckets=cfg.num_buckets,
+        )
+        known = links_store.read()
+        known = known.drop("_bucket") if known is not None else None
         fetcher = link_fetcher or fake_link_fetcher(cfg.direct_links_version)
-        work = discover_link_work(current, None)
-        links = fetch_direct_links(work, fetcher)
-        enriched = enrich_with_links(current, links)
+        work = discover_link_work(current, known)
+        fetched = fetch_direct_links(work, fetcher)
+        removed_links = (
+            diff.filter(F.col("change") == "removed").select(
+                F.col("id").alias("file_id")
+            )
+            if diff is not None
+            else None
+        )
+        # merge() executes the fetch plan exactly once (the bucket
+        # write); enrichment below reads the materialized store, so no
+        # side-effecting call runs twice.
+        links_store.merge(fetched, removed=removed_links)
+        links = links_store.read().drop("_bucket")
+        enriched = enrich_with_links(current, links, broadcast_links=False)
     else:
         enriched = current.withColumn("direct_link", F.lit("")).withColumn(
             "fsentry_id", F.lit(None).cast("string")

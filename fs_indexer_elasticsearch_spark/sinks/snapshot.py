@@ -26,6 +26,7 @@ is removed.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -35,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.merge import upsert_newer_wins
 
 _POINTER = "_CURRENT"
+_SCHEMA = "_SCHEMA.json"
 
 
 class SnapshotStore:
@@ -76,6 +78,80 @@ class SnapshotStore:
     def _bucket_col(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets)).cast("int")
 
+    # -- schema evolution ---------------------------------------------------
+    # Reference parity: needs_schema_update / migrate_schema
+    # (db_duckdb.py:369-419, 421-503) — detect drift between the stored
+    # table and an incoming batch, then migrate by widening with typed
+    # NULLs (added columns) or casting old data forward (retyped
+    # columns) instead of raising. Migration recreates the table (the
+    # reference copies into lucidlink_files_new) and bumps the schema
+    # version recorded in _SCHEMA.json.
+
+    def _schema_meta(self) -> dict:
+        try:
+            with open(os.path.join(self.path, _SCHEMA)) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {"version": 0, "fields": {}}
+
+    def schema_version(self) -> int:
+        return self._schema_meta()["version"]
+
+    def _record_schema(self, df: DataFrame) -> None:
+        fields = {f.name: f.dataType.simpleString() for f in df.schema.fields
+                  if f.name != "_bucket"}
+        meta = self._schema_meta()
+        if fields != meta["fields"]:
+            meta = {"version": meta["version"] + 1, "fields": fields}
+            tmp = os.path.join(self.path, _SCHEMA + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f, indent=1)
+            os.replace(tmp, os.path.join(self.path, _SCHEMA))
+
+    def needs_schema_update(self, batch: DataFrame) -> bool:
+        """True when the incoming batch's column set or types differ
+        from the stored snapshot's (db_duckdb.py:369-419)."""
+        cur = self.read()
+        if cur is None:
+            return False
+        cur_fields = {
+            f.name: f.dataType.simpleString()
+            for f in cur.schema.fields
+            if f.name != "_bucket"
+        }
+        new_fields = {f.name: f.dataType.simpleString() for f in batch.schema.fields
+                      if f.name != "_bucket"}
+        return cur_fields != new_fields
+
+    def _migrate(self, current: DataFrame, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Align both sides on the union schema: columns only in the
+        batch are added to current as typed NULLs; columns only in
+        current are added to the batch as typed NULLs; a column present
+        in both with a different type adopts the BATCH's type (the
+        migration direction — old rows are cast forward, as the
+        reference's copy-into-new-table does)."""
+        cur_types = {f.name: f.dataType for f in current.schema.fields}
+        new_types = {f.name: f.dataType for f in batch.schema.fields}
+        names = list(cur_types) + [n for n in new_types if n not in cur_types]
+        target = {n: new_types.get(n, cur_types.get(n)) for n in names}
+        if self.key not in new_types or self.version_col not in new_types:
+            raise ValueError(
+                f"batch must carry key '{self.key}' and version '{self.version_col}'"
+            )
+
+        def align(df: DataFrame, have: dict) -> DataFrame:
+            cols = []
+            for n in names:
+                if n not in have:
+                    cols.append(F.lit(None).cast(target[n]).alias(n))
+                elif have[n] != target[n]:
+                    cols.append(F.col(n).cast(target[n]).alias(n))
+                else:
+                    cols.append(F.col(n))
+            return df.select(*cols)
+
+        return align(current, cur_types), align(batch, new_types)
+
     # -- read / write -------------------------------------------------------
     def read(self) -> DataFrame | None:
         v = self.current_version()
@@ -97,6 +173,7 @@ class SnapshotStore:
         out = self._version_dir(v)
         shutil.rmtree(out, ignore_errors=True)
         self._write_buckets(df.drop("_bucket"), out)
+        self._record_schema(df)
         self._swap_pointer(v)
         return v
 
@@ -122,6 +199,20 @@ class SnapshotStore:
                     how="left_anti",
                 )
             return self.overwrite(batch)
+
+        if self.needs_schema_update(batch):
+            # Schema drift → migrate: one O(table) rewrite under the
+            # union schema (rare; mirrors the reference's
+            # copy-into-new-table), then normal pruned merges resume.
+            current, batch = self._migrate(self.read().drop("_bucket"), batch)
+            merged = upsert_newer_wins(current, batch, self.key, self.version_col)
+            if removed is not None:
+                merged = merged.join(
+                    removed.select(F.col(removed.columns[0]).alias(self.key)),
+                    on=self.key,
+                    how="left_anti",
+                )
+            return self.overwrite(merged)
 
         batch = batch.withColumn("_bucket", self._bucket_col()).cache()
         touched = {r._bucket for r in batch.select("_bucket").distinct().collect()}

@@ -83,6 +83,58 @@ def test_snapshot_store_bucket_layout(spark, tmp_path):
     assert all(b1[k] == b2[k] for k in b1)
 
 
+def test_schema_evolution_on_merge(spark, tmp_path):
+    """Reference needs_schema_update/migrate_schema parity
+    (db_duckdb.py:369-503; tests/database/test_db_behavior.py:117-134):
+    a batch with an added or retyped column migrates the store instead
+    of raising — old rows stay readable (NULL for the new column), and
+    the recorded schema version bumps."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(_df(spark, [("a", 1, "pa"), ("b", 1, "pb")]))
+    assert store.schema_version() == 1
+    assert not store.needs_schema_update(_df(spark, [("x", 1, "p")]))
+
+    # Batch adds an 'owner' column (the reference's fsentry_id case).
+    widened = spark.createDataFrame(
+        [("b", 2, "pb2", "alice"), ("c", 1, "pc", "bob")],
+        "k string, v int, payload string, owner string",
+    )
+    assert store.needs_schema_update(widened)
+    store.merge(widened)
+    out = {r.k: r for r in store.read().collect()}
+    assert out["a"].owner is None  # old row readable, typed NULL
+    assert out["b"].owner == "alice" and out["b"].payload == "pb2"
+    assert out["c"].owner == "bob"
+    assert store.schema_version() == 2
+
+    # Batch retypes v int -> bigint: old data is cast forward.
+    retyped = spark.createDataFrame(
+        [("a", 5, "pa3", "carol")], "k string, v bigint, payload string, owner string"
+    )
+    store.merge(retyped)
+    df = store.read()
+    assert dict(df.dtypes)["v"] == "bigint"
+    assert {r.k: r.payload for r in df.collect()}["a"] == "pa3"
+    assert store.schema_version() == 3
+
+    # A batch MISSING a column also migrates via the union schema (the
+    # store keeps owner, NULL for the narrow batch's rows).
+    store.merge(
+        spark.createDataFrame([("d", 1, "pd")], "k string, v bigint, payload string")
+    )
+    out = {r.k: r for r in store.read().collect()}
+    assert out["d"].owner is None and len(out) == 4
+
+    # Subsequent same-schema merges stay on the pruned path.
+    wide = "k string, v bigint, payload string, owner string"
+    again = spark.createDataFrame([("d", 9, "pd2", "dan")], wide)
+    v_before = store.schema_version()
+    store.merge(again)
+    assert store.schema_version() == v_before
+
+
 def test_merge_with_removals(spark, tmp_path):
     """merge(batch, removed=...) applies deletions inside the touched
     buckets (reference DELETE..NOT IN, scanner.py:447-454) while still

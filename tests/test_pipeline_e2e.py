@@ -147,6 +147,78 @@ def test_incremental_pipeline_is_bucket_pruned(spark, tmp_path):
     assert len(i2) - len(shared) <= 4
 
 
+def test_link_fetches_are_incremental(spark, tmp_path):
+    """Direct links persist in their own SnapshotStore with the
+    reference's TTL-reuse semantics (direct_links.py:204-233): a second
+    cycle refetches ONLY missing/stale files — round 1 refetched the
+    whole corpus every run."""
+    root = str(tmp_path / "fsroot")
+    for i in range(5):
+        _write(f"{root}/d/f{i}.txt", b"x" * (i + 1))
+
+    calls_log = str(tmp_path / "calls.log")
+
+    def counting_fetcher(file_id, path):
+        with open(calls_log, "a") as f:  # fetch runs in Python workers
+            f.write(file_id + "\n")
+        return {
+            "direct_link": f"lucid://links/file/{file_id[:16]}",
+            "link_type": "v2",
+            "fsentry_id": "13:1",
+        }
+
+    cfg = PipelineConfig(
+        root_path=root,
+        skip_patterns=[],
+        snapshot_path=str(tmp_path / "snapshots"),
+        direct_links_enabled=True,
+        num_buckets=4,
+    )
+    r1 = run_pipeline(
+        spark, cfg, out_dir=str(tmp_path / "out1"), link_fetcher=counting_fetcher
+    )
+    with open(calls_log) as f:
+        gen1_calls = f.read().splitlines()
+    assert len(gen1_calls) == 5  # every file fetched once, no dirs
+
+    time.sleep(1.1)
+    _write(f"{root}/d/f0.txt", b"modified!")  # stale link -> refetch
+    _write(f"{root}/d/f9.txt", b"new")  # no link row -> fetch
+    os.remove(f"{root}/d/f1.txt")  # link must be dropped, not fetched
+
+    r2 = run_pipeline(
+        spark, cfg, out_dir=str(tmp_path / "out2"), link_fetcher=counting_fetcher
+    )
+    with open(calls_log) as f:
+        gen2_calls = f.read().splitlines()[len(gen1_calls):]
+    ids = {r.relative_path: r.id for r in r2.entries.collect()}
+    assert sorted(gen2_calls) == sorted([ids["/d/f0.txt"], ids["/d/f9.txt"]])
+
+    # Unmodified files keep their cached link through enrichment.
+    docs = []
+    for part in glob.glob(r2.bulk_dir + "/part-*"):
+        with open(part) as f:
+            docs += [
+                json.loads(l) for l in f.read().splitlines() if l and '"index"' not in l
+            ]
+    by_path = {d["relative_path"]: d for d in docs if d.get("type") == "file"}
+    assert by_path["/d/f2.txt"]["direct_link"].startswith("lucid://")
+    # Removed file's link row is gone from the store.
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    links_store = SnapshotStore(
+        spark,
+        str(tmp_path / "snapshots" / "direct_links"),
+        key="file_id",
+        version_col="last_updated",
+        num_buckets=4,
+    )
+    link_ids = {r.file_id for r in links_store.read().collect()}
+    old_ids = {r.relative_path: r.id for r in r1.entries.collect()}
+    assert old_ids["/d/f1.txt"] not in link_ids
+    assert ids["/d/f9.txt"] in link_ids
+
+
 def test_index_only_mode_skips_enrichment(spark, tmp_path):
     root = str(tmp_path / "fsroot")
     _write(f"{root}/a/file.txt", b"data")
