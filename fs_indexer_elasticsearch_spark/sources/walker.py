@@ -54,10 +54,25 @@ def _skip(name: str, path: str, patterns: list[str]) -> bool:
     )
 
 
-def _walk(root: str, patterns: list[str]) -> Iterator[tuple]:
-    stack = [root]
+_PENDING = "_pending"  # marker row: an unwalked dir re-enqueued as frontier work
+
+
+def _walk(
+    root: str, patterns: list[str], budget: int | None = None
+) -> Iterator[tuple]:
+    """DFS walk; with a ``budget``, stops DESCENDING once that many
+    entries were emitted and re-emits the not-yet-walked directories as
+    ``_PENDING`` rows (at directory granularity — a dir is either fully
+    scanned or handed back whole, so rounds never duplicate or lose
+    entries). A single flat directory with millions of direct children
+    still scans in one task; only subtree skew is splittable."""
+    count = 0
+    stack = [root] if isinstance(root, str) else list(root)
     while stack:
         d = stack.pop()
+        if budget is not None and count >= budget:
+            yield (d, os.path.basename(d), _PENDING, None, None, None)
+            continue
         try:
             entries = list(os.scandir(d))
         except OSError:
@@ -80,6 +95,7 @@ def _walk(root: str, patterns: list[str]) -> Iterator[tuple]:
                 mt,
                 ct,
             )
+            count += 1
             if is_dir:
                 stack.append(e.path)
 
@@ -113,6 +129,7 @@ def scan_filesystem(
     skip_patterns: list[str] | None = None,
     num_partitions: int | None = None,
     split_depth: int | None = None,
+    max_entries_per_task: int | None = None,
 ) -> DataFrame:
     """Distributed recursive scan of ``root`` → raw entry DataFrame.
 
@@ -121,6 +138,14 @@ def scan_filesystem(
     ``split_depth=None`` adapts: descend until the frontier has at
     least 2× the target parallelism work items (a tree with 2 huge
     top dirs must not run 2 tasks), capped at depth 4.
+
+    ``max_entries_per_task`` bounds subtree skew: a work item that
+    would emit more entries than the budget stops descending and hands
+    its unwalked subdirectories back as new frontier work, which the
+    next round spreads across tasks (the reference's oversized-dir
+    re-split, parallel_scanner.py:823-894, as an iterative BFS round —
+    the S4 api_walker shape). ``None`` keeps the single-round lazy
+    plan.
     """
     patterns = skip_patterns or []
     target = num_partitions or spark.sparkContext.defaultParallelism
@@ -143,18 +168,41 @@ def scan_filesystem(
         for pdf in it:
             rows = []
             for d in pdf["dir"]:
-                rows.extend(_walk(d, patterns))
+                rows.extend(_walk(d, patterns, max_entries_per_task))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _SCAN_SCHEMA.fields]
             )
 
-    deep = (
-        spark.createDataFrame([(d,) for d in dirs], "dir string")
-        .repartition(min(n, max(len(dirs), 1)))
-        .mapInPandas(scan_partition, _SCAN_SCHEMA)
-        if dirs
-        else spark.createDataFrame([], _SCAN_SCHEMA)
-    )
+    def one_round(work: list[str]) -> DataFrame:
+        return (
+            spark.createDataFrame([(d,) for d in work], "dir string")
+            .repartition(min(n, max(len(work), 1)))
+            .mapInPandas(scan_partition, _SCAN_SCHEMA)
+        )
+
+    if not dirs:
+        deep = spark.createDataFrame([], _SCAN_SCHEMA)
+    elif max_entries_per_task is None:
+        deep = one_round(dirs)
+    else:
+        # Iterative frontier rounds: each round's oversized subtrees
+        # come back as _PENDING dirs and fan out across the next
+        # round's tasks. The collect is O(pending dirs) — work-item
+        # metadata, never entries.
+        parts: list[DataFrame] = []
+        work = dirs
+        while work:
+            scanned = one_round(work).persist()
+            work = [
+                r[0]
+                for r in scanned.filter(F.col("type") == _PENDING)
+                .select("filepath")
+                .collect()
+            ]
+            parts.append(scanned.filter(F.col("type") != _PENDING))
+        deep = parts[0]
+        for p in parts[1:]:
+            deep = deep.unionByName(p)
 
     # Shallow rows (the first split_depth levels) come from the driver
     # walk so nothing is lost between frontier and fan-out.

@@ -11,6 +11,7 @@ from fs_indexer_elasticsearch_spark.sources.find_ls import (
     parse_tab_format,
 )
 from fs_indexer_elasticsearch_spark.sources.walker import (
+    _walk,
     list_top_dirs,
     scan_filesystem,
     to_fs_entries,
@@ -89,6 +90,58 @@ def test_scan_filesystem(spark, tmp_path):
     assert "/proj/src/app.py" in e
     assert e["/proj/src/app.py"].extension == "py"
     assert len(e["/proj/src/app.py"].id) == 64
+
+
+def _mk_skewed_tree(tmp, hot_files=100):
+    """One hot top-level dir with 100x the entries of its siblings,
+    spread over subdirs so the budget split has somewhere to cut."""
+    for cold in ("a", "b"):
+        os.makedirs(f"{tmp}/{cold}", exist_ok=True)
+        with open(f"{tmp}/{cold}/f.txt", "wb") as f:
+            f.write(b"x")
+    for i in range(10):
+        sub = f"{tmp}/hot/part{i:02d}"
+        os.makedirs(sub, exist_ok=True)
+        for j in range(hot_files // 10):
+            with open(f"{sub}/f{j:03d}.dat", "wb") as f:
+                f.write(b"y" * j)
+
+
+def test_walk_budget_resplit_unit(tmp_path):
+    """_walk with a budget hands unwalked dirs back whole; replaying
+    pending rounds reproduces exactly the unbudgeted walk."""
+    tmp = str(tmp_path)
+    _mk_skewed_tree(tmp)
+    full = sorted(t[0] for t in _walk(f"{tmp}/hot", []))
+
+    got, rounds, work = [], 0, [f"{tmp}/hot"]
+    saw_fanout = False
+    while work:
+        rounds += 1
+        pending = []
+        for d in work:
+            for t in _walk(d, [], budget=15):
+                if t[2] == "_pending":
+                    pending.append(t[0])
+                else:
+                    got.append(t[0])
+        saw_fanout = saw_fanout or len(pending) > 1
+        work = pending
+    assert rounds > 1, "budget never triggered a re-split"
+    assert saw_fanout, "hot dir never fanned out to >1 work item"
+    assert sorted(got) == full  # no dupes, nothing lost
+
+
+def test_scan_filesystem_resplit_matches_unbudgeted(spark, tmp_path):
+    tmp = str(tmp_path)
+    _mk_skewed_tree(tmp)
+    base = scan_filesystem(spark, tmp).collect()
+    split = scan_filesystem(spark, tmp, max_entries_per_task=15).collect()
+    assert sorted(r.filepath for r in split) == sorted(
+        r.filepath for r in base
+    )
+    by_path = {r.filepath: r for r in split}
+    assert by_path[f"{tmp}/hot/part00/f005.dat"].size_bytes == 5
 
 
 def test_frontier_pruning(tmp_path):
