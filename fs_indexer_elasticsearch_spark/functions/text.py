@@ -92,6 +92,13 @@ def token_hash32(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
 
+def hex_word32(hexstr: Column, pos: int) -> Column:
+    """32-bit word from hex chars [pos, pos+8) of a hash string
+    (1-based, like substr). Portable: DuckDB
+    ('0x' || substr(h, pos, 8))::BIGINT."""
+    return F.conv(F.substring(hexstr, pos, 8), 16, 10).cast("long")
+
+
 def simhash32_from_hashes(hashes: Column) -> Column:
     """32-bit SimHash from a MATERIALIZED array of 32-bit token
     hashes: bit j is set when more than half the tokens have bit j set
@@ -123,8 +130,30 @@ def simhash32(toks: Column) -> Column:
     return simhash32_from_hashes(F.transform(toks, token_hash32))
 
 
+def simhash64_words(toks: Column) -> tuple[Column, Column]:
+    """64-bit SimHash as TWO 32-bit words (lo, hi) — lo from md5 hex
+    chars 1-8 per token, hi from chars 9-16.
+
+    Why a word pair instead of one BIGINT: a true 64-bit fingerprint
+    needs the sign bit, and signed-overflow semantics differ across
+    engines (Java longs wrap; DuckDB BIGINT shifts/multiplies raise) —
+    two non-negative 32-bit words are overflow-free and byte-portable.
+    Convenience form for tests; the operator path materializes the md5
+    array once and derives both words from it (one hash per token)."""
+    mh = F.transform(toks, F.md5)
+    return (
+        simhash32_from_hashes(F.transform(mh, lambda s: hex_word32(s, 1))),
+        simhash32_from_hashes(F.transform(mh, lambda s: hex_word32(s, 9))),
+    )
+
+
 def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def hamming64(a_lo: Column, a_hi: Column, b_lo: Column, b_hi: Column) -> Column:
+    """Hamming distance over a (lo, hi) word-pair fingerprint."""
+    return hamming32(a_lo, b_lo) + hamming32(a_hi, b_hi)
 
 
 def stopword_ratio(text: Column | str) -> Column:

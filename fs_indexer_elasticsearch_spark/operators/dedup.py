@@ -8,7 +8,8 @@ Four dedup families, all shuffle-architected for 100 TB:
    are small by construction, so the join is linear-ish; the exact
    Jaccard verify touches only candidate pairs, never the full cross
    product.
- - SimHash: 32-bit fingerprints, byte-banding for blocking, Hamming
+ - SimHash: 64-bit fingerprints (two portable 32-bit words),
+   8×8-bit banding for blocking (exact recall to Hamming 7), Hamming
    verify on candidates.
  - n-gram Jaccard: exact all-pairs within a blocking key (for
    bounded blocks only — the LSH paths are the scale route).
@@ -22,10 +23,10 @@ from pyspark.sql import DataFrame
 from ..functions.text import (
     band_hashes,
     distinct_tokens,
-    hamming32,
+    hamming64,
+    hex_word32,
     minhash_signature,
     simhash32_from_hashes,
-    token_hash32,
     tokens,
     word_shingles,
 )
@@ -121,31 +122,47 @@ def simhash_pairs(
     *,
     max_hamming: int = 6,
 ) -> DataFrame:
-    """Near-duplicate pairs by 32-bit SimHash: byte-band blocking
-    (4 bands × 8 bits) then Hamming-distance verify on candidates."""
+    """Near-duplicate pairs by 64-bit SimHash: byte-band blocking
+    (8 bands × 8 bits) then Hamming-distance verify on candidates.
+
+    The fingerprint is two 32-bit words (lo = md5 hex 1-8 per token,
+    hi = hex 9-16) — overflow-free and byte-portable across engines
+    (see functions.text.simhash64_words). With 8 bands of 8 bits, any
+    pair within Hamming distance 7 shares at least one band, so for
+    max_hamming <= 7 the blocking has EXACT recall (pigeonhole), not
+    the probabilistic recall of the 32-bit 4-band variant it replaces
+    (which also saturated on near-identical corpora — 32 bits give
+    birthday collisions at ~2^16 distinct word-bags)."""
     s = (
         df.select(
             F.col(id_col).alias("sid"), distinct_tokens(F.col(text_col)).alias("tk")
         )
-        .select("sid", F.transform(F.col("tk"), token_hash32).alias("th"))
-        .select("sid", simhash32_from_hashes(F.col("th")).alias("sh"))
+        # md5 array materialized ONCE; both words derive from it.
+        .select("sid", F.transform(F.col("tk"), F.md5).alias("mh"))
+        .select(
+            "sid",
+            F.transform(F.col("mh"), lambda m: hex_word32(m, 1)).alias("th_lo"),
+            F.transform(F.col("mh"), lambda m: hex_word32(m, 9)).alias("th_hi"),
+        )
+        .select(
+            "sid",
+            simhash32_from_hashes(F.col("th_lo")).alias("lo"),
+            simhash32_from_hashes(F.col("th_hi")).alias("hi"),
+        )
         .cache()
     )
+    bands = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.shiftright(word, 8 * i).bitwiseAND(F.lit(255)).alias("h"),
+        )
+        for b, (word, i) in enumerate(
+            [(F.col("lo"), i) for i in range(4)] + [(F.col("hi"), i) for i in range(4)]
+        )
+    ]
     long = s.select(
-        "sid",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.shiftright("sh", 8 * b).bitwiseAND(F.lit(255)).alias("h"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("sid", "sh", "band.b", "band.h")
+        "sid", "lo", "hi", F.explode(F.array(*bands)).alias("band")
+    ).select("sid", "lo", "hi", "band.b", "band.h")
     a = long.alias("a")
     b_ = long.alias("b")
     return (
@@ -154,7 +171,9 @@ def simhash_pairs(
         .select(
             F.col("a.sid").alias("id_a"),
             F.col("b.sid").alias("id_b"),
-            hamming32(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            hamming64(
+                F.col("a.lo"), F.col("a.hi"), F.col("b.lo"), F.col("b.hi")
+            ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

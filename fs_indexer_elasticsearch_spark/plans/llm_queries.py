@@ -157,22 +157,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _TOKS_SQL
     + """
     , dtoks AS (SELECT doc_id AS sid, list_distinct(tk) AS tk FROM toks),
+    hsh AS (SELECT sid, list_transform(tk, t -> md5(t)) AS mh FROM dtoks),
+    words AS (
+        SELECT sid,
+               list_transform(mh, s -> ('0x' || substr(s, 1, 8))::BIGINT) AS th_lo,
+               list_transform(mh, s -> ('0x' || substr(s, 9, 8))::BIGINT) AS th_hi
+        FROM hsh
+    ),
     sim AS (
         SELECT sid,
                list_sum(list_transform(range(0, 32), j ->
-                   CASE WHEN 2 * len(list_filter(tk,
-                            t -> ((('0x' || substr(md5(t), 1, 8))::BIGINT >> j) & 1) = 1))
-                          > len(tk)
-                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sh
-        FROM dtoks
+                   CASE WHEN 2 * len(list_filter(th_lo, h -> ((h >> j) & 1) = 1))
+                          > len(th_lo)
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS lo,
+               list_sum(list_transform(range(0, 32), j ->
+                   CASE WHEN 2 * len(list_filter(th_hi, h -> ((h >> j) & 1) = 1))
+                          > len(th_hi)
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS hi
+        FROM words
     ),
     bands AS (
-        SELECT sid, sh, b, (sh >> (8 * b)) & 255 AS h
-        FROM sim, (SELECT unnest(range(0, 4)) AS b)
+        SELECT sid, lo, hi, b,
+               CASE WHEN b < 4 THEN (lo >> (8 * b)) & 255
+                    ELSE (hi >> (8 * (b - 4))) & 255 END AS h
+        FROM sim, (SELECT unnest(range(0, 8)) AS b)
     ),
     pairs AS (
         SELECT DISTINCT a.sid AS id_a, b.sid AS id_b,
-               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
         FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.sid < b.sid
     )
     SELECT hamming, count(*) AS n_pairs, min(id_a) AS sample_id_a, min(id_b) AS sample_id_b
@@ -181,11 +193,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash near-dup detection: byte-band blocking + Hamming
-    verify (bit_count(xor)) on candidates. The synthetic word-bag
-    corpus collides heavily at low Hamming distance, so the declared
-    query reports the pair histogram (bounded at every SF); the
-    operator itself (operators/dedup.simhash_pairs) emits the pairs."""
+    """64-bit SimHash near-dup detection: 8×8-bit band blocking (exact
+    recall to Hamming 7 by pigeonhole) + Hamming verify
+    (bit_count(xor) summed over the two 32-bit fingerprint words) on
+    candidates. The synthetic word-bag corpus collides heavily at low
+    Hamming distance, so the declared query reports the pair histogram
+    (bounded at every SF); the operator itself
+    (operators/dedup.simhash_pairs) emits the pairs."""
     pairs = simhash_pairs(_aug_corpus(spark, sf_dir), "doc_id", "text", max_hamming=6)
     return pairs.groupBy("hamming").agg(
         F.count(F.lit(1)).alias("n_pairs"),

@@ -71,6 +71,64 @@ def test_minhash_finds_planted_near_dup(spark):
     assert pairs[0].jaccard > 0.7
 
 
+def test_simhash64_separates_32bit_collision(spark):
+    """md5('tok94533') and md5('tok129055') share their first 8 hex
+    chars (found by birthday search), so the old 32-bit SimHash gave
+    these single-token docs IDENTICAL fingerprints; the 64-bit word
+    pair separates them."""
+    from fs_indexer_elasticsearch_spark.functions.text import (
+        simhash32,
+        simhash64_words,
+        tokens,
+    )
+    from fs_indexer_elasticsearch_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [(1, "tok94533"), (2, "tok129055")], "doc_id long, text string"
+    )
+    lo, hi = simhash64_words(tokens(F.col("text")))
+    r = {
+        x.doc_id: x
+        for x in df.select(
+            "doc_id",
+            simhash32(tokens(F.col("text"))).alias("sh32"),
+            lo.alias("lo"),
+            hi.alias("hi"),
+        ).collect()
+    }
+    assert r[1].sh32 == r[2].sh32  # 32-bit: full collision
+    assert r[1].lo == r[2].lo  # lo word == the old 32 bits
+    assert r[1].hi != r[2].hi  # hi word separates the pair
+    # Operator agrees: at hamming 0 (exact-dup hunt) no pair fires,
+    # and the hamming it reports is exactly the hi-word distance.
+    assert simhash_pairs(df, "doc_id", "text", max_hamming=0).count() == 0
+    got = simhash_pairs(df, "doc_id", "text", max_hamming=64).collect()
+    assert len(got) == 1
+    assert got[0].hamming == bin(r[1].hi ^ r[2].hi).count("1")
+
+
+def test_simhash_banding_exact_recall_to_h7(spark):
+    """8 bands x 8 bits: a pair at Hamming distance <= 7 must share a
+    band (pigeonhole), so blocking loses nothing below max_hamming=7."""
+    base = [f"w{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[:-2] + ["zq1", "zq2"])  # flip a few fingerprint bits
+    from fs_indexer_elasticsearch_spark.functions.text import (
+        simhash64_words,
+        tokens,
+    )
+    from fs_indexer_elasticsearch_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    lo, hi = simhash64_words(tokens(F.col("text")))
+    r = {x.doc_id: x for x in df.select("doc_id", lo.alias("lo"), hi.alias("hi")).collect()}
+    d = bin(r[1].lo ^ r[2].lo).count("1") + bin(r[1].hi ^ r[2].hi).count("1")
+    pairs = simhash_pairs(df, "doc_id", "text", max_hamming=max(d, 1)).collect()
+    if d <= 7:
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+        assert pairs[0].hamming == d
+
+
 def test_bruteforce_topk_self_similarity(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3)
