@@ -58,6 +58,8 @@ def run_pipeline(
     *,
     out_dir: str,
     link_fetcher=None,
+    es_client=None,
+    kibana_client=None,
 ) -> PipelineResult:
     """One full scan→index cycle (the reference's `python -m
     fs_indexer_elasticsearch.main`)."""
@@ -154,6 +156,7 @@ def run_pipeline(
     # mode maintains the snapshot without publishing (the reference's
     # mode matrix, test_configuration_modes.py).
     bulk_dir = delete_dir = None
+    stats_extra: dict[str, Any] = {}
     if cfg.mode != "index-only":
         docs = format_documents(enriched)
         bulk_dir = os.path.join(out_dir, "bulk")
@@ -162,8 +165,26 @@ def run_pipeline(
             removed = diff.filter(F.col("change") == "removed").select("id")
             delete_dir = os.path.join(out_dir, "deletes")
             write_bulk_file(delete_actions(removed, cfg.es_index), delete_dir)
+        # Optional live delivery (reference mode matrix: ES + Kibana
+        # fire only in elasticsearch mode). The bulk parts ship
+        # one-request-per-partition; deletes go through
+        # delete_by_query's 1000-id batches — the collect is
+        # O(removed delta), the same driver-side id batching the
+        # reference does (elasticsearch_integration.py:526-551).
+        if es_client is not None:
+            ok, failed = es_client.ship_bulk_dir(bulk_dir)
+            stats_extra["es_indexed"], stats_extra["es_failed"] = ok, failed
+            if diff is not None:
+                removed_ids = [r.id for r in removed.collect()]
+                if removed_ids:
+                    stats_extra["es_deleted"] = es_client.delete_by_ids(
+                        cfg.es_index, removed_ids
+                    )
+        if kibana_client is not None:
+            stats_extra["kibana_ok"] = kibana_client.create_data_views(cfg.es_index)
 
     stats = dict(obs.get)
+    stats.update(stats_extra)
     return PipelineResult(
         snapshot_version=version,
         entries=current,

@@ -1,0 +1,191 @@
+"""HTTP transports for the ES bulk/delete and Kibana saved-objects
+sinks — injectable-session clients with retry/backoff.
+
+Reference parity: elasticsearch_integration.py:20-30 (client built
+with retry_on_timeout + max_retries=3), 420-451 (bulk send and
+per-item success/failure counting), 526-551 (delete_by_query in
+1000-id batches with conflicts=proceed + refresh);
+kibana_data_views.py:245-313 (saved-objects _import with the
+kbn-xsrf header and overwrite=true).
+
+No ES/Kibana server (and no `requests`) exists in this image, so the
+wire layer is one tiny injectable protocol:
+
+    session(method, url, headers, body: bytes) -> (status: int, text: str)
+
+`UrllibSession` implements it over the stdlib for real deployments;
+tests inject recording/flaky fakes — the same seam the reference's
+mode-matrix tests patch (tests/test_configuration_modes.py:188-351).
+
+Scale note: these clients are DRIVER-side shippers for the NDJSON the
+distributed sinks already wrote (one part file per Spark partition =
+one bulk request). On a real cluster, prefer the elasticsearch-spark
+connector (sinks/es_bulk.write_elasticsearch) so executors ship their
+own partitions; this module is the connector-less fallback and the
+unit-testable behavior spec of the wire protocol.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from collections.abc import Callable, Iterable
+
+Session = Callable[[str, str, dict[str, str], bytes], tuple[int, str]]
+
+_RETRYABLE = {429, 502, 503, 504}
+
+
+class TransportError(Exception):
+    """Raised when a request still fails after all retries."""
+
+
+def urllib_session(timeout: float = 30.0) -> Session:
+    """Stdlib-only default session (the reference uses `requests` /
+    the elasticsearch client; both are absent here)."""
+
+    def send(method: str, url: str, headers: dict[str, str], body: bytes):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, data=body, headers=headers, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.status, resp.read().decode("utf-8", "replace")
+        except urllib.error.HTTPError as e:  # HTTP status errors carry a body
+            return e.code, e.read().decode("utf-8", "replace")
+
+    return send
+
+
+class _RetryingClient:
+    def __init__(
+        self,
+        base_url: str,
+        session: Session | None = None,
+        *,
+        max_retries: int = 3,
+        backoff_base: float = 0.1,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.session = session or urllib_session()
+        self.max_retries = max_retries
+        self.backoff_base = backoff_base
+        self.sleep = sleep
+
+    def _request(
+        self, method: str, path: str, body: bytes, headers: dict[str, str]
+    ) -> tuple[int, str]:
+        """Send with exponential backoff on transport faults and
+        retryable statuses (429/5xx) — elasticsearch_integration.py's
+        retry_on_timeout + max_retries=3, made explicit."""
+        url = f"{self.base_url}{path}"
+        last: str | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                status, text = self.session(method, url, headers, body)
+            except Exception as e:  # noqa: BLE001 - network faults retry
+                last = repr(e)
+            else:
+                if status not in _RETRYABLE:
+                    return status, text
+                last = f"HTTP {status}: {text[:200]}"
+            if attempt < self.max_retries:
+                self.sleep(self.backoff_base * (2**attempt))
+        raise TransportError(f"{method} {url} failed after {self.max_retries + 1} tries: {last}")
+
+
+class EsClient(_RetryingClient):
+    """Minimal Elasticsearch REST client over the injectable session."""
+
+    def bulk_lines(self, lines: Iterable[str], *, refresh: bool = True) -> tuple[int, int]:
+        """POST one `_bulk` body; returns (success, failure) counted
+        per item like the reference (statuses 200/201 are success,
+        elasticsearch_integration.py:426-443)."""
+        body = "\n".join(lines)
+        if not body:
+            return (0, 0)
+        status, text = self._request(
+            "POST",
+            f"/_bulk?refresh={'true' if refresh else 'false'}",
+            (body + "\n").encode(),
+            {"Content-Type": "application/x-ndjson"},
+        )
+        if status != 200:
+            raise TransportError(f"_bulk returned HTTP {status}: {text[:200]}")
+        ok = failed = 0
+        for item in json.loads(text).get("items", []):
+            op = item.get("index") or item.get("delete") or {}
+            if op.get("status") in (200, 201):
+                ok += 1
+            else:
+                failed += 1
+        return ok, failed
+
+    def ship_bulk_dir(self, bulk_dir: str) -> tuple[int, int]:
+        """Ship a write_bulk_file() output directory: each part file
+        (one per Spark partition) is already a valid `_bulk` body."""
+        ok = failed = 0
+        for part in sorted(glob.glob(os.path.join(bulk_dir, "part-*"))):
+            with open(part, encoding="utf-8") as f:
+                lines = [ln for ln in f.read().split("\n") if ln]
+            if lines:
+                o, x = self.bulk_lines(lines)
+                ok += o
+                failed += x
+        return ok, failed
+
+    def delete_by_ids(
+        self, index: str, ids: list[str], *, batch_size: int = 1000
+    ) -> int:
+        """`_delete_by_query` with a terms filter in 1000-id batches
+        (elasticsearch_integration.py:526-551): conflicts=proceed,
+        refresh, sums `deleted` across batches."""
+        deleted = 0
+        for i in range(0, len(ids), batch_size):
+            body = json.dumps({"query": {"terms": {"id": ids[i : i + batch_size]}}})
+            status, text = self._request(
+                "POST",
+                f"/{index}/_delete_by_query?conflicts=proceed&refresh=true",
+                body.encode(),
+                {"Content-Type": "application/json"},
+            )
+            if status != 200:
+                raise TransportError(
+                    f"_delete_by_query returned HTTP {status}: {text[:200]}"
+                )
+            deleted += int(json.loads(text).get("deleted", 0))
+        return deleted
+
+
+class KibanaClient(_RetryingClient):
+    """Kibana saved-objects importer (kibana_data_views.py:245-313).
+
+    Sends the NDJSON payload directly (the reference wraps the same
+    bytes in a multipart file field; the application/ndjson body is
+    equivalent for Kibana >= 7.x importers and keeps the session
+    protocol single-shape)."""
+
+    def import_saved_objects(self, ndjson: str) -> bool:
+        status, text = self._request(
+            "POST",
+            "/api/saved_objects/_import?overwrite=true",
+            ndjson.encode(),
+            {"Content-Type": "application/ndjson", "kbn-xsrf": "true"},
+        )
+        if status != 200:
+            return False
+        try:
+            return bool(json.loads(text).get("success", False))
+        except ValueError:
+            return False
+
+    def create_data_views(self, index: str, time_field: str = "modified_time") -> bool:
+        """Build + import the three saved objects (config, data view,
+        default search) for an index."""
+        from .kibana import data_view_objects, to_ndjson
+
+        return self.import_saved_objects(to_ndjson(data_view_objects(index, time_field)))

@@ -1,0 +1,186 @@
+"""HTTP transport clients (ES bulk / delete_by_query / Kibana import)
+over injectable fake sessions — the reference's mode-matrix mock seam
+(tests/test_configuration_modes.py:188-351) re-expressed: instead of
+patching module attributes, the session protocol is injected."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from fs_indexer_elasticsearch_spark.pipeline import run_pipeline
+from fs_indexer_elasticsearch_spark.sinks.http_transport import (
+    EsClient,
+    KibanaClient,
+    TransportError,
+)
+from fs_indexer_elasticsearch_spark.sources.config import PipelineConfig
+
+
+class RecordingSession:
+    """Scripted session: records every request, plays back responses."""
+
+    def __init__(self, responses=None):
+        self.calls: list[tuple[str, str, dict, bytes]] = []
+        self.responses = list(responses or [])
+
+    def __call__(self, method, url, headers, body):
+        self.calls.append((method, url, dict(headers), body))
+        if self.responses:
+            r = self.responses.pop(0)
+            if isinstance(r, Exception):
+                raise r
+            return r
+        # Default: succeed, acking every bulk action in the body.
+        if "_bulk" in url:
+            n = sum(
+                1
+                for ln in body.decode().splitlines()
+                if ln and ("\"index\"" in ln or "\"delete\"" in ln) and "\"_id\"" in ln
+            )
+            items = [{"index": {"status": 201}} for _ in range(n)]
+            return 200, json.dumps({"items": items})
+        if "_delete_by_query" in url:
+            n = len(json.loads(body)["query"]["terms"]["id"])
+            return 200, json.dumps({"deleted": n})
+        return 200, json.dumps({"success": True})
+
+
+def test_bulk_counts_successes_and_failures():
+    resp = {"items": [{"index": {"status": 201}}, {"index": {"status": 400, "error": "boom"}}]}
+    s = RecordingSession([(200, json.dumps(resp))])
+    es = EsClient("http://es:9200", s)
+    ok, failed = es.bulk_lines(['{"index":{"_id":"a"}}', "{}", '{"index":{"_id":"b"}}', "{}"])
+    assert (ok, failed) == (1, 1)
+    method, url, headers, body = s.calls[0]
+    assert method == "POST" and url.endswith("/_bulk?refresh=true")
+    assert headers["Content-Type"] == "application/x-ndjson"
+    assert body.endswith(b"\n")
+
+
+def test_retry_backoff_then_success():
+    good = (200, json.dumps({"items": [{"index": {"status": 200}}]}))
+    s = RecordingSession([(503, "unavailable"), ConnectionError("reset"), good])
+    sleeps = []
+    es = EsClient(
+        "http://es:9200", s, max_retries=3, backoff_base=0.1, sleep=sleeps.append
+    )
+    ok, failed = es.bulk_lines(['{"index":{"_id":"a"}}', "{}"])
+    assert (ok, failed) == (1, 0)
+    assert len(s.calls) == 3
+    assert sleeps == [0.1, 0.2]  # exponential backoff
+
+
+def test_retries_exhausted_raises():
+    s = RecordingSession([(503, "no"), (503, "no"), (429, "slow"), (503, "no")])
+    es = EsClient("http://es:9200", s, max_retries=3, sleep=lambda _: None)
+    with pytest.raises(TransportError):
+        es.bulk_lines(['{"index":{"_id":"a"}}', "{}"])
+    assert len(s.calls) == 4  # 1 try + 3 retries
+
+
+def test_non_retryable_http_error_fails_fast():
+    s = RecordingSession([(400, "bad request")])
+    es = EsClient("http://es:9200", s, sleep=lambda _: None)
+    with pytest.raises(TransportError):
+        es.bulk_lines(['{"index":{"_id":"a"}}', "{}"])
+    assert len(s.calls) == 1  # 4xx (except 429) never retries
+
+
+def test_delete_by_ids_batches_of_1000():
+    s = RecordingSession()
+    es = EsClient("http://es:9200", s)
+    deleted = es.delete_by_ids("fs-entries", [f"id{i}" for i in range(2500)])
+    assert deleted == 2500
+    assert len(s.calls) == 3
+    sizes = [len(json.loads(b)["query"]["terms"]["id"]) for _, _, _, b in s.calls]
+    assert sizes == [1000, 1000, 500]
+    assert all(
+        u.endswith("/fs-entries/_delete_by_query?conflicts=proceed&refresh=true")
+        for _, u, _, _ in s.calls
+    )
+
+
+def test_kibana_import_headers_and_payload():
+    s = RecordingSession([(200, json.dumps({"success": True, "successCount": 3}))])
+    kb = KibanaClient("http://kibana:5601", s)
+    assert kb.create_data_views("fs-entries") is True
+    method, url, headers, body = s.calls[0]
+    assert url.endswith("/api/saved_objects/_import?overwrite=true")
+    assert headers["kbn-xsrf"] == "true"
+    types = [json.loads(ln)["type"] for ln in body.decode().strip().split("\n")]
+    assert types == ["config", "index-pattern", "search"]
+
+
+def _write(path, content=b"x"):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(content)
+
+
+def test_pipeline_ships_live_when_clients_injected(spark, tmp_path):
+    """elasticsearch mode + injected clients: every doc is bulk-POSTed
+    (one request per partition file), removals go through
+    delete_by_query, Kibana objects are imported; index-only mode
+    never touches the wire — the reference's
+    bulk_index.assert_called_once / assert_not_called matrix."""
+    import time
+
+    root = str(tmp_path / "fsroot")
+    for i in range(4):
+        _write(f"{root}/d/f{i}.txt", b"x" * (i + 1))
+    cfg = PipelineConfig(
+        root_path=root,
+        skip_patterns=[],
+        snapshot_path=str(tmp_path / "snap"),
+        direct_links_enabled=False,
+        num_buckets=2,
+        es_index="fs-entries",
+    )
+    es_s, kb_s = RecordingSession(), RecordingSession()
+    es = EsClient("http://es:9200", es_s)
+    kb = KibanaClient("http://kibana:5601", kb_s)
+
+    r1 = run_pipeline(
+        spark, cfg, out_dir=str(tmp_path / "o1"), es_client=es, kibana_client=kb
+    )
+    # 4 files + 1 dir indexed; kibana import fired once.
+    assert r1.stats["es_indexed"] == 5 and r1.stats["es_failed"] == 0
+    assert r1.stats["kibana_ok"] is True
+    assert all("_bulk" in u for _, u, _, _ in es_s.calls)
+    assert len(kb_s.calls) == 1
+
+    # Gen 2: one removal → a delete_by_query with exactly that id.
+    time.sleep(1.1)
+    os.remove(f"{root}/d/f0.txt")
+    removed_id = next(
+        r.id for r in r1.entries.collect() if r.relative_path == "/d/f0.txt"
+    )
+    es_s.calls.clear()
+    r2 = run_pipeline(
+        spark, cfg, out_dir=str(tmp_path / "o2"), es_client=es, kibana_client=kb
+    )
+    assert r2.stats["es_deleted"] == 1
+    dbq = [c for c in es_s.calls if "_delete_by_query" in c[1]]
+    assert len(dbq) == 1
+    assert json.loads(dbq[0][3])["query"]["terms"]["id"] == [removed_id]
+
+    # index-only: the wire stays silent.
+    es_s.calls.clear()
+    kb_s.calls.clear()
+    cfg_idx = PipelineConfig(
+        root_path=root,
+        skip_patterns=[],
+        snapshot_path=str(tmp_path / "snap_idx"),
+        mode="index-only",
+        direct_links_enabled=False,
+        num_buckets=2,
+    )
+    r3 = run_pipeline(
+        spark, cfg_idx, out_dir=str(tmp_path / "o3"), es_client=es, kibana_client=kb
+    )
+    assert r3.snapshot_version == 1  # snapshot still maintained
+    assert es_s.calls == [] and kb_s.calls == []
+    assert "es_indexed" not in r3.stats and "kibana_ok" not in r3.stats
