@@ -110,9 +110,15 @@ def main() -> None:
         # computed columns and under-report the real work.
         n = len(out.collect())
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n = len(QUERIES[name](spark, sf_dir).collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Steady-state = min of two post-warm runs (single runs on a
+        # shared box carry ±10% scheduler/GC noise; min-of-k is the
+        # standard way to report the achievable steady cost).
+        steady = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = len(QUERIES[name](spark, sf_dir).collect())
+            steady.append(time.perf_counter() - t0)
+        timings[name] = round(min(steady), 3)
         rows[name] = n
 
     total = round(sum(timings.values()), 3)

@@ -37,6 +37,16 @@ def upsert_newer_wins(
 
     Implemented as a full-outer join + per-column ``when`` pick —
     deterministic, idempotent (re-applying the same batch is a no-op).
+
+    Join strategy: the BATCH side carries a shuffle_hash hint — in a
+    snapshot merge the batch is the delta (small), so the planner
+    builds the per-partition hash map on it and STREAMS the current
+    side with no sort on either side (full-outer shuffled-hash join).
+    At 100 TB this removes the two table-scale sorts a sort-merge join
+    would pay; the build side stays bounded because it is delta-sized
+    (and bucket-pruned by SnapshotStore.merge). snapshot_diff keeps
+    sort-merge: there BOTH sides are table-sized and SMJ is the
+    spill-safe shape.
     """
     cols = current.columns
     if set(cols) != set(batch.columns):
@@ -44,7 +54,7 @@ def upsert_newer_wins(
             f"schema mismatch: current={sorted(cols)} batch={sorted(batch.columns)}"
         )
     cur = current.alias("cur")
-    new = batch.alias("new")
+    new = batch.hint("shuffle_hash").alias("new")
     take_new = F.col(f"cur.{key}").isNull() | (
         F.col(f"new.{version_col}") > F.col(f"cur.{version_col}")
     )

@@ -60,9 +60,14 @@ def test_scalar_max_is_broadcast_not_collect(spark):
 
 
 def test_merge_join_is_key_partitioned(spark):
+    # The batch side's shuffle_hash hint must hold: a shuffled-hash
+    # full-outer join (hash built on the delta, current side STREAMED
+    # unsorted) — a SortMergeJoin here would mean two table-scale
+    # sorts at 100 TB.
     p = plan_of(spark, "merge_upsert_newer_wins")
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "ShuffledHashJoin" in p
     assert "FullOuter" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_anti_and_semi_joins(spark):
