@@ -36,11 +36,19 @@ HEADLINE = [
 ]
 
 
-def _ingest_files_per_sec(spark, n_files: int = 50_000) -> float:
+def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
     """Ingest benchmark: scan a generated on-disk tree, normalize, and
     merge into a fresh snapshot store — the reference's 'processing
     rate' (BASELINE: 2,382 files/s measured, 25k files/s claimed).
-    The tree is built once under /tmp and reused across runs."""
+    The tree is built once under /tmp and reused across runs.
+
+    Also times the STEADY-STATE cycle: touch 1% of the files and run
+    the same pipeline again against the existing snapshot. Both cycles
+    pay the same O(tree) scan (locally that dominates, so the ratio
+    stays near 1); the part the bucket-pruned merge eliminates is the
+    table rewrite — the term that grows with SNAPSHOT size, not tree
+    size, and the one that matters at 100 TB. A ratio creeping toward
+    (scan+full-rewrite)/full would flag a pruning regression."""
     import shutil
     import tempfile
 
@@ -73,8 +81,23 @@ def _ingest_files_per_sec(spark, n_files: int = 50_000) -> float:
     result = run_pipeline(spark, cfg, out_dir=out)
     dt = time.perf_counter() - t0
     files = int(result.stats.get("files", 0))
+
+    # 1%-delta incremental cycle against the snapshot just written.
+    touched = 0
+    for d in range(0, n_files // 100, 100):  # one file per 100 dirs
+        p = os.path.join(tree, f"d{d // 100}", f"sub{d}", "f0.dat")
+        with open(p, "wb") as f:
+            f.write(os.urandom(64))
+        touched += 1
+    t0 = time.perf_counter()
+    run_pipeline(spark, cfg, out_dir=out)
+    dt2 = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
-    return round(files / dt, 1)
+    return {
+        "ingest_files_per_sec": round(files / dt, 1),
+        "incremental_cycle_sec": round(dt2, 3),
+        "incremental_vs_full": round(dt2 / dt, 3),
+    }
 
 
 def main() -> None:
@@ -122,7 +145,7 @@ def main() -> None:
         rows[name] = n
 
     total = round(sum(timings.values()), 3)
-    ingest_rate = _ingest_files_per_sec(spark)
+    ingest = _ingest_metrics(spark)
     print(
         json.dumps(
             {
@@ -134,7 +157,7 @@ def main() -> None:
                 "rows": rows,
                 "cold": cold,
                 "cold_total": round(sum(cold.values()), 3),
-                "ingest_files_per_sec": ingest_rate,
+                **ingest,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }
         )

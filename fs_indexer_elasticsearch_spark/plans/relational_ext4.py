@@ -1,6 +1,7 @@
-"""Fourth extension batch: adapted q09/q12/q20/q21 (the star schema
-has no partsupp/shipmode/commitdate, so cost and lateness are derived
-from the available columns — the JOIN/subquery shapes are intact)."""
+"""Fourth extension batch: adapted q02/q09/q11/q12/q16/q20/q21 (the
+star schema has no partsupp/shipmode/commitdate, so cost, stock value
+and lateness are derived from the available columns — the
+JOIN/subquery shapes are intact)."""
 
 from __future__ import annotations
 
@@ -167,6 +168,46 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         waited.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    SELECT l_partkey, round(sum(l_extendedprice) + 1e-7, 2) AS value
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice) > (
+        SELECT sum(l_extendedprice) * 0.0002
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7')
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem value in lieu of partsupp
+    supplycost·availqty): per-part value within one nation, kept only
+    above a fraction of the nation's total — grouped agg HAVING a
+    scalar subquery. The scalar threshold joins in as a broadcast
+    1-row aggregate (never a driver collect), and the nation-filtered
+    supplier dim broadcasts, so the only shuffle is the partkey agg."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    l = load(spark, sf_dir, "lineitem")
+    supplied = l.join(
+        F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        l.l_suppkey == F.col("s_suppkey"),
+    )
+    per_part = supplied.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("_v")
+    )
+    threshold = supplied.agg((F.sum("l_extendedprice") * 0.0002).alias("_t"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("_v") > F.col("_t"))
+        .select("l_partkey", stable_round("_v", 2).alias("value"))
     )
 
 
