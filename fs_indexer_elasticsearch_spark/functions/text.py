@@ -59,18 +59,56 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature: for permutation i, min over shingles of
-    md5(f"{i}:{shingle}") — lexicographic min of a keyed hash is a
-    deterministic permutation surrogate reproducible in any engine."""
-    def keyed(i: int):
-        prefix = f"{i}:"
+# Universal-hash MinHash family: permutation i maps a 32-bit base
+# hash h to (a_i*h + b_i) mod MINHASH_P. p = 2^31-1 (prime); with
+# h, b < p and a < p the product stays under 2^62 — exact BIGINT
+# arithmetic in every engine, no overflow, no floats. The (a, b)
+# pairs are fixed pseudorandom constants (md5 of "minhash-{a,b}-{i}",
+# reduced mod p) so Spark and the DuckDB oracle share one table.
+MINHASH_P = (1 << 31) - 1
+MINHASH_AB = (
+    (1062152830, 1695421687),
+    (1268543612, 648833165),
+    (1909065456, 49877568),
+    (1816160850, 2128198149),
+    (257569287, 1658739226),
+    (1287187322, 1879143231),
+    (170452813, 947560632),
+    (1527001035, 1255994588),
+    (1011933876, 2046957751),
+    (179173683, 1862357070),
+    (979716681, 513948596),
+    (1023073390, 1451000904),
+    (286615217, 953950331),
+    (206804578, 1495278991),
+    (938733894, 1658718891),
+    (1657740429, 1200190740),
+)
+
+
+def minhash_base(shingles: Column) -> Column:
+    """Per-shingle 32-bit base hash reduced mod p — ONE md5 per
+    shingle; every permutation derives arithmetically from this array.
+    Callers must PROJECT this column before minhash_signature (the
+    usual no-CSE-across-lambdas rule: inlining would re-run the md5
+    once per permutation — 16× the hashing, the cost this family
+    exists to avoid)."""
+    return F.transform(
+        shingles, lambda s: hex_word32(F.md5(s), 1) % MINHASH_P
+    )
+
+
+def minhash_signature(base: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature over a MATERIALIZED minhash_base array:
+    signature i = min over shingles of (a_i*h + b_i) mod p."""
+
+    def perm(a: int, b: int):
         # Single-arg lambda: a two-arg lambda would make F.transform
         # pass the ARRAY INDEX as the second argument.
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
 
     return [
-        F.array_min(F.transform(shingles, keyed(i))).alias(f"mh_{i}")
+        F.array_min(F.transform(base, perm(*MINHASH_AB[i]))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
 

@@ -25,6 +25,7 @@ from ..functions.text import (
     distinct_tokens,
     hamming64,
     hex_word32,
+    minhash_base,
     minhash_signature,
     simhash32_from_hashes,
     tokens,
@@ -73,7 +74,13 @@ def minhash_lsh_pairs(
     recall follows the curve.
     """
     sh = shingle_sets(df, id_col, text_col, shingle_n).cache()
-    sig = sh.select("sid", "shingles", *minhash_signature(F.col("shingles"), num_hashes))
+    # Base hash materialized in its own projection: ONE md5 per
+    # shingle; the 16 permutations are integer arithmetic over it
+    # (universal-hash family — 16× less hashing than keyed-md5-min).
+    based = sh.select("sid", "shingles", minhash_base(F.col("shingles")).alias("mhb"))
+    sig = based.select(
+        "sid", "shingles", *minhash_signature(F.col("mhb"), num_hashes)
+    )
     banded = sig.select(
         "sid", *band_hashes([f"mh_{i}" for i in range(num_hashes)], bands)
     )

@@ -76,7 +76,12 @@ def run_pipeline(
         previous.count()
 
     # 1-2: scan + normalize (+ observe-based counters, A-7).
-    raw = scan_filesystem(spark, cfg.root_path, cfg.skip_patterns)
+    raw = scan_filesystem(
+        spark,
+        cfg.root_path,
+        cfg.skip_patterns,
+        max_entries_per_task=cfg.max_entries_per_task,
+    )
     entries = to_fs_entries(raw, cfg.root_path)
     entries = entries.filter(skip_filter(F.col("relative_path"), cfg.skip_patterns))
     obs = Observation("scan_stats")

@@ -13,7 +13,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.text import EN_STOPWORDS, rolling_fingerprint, tokens
+from ..functions.text import (
+    EN_STOPWORDS,
+    MINHASH_AB,
+    MINHASH_P,
+    rolling_fingerprint,
+    tokens,
+)
 from ..operators.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
@@ -111,18 +117,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_aug_corpus(spark, sf_dir), "doc_id", "text")
 
 
+# The 16 permutation expressions, generated from the SAME (a, b)
+# constant table the Spark side uses (functions.text.MINHASH_AB) —
+# one md5 per shingle, integer arithmetic per permutation.
+_MINHASH_SIG_ITEMS = ", ".join(
+    f"list_min(list_transform(hb, h -> ({a} * h + {b}) % {MINHASH_P}))"
+    for a, b in MINHASH_AB
+)
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=_CORPUS_SQL
     + _SHINGLES_SQL
-    + """
-    , sig AS (
+    + f"""
+    , hbase AS (
         SELECT sid, shingles,
-               list_transform(range(0, 16),
-                   h -> list_min(list_transform(shingles,
-                            s -> md5(h::VARCHAR || ':' || s)))) AS sg
+               list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P}) AS hb
         FROM sh
     ),
+    sig AS (
+        SELECT sid, shingles, [{_MINHASH_SIG_ITEMS}] AS sg
+        FROM hbase
+    ),"""
+    + """
     bands AS (
         SELECT sid, b, md5(array_to_string(sg[(4*b+1):(4*b+4)], '|')) AS h
         FROM sig, (SELECT unnest(range(0, 4)) AS b)

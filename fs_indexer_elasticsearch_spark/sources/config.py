@@ -21,6 +21,9 @@ class PipelineConfig:
         default_factory=lambda: [".git", "__pycache__", "*.tmp", "node_modules", ".DS_Store"]
     )
     scan_chunk_size: int = 100_000
+    # Re-split budget: a scan task emitting more entries than this
+    # hands unwalked subdirs back as frontier work (None = one round).
+    max_entries_per_task: int | None = None
     direct_links_enabled: bool = False
     direct_links_version: str = "v2"
     es_index: str = "fs-entries"
@@ -59,6 +62,11 @@ def load_config(path: str | None = None) -> PipelineConfig:
         mode=data.get("mode", "elasticsearch"),
         skip_patterns=patterns,
         scan_chunk_size=int(perf.get("scan_chunk_size", 100_000)),
+        max_entries_per_task=(
+            int(perf["max_entries_per_task"])
+            if perf.get("max_entries_per_task")
+            else None
+        ),
         direct_links_enabled=bool(ll.get("enabled", False)),
         direct_links_version=f"v{ll.get('port', 2)}"
         if isinstance(ll.get("port"), int) and ll.get("port") in (2, 3)

@@ -50,6 +50,7 @@ skip_patterns:
   hidden_dirs: [".git", "node_modules"]
 performance:
   scan_chunk_size: 50000
+  max_entries_per_task: 200000
 elasticsearch:
   index_name: my-index
   bulk_size: 25000
@@ -60,5 +61,6 @@ elasticsearch:
     assert cfg.root_path == "/mnt/fs"
     assert set(cfg.skip_patterns) == {".DS_Store", ".git", "node_modules"}
     assert cfg.scan_chunk_size == 50000
+    assert cfg.max_entries_per_task == 200000
     assert cfg.es_index == "my-index"
     assert cfg.es_bulk_size == 25000
