@@ -70,28 +70,43 @@ def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
             f.write("ok")
 
     out = tempfile.mkdtemp(prefix="bench-ingest-")
-    cfg = PipelineConfig(
-        root_path=tree,
-        skip_patterns=[".complete"],
-        snapshot_path=os.path.join(out, "snap"),
-        direct_links_enabled=False,
-        num_buckets=32,
-    )
-    t0 = time.perf_counter()
-    result = run_pipeline(spark, cfg, out_dir=out)
-    dt = time.perf_counter() - t0
-    files = int(result.stats.get("files", 0))
 
-    # 1%-delta incremental cycle against the snapshot just written.
-    touched = 0
-    for d in range(0, n_files // 100, 100):  # one file per 100 dirs
-        p = os.path.join(tree, f"d{d // 100}", f"sub{d}", "f0.dat")
-        with open(p, "wb") as f:
-            f.write(os.urandom(64))
-        touched += 1
-    t0 = time.perf_counter()
-    run_pipeline(spark, cfg, out_dir=out)
-    dt2 = time.perf_counter() - t0
+    def make_cfg(tag: str) -> PipelineConfig:
+        return PipelineConfig(
+            root_path=tree,
+            skip_patterns=[".complete"],
+            snapshot_path=os.path.join(out, f"snap-{tag}"),
+            direct_links_enabled=False,
+            num_buckets=32,
+        )
+
+    # Full first-cycle ingest: min-of-2 against FRESH stores (same
+    # treatment the queries get — single runs on a shared box carry
+    # ±10% scheduler noise, which round 2 learned the hard way).
+    files = 0
+    full_times = []
+    for tag in ("a", "b"):
+        spark.catalog.clearCache()  # each run pays its own scan, no carryover
+        cfg = make_cfg(tag)
+        t0 = time.perf_counter()
+        result = run_pipeline(spark, cfg, out_dir=out)
+        full_times.append(time.perf_counter() - t0)
+        files = int(result.stats.get("files", 0))
+    dt = min(full_times)
+
+    # 1%-delta incremental cycle against the last snapshot; min-of-2
+    # with a fresh same-sized delta touched before each run.
+    incr_times = []
+    for _ in range(2):
+        for d in range(0, n_files // 100, 100):  # one file per 100 dirs
+            p = os.path.join(tree, f"d{d // 100}", f"sub{d}", "f0.dat")
+            with open(p, "wb") as f:
+                f.write(os.urandom(64))
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        run_pipeline(spark, cfg, out_dir=out)
+        incr_times.append(time.perf_counter() - t0)
+    dt2 = min(incr_times)
     shutil.rmtree(out, ignore_errors=True)
     return {
         "ingest_files_per_sec": round(files / dt, 1),

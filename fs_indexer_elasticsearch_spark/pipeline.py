@@ -72,8 +72,10 @@ def run_pipeline(
     )
     previous = store.read()
     if previous is not None:
-        previous = previous.drop("_bucket").cache()
-        previous.count()
+        # No cache: the only consumer is snapshot_diff, whose own cache
+        # materializes this scan exactly once (a previous cache()+count()
+        # here cost a full extra pass over the table per cycle).
+        previous = previous.drop("_bucket")
 
     # 1-2: scan + normalize (+ observe-based counters, A-7).
     raw = scan_filesystem(
@@ -101,6 +103,10 @@ def run_pipeline(
     diff = None
     if previous is None:
         version = store.merge(entries)
+        # First cycle: the store was written FROM `entries` (unique keys,
+        # no removals), so the merged table IS the cached scan — reuse it
+        # instead of re-reading the parquet we just wrote.
+        current = entries
     else:
         from .operators.merge import snapshot_diff
 
@@ -115,7 +121,7 @@ def run_pipeline(
         upsert_ids = diff.filter(F.col("change").isin("added", "changed")).select("id")
         delta = entries.join(upsert_ids, on="id", how="left_semi")
         version = store.merge(delta, removed=removed_ids)
-    current = store.read().drop("_bucket").cache()
+        current = store.read().drop("_bucket").cache()
 
     # 5: enrichment (injectable fetcher; disabled → empty links).
     # Links persist in their own SnapshotStore (the reference's
@@ -163,7 +169,14 @@ def run_pipeline(
     bulk_dir = delete_dir = None
     stats_extra: dict[str, Any] = {}
     if cfg.mode != "index-only":
-        docs = format_documents(enriched)
+        # Published last_seen is the CYCLE timestamp (reference
+        # scanner.py updates last_seen on every scan pass): the
+        # delta-only merge leaves unchanged rows' stored column at the
+        # last-change time, so refresh it in the document projection —
+        # every row in `current` was seen by this scan by construction.
+        docs = format_documents(
+            enriched.withColumn("last_seen", F.current_timestamp())
+        )
         bulk_dir = os.path.join(out_dir, "bulk")
         write_bulk_file(bulk_actions(docs, cfg.es_index), bulk_dir)
         if diff is not None:
@@ -180,13 +193,37 @@ def run_pipeline(
             ok, failed = es_client.ship_bulk_dir(bulk_dir)
             stats_extra["es_indexed"], stats_extra["es_failed"] = ok, failed
             if diff is not None:
-                removed_ids = [r.id for r in removed.collect()]
-                if removed_ids:
-                    stats_extra["es_deleted"] = es_client.delete_by_ids(
-                        cfg.es_index, removed_ids
-                    )
+                # Stream removed ids to the transport in wire-sized
+                # batches instead of collect()ing the whole set: a
+                # retired subtree can remove 10^8 keys, and
+                # toLocalIterator keeps driver memory at one partition
+                # while delete_by_query still ships 1000-id bodies
+                # (elasticsearch_integration.py:526-551).
+                deleted = batches = 0
+                chunk: list[str] = []
+                for row in removed.toLocalIterator():
+                    chunk.append(row.id)
+                    if len(chunk) >= 1000:
+                        deleted += es_client.delete_by_ids(cfg.es_index, chunk)
+                        batches += 1
+                        chunk = []
+                if chunk:
+                    deleted += es_client.delete_by_ids(cfg.es_index, chunk)
+                    batches += 1
+                if batches:
+                    stats_extra["es_deleted"] = deleted
         if kibana_client is not None:
             stats_extra["kibana_ok"] = kibana_client.create_data_views(cfg.es_index)
+
+    # 9: retention — drop snapshot versions beyond the configured keep
+    # window (reference DuckDB has one mutable table; our versioned
+    # store would otherwise accrue a v<N> dir per cycle forever).
+    # Hard links keep shared bucket bytes alive until the last
+    # referencing version goes; the current version is never dropped.
+    if cfg.keep_versions is not None:
+        store.vacuum(keep=cfg.keep_versions)
+        if cfg.direct_links_enabled:
+            links_store.vacuum(keep=cfg.keep_versions)
 
     stats = dict(obs.get)
     stats.update(stats_extra)

