@@ -31,6 +31,8 @@ def upsert_newer_wins(
     batch: DataFrame,
     key: str,
     version_col: str,
+    *,
+    delta_batch: bool = True,
 ) -> DataFrame:
     """Insert new keys; update existing keys only when the incoming row
     is strictly newer (P8 staleness predicate, scanner.py:243).
@@ -38,15 +40,21 @@ def upsert_newer_wins(
     Implemented as a full-outer join + per-column ``when`` pick —
     deterministic, idempotent (re-applying the same batch is a no-op).
 
-    Join strategy: the BATCH side carries a shuffle_hash hint — in a
-    snapshot merge the batch is the delta (small), so the planner
-    builds the per-partition hash map on it and STREAMS the current
-    side with no sort on either side (full-outer shuffled-hash join).
-    At 100 TB this removes the two table-scale sorts a sort-merge join
-    would pay; the build side stays bounded because it is delta-sized
-    (and bucket-pruned by SnapshotStore.merge). snapshot_diff keeps
-    sort-merge: there BOTH sides are table-sized and SMJ is the
-    spill-safe shape.
+    Join strategy: with ``delta_batch=True`` (the default, and the
+    SnapshotStore.merge contract) the BATCH side carries a shuffle_hash
+    hint — in a snapshot merge the batch is the delta (small), so the
+    planner builds the per-partition hash map on it and STREAMS the
+    current side with no sort on either side (full-outer shuffled-hash
+    join). At 100 TB this removes the two table-scale sorts a
+    sort-merge join would pay; the build side stays bounded because it
+    is delta-sized (and bucket-pruned by SnapshotStore.merge).
+
+    PRECONDITION for ``delta_batch=True``: the batch must be
+    delta-sized — ShuffledHashJoin's build side does not spill, so a
+    table-sized batch risks executor OOM. Pass ``delta_batch=False``
+    for table-vs-table upserts to keep the spill-safe sort-merge plan
+    (the same reason snapshot_diff, where BOTH sides are table-sized,
+    never hints).
     """
     cols = current.columns
     if set(cols) != set(batch.columns):
@@ -54,7 +62,7 @@ def upsert_newer_wins(
             f"schema mismatch: current={sorted(cols)} batch={sorted(batch.columns)}"
         )
     cur = current.alias("cur")
-    new = batch.hint("shuffle_hash").alias("new")
+    new = (batch.hint("shuffle_hash") if delta_batch else batch).alias("new")
     take_new = F.col(f"cur.{key}").isNull() | (
         F.col(f"new.{version_col}") > F.col(f"cur.{version_col}")
     )

@@ -69,6 +69,7 @@ def run_pipeline(
         key="id",
         version_col="modified_time",
         num_buckets=cfg.num_buckets,
+        layout=cfg.snapshot_layout,
     )
     previous = store.read()
     if previous is not None:
@@ -136,6 +137,7 @@ def run_pipeline(
             key="file_id",
             version_col="last_updated",
             num_buckets=cfg.num_buckets,
+            layout=cfg.snapshot_layout,
         )
         known = links_store.read()
         known = known.drop("_bucket") if known is not None else None
@@ -194,22 +196,12 @@ def run_pipeline(
             stats_extra["es_indexed"], stats_extra["es_failed"] = ok, failed
             if diff is not None:
                 # Stream removed ids to the transport in wire-sized
-                # batches instead of collect()ing the whole set: a
-                # retired subtree can remove 10^8 keys, and
-                # toLocalIterator keeps driver memory at one partition
-                # while delete_by_query still ships 1000-id bodies
-                # (elasticsearch_integration.py:526-551).
-                deleted = batches = 0
-                chunk: list[str] = []
-                for row in removed.toLocalIterator():
-                    chunk.append(row.id)
-                    if len(chunk) >= 1000:
-                        deleted += es_client.delete_by_ids(cfg.es_index, chunk)
-                        batches += 1
-                        chunk = []
-                if chunk:
-                    deleted += es_client.delete_by_ids(cfg.es_index, chunk)
-                    batches += 1
+                # batches instead of collect()ing the whole set
+                # (elasticsearch_integration.py:526-551's batching,
+                # without materializing the id list on the driver).
+                deleted, batches = es_client.delete_from_dataframe(
+                    cfg.es_index, removed
+                )
                 if batches:
                     stats_extra["es_deleted"] = deleted
         if kibana_client is not None:

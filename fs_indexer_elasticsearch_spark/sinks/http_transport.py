@@ -160,21 +160,63 @@ class EsClient(_RetryingClient):
             deleted += int(json.loads(text).get("deleted", 0))
         return deleted
 
+    def delete_from_dataframe(
+        self, index: str, removed, *, batch_size: int = 1000
+    ) -> tuple[int, int]:
+        """Stream a one-column id DataFrame into ``delete_by_ids``
+        batches via ``toLocalIterator`` — driver memory stays at one
+        Spark partition no matter how many keys a retired subtree
+        removes (a full collect() of 10^8 ids would OOM the driver
+        before the first wire batch left). Returns (deleted, batches).
+        """
+        col = removed.columns[0]
+        deleted = batches = 0
+        chunk: list[str] = []
+        for row in removed.toLocalIterator():
+            chunk.append(row[col])
+            if len(chunk) >= batch_size:
+                deleted += self.delete_by_ids(index, chunk, batch_size=batch_size)
+                batches += 1
+                chunk = []
+        if chunk:
+            deleted += self.delete_by_ids(index, chunk, batch_size=batch_size)
+            batches += 1
+        return deleted, batches
+
 
 class KibanaClient(_RetryingClient):
     """Kibana saved-objects importer (kibana_data_views.py:245-313).
 
-    Sends the NDJSON payload directly (the reference wraps the same
-    bytes in a multipart file field; the application/ndjson body is
-    equivalent for Kibana >= 7.x importers and keeps the session
-    protocol single-shape)."""
+    Kibana's ``/api/saved_objects/_import`` requires multipart/form-data
+    with the NDJSON as a ``file`` field (the reference passes
+    ``files={'file': (...)}`` to requests); a raw application/ndjson
+    body gets a 400/415. The multipart body is built by hand so the
+    injectable session protocol stays single-shape (method, url,
+    headers, bytes)."""
 
     def import_saved_objects(self, ndjson: str) -> bool:
+        import hashlib
+
+        # Content-derived boundary: deterministic, and a 32-hex-digit
+        # md5 of the payload cannot collide with a line inside it.
+        boundary = "----fsidx-" + hashlib.md5(ndjson.encode()).hexdigest()
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="export.ndjson"\r\n'
+            "Content-Type: application/ndjson\r\n"
+            "\r\n"
+            f"{ndjson}\r\n"
+            f"--{boundary}--\r\n"
+        ).encode()
         status, text = self._request(
             "POST",
             "/api/saved_objects/_import?overwrite=true",
-            ndjson.encode(),
-            {"Content-Type": "application/ndjson", "kbn-xsrf": "true"},
+            body,
+            {
+                "Content-Type": f"multipart/form-data; boundary={boundary}",
+                "kbn-xsrf": "true",
+            },
         )
         if status != 200:
             return False

@@ -22,6 +22,20 @@ Old versions are retained for time travel / rollback; ``vacuum``
 drops all but the newest k. NOTE: vacuum + hard links interact
 safely — links keep bytes alive until the last referencing version
 is removed.
+
+Two storage layouts, selectable per store:
+
+- ``layout="hardlink"`` (default): one directory per version; untouched
+  bucket FILES are hard-linked forward (O(1) per file). Assumes a POSIX
+  filesystem (local disk, NFS).
+- ``layout="manifest"``: all data files live once under ``data/``;
+  each version is a ``_MANIFEST_v<N>.json`` listing the exact parquet
+  files per bucket. A merge writes ONLY the touched buckets' new files
+  plus a new manifest that carries untouched buckets' entries forward —
+  no links, no renames, no copies, so it is safe on object stores
+  (S3/GCS) where hard links don't exist and rename is a copy. This is
+  the same commit protocol Iceberg/Delta use (write files, then swap a
+  tiny metadata pointer).
 """
 
 from __future__ import annotations
@@ -47,12 +61,16 @@ class SnapshotStore:
         key: str,
         version_col: str,
         num_buckets: int = 32,
+        layout: str = "hardlink",
     ):
+        if layout not in ("hardlink", "manifest"):
+            raise ValueError(f"unknown layout {layout!r}")
         self.spark = spark
         self.path = path
         self.key = key
         self.version_col = version_col
         self.num_buckets = num_buckets
+        self.layout = layout
         os.makedirs(path, exist_ok=True)
 
     # -- pointer management -------------------------------------------------
@@ -152,12 +170,101 @@ class SnapshotStore:
 
         return align(current, cur_types), align(batch, new_types)
 
+    # -- manifest layout ----------------------------------------------------
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, f"_MANIFEST_v{version}.json")
+
+    def _read_manifest(self, version: int) -> dict[int, list[str]]:
+        with open(self._manifest_path(version)) as f:
+            return {int(k): v for k, v in json.load(f)["files"].items()}
+
+    def _write_manifest(self, version: int, files: dict[int, list[str]]) -> None:
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "files": {str(k): sorted(v) for k, v in files.items()}},
+                f,
+                indent=1,
+            )
+        os.replace(tmp, self._manifest_path(version))  # the atomic commit
+
+    def _list_data_files(self) -> set[str]:
+        """All parquet files under data/, as 'bucket-dir/filename' relpaths."""
+        out: set[str] = set()
+        data = self._data_dir()
+        if not os.path.isdir(data):
+            return out
+        for b in os.listdir(data):
+            bd = os.path.join(data, b)
+            if not b.startswith("_bucket=") or not os.path.isdir(bd):
+                continue
+            for fname in os.listdir(bd):
+                if not fname.startswith((".", "_")):
+                    out.add(f"{b}/{fname}")
+        return out
+
+    def _write_data_files(self, df: DataFrame) -> dict[int, list[str]]:
+        """Append ``df`` under data/ bucketed on the key; return the
+        files this write created, per bucket. Spark's writer generates
+        globally-unique part names, so appends never collide and the
+        before/after listing identifies exactly this write's files
+        (single-writer, like the reference's one DuckDB connection)."""
+        before = self._list_data_files()
+        (
+            df.withColumn("_bucket", self._bucket_col())
+            .repartition(self.num_buckets, "_bucket")
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(self._data_dir())
+        )
+        files: dict[int, list[str]] = {}
+        for rel in self._list_data_files() - before:
+            b = int(rel.split("/", 1)[0].split("=", 1)[1])
+            files.setdefault(b, []).append(rel)
+        return files
+
+    def _empty_df(self) -> DataFrame:
+        """Typed empty snapshot from the recorded schema — the read
+        path for a table whose rows were all deleted (no parquet files
+        left to infer a schema from)."""
+        fields = self._schema_meta()["fields"]
+        ddl = ", ".join(f"`{n}` {t}" for n, t in fields.items())
+        ddl = f"{ddl}, `_bucket` int" if ddl else "`_bucket` int"
+        return self.spark.createDataFrame([], ddl)
+
     # -- read / write -------------------------------------------------------
     def read(self) -> DataFrame | None:
         v = self.current_version()
         if v is None:
             return None
-        return self.spark.read.parquet(self._version_dir(v))
+        if self.layout == "manifest":
+            files = self._read_manifest(v)
+            paths = [
+                os.path.join(self._data_dir(), rel)
+                for rels in files.values()
+                for rel in rels
+            ]
+            if not paths:
+                return self._empty_df()
+            return (
+                self.spark.read.option("basePath", self._data_dir()).parquet(*paths)
+            )
+        return self._read_version(v)
+
+    def _read_version(self, v: int) -> DataFrame:
+        """Hardlink-layout read of one version dir, falling back to the
+        recorded schema when the version holds no bucket files (a merge
+        whose removals emptied the table writes no parquet)."""
+        vdir = self._version_dir(v)
+        has_buckets = os.path.isdir(vdir) and any(
+            e.startswith("_bucket=") for e in os.listdir(vdir)
+        )
+        if not has_buckets:
+            return self._empty_df()
+        return self.spark.read.parquet(vdir)
 
     def _write_buckets(self, df: DataFrame, out: str) -> None:
         (
@@ -170,9 +277,13 @@ class SnapshotStore:
 
     def overwrite(self, df: DataFrame) -> int:
         v = (self.current_version() or 0) + 1
-        out = self._version_dir(v)
-        shutil.rmtree(out, ignore_errors=True)
-        self._write_buckets(df.drop("_bucket"), out)
+        df = df.drop("_bucket")
+        if self.layout == "manifest":
+            self._write_manifest(v, self._write_data_files(df))
+        else:
+            out = self._version_dir(v)
+            shutil.rmtree(out, ignore_errors=True)
+            self._write_buckets(df, out)
         self._record_schema(df)
         self._swap_pointer(v)
         return v
@@ -188,7 +299,12 @@ class SnapshotStore:
         ``removed`` is a one-column DataFrame of keys to delete.
         Removals land in the same buckets their keys hash to, so the
         incremental pipeline's steady-state cycle (upserts + deletes)
-        stays O(delta) instead of O(table)."""
+        stays O(delta) instead of O(table).
+
+        CONTRACT: the batch is expected to be DELTA-sized (the join
+        builds an in-memory hash map on it per partition — see
+        upsert_newer_wins' delta_batch precondition). A table-sized
+        rewrite belongs in overwrite(), not merge()."""
         cur_v = self.current_version()
         batch = batch.drop("_bucket")
         if cur_v is None:
@@ -224,8 +340,47 @@ class SnapshotStore:
             )
             touched |= {r._bucket for r in removed.select("_bucket").distinct().collect()}
         touched = sorted(touched)
-        cur_dir = self._version_dir(cur_v)
         v = cur_v + 1
+
+        if self.layout == "manifest":
+            # Write the merged touched buckets as NEW data files, then
+            # commit a manifest that points untouched buckets at their
+            # EXISTING files — no link/rename/copy, object-store safe.
+            cur_files = self._read_manifest(cur_v)
+            new_files: dict[int, list[str]] = {}
+            if touched:
+                paths = [
+                    os.path.join(self._data_dir(), rel)
+                    for b in touched
+                    for rel in cur_files.get(b, [])
+                ]
+                cur_touched = (
+                    self.spark.read.option("basePath", self._data_dir())
+                    .parquet(*paths)
+                    .drop("_bucket")
+                    if paths
+                    else self._empty_df().drop("_bucket")
+                )
+                merged = upsert_newer_wins(
+                    cur_touched, batch.drop("_bucket"), self.key, self.version_col
+                )
+                if removed is not None:
+                    merged = merged.join(
+                        removed.select(self.key), on=self.key, how="left_anti"
+                    )
+                new_files = self._write_data_files(merged)
+            batch.unpersist()
+            if removed is not None:
+                removed.unpersist()
+            manifest = {
+                b: rels for b, rels in cur_files.items() if b not in set(touched)
+            }
+            manifest.update(new_files)
+            self._write_manifest(v, manifest)
+            self._swap_pointer(v)
+            return v
+
+        cur_dir = self._version_dir(cur_v)
         out = self._version_dir(v)
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
@@ -235,7 +390,7 @@ class SnapshotStore:
             # _bucket directory column keeps the read proportional to
             # the batch, not the table).
             cur_touched = (
-                self.spark.read.parquet(cur_dir)
+                self._read_version(cur_v)
                 .filter(F.col("_bucket").isin(touched))
                 .drop("_bucket")
             )
@@ -268,14 +423,41 @@ class SnapshotStore:
 
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` versions (never the
-        current one)."""
+        current one). Manifest layout additionally deletes data files
+        no surviving manifest references."""
         cur = self.current_version()
+        if self.layout == "manifest":
+            versions = sorted(
+                int(name[len("_MANIFEST_v") : -len(".json")])
+                for name in os.listdir(self.path)
+                if name.startswith("_MANIFEST_v") and name.endswith(".json")
+            )
+            victims = [
+                v
+                for v in (versions[:-keep] if keep > 0 else versions)
+                if v != cur
+            ]
+            kept = [v for v in versions if v not in victims]
+            referenced: set[str] = set()
+            for v in kept:
+                for rels in self._read_manifest(v).values():
+                    referenced.update(rels)
+            for v in victims:
+                os.remove(self._manifest_path(v))
+            for rel in self._list_data_files() - referenced:
+                try:
+                    os.remove(os.path.join(self._data_dir(), rel))
+                except OSError:
+                    pass
+            return victims
         versions = sorted(
             int(d[1:])
             for d in os.listdir(self.path)
             if d.startswith("v") and d[1:].isdigit()
         )
-        victims = [v for v in versions[:-keep] if v != cur]
+        victims = [
+            v for v in (versions[:-keep] if keep > 0 else versions) if v != cur
+        ]
         for v in victims:
             shutil.rmtree(self._version_dir(v), ignore_errors=True)
         return victims

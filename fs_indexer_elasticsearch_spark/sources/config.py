@@ -32,6 +32,9 @@ class PipelineConfig:
     num_buckets: int = 32
     # Snapshot versions retained after each cycle (None = keep all).
     keep_versions: int | None = 3
+    # Snapshot storage layout: "hardlink" (POSIX fs) | "manifest"
+    # (object-store safe; see sinks/snapshot.py).
+    snapshot_layout: str = "hardlink"
     raw: dict[str, Any] = field(default_factory=dict)
 
 
@@ -81,5 +84,6 @@ def load_config(path: str | None = None) -> PipelineConfig:
             if data.get("database", {}).get("keep_versions") is not None
             else 3
         ),
+        snapshot_layout=data.get("database", {}).get("layout", "hardlink"),
         raw=data,
     )

@@ -56,27 +56,76 @@ def _skip(name: str, path: str, patterns: list[str]) -> bool:
 
 _PENDING = "_pending"  # marker row: an unwalked dir re-enqueued as frontier work
 
+# Work items are strings: a plain directory path, or a name-range SLICE
+# of one directory encoded "dir\x00start\x00end" (NUL never appears in
+# POSIX filenames). A slice means: scan only the direct children of
+# `dir` whose name is in [start, end) — the mechanism that lets one
+# flat directory with 10^8 direct children fan out across many tasks
+# instead of being one os.scandir unit of work.
+
+
+def _encode_slice(d: str, start: str, end: str | None) -> str:
+    return f"{d}\x00{start}\x00{end or ''}"
+
+
+def _decode_item(item: str) -> tuple[str, str | None, str | None]:
+    if "\x00" in item:
+        d, start, end = item.split("\x00")
+        return d, start or None, end or None
+    return item, None, None
+
 
 def _walk(
     root: str, patterns: list[str], budget: int | None = None
 ) -> Iterator[tuple]:
     """DFS walk; with a ``budget``, stops DESCENDING once that many
-    entries were emitted and re-emits the not-yet-walked directories as
-    ``_PENDING`` rows (at directory granularity — a dir is either fully
-    scanned or handed back whole, so rounds never duplicate or lose
-    entries). A single flat directory with millions of direct children
-    still scans in one task; only subtree skew is splittable."""
+    entries were emitted and re-emits the not-yet-walked work as
+    ``_PENDING`` rows. Oversized subtrees come back as whole directories;
+    a directory whose DIRECT children alone exceed the remaining budget
+    is split into budget-sized name-range slices (sorted names, so
+    slices are deterministic, disjoint and complete) — each slice fans
+    out as its own work item next round. Rounds never duplicate or lose
+    entries."""
     count = 0
     stack = [root] if isinstance(root, str) else list(root)
     while stack:
-        d = stack.pop()
+        item = stack.pop()
+        d, start, end = _decode_item(item)
         if budget is not None and count >= budget:
-            yield (d, os.path.basename(d), _PENDING, None, None, None)
+            yield (item, os.path.basename(d), _PENDING, None, None, None)
             continue
         try:
             entries = list(os.scandir(d))
         except OSError:
             continue  # unreadable dir: skip, like find's permission errors
+        remaining = None if budget is None else budget - count
+        sliced = start is not None or end is not None
+        if sliced or (remaining is not None and len(entries) > remaining):
+            # Name order makes range boundaries reproducible across
+            # rescans of the same directory.
+            entries.sort(key=lambda e: e.name)
+        if sliced:
+            entries = [
+                e
+                for e in entries
+                if (start is None or e.name >= start)
+                and (end is None or e.name < end)
+            ]
+        if remaining is not None and len(entries) > remaining:
+            rest = entries[remaining:]
+            entries = entries[:remaining]
+            # Hand the residue back as parallel budget-sized slices so
+            # the NEXT round spreads one flat directory across tasks.
+            for i in range(0, len(rest), budget):
+                nxt = rest[i + budget].name if i + budget < len(rest) else end
+                yield (
+                    _encode_slice(d, rest[i].name, nxt),
+                    rest[i].name,
+                    _PENDING,
+                    None,
+                    None,
+                    None,
+                )
         for e in entries:
             if _skip(e.name, e.path, patterns):
                 continue
@@ -186,13 +235,15 @@ def scan_filesystem(
         deep = one_round(dirs)
     else:
         # Iterative frontier rounds: each round's oversized subtrees
-        # come back as _PENDING dirs and fan out across the next
-        # round's tasks. The collect is O(pending dirs) — work-item
-        # metadata, never entries.
+        # (or flat-directory slices) come back as _PENDING work items
+        # and fan out across the next round's tasks. The collect is
+        # O(pending items) — work-item metadata, never entries.
         parts: list[DataFrame] = []
+        rounds: list[DataFrame] = []
         work = dirs
         while work:
             scanned = one_round(work).persist()
+            rounds.append(scanned)
             work = [
                 r[0]
                 for r in scanned.filter(F.col("type") == _PENDING)
@@ -203,6 +254,14 @@ def scan_filesystem(
         deep = parts[0]
         for p in parts[1:]:
             deep = deep.unionByName(p)
+        # Materialize the union once (rounds are already in cache, so
+        # this is a block copy, not a re-walk), truncate the multi-round
+        # lineage, then RELEASE every round's pinned partitions — without
+        # this each pipeline cycle leaks one persisted scan per round
+        # for the life of the session.
+        deep = deep.localCheckpoint(eager=True)
+        for r in rounds:
+            r.unpersist()
 
     # Shallow rows (the first split_depth levels) come from the driver
     # walk so nothing is lost between frontier and fan-out.

@@ -215,3 +215,85 @@ def test_merge_is_bucket_pruned(spark, tmp_path):
     # And the data is still right.
     out = {r.k: r.payload for r in store.read().collect()}
     assert out["k0"] == "p2" and len(out) == 200
+
+
+def test_manifest_layout_roundtrip_and_file_reuse(spark, tmp_path):
+    """Object-store layout: merge writes only the touched buckets' NEW
+    files; untouched buckets' manifest entries are the SAME file paths
+    as the previous version (the no-link, no-rename commit protocol)."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=8, layout="manifest",
+    )
+    assert store.read() is None
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(200)]))
+    assert store.current_version() == 1
+
+    removed = spark.createDataFrame([("k1",), ("k2",)], "k string")
+    store.merge(_df(spark, [("k0", 2, "p2"), ("k200", 1, "new")]), removed=removed)
+    out = {r.k: r.payload for r in store.read().drop("_bucket").collect()}
+    assert "k1" not in out and "k2" not in out
+    assert out["k0"] == "p2" and out["k200"] == "new"
+    assert len(out) == 199
+
+    m1, m2 = store._read_manifest(1), store._read_manifest(2)
+    reused = [b for b in m2 if b in m1 and m2[b] == m1[b]]
+    rewritten = [b for b in m2 if m2[b] != m1.get(b)]
+    assert len(rewritten) <= 4  # ≤4 keys touched → ≤4 buckets rewritten
+    assert len(reused) >= 4  # the rest carried forward by reference
+
+    # Stale batch must not regress (same semantics as hardlink layout).
+    store.merge(_df(spark, [("k0", 0, "stale")]))
+    assert {r.k: r.payload for r in store.read().collect()}["k0"] == "p2"
+
+
+def test_manifest_vacuum_drops_unreferenced_files(spark, tmp_path):
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(50)]))
+    for gen in range(2, 6):
+        store.merge(_df(spark, [("k0", gen, f"p{gen}")]))
+    assert store.current_version() == 5
+
+    victims = store.vacuum(keep=2)
+    assert victims == [1, 2, 3]
+    import os as _os
+
+    manifests = sorted(
+        f for f in _os.listdir(store.path) if f.startswith("_MANIFEST_v")
+    )
+    assert manifests == ["_MANIFEST_v4.json", "_MANIFEST_v5.json"]
+    # Every surviving data file is referenced; current still reads.
+    referenced = {
+        rel for v in (4, 5) for rels in store._read_manifest(v).values()
+        for rel in rels
+    }
+    assert store._list_data_files() == referenced
+    out = {r.k: r.payload for r in store.read().collect()}
+    assert out["k0"] == "p5" and len(out) == 50
+
+
+import pytest
+
+
+@pytest.mark.parametrize("layout", ["hardlink", "manifest"])
+def test_empty_table_reads_from_recorded_schema(spark, tmp_path, layout):
+    """Deleting every row must leave a READABLE empty table (schema from
+    _SCHEMA.json), not a parquet schema-inference error."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4, layout=layout,
+    )
+    store.overwrite(_df(spark, [("a", 1, "pa"), ("b", 1, "pb")]))
+    removed = spark.createDataFrame([("a",), ("b",)], "k string")
+    store.merge(_df(spark, []), removed=removed)
+
+    df = store.read()
+    assert df.count() == 0
+    assert {"k", "v", "payload"} <= set(df.columns)
+    assert not store.needs_schema_update(_df(spark, [("x", 1, "p")]))
+    # And the table comes back to life on the next merge.
+    store.merge(_df(spark, [("c", 1, "pc")]))
+    assert {r.k for r in store.read().collect()} == {"c"}

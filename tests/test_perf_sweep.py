@@ -26,3 +26,17 @@ def test_sweep_runs_and_restores_confs(spark):
     assert r["recommended"] in [t["conf"] for t in r["trials"]]
     assert r["best_per_query"]["dedup_exact"] in [t["conf"] for t in r["trials"]]
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_trial_resource_sampling():
+    """Per-trial CPU/mem summaries (reference utils/perf_test.py parity)."""
+    from tools.perf_sweep import _system_sample, _trial_resources
+
+    s0 = _system_sample()
+    assert s0 is not None  # Linux container
+    busy, total, used_mb = s0
+    assert 0 < busy <= total and used_mb > 0
+    r = _trial_resources(s0, (busy + 50, total + 100, used_mb + 1))
+    assert r["cpu_util_pct"] == 50.0
+    assert r["mem_used_mb"] == round(used_mb + 1, 1)
+    assert _trial_resources(None, s0) == {}

@@ -294,3 +294,71 @@ def test_mode_matrix(spark, tmp_path):
             assert f_doc["fsentry_id"] is not None
         else:
             assert f_doc["direct_link"].startswith("https://")
+
+
+def test_pipeline_retention_bounds_versions(spark, tmp_path):
+    """5 cycles with keep_versions=2 must leave at most 2 version dirs
+    per store, the current pointer readable, and shared (hard-linked)
+    bucket bytes still alive."""
+    root = str(tmp_path / "fsroot")
+    for i in range(20):
+        _write(f"{root}/d{i % 4}/f{i}.txt", b"x" * (i + 1))
+    cfg = PipelineConfig(
+        root_path=root,
+        skip_patterns=[],
+        snapshot_path=str(tmp_path / "snap"),
+        direct_links_enabled=False,
+        num_buckets=4,
+        keep_versions=2,
+    )
+    for cycle in range(5):
+        _write(f"{root}/d0/churn.txt", os.urandom(8))
+        time.sleep(1.05)  # distinct mtimes at 1s granularity
+        run_pipeline(spark, cfg, out_dir=str(tmp_path / f"o{cycle}"))
+
+    store_dir = f"{tmp_path}/snap/fs_entries"
+    vdirs = sorted(d for d in os.listdir(store_dir) if d.startswith("v"))
+    assert len(vdirs) <= 2, vdirs
+    # Current pointer readable and complete after vacuum.
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    store = SnapshotStore(
+        spark, store_dir, key="id", version_col="modified_time", num_buckets=4
+    )
+    assert store.current_version() == 5
+    rows = store.read().collect()
+    assert len(rows) == 20 + 4 + 1  # files + dirs + churn file
+
+
+def test_pipeline_manifest_layout_end_to_end(spark, tmp_path):
+    """The object-store snapshot layout runs the same two-generation
+    pipeline: diff, deletes, and retention all work without hard links."""
+    root = str(tmp_path / "fsroot")
+    _write(f"{root}/a/one.txt", b"1")
+    _write(f"{root}/a/two.txt", b"22")
+    cfg = PipelineConfig(
+        root_path=root,
+        skip_patterns=[],
+        snapshot_path=str(tmp_path / "snap"),
+        direct_links_enabled=False,
+        num_buckets=4,
+        snapshot_layout="manifest",
+        keep_versions=2,
+    )
+    r1 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "o1"))
+    assert r1.stats["files"] == 2
+
+    time.sleep(1.1)
+    os.remove(f"{root}/a/one.txt")
+    _write(f"{root}/a/three.txt", b"333")
+    r2 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "o2"))
+    changes = {r.change for r in r2.diff.collect()}
+    assert {"added", "removed"} <= changes  # parent dir mtime → 'changed' too
+    paths = {r.relative_path for r in r2.entries.collect()}
+    assert "/a/one.txt" not in paths and "/a/three.txt" in paths
+    # No v<N> directories exist in manifest layout — only manifests.
+    store_dir = f"{tmp_path}/snap/fs_entries"
+    assert not any(
+        d.startswith("v") and d[1:].isdigit() for d in os.listdir(store_dir)
+    )
+    assert any(d.startswith("_MANIFEST_v") for d in os.listdir(store_dir))

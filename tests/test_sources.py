@@ -152,3 +152,62 @@ def test_frontier_pruning(tmp_path):
     deeper = list_top_dirs(tmp, [".git"], depth=2)
     assert f"{tmp}/proj/.git" not in deeper  # pruned before fan-out
     assert f"{tmp}/proj/src" in deeper
+
+
+def _mk_flat_dir(tmp, n=600):
+    """One directory whose DIRECT children alone dwarf any task budget."""
+    os.makedirs(f"{tmp}/flat", exist_ok=True)
+    for i in range(n):
+        with open(f"{tmp}/flat/f{i:05d}.dat", "wb") as f:
+            f.write(b"z" * (i % 7))
+
+
+def test_walk_flat_dir_slices_unit(tmp_path):
+    """A flat directory larger than the budget is handed back as
+    multiple disjoint name-range slices that together cover it exactly."""
+    tmp = str(tmp_path)
+    _mk_flat_dir(tmp, n=600)
+    full = sorted(t[0] for t in _walk(f"{tmp}/flat", []))
+    assert len(full) == 600
+
+    first = list(_walk(f"{tmp}/flat", [], budget=100))
+    scanned = [t[0] for t in first if t[2] != "_pending"]
+    slices = [t[0] for t in first if t[2] == "_pending"]
+    assert len(scanned) == 100
+    # Residue fans out as ~(600-100)/100 parallel slices, not one item.
+    assert len(slices) == 5
+    assert all("\x00" in s for s in slices)
+
+    # Each slice is an independent work item; together they cover the
+    # directory exactly once.
+    got = list(scanned)
+    work = slices
+    while work:
+        nxt = []
+        for item in work:
+            for t in _walk(item, [], budget=100):
+                (nxt if t[2] == "_pending" else got).append(t[0])
+        work = nxt
+    assert sorted(got) == full
+
+
+def test_scan_filesystem_flat_dir_matches_unbudgeted(spark, tmp_path):
+    tmp = str(tmp_path)
+    _mk_flat_dir(tmp, n=600)
+    base = scan_filesystem(spark, tmp).collect()
+    split = scan_filesystem(spark, tmp, max_entries_per_task=100).collect()
+    assert sorted(r.filepath for r in split) == sorted(r.filepath for r in base)
+
+
+def test_resplit_rounds_release_their_cache(spark, tmp_path):
+    """The budgeted frontier loop must not leave each round's persisted
+    scan pinned in executor memory (at most the one checkpointed result
+    survives per scan)."""
+    tmp = str(tmp_path)
+    _mk_skewed_tree(tmp)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = scan_filesystem(spark, tmp, max_entries_per_task=15)
+    df.count()
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, f"leaked persisted RDDs: {after - before}"

@@ -103,15 +103,43 @@ def test_delete_by_ids_batches_of_1000():
     )
 
 
-def test_kibana_import_headers_and_payload():
+def test_kibana_import_is_multipart_file_field():
+    """The _import endpoint requires multipart/form-data with a 'file'
+    field (reference kibana_data_views.py:245-313 via requests
+    files=...); assert boundary wiring, field name, and that the file
+    part carries the exact NDJSON."""
     s = RecordingSession([(200, json.dumps({"success": True, "successCount": 3}))])
     kb = KibanaClient("http://kibana:5601", s)
     assert kb.create_data_views("fs-entries") is True
     method, url, headers, body = s.calls[0]
     assert url.endswith("/api/saved_objects/_import?overwrite=true")
     assert headers["kbn-xsrf"] == "true"
-    types = [json.loads(ln)["type"] for ln in body.decode().strip().split("\n")]
+    ctype = headers["Content-Type"]
+    assert ctype.startswith("multipart/form-data; boundary=")
+    boundary = ctype.split("boundary=", 1)[1]
+    text = body.decode()
+    assert text.startswith(f"--{boundary}\r\n")
+    assert text.endswith(f"--{boundary}--\r\n")
+    head, payload = text.split("\r\n\r\n", 1)
+    assert 'name="file"' in head and 'filename="export.ndjson"' in head
+    assert "Content-Type: application/ndjson" in head
+    ndjson = payload.rsplit(f"\r\n--{boundary}--", 1)[0]
+    types = [json.loads(ln)["type"] for ln in ndjson.strip().split("\n")]
     assert types == ["config", "index-pattern", "search"]
+
+
+def test_delete_from_dataframe_streams_batches(spark):
+    """Deletes driven from a DataFrame must reach the wire in 1000-id
+    bodies WITHOUT a driver-side collect of the full id set."""
+    s = RecordingSession()
+    es = EsClient("http://es:9200", s)
+    removed = spark.range(2500).selectExpr("concat('id', id) as id")
+    deleted, batches = es.delete_from_dataframe("fs-entries", removed)
+    assert (deleted, batches) == (2500, 3)
+    sizes = [len(json.loads(b)["query"]["terms"]["id"]) for _, _, _, b in s.calls]
+    assert sorted(sizes, reverse=True) == [1000, 1000, 500]
+    ids = [i for _, _, _, b in s.calls for i in json.loads(b)["query"]["terms"]["id"]]
+    assert sorted(ids) == sorted(f"id{i}" for i in range(2500))
 
 
 def _write(path, content=b"x"):

@@ -46,6 +46,37 @@ GRID = {
 }
 
 
+def _system_sample() -> tuple[int, int, float] | None:
+    """System-wide CPU jiffies (busy, total) + used memory MB — the
+    reference's psutil per-trial sampling (utils/perf_test.py) without
+    the dependency, and covering the Spark JVM child process which a
+    RUSAGE_SELF of the Python driver would miss. Returns None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = [int(x) for x in f.readline().split()[1:]]
+        total = sum(parts)
+        busy = total - parts[3] - (parts[4] if len(parts) > 4 else 0)  # - idle/iowait
+        mem = {}
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                k, rest = ln.split(":", 1)
+                mem[k] = int(rest.split()[0])
+        used_mb = (mem["MemTotal"] - mem["MemAvailable"]) / 1024.0
+        return busy, total, used_mb
+    except (OSError, KeyError, ValueError, IndexError):
+        return None
+
+
+def _trial_resources(before, after) -> dict:
+    if before is None or after is None:
+        return {}
+    db, dt = after[0] - before[0], after[1] - before[1]
+    return {
+        "cpu_util_pct": round(100.0 * db / dt, 1) if dt > 0 else None,
+        "mem_used_mb": round(after[2], 1),
+    }
+
+
 def run_sweep(
     sf_dir: str,
     query_names: list[str],
@@ -77,6 +108,7 @@ def run_sweep(
         for k, v in conf.items():
             spark.conf.set(k, v)
         timings = {}
+        sample0 = _system_sample()
         for name, fn in queries.items():
             best = float("inf")
             for _ in range(repeats):
@@ -85,7 +117,12 @@ def run_sweep(
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
         trials.append(
-            {"conf": conf, "suite_seconds": round(sum(timings.values()), 3), "queries": timings}
+            {
+                "conf": conf,
+                "suite_seconds": round(sum(timings.values()), 3),
+                "queries": timings,
+                "resources": _trial_resources(sample0, _system_sample()),
+            }
         )
     for k, v in baseline.items():  # leave the session as we found it
         spark.conf.set(k, v)
