@@ -13,6 +13,13 @@ Four dedup families, all shuffle-architected for 100 TB:
    verify on candidates.
  - n-gram Jaccard: exact all-pairs within a blocking key (for
    bounded blocks only — the LSH paths are the scale route).
+ - connected components: near-dup PAIRS from LSH are edges of a
+   similarity graph; transitive closure assigns every document a
+   canonical cluster id (min member). Alternating large-star /
+   small-star (Kiveris et al., "Connected Components in MapReduce
+   and Beyond", 2014) converges in O(log n) rounds of pure
+   join/groupBy — no collect_list, so a super-node (10^6 copies of
+   one document) stays a hash-aggregate, never a giant array row.
 """
 
 from __future__ import annotations
@@ -184,6 +191,102 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    """Both orientations of an edge list, self-loops dropped."""
+    fwd = e.filter(F.col("u") != F.col("v"))
+    return fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbor v to
+    m = min({u} ∪ Γ(u)). Emitted as directed (v, m); min is a partial
+    aggregate, so a super-node costs one hash-agg key, not an array."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("u", "mv").alias("m")
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """For every node u with smaller neighbors: connect u and each
+    smaller neighbor to m = min(Γ⁻(u)) (≤ all of them, < u)."""
+    smaller = sym.filter(F.col("v") < F.col("u"))
+    mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
+    children = smaller.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    return children.union(mins.select("u", F.col("m").alias("v")))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Assign every node of an undirected edge list its connected
+    component, labeled by the component's MINIMUM node id. Returns
+    (node, cluster).
+
+    Alternating large-star / small-star (Kiveris et al. 2014)
+    converges in O(log n) rounds — each round is two groupBy-min
+    aggregations and two equi-joins, nothing quadratic, no per-node
+    neighbor arrays. Per round the frontier is localCheckpoint-ed:
+    the convergence test is an action anyway, and truncating lineage
+    there keeps round k's plan O(1) instead of O(k) (the same
+    iterative-algorithm hygiene GraphX applies internally).
+
+    This is the transitive-closure step of near-dedup at 100 TB: LSH
+    emits pairwise edges; clusters (not pairs) are what you keep one
+    representative of. Duplicate clusters are shallow, so rounds ~2-4
+    in practice; a pathological 10^8-node path still needs only ~27.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    sym = _symmetrize(e).localCheckpoint(eager=True)
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        sym = _symmetrize(_small_star(_large_star(sym))).localCheckpoint(
+            eager=True
+        )
+        # Fixpoint signature: one tiny action over the canonical
+        # (u < v) half — count + order-independent xor of row hashes
+        # (xor, not sum: overflow-free under ANSI mode; rows are
+        # distinct so no pair cancels its twin).
+        sig = tuple(
+            sym.filter(F.col("u") < F.col("v"))
+            .agg(
+                F.count(F.lit(1)),
+                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))),
+            )
+            .first()
+        )
+        if sig == prev:
+            break
+        prev = sig
+    labels = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        nodes.join(labels, nodes.node == labels.u, "left")
+        .select(
+            F.col("node"),
+            F.least(F.col("node"), F.coalesce(F.col("mv"), F.col("node"))).alias(
+                "cluster"
+            ),
+        )
     )
 
 

@@ -25,6 +25,7 @@ _PRIORITY = [
     # LLM-data-pipeline layer (dedup, similarity, text analysis, multimodal)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_connected_components",
     "dedup_simhash",
     "ngram_jaccard_pairs",
     "dedup_embedding_cosine",

@@ -21,6 +21,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
+    connected_components,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -167,6 +168,90 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         _aug_corpus(spark, sf_dir), "doc_id", "text",
         num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+    )
+
+
+# The full minhash chain (corpus → shingles → signatures → bands →
+# verified pairs) re-stated for the connected-components oracle, which
+# needs the WHOLE WITH clause declared RECURSIVE for the closure step.
+_MINHASH_PAIRS_SQL = (
+    _CORPUS_SQL.replace("WITH base", "WITH RECURSIVE base", 1)
+    + _SHINGLES_SQL
+    + f"""
+    , hbase AS (
+        SELECT sid, shingles,
+               list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P}) AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT sid, shingles, [{_MINHASH_SIG_ITEMS}] AS sg
+        FROM hbase
+    ),"""
+    + """
+    bands AS (
+        SELECT sid, b, md5(array_to_string(sg[(4*b+1):(4*b+4)], '|')) AS h
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cands AS (
+        SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.sid < b.sid
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                         / (len(x.shingles) + len(y.shingles)
+                            - len(list_intersect(x.shingles, y.shingles))) + 1e-7,
+                         3) AS jaccard
+            FROM cands JOIN sh x ON cands.id_a = x.sid JOIN sh y ON cands.id_b = y.sid
+        ) WHERE jaccard >= 0.5
+    )
+"""
+)
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_MINHASH_PAIRS_SQL
+    + """
+    , edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    """,
+)
+def dedup_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: MinHash-LSH pairs are edges of a
+    similarity graph; alternating large-star/small-star connected
+    components (O(log n) rounds of join+groupBy-min, no neighbor
+    arrays) labels every duplicate with its cluster's min doc_id —
+    the transitive-closure step that turns pairwise dedup into
+    keep-one-representative dedup. Oracle: the same LSH pair chain
+    plus a recursive min-label-reachability CTE."""
+    pairs = minhash_lsh_pairs(
+        _aug_corpus(spark, sf_dir), "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    from pyspark.sql import Window
+
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster"))
+        .alias("cluster_size"),
     )
 
 

@@ -180,3 +180,58 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     # least a third of true NNs recovered on clustered embeddings.
     assert len(approx_best) == 10
     assert hits >= 3
+
+
+# ---------------------------------------------------------------------------
+# Connected components (alternating large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges):
+    """Reference labeling: plain union-find, label = min member."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def _cc_spark(spark, edges):
+    from fs_indexer_elasticsearch_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = connected_components(df, "a", "b").collect()
+    return {r.node: r.cluster for r in got}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    # Several shapes in one graph: a long path (worst-case diameter),
+    # a star super-node, triangles, isolated pairs, random noise.
+    edges = [(i, i + 1) for i in range(100, 164)]  # 64-node path
+    edges += [(500, 500 + i) for i in range(1, 40)]  # star
+    edges += [(900, 901), (901, 902), (902, 900)]  # triangle
+    edges += [(2000, 2001), (3000, 3001)]
+    edges += [(rng.randrange(50), rng.randrange(50)) for _ in range(60)]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _cc_spark(spark, edges) == _union_find_components(edges)
+
+
+def test_connected_components_duplicate_and_reversed_edges(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (10, 11), (11, 10)]
+    got = _cc_spark(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
