@@ -39,6 +39,7 @@ from ..functions.text import (
     word_shingles,
 )
 from ..functions.rounding import stable_round
+from ..tables import spread_small
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -57,6 +58,10 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     # shingles. Inlining tokens() into word_shingles would re-evaluate
     # the regex split inside every element_at of the shingle lambda
     # (no CSE across lambda bodies) — O(tokens²) regex work per doc.
+    # spread_small: HOF lambdas are interpreted (not codegen'd) and
+    # inherit scan parallelism — a one-row-group local file would pin
+    # the whole tokenize+shingle pass to a single core.
+    df = spread_small(df)
     return df.select(
         F.col(id_col).alias("sid"), tokens(F.col(text_col)).alias("tk")
     ).select("sid", word_shingles(F.col("tk"), n).alias("shingles"))
@@ -148,7 +153,8 @@ def simhash_pairs(
     (which also saturated on near-identical corpora — 32 bits give
     birthday collisions at ~2^16 distinct word-bags)."""
     s = (
-        df.select(
+        spread_small(df)
+        .select(
             F.col(id_col).alias("sid"), distinct_tokens(F.col(text_col)).alias("tk")
         )
         # md5 array materialized ONCE; both words derive from it.

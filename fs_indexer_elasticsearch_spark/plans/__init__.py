@@ -12,6 +12,7 @@ from . import relational_ext4  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import window_queries  # noqa: E402,F401
 from . import llm_queries  # noqa: E402,F401
+from . import llm_pipeline2  # noqa: E402,F401
 from . import misc_queries  # noqa: E402,F401
 from . import timejoin_queries  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
@@ -36,6 +37,14 @@ _PRIORITY = [
     "lang_id_confusion",
     "doc_fingerprints",
     "binary_payload_meta",
+    # Dataset hygiene & relevance (LLM pipeline part 2)
+    "bm25_search_topk",
+    "tfidf_top_terms",
+    "dataset_split_summary",
+    "stratified_sample_per_lang",
+    "split_contamination_ngrams",
+    "pii_detection",
+    "boilerplate_repetition",
     # Event-time windows and temporal joins
     "window_tumbling_10m",
     "window_hopping_10m_5m",
@@ -43,6 +52,12 @@ _PRIORITY = [
     "window_rank_lag_gap",
     "asof_click_before_purchase",
     "range_join_error_after_purchase",
+    # Flagship merge / diff / rollup + headline TPC-H representative —
+    # must stay inside any first-50 prefix sample.
+    "merge_upsert_newer_wins",
+    "snapshot_diff_changes",
+    "rollup_directory_sizes",
+    "q01_pricing_summary",
     # Remaining per-family representatives not yet prioritized
     "ancestor_path_search",
     "freshness_last_hours",
@@ -53,7 +68,6 @@ _PRIORITY = [
     "percentile_stats",
     "sql_api_passthrough",
     # Core scan/filter/join/agg/merge representatives (SURVEY.md §2)
-    "q01_pricing_summary",
     "q03_top_revenue_orders",
     "q05_regional_supplier_volume",
     "agg_count_by_type",
@@ -70,11 +84,8 @@ _PRIORITY = [
     "union_set_ops",
     "insert_or_replace_lww",
     "set_intersect_except",
-    "rollup_directory_sizes",
     "skip_pattern_filter",
     "project_derived_columns",
-    "merge_upsert_newer_wins",
-    "snapshot_diff_changes",
     "search_multi_match",
     "json_props_extract",
 ]

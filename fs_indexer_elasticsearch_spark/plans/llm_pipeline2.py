@@ -1,0 +1,540 @@
+"""LLM-training-data pipeline, part 2: corpus statistics and dataset
+hygiene — relevance scoring (BM25 / TF-IDF), deterministic train/val/
+test splitting, stratified sampling, train-vs-eval contamination, PII
+detection, and boilerplate metrics.
+
+All queries are UDF-free column expressions + hash-partitioned
+aggregations; every float output goes through ``stable_round`` with a
+DuckDB oracle twin. 100 TB notes per query in each docstring.
+
+The documents corpus carries no PII, so ``pii_detection`` plants
+deterministic e-mail / phone / IP fragments in-query (doc_id-keyed,
+identical construction in both engines) — the detector is then
+verified against real hits, the same pattern the dedup queries use
+for planted duplicates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from ..functions.text import tokens, word_shingles
+from ..tables import load, spread_small
+from .registry import query, stable_round
+
+# --------------------------------------------------------------------------
+# Deterministic hash split (shared by the split / contamination queries)
+# --------------------------------------------------------------------------
+
+# md5(doc_id) mod 100 → 80/10/10. Pure per-row arithmetic: adding or
+# re-ordering input files NEVER moves a document between splits (the
+# property rand()-based splits lose), and the same doc lands in the
+# same split on any engine — the portable-hash idiom used everywhere
+# in this repo (conv(substr(md5 …))) ≡ DuckDB ('0x' || …)::BIGINT.
+_SPLIT_SQL = """
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+"""
+
+_SPLIT_CASE_SQL = f"""
+    CASE WHEN {_SPLIT_SQL} < 80 THEN 'train'
+         WHEN {_SPLIT_SQL} < 90 THEN 'val'
+         ELSE 'test' END
+"""
+
+
+def _split_col() -> Column:
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@query(
+    "dataset_split_summary",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang, {_SPLIT_CASE_SQL} AS split,
+               len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           min(doc_id) AS min_doc_id
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id),
+    summarized per (split, lang). The split itself is a pure projection
+    — zero shuffle, stable under re-partitioning and re-ingestion; the
+    summary is one hash agg on a 15-key space (map-side combine
+    collapses it before the shuffle at any scale)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            _split_col().alias("split"),
+            F.size(tokens(F.col("text"))).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_per_lang",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, rk FROM ranked WHERE rk <= 20
+    """,
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: top-20 per language by md5
+    hash-rank — an unbiased fixed-size sample per stratum that is
+    reproducible across runs and engines (md5 hex ordering is plain
+    byte ordering in both). One shuffle on lang; at 100 TB a
+    billion-row stratum makes a full sort-rank wasteful, so the scale
+    variant pre-filters on a hash prefix (md5 < threshold) to cap the
+    per-stratum sort input before ranking — same top-k, bounded
+    state."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@query(
+    "split_contamination_ngrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SPLIT_CASE_SQL} AS split,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, split,
+               CASE WHEN len(tk) >= 3
+                    THEN list_distinct(list_transform(
+                             range(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    ELSE [array_to_string(tk, ' ')] END AS shingles
+        FROM toks
+    ),
+    train_sh AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE split = 'train'
+    ),
+    eval_ex AS (
+        SELECT doc_id, split, unnest(shingles) AS s FROM sh WHERE split <> 'train'
+    ),
+    m AS (
+        SELECT e.doc_id, e.split,
+               count(*) AS n_shingles,
+               count(t.s) AS n_overlap
+        FROM eval_ex e LEFT JOIN train_sh t ON e.s = t.s
+        GROUP BY e.doc_id, e.split
+    )
+    SELECT doc_id, split, n_shingles, n_overlap,
+           round(n_overlap::DOUBLE / n_shingles + 1e-7, 4) AS contamination,
+           CASE WHEN n_overlap * 5 >= n_shingles * 4 THEN 1 ELSE 0 END AS flagged
+    FROM m
+    """,
+)
+def split_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: fraction of each val/test document's
+    distinct 3-gram shingles that also occur anywhere in the train
+    split (the standard n-gram-overlap decontamination check). Scale
+    shape: the train shingle VOCABULARY (distinct shingles, not
+    doc×shingle rows) is the join's build side, the eval explode
+    streams against it on the shingle key — never doc×doc; at 100 TB
+    the vocabulary join is a shuffle-hash join on md5(shingle), or a
+    bloom-filter pre-pass when the vocabulary itself is huge."""
+    d = spread_small(load(spark, sf_dir, "documents")).select(
+        "doc_id", _split_col().alias("split"), tokens(F.col("text")).alias("tk")
+    )
+    # cache: both the train-vocabulary side and the eval side derive
+    # from the same tokenize+shingle pass — without the cache the
+    # interpreted-lambda pipeline executes twice (once per branch).
+    sh = d.select(
+        "doc_id", "split", word_shingles(F.col("tk"), 3).alias("shingles")
+    ).cache()
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    eval_ex = sh.filter(F.col("split") != "train").select(
+        "doc_id", "split", F.explode("shingles").alias("s")
+    )
+    m = (
+        eval_ex.join(train_sh.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "split",
+        "n_shingles",
+        "n_overlap",
+        stable_round(
+            F.col("n_overlap").cast("double") / F.col("n_shingles"), 4
+        ).alias("contamination"),
+        F.when(F.col("n_overlap") * 5 >= F.col("n_shingles") * 4, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Relevance scoring: BM25 and TF-IDF
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS sum_dl
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, len(tk) AS dl, s.term, count(*) AS tf
+        FROM toks, unnest(tk) AS u(term)
+        JOIN (SELECT unnest({_BM25_TERMS_SQL}) AS term) s USING (term)
+        GROUP BY doc_id, len(tk), s.term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(sum(
+                   ln(1 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+                   * tf::DOUBLE * ({_BM25_K1} + 1)
+                   / (tf::DOUBLE + {_BM25_K1}
+                      * (1 - {_BM25_B}
+                         + {_BM25_B} * (dl::DOUBLE) * n_docs / sum_dl))
+               ) AS DOUBLE) AS raw
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    rounded AS (SELECT doc_id, round(raw + 1e-7, 4) AS bm25 FROM scored)
+    SELECT doc_id, bm25 FROM (
+        SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        FROM rounded
+    ) WHERE rn <= 20
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) relevance of a fixed 3-term query over the
+    corpus, top-20 documents. Scale shape: explode → filter to query
+    terms (selectivity |Q|/|vocab| — the filter reaches the scan) →
+    one (doc, term) hash agg; the per-term df table and the 1-row
+    corpus stats are broadcast; final top-k is TakeOrdered, never a
+    full sort. Ranking happens on the ROUNDED score with doc_id
+    tiebreak, so the k-boundary is engine-stable."""
+    d = spread_small(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    toks = toks.select("doc_id", "tk", F.size("tk").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select("doc_id", "dl", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(F.broadcast(df_tbl), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1
+        + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf").cast("double")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf").cast("double")
+            + _BM25_K1
+            * (
+                1
+                - _BM25_B
+                + _BM25_B * F.col("dl").cast("double") * F.col("n_docs") / F.col("sum_dl")
+            )
+        )
+    )
+    scored = j.groupBy("doc_id").agg(
+        F.sum(contrib).cast("double").alias("raw")
+    )
+    rounded = scored.select("doc_id", stable_round(F.col("raw"), 4).alias("bm25"))
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # top-20 then a 20-row driver merge, never a global sort. The total
+    # order (rounded score, doc_id) makes the k-boundary engine-stable.
+    return rounded.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM toks),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks, unnest(tk) AS u(term)
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf::DOUBLE * ln(n_docs::DOUBLE / df) + 1e-7, 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE tf.doc_id % 20 = 0
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (sampled docs, full-corpus
+    document frequencies). Scale shape: one explode + (doc, term) agg
+    for tf, a term-keyed agg for df (vocabulary-sized → broadcast
+    back), per-doc window top-k on the ROUNDED score. The df table is
+    the only global state; natural-language vocabularies stay
+    broadcastable (≤ tens of millions of terms); past that the join
+    falls back to shuffle-hash on term."""
+    d = spread_small(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    n = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") % 20 == 0)
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            stable_round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.select("doc_id", "term", "tfidf", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# PII detection and boilerplate metrics
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "555-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "pii_detection",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 17 = 0
+                       THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 19 = 0
+                       THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.0.'
+                            || (doc_id % 100)::VARCHAR
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+               len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+               substr(md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_PII_EMAIL}', '<PII>', 'g'),
+                   '{_PII_PHONE}', '<PII>', 'g'),
+                   '{_PII_IP}', '<PII>', 'g')), 1, 8) AS redacted_sig
+        FROM planted
+    )
+    SELECT doc_id, n_emails, n_phones, n_ips, redacted_sig
+    FROM flags WHERE n_emails + n_phones + n_ips > 0
+    """,
+)
+def pii_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scan (e-mail / phone / IPv4) + redaction signature.
+    The corpus carries no PII, so deterministic doc_id-keyed fragments
+    are planted in-query — identically in both engines — and the
+    detector is verified against real hits. Pure per-row regexes
+    inside whole-stage codegen: zero shuffle, and the redaction
+    (chained regexp_replace) is exactly the transform a 100 TB
+    pre-training cleaner would run as a mapInPandas-free projection."""
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 19 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<PII>"),
+            _PII_PHONE,
+            "<PII>",
+        ),
+        _PII_IP,
+        "<PII>",
+    )
+    flags = planted.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(_PII_IP)).alias("n_ips"),
+        F.substring(F.md5(redacted), 1, 8).alias("redacted_sig"),
+    )
+    return flags.filter(
+        F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0
+    )
+
+
+@query(
+    "boilerplate_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM documents WHERE doc_id % 6 = 0
+    ),
+    m AS (
+        SELECT doc_id, len(tk) AS n_tokens,
+               list_max(list_transform(list_distinct(tk),
+                   t -> len(list_filter(tk, x -> x = t)))) AS top_tok,
+               CASE WHEN len(tk) >= 3
+                    THEN len(list_distinct(list_transform(
+                             range(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+                    ELSE 1 END AS n_distinct_tri,
+               CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 1 END AS n_tri
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           round(top_tok::DOUBLE / n_tokens + 1e-7, 4) AS top_token_ratio,
+           round(1 - n_distinct_tri::DOUBLE / n_tri + 1e-7, 4) AS dup_trigram_ratio
+    FROM m WHERE n_tokens > 0
+    """,
+)
+def boilerplate_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate quality gates: most-frequent-token
+    ratio and duplicate-trigram ratio per document — the two cheap
+    signals pre-training filters cut looping or templated text on.
+    All array-lambda work over a token array materialized once
+    (no-CSE rule), per-row columnar, zero shuffle."""
+    d = spread_small(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    )
+    staged = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("tk")),
+            lambda t: F.size(F.filter(F.col("tk"), lambda x: x == t)),
+        )
+    )
+    tri = word_shingles(F.col("tk"), 3)
+    n_tri = F.when(n >= 3, n - 2).otherwise(F.lit(1))
+    n_distinct_tri = F.when(n >= 3, F.size(tri)).otherwise(F.lit(1))
+    return (
+        staged.filter(n > 0)
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            stable_round(top_tok.cast("double") / n, 4).alias("top_token_ratio"),
+            stable_round(1 - n_distinct_tri.cast("double") / n_tri, 4).alias(
+                "dup_trigram_ratio"
+            ),
+        )
+    )

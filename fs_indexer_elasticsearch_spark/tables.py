@@ -39,6 +39,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Round-robin repartition a df whose scan yields far fewer
+    partitions than the cluster has cores.
+
+    Heavy per-row work (tokenization, higher-order-function lambdas —
+    interpreted, not codegen'd) inherits the SCAN's parallelism; a
+    small single-row-group parquet file pins it all to one task. At
+    real scale the scan has thousands of row-groups and this is a
+    no-op (the partition-count probe plans but does not execute);
+    the repartition only fires when the input is so small that the
+    shuffle is trivially cheap relative to the serial bottleneck."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL surface)."""
     for name in TABLES:
