@@ -32,7 +32,10 @@ HEADLINE = [
     "window_session_30m",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_connected_components",
     "similarity_bruteforce_topk",
+    "bm25_search_topk",
+    "split_contamination_ngrams",
 ]
 
 

@@ -266,8 +266,12 @@ def connected_components(
     sym = _symmetrize(e).localCheckpoint(eager=True)
     prev: tuple | None = None
     for _ in range(max_iter):
+        # Lazy checkpoint: the signature action below is the round's
+        # ONE job — it materializes the checkpoint as a side effect
+        # (eager=True would spend a second job per round on the same
+        # materialization).
         sym = _symmetrize(_small_star(_large_star(sym))).localCheckpoint(
-            eager=True
+            eager=False
         )
         # Fixpoint signature: one tiny action over the canonical
         # (u < v) half — count + order-independent xor of row hashes

@@ -92,6 +92,31 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    records: DataFrame,
+    key_cols: list[str] | tuple[str, ...] = ("content_hash",),
+    *,
+    ts_col: str = "ts",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit the FIRST record per key, suppress
+    replays that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on
+    ``key_cols`` and — unlike plain streaming ``dropDuplicates``, whose
+    state grows forever — evicts each key once the watermark passes its
+    first-seen event time. At 100 TB-scale ingest the state is bounded
+    by (keys seen per watermark horizon), not by stream history: the
+    content-hash dedup twin of the batch ``exact_duplicates`` operator
+    (operators/dedup.py) for the append-only ingest path, e.g.
+    suppressing re-scanned unchanged files before the ES sink.
+    """
+    records = records.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return records.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def sessionized_event_stats(
     events: DataFrame,
     *,

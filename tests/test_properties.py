@@ -125,3 +125,89 @@ def test_diff_partitions_every_key_once(spark):
                 assert k not in verdicts  # unchanged rows are silent
             else:
                 assert verdicts[k] == "changed"
+
+
+def test_connected_components_random_graphs(spark):
+    """CC must equal union-find labeling on randomized graph shapes
+    (deterministic multi-seed matrix: sparse, dense, disconnected)."""
+    import random
+
+    from fs_indexer_elasticsearch_spark.operators.dedup import connected_components
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {n: find(n) for n in list(parent)}
+
+    for seed, n_nodes, n_edges in [(1, 30, 15), (2, 40, 80), (3, 25, 5)]:
+        rnd = random.Random(seed)
+        edges = [
+            (rnd.randrange(n_nodes), rnd.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r.node: r.cluster for r in connected_components(df, "a", "b").collect()}
+        assert got == union_find(edges), f"seed {seed}"
+
+
+def test_minhash_verify_is_exact(spark):
+    """Every pair minhash_lsh_pairs emits must carry the EXACT shingle
+    Jaccard (candidate generation is probabilistic; verification is
+    not) — checked against a python re-computation per pair."""
+    import random
+
+    from fs_indexer_elasticsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        base = [rnd.choice(vocab) for _ in range(rnd.randint(5, 25))]
+        docs.append((i, " ".join(base)))
+        if i % 3 == 0:  # planted near-dup: small suffix change
+            docs.append((1000 + i, " ".join(base + [rnd.choice(vocab)])))
+
+    def shingles(text):
+        tk = [t for t in text.lower().split() if t]
+        if len(tk) >= 3:
+            return {" ".join(tk[j : j + 3]) for j in range(len(tk) - 2)}
+        return {" ".join(tk)}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3, threshold=0.3
+    ).collect()
+    assert pairs, "planted near-dups must surface"
+    by_id = dict(docs)
+    for r in pairs:
+        sa, sb = shingles(by_id[r.id_a]), shingles(by_id[r.id_b])
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(r.jaccard - exact) < 2e-3, (r.id_a, r.id_b, r.jaccard, exact)
+        assert r.jaccard >= 0.3
+        assert r.id_a < r.id_b
+
+
+@given(doc_id=st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=200)
+def test_split_bucket_range_pure(doc_id):
+    """The md5 split bucket (python re-computation of the column
+    expression) is always in [0, 100) and deterministic."""
+    import hashlib
+
+    b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+    assert 0 <= b < 100
+    b2 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+    assert b == b2

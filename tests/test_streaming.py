@@ -122,3 +122,36 @@ def test_sessionized_event_stats_stream(spark, tmp_path):
         assert dup == 0
     finally:
         q.stop()
+
+
+def test_streaming_dedup_suppresses_replays(spark, tmp_path):
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import streaming_dedup
+    from fs_indexer_elasticsearch_spark.tables import load
+
+    # 200 events, content keyed to 40 distinct hashes -> heavy replay.
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .limit(200)
+        .withColumn("content_hash", F.md5((F.col("event_id") % 40).cast("string")))
+        .cache()
+    )
+    src = str(tmp_path / "dedup-stream")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_dedup(stream, ["content_hash"], watermark="60 minutes")
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT content_hash FROM dedup_out").collect()
+        hashes = [r.content_hash for r in rows]
+        n_distinct = ev.select("content_hash").distinct().count()
+        assert len(hashes) == len(set(hashes)) == n_distinct == 40
+    finally:
+        q.stop()
