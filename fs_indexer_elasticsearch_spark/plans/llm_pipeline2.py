@@ -378,6 +378,99 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+
+
+@query(
+    "bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           round(length(text)::DOUBLE
+                 / len(regexp_extract_all(lower(text), '{_BPE_RE}')) + 1e-7, 4)
+               AS chars_per_token
+    FROM documents WHERE doc_id % 9 = 0 AND length(text) > 0
+    """,
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token-count estimate: a GPT-2-shaped pre-tokenizer
+    regex (word / number / punctuation-run / whitespace alternation)
+    counts the segments a byte-pair encoder would start from — the
+    budget-estimation pass a pre-training pipeline runs long before
+    it can afford real tokenizer UDFs. Whitespace token count and
+    chars-per-token ride along for calibration. Pure regexp_count
+    inside codegen, zero shuffle."""
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 9 == 0) & (F.length("text") > 0)
+    )
+    n_bpe = F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE))
+    return d.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        stable_round(F.length("text").cast("double") / n_bpe, 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@query(
+    "binary_header_parse",
+    oracle="""
+    WITH built AS (
+        SELECT doc_id,
+               unhex('89504E470D0A1A0A'
+                     || lpad(hex(16 + doc_id % 1024), 8, '0')
+                     || lpad(hex(16 + (doc_id * 7) % 768), 8, '0')) AS payload
+        FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT doc_id,
+           octet_length(payload) AS n_bytes,
+           ('0x' || substr(hex(payload), 17, 8))::BIGINT AS width,
+           ('0x' || substr(hex(payload), 25, 8))::BIGINT AS height,
+           round((('0x' || substr(hex(payload), 17, 8))::BIGINT)::DOUBLE
+                 / (('0x' || substr(hex(payload), 25, 8))::BIGINT) + 1e-7, 4)
+               AS aspect,
+           substr(md5(hex(payload)), 1, 8) AS payload_sig
+    FROM built
+    """,
+)
+def binary_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pattern, step 1 of any decode: parse
+    typed metadata out of an opaque payload's HEADER BYTES without
+    touching the body. The payload is a deterministically built
+    PNG-shaped header (magic + big-endian width/height words, keyed
+    by doc_id identically in both engines); Spark slices the BINARY
+    column directly (substring over bytes → hex → int), which is
+    exactly how a 100 TB image table prunes undecodable/oversized
+    assets before the expensive mapInPandas decode stage
+    (operators/multimodal.py)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    built = d.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.lit("89504E470D0A1A0A"),
+                F.lpad(F.hex(16 + F.col("doc_id") % 1024), 8, "0"),
+                F.lpad(F.hex(16 + (F.col("doc_id") * 7) % 768), 8, "0"),
+            )
+        ).alias("payload"),
+    )
+    width = F.conv(F.hex(F.substring(F.col("payload"), 9, 4)), 16, 10).cast("long")
+    height = F.conv(F.hex(F.substring(F.col("payload"), 13, 4)), 16, 10).cast("long")
+    return built.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        width.alias("width"),
+        height.alias("height"),
+        stable_round(width.cast("double") / height, 4).alias("aspect"),
+        F.substring(F.md5(F.hex(F.col("payload"))), 1, 8).alias("payload_sig"),
+    )
+
+
 # --------------------------------------------------------------------------
 # PII detection and boilerplate metrics
 # --------------------------------------------------------------------------

@@ -172,6 +172,57 @@ def list_top_dirs(root: str, patterns: list[str], depth: int = 1) -> list[str]:
     return sorted(frontier)
 
 
+def _shallow_walk(
+    root: str, patterns: list[str], depth: int
+) -> tuple[list[tuple], list[str]]:
+    """ONE driver-side pass over the first ``depth`` levels: returns
+    (entry rows for levels 1..depth, frontier dirs AT level depth).
+
+    The frontier is strictly the dirs at level ``depth`` — EMPTY when
+    the tree ends earlier — so the distributed walk can never re-cover
+    a level this walk already emitted (the old two-pass version handed
+    a shallower fallback frontier to the tasks, double-emitting every
+    entry under a root with no subdirectories; it also scandir'd the
+    shallow levels twice)."""
+    rows: list[tuple] = []
+    frontier = [root]
+    for _ in range(depth):
+        nxt: list[str] = []
+        for d in frontier:
+            try:
+                entries = list(os.scandir(d))
+            except OSError:
+                continue
+            for e in entries:
+                if _skip(e.name, e.path, patterns):
+                    continue
+                try:
+                    st = e.stat(follow_symlinks=False)
+                except OSError:
+                    continue
+                is_dir = e.is_dir(follow_symlinks=False)
+                rows.append(
+                    (
+                        e.path,
+                        e.name,
+                        "directory" if is_dir else "file",
+                        None if is_dir else st.st_size,
+                        datetime.fromtimestamp(st.st_mtime, tz=timezone.utc).replace(
+                            tzinfo=None
+                        ),
+                        datetime.fromtimestamp(st.st_ctime, tz=timezone.utc).replace(
+                            tzinfo=None
+                        ),
+                    )
+                )
+                if is_dir:
+                    nxt.append(e.path)
+        frontier = nxt
+        if not frontier:
+            break
+    return rows, sorted(frontier)
+
+
 def scan_filesystem(
     spark: SparkSession,
     root: str,
@@ -208,7 +259,10 @@ def scan_filesystem(
             if len(deeper) <= len(dirs):
                 break  # no further fan-out available
             split_depth += 1
-    dirs = list_top_dirs(root, patterns, split_depth)
+    # One pass over the shallow levels yields BOTH the entry rows and
+    # the task frontier (strictly the dirs at split_depth, empty when
+    # the tree ends earlier) — no double scandir, no overlap.
+    shallow_rows, dirs = _shallow_walk(root, patterns, split_depth)
     n = num_partitions or max(min(len(dirs), 2 * target), 1)
 
     def scan_partition(it: Iterator) -> Iterator:
@@ -263,42 +317,6 @@ def scan_filesystem(
         for r in rounds:
             r.unpersist()
 
-    # Shallow rows (the first split_depth levels) come from the driver
-    # walk so nothing is lost between frontier and fan-out.
-    shallow_rows = []
-    frontier = [root]
-    for _ in range(split_depth):
-        nxt = []
-        for d in frontier:
-            try:
-                entries = list(os.scandir(d))
-            except OSError:
-                continue
-            for e in entries:
-                if _skip(e.name, e.path, patterns):
-                    continue
-                try:
-                    st = e.stat(follow_symlinks=False)
-                except OSError:
-                    continue
-                is_dir = e.is_dir(follow_symlinks=False)
-                shallow_rows.append(
-                    (
-                        e.path,
-                        e.name,
-                        "directory" if is_dir else "file",
-                        None if is_dir else st.st_size,
-                        datetime.fromtimestamp(st.st_mtime, tz=timezone.utc).replace(
-                            tzinfo=None
-                        ),
-                        datetime.fromtimestamp(st.st_ctime, tz=timezone.utc).replace(
-                            tzinfo=None
-                        ),
-                    )
-                )
-                if is_dir:
-                    nxt.append(e.path)
-        frontier = nxt
     shallow = spark.createDataFrame(shallow_rows, _SCAN_SCHEMA)
     return shallow.unionByName(deep)
 
