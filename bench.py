@@ -137,6 +137,13 @@ def main() -> None:
     # timed query doesn't absorb session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Ingest is measured FIRST, in a session that has only run the
+    # warm-up count: the query suite leaves behind checkpoint blocks,
+    # shuffle files, and JIT/GC state that clearCache() cannot undo,
+    # and round 3 measured that pollution at ~2× on the ingest cycle
+    # (the queries themselves are min-of-2 and don't care about order).
+    ingest = _ingest_metrics(spark)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -163,7 +170,6 @@ def main() -> None:
         rows[name] = n
 
     total = round(sum(timings.values()), 3)
-    ingest = _ingest_metrics(spark)
     print(
         json.dumps(
             {

@@ -20,9 +20,12 @@ callers (tests, notebooks) can assert on any intermediate.
 
 from __future__ import annotations
 
+import itertools
 import os
 from dataclasses import dataclass, field
 from typing import Any
+
+_OBS_SEQ = itertools.count()
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -87,7 +90,11 @@ def run_pipeline(
     )
     entries = to_fs_entries(raw, cfg.root_path)
     entries = entries.filter(skip_filter(F.col("relative_path"), cfg.skip_patterns))
-    obs = Observation("scan_stats")
+    # Unique per cycle: two runs in one session with the same name make
+    # the listener's get() trip a JVM-side assertion (observed names are
+    # session-global), and an identical-plan cache hit could even skip
+    # the observe aggregation entirely.
+    obs = Observation(f"scan_stats_{next(_OBS_SEQ)}")
     entries = entries.observe(
         obs,
         F.count(F.lit(1)).alias("total_entries"),
@@ -217,7 +224,25 @@ def run_pipeline(
         if cfg.direct_links_enabled:
             links_store.vacuum(keep=cfg.keep_versions)
 
-    stats = dict(obs.get)
+    try:
+        stats = dict(obs.get)
+    except Exception:
+        # The observe() accumulator path is best-effort: when the scan
+        # plan is referenced several times inside one write query (the
+        # incremental merge reads it via delta, diff, and removals),
+        # the JVM-side metrics row can come back schema-less and
+        # Observation.get trips an assertion. The merged table is
+        # cached, so recomputing the same counters is one in-memory
+        # aggregate — same numbers, no accumulator dependency.
+        row = current.agg(
+            F.count(F.lit(1)).alias("total_entries"),
+            F.sum(F.when(F.col("type") == "file", 1).otherwise(0)).alias("files"),
+            F.sum(F.when(F.col("type") == "directory", 1).otherwise(0)).alias(
+                "dirs"
+            ),
+            F.sum(F.coalesce("size_bytes", F.lit(0))).alias("total_bytes"),
+        ).first()
+        stats = row.asDict()
     stats.update(stats_extra)
     return PipelineResult(
         snapshot_version=version,
