@@ -101,14 +101,14 @@ def kmeans_fit(
     base = emb.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    dim = len(base.select(F.size("v")).first()[0] * [0]) if False else None  # noqa: E501 — dim derived below
-    first = base.orderBy("_id").select("v").first()
-    dim = len(first[0])
     seed = (
         base.orderBy("_id")
         .limit(k)
         .collect()
     )
+    if not seed:
+        raise ValueError("kmeans_fit: empty input")
+    dim = len(seed[0].v)
     centroids = [(i, [float(x) for x in row.v]) for i, row in enumerate(seed)]
 
     for _ in range(iterations):

@@ -13,6 +13,7 @@ from . import pipeline_queries  # noqa: E402,F401
 from . import window_queries  # noqa: E402,F401
 from . import llm_queries  # noqa: E402,F401
 from . import llm_pipeline2  # noqa: E402,F401
+from . import llm_pipeline3  # noqa: E402,F401
 from . import misc_queries  # noqa: E402,F401
 from . import olap_queries  # noqa: E402,F401
 from . import timejoin_queries  # noqa: E402,F401
@@ -31,6 +32,8 @@ _PRIORITY = [
     "dedup_simhash",
     "ngram_jaccard_pairs",
     "dedup_embedding_cosine",
+    "semantic_dedup_clusters",
+    "kmeans_cluster_profile",
     "similarity_bruteforce_topk",
     "similarity_lsh_ann_topk",
     "similarity_ivf_topk",
@@ -46,6 +49,8 @@ _PRIORITY = [
     "split_contamination_ngrams",
     "pii_detection",
     "boilerplate_repetition",
+    "bpe_token_estimate",
+    "binary_header_parse",
     # Event-time windows and temporal joins
     "window_tumbling_10m",
     "window_hopping_10m_5m",
@@ -61,18 +66,14 @@ _PRIORITY = [
     "q01_pricing_summary",
     # Remaining per-family representatives not yet prioritized
     "ancestor_path_search",
-    "freshness_last_hours",
-    "terms_filter",
-    "pagination_page",
+    "agg_grouping_sets",
     "parse_two_format_dates",
     "stats_summary",
-    "percentile_stats",
     "sql_api_passthrough",
     # Core scan/filter/join/agg/merge representatives (SURVEY.md §2)
     "q03_top_revenue_orders",
     "q05_regional_supplier_volume",
     "agg_count_by_type",
-    "agg_totals",
     "agg_conditional_sum",
     "scalar_max_filter",
     "distinct_pairs",
@@ -81,6 +82,15 @@ _PRIORITY = [
     "semi_join_active",
     "work_discovery_stale",
     "topk_orders",
+    # --- 50-query prefix boundary (driver samples a prefix; everything
+    # above has either never had a driver row or anchors a §2 family;
+    # everything below is ≥2×-driver-verified in r01-r03 and stays
+    # green under the local replica gate) ---
+    "freshness_last_hours",
+    "terms_filter",
+    "pagination_page",
+    "percentile_stats",
+    "agg_totals",
     "topk_per_group",
     "union_set_ops",
     "insert_or_replace_lww",

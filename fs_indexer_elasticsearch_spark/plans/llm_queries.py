@@ -563,6 +563,34 @@ _AUG_EMB_SQL = """
 """
 
 
+def augmented_embeddings(emb: DataFrame) -> DataFrame:
+    """Embeddings corpus augmented with deterministically perturbed
+    copies (vec + 0.1·w, w md5-derived, ids offset by 100000) so real
+    near-dups exist at every SF. Mirrors ``_AUG_EMB_SQL``'s ``aug``
+    CTE; shared by the LSH and the k-means (llm_pipeline3) dedup
+    paths. Output: (vec_id, emb double[64])."""
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    dims = F.sequence(F.lit(1), F.lit(64))
+
+    def perturb_weight(d):
+        key = F.concat(F.lit("p:"), d.cast("string"))
+        v = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        return ((v % 2001) - 1000) / F.lit(1000.0)
+
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            dims,
+            lambda d: F.element_at(F.col("embedding"), d).cast("double")
+            + 0.1 * perturb_weight(d),
+        ).alias("emb"),
+    )
+    return base.unionByName(planted)
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=_AUG_EMB_SQL
@@ -585,26 +613,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine, lsh_bucket
 
     emb = load(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
-    )
-    dims = F.sequence(F.lit(1), F.lit(64))
-
-    def perturb_weight(d):
-        key = F.concat(F.lit("p:"), d.cast("string"))
-        v = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-        return ((v % 2001) - 1000) / F.lit(1000.0)
-
-    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            dims,
-            lambda d: F.element_at(F.col("embedding"), d).cast("double")
-            + 0.1 * perturb_weight(d),
-        ).alias("emb"),
-    )
-    aug = base.unionByName(planted)
+    aug = augmented_embeddings(emb)
     coded = aug.select(
         "vec_id", "emb", lsh_bucket(F.col("emb"), 8).alias("bucket")
     )
