@@ -50,42 +50,84 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _fake_feature(b: bytes, dim: int) -> list[float]:
+    """Deterministic byte-histogram stand-in for a real decode."""
+    import numpy as np
+
+    hist = np.bincount(
+        np.frombuffer(b, dtype=np.uint8) % dim, minlength=dim
+    ).astype("float32")
+    total = hist.sum() or 1.0
+    return (hist / total).tolist()
+
+
+def _real_feature(b: bytes, dim: int) -> list[float]:
+    """Real image decode → dim-length grayscale strip, [0,1] floats.
+
+    Imports PIL at call time (worker-side); callers decide what a
+    missing library means (see ``_feature_batches``)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(b)).convert("L").resize((dim, 1))
+    return [float(p) / 255.0 for p in img.getdata()]
+
+
+def _feature_batches(batches: Iterator, dim: int, fake: bool | None) -> Iterator:
+    """The mapInPandas kernel, module-level so it is testable without a
+    Spark worker. ``fake``: True → always histogram fake; False → real
+    decode, NotImplementedError if PIL is absent; None (auto) → real
+    where PIL imports, histogram fake otherwise (sandbox images)."""
+    import pandas as pd
+
+    use_real = fake is False
+    if fake is None:
+        try:
+            import PIL  # noqa: F401
+
+            use_real = True
+        except ImportError:
+            use_real = False
+
+    for pdf in batches:
+        feats, sizes = [], []
+        for payload in pdf["payload"]:
+            b = bytes(payload or b"")
+            sizes.append(len(b))
+            if use_real:
+                try:
+                    feats.append(_real_feature(b, dim))
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "real media decode requires PIL — not in this image"
+                    ) from exc
+            else:
+                feats.append(_fake_feature(b, dim))
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pd.array(sizes, dtype="int32"),
+                "features": feats,
+            }
+        )
+
+
 def extract_features(
-    assets: DataFrame, dim: int = 16, fake: bool = True
+    assets: DataFrame, dim: int = 16, fake: bool | None = True
 ) -> DataFrame:
     """Decode + feature-extract per asset (Arrow-batched).
 
-    ``fake=True`` produces a deterministic byte-histogram feature (so
-    tests are stable); ``fake=False`` raises NotImplementedError where
-    a real image decoder (PIL/torchvision — absent here) would run.
+    ``fake=True`` (default) produces a deterministic byte-histogram
+    feature so tests are stable; ``fake=None`` auto-detects PIL on the
+    workers and decodes for real where it exists; ``fake=False``
+    demands the real decoder and raises NotImplementedError where
+    PIL is absent.
     """
 
     def run(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/libav — not in this image"
-                )
-            feats, sizes = [], []
-            for payload in pdf["payload"]:
-                b = bytes(payload or b"")
-                sizes.append(len(b))
-                hist = np.bincount(
-                    np.frombuffer(b, dtype=np.uint8) % dim, minlength=dim
-                ).astype("float32")
-                total = hist.sum() or 1.0
-                feats.append((hist / total).tolist())
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": pd.array(sizes, dtype="int32"),
-                    "features": feats,
-                }
-            )
+        yield from _feature_batches(batches, dim, fake)
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 

@@ -38,6 +38,66 @@ def test_multimodal_real_decode_is_stubbed(spark):
         extract_features(assets, fake=False).collect()
 
 
+def test_multimodal_real_decode_branch_with_fake_pil(monkeypatch):
+    """Import-guarded real-decode branch: with a PIL lookalike in
+    sys.modules, the kernel (called in-process — mapInPandas closures
+    run in worker processes a driver monkeypatch can't reach) takes
+    the real path and yields the feature columns from the decoder."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        _feature_batches,
+    )
+
+    class _FakeImg:
+        def __init__(self, b):
+            self._b = b
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            self._wh = wh
+            return self
+
+        def getdata(self):
+            w, h = self._wh
+            pad = (self._b + b"\x00" * (w * h))[: w * h]
+            return list(pad)
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.SimpleNamespace(
+        open=lambda buf: _FakeImg(buf.getvalue())
+    )
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil.Image)
+
+    pdf = pd.DataFrame(
+        {
+            "asset_id": ["a1", "a2"],
+            "media_type": ["image", "image"],
+            "payload": [b"\xff\x00\x80\x40", b"hello world"],
+        }
+    )
+    out = list(_feature_batches(iter([pdf]), dim=4, fake=None))
+    assert len(out) == 1
+    res = out[0]
+    assert list(res.columns) == ["asset_id", "media_type", "n_bytes", "features"]
+    # auto mode picked the REAL branch: first asset's strip is the
+    # first 4 payload bytes / 255, not a histogram (histogram of 4
+    # bytes over dim=4 would sum to 1.0; this sums to >1).
+    assert res["features"][0] == pytest.approx(
+        [255 / 255, 0 / 255, 128 / 255, 64 / 255]
+    )
+    assert list(res["n_bytes"]) == [4, 11]
+    # forced-fake still produces the histogram on the same input
+    fake_out = list(_feature_batches(iter([pdf]), dim=4, fake=True))[0]
+    assert abs(sum(fake_out["features"][0]) - 1.0) < 1e-6
+
+
 def test_frame_sampling_shape(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
     frames = sample_frames(attach_payload(docs, "text", "doc_id"), every_n_bytes=32).collect()

@@ -200,6 +200,83 @@ def test_minhash_verify_is_exact(spark):
         assert r.id_a < r.id_b
 
 
+def test_kmeans_matches_pure_python_lloyds(spark):
+    """kmeans_fit + assign_clusters must replay a pure-python Lloyd's
+    recompute exactly: same seed rule (first k by id), same per-step
+    quantization (round(x + 1e-7, 6)), same (dist, cid) argmin
+    tiebreak — across a deterministic matrix of shapes including an
+    empty-cluster-dropout case (pattern: CC-vs-union-find above)."""
+    import random
+
+    from fs_indexer_elasticsearch_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    def rnd6(x):
+        return round(x + 1e-7, 6)
+
+    def py_lloyds(vecs, k, iterations):
+        """vecs: list[(id, tuple[float])]. Returns (centroids, final
+        assignment {id: (sq_dist, cid)}) under the identical rules."""
+        seed = sorted(vecs)[:k]
+        cents = [(i, list(v)) for i, (_, v) in enumerate(seed)]
+
+        def assign(cents):
+            return {
+                vid: min(
+                    (rnd6(sum((a - b) ** 2 for a, b in zip(v, c))), cid)
+                    for cid, c in cents
+                )
+                for vid, v in vecs
+            }
+
+        for _ in range(iterations):
+            assigns = assign(cents)
+            groups: dict[int, list] = {}
+            for vid, v in vecs:
+                groups.setdefault(assigns[vid][1], []).append(v)
+            cents = sorted(
+                (cid, [rnd6(sum(col) / len(vs)) for col in zip(*vs)])
+                for cid, vs in groups.items()
+            )
+        return cents, assign(cents)
+
+    for seed, n, dim, k, iters in [
+        (1, 40, 8, 4, 2),
+        (2, 25, 3, 5, 3),
+        (3, 60, 16, 8, 1),
+        (4, 12, 4, 6, 2),  # small n vs k: empty-cluster dropout likely
+    ]:
+        rnd = random.Random(seed)
+        vecs = [
+            (i, tuple(rnd.uniform(-1, 1) for _ in range(dim)))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            [(i, list(v)) for i, v in vecs],
+            "vec_id long, embedding array<double>",
+        )
+        cents = kmeans_fit(
+            df, id_col="vec_id", vec_col="embedding", k=k, iterations=iters
+        )
+        py_cents, py_assign = py_lloyds(vecs, k, iters)
+        assert [c for c, _ in cents] == [c for c, _ in py_cents], f"seed {seed}"
+        for (cid, cv), (_, pv) in zip(cents, py_cents):
+            for a, b in zip(cv, pv):
+                assert abs(a - b) <= 2e-6, (seed, cid, a, b)
+        got = {
+            r.vec_id: (r.sq_dist, r.cluster_id)
+            for r in assign_clusters(
+                df.select("vec_id", F.col("embedding").alias("v")), cents, "v"
+            ).collect()
+        }
+        for vid, (pd, pc) in py_assign.items():
+            gd, gc = got[vid]
+            assert gc == pc, f"seed {seed} vec {vid}: cluster {gc} != {pc}"
+            assert abs(gd - pd) <= 2e-6, (seed, vid, gd, pd)
+
+
 @given(doc_id=st.integers(min_value=0, max_value=2**62))
 @settings(max_examples=200)
 def test_split_bucket_range_pure(doc_id):
