@@ -142,50 +142,66 @@ def main() -> None:
     # shuffle files, and JIT/GC state that clearCache() cannot undo,
     # and round 3 measured that pollution at ~2× on the ingest cycle
     # (the queries themselves are min-of-2 and don't care about order).
-    ingest = _ingest_metrics(spark)
+    # Per-section fault isolation: one broken query costs one null row,
+    # never the round's entire benchmark artifact (round-4 lesson).
+    errors: dict[str, str] = {}
+    try:
+        ingest = _ingest_metrics(spark)
+    except Exception as e:  # noqa: BLE001 — bench must always emit JSON
+        ingest = {
+            "ingest_files_per_sec": None,
+            "incremental_cycle_sec": None,
+            "incremental_vs_full": None,
+        }
+        errors["_ingest"] = repr(e)[:500]
 
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    rows: dict[str, int] = {}
+    timings: dict[str, float | None] = {}
+    cold: dict[str, float | None] = {}
+    rows: dict[str, int | None] = {}
     for name in HEADLINE:
         # Run twice: the first run pays whole-stage-codegen compilation
         # (~1-5s of JVM compile, amortized to zero on a long-lived
         # cluster); the second run is the steady-state cost. Both are
         # reported — "queries" is steady-state, "cold" the first run.
-        t0 = time.perf_counter()
-        out = QUERIES[name](spark, sf_dir)
-        # collect(), not count(): count() would let Catalyst prune the
-        # computed columns and under-report the real work.
-        n = len(out.collect())
-        cold[name] = round(time.perf_counter() - t0, 3)
-        # Steady-state = min of two post-warm runs (single runs on a
-        # shared box carry ±10% scheduler/GC noise; min-of-k is the
-        # standard way to report the achievable steady cost).
-        steady = []
-        for _ in range(2):
+        try:
             t0 = time.perf_counter()
-            n = len(QUERIES[name](spark, sf_dir).collect())
-            steady.append(time.perf_counter() - t0)
-        timings[name] = round(min(steady), 3)
-        rows[name] = n
+            out = QUERIES[name](spark, sf_dir)
+            # collect(), not count(): count() would let Catalyst prune
+            # the computed columns and under-report the real work.
+            n = len(out.collect())
+            cold[name] = round(time.perf_counter() - t0, 3)
+            # Steady-state = min of two post-warm runs (single runs on
+            # a shared box carry ±10% scheduler/GC noise; min-of-k is
+            # the standard way to report the achievable steady cost).
+            steady = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = len(QUERIES[name](spark, sf_dir).collect())
+                steady.append(time.perf_counter() - t0)
+            timings[name] = round(min(steady), 3)
+            rows[name] = n
+        except Exception as e:  # noqa: BLE001
+            timings[name] = None
+            cold[name] = None
+            rows[name] = None
+            errors[name] = repr(e)[:500]
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "rows": rows,
-                "cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                **ingest,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows": rows,
+        "cold": cold,
+        "cold_total": round(sum(c for c in cold.values() if c is not None), 3),
+        **ingest,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -97,12 +97,42 @@ def glob_to_regex(glob: str) -> str:
         elif ch == "?":
             out.append("[^/]")
         elif ch == "[":
-            j = glob.find("]", i + 1)
-            if j == -1:
-                out.append(re.escape(ch))
+            # Mirror fnmatch.translate's bracket scan: a ']' appearing
+            # FIRST in the class (optionally after '!') is a literal
+            # member, not the terminator; an unclosed '[' is a literal
+            # '[' (scanner.py:87-94 semantics via fnmatch).
+            n = len(glob)
+            j = i + 1
+            if j < n and glob[j] == "!":
+                j += 1
+            if j < n and glob[j] == "]":
+                j += 1
+            while j < n and glob[j] != "]":
+                j += 1
+            if j >= n:
+                out.append("\\[")
             else:
-                out.append(glob[i : j + 1])
+                stuff = glob[i + 1 : j]
                 i = j
+                neg = stuff.startswith("!")
+                if neg:
+                    stuff = stuff[1:]
+                # Escape chars whose in-class meaning differs between
+                # regex dialects (Java rlike vs python re); keep '-'
+                # so ranges like [a-z] survive.
+                stuff = (
+                    stuff.replace("\\", "\\\\")
+                    .replace("]", "\\]")
+                    .replace("[", "\\[")
+                )
+                if stuff.startswith("^"):
+                    stuff = "\\" + stuff
+                if neg:
+                    # Negated classes also exclude '/': classes match
+                    # one path-component char, consistent with '*'.
+                    out.append(f"[^/{stuff}]")
+                else:
+                    out.append(f"[{stuff}]")
         else:
             out.append(re.escape(ch))
         i += 1

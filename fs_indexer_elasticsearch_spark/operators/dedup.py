@@ -257,15 +257,21 @@ def connected_components(
     representative of. Duplicate clusters are shallow, so rounds ~2-4
     in practice; a pathological 10^8-node path still needs only ~27.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym0 = _symmetrize(e).localCheckpoint(eager=True)
-    # The symmetrized edge set contains every node on the u side, so
-    # the node list reads the CHECKPOINT — deriving it from `edges`
-    # would re-execute the caller's whole upstream plan (for the LSH
-    # dedup chain that doubles the query: the candidate-pair pipeline
-    # is the expensive part) a second time at result materialization.
-    nodes = sym0.select(F.col("u").alias("node")).distinct()
-    sym = sym0
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    # Node list from BOTH raw endpoints of the CHECKPOINTED edge list:
+    # a node whose only edges are self-loops (u,u) has no row in the
+    # symmetrized set (self-loops dropped there) yet is still its own
+    # singleton component. Reading the checkpoint keeps the caller's
+    # upstream plan (for LSH dedup, the expensive candidate-pair
+    # pipeline) executed exactly once.
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    sym = _symmetrize(e).localCheckpoint(eager=False)
     prev: tuple | None = None
     for _ in range(max_iter):
         # Lazy checkpoint: the signature action below is the round's

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -28,14 +29,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file → int64 ns under
-        # spark.sql.legacy.parquet.nanosAsLong. Convert to NTZ micros
-        # (matches the DuckDB oracle, which truncates ns → µs).
-        # Integer division: ns epochs (~1.7e18) exceed double's 2^53
-        # exact-integer range, so a float divide would be off by ±1 µs.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        # Normalize ts to TIMESTAMP_NTZ micros (the DuckDB oracle's
+        # type) regardless of how the file stores it. Two on-disk
+        # encodings exist across testdata generations:
+        #  - TIMESTAMP(NANOS) → arrives as int64 ns under
+        #    spark.sql.legacy.parquet.nanosAsLong; integer-divide to µs
+        #    (ns epochs ~1.7e18 exceed double's 2^53 exact range, so a
+        #    float divide would be off by ±1 µs).
+        #  - TIMESTAMP(MICROS) → arrives as timestamp/timestamp_ntz
+        #    already; at most a cast is needed.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif not isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -155,12 +155,24 @@ def test_connected_components_random_graphs(spark):
         edges = [
             (rnd.randrange(n_nodes), rnd.randrange(n_nodes)) for _ in range(n_edges)
         ]
-        edges = [e for e in edges if e[0] != e[1]]
-        if not edges:
-            continue
+        # Self-loops stay in: a node whose only edge is (u,u) must
+        # still surface as its own singleton cluster.
         df = spark.createDataFrame(edges, "a long, b long")
         got = {r.node: r.cluster for r in connected_components(df, "a", "b").collect()}
         assert got == union_find(edges), f"seed {seed}"
+
+
+def test_connected_components_self_loop_singletons(spark):
+    """A node appearing ONLY in self-loop edges is a component of its
+    own — it must not vanish from the output (judge r4 finding: node
+    list was derived from the self-loop-filtered symmetrized set)."""
+    from fs_indexer_elasticsearch_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 3), (9, 9), (9, 9)], "a long, b long"
+    )
+    got = {r.node: r.cluster for r in connected_components(df, "a", "b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
 
 
 def test_minhash_verify_is_exact(spark):

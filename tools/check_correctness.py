@@ -56,7 +56,7 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     return len(rows), h
 
 
-def run(sf_dir: str, only: list[str]) -> int:
+def run(sf_dir: str, only: list[str], json_out: str | None = None) -> int:
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -71,6 +71,7 @@ def run(sf_dir: str, only: list[str]) -> int:
     oracles = entry_mod.oracle_sql()
     names = only or list(qs)
     n_pass = n_fail = n_weak = 0
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -79,10 +80,12 @@ def run(sf_dir: str, only: list[str]) -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "FAIL", "err": str(e)[:500]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK {name}: rows={len(srows)} (no oracle, rows-only check)")
+            results[name] = {"status": "WEAK", "rows": len(srows)}
             n_weak += 1
             continue
         try:
@@ -92,6 +95,7 @@ def run(sf_dir: str, only: list[str]) -> int:
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
+            results[name] = {"status": "FAIL", "err": str(e)[:500]}
             n_fail += 1
             continue
         # The driver fetches oracle results through pandas, where HUGEINT
@@ -101,6 +105,7 @@ def run(sf_dir: str, only: list[str]) -> int:
         huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t.upper()]
         if huge:
             print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — cast to BIGINT")
+            results[name] = {"status": "FAIL", "err": f"HUGEINT columns {huge}"}
             n_fail += 1
             continue
         sn, sh = table_hash(scols, srows)
@@ -108,18 +113,39 @@ def run(sf_dir: str, only: list[str]) -> int:
         dt = time.time() - t0
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            results[name] = {"status": "FAIL", "err": "column mismatch"}
             n_fail += 1
         elif sn != on:
             print(f"FAIL {name}: rowcount spark={sn} oracle={on}")
+            results[name] = {"status": "FAIL", "err": f"rows {sn} vs {on}"}
             n_fail += 1
         elif sh != oh:
             print(f"FAIL {name}: value hash mismatch ({sn} rows)")
             _diff_sample(scols, srows, ocols, orows)
+            results[name] = {"status": "FAIL", "err": "hash mismatch"}
             n_fail += 1
         else:
             print(f"PASS {name}: rows={sn} hash={sh} ({dt:.1f}s)")
+            results[name] = {"status": "PASS", "rows": sn, "hash": sh, "sec": round(dt, 2)}
             n_pass += 1
     print(f"\n{n_pass} pass / {n_weak} weak / {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": len(names),
+                    "pass": n_pass,
+                    "weak": n_weak,
+                    "fail": n_fail,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
@@ -140,6 +166,7 @@ def _diff_sample(scols, srows, ocols, orows, k: int = 4) -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None, help="write machine-readable results here")
     ap.add_argument("names", nargs="*")
     a = ap.parse_args()
-    sys.exit(run(a.sf_dir, a.names))
+    sys.exit(run(a.sf_dir, a.names, a.json))
