@@ -27,6 +27,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
+        # Which kernel produced the row: 'real' (decoded), 'fake'
+        # (histogram stand-in), 'fallback' (real decode failed on this
+        # payload). Downstream similarity ops can filter on it — real
+        # and fake features live in incomparable vector spaces.
+        T.StructField("feature_kind", T.StringType()),
     ]
 )
 
@@ -74,42 +79,59 @@ def _real_feature(b: bytes, dim: int) -> list[float]:
     return [float(p) / 255.0 for p in img.getdata()]
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _feature_batches(batches: Iterator, dim: int, fake: bool | None) -> Iterator:
     """The mapInPandas kernel, module-level so it is testable without a
     Spark worker. ``fake``: True → always histogram fake; False → real
     decode, NotImplementedError if PIL is absent; None (auto) → real
-    where PIL imports, histogram fake otherwise (sandbox images)."""
+    where PIL imports, histogram fake otherwise (sandbox images).
+
+    Per-payload fault isolation: a payload the real decoder rejects
+    (corrupt bytes, non-image content, empty) falls back to the
+    histogram feature with ``feature_kind='fallback'`` instead of
+    failing the task — one poison payload must not kill the job
+    (consistent with the module's scale notes). Only a MISSING library
+    is a hard error: that is a deployment bug, not a data bug."""
     import pandas as pd
 
     use_real = fake is False
     if fake is None:
-        try:
-            import PIL  # noqa: F401
-
-            use_real = True
-        except ImportError:
-            use_real = False
+        use_real = _pil_available()
 
     for pdf in batches:
-        feats, sizes = [], []
+        feats, sizes, kinds = [], [], []
         for payload in pdf["payload"]:
             b = bytes(payload or b"")
             sizes.append(len(b))
             if use_real:
                 try:
                     feats.append(_real_feature(b, dim))
+                    kinds.append("real")
                 except ImportError as exc:
                     raise NotImplementedError(
                         "real media decode requires PIL — not in this image"
                     ) from exc
+                except Exception:  # noqa: BLE001 — poison payload
+                    feats.append(_fake_feature(b, dim))
+                    kinds.append("fallback")
             else:
                 feats.append(_fake_feature(b, dim))
+                kinds.append("fake")
         yield pd.DataFrame(
             {
                 "asset_id": pdf["asset_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": pd.array(sizes, dtype="int32"),
                 "features": feats,
+                "feature_kind": kinds,
             }
         )
 
@@ -120,11 +142,19 @@ def extract_features(
     """Decode + feature-extract per asset (Arrow-batched).
 
     ``fake=True`` (default) produces a deterministic byte-histogram
-    feature so tests are stable; ``fake=None`` auto-detects PIL on the
-    workers and decodes for real where it exists; ``fake=False``
-    demands the real decoder and raises NotImplementedError where
-    PIL is absent.
+    feature so tests are stable; ``fake=None`` auto-detects PIL ON THE
+    DRIVER and closes over the decision; ``fake=False`` demands the
+    real decoder and raises NotImplementedError where PIL is absent.
+
+    Auto mode resolves once on the driver, not per worker: a cluster
+    with PIL on only some executors must fail loudly (the strict
+    ``fake=False`` contract) rather than silently mix histogram-fake
+    and real grayscale vectors — incomparable spaces — in one output.
+    Every row carries ``feature_kind`` ('real'/'fake'/'fallback') so
+    downstream consumers can verify which kernel ran.
     """
+    if fake is None:
+        fake = not _pil_available()  # resolved on the driver
 
     def run(batches: Iterator) -> Iterator:
         yield from _feature_batches(batches, dim, fake)

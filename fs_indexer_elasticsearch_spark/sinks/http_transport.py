@@ -161,14 +161,39 @@ class EsClient(_RetryingClient):
         return deleted
 
     def delete_from_dataframe(
-        self, index: str, removed, *, batch_size: int = 1000
+        self,
+        index: str,
+        removed,
+        *,
+        batch_size: int = 1000,
+        distributed: bool | None = None,
+        distributed_threshold: int = 100_000,
     ) -> tuple[int, int]:
-        """Stream a one-column id DataFrame into ``delete_by_ids``
-        batches via ``toLocalIterator`` — driver memory stays at one
-        Spark partition no matter how many keys a retired subtree
-        removes (a full collect() of 10^8 ids would OOM the driver
-        before the first wire batch left). Returns (deleted, batches).
+        """Delete every id in a one-column DataFrame.
+
+        Small sets (≤ ``distributed_threshold``) stream through the
+        driver via ``toLocalIterator`` — driver memory stays at one
+        Spark partition (a full collect() of 10^8 ids would OOM the
+        driver before the first wire batch left). Large sets dispatch
+        to :func:`delete_from_dataframe_distributed`: at retired-
+        subtree scale (10^8 removals) the driver loop is ~10^5
+        SEQUENTIAL HTTP round-trips, while executors can ship their
+        partitions concurrently. ``distributed=None`` decides by a
+        count() of the removal set (one cheap aggregate — callers
+        typically hold it cached from the diff that produced it).
+        Returns (deleted, batches).
         """
+        if distributed is None:
+            distributed = removed.count() > distributed_threshold
+        if distributed:
+            return delete_from_dataframe_distributed(
+                index,
+                removed,
+                self.base_url,
+                session=self.session,
+                batch_size=batch_size,
+                max_retries=self.max_retries,
+            )
         col = removed.columns[0]
         deleted = batches = 0
         chunk: list[str] = []
@@ -182,6 +207,63 @@ class EsClient(_RetryingClient):
             deleted += self.delete_by_ids(index, chunk, batch_size=batch_size)
             batches += 1
         return deleted, batches
+
+
+def delete_from_dataframe_distributed(
+    index: str,
+    removed,
+    base_url: str,
+    *,
+    session: Session | None = None,
+    batch_size: int = 1000,
+    max_retries: int = 3,
+) -> tuple[int, int]:
+    """Executor-side ES deletes: every partition opens its own client
+    and ships its ids through ``_delete_by_query`` in wire-sized
+    batches (elasticsearch_integration.py:526-551's batching,
+    partition-parallel instead of driver-serial).
+
+    Safe under Spark task retries: deletes are idempotent by id
+    (``conflicts=proceed``) — a re-run partition re-deletes already-
+    gone ids and ES reports 0 for them. ``session`` (or None for the
+    stdlib default) is cloudpickled to the executors; a fresh client
+    wraps it once per partition. Returns (deleted, http_requests)
+    summed across partitions via one tiny aggregate — no id ever
+    passes through the driver.
+    """
+    import pandas as pd
+
+    col = removed.columns[0]
+
+    def _ship(batches):
+        client = EsClient(base_url, session, max_retries=max_retries)
+        deleted = nreq = 0
+        buf: list[str] = []
+
+        def flush() -> None:
+            nonlocal deleted, nreq, buf
+            if buf:
+                deleted += client.delete_by_ids(index, buf, batch_size=batch_size)
+                nreq += 1
+                buf = []
+
+        for pdf in batches:
+            for v in pdf[col]:
+                buf.append(v)
+                if len(buf) >= batch_size:
+                    flush()
+        flush()
+        yield pd.DataFrame({"deleted": [deleted], "requests": [nreq]})
+
+    import pyspark.sql.functions as F
+
+    row = (
+        removed.select(col)
+        .mapInPandas(_ship, "deleted long, requests long")
+        .agg(F.sum("deleted"), F.sum("requests"))
+        .first()
+    )
+    return int(row[0] or 0), int(row[1] or 0)
 
 
 class KibanaClient(_RetryingClient):

@@ -192,38 +192,53 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(version))  # the atomic commit
 
     def _list_data_files(self) -> set[str]:
-        """All parquet files under data/, as 'bucket-dir/filename' relpaths."""
+        """All parquet data files under data/, as manifest relpaths.
+        Handles both on-disk shapes: ``<commit>/_bucket=N/file``
+        (current) and ``_bucket=N/file`` (stores written before commit
+        directories existed)."""
         out: set[str] = set()
         data = self._data_dir()
         if not os.path.isdir(data):
             return out
-        for b in os.listdir(data):
-            bd = os.path.join(data, b)
-            if not b.startswith("_bucket=") or not os.path.isdir(bd):
+        for root, _dirs, fnames in os.walk(data):
+            if not os.path.basename(root).startswith("_bucket="):
                 continue
-            for fname in os.listdir(bd):
+            rel_root = os.path.relpath(root, data)
+            for fname in fnames:
                 if not fname.startswith((".", "_")):
-                    out.add(f"{b}/{fname}")
+                    out.add(f"{rel_root}/{fname}")
         return out
 
     def _write_data_files(self, df: DataFrame) -> dict[int, list[str]]:
-        """Append ``df`` under data/ bucketed on the key; return the
-        files this write created, per bucket. Spark's writer generates
-        globally-unique part names, so appends never collide and the
-        before/after listing identifies exactly this write's files
-        (single-writer, like the reference's one DuckDB connection)."""
-        before = self._list_data_files()
+        """Write ``df`` bucketed on the key into a FRESH UUID commit
+        directory under data/; return the created files per bucket.
+
+        Attribution is by path — the commit directory belongs
+        exclusively to this write — so a concurrent writer's or a
+        crashed write's stray part files can never be folded into this
+        commit's manifest (the previous before/after listing diff
+        claimed any file that appeared during the write). This is the
+        same files-then-metadata commit shape Iceberg/Delta use."""
+        import uuid
+
+        commit = uuid.uuid4().hex[:16]
+        out = os.path.join(self._data_dir(), commit)
         (
             df.withColumn("_bucket", self._bucket_col())
             .repartition(self.num_buckets, "_bucket")
             .write.mode("append")
             .partitionBy("_bucket")
-            .parquet(self._data_dir())
+            .parquet(out)
         )
         files: dict[int, list[str]] = {}
-        for rel in self._list_data_files() - before:
-            b = int(rel.split("/", 1)[0].split("=", 1)[1])
-            files.setdefault(b, []).append(rel)
+        for b in os.listdir(out):
+            bd = os.path.join(out, b)
+            if not b.startswith("_bucket=") or not os.path.isdir(bd):
+                continue
+            bucket = int(b.split("=", 1)[1])
+            for fname in os.listdir(bd):
+                if not fname.startswith((".", "_")):
+                    files.setdefault(bucket, []).append(f"{commit}/{b}/{fname}")
         return files
 
     def _empty_df(self) -> DataFrame:
@@ -249,8 +264,14 @@ class SnapshotStore:
             ]
             if not paths:
                 return self._empty_df()
+            # recursiveFileLookup disables partition inference (commit
+            # dirs between data/ and _bucket= would otherwise trip
+            # CONFLICTING_DIRECTORY_STRUCTURES); _bucket is derivable
+            # from the key, so recompute it instead of inferring.
             return (
-                self.spark.read.option("basePath", self._data_dir()).parquet(*paths)
+                self.spark.read.option("recursiveFileLookup", "true")
+                .parquet(*paths)
+                .withColumn("_bucket", self._bucket_col())
             )
         return self._read_version(v)
 
@@ -355,7 +376,7 @@ class SnapshotStore:
                     for rel in cur_files.get(b, [])
                 ]
                 cur_touched = (
-                    self.spark.read.option("basePath", self._data_dir())
+                    self.spark.read.option("recursiveFileLookup", "true")
                     .parquet(*paths)
                     .drop("_bucket")
                     if paths
@@ -449,6 +470,16 @@ class SnapshotStore:
                     os.remove(os.path.join(self._data_dir(), rel))
                 except OSError:
                     pass
+            # Prune commit/bucket dirs emptied by the removals above
+            # (bottom-up so a commit dir whose buckets all vanished
+            # goes too; rmdir refuses non-empty dirs, so this can
+            # never remove live data).
+            for root, dirs, fnames in os.walk(self._data_dir(), topdown=False):
+                if root != self._data_dir() and not dirs and not fnames:
+                    try:
+                        os.rmdir(root)
+                    except OSError:
+                        pass
             return victims
         versions = sorted(
             int(d[1:])

@@ -247,6 +247,40 @@ def test_manifest_layout_roundtrip_and_file_reuse(spark, tmp_path):
     assert {r.k: r.payload for r in store.read().collect()}["k0"] == "p2"
 
 
+def test_manifest_commit_ignores_stray_files(spark, tmp_path):
+    """A stray part file pre-existing under data/ (crashed write,
+    concurrent writer) must NOT enter a new commit's manifest — file
+    attribution is by per-commit directory, not before/after listing."""
+    import os as _os
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(20)]))
+
+    # Plant a stray orphan that LOOKS like a data file (both shapes:
+    # a bare bucket dir and a fake crashed-commit dir).
+    for stray in ("_bucket=0/part-stray.snappy.parquet",
+                  "deadbeefdeadbeef/_bucket=1/part-stray.snappy.parquet"):
+        p = _os.path.join(store._data_dir(), stray)
+        _os.makedirs(_os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(b"not parquet")
+
+    store.merge(_df(spark, [("k0", 2, "p2")]))
+    manifest = {
+        rel for rels in store._read_manifest(2).values() for rel in rels
+    }
+    assert not any("stray" in rel for rel in manifest)
+    # The table still reads correctly past the strays.
+    out = {r.k: r.payload for r in store.read().collect()}
+    assert out["k0"] == "p2" and len(out) == 20
+    # And vacuum garbage-collects the orphans (they are unreferenced).
+    store.vacuum(keep=1)
+    assert not any("stray" in rel for rel in store._list_data_files())
+
+
 def test_manifest_vacuum_drops_unreferenced_files(spark, tmp_path):
     store = SnapshotStore(
         spark, str(tmp_path / "snap"), key="k", version_col="v",

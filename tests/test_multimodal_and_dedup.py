@@ -31,11 +31,22 @@ def test_multimodal_feature_plumbing(spark):
         assert r.n_bytes > 0
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_contract(spark):
+    """fake=False demands the real decoder. Environment-aware contract:
+    without PIL it raises NotImplementedError (deployment bug); with
+    PIL, the text-bytes payloads are not images, so every row falls
+    back per-payload with feature_kind='fallback' (data bug must not
+    kill the job)."""
+    from fs_indexer_elasticsearch_spark.operators.multimodal import _pil_available
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(1)
     assets = attach_payload(docs, "text", "doc_id")
-    with pytest.raises(Exception, match="NotImplementedError|not in this image"):
-        extract_features(assets, fake=False).collect()
+    if _pil_available():
+        rows = extract_features(assets, fake=False).collect()
+        assert [r.feature_kind for r in rows] == ["fallback"]
+    else:
+        with pytest.raises(Exception, match="NotImplementedError|not in this image"):
+            extract_features(assets, fake=False).collect()
 
 
 def test_multimodal_real_decode_branch_with_fake_pil(monkeypatch):
@@ -85,7 +96,9 @@ def test_multimodal_real_decode_branch_with_fake_pil(monkeypatch):
     out = list(_feature_batches(iter([pdf]), dim=4, fake=None))
     assert len(out) == 1
     res = out[0]
-    assert list(res.columns) == ["asset_id", "media_type", "n_bytes", "features"]
+    assert list(res.columns) == [
+        "asset_id", "media_type", "n_bytes", "features", "feature_kind",
+    ]
     # auto mode picked the REAL branch: first asset's strip is the
     # first 4 payload bytes / 255, not a histogram (histogram of 4
     # bytes over dim=4 would sum to 1.0; this sums to >1).
@@ -93,9 +106,52 @@ def test_multimodal_real_decode_branch_with_fake_pil(monkeypatch):
         [255 / 255, 0 / 255, 128 / 255, 64 / 255]
     )
     assert list(res["n_bytes"]) == [4, 11]
+    assert list(res["feature_kind"]) == ["real", "real"]
     # forced-fake still produces the histogram on the same input
     fake_out = list(_feature_batches(iter([pdf]), dim=4, fake=True))[0]
     assert abs(sum(fake_out["features"][0]) - 1.0) < 1e-6
+    assert list(fake_out["feature_kind"]) == ["fake", "fake"]
+
+
+def test_poison_payload_falls_back_not_fails(monkeypatch):
+    """One payload the decoder rejects must yield a per-row histogram
+    fallback (feature_kind='fallback'), never a task failure."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        _feature_batches,
+    )
+
+    def _open(buf):
+        if buf.getvalue() == b"poison":
+            raise ValueError("cannot identify image file")
+        return types.SimpleNamespace(
+            convert=lambda m: types.SimpleNamespace(
+                resize=lambda wh: types.SimpleNamespace(
+                    getdata=lambda: [0] * (wh[0] * wh[1])
+                )
+            )
+        )
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.SimpleNamespace(open=_open)
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil.Image)
+
+    pdf = pd.DataFrame(
+        {
+            "asset_id": ["good", "bad"],
+            "media_type": ["image", "image"],
+            "payload": [b"\x01\x02\x03\x04", b"poison"],
+        }
+    )
+    res = list(_feature_batches(iter([pdf]), dim=4, fake=False))[0]
+    assert list(res["feature_kind"]) == ["real", "fallback"]
+    # the fallback row still carries a usable normalized histogram
+    assert abs(sum(res["features"][1]) - 1.0) < 1e-6
 
 
 def test_frame_sampling_shape(spark):

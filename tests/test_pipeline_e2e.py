@@ -93,6 +93,36 @@ def test_two_generation_pipeline(spark, tmp_path):
     assert removed_id not in kept
 
 
+def test_scan_is_materialized_once_per_cycle(spark, tmp_path):
+    """The cycle's scan plan must be cached-and-materialized by the
+    pipeline, so enrichment/rollup/stats (and any post-hoc consumer of
+    PipelineResult.entries) never re-walk the filesystem. Proof by
+    destruction: delete the tree after the run — a re-walking plan
+    would now come back empty, the cached one still serves the scan."""
+    import shutil
+
+    root = str(tmp_path / "fsroot")
+    for i in range(6):
+        _write(f"{root}/d{i % 2}/f{i}.txt", b"x" * (i + 1))
+    cfg = PipelineConfig(
+        root_path=root,
+        skip_patterns=[],
+        snapshot_path=str(tmp_path / "snap"),
+        direct_links_enabled=False,
+        num_buckets=4,
+    )
+    r1 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "o1"))
+    assert r1.stats["files"] == 6
+    assert r1.entries.storageLevel.useMemory  # plan is marked cached
+
+    shutil.rmtree(root)
+    try:
+        # Re-collecting the SAME DataFrame must serve from cache.
+        assert len([r for r in r1.entries.collect() if r.type == "file"]) == 6
+    finally:
+        r1.entries.unpersist()
+
+
 def test_incremental_pipeline_is_bucket_pruned(spark, tmp_path):
     """The steady-state scan cycle must be O(delta), not O(table):
     generation 2 touches 3 files out of 30, so most of gen-1's bucket

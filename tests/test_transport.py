@@ -142,6 +142,72 @@ def test_delete_from_dataframe_streams_batches(spark):
     assert sorted(ids) == sorted(f"id{i}" for i in range(2500))
 
 
+def test_delete_from_dataframe_distributed_partition_path(spark):
+    """The executor-side delete path must ship every id in ≤1000-id
+    _delete_by_query bodies from within the partitions (no driver
+    iteration), and report (deleted, requests) totals through the
+    aggregate. The fake session rides to executors via cloudpickle."""
+    from fs_indexer_elasticsearch_spark.sinks.http_transport import (
+        delete_from_dataframe_distributed,
+    )
+
+    # Closure fake (not a test-module class): cloudpickle ships it by
+    # value — executors cannot import the test module.
+    def fake_session(method, url, headers, body):
+        import json as _json
+
+        assert "_delete_by_query" in url
+        ids = _json.loads(body)["query"]["terms"]["id"]
+        assert len(ids) <= 1000  # wire batches stay ≤ batch_size
+        return 200, _json.dumps({"deleted": len(ids)})
+
+    removed = spark.range(2500).selectExpr("concat('id', id) as id").repartition(1)
+    deleted, requests = delete_from_dataframe_distributed(
+        "fs-entries", removed, "http://es:9200", session=fake_session
+    )
+    # One partition of 2500 ids → exactly ceil(2500/1000) = 3 requests.
+    assert (deleted, requests) == (2500, 3)
+
+    # Multi-partition: totals still exact; each partition batches
+    # independently so the request count is ceil per partition.
+    removed4 = spark.range(2500).selectExpr("concat('id', id) as id").repartition(4)
+    deleted4, requests4 = delete_from_dataframe_distributed(
+        "fs-entries", removed4, "http://es:9200", session=fake_session
+    )
+    assert deleted4 == 2500
+    assert 3 <= requests4 <= 4
+
+    # Empty removal set: no requests, no error.
+    empty = spark.range(0).selectExpr("concat('id', id) as id")
+    assert delete_from_dataframe_distributed(
+        "fs-entries", empty, "http://es:9200", session=fake_session
+    ) == (0, 0)
+
+
+def test_delete_from_dataframe_auto_dispatch(spark):
+    """EsClient.delete_from_dataframe switches to the distributed path
+    when the removal set exceeds the threshold (driver loop stays the
+    small-N default)."""
+    driver_calls = []
+
+    def fake_session(method, url, headers, body):
+        import json as _json
+
+        driver_calls.append(url)  # mutates only the DRIVER copy
+        ids = _json.loads(body)["query"]["terms"]["id"]
+        return 200, _json.dumps({"deleted": len(ids)})
+
+    es = EsClient("http://es:9200", fake_session)
+    removed = spark.range(2500).selectExpr("concat('id', id) as id")
+    deleted, _ = es.delete_from_dataframe(
+        "fs-entries", removed, distributed_threshold=100
+    )
+    assert deleted == 2500
+    # Distributed: requests fire inside executor processes, so the
+    # driver copy of the closure's list must have recorded nothing.
+    assert driver_calls == []
+
+
 def _write(path, content=b"x"):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
