@@ -83,6 +83,17 @@ def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
             num_buckets=32,
         )
 
+    # Warm-up cycle first (untimed, throwaway store): ingest now runs
+    # BEFORE the query suite, i.e. in a JIT-cold JVM, and whole-stage
+    # codegen + parquet writer compilation costs ~2× on the first
+    # pipeline pass (measured r5: 14.9k files/s cold vs 24-33k warm).
+    # On a real cluster the indexer is a long-lived recurring job, so
+    # steady-state is the honest headline; the warm-up's time is
+    # reported separately as ingest_cold_sec.
+    t0 = time.perf_counter()
+    run_pipeline(spark, make_cfg("warm"), out_dir=out)
+    cold_sec = round(time.perf_counter() - t0, 3)
+
     # Full first-cycle ingest: min-of-2 against FRESH stores (same
     # treatment the queries get — single runs on a shared box carry
     # ±10% scheduler noise, which round 2 learned the hard way).
@@ -113,6 +124,7 @@ def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
     shutil.rmtree(out, ignore_errors=True)
     return {
         "ingest_files_per_sec": round(files / dt, 1),
+        "ingest_cold_sec": cold_sec,
         "incremental_cycle_sec": round(dt2, 3),
         "incremental_vs_full": round(dt2 / dt, 3),
     }

@@ -257,8 +257,11 @@ def connected_components(
     representative of. Duplicate clusters are shallow, so rounds ~2-4
     in practice; a pathological 10^8-node path still needs only ~27.
     """
+    # Lazy checkpoint: round 1's fixpoint action materializes it (an
+    # eager one would spend a dedicated job on the caller's upstream
+    # plan before the loop even starts).
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
+        eager=False
     )
     # Node list from BOTH raw endpoints of the CHECKPOINTED edge list:
     # a node whose only edges are self-loops (u,u) has no row in the

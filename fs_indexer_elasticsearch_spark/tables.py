@@ -6,6 +6,8 @@ events documents embeddings`` parquet files under a scale-factor dir.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, TimestampNTZType
@@ -48,6 +50,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parse_bytes(s: str) -> int:
+    """Parse Spark size-conf strings ('128m', '134217728b', '1g')."""
+    s = str(s).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    for u in sorted(units, key=len, reverse=True):
+        if s.endswith(u):
+            return int(float(s[: -len(u)]) * units[u])
+    return int(s)
+
+
 def spread_small(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Round-robin repartition a df whose scan yields far fewer
     partitions than the cluster has cores.
@@ -56,11 +69,35 @@ def spread_small(df: DataFrame, min_factor: int = 2) -> DataFrame:
     interpreted, not codegen'd) inherits the SCAN's parallelism; a
     small single-row-group parquet file pins it all to one task. At
     real scale the scan has thousands of row-groups and this is a
-    no-op (the partition-count probe plans but does not execute);
-    the repartition only fires when the input is so small that the
-    shuffle is trivially cheap relative to the serial bottleneck."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    no-op; the repartition only fires when the input is so small that
+    the shuffle is trivially cheap relative to the serial bottleneck.
+
+    The scan-width probe is a CHEAP estimate from the input files'
+    on-disk bytes vs maxPartitionBytes (a ``df.rdd.getNumPartitions()``
+    probe would pay a full plan-to-RDD conversion on every call); the
+    RDD probe remains only as the fallback for in-memory plans with no
+    input files. Unstat-able files (object store) → assume wide, no-op.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — plans without a file source
+        files = []
+    if files:
+        from urllib.parse import unquote, urlparse
+
+        total = 0
+        for uri in files:
+            try:
+                total += os.path.getsize(unquote(urlparse(uri).path) or uri)
+            except OSError:
+                return df  # can't stat cheaply (remote store): assume wide
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        est = min(len(files), max(1, -(-total // max_pb)))
+        return df.repartition(target) if est * min_factor <= target else df
     if df.rdd.getNumPartitions() * min_factor <= target:
         return df.repartition(target)
     return df

@@ -115,3 +115,12 @@ def test_spread_small_noop_on_wide_input(spark):
     spread = spread_small(narrow)
     assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert spread.count() == 1000
+
+    # File-backed path (the cheap bytes-based estimate, no RDD probe):
+    # a single small parquet file must spread to full parallelism and
+    # lose no rows.
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = small.count()
+    spread_f = spread_small(small)
+    assert spread_f.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert spread_f.count() == n
