@@ -1,0 +1,206 @@
+"""Corpus curation operators, part 4: canonical-document selection,
+percentile length banding, vocabulary concentration.
+
+Three stages every pre-training data pipeline runs between dedup and
+tokenization (no counterpart in the reference engine — this extends
+the LLM-data hygiene layer the way llm_pipeline2/3 do):
+
+- ``dedup_keep_best``: exact dedup keys on raw text; REAL pipelines
+  key on normalized text (case/whitespace-insensitive) and must then
+  CHOOSE which variant survives. Keep-best = longest raw text, then
+  lexicographic source, then lowest id — one window over the
+  normalized-hash partition, one shuffle.
+- ``length_percentile_band``: outlier trimming by per-language
+  [p05, p95] character-length band. The bounds are a 2-row-per-lang
+  aggregate (exact percentile — at 100 TB swap in percentile_approx
+  and re-verify the oracle at the sketch's error bound); the filter
+  join broadcasts them.
+- ``vocab_concentration``: what fraction of all token occurrences the
+  top-100 tokens per language cover — the Zipf-head diagnostic that
+  flags boilerplate-flooded or template-generated corpora. Explode →
+  (lang, token) count → per-lang rank window → per-lang roll-up; the
+  wide explode collapses in the FIRST map-side partial aggregate.
+
+All three are pure DataFrame plans (no UDFs, no collect); each has a
+DuckDB oracle twin below for the hash-compare gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.text import tokens
+from ..tables import load, spread_small
+from .registry import query, stable_round
+
+
+@query(
+    "dedup_keep_best",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, 'mirror', upper(text) || '  '
+        FROM documents WHERE doc_id % 10 = 0
+    ), d AS (
+        SELECT doc_id, source, text,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+        FROM corpus
+    ), r AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY k
+                   ORDER BY length(text) DESC, source, doc_id) AS rn,
+               count(*) OVER (PARTITION BY k) AS n
+        FROM d
+    )
+    SELECT k AS cluster_key, doc_id AS keeper_id, source AS keeper_source,
+           CAST(n AS BIGINT) AS n_members
+    FROM r WHERE rn = 1 AND n > 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: cluster on NORMALIZED text
+    (lower-cased, whitespace-collapsed — catches the trivial variants
+    exact dedup misses), then keep the best member per cluster:
+    longest raw text, then first source lexicographically, then lowest
+    doc_id. One md5 projection, one window shuffle on the 16-byte key;
+    nothing quadratic, survives 100 TB like exact dedup does.
+
+    The raw table carries no duplicates, so (like dedup_exact's
+    augmented corpus) every 10th doc gets a planted 'mirror' variant —
+    upper-cased, whitespace-padded: normalized-equal but raw-different,
+    so the query demonstrably CHOOSES a keeper rather than merely
+    counting identical rows."""
+    base = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirror = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    d = base.union(mirror)
+    k = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    w = Window.partitionBy("k").orderBy(
+        F.length("text").desc(), F.col("source"), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "text", k.alias("k"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("k")))
+        .filter((F.col("rn") == 1) & (F.col("n") > 1))
+        .select(
+            F.col("k").alias("cluster_key"),
+            F.col("doc_id").alias("keeper_id"),
+            F.col("source").alias("keeper_source"),
+            F.col("n").cast("long").alias("n_members"),
+        )
+    )
+
+
+@query(
+    "length_percentile_band",
+    oracle="""
+    WITH b AS (
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.05) + 1e-7, 4) AS lo,
+               round(quantile_cont(n_chars, 0.95) + 1e-7, 4) AS hi,
+               count(*) AS n_total
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang, CAST(max(b.n_total) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(count(*)::DOUBLE / max(b.n_total) + 1e-7, 4) AS pct_kept,
+           max(b.lo) AS lo, max(b.hi) AS hi
+    FROM documents d JOIN b USING (lang)
+    WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    GROUP BY d.lang
+    """,
+)
+def length_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language [p05, p95] length-band trim summary: how many docs
+    survive outlier removal and where the band sits. Bounds are an
+    EXACT percentile aggregate (tiny result, broadcast back); rounded
+    identically on both engines before the comparison so the band
+    membership is bit-stable. At 100 TB, percentile_approx replaces
+    percentile at a documented error bound — the plan shape (k-row
+    aggregate + broadcast filter join) is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    b = d.groupBy("lang").agg(
+        stable_round(F.expr("percentile(n_chars, 0.05)"), 4).alias("lo"),
+        stable_round(F.expr("percentile(n_chars, 0.95)"), 4).alias("hi"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        d.join(F.broadcast(b), "lang")
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("lang", "lo", "hi", "n_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .select(
+            "lang",
+            F.col("n_total").cast("long").alias("n_total"),
+            "n_kept",
+            stable_round(
+                F.col("n_kept").cast("double") / F.col("n_total"), 4
+            ).alias("pct_kept"),
+            "lo",
+            "hi",
+        )
+    )
+
+
+@query(
+    "vocab_concentration",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ), counts AS (
+        SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ), ranked AS (
+        SELECT lang, tok, c,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY c DESC, tok) AS rn
+        FROM counts
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           CAST(sum(CASE WHEN rn <= 100 THEN c ELSE 0 END) AS BIGINT)
+               AS top100_tokens,
+           round(sum(CASE WHEN rn <= 100 THEN c ELSE 0 END)::DOUBLE
+                 / sum(c) + 1e-7, 4) AS concentration
+    FROM ranked GROUP BY lang
+    """,
+)
+def vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-head diagnostic: per language, the share of ALL token
+    occurrences covered by that language's 100 most frequent tokens
+    (plus total/distinct token counts). High concentration flags
+    boilerplate or template floods before tokenizer training. The
+    explode's width collapses in the first (lang, token) partial
+    aggregate; the rank window shuffles the already-aggregated count
+    table on lang only."""
+    d = spread_small(load(spark, sf_dir, "documents"))
+    counts = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tok"))
+    top_c = F.sum(F.when(F.col("rn") <= 100, F.col("c")).otherwise(0))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+            top_c.cast("long").alias("top100_tokens"),
+            stable_round(
+                top_c.cast("double") / F.sum("c"), 4
+            ).alias("concentration"),
+        )
+    )

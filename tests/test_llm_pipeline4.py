@@ -1,0 +1,51 @@
+"""Corpus-curation layer part 4 (plans.llm_pipeline4).
+
+The DuckDB oracle gate is the primary correctness check; this file
+covers the properties the hash-compare can't see: keeper-selection
+preference order, band-bound sanity, and concentration-ratio bounds.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+from fs_indexer_elasticsearch_spark.plans import ORACLES, QUERIES
+
+NEW = ["dedup_keep_best", "length_percentile_band", "vocab_concentration"]
+
+
+def test_registered_with_oracles():
+    for name in NEW:
+        assert name in QUERIES and name in ORACLES
+
+
+def test_dedup_keep_best_prefers_longest_variant(spark):
+    """Every planted cluster pairs an original with its upper-cased,
+    whitespace-padded mirror; the mirror is strictly longer, so
+    keep-best must pick it — proving the window ORDER does the
+    choosing, not just dup counting."""
+    rows = QUERIES["dedup_keep_best"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_members == 2
+        assert r.keeper_source == "mirror"
+        assert r.keeper_id >= 1000000
+
+
+def test_length_percentile_band_bounds(spark):
+    rows = QUERIES["length_percentile_band"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.lo <= r.hi
+        assert 0 < r.n_kept <= r.n_total
+        # p05..p95 band keeps ~90%; generous sanity margins
+        assert 0.5 <= r.pct_kept <= 1.0 + 1e-9
+
+
+def test_vocab_concentration_bounds(spark):
+    rows = QUERIES["vocab_concentration"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.top100_tokens <= r.total_tokens
+        assert 0 < r.concentration <= 1.0 + 1e-9
+        assert r.distinct_tokens > 0
