@@ -117,6 +117,60 @@ def streaming_dedup(
     )
 
 
+def stream_stream_error_after_purchase(
+    events: DataFrame,
+    *,
+    horizon_seconds: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming twin of
+    plans.range_join_error_after_purchase: every error by the same
+    user within ``horizon_seconds`` AFTER a purchase.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time gap, so Spark derives a state-eviction horizon: each
+    side buffers only rows younger than watermark + horizon — state is
+    O(recent traffic), never O(stream history). This is the shape for
+    cross-stream correlation at scale (click↔conversion, scan↔index
+    confirmation); an unbounded-condition stream-stream join would be
+    rejected by the engine outright in append mode.
+    """
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_event"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    return p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (
+            F.col("e_ts")
+            <= F.col("p_ts") + F.expr(f"INTERVAL {horizon_seconds} SECOND")
+        ),
+        "inner",
+    ).select(
+        "p_event",
+        "e_event",
+        F.col("p_user").alias("user_id"),
+        F.expr("timestampdiff(MICROSECOND, p_ts, e_ts)").alias("gap_us"),
+    )
+
+
 def sessionized_event_stats(
     events: DataFrame,
     *,

@@ -124,6 +124,48 @@ def test_sessionized_event_stats_stream(spark, tmp_path):
         q.stop()
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join must emit EXACTLY
+    the batch range-join's pairs once the whole source is processed —
+    inner-join matches are emitted as found; the watermark only bounds
+    state for late data, it never drops on-time matches."""
+    from fs_indexer_elasticsearch_spark.plans import QUERIES
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        stream_stream_error_after_purchase,
+    )
+    from fs_indexer_elasticsearch_spark.tables import load
+
+    # sf0.001 has no error-within-600s-of-purchase pairs at all;
+    # sf0.01 has 6 — small enough to stream, non-trivial to match.
+    sf_dir = "/root/testdata/sf0.01"
+    ev = load(spark, sf_dir, "events")
+    src = str(tmp_path / "ssj-stream")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    joined = stream_stream_error_after_purchase(stream)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.p_event, r.e_event, r.user_id, r.gap_us)
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.p_event, r.e_event, r.user_id, r.gap_us)
+        for r in QUERIES["range_join_error_after_purchase"](spark, sf_dir).collect()
+    }
+    assert got == want and want  # exact parity, non-trivial
+
+
 def test_streaming_dedup_suppresses_replays(spark, tmp_path):
     from fs_indexer_elasticsearch_spark.streaming.pipeline import streaming_dedup
     from fs_indexer_elasticsearch_spark.tables import load
