@@ -164,6 +164,50 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_outliers",
+    oracle=_KMEANS_CTES
+    + """
+    , stats AS (
+        SELECT cid, round(avg(sqd) + 1e-7, 6) AS mu,
+               round(stddev_samp(sqd) + 1e-7, 6) AS sd,
+               count(*) AS n
+        FROM af GROUP BY cid
+    )
+    SELECT a.vec_id, a.cid AS cluster_id, a.sqd AS sq_dist,
+           round((a.sqd - s.mu) / s.sd + 1e-7, 4) AS z
+    FROM af a JOIN stats s ON a.cid = s.cid
+    WHERE s.n >= 3 AND s.sd > 1e-9
+      AND round((a.sqd - s.mu) / s.sd + 1e-7, 4) >= 1.5
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection — the pruning complement to
+    SemDeDup: vectors whose distance to their assigned centroid is
+    ≥1.5 cluster-stddevs above the cluster mean are flagged (likely
+    mislabeled, off-distribution, or garbage docs a curation pass
+    drops before training). Cluster stats are a k-row aggregate
+    broadcast back onto the assignment projection: one narrow pass +
+    one tiny join, nothing grows with corpus size except the scan.
+    Degenerate clusters (n<3 or zero spread) are excluded — no z-score
+    is defined there. Rounded identically on both engines so the
+    threshold cut is bit-stable."""
+    assigned = _fit_and_assign(spark, sf_dir)
+    stats = assigned.groupBy("cluster_id").agg(
+        stable_round(F.avg("sq_dist"), 6).alias("mu"),
+        stable_round(F.stddev("sq_dist"), 6).alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = stable_round((F.col("sq_dist") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        assigned.join(F.broadcast(stats), "cluster_id")
+        .filter((F.col("n") >= 3) & (F.col("sd") > 1e-9))
+        .withColumn("z", z)
+        .filter(F.col("z") >= 1.5)
+        .select("vec_id", "cluster_id", "sq_dist", "z")
+    )
+
+
+@query(
     "kmeans_cluster_profile",
     oracle=_KMEANS_CTES
     + """

@@ -42,6 +42,23 @@ def test_length_percentile_band_bounds(spark):
         assert 0.5 <= r.pct_kept <= 1.0 + 1e-9
 
 
+def test_embedding_outliers_are_extreme_minority(spark):
+    """Every flagged vector is ≥1.5 cluster-stddevs out; by Chebyshev
+    no more than 1/1.5² ≈ 44% of any population can be — sanity-check
+    the flag rate is a strict minority of the corpus."""
+    import pyspark.sql.functions as F
+
+    from fs_indexer_elasticsearch_spark.tables import load
+
+    rows = QUERIES["embedding_outliers"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.z >= 1.5
+        assert r.sq_dist > 0
+    n_corpus = load(spark, SF_DIR, "embeddings").count()
+    assert len(rows) < 0.44 * n_corpus
+
+
 def test_vocab_concentration_bounds(spark):
     rows = QUERIES["vocab_concentration"](spark, SF_DIR).collect()
     assert rows
