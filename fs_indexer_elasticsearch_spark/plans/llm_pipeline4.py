@@ -153,6 +153,63 @@ _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <>
 
 
 @query(
+    "char_bigram_nll",
+    oracle="""
+    WITH bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(lower(text))),
+                                     i -> substr(lower(text), i, 2))) AS b
+        FROM documents WHERE length(text) >= 2
+    ), cc AS (
+        SELECT b, count(*) AS c FROM bg GROUP BY b
+    ), tot AS (SELECT sum(c) AS t FROM cc),
+    lp AS (
+        SELECT b, round(ln(c::DOUBLE / t) + 1e-7, 6) AS lp FROM cc, tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(lp.lp) + 1e-7, 4) AS nll
+    FROM bg JOIN lp USING (b)
+    GROUP BY doc_id
+    """,
+)
+def char_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy without a model: per-document mean
+    negative log-likelihood of its character bigrams under the
+    CORPUS-LEVEL bigram distribution — the cheap stand-in for the
+    KenLM-perplexity filter (high NLL ⇒ off-distribution: garbled
+    encodings, binary spill, wrong-language text). Two aggregations:
+    the bigram count table is at most charset² rows (broadcast to
+    score docs — the model IS the broadcast), the per-doc roll-up is
+    one shuffle on doc_id. At 100 TB the distribution can be fit on a
+    sample without changing the plan shape."""
+    d = spread_small(load(spark, sf_dir, "documents")).filter(
+        F.length("text") >= 2
+    )
+    t = F.lower(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - 1),
+        lambda i: F.substring(t, i, F.lit(2)),
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("b"))
+    cc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cc.agg(F.sum("c").alias("t"))
+    lp = cc.join(F.broadcast(tot)).select(
+        "b",
+        stable_round(F.log(F.col("c").cast("double") / F.col("t")), 6).alias(
+            "lp"
+        ),
+    )
+    return (
+        bg.join(F.broadcast(lp), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            stable_round(-F.avg("lp"), 4).alias("nll"),
+        )
+    )
+
+
+@query(
     "token_budget_mixture",
     oracle=f"""
     WITH scored AS (

@@ -42,6 +42,25 @@ def test_length_percentile_band_bounds(spark):
         assert 0.5 <= r.pct_kept <= 1.0 + 1e-9
 
 
+def test_char_bigram_nll_positive_and_total(spark):
+    """NLL is strictly positive (every bigram probability < 1 in a
+    nontrivial corpus), finite, and every length>=2 doc is scored."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from fs_indexer_elasticsearch_spark.tables import load
+
+    rows = QUERIES["char_bigram_nll"](spark, SF_DIR).collect()
+    n_docs = (
+        load(spark, SF_DIR, "documents").filter(F.length("text") >= 2).count()
+    )
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.nll > 0 and math.isfinite(r.nll)
+        assert r.n_bigrams >= 1
+
+
 def test_token_budget_mixture_respects_budget(spark):
     """Per-language running totals never exceed the budget, and the
     kept set is a quality-ranked PREFIX (every kept doc's quality ≥
