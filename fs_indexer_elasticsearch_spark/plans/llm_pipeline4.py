@@ -260,6 +260,65 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+        WHERE len({_TOKS}) > 0 AND doc_id % 5 = 0
+    ), c AS (
+        SELECT doc_id, tk,
+               unnest(range(0, 1 + (greatest(len(tk) - {_CHUNK}, 0)
+                                    + {_STRIDE} - 1) // {_STRIDE})) AS i
+        FROM t
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(len(list_slice(tk, i*{_STRIDE} + 1, i*{_STRIDE} + {_CHUNK}))
+                AS INT) AS n_chunk_tokens,
+           array_to_string(
+               list_slice(tk, i*{_STRIDE} + 1, i*{_STRIDE} + {_CHUNK}), ' ')
+               AS chunk_text
+    FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking ({_CHUNK}-token chunks,
+    {_STRIDE}-token stride ⇒ 16-token overlap) — the pre-tokenization
+    sharding pass that turns documents into training-sequence-sized
+    pieces. Chunk count per doc is 1 + ceil(max(n−chunk,0)/stride):
+    full coverage, a shorter final chunk, never a fully-redundant one.
+    posexplode over an in-row index sequence — the fan-out happens
+    inside the projection (no join, no shuffle until a downstream op
+    needs one); at 100 TB chunking is scan-bound, exactly as it
+    should be. Sampled to every 5th doc to keep the oracle comparison
+    row count reasonable."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    tk = tokens(F.col("text"))
+    t = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") > 0)
+    n_chunks = F.floor(
+        1
+        + (F.greatest(F.size("tk") - F.lit(_CHUNK), F.lit(0)) + (_STRIDE - 1))
+        / F.lit(_STRIDE)
+    ).cast("int")
+    chunk = F.slice(F.col("tk"), F.col("i") * _STRIDE + 1, _CHUNK)
+    return (
+        t.select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
 @query(
     "vocab_concentration",
     oracle="""

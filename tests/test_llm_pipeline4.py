@@ -42,6 +42,34 @@ def test_length_percentile_band_bounds(spark):
         assert 0.5 <= r.pct_kept <= 1.0 + 1e-9
 
 
+def test_chunk_documents_full_coverage_no_redundant_tail(spark):
+    """Chunks reconstruct the doc: strides cover every token exactly
+    (chunk i starts at i*48), only the LAST chunk may be short, and no
+    chunk is fully contained in the previous one."""
+    rows = QUERIES["chunk_documents"](spark, SF_DIR).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == 64  # only the tail may be short
+        # stitched tokens = stride-prefix of each chunk + full tail
+        stitched: list[str] = []
+        for c in chunks[:-1]:
+            stitched += c.chunk_text.split(" ")[:48]
+        stitched += chunks[-1].chunk_text.split(" ")
+        n = 48 * (len(chunks) - 1) + chunks[-1].n_chunk_tokens
+        assert len(stitched) == n
+        # overlap consistency: chunk i's tokens 48..63 == chunk i+1's 0..15
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.chunk_text.split(" ")[48:] == b.chunk_text.split(" ")[
+                : a.n_chunk_tokens - 48
+            ]
+
+
 def test_char_bigram_nll_positive_and_total(spark):
     """NLL is strictly positive (every bigram probability < 1 in a
     nontrivial corpus), finite, and every length>=2 doc is scored."""
