@@ -260,6 +260,62 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "template_prefix_by_source",
+    oracle=f"""
+    WITH p AS (
+        SELECT source,
+               array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS prefix
+        FROM documents WHERE len({_TOKS}) >= 3
+    ), c AS (
+        SELECT source, prefix, count(*) AS c FROM p GROUP BY 1, 2
+    ), t AS (
+        SELECT source, count(*) AS total FROM p GROUP BY 1
+    ), r AS (
+        SELECT source, prefix, c,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY c DESC, prefix) AS rn
+        FROM c
+    )
+    SELECT r.source, prefix AS top_prefix, CAST(c AS BIGINT) AS prefix_count,
+           CAST(total AS BIGINT) AS n_docs,
+           round(c::DOUBLE / total + 1e-7, 4) AS share
+    FROM r JOIN t USING (source) WHERE rn = 1
+    """,
+)
+def template_prefix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document template detection: per source, the most common
+    leading 3-token prefix and the share of documents carrying it — a
+    high share means the source stamps a boilerplate header on its
+    docs (scraper banners, license preambles) that per-document
+    repetition stats can't see. Two hash aggregations on (source,
+    prefix) / (source) plus a source-partitioned rank window over the
+    already-aggregated prefix table — vocabulary-sized, not
+    corpus-sized."""
+    d = load(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    p = d.select(
+        "source", F.array_join(F.slice(tk, 1, 3), " ").alias("prefix")
+    ).filter(F.size(tk) >= 3)
+    c = p.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("c"))
+    t = p.groupBy("source").agg(F.count(F.lit(1)).alias("total"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("prefix"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(t, "source")
+        .select(
+            "source",
+            F.col("prefix").alias("top_prefix"),
+            F.col("c").cast("long").alias("prefix_count"),
+            F.col("total").cast("long").alias("n_docs"),
+            stable_round(
+                F.col("c").cast("double") / F.col("total"), 4
+            ).alias("share"),
+        )
+    )
+
+
 _CHUNK, _STRIDE = 64, 48
 
 

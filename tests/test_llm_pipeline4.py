@@ -42,6 +42,16 @@ def test_length_percentile_band_bounds(spark):
         assert 0.5 <= r.pct_kept <= 1.0 + 1e-9
 
 
+def test_template_prefix_one_row_per_source(spark):
+    rows = QUERIES["template_prefix_by_source"](spark, SF_DIR).collect()
+    assert rows
+    assert len({r.source for r in rows}) == len(rows)  # one winner each
+    for r in rows:
+        assert 1 <= r.prefix_count <= r.n_docs
+        assert 0 < r.share <= 1.0 + 1e-9
+        assert len(r.top_prefix.split(" ")) == 3
+
+
 def test_chunk_documents_full_coverage_no_redundant_tail(spark):
     """Chunks reconstruct the doc: strides cover every token exactly
     (chunk i starts at i*48), only the LAST chunk may be short, and no
