@@ -95,3 +95,71 @@ def range_join_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     )
     gap = F.expr("timestampdiff(MICROSECOND, p_ts, e_ts)")
     return out.select("p_event", "e_event", "user_id", gap.alias("gap_us"))
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked,
+           (SELECT count(*) FROM p) AS n_purchased,
+           round((SELECT count(*) FROM p)::DOUBLE
+                 / (SELECT count(*) FROM v) + 1e-7, 4) AS conversion
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: users whose first view precedes a
+    later first click precedes a later first purchase. Each step is a
+    user-keyed MIN aggregate over events filtered to the step type and
+    AFTER the previous step's time — three hash aggregations + two
+    user-keyed joins; every step's frame shrinks, and all stages
+    co-partition on user_id (one shuffle key throughout, AQE reuses
+    the exchange). The final single-row roll-up joins three 1-row
+    aggregates — keyless but O(1)·O(1)."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased"))
+    return (
+        nv.join(nc)
+        .join(np_)
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            stable_round(
+                F.col("n_purchased").cast("double") / F.col("n_viewed"), 4
+            ).alias("conversion"),
+        )
+    )

@@ -70,3 +70,15 @@ def test_salted_join_matches_plain_join(spark):
     # The salted plan spreads the hot key across `factor` join keys.
     p = salted._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in p
+
+
+def test_funnel_is_monotone(spark):
+    """Each funnel step is a strict refinement of the previous one —
+    counts can only shrink; conversion is a valid ratio."""
+    from fs_indexer_elasticsearch_spark.plans import QUERIES
+
+    r = QUERIES["funnel_view_click_purchase"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_viewed >= r.n_clicked >= r.n_purchased > 0
+    assert 0 < r.conversion <= 1.0 + 1e-9
