@@ -161,3 +161,46 @@ def freshness_last_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH w AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+        FROM events
+    ), c AS (
+        SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1
+    )
+    SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+           CAST(w.wk - c.cohort AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM w JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: each user joins the cohort of their
+    first active week; the matrix counts users from cohort k active
+    again at week k+offset — the standard retention triangle. One
+    DISTINCT user-week projection (map-side combine collapses the
+    event volume), a user-keyed MIN, and a final (cohort, offset)
+    hash agg; the join key is user_id throughout, so the exchange is
+    reused. Week index = floor(days-since-anchor / 7), identical
+    integer arithmetic in both engines."""
+    ev = load(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).alias("wk")
+    w = ev.select("user_id", wk).distinct()
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        w.join(c, "user_id")
+        .groupBy(
+            F.col("cohort").cast("long").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -82,3 +82,17 @@ def test_funnel_is_monotone(spark):
     ).collect()[0]
     assert r.n_viewed >= r.n_clicked >= r.n_purchased > 0
     assert 0 < r.conversion <= 1.0 + 1e-9
+
+
+def test_retention_cohorts_triangle(spark):
+    """Retention counts never exceed the cohort's week-0 size, and
+    week 0 contains every cohort member by construction."""
+    from fs_indexer_elasticsearch_spark.plans import QUERIES
+
+    rows = QUERIES["retention_cohorts"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    base = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert r.cohort_week in base
+        assert r.n_users <= base[r.cohort_week]
