@@ -430,3 +430,90 @@ def vocab_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("concentration"),
         )
     )
+
+
+@query(
+    "collocations_pmi",
+    oracle=f"""
+    WITH tk AS (
+        SELECT {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 2
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM tk
+    ), uni AS (
+        SELECT unnest(t) AS w FROM tk
+    ), pc AS (
+        SELECT pair, count(*) AS c_ab FROM pairs GROUP BY 1
+    ), uc AS (
+        SELECT w, count(*) AS c FROM uni GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT sum(c_ab) FROM pc) AS n_pairs,
+               (SELECT sum(c) FROM uc) AS n_uni
+    )
+    SELECT pair, CAST(c_ab AS BIGINT) AS n_pair,
+           round(ln( (c_ab::DOUBLE / n_pairs)
+                   / ( (a.c::DOUBLE / n_uni) * (b.c::DOUBLE / n_uni) ) )
+                 + 1e-7, 6) AS pmi
+    FROM pc, tot
+    JOIN uc a ON a.w = split_part(pair, ' ', 1)
+    JOIN uc b ON b.w = split_part(pair, ' ', 2)
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, pair LIMIT 50
+    """,
+)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent word pairs by pointwise
+    mutual information (min pair count 5) — surfaces multi-word
+    expressions and template fragments worth treating as single
+    tokens. Adjacent-pair extraction is LINEAR in tokens (never the
+    quadratic all-pairs co-occurrence); the unigram table joins in
+    twice by word — vocabulary-sized broadcasts at any corpus scale;
+    the corpus totals ride a broadcast 1-row aggregate."""
+    d = spread_small(load(spark, sf_dir, "documents"))
+    tk = tokens(F.col("text"))
+    t = d.select(tk.alias("t")).filter(F.size("t") >= 2)
+    pair_expr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat(
+            F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+        ),
+    )
+    pc = (
+        t.select(F.explode(pair_expr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uc = (
+        t.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pc.agg(F.sum("c_ab").alias("n_pairs")).join(
+        uc.agg(F.sum("c").alias("n_uni"))
+    )
+    a = uc.select(F.col("w").alias("w_a"), F.col("c").alias("c_a"))
+    b = uc.select(F.col("w").alias("w_b"), F.col("c").alias("c_b"))
+    pmi = stable_round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n_pairs"))
+            / (
+                (F.col("c_a").cast("double") / F.col("n_uni"))
+                * (F.col("c_b").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        pc.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(tot))
+        .join(F.broadcast(a), F.split("pair", " ").getItem(0) == F.col("w_a"))
+        .join(F.broadcast(b), F.split("pair", " ").getItem(1) == F.col("w_b"))
+        .select(
+            "pair",
+            F.col("c_ab").cast("long").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "pair")
+        .limit(50)
+    )

@@ -140,3 +140,15 @@ def test_vocab_concentration_bounds(spark):
         assert 0 < r.top100_tokens <= r.total_tokens
         assert 0 < r.concentration <= 1.0 + 1e-9
         assert r.distinct_tokens > 0
+
+
+def test_collocations_pmi_ranked_and_bounded(spark):
+    """Top-50 list is PMI-descending, every pair meets the min count,
+    and each pair string is exactly two tokens."""
+    rows = QUERIES["collocations_pmi"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 50
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.n_pair >= 5
+        assert len(r.pair.split(" ")) == 2
