@@ -49,6 +49,9 @@ ALLOW_NLJ = {
     # Bigram model normalization: keyless join against the broadcast
     # 1-row corpus-total aggregate — O(vocab·1).
     "char_bigram_nll",
+    # PMI totals and the funnel roll-up join 1-row aggregates — O(1).
+    "collocations_pmi",
+    "funnel_view_click_purchase",
 }
 
 # Queries whose scan should show parquet filter pushdown.
@@ -91,6 +94,9 @@ DEFAULT_AUDIT = [
     "char_bigram_nll",
     "chunk_documents",
     "template_prefix_by_source",
+    "collocations_pmi",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
     "pii_detection",
 ]
 
