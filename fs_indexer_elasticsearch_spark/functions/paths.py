@@ -130,6 +130,12 @@ def glob_to_regex(glob: str) -> str:
                 if neg:
                     # Negated classes also exclude '/': classes match
                     # one path-component char, consistent with '*'.
+                    # A leading '-' in the body would sit right after
+                    # the injected '/' and form an unintended
+                    # '/'-to-<char> range ([!-a] → [^/-a] matches
+                    # neither digits nor ':'); escape it.
+                    if stuff.startswith("-"):
+                        stuff = "\\" + stuff
                     out.append(f"[^/{stuff}]")
                 else:
                     out.append(f"[{stuff}]")

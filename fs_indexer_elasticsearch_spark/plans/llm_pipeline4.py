@@ -152,9 +152,27 @@ def length_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 
+# Broadcast-model cap for char_bigram_nll: ASCII-ish corpora observe
+# ~1-2k bigram types, but CJK-heavy text can reach 10^7-10^8 observed
+# types — past any sane broadcast. The model keeps the top-N bigrams
+# by count (deterministic tie-break on the bigram), computed as a
+# distributed top-k (TakeOrderedAndProject), never a single-partition
+# window. Rare bigrams outside the model are simply unscored (dropped
+# from n_bigrams and the NLL mean) — identically in both engines.
+_BIGRAM_MODEL_CAP = 65536
+
+
+def bigram_model_capped(cc: DataFrame, cap: int = _BIGRAM_MODEL_CAP) -> DataFrame:
+    """Top-``cap`` rows of a (b, c) bigram-count table by count desc,
+    tie-break bigram asc. orderBy+limit compiles to
+    TakeOrderedAndProject — each partition keeps its local top-cap, the
+    driver merges heaps; no global sort, no single-partition window."""
+    return cc.orderBy(F.col("c").desc(), "b").limit(cap)
+
+
 @query(
     "char_bigram_nll",
-    oracle="""
+    oracle=f"""
     WITH bg AS (
         SELECT doc_id,
                unnest(list_transform(range(1, length(lower(text))),
@@ -162,9 +180,11 @@ _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <>
         FROM documents WHERE length(text) >= 2
     ), cc AS (
         SELECT b, count(*) AS c FROM bg GROUP BY b
+    ), model AS (
+        SELECT b, c FROM cc ORDER BY c DESC, b LIMIT {_BIGRAM_MODEL_CAP}
     ), tot AS (SELECT sum(c) AS t FROM cc),
     lp AS (
-        SELECT b, round(ln(c::DOUBLE / t) + 1e-7, 6) AS lp FROM cc, tot
+        SELECT b, round(ln(c::DOUBLE / t) + 1e-7, 6) AS lp FROM model, tot
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(-avg(lp.lp) + 1e-7, 4) AS nll
@@ -178,10 +198,14 @@ def char_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     CORPUS-LEVEL bigram distribution — the cheap stand-in for the
     KenLM-perplexity filter (high NLL ⇒ off-distribution: garbled
     encodings, binary spill, wrong-language text). Two aggregations:
-    the bigram count table is at most charset² rows (broadcast to
-    score docs — the model IS the broadcast), the per-doc roll-up is
-    one shuffle on doc_id. At 100 TB the distribution can be fit on a
-    sample without changing the plan shape."""
+    the model is the bigram count table capped to the top
+    ``_BIGRAM_MODEL_CAP`` types (so a CJK-heavy corpus's 10^7+
+    observed types can't blow the broadcast; the cap is mirrored in
+    the oracle), the per-doc roll-up is one shuffle on doc_id.
+    Probabilities stay normalized by the FULL corpus bigram total, so
+    the cap only drops rare types from scoring. At 100 TB the
+    distribution can be fit on a sample without changing the plan
+    shape."""
     d = spread_small(load(spark, sf_dir, "documents")).filter(
         F.length("text") >= 2
     )
@@ -193,7 +217,7 @@ def char_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select("doc_id", F.explode(bigrams).alias("b"))
     cc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
     tot = cc.agg(F.sum("c").alias("t"))
-    lp = cc.join(F.broadcast(tot)).select(
+    lp = bigram_model_capped(cc).join(F.broadcast(tot)).select(
         "b",
         stable_round(F.log(F.col("c").cast("double") / F.col("t")), 6).alias(
             "lp"
@@ -468,8 +492,13 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions and template fragments worth treating as single
     tokens. Adjacent-pair extraction is LINEAR in tokens (never the
     quadratic all-pairs co-occurrence); the unigram table joins in
-    twice by word — vocabulary-sized broadcasts at any corpus scale;
-    the corpus totals ride a broadcast 1-row aggregate."""
+    twice on the word key with NO broadcast hint — a web-scale
+    corpus's unfiltered unigram vocabulary (URLs, hashes, typos) runs
+    to 10^8+ distinct tokens, past any broadcast limit, so the join
+    must be free to shuffle (AQE still broadcasts it when the stats
+    say it fits); the corpus totals ride a broadcast 1-row
+    aggregate. The pair table is pre-filtered to c_ab >= 5 BEFORE the
+    joins, so the shuffled probe side is the surviving pairs only."""
     d = spread_small(load(spark, sf_dir, "documents"))
     tk = tokens(F.col("text"))
     t = d.select(tk.alias("t")).filter(F.size("t") >= 2)
@@ -507,8 +536,8 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pc.filter(F.col("c_ab") >= 5)
         .join(F.broadcast(tot))
-        .join(F.broadcast(a), F.split("pair", " ").getItem(0) == F.col("w_a"))
-        .join(F.broadcast(b), F.split("pair", " ").getItem(1) == F.col("w_b"))
+        .join(a, F.split("pair", " ").getItem(0) == F.col("w_a"))
+        .join(b, F.split("pair", " ").getItem(1) == F.col("w_b"))
         .select(
             "pair",
             F.col("c_ab").cast("long").alias("n_pair"),

@@ -168,7 +168,8 @@ def freshness_last_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
         SELECT DISTINCT user_id,
-               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+               CAST(floor(date_diff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
         FROM events
     ), c AS (
         SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1
@@ -187,8 +188,10 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT user-week projection (map-side combine collapses the
     event volume), a user-keyed MIN, and a final (cohort, offset)
     hash agg; the join key is user_id throughout, so the exchange is
-    reused. Week index = floor(days-since-anchor / 7), identical
-    integer arithmetic in both engines."""
+    reused. Week index = floor(days-since-anchor / 7) — explicit
+    floor() in BOTH engines (DuckDB's ``//`` truncates toward zero, so
+    a pre-anchor timestamp would diverge: -7 // 2 = -3 but
+    floor(-7/2) = -4)."""
     ev = load(spark, sf_dir, "events")
     wk = F.floor(
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))

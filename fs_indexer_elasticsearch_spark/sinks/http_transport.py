@@ -184,6 +184,13 @@ class EsClient(_RetryingClient):
         Returns (deleted, batches).
         """
         if distributed is None:
+            # The count() decides the path, then either path re-reads
+            # `removed` — for an uncached diff that would execute the
+            # caller's (possibly very expensive) upstream plan twice.
+            # Materialize once unless the caller already cached it.
+            sl = removed.storageLevel
+            if not (sl.useMemory or sl.useDisk):
+                removed = removed.localCheckpoint(eager=True)
             distributed = removed.count() > distributed_threshold
         if distributed:
             return delete_from_dataframe_distributed(

@@ -87,16 +87,24 @@ def spread_small(df: DataFrame, min_factor: int = 2) -> DataFrame:
     if files:
         from urllib.parse import unquote, urlparse
 
-        total = 0
+        sizes = []
         for uri in files:
             try:
-                total += os.path.getsize(unquote(urlparse(uri).path) or uri)
+                sizes.append(os.path.getsize(unquote(urlparse(uri).path) or uri))
             except OSError:
                 return df  # can't stat cheaply (remote store): assume wide
         max_pb = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
         )
-        est = min(len(files), max(1, -(-total // max_pb)))
+        # Per-file split estimate: parquet is SPLITTABLE, so one 10 GiB
+        # file scans as ~80 tasks, not 1 — min(len(files), total/max_pb)
+        # would call that "narrow" and round-robin shuffle a large
+        # table, the opposite of this helper's no-op-on-real-scans
+        # contract. Sum of per-file ceil(size/max_pb) instead: a single
+        # big file counts its splits, a pile of small files counts one
+        # task each (Spark packs them, so this over-estimates — which
+        # only makes the guard MORE conservative about repartitioning).
+        est = sum(max(1, -(-sz // max_pb)) for sz in sizes)
         return df.repartition(target) if est * min_factor <= target else df
     if df.rdd.getNumPartitions() * min_factor <= target:
         return df.repartition(target)

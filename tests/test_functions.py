@@ -101,6 +101,23 @@ def test_glob_to_regex_semantics():
     assert not re.match(glob_to_regex("file?.txt"), "file12.txt")
 
 
+def test_glob_negated_class_leading_dash():
+    # [!-a] excludes exactly '-' and 'a' (and '/'); a leading '-' in
+    # the class body must NOT fuse with the injected '/' into a
+    # '/'-to-'a' range (which would wrongly exclude digits and ':').
+    import re
+
+    rx = glob_to_regex("[!-a]")
+    for ch in "b1:Z.":
+        assert re.fullmatch(rx, ch), ch
+    for ch in "-a/":
+        assert not re.fullmatch(rx, ch), ch
+    # Unnegated leading '-' stays literal.
+    rx2 = glob_to_regex("[-a]")
+    assert re.fullmatch(rx2, "-") and re.fullmatch(rx2, "a")
+    assert not re.fullmatch(rx2, "b")
+
+
 def test_skip_filter_matches_reference_fnmatch(spark):
     # Reference semantics (scanner.py:71-97): drop when the whole path
     # OR any component matches a glob.

@@ -124,3 +124,21 @@ def test_spread_small_noop_on_wide_input(spark):
     spread_f = spread_small(small)
     assert spread_f.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert spread_f.count() == n
+
+
+def test_spread_small_noop_on_large_splittable_file(spark):
+    """One LARGE parquet file scans as many splits (parquet is
+    splittable) — the estimate must count splits per file, not files,
+    or spread_small would round-robin shuffle a big table. Simulated
+    by shrinking maxPartitionBytes so the test file counts as >64
+    splits."""
+    from fs_indexer_elasticsearch_spark.tables import spread_small
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "1k")
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert spread_small(df) is df  # no-op: no repartition inserted
+    finally:
+        spark.conf.set(key, old)

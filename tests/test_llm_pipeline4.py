@@ -99,6 +99,40 @@ def test_char_bigram_nll_positive_and_total(spark):
         assert r.n_bigrams >= 1
 
 
+def test_bigram_model_cap_wide_charset(spark):
+    """A corpus whose observed bigram types exceed the cap (the
+    CJK-heavy scenario) must yield a model of exactly `cap` rows,
+    keeping the highest-count bigrams with a deterministic tie-break —
+    the guard that keeps the scoring broadcast bounded."""
+    import pyspark.sql.functions as F
+
+    from fs_indexer_elasticsearch_spark.plans.llm_pipeline4 import (
+        bigram_model_capped,
+    )
+
+    # 200 distinct "bigrams": b000..b199, bigram b_i appearing i+1 times.
+    cc = (
+        spark.range(200)
+        .select(
+            F.format_string("b%03d", F.col("id")).alias("b"),
+            (F.col("id") + 1).alias("c"),
+        )
+    )
+    capped = bigram_model_capped(cc, cap=50).collect()
+    assert len(capped) == 50
+    kept = {r.b for r in capped}
+    # Top-50 by count = the 50 largest ids.
+    assert kept == {f"b{i:03d}" for i in range(150, 200)}
+    # Tie-break determinism: equal counts resolve by bigram ascending.
+    ties = spark.createDataFrame(
+        [("zz", 5), ("aa", 5), ("mm", 5)], "b string, c long"
+    )
+    assert [r.b for r in bigram_model_capped(ties, cap=2).collect()] == [
+        "aa",
+        "mm",
+    ]
+
+
 def test_token_budget_mixture_respects_budget(spark):
     """Per-language running totals never exceed the budget, and the
     kept set is a quality-ranked PREFIX (every kept doc's quality ≥
