@@ -38,6 +38,28 @@ HEADLINE = [
     "split_contamination_ngrams",
 ]
 
+# Newer curation/analytics/quality queries, reported under "extra" so
+# the HEADLINE keys stay stable round-over-round (this repo's bench
+# history shows ±40% box variance — comparability of the headline
+# series matters more than folding new queries into it).
+EXTRA = [
+    "dedup_keep_best",
+    "length_percentile_band",
+    "length_percentile_band_approx",
+    "vocab_concentration",
+    "char_bigram_nll",
+    "token_budget_mixture",
+    "template_prefix_by_source",
+    "chunk_documents",
+    "collocations_pmi",
+    "embedding_outliers",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "skew_salted_hot_join",
+    "ann_recall_at_k",
+    "ann_neardup_recall_lsh",
+]
+
 
 def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
     """Ingest benchmark: scan a generated on-disk tree, normalize, and
@@ -198,6 +220,27 @@ def main() -> None:
             rows[name] = None
             errors[name] = repr(e)[:500]
 
+    # Extra section: steady-state timing (one warm + min-of-2) for the
+    # newer queries, plus the ANN recall values — the quality numbers a
+    # user of the similarity operators asks for alongside the speed.
+    extra: dict[str, float | None] = {}
+    ann_recall: dict[str, float] = {}
+    for name in EXTRA:
+        try:
+            res = QUERIES[name](spark, sf_dir).collect()  # warm-up run
+            steady = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = QUERIES[name](spark, sf_dir).collect()
+                steady.append(time.perf_counter() - t0)
+            extra[name] = round(min(steady), 3)
+            if name in ("ann_recall_at_k", "ann_neardup_recall_lsh"):
+                for r in res:
+                    ann_recall[r["method"]] = r["recall_at_k"]
+        except Exception as e:  # noqa: BLE001
+            extra[name] = None
+            errors[name] = repr(e)[:500]
+
     total = round(sum(t for t in timings.values() if t is not None), 3)
     payload = {
         "metric": "suite_seconds",
@@ -208,6 +251,9 @@ def main() -> None:
         "rows": rows,
         "cold": cold,
         "cold_total": round(sum(c for c in cold.values() if c is not None), 3),
+        "extra": extra,
+        "extra_total": round(sum(t for t in extra.values() if t is not None), 3),
+        "ann_recall": ann_recall,
         **ingest,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }

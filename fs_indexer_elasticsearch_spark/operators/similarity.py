@@ -116,6 +116,35 @@ def ivf_ann_topk(
     return _ranked_topk(scored, k)
 
 
+def recall_against(approx: DataFrame, exact: DataFrame, label: str) -> DataFrame:
+    """Recall@k of an approximate top-k result against exact ground
+    truth: |approx ∩ exact| / |exact|, both (query_id, neighbor_id)
+    sets. One equi-join on the id pair + two 1-row aggregates — the
+    metric costs nothing next to the searches it grades. Returns a
+    single row (method, n_queries, n_truth, n_hits, recall_at_k)."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    tot = e.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.countDistinct("query_id").alias("n_queries"),
+    )
+    hits = e.join(a, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        hits.join(F.broadcast(tot))
+        .select(
+            F.lit(label).alias("method"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            stable_round(
+                F.col("n_hits").cast("double") / F.col("n_truth"), 4
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -19,12 +19,19 @@ from . import misc_queries  # noqa: E402,F401
 from . import olap_queries  # noqa: E402,F401
 from . import timejoin_queries  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
+from . import skew_queries  # noqa: E402,F401
 
 # Registry priority order. External verifiers may sample a prefix of the
 # registry, so the queries exercising the widest operator surface — the
 # dedup / similarity / window / as-of / text-analysis layer plus one
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
+#
+# r6 rotation: the 11 r5 curation queries (local-gate green, never a
+# driver row) and the 4 new r6 queries move INTO the 50-query prefix;
+# displaced are the six TPC-H adaptations rotated in last round (now
+# driver-green) plus nine multi-round driver-green core/per-family
+# queries — all remain covered by the local replica gate + pytest.
 _PRIORITY = [
     # LLM-data-pipeline layer (dedup, similarity, text analysis, multimodal)
     "dedup_exact",
@@ -38,6 +45,9 @@ _PRIORITY = [
     "similarity_bruteforce_topk",
     "similarity_lsh_ann_topk",
     "similarity_ivf_topk",
+    # ANN retrieval-quality gate (new r6): recall@k vs ground truth
+    "ann_recall_at_k",
+    "ann_neardup_recall_lsh",
     "text_quality_stats",
     "lang_id_confusion",
     "doc_fingerprints",
@@ -52,6 +62,21 @@ _PRIORITY = [
     "boilerplate_repetition",
     "bpe_token_estimate",
     "binary_header_parse",
+    # Corpus curation / analytics layer (r5; first driver rows)
+    "dedup_keep_best",
+    "length_percentile_band",
+    "length_percentile_band_approx",
+    "vocab_concentration",
+    "char_bigram_nll",
+    "token_budget_mixture",
+    "template_prefix_by_source",
+    "chunk_documents",
+    "collocations_pmi",
+    "embedding_outliers",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    # Skew-mitigation demonstration (new r6)
+    "skew_salted_hot_join",
     # Event-time windows and temporal joins
     "window_tumbling_10m",
     "window_hopping_10m_5m",
@@ -65,32 +90,27 @@ _PRIORITY = [
     "snapshot_diff_changes",
     "rollup_directory_sizes",
     "q01_pricing_summary",
-    # Remaining per-family representatives not yet prioritized
+    # SQL-surface representative (r4 ERR fixed, one driver-green row)
+    "sql_api_passthrough",
+    # --- 50-query prefix boundary (driver samples a prefix; everything
+    # above has either never had a driver row or anchors a §2 family;
+    # everything below is driver-green from r5 or earlier and stays
+    # green under the local replica gate, CORRECTNESS_LOCAL_r06.json) ---
     "ancestor_path_search",
     "agg_grouping_sets",
     "parse_two_format_dates",
     "stats_summary",
-    "sql_api_passthrough",
-    # Core scan/filter/join/agg/merge representatives (SURVEY.md §2)
     "q03_top_revenue_orders",
     "q05_regional_supplier_volume",
     "agg_count_by_type",
     "agg_conditional_sum",
     "scalar_max_filter",
-    # TPC-H adaptations rotated INTO the prefix in r5: never had a
-    # driver row before (r4 verdict's verification-coverage gap); the
-    # six core-join/agg queries they displace are 4×-driver-green
-    # (r1–r4) and stay under the local replica gate + pytest.
     "q02_min_cost_part",
     "q07_nation_volume",
     "q09_product_profit",
     "q12_late_shipping",
     "q16_supplier_diversity",
     "q21_waiting_suppliers",
-    # --- 50-query prefix boundary (driver samples a prefix; everything
-    # above has either never had a driver row or anchors a §2 family;
-    # everything below is multi-round driver-verified and stays green
-    # under the local replica gate, CORRECTNESS_LOCAL_r05.json) ---
     "distinct_pairs",
     "left_join_enrich",
     "anti_join_missing",

@@ -149,6 +149,73 @@ def length_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "length_percentile_band_approx",
+    oracle="""
+    WITH r AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ), b AS (
+        SELECT lang,
+               CAST(max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                             THEN n_chars END) AS BIGINT) AS lo,
+               CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                             THEN n_chars END) AS BIGINT) AS hi,
+               max(n) AS n_total
+        FROM r GROUP BY lang
+    )
+    SELECT d.lang, CAST(max(b.n_total) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(count(*)::DOUBLE / max(b.n_total) + 1e-7, 4) AS pct_kept,
+           max(b.lo) AS lo, max(b.hi) AS hi
+    FROM documents d JOIN b USING (lang)
+    WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    GROUP BY d.lang
+    """,
+)
+def length_percentile_band_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of ``length_percentile_band``: per-language
+    [p05, p95] band from ``percentile_approx`` (GK sketch,
+    accuracy=10000) instead of exact ``percentile``. Exact percentile
+    holds every group value in memory during the aggregate; the sketch
+    is O(accuracy) per group regardless of corpus size, with rank
+    error ≤ n/accuracy. At gate scale (n per group ≤ accuracy) the
+    sketch stores ALL samples and answers at the exact rank
+    ceil(p·n) — the oracle mirrors that rank arithmetic directly
+    (row_number + count per lang), so this row pins the documented
+    exact↔approx substitution instead of leaving it a docstring claim.
+    Plan shape is identical to the exact variant: k-row aggregate +
+    broadcast filter join."""
+    d = load(spark, sf_dir, "documents")
+    b = d.groupBy("lang").agg(
+        F.expr("percentile_approx(n_chars, 0.05, 10000)")
+        .cast("long")
+        .alias("lo"),
+        F.expr("percentile_approx(n_chars, 0.95, 10000)")
+        .cast("long")
+        .alias("hi"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        d.join(F.broadcast(b), "lang")
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("lang", "lo", "hi", "n_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .select(
+            "lang",
+            F.col("n_total").cast("long").alias("n_total"),
+            "n_kept",
+            stable_round(
+                F.col("n_kept").cast("double") / F.col("n_total"), 4
+            ).alias("pct_kept"),
+            "lo",
+            "hi",
+        )
+    )
+
+
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 

@@ -85,14 +85,33 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String similarity search (edit distance ≤ 3) within a sampled
-    block — the compressed-index string-similarity family (ICDE'22 in
-    PAPERS.md); at scale the block becomes a length+prefix bucket."""
+    """String similarity search (edit distance ≤ 3) via LENGTH-BAND
+    blocking: |len(a)-len(b)| ≤ 3 is a necessary condition for
+    levenshtein ≤ 3, so candidates only need to share a width-4 length
+    band with one side probing its neighbor bands — an EQUI-join on
+    the band key (each pair lands in exactly one band, no dedup
+    needed), never a cross/nested-loop theta join. The oracle is the
+    plain quadratic formulation; blocking is a pure superset filter,
+    so results are identical (the compressed-index string-similarity
+    family, ICDE'22 in PAPERS.md). At scale the band key extends with
+    a prefix/q-gram component to shrink blocks further."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
-    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
-    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    band = F.floor(F.length("p_name") / 4).cast("long")
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("band"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        band.alias("band"),
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", F.levenshtein("name_a", "name_b").alias("dist")
         )

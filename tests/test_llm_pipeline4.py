@@ -186,3 +186,23 @@ def test_collocations_pmi_ranked_and_bounded(spark):
     for r in rows:
         assert r.n_pair >= 5
         assert len(r.pair.split(" ")) == 2
+
+
+def test_ann_recall_floors(spark):
+    """The ANN quality gate: IVF must recover >= 0.8 of brute-force
+    exact top-3 ground truth, and multi-table LSH must recover >= 0.8
+    of planted near-duplicate nearest neighbors (its design regime).
+    Single-table LSH's exact-top-3 recall is reported but not floored:
+    near-zero is the known sign-LSH behavior on weakly similar
+    vectors, which is exactly why the metric exists."""
+    by_method = {
+        r.method: r for r in QUERIES["ann_recall_at_k"](spark, SF_DIR).collect()
+    }
+    assert set(by_method) == {"lsh", "ivf"}
+    assert by_method["ivf"].recall_at_k >= 0.8, by_method["ivf"]
+    assert by_method["ivf"].n_truth == by_method["ivf"].n_queries * 3
+
+    (nd,) = QUERIES["ann_neardup_recall_lsh"](spark, SF_DIR).collect()
+    assert nd.method == "lsh_neardup"
+    assert nd.n_queries == 8
+    assert nd.recall_at_k >= 0.8, nd

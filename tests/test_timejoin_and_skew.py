@@ -72,6 +72,38 @@ def test_salted_join_matches_plain_join(spark):
     assert "_salt" in p
 
 
+def test_skew_salted_hot_join_query(spark):
+    """The registered skew query equals its unsalted twin row-for-row,
+    and its physical plan carries the salt fan-out (explode of the
+    dimension across salt values)."""
+    from tests.conftest import SF_DIR
+
+    from fs_indexer_elasticsearch_spark.plans import QUERIES
+    from fs_indexer_elasticsearch_spark.tables import load
+
+    out = QUERIES["skew_salted_hot_join"](spark, SF_DIR)
+    ev = load(spark, SF_DIR, "events")
+    fact = ev.select(
+        "value",
+        F.when(F.col("event_type") == "view", F.lit(0).cast("long"))
+        .otherwise(F.col("user_id") % 25)
+        .alias("nk"),
+    )
+    dim = load(spark, SF_DIR, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    plain = (
+        fact.join(dim, "nk")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    got = {(r.n_name, r.n_events) for r in out.collect()}
+    want = {(r.n_name, r.n_events) for r in plain.collect()}
+    assert {(n, c) for n, c in got} == want
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in p and ("Explode" in p or "explode" in p)
+
+
 def test_funnel_is_monotone(spark):
     """Each funnel step is a strict refinement of the previous one —
     counts can only shrink; conversion is a valid ratio."""

@@ -52,6 +52,14 @@ ALLOW_NLJ = {
     # PMI totals and the funnel roll-up join 1-row aggregates — O(1).
     "collocations_pmi",
     "funnel_view_click_purchase",
+    # Recall metrics: contain the whitelisted brute-force/IVF plans
+    # (broadcast 8-row query set) plus keyless joins of the 1-row
+    # n_hits and n_truth aggregates — O(n·|Q|) then O(1).
+    "ann_recall_at_k",
+    "ann_neardup_recall_lsh",
+    # Freshness predicate: keyless join against the broadcast 1-row
+    # max(ts) aggregate (the anchor timestamp) — O(n·1).
+    "freshness_last_hours",
 }
 
 # Queries whose scan should show parquet filter pushdown.
@@ -63,7 +71,11 @@ EXPECT_PUSHDOWN = [
     "bpe_token_estimate",
 ]
 
-DEFAULT_AUDIT = [
+# With no names on the command line, the audit covers EVERY registered
+# query (the r5 verdict's coverage gap: an audit is only as strong as
+# its reach). The list below is kept as `--headline` for fast
+# iteration on the most expensive plans.
+HEADLINE_AUDIT = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
     "q05_regional_supplier_volume",
@@ -135,6 +147,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None, help="write a markdown report here")
+    ap.add_argument(
+        "--headline",
+        action="store_true",
+        help="audit only the headline subset instead of every query",
+    )
     ap.add_argument("names", nargs="*")
     a = ap.parse_args()
 
@@ -142,7 +159,7 @@ def main() -> int:
     from fs_indexer_elasticsearch_spark.session import get_spark
 
     spark = get_spark("plan-audit")
-    names = a.names or DEFAULT_AUDIT
+    names = a.names or (HEADLINE_AUDIT if a.headline else list(QUERIES))
     report: list[str] = ["# PLAN_AUDIT — physical plans of the headline queries\n"]
     report.append(
         "Generated by `tools/plan_audit.py` (checks: no cartesian/quadratic "
