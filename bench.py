@@ -61,6 +61,21 @@ EXTRA = [
 ]
 
 
+def _cpu_canary() -> float:
+    """Single-thread CPU-speed canary: a fixed md5 chain, no Spark, no
+    I/O. Reported alongside the suite so round-over-round numbers can
+    be normalized for BOX drift — r6 measured the identical r5 commit
+    at 9.09s one day and 15.9s another on the same nominal hardware;
+    without a canary that reads as a code regression."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"canary"
+    for _ in range(1_000_000):
+        h = hashlib.md5(h).digest()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
     """Ingest benchmark: scan a generated on-disk tree, normalize, and
     merge into a fresh snapshot store — the reference's 'processing
@@ -254,6 +269,7 @@ def main() -> None:
         "extra": extra,
         "extra_total": round(sum(t for t in extra.values() if t is not None), 3),
         "ann_recall": ann_recall,
+        "cpu_canary_sec": _cpu_canary(),
         **ingest,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }

@@ -20,6 +20,11 @@ from . import olap_queries  # noqa: E402,F401
 from . import timejoin_queries  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
 from . import skew_queries  # noqa: E402,F401
+from . import arrow_surface  # noqa: E402,F401
+
+# Assembled below: the 50-query driver prefix. Priority = never-driver-
+# checked first (the newest queries are the least battle-tested), then
+# one anchor per SURVEY.md §2 family.
 
 # Registry priority order. External verifiers may sample a prefix of the
 # registry, so the queries exercising the widest operator surface — the
@@ -49,7 +54,8 @@ _PRIORITY = [
     "ann_recall_at_k",
     "ann_neardup_recall_lsh",
     "text_quality_stats",
-    "lang_id_confusion",
+    # Arrow grouped-map surface (new r6): applyInPandas under the gate
+    "robust_zscore_by_lang",
     "doc_fingerprints",
     "binary_payload_meta",
     # Dataset hygiene & relevance (LLM pipeline part 2)
@@ -77,7 +83,8 @@ _PRIORITY = [
     "retention_cohorts",
     # Skew-mitigation demonstration (new r6)
     "skew_salted_hot_join",
-    # Event-time windows and temporal joins
+    # Event-time windows and temporal joins (+ new r6 range-frame MA)
+    "window_moving_avg_7d",
     "window_tumbling_10m",
     "window_hopping_10m_5m",
     "window_session_30m",
@@ -90,12 +97,12 @@ _PRIORITY = [
     "snapshot_diff_changes",
     "rollup_directory_sizes",
     "q01_pricing_summary",
-    # SQL-surface representative (r4 ERR fixed, one driver-green row)
-    "sql_api_passthrough",
     # --- 50-query prefix boundary (driver samples a prefix; everything
     # above has either never had a driver row or anchors a §2 family;
     # everything below is driver-green from r5 or earlier and stays
     # green under the local replica gate, CORRECTNESS_LOCAL_r06.json) ---
+    "sql_api_passthrough",
+    "lang_id_confusion",
     "ancestor_path_search",
     "agg_grouping_sets",
     "parse_two_format_dates",

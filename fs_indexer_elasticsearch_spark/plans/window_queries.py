@@ -164,6 +164,57 @@ def freshness_last_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_moving_avg_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+               count(*) AS n,
+               round(sum(value) + 1e-7, 2) AS daily_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(n AS BIGINT) AS n,
+           round(avg(n) OVER w + 1e-7, 4) AS ma7_n,
+           round(sum(daily_value) OVER w + 1e-7, 2) AS ma7_value
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average per event type — a VALUE-RANGE
+    window frame (RANGE BETWEEN 6 PRECEDING on the day index), the
+    frame kind the rank/lag query can't exercise: when a type has gap
+    days, the frame still spans exactly 7 calendar days, not 7 rows.
+    Daily pre-aggregation collapses the event volume map-side first,
+    so the window runs over (type × days) rows — at 100 TB the window
+    input is calendar-sized, never event-sized. Daily float sums are
+    stable_round-ed BEFORE the frame sum so both engines add identical
+    doubles."""
+    ev = load(spark, sf_dir, "events")
+    day_idx = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).alias("day_idx")
+    daily = ev.groupBy("event_type", day_idx).agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_round(F.sum("value"), 2).alias("daily_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.col("day_idx").cast("long").alias("day_idx"),
+        F.col("n").cast("long").alias("n"),
+        stable_round(F.avg("n").over(w), 4).alias("ma7_n"),
+        stable_round(F.sum("daily_value").over(w), 2).alias("ma7_value"),
+    )
+
+
+@query(
     "retention_cohorts",
     oracle="""
     WITH w AS (

@@ -130,7 +130,9 @@ def test_registry_priority_prefix_covers_llm_layer():
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "ngram_jaccard_pairs", "dedup_embedding_cosine",
         "similarity_bruteforce_topk", "similarity_lsh_ann_topk",
-        "similarity_ivf_topk", "text_quality_stats", "lang_id_confusion",
+        # lang_id_confusion rotated below the prefix in r6 (multi-round
+        # driver-green) to make room for the Arrow grouped-map query.
+        "similarity_ivf_topk", "text_quality_stats", "robust_zscore_by_lang",
         "doc_fingerprints", "binary_payload_meta",
         "window_tumbling_10m", "window_hopping_10m_5m",
         "window_session_30m", "window_rank_lag_gap",
@@ -142,3 +144,44 @@ def test_registry_priority_prefix_covers_llm_layer():
     assert len(names) == len(set(names))
     missing_oracles = [n for n in names if n not in ORACLES]
     assert missing_oracles == []
+
+
+def test_window_moving_avg_range_frame_spans_calendar_days(spark):
+    """The RANGE frame must cover 7 calendar DAYS, not 7 rows: with
+    gap days, a day's frame includes only days within day_idx-6..day_idx,
+    so ma7_n * frame_days == sum of the included daily counts."""
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["window_moving_avg_7d"](spark, SF_DIR).collect()
+    assert rows
+    daily = {(r.event_type, r.day_idx): r.n for r in rows}
+    for r in rows:
+        window = [
+            daily.get((r.event_type, d))
+            for d in range(r.day_idx - 6, r.day_idx + 1)
+            if (r.event_type, d) in daily
+        ]
+        assert window, r
+        expect = sum(window) / len(window)
+        assert abs(r.ma7_n - expect) < 1e-3, (r, expect)
+
+
+def test_robust_zscore_runs_arrow_grouped_map(spark):
+    """The robust z-score query must execute through the Arrow
+    grouped-map operator (FlatMapGroupsInPandas), never row-at-a-time
+    Python, and its median property must hold: within each language,
+    about half the docs score <= 0."""
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["robust_zscore_by_lang"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.rz)
+    for lang, zs in by_lang.items():
+        neg = sum(1 for z in zs if z <= 0)
+        assert 0.3 <= neg / len(zs) <= 0.7, (lang, neg, len(zs))
