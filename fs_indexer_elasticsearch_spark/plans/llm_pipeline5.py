@@ -1,0 +1,347 @@
+"""Corpus curation operators, part 5: repetition-based quality gates,
+cross-document repeated-span coverage, quantized similarity search.
+
+Three more stages of the pre-training data pipeline (no counterpart in
+the reference engine — this extends the LLM-data hygiene layer of
+llm_pipeline2/3/4):
+
+- ``gopher_quality_flags``: the published Gopher/MassiveText repetition
+  rules (word count band, mean word length band, top-bigram fraction,
+  distinct-word ratio) evaluated per document and rolled up per source.
+  The top-bigram fraction is computed the scale-correct way — explode
+  bigrams → (doc, bigram) count → per-doc max — so the wide explode
+  collapses in map-side partials instead of a per-row quadratic
+  distinct×total array expression.
+- ``crossdoc_shingle_boilerplate``: which documents are dominated by
+  word-5-gram spans that repeat across ≥3 documents (the span-level
+  view of boilerplate, the document-level proxy for exact substring
+  dedup à la "Deduplicating Training Data Makes Language Models
+  Better"). Candidate generation is a shingle-hash groupBy — linear,
+  no pairwise comparison anywhere.
+- ``quantized_ann_int8_topk``: brute-force cosine top-k in symmetric
+  int8-quantized space (per-vector max-abs scaling). The compression
+  story for 100 TB ANN: 4× smaller vectors, integer dot products, and
+  the quantized cosine needs NO dequantization (the per-vector scales
+  cancel in the cosine ratio). Retrieval quality is measured, not
+  assumed: tests/test_llm_pipeline5.py gates recall@3 against
+  ``similarity_bruteforce_topk`` float ground truth.
+
+All three are pure DataFrame plans (no UDFs, no collect); each has a
+DuckDB oracle twin for the hash-compare gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.text import tokens, word_shingles
+from ..tables import load
+from .registry import query, stable_round
+
+# Shared token SQL (mirrors functions.text.tokens).
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id, source,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+                   AS mean_wlen,
+               len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio
+        FROM d WHERE len(toks) > 0
+    ),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM d WHERE len(toks) >= 2
+    ),
+    bgc AS (
+        SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram
+    ),
+    top AS (
+        SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams
+        FROM bgc GROUP BY doc_id
+    ),
+    m AS (
+        SELECT b.source,
+               round(b.mean_wlen + 1e-7, 4) AS mean_wlen,
+               round(b.distinct_ratio + 1e-7, 4) AS distinct_ratio,
+               round(t.top_cnt::DOUBLE / t.n_bigrams + 1e-7, 4) AS top_bigram_frac,
+               CASE WHEN b.n_words BETWEEN 10 AND 100000
+                         AND b.mean_wlen BETWEEN 2 AND 10
+                         AND round(t.top_cnt::DOUBLE / t.n_bigrams + 1e-7, 4) <= 0.20
+                         AND b.distinct_ratio >= 0.30
+                    THEN 1 ELSE 0 END AS pass_all
+        FROM base b JOIN top t USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pass_all) AS BIGINT) AS n_pass,
+           round(avg(top_bigram_frac) + 1e-7, 4) AS avg_top_bigram_frac,
+           round(avg(distinct_ratio) + 1e-7, 4) AS avg_distinct_ratio,
+           round(avg(mean_wlen) + 1e-7, 4) AS avg_mean_wlen
+    FROM m GROUP BY source
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality gate, per source.
+
+    Per-document metrics: word count, mean word length, distinct-word
+    ratio, and the fraction of all bigram occurrences taken by the
+    single most frequent bigram (the "top 2-gram fraction" rule). A
+    document passes when all four sit inside the published bands
+    (word count 10..100k, mean word length 2..10, top-bigram ≤ 0.20,
+    distinct ratio ≥ 0.30 — thresholds from the Gopher paper's
+    repetition filters, adapted to this corpus's scale).
+
+    Plan shape at 100 TB: ONE explode of bigrams that collapses in a
+    map-side partial count keyed (doc_id, bigram) — never a per-row
+    distinct×total quadratic scan — then doc-sized aggregates and a
+    source-sized rollup. Both per-doc ratios are rounded before the
+    flag comparison and before averaging so the two engines branch and
+    sum over identical doubles.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("toks")
+    )
+    base = d.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(F.col("toks"), lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("toks")
+        ).alias("mean_wlen"),
+        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("distinct_ratio"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("toks"), i), F.lit(" "), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    bg = (
+        d.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
+    )
+    top_frac = stable_round(F.col("top_cnt").cast("double") / F.col("n_bigrams"), 4)
+    m = base.join(bg, "doc_id").select(
+        "source",
+        stable_round("mean_wlen", 4).alias("mean_wlen"),
+        stable_round("distinct_ratio", 4).alias("distinct_ratio"),
+        top_frac.alias("top_bigram_frac"),
+        F.when(
+            F.col("n_words").between(10, 100000)
+            & F.col("mean_wlen").between(2, 10)
+            & (top_frac <= 0.20)
+            & (F.col("distinct_ratio") >= 0.30),
+            1,
+        )
+        .otherwise(0)
+        .alias("pass_all"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pass_all").cast("long").alias("n_pass"),
+        stable_round(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+        stable_round(F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+        stable_round(F.avg("mean_wlen"), 4).alias("avg_mean_wlen"),
+    )
+
+
+@query(
+    "crossdoc_shingle_boilerplate",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(toks) >= 5
+                           THEN list_distinct(list_transform(
+                                    range(1, len(toks) - 3),
+                                    i -> array_to_string(toks[i:i+4], ' ')))
+                           ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM d WHERE len(toks) > 0
+    ),
+    hot AS (
+        SELECT shingle, count(*) AS n_docs_sh FROM sh GROUP BY shingle
+    ),
+    cov AS (
+        SELECT s.doc_id, s.source,
+               count(*) AS n_sh,
+               sum(CASE WHEN h.n_docs_sh >= 3 THEN 1 ELSE 0 END) AS n_hot
+        FROM sh s JOIN hot h USING (shingle)
+        GROUP BY s.doc_id, s.source
+    ),
+    per_doc AS (
+        SELECT source, round(n_hot::DOUBLE / n_sh + 1e-7, 4) AS coverage
+        FROM cov
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(coverage) + 1e-7, 4) AS avg_coverage,
+           round(max(coverage) + 1e-7, 4) AS max_coverage,
+           CAST(sum(CASE WHEN coverage >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM per_doc GROUP BY source
+    """,
+)
+def crossdoc_shingle_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span coverage: the fraction of each
+    document's distinct word-5-gram spans that also occur in ≥3
+    documents — the span-level boilerplate diagnostic, and the
+    document-level proxy for exact substring dedup (Lee et al.,
+    "Deduplicating Training Data"). Rolled up per source: average and
+    max coverage plus how many documents are majority-boilerplate.
+
+    Scale shape: shingle generation is in-row (array transform over
+    the token array, distinct per doc), candidate counting is ONE
+    groupBy on the shingle string — linear in corpus size, collapsing
+    in map-side partials. The span occurrence count uses count(*),
+    which equals count(distinct doc) here because each doc contributes
+    its shingle set deduplicated in-row. Nothing pairwise anywhere —
+    this is the same banded/bucketed discipline as the MinHash path
+    (operators/dedup.py).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("toks")
+    )
+    sh = d.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("toks"), 5)).alias("shingle"),
+    )
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_sh"))
+    cov = (
+        sh.join(hot, "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("n_docs_sh") >= 3, 1).otherwise(0)).alias("n_hot"),
+        )
+        .select(
+            "source",
+            stable_round(F.col("n_hot").cast("double") / F.col("n_sh"), 4).alias(
+                "coverage"
+            ),
+        )
+    )
+    return cov.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        stable_round(F.avg("coverage"), 4).alias("avg_coverage"),
+        stable_round(F.max("coverage"), 4).alias("max_coverage"),
+        F.sum(F.when(F.col("coverage") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+# int8 symmetric quantization: q_i = round(x_i * 127 / max|x|). The
+# quantized cosine dot(qa,qb)/(|qa||qb|) needs no dequantization — the
+# per-vector scales cancel — so the whole score is exact integer
+# arithmetic (≤ 64·127² per term, far inside double precision) plus
+# one sqrt/divide, identical in both engines.
+_QVEC_SQL = """
+    list_transform(embedding, x ->
+        round(x::DOUBLE * (127.0 / list_max(list_transform(embedding,
+                                                           v -> abs(v::DOUBLE))))))
+"""
+_QCOS_SQL = """
+    round( list_sum(list_transform(range(1, 65), i -> qv[i] * nv[i]))
+         / ( sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> nv[i] * nv[i]))) )
+         + 1e-7, 6)
+"""
+
+
+@query(
+    "quantized_ann_int8_topk",
+    oracle=f"""
+    WITH coded AS (
+        SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, qvec AS qv FROM coded WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, qvec AS nv FROM coded),
+    scored AS (
+        SELECT query_id, neighbor_id, {_QCOS_SQL} AS q_cos_sim
+        FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, q_cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY q_cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def quantized_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-3 in symmetric int8-quantized space: per-vector
+    max-abs scaling to [-127, 127], integer dot products, and a
+    quantized cosine in which the two scale factors cancel — no
+    dequantization step at all. This is the storage/bandwidth scale
+    path for 100 TB ANN (4× smaller vectors than float32, SIMD-friendly
+    integer math); recall@3 against the float ground truth
+    (similarity_bruteforce_topk) is gated in
+    tests/test_llm_pipeline5.py rather than assumed.
+
+    The quantized values stay integral-valued DOUBLEs in both engines
+    (no int cast — cast rounding conventions differ across engines;
+    round() half-away-from-zero matches) so every product and sum is
+    exact and byte-identical.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    scale = F.lit(127.0) / F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    coded = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * scale)
+        ).alias("qvec"),
+    )
+    q = coded.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qv")
+    )
+    c = coded.select(F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("nv"))
+    dot_qn = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(col), lambda a: a * a), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(dot_qn / (norm("qv") * norm("nv")), 6).alias("q_cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("q_cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

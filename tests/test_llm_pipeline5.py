@@ -1,0 +1,75 @@
+"""Corpus-curation layer part 5 (plans.llm_pipeline5).
+
+The DuckDB oracle gate is the primary correctness check; this file
+covers what the hash-compare can't see: flag-band sanity, coverage
+bounds, and — the one number an ANN user asks first — recall of the
+int8-quantized search against float ground truth.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+from fs_indexer_elasticsearch_spark.plans import ORACLES, QUERIES
+
+NEW = [
+    "gopher_quality_flags",
+    "crossdoc_shingle_boilerplate",
+    "quantized_ann_int8_topk",
+]
+
+
+def test_registered_with_oracles():
+    for name in NEW:
+        assert name in QUERIES and name in ORACLES
+
+
+def test_gopher_flags_bounds(spark):
+    rows = QUERIES["gopher_quality_flags"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_pass <= r.n_docs
+        assert 0.0 < r.avg_top_bigram_frac <= 1.0 + 1e-9
+        assert 0.0 < r.avg_distinct_ratio <= 1.0 + 1e-9
+        assert 0.0 < r.avg_mean_wlen < 20.0
+
+
+def test_crossdoc_boilerplate_bounds(spark):
+    rows = QUERIES["crossdoc_shingle_boilerplate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0
+        assert 0.0 <= r.avg_coverage <= r.max_coverage + 1e-9
+        assert r.max_coverage <= 1.0 + 1e-9
+        assert 0 <= r.n_flagged <= r.n_docs
+
+
+def test_quantized_ann_recall_floor(spark):
+    """int8 max-abs quantization on 64-dim vectors loses almost no
+    ranking information: recall@3 vs the float brute-force ground
+    truth must clear a 0.8 floor (measured ~1.0)."""
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_bruteforce_topk"](spark, SF_DIR).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["quantized_ann_int8_topk"](spark, SF_DIR).collect()
+    }
+    assert truth
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"quantized recall@3 {recall:.3f} below floor"
+
+
+def test_quantized_ann_shape(spark):
+    rows = QUERIES["quantized_ann_int8_topk"](spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+        assert -1.0 - 1e-6 <= r.q_cos_sim <= 1.0 + 1e-6
+    assert len(by_q) == 8
+    for q, members in by_q.items():
+        assert len(members) == 3
+        sims = [m.q_cos_sim for m in members]
+        assert sims == sorted(sims, reverse=True)

@@ -60,6 +60,10 @@ ALLOW_NLJ = {
     # Freshness predicate: keyless join against the broadcast 1-row
     # max(ts) aggregate (the anchor timestamp) — O(n·1).
     "freshness_last_hours",
+    # Quantized brute-force ANN baseline: same shape as
+    # similarity_bruteforce_topk — the broadcast side is the tiny
+    # query-vector set (O(n·|Q|)), not a data relation.
+    "quantized_ann_int8_topk",
 }
 
 # Queries whose scan should show parquet filter pushdown.
