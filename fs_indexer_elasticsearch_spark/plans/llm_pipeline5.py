@@ -345,3 +345,281 @@ def quantized_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator quality, token histogram, dedup cascade
+# ---------------------------------------------------------------------------
+
+# Reuse the dedup layer's shared corpus/shingle/signature SQL fragments
+# and the augmented corpus builder (planted exact + truncated near-dups)
+# so the estimator is graded on the same pairs the dedup path emits.
+from ..functions.text import (  # noqa: E402
+    MINHASH_AB,
+    MINHASH_P,
+    band_hashes,
+    minhash_base,
+    minhash_signature,
+)
+from ..operators.dedup import shingle_sets  # noqa: E402
+from .llm_queries import (  # noqa: E402
+    _aug_corpus,
+    _CORPUS_SQL,
+    _MINHASH_SIG_ITEMS,
+    _SHINGLES_SQL,
+)
+from .registry import ORACLES  # noqa: E402
+
+
+@query(
+    "minhash_estimate_quality",
+    oracle=_CORPUS_SQL
+    + _SHINGLES_SQL
+    + f"""
+    , hbase AS (
+        SELECT sid, shingles,
+               list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P}) AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT sid, shingles, [{_MINHASH_SIG_ITEMS}] AS sg
+        FROM hbase
+    ),
+    bands AS (
+        SELECT sid, b, md5(array_to_string(sg[(4*b+1):(4*b+4)], '|')) AS h
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cands AS (
+        SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h AND a.sid < b.sid
+    ),
+    graded AS (
+        SELECT id_a, id_b,
+               abs(list_sum(list_transform(range(1, 17),
+                       i -> CASE WHEN x.sg[i] = y.sg[i] THEN 1 ELSE 0 END)) / 16.0
+                   - len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                     / (len(x.shingles) + len(y.shingles)
+                        - len(list_intersect(x.shingles, y.shingles)))) AS abs_err
+        FROM cands JOIN sig x ON cands.id_a = x.sid JOIN sig y ON cands.id_b = y.sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs_err) + 1e-7, 4) AS avg_abs_err,
+           round(max(abs_err) + 1e-7, 4) AS max_abs_err,
+           CAST(sum(CASE WHEN abs_err > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_err_gt_03
+    FROM graded
+    """,
+)
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grade the MinHash ESTIMATOR itself (measure-don't-assume, the
+    ann_recall_at_k discipline applied to the dedup path): for every
+    LSH candidate pair, compare the signature-based Jaccard estimate
+    (matching components / 16) against the exact shingle-set Jaccard,
+    and summarize the absolute error. With 16 permutations the
+    single-pair std at s≈0.5 is ~0.125, so avg error ~0.1 is the
+    expected regime — the committed number documents what the 4×4
+    banding's verify step is protecting against.
+
+    Same plan shape as dedup_minhash_lsh (banded bucket self-join;
+    candidates only, never all pairs) plus one error aggregate.
+    """
+    sh = shingle_sets(_aug_corpus(spark, sf_dir), "doc_id", "text", 3).cache()
+    based = sh.select("sid", "shingles", minhash_base(F.col("shingles")).alias("mhb"))
+    sig = based.select(
+        "sid", "shingles", *minhash_signature(F.col("mhb"), 16)
+    ).withColumn("sg", F.array(*[F.col(f"mh_{i}") for i in range(16)]))
+    banded = sig.select("sid", *band_hashes([f"mh_{i}" for i in range(16)], 4))
+    long = (
+        banded.select(
+            "sid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("h"))
+                        for b in range(4)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("sid", "band.b", "band.h")
+        .cache()
+    )
+    a, b_ = long.alias("a"), long.alias("b")
+    cands = (
+        a.join(b_, (F.col("a.b") == F.col("b.b")) & (F.col("a.h") == F.col("b.h")))
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+    xa = sig.select(
+        F.col("sid").alias("id_a"), F.col("shingles").alias("sh_a"),
+        F.col("sg").alias("sg_a"),
+    )
+    xb = sig.select(
+        F.col("sid").alias("id_b"), F.col("shingles").alias("sh_b"),
+        F.col("sg").alias("sg_b"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sg_a"), F.col("sg_b"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(16.0)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    graded = (
+        cands.join(xa, "id_a").join(xb, "id_b").select(F.abs(est - exact).alias("abs_err"))
+    )
+    return graded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        stable_round(F.avg("abs_err"), 4).alias("avg_abs_err"),
+        stable_round(F.max("abs_err"), 4).alias("max_abs_err"),
+        F.sum(F.when(F.col("abs_err") > 0.3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_err_gt_03"),
+    )
+
+
+@query(
+    "token_count_histogram",
+    oracle=f"""
+    WITH d AS (
+        SELECT len({_TOKS_SQL}) AS n_tokens FROM documents
+    ),
+    b AS (
+        SELECT length(bin(n_tokens)) - 1 AS bucket, n_tokens
+        FROM d WHERE n_tokens > 0
+    ),
+    g AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_docs, min_tokens, max_tokens,
+           round(n_docs::DOUBLE / sum(n_docs) OVER () + 1e-7, 4) AS share
+    FROM g
+    """,
+)
+def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of tokens-per-document — the sequence-
+    length profile a tokenization/packing stage plans against (batch
+    shapes, padding waste, chunking policy). The log2 bucket is
+    INTEGER-exact in both engines — length(bin(n)) - 1, no floating
+    log whose last-ulp could flip a boundary value's bucket.
+
+    Scale shape: per-row token count (in-row, codegen), a bucket-keyed
+    aggregate (≤64 buckets regardless of corpus size), and one
+    window-total over the bucket-sized result for shares.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        F.size(tokens("text")).alias("n_tokens")
+    )
+    g = (
+        d.filter(F.col("n_tokens") > 0)
+        .select((F.length(F.bin("n_tokens")) - 1).alias("bucket"), "n_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+    total = Window.partitionBy()
+    return g.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        stable_round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(total), 4
+        ).alias("share"),
+    )
+
+
+def _cascade_oracle() -> str:
+    pairs = ORACLES["dedup_minhash_lsh"]
+    return (
+        _CORPUS_SQL
+        + f"""
+    , keep AS (
+        SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+    ),
+    pairs AS (SELECT id_a, id_b FROM ({pairs})),
+    drops AS (
+        SELECT DISTINCT p.id_b AS doc_id
+        FROM pairs p
+        JOIN keep ka ON p.id_a = ka.doc_id
+        JOIN keep kb ON p.id_b = kb.doc_id
+    ),
+    c AS (
+        SELECT (SELECT count(*) FROM corpus) AS n_raw,
+               (SELECT count(*) FROM keep) AS n_after_exact,
+               (SELECT count(*) FROM keep) - (SELECT count(*) FROM drops)
+                   AS n_after_neardup
+    )
+    SELECT CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(n_after_exact AS BIGINT) AS n_after_exact,
+           CAST(n_after_neardup AS BIGINT) AS n_after_neardup,
+           round(n_after_neardup::DOUBLE / n_raw + 1e-7, 4) AS pct_kept
+    FROM c
+    """
+    )
+
+
+@query("dedup_cascade_attrition", oracle=_cascade_oracle())
+def dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline END-TO-END: raw corpus → exact dedup (keep
+    min doc_id per content hash) → near-dup removal (drop the greater
+    id of every verified MinHash pair whose BOTH endpoints survived
+    exact dedup), reported as stage attrition counts — the one-row
+    summary a curation run logs per snapshot.
+
+    Composition note: the greater-id drop rule is deliberately
+    pairwise-greedy (deterministic, engine-portable); the transitively
+    consistent variant is dedup_connected_components, which this
+    cascade's pair set feeds unchanged. The three stage counts are
+    1-row aggregates joined keylessly — O(1) broadcast joins, plan-
+    audit whitelisted like every other scalar-aggregate join.
+    """
+    from ..operators.dedup import minhash_lsh_pairs
+
+    corpus = _aug_corpus(spark, sf_dir).cache()
+    n_raw = corpus.agg(F.count(F.lit(1)).alias("n_raw"))
+    keep = (
+        corpus.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .cache()
+    )
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3, threshold=0.5
+    )
+    drops = (
+        pairs.join(keep.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(keep.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    n_keep = keep.agg(F.count(F.lit(1)).alias("n_after_exact"))
+    n_drop = drops.agg(F.count(F.lit(1)).alias("n_drops"))
+    return (
+        n_raw.join(n_keep)
+        .join(n_drop)
+        .select(
+            F.col("n_raw").cast("long").alias("n_raw"),
+            F.col("n_after_exact").cast("long").alias("n_after_exact"),
+            (F.col("n_after_exact") - F.col("n_drops"))
+            .cast("long")
+            .alias("n_after_neardup"),
+            stable_round(
+                (F.col("n_after_exact") - F.col("n_drops")).cast("double")
+                / F.col("n_raw"),
+                4,
+            ).alias("pct_kept"),
+        )
+    )

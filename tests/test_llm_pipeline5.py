@@ -73,3 +73,32 @@ def test_quantized_ann_shape(spark):
         assert len(members) == 3
         sims = [m.q_cos_sim for m in members]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_minhash_estimate_quality_regime(spark):
+    """16-permutation estimator: average |est - exact| on candidate
+    pairs sits in the expected ~0.1 regime, never past 0.6."""
+    row = QUERIES["minhash_estimate_quality"](spark, SF_DIR).collect()[0]
+    assert row.n_pairs > 0
+    assert 0.0 <= row.avg_abs_err <= 0.2
+    assert row.max_abs_err <= 0.6
+    assert 0 <= row.n_err_gt_03 <= row.n_pairs
+
+
+def test_token_count_histogram_partitions_corpus(spark):
+    rows = QUERIES["token_count_histogram"](spark, SF_DIR).collect()
+    assert rows
+    share_total = sum(r.share for r in rows)
+    assert abs(share_total - 1.0) < 0.01
+    for r in rows:
+        # every member of bucket b has floor(log2(n_tokens)) == b
+        assert 2**r.bucket <= r.min_tokens <= r.max_tokens < 2 ** (r.bucket + 1)
+
+
+def test_dedup_cascade_monotone(spark):
+    row = QUERIES["dedup_cascade_attrition"](spark, SF_DIR).collect()[0]
+    assert row.n_raw >= row.n_after_exact >= row.n_after_neardup > 0
+    # planted dups guarantee both stages remove something
+    assert row.n_after_exact < row.n_raw
+    assert row.n_after_neardup < row.n_after_exact
+    assert abs(row.pct_kept - row.n_after_neardup / row.n_raw) < 1e-3

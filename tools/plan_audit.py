@@ -64,6 +64,9 @@ ALLOW_NLJ = {
     # similarity_bruteforce_topk — the broadcast side is the tiny
     # query-vector set (O(n·|Q|)), not a data relation.
     "quantized_ann_int8_topk",
+    # Cascade summary: keyless joins of three 1-row stage-count
+    # aggregates (n_raw × n_after_exact × n_drops) — O(1).
+    "dedup_cascade_attrition",
 }
 
 # Queries whose scan should show parquet filter pushdown.
