@@ -17,6 +17,7 @@ from . import llm_pipeline3  # noqa: E402,F401
 from . import llm_pipeline4  # noqa: E402,F401
 from . import llm_pipeline5  # noqa: E402,F401
 from . import profiling_queries  # noqa: E402,F401
+from . import scale_queries  # noqa: E402,F401
 from . import misc_queries  # noqa: E402,F401
 from . import olap_queries  # noqa: E402,F401
 from . import timejoin_queries  # noqa: E402,F401

@@ -1,0 +1,190 @@
+"""Scale-pattern demonstrations: algebraic incremental aggregate
+maintenance and an iterative PageRank with drift-pinned rounds.
+
+Two patterns every 100 TB deployment leans on, registered as oracle-
+gated queries so they are verified, not asserted:
+
+- ``incremental_agg_maintenance``: a daily-snapshot aggregate updated
+  by MERGING a delta's partial aggregate into yesterday's result —
+  count and sum are algebraic (mergeable partials), so the update
+  touches |delta| + |groups| rows instead of rescanning the corpus.
+  The oracle is the FULL recompute over base ∪ delta: the gate proves
+  the merged result is indistinguishable from the rescan. This is the
+  aggregate-side counterpart of the SnapshotStore's merge
+  (sinks/snapshot.py) and the foreachBatch incremental pipeline
+  (streaming/pipeline.py) — the reference's closest analog is its
+  scan-over-scan freshness logic (scanner.py:414-463), which always
+  rescans.
+- ``pagerank_neardup_graph``: 8 fixed PageRank rounds over the
+  undirected MinHash near-dup graph (damping 0.85). Iterative float
+  algorithms diverge across engines via summation order, so each
+  round's rank is rounded to 10 decimals (+1e-12 boundary shift) in
+  BOTH engines — the same drift-pinning idea as stable_round, applied
+  per iteration so error cannot compound. The Spark loop truncates
+  lineage per round (lazy localCheckpoint — the connected_components
+  hygiene, operators/dedup.py:236-312); the oracle unrolls the same
+  rounds as chained CTEs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import minhash_lsh_pairs
+from ..tables import load
+from .llm_queries import _aug_corpus
+from .registry import ORACLES, query, stable_round
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_delta,
+           round(sum(value) + 1e-7, 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a per-event-type (count, sum) aggregate INCREMENTALLY:
+    yesterday's snapshot aggregate (event_id % 20 != 0) merged with
+    the delta's partial aggregate (event_id % 20 == 0) via a full-outer
+    join and coalesced partial merges — never rescanning the base.
+
+    The oracle recomputes from scratch over the whole table; the hash
+    gate therefore proves the algebraic identity agg(base ∪ delta) =
+    merge(agg(base), agg(delta)) holds bit-stably after rounding. At
+    100 TB this is the difference between touching a day's partition
+    and touching three years of them; it works precisely because
+    count/sum/min/max are mergeable partials (avg = sum/count at read
+    time) — the same property Spark's own partial aggregation exploits
+    map-side.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 20 != 0)
+    delta = ev.filter(F.col("event_id") % 20 == 0)
+    old = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum("value").alias("s0")
+    )
+    inc = delta.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("value").alias("s1")
+    )
+    return old.join(inc, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        F.coalesce("n1", F.lit(0)).cast("long").alias("n_delta"),
+        stable_round(
+            F.coalesce("s0", F.lit(0.0)) + F.coalesce("s1", F.lit(0.0)), 4
+        ).alias("total_value"),
+    )
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 8
+
+
+def _pagerank_oracle() -> str:
+    pairs = ORACLES["dedup_minhash_lsh"]
+    ctes = [
+        f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({pairs})),
+    sym AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+    r0 AS (SELECT u AS node, round(1.0 / n + 1e-12, 10) AS rank FROM deg, nn)
+    """
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"""
+    , r{i + 1} AS (
+        SELECT s.v AS node,
+               round((1.0 - {_PR_DAMP}) / max(nn.n)
+                     + {_PR_DAMP} * sum(r{i}.rank / d.deg) + 1e-12, 10) AS rank
+        FROM sym s JOIN r{i} ON s.u = r{i}.node JOIN deg d ON s.u = d.u, nn
+        GROUP BY s.v
+    )
+    """
+        )
+    return (
+        "".join(ctes)
+        + f"""
+    SELECT node, round(rank + 1e-7, 6) AS rank
+    FROM r{_PR_ITERS} ORDER BY rank DESC, node LIMIT 10
+    """
+    )
+
+
+@query("pagerank_neardup_graph", oracle=_pagerank_oracle())
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 8 fixed rounds) over the undirected
+    MinHash near-dup graph; returns the top-10 nodes — the "most
+    duplicated" documents, the ones whose removal shrinks the corpus
+    most. Every node has degree ≥ 1 by construction (no dangling-mass
+    term needed).
+
+    Engine-stability: each round's rank is rounded to 10 decimals
+    (+1e-12 boundary shift) in both engines, so cross-engine summation
+    -order differences (~1e-16 per round) are flattened before they
+    can compound across iterations — without this, 8 rounds of float
+    drift would make a hash-compare meaningless.
+
+    Scale shape: one round = an equi-join of the rank vector with the
+    symmetrized edge list + a groupBy-sum on the destination — the
+    textbook distributed PageRank step, O(E) per round, nothing
+    quadratic, per-round lazy localCheckpoint keeping round k's plan
+    O(1) instead of O(k) (same hygiene as connected_components).
+    """
+    pairs = minhash_lsh_pairs(
+        _aug_corpus(spark, sf_dir), "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+    ).localCheckpoint(eager=False)
+    sym = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # n is loop-invariant: attach it to the degree table ONCE (1-row
+    # broadcast join, plan-audit whitelisted scalar pattern) so the
+    # iteration body contains only keyed joins.
+    degn = deg.join(F.broadcast(nn)).localCheckpoint(eager=False)
+    ranks = degn.select(
+        F.col("u").alias("node"), F.round(1.0 / F.col("n") + 1e-12, 10).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            sym.join(ranks, sym.u == ranks.node)
+            .join(degn.select("u", "deg", "n"), "u")
+            .select(
+                F.col("v"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+                F.col("n"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("v")
+            .agg(
+                F.round(
+                    (1.0 - _PR_DAMP) / F.max("n") + _PR_DAMP * F.sum("c") + 1e-12, 10
+                ).alias("rank")
+            )
+            .select(F.col("v").alias("node"), "rank")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select("node", stable_round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(10)
+    )
