@@ -16,6 +16,7 @@ from . import llm_pipeline2  # noqa: E402,F401
 from . import llm_pipeline3  # noqa: E402,F401
 from . import llm_pipeline4  # noqa: E402,F401
 from . import llm_pipeline5  # noqa: E402,F401
+from . import llm_pipeline6  # noqa: E402,F401
 from . import profiling_queries  # noqa: E402,F401
 from . import scale_queries  # noqa: E402,F401
 from . import misc_queries  # noqa: E402,F401
@@ -36,21 +37,20 @@ from . import arrow_surface  # noqa: E402,F401
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
 # r6 rotation: the 11 r5 curation queries (local-gate green, never a
-# driver row) and the 4 new r6 queries move INTO the 50-query prefix;
-# displaced are the six TPC-H adaptations rotated in last round (now
-# driver-green) plus nine multi-round driver-green core/per-family
-# queries — all remain covered by the local replica gate + pytest.
+# driver row) and the 8 new r6 queries (recall gates, robust z-score,
+# salted skew join, training-export layer) move INTO the 50-query
+# prefix; displaced are the six TPC-H adaptations rotated in last
+# round (now driver-green) plus a dozen multi-round driver-green
+# core/per-family queries — all remain covered by the local replica
+# gate + pytest.
 _PRIORITY = [
     # LLM-data-pipeline layer (dedup, similarity, text analysis, multimodal)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "dedup_simhash",
-    "ngram_jaccard_pairs",
     "dedup_embedding_cosine",
     "semantic_dedup_clusters",
     "kmeans_cluster_profile",
-    "similarity_bruteforce_topk",
     "similarity_lsh_ann_topk",
     "similarity_ivf_topk",
     # ANN retrieval-quality gate (new r6): recall@k vs ground truth
@@ -84,12 +84,17 @@ _PRIORITY = [
     "embedding_outliers",
     "funnel_view_click_purchase",
     "retention_cohorts",
+    # Training-export layer (new r6): packing, sharding, curriculum,
+    # context sizing
+    "sequence_packing_stats",
+    "shard_balance_audit",
+    "curriculum_quality_deciles",
+    "context_truncation_loss",
     # Skew-mitigation demonstration (new r6)
     "skew_salted_hot_join",
     # Event-time windows and temporal joins (+ new r6 range-frame MA)
     "window_moving_avg_7d",
     "window_tumbling_10m",
-    "window_hopping_10m_5m",
     "window_session_30m",
     "window_rank_lag_gap",
     "asof_click_before_purchase",
@@ -104,6 +109,10 @@ _PRIORITY = [
     # above has either never had a driver row or anchors a §2 family;
     # everything below is driver-green from r5 or earlier and stays
     # green under the local replica gate, CORRECTNESS_LOCAL_r06.json) ---
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "similarity_bruteforce_topk",
+    "window_hopping_10m_5m",
     "sql_api_passthrough",
     "lang_id_confusion",
     "ancestor_path_search",
