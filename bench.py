@@ -58,6 +58,10 @@ EXTRA = [
     "skew_salted_hot_join",
     "ann_recall_at_k",
     "ann_neardup_recall_lsh",
+    "sequence_packing_stats",
+    "shard_balance_audit",
+    "curriculum_quality_deciles",
+    "context_truncation_loss",
 ]
 
 

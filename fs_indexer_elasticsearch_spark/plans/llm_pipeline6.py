@@ -49,18 +49,28 @@ PACK_SHARDS = 8
 AUDIT_SHARDS = 16
 
 
+_HEX = "0123456789abcdef"
+
+
 def _shard_col(n: int) -> F.Column:
-    """Deterministic content shard in [0, n): first hex char of
-    md5(doc_id). md5 produces identical bytes in Spark and DuckDB, so
-    the oracle can mirror the assignment exactly (the engines' native
-    hash functions differ)."""
-    return (
-        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % n
+    """Deterministic content shard in [0, n): first byte of
+    md5(doc_id), decoded via an exact nibble lookup. md5 produces
+    identical bytes in Spark and DuckDB, so the oracle can mirror the
+    assignment exactly (the engines' native hash functions differ).
+    The lookup must be exact — ``ascii(ch) % n`` folds '8'/'9' onto
+    'a'..'f' residues and leaves slots empty, skewing shards 3x."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    byte = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
     )
+    return byte % n
 
 
 def _shard_sql(n: int) -> str:
-    return f"ascii(substr(md5(doc_id::VARCHAR), 1, 1)) % {n}"
+    return (
+        f"((instr('{_HEX}', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) % {n}"
+    )
 
 
 # ---------------------------------------------------------------------------
