@@ -62,6 +62,8 @@ EXTRA = [
     "shard_balance_audit",
     "curriculum_quality_deciles",
     "context_truncation_loss",
+    "weighted_sample_stats",
+    "mixture_temperature_weights",
 ]
 
 

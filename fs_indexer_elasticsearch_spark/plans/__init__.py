@@ -59,7 +59,6 @@ _PRIORITY = [
     "text_quality_stats",
     # Arrow grouped-map surface (new r6): applyInPandas under the gate
     "robust_zscore_by_lang",
-    "doc_fingerprints",
     "binary_payload_meta",
     # Dataset hygiene & relevance (LLM pipeline part 2)
     "bm25_search_topk",
@@ -90,11 +89,12 @@ _PRIORITY = [
     "shard_balance_audit",
     "curriculum_quality_deciles",
     "context_truncation_loss",
+    "weighted_sample_stats",
+    "mixture_temperature_weights",
     # Skew-mitigation demonstration (new r6)
     "skew_salted_hot_join",
     # Event-time windows and temporal joins (+ new r6 range-frame MA)
     "window_moving_avg_7d",
-    "window_tumbling_10m",
     "window_session_30m",
     "window_rank_lag_gap",
     "asof_click_before_purchase",
@@ -110,6 +110,8 @@ _PRIORITY = [
     # everything below is driver-green from r5 or earlier and stays
     # green under the local replica gate, CORRECTNESS_LOCAL_r06.json) ---
     "dedup_simhash",
+    "doc_fingerprints",
+    "window_tumbling_10m",
     "ngram_jaccard_pairs",
     "similarity_bruteforce_topk",
     "window_hopping_10m_5m",

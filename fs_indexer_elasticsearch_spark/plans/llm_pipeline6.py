@@ -286,6 +286,201 @@ def curriculum_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CTX_SIZES = (256, 512, 1024, 2048)
 
+# ---------------------------------------------------------------------------
+# weighted_sample_stats
+# ---------------------------------------------------------------------------
+
+#: Docs sampled per language.
+SAMPLE_K = 200
+
+# Exact uniform in (0, 1): first 6 md5 hex chars decoded to an integer
+# in [0, 16^6) then shifted by +1 (never 0) over 16^6 — exactly
+# representable in a double, so both engines compute the identical u.
+_U_DENOM = 16**6
+
+
+def _u_col() -> F.Column:
+    h = F.md5(F.col("doc_id").cast("string"))
+    v = F.lit(0)
+    for i in range(6):
+        v = v * 16 + (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1)
+    return (v + 1) / F.lit(float(_U_DENOM))
+
+
+def _u_sql() -> str:
+    # Horner form mirroring _u_col's left fold.
+    expr = f"(instr('{_HEX}', substr(h, 1, 1)) - 1)"
+    for i in range(2, 7):
+        expr = f"({expr}) * 16 + (instr('{_HEX}', substr(h, {i}, 1)) - 1)"
+    return f"(({expr}) + 1) / {float(_U_DENOM)}"
+
+
+_SAMPLE_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h,
+           len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS tok,
+           len(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')))::DOUBLE
+               / len(list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '')) AS score
+    FROM documents
+    WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+              x -> x <> '')) > 0
+),
+w AS (
+    SELECT doc_id, lang, tok,
+           CASE WHEN score >= 0.8 THEN 4
+                WHEN score >= 0.5 THEN 2 ELSE 1 END AS weight,
+           {_u_sql()} AS u
+    FROM d
+),
+p AS (
+    SELECT doc_id, lang, tok, weight,
+           CASE weight WHEN 1 THEN u
+                       WHEN 2 THEN sqrt(u)
+                       ELSE sqrt(sqrt(u)) END AS priority
+    FROM w
+),
+r AS (
+    SELECT lang, tok, weight,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY priority DESC, doc_id) AS rn
+    FROM p
+)
+SELECT lang, weight,
+       count(*) AS n_sampled,
+       CAST(sum(tok) AS BIGINT) AS sampled_tokens
+FROM r WHERE rn <= {SAMPLE_K}
+GROUP BY lang, weight
+"""
+
+
+@query("weighted_sample_stats", oracle=_SAMPLE_ORACLE)
+def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each doc draws priority u^(1/w) from a
+    content-derived uniform and the top SAMPLE_K per language are the
+    sample; higher-quality weight classes (w = 1/2/4 by distinct-token
+    ratio band) are overrepresented proportionally. Output: sample
+    composition per (lang, weight).
+
+    Cross-engine determinism is engineered, not assumed: u is an
+    md5-derived dyadic rational (exact in a double) and the weights
+    are powers of two, so u^(1/w) is an IEEE-exact sqrt chain — no
+    transcendental whose last-ulp could differ between Spark and
+    DuckDB and flip a rank at the selection boundary.
+
+    Scale: the per-language top-K runs as a two-phase tournament —
+    per (lang, content-shard) top-K first, then top-K of the
+    SAMPLE_K x PACK_SHARDS survivors — so no window partition ever
+    holds a whole language (same reason sequence_packing_stats
+    shards). Phase 2 operates on K x shards rows per language.
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("tok"),
+        F.size(distinct_tokens("text")).alias("dtok"),
+    ).where(F.col("tok") > 0)
+    score = F.col("dtok") / F.col("tok")
+    weight = (
+        F.when(score >= 0.8, 4).when(score >= 0.5, 2).otherwise(1)
+    )
+    u = _u_col()
+    priority = (
+        F.when(F.col("weight") == 1, F.col("u"))
+        .when(F.col("weight") == 2, F.sqrt("u"))
+        .otherwise(F.sqrt(F.sqrt("u")))
+    )
+    p = (
+        d.withColumn("weight", weight)
+        .withColumn("u", u)
+        .withColumn("priority", priority)
+        .withColumn("shard", _shard_col(PACK_SHARDS))
+    )
+    # Phase 1: per-(lang, shard) top-K — every global top-K member is
+    # its shard's top-K, so no candidate is lost.
+    w1 = Window.partitionBy("lang", "shard").orderBy(
+        F.col("priority").desc(), "doc_id"
+    )
+    cand = p.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") <= SAMPLE_K
+    )
+    # Phase 2: top-K of the K x shards survivors per language.
+    w2 = Window.partitionBy("lang").orderBy(F.col("priority").desc(), "doc_id")
+    sample = cand.withColumn("rn2", F.row_number().over(w2)).where(
+        F.col("rn2") <= SAMPLE_K
+    )
+    return sample.groupBy("lang", "weight").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("tok").alias("sampled_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture_temperature_weights
+# ---------------------------------------------------------------------------
+
+#: Token budget the epoch plan is computed against.
+MIX_BUDGET = 2_000_000
+
+_TEMP_ORACLE = f"""
+WITH s AS (
+    SELECT source,
+           CAST(sum(len(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+t AS (
+    SELECT source, n_tokens,
+           n_tokens::DOUBLE / sum(n_tokens) OVER () AS p_nat,
+           sqrt(n_tokens::DOUBLE) / sum(sqrt(n_tokens::DOUBLE)) OVER ()
+               AS p_alpha
+    FROM s
+)
+SELECT source, n_tokens,
+       round(p_nat + 1e-7, 6) AS p_natural,
+       round(p_alpha + 1e-7, 6) AS p_temperature,
+       round(p_alpha * {MIX_BUDGET} / n_tokens + 1e-7, 4) AS epochs_at_budget
+FROM t
+"""
+
+
+@query("mixture_temperature_weights", oracle=_TEMP_ORACLE)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (p_i proportional to n_i^alpha,
+    alpha = 0.5): the XLM-R-style reweighting that upsamples small
+    sources; reports each source's natural share, temperature share,
+    and the epochs over its data implied by a MIX_BUDGET-token
+    sampling plan (epochs > 1 = the source repeats).
+
+    alpha = 0.5 is computed as sqrt (IEEE-exact, cross-engine safe).
+    The window runs over the per-source aggregate — a handful of rows
+    — after the distributed token count, so the empty-partition
+    window is a driver-sized final step.
+    """
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    p_nat = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    p_alpha = F.sqrt(F.col("n_tokens")) / F.sum(F.sqrt(F.col("n_tokens"))).over(w)
+    return s.select(
+        "source",
+        "n_tokens",
+        stable_round(p_nat, 6).alias("p_natural"),
+        stable_round(p_alpha, 6).alias("p_temperature"),
+        stable_round(p_alpha * MIX_BUDGET / F.col("n_tokens"), 4).alias(
+            "epochs_at_budget"
+        ),
+    )
+
 _CTX_ORACLE = f"""
 WITH d AS (
     SELECT len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
