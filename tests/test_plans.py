@@ -127,14 +127,19 @@ def test_registry_priority_prefix_covers_llm_layer():
     names = list(QUERIES.keys())
     first50 = set(names[:50])
     required = {
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-        "ngram_jaccard_pairs", "dedup_embedding_cosine",
-        "similarity_bruteforce_topk", "similarity_lsh_ann_topk",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
+        "similarity_lsh_ann_topk",
+        # dedup_simhash / ngram_jaccard_pairs / similarity_bruteforce_topk /
+        # doc_fingerprints / window_tumbling_10m / window_hopping_10m_5m /
         # lang_id_confusion rotated below the prefix in r6 (multi-round
-        # driver-green) to make room for the Arrow grouped-map query.
+        # driver-green) to make room for the never-driver-checked r5
+        # curation queries, the ANN recall gates, and the training-export
+        # layer — the driver's hard signal goes to the least-tested first.
         "similarity_ivf_topk", "text_quality_stats", "robust_zscore_by_lang",
-        "doc_fingerprints", "binary_payload_meta",
-        "window_tumbling_10m", "window_hopping_10m_5m",
+        "ann_recall_at_k", "ann_neardup_recall_lsh", "binary_payload_meta",
+        "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
+        "sequence_packing_stats", "shard_balance_audit",
+        "curriculum_quality_deciles", "skew_salted_hot_join",
         "window_session_30m", "window_rank_lag_gap",
         "asof_click_before_purchase", "range_join_error_after_purchase",
         "merge_upsert_newer_wins", "snapshot_diff_changes",
