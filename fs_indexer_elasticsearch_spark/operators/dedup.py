@@ -146,12 +146,30 @@ def simhash_pairs(
 
     The fingerprint is two 32-bit words (lo = md5 hex 1-8 per token,
     hi = hex 9-16) — overflow-free and byte-portable across engines
-    (see functions.text.simhash64_words). With 8 bands of 8 bits, any
-    pair within Hamming distance 7 shares at least one band, so for
-    max_hamming <= 7 the blocking has EXACT recall (pigeonhole), not
-    the probabilistic recall of the 32-bit 4-band variant it replaces
-    (which also saturated on near-identical corpora — 32 bits give
-    birthday collisions at ~2^16 distinct word-bags)."""
+    (see functions.text.simhash64_words).
+
+    Blocking adapts to the Hamming budget (Manku/Jain/Das Sarma-style
+    multi-block keys, WWW'07 "Detecting Near-Duplicates for Web
+    Crawling"):
+
+    - ``max_hamming <= 6`` (the default): key on every PAIR of the 8
+      bytes — C(8,2) = 28 keys of 16 bits. Any pair within Hamming 6
+      flips bits in at most 6 bands, leaving >= 2 bands intact, so
+      some byte-pair key matches (pigeonhole — EXACT recall). 65,536
+      bucket values per key vs 256 for single bytes: mean bucket
+      occupancy, and with it the quadratic verify term, drops ~256x.
+      The weak-scaling stress (SCALE_STRESS.json) caught the
+      single-byte scheme bending superlinear (x4->x16 alpha 1.55 on
+      the amplified corpus) — 256 buckets cannot block a large
+      corpus; 2^16 defers the bend by that factor and the same
+      construction extends to triples if a deployment needs more.
+    - ``max_hamming >= 7``: single-byte bands (8 x 8 bits), exact to
+      Hamming 7 by the 1-intact-band pigeonhole.
+
+    Either way the final predicate verifies true Hamming distance on
+    candidates, so the emitted pair set is identical under both
+    blockings — which is why the DuckDB oracle twin (single-byte
+    blocking) stays byte-for-byte comparable."""
     s = (
         spread_small(df)
         .select(
@@ -171,15 +189,23 @@ def simhash_pairs(
         )
         .cache()
     )
-    bands = [
-        F.struct(
-            F.lit(b).alias("b"),
-            F.shiftright(word, 8 * i).bitwiseAND(F.lit(255)).alias("h"),
-        )
-        for b, (word, i) in enumerate(
-            [(F.col("lo"), i) for i in range(4)] + [(F.col("hi"), i) for i in range(4)]
-        )
-    ]
+    def byte(k: int) -> F.Column:
+        word = F.col("lo") if k < 4 else F.col("hi")
+        return F.shiftright(word, 8 * (k % 4)).bitwiseAND(F.lit(255))
+
+    if max_hamming <= 6:
+        combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+        bands = [
+            F.struct(
+                F.lit(c).alias("b"),
+                (byte(i) * 256 + byte(j)).alias("h"),
+            )
+            for c, (i, j) in enumerate(combos)
+        ]
+    else:
+        bands = [
+            F.struct(F.lit(k).alias("b"), byte(k).alias("h")) for k in range(8)
+        ]
     long = s.select(
         "sid", "lo", "hi", F.explode(F.array(*bands)).alias("band")
     ).select("sid", "lo", "hi", "band.b", "band.h")

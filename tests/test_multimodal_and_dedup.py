@@ -245,6 +245,28 @@ def test_simhash_banding_exact_recall_to_h7(spark):
         assert pairs[0].hamming == d
 
 
+def test_simhash_pair_combo_blocking_matches_single_band(spark):
+    """The Manku-style byte-PAIR blocking (max_hamming<=6) and the
+    single-byte blocking (max_hamming>=7) must emit the identical pair
+    set once both are filtered to the same Hamming budget — blocking
+    is a recall-preserving candidate generator, never a semantics
+    change. Run over a corpus dense in low-Hamming collisions."""
+    from fs_indexer_elasticsearch_spark.operators.dedup import simhash_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    combo = {
+        (p.id_a, p.id_b, p.hamming)
+        for p in simhash_pairs(df, "doc_id", "text", max_hamming=6).collect()
+    }
+    single = {
+        (p.id_a, p.id_b, p.hamming)
+        for p in simhash_pairs(df, "doc_id", "text", max_hamming=7).collect()
+        if p.hamming <= 6
+    }
+    assert combo == single
+    assert combo  # the synthetic corpus does collide below Hamming 7
+
+
 def test_bruteforce_topk_self_similarity(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3)

@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Weak-scaling stress harness: measure how the heaviest operators
+scale as the input grows.
+
+SCALE.md argues each operator's plan is linear (banded LSH, O(log n)
+connected components, per-shard packing windows). This tool MEASURES
+it: amplify the documents/events tables by k in (1, 4, 16) with
+replica-disjoint mutations, run each stressed operator at every k, and
+fit the scaling exponent
+
+    alpha = log(t_k / t_1) / log(k)
+
+alpha ~ 1 is linear; alpha >= SUPERLINEAR_ALPHA (1.35) flags a plan
+whose cost curve bends the wrong way (an all-pairs term, a
+single-partition window, a broadcast that stopped fitting). Fixed
+per-job overhead makes measured alpha UNDER-estimate the true
+exponent at these sizes, so a flagged operator is genuinely bending.
+
+Amplification keeps the *structure* of the workload linear on purpose:
+
+- documents: replica i suffixes every token with ``_i`` — replica
+  token sets are pairwise disjoint, so no cross-replica near-dups
+  exist and the original dup/near-dup cluster structure replicates
+  exactly k times (a mutation that left replicas near-identical would
+  create size-k clusters and O(k^2) candidate pairs BY CONSTRUCTION,
+  measuring the generator, not the operator).
+- events: replica i suffixes user_id/event_id — per-user session and
+  window structure replicates k times, timestamps untouched.
+
+Tables the stressed queries don't touch are symlinked from the source
+scale factor, so registry queries run unmodified against each
+amplified directory.
+
+Usage: python tools/scale_stress.py [--sf-dir /root/testdata/sf0.1]
+       [--out SCALE_STRESS.json] [--ks 1,4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SUPERLINEAR_ALPHA = 1.35
+
+#: Investigated flags whose superlinearity is a property of the
+#: SYNTHETIC DATA's density, not of the physical plan — kept flagged
+#: (the measurement is real) but annotated so the artifact records the
+#: diagnosis next to the number.
+DENSITY_BOUND_NOTES = {
+    "dedup_simhash": (
+        "Fingerprint-density bound, not plan bound: the synthetic corpus "
+        "draws every token bag from a ~31-token vocabulary, so 64-bit "
+        "SimHash fingerprints concentrate (band-byte entropy ~100/256 "
+        "values; the top band-0 byte covers ~40% of docs) and the "
+        "exact-recall band test truly fires for ~78% of ALL doc pairs "
+        "(measured: 2.5e9 candidate slots over 80k docs). The optimized "
+        "plan already folds the Hamming predicate into the join "
+        "condition, so the cost is Theta(true collision mass) — the "
+        "floor any exact-recall blocker pays. On natural-vocabulary "
+        "corpora band bytes are near-uniform and the same plan is "
+        "linear; see operators/dedup.py:simhash_pairs docstring."
+    ),
+}
+
+#: Operators under stress and the amplified table each one exercises.
+STRESSED = {
+    "dedup_exact": "documents",
+    "dedup_minhash_lsh": "documents",
+    "dedup_connected_components": "documents",
+    "dedup_simhash": "documents",
+    "bm25_search_topk": "documents",
+    "sequence_packing_stats": "documents",
+    "window_tumbling_10m": "events",
+    "window_session_30m": "events",
+}
+
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def build_session():
+    from fs_indexer_elasticsearch_spark.session import get_spark
+
+    return get_spark(app_name="scale-stress")
+
+
+def amplify(spark, src_dir: str, base: str, k: int) -> str:
+    """Materialize an amplified copy of ``src_dir`` at replication
+    factor k (documents/events amplified, everything else symlinked).
+    Returns the directory path. Idempotent per (src, k)."""
+    import pyspark.sql.functions as F
+
+    out = os.path.join(base, f"x{k}")
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in ALL_TABLES:
+        src = os.path.join(src_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t not in ("documents", "events") or k == 1:
+            os.symlink(src, dst)
+            continue
+        df = spark.read.parquet(src)
+        rep = df.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+        )
+        if t == "documents":
+            # Replica-disjoint token sets: suffix every token with the
+            # replica index (replica 0 keeps the original bytes so the
+            # k=1 corpus is a strict subset).
+            mutated = F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda x: F.concat(x, F.lit("_"), F.col("_r")),
+                    ),
+                    " ",
+                )
+            )
+            # doc_id is int64 — offset each replica into a disjoint id
+            # range, preserving the column type.
+            rep = rep.withColumn("text", mutated).withColumn(
+                "doc_id",
+                F.col("doc_id") + F.col("_r").cast("long") * F.lit(1_000_000_000),
+            )
+        else:  # events: replicate per-user structure, keep timestamps.
+            # Ids are numeric — offset each replica into a disjoint id
+            # range (10^9 per replica, far above any testdata id), so
+            # per-user session/window structure replicates k times and
+            # the column types survive unchanged.
+            for c in ("user_id", "event_id"):
+                rep = rep.withColumn(
+                    c, F.col(c) + F.col("_r").cast("long") * F.lit(1_000_000_000)
+                )
+        rep.drop("_r").write.mode("overwrite").parquet(dst)
+    open(marker, "w").close()
+    return out
+
+
+def run(sf_dir: str, ks: list[int], out_path: str) -> int:
+    import math
+
+    from fs_indexer_elasticsearch_spark.plans import QUERIES
+
+    spark = build_session()
+    base = "/tmp/scale_stress"
+    os.makedirs(base, exist_ok=True)
+    dirs = {k: amplify(spark, sf_dir, base, k) for k in ks}
+
+    results: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name, table in STRESSED.items():
+        timings: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for k in ks:
+            # Two runs, keep the min: the first pays JIT/shuffle-file
+            # warmup, and per-run noise on this box is ±40%.
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = QUERIES[name](spark, dirs[k]).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[f"x{k}"] = round(best, 3)
+            rows[f"x{k}"] = n
+        k0, k1 = ks[0], ks[-1]
+        alpha = math.log(timings[f"x{k1}"] / timings[f"x{k0}"]) / math.log(
+            k1 / k0
+        )
+        # Tail exponent (last two points): the fixed per-job overhead
+        # that dominates small inputs dilutes the full-range exponent —
+        # the original single-byte SimHash blocking measured alpha=1.00
+        # full-range while its x4->x16 tail ran at 1.55. Flag on the
+        # tail, where overhead matters least.
+        ka, kb = ks[-2], ks[-1]
+        alpha_tail = math.log(timings[f"x{kb}"] / timings[f"x{ka}"]) / math.log(
+            kb / ka
+        )
+        entry = {
+            "table": table,
+            "seconds": timings,
+            "rows": rows,
+            "alpha": round(alpha, 3),
+            "alpha_tail": round(alpha_tail, 3),
+            "superlinear": alpha_tail >= SUPERLINEAR_ALPHA,
+        }
+        results[name] = entry
+        if entry["superlinear"]:
+            flagged.append(name)
+        print(
+            f"{name:32s} " + "  ".join(f"x{k}={timings[f'x{k}']:.2f}s" for k in ks)
+            + f"  alpha={alpha:.2f} tail={alpha_tail:.2f}"
+            + ("  ** SUPERLINEAR" if entry["superlinear"] else "")
+        )
+
+    artifact = {
+        "sf_dir": sf_dir,
+        "ks": ks,
+        "superlinear_alpha": SUPERLINEAR_ALPHA,
+        "results": results,
+        "flagged": flagged,
+        # Always recorded (not only when the variance-straddled flag
+        # trips): the diagnosis belongs next to the number.
+        "notes": DENSITY_BOUND_NOTES,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"\nwrote {out_path}; {len(flagged)} flagged: {flagged or 'none'}")
+    spark.stop()
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default="SCALE_STRESS.json")
+    ap.add_argument("--ks", default="1,4,16")
+    a = ap.parse_args()
+    sys.exit(run(a.sf_dir, [int(x) for x in a.ks.split(",")], a.out))
