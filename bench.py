@@ -82,6 +82,30 @@ def _cpu_canary() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def build_ingest_tree(n_files: int) -> str:
+    """Build (or reuse) the on-disk ingest benchmark tree: 100 files
+    per leaf dir, 64-byte payloads, cached at /tmp/bench-tree-{n} with
+    a .complete marker. SHARED with tools/scale_stress.py — keep the
+    layout changes here so both consumers stay byte-compatible (they
+    deliberately share the cache directory)."""
+    import shutil
+
+    tree = f"/tmp/bench-tree-{n_files}"
+    marker = os.path.join(tree, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(tree, ignore_errors=True)
+        per_dir = 100
+        for d in range(n_files // per_dir):
+            dd = os.path.join(tree, f"d{d // 100}", f"sub{d}")
+            os.makedirs(dd, exist_ok=True)
+            for i in range(per_dir):
+                with open(os.path.join(dd, f"f{i}.dat"), "wb") as f:
+                    f.write(b"x" * 64)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return tree
+
+
 def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
     """Ingest benchmark: scan a generated on-disk tree, normalize, and
     merge into a fresh snapshot store — the reference's 'processing
@@ -101,19 +125,7 @@ def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
     from fs_indexer_elasticsearch_spark.pipeline import run_pipeline
     from fs_indexer_elasticsearch_spark.sources.config import PipelineConfig
 
-    tree = f"/tmp/bench-tree-{n_files}"
-    marker = os.path.join(tree, ".complete")
-    if not os.path.exists(marker):
-        shutil.rmtree(tree, ignore_errors=True)
-        per_dir = 100
-        for d in range(n_files // per_dir):
-            dd = os.path.join(tree, f"d{d // 100}", f"sub{d}")
-            os.makedirs(dd, exist_ok=True)
-            for i in range(per_dir):
-                with open(os.path.join(dd, f"f{i}.dat"), "wb") as f:
-                    f.write(b"x" * 64)
-        with open(marker, "w") as f:
-            f.write("ok")
+    tree = build_ingest_tree(n_files)
 
     out = tempfile.mkdtemp(prefix="bench-ingest-")
 

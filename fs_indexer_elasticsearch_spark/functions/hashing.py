@@ -43,3 +43,25 @@ def fingerprint_md5(text: Column | str) -> Column:
     Spark produce byte-identical md5, letting the oracle reproduce
     every derived hash."""
     return F.md5(_c(text))
+
+
+_HEX = "0123456789abcdef"
+
+
+def md5_shard(key: Column | str, n_shards: int) -> Column:
+    """Deterministic content shard in [0, n_shards): first byte of
+    md5(key), decoded via an exact nibble lookup, mod n. md5 produces
+    identical bytes in Spark and DuckDB, so oracles can mirror the
+    assignment exactly (the engines' native hash functions differ).
+    The lookup must be exact — ``ascii(ch) % n`` folds '8'/'9' onto
+    'a'..'f' residues and leaves slots empty, skewing shards 3x.
+
+    This is THE canonical shard assignment: the export sink
+    (sinks/export.py) writes with it and the ``shard_balance_audit``
+    query audits it — one function so they cannot drift.
+    """
+    h = F.md5(_c(key).cast("string"))
+    byte = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    )
+    return byte % n_shards

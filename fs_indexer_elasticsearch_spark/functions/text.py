@@ -28,6 +28,17 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: DuckDB oracle twin of :func:`tokens` — built FROM ``TOKEN_PATTERN``
+#: so the Spark tokenizer and every oracle that imports this stay in
+#: lockstep. (Inline copies of this fragment inside long oracle
+#: strings are pinned mechanically by
+#: tests/test_plans.py::test_every_oracle_token_split_matches_engine.)
+TOKS_SQL = (
+    f"list_filter(regexp_split_to_array(lower(text), '{TOKEN_PATTERN}'), "
+    "x -> x <> '')"
+)
+
+
 def tokens(text: Column | str) -> Column:
     """Lower-cased word tokens (alnum runs)."""
     return F.filter(F.split(F.lower(_c(text)), TOKEN_PATTERN), lambda x: x != "")

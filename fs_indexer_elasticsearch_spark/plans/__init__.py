@@ -36,40 +36,42 @@ from . import arrow_surface  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r6 rotation: the 11 r5 curation queries (local-gate green, never a
-# driver row) and the 8 new r6 queries (recall gates, robust z-score,
-# salted skew join, training-export layer) move INTO the 50-query
-# prefix; displaced are the six TPC-H adaptations rotated in last
-# round (now driver-green) plus a dozen multi-round driver-green
-# core/per-family queries — all remain covered by the local replica
+# r6 rotation (amended mid-round after the review pass): EVERY query
+# that has never had a driver row sits inside the 50-query prefix —
+# the 11 r5 curation queries, the r6 recall-gate / training-export /
+# skew additions, AND the 11 late-r6 additions the first rotation left
+# at the registry tail (gopher flags, crossdoc shingles, quantized
+# ANN, minhash estimator, token histogram, cascade attrition, column
+# profile, approx-distinct, CMS heavy hitters, incremental agg,
+# PageRank). Displaced to make room: 11 queries driver-green for 3+
+# rounds (embedding-cosine dedup, kmeans profile, IVF top-k, TF-IDF,
+# splits, stratified sample, contamination, PII, boilerplate, BPE
+# estimate, binary header) — all remain covered by the local replica
 # gate + pytest.
 _PRIORITY = [
-    # LLM-data-pipeline layer (dedup, similarity, text analysis, multimodal)
+    # Dedup / similarity core + quality gates
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "dedup_embedding_cosine",
     "semantic_dedup_clusters",
-    "kmeans_cluster_profile",
     "similarity_lsh_ann_topk",
-    "similarity_ivf_topk",
-    # ANN retrieval-quality gate (new r6): recall@k vs ground truth
     "ann_recall_at_k",
     "ann_neardup_recall_lsh",
+    "minhash_estimate_quality",
+    "quantized_ann_int8_topk",
+    "pagerank_neardup_graph",
+    "dedup_cascade_attrition",
+    "crossdoc_shingle_boilerplate",
+    # Text analysis / profiling
     "text_quality_stats",
-    # Arrow grouped-map surface (new r6): applyInPandas under the gate
     "robust_zscore_by_lang",
     "binary_payload_meta",
-    # Dataset hygiene & relevance (LLM pipeline part 2)
     "bm25_search_topk",
-    "tfidf_top_terms",
-    "dataset_split_summary",
-    "stratified_sample_per_lang",
-    "split_contamination_ngrams",
-    "pii_detection",
-    "boilerplate_repetition",
-    "bpe_token_estimate",
-    "binary_header_parse",
+    "gopher_quality_flags",
+    "token_count_histogram",
+    "column_profile",
+    "approx_distinct_tolerance",
+    "cms_heavy_hitters",
     # Corpus curation / analytics layer (r5; first driver rows)
     "dedup_keep_best",
     "length_percentile_band",
@@ -83,17 +85,18 @@ _PRIORITY = [
     "embedding_outliers",
     "funnel_view_click_purchase",
     "retention_cohorts",
-    # Training-export layer (new r6): packing, sharding, curriculum,
-    # context sizing
+    # Training-export layer (r6): packing, sharding, curriculum,
+    # context sizing, sampling
     "sequence_packing_stats",
     "shard_balance_audit",
     "curriculum_quality_deciles",
     "context_truncation_loss",
     "weighted_sample_stats",
     "mixture_temperature_weights",
-    # Skew-mitigation demonstration (new r6)
+    # Incremental maintenance + skew demonstration (r6)
+    "incremental_agg_maintenance",
     "skew_salted_hot_join",
-    # Event-time windows and temporal joins (+ new r6 range-frame MA)
+    # Event-time windows and temporal joins (+ r6 range-frame MA)
     "window_moving_avg_7d",
     "window_session_30m",
     "window_rank_lag_gap",
@@ -109,6 +112,17 @@ _PRIORITY = [
     # above has either never had a driver row or anchors a §2 family;
     # everything below is driver-green from r5 or earlier and stays
     # green under the local replica gate, CORRECTNESS_LOCAL_r06.json) ---
+    "dedup_embedding_cosine",
+    "kmeans_cluster_profile",
+    "similarity_ivf_topk",
+    "tfidf_top_terms",
+    "dataset_split_summary",
+    "stratified_sample_per_lang",
+    "split_contamination_ngrams",
+    "pii_detection",
+    "boilerplate_repetition",
+    "bpe_token_estimate",
+    "binary_header_parse",
     "dedup_simhash",
     "doc_fingerprints",
     "window_tumbling_10m",

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.vectors import cosine
 from ..operators.clustering import assign_clusters, kmeans_fit
 from ..tables import load
-from .llm_queries import _AUG_EMB_SQL, augmented_embeddings
+from .llm_queries import _AUG_CTE_SQL, augmented_embeddings
 from .registry import query, stable_round
 
 _K = 8
@@ -78,10 +78,11 @@ def _update_cte(name: str, assign: str) -> str:
     """
 
 
-# aug CTE comes from _AUG_EMB_SQL's WITH-block prefix; we only need its
-# `aug` member, so rebuild a WITH chain: aug, c0, a0, c1, a1, c2, af.
+# We only need the `aug` CTE, so compose a WITH chain from the named
+# constant (never by string-splitting the composed block): aug, c0,
+# a0, c1, a1, c2, af.
 _KMEANS_CTES = (
-    _AUG_EMB_SQL.split(",\n    coded AS")[0]  # "WITH aug AS ( ... )"
+    _AUG_CTE_SQL
     + ",\n"
     + _SEED_CTE
     + ",\n"

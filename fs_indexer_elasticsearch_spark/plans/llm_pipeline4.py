@@ -30,7 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.text import tokens
+from ..functions.text import TOKS_SQL, tokens
 from ..tables import load, spread_small
 from .registry import query, stable_round
 
@@ -216,7 +216,7 @@ def length_percentile_band_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_TOKS = TOKS_SQL  # canonical oracle twin of the engine tokenizer
 
 
 # Broadcast-model cap for char_bigram_nll: ASCII-ish corpora observe

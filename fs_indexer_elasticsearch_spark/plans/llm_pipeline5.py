@@ -35,12 +35,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import TOKS_SQL, tokens, word_shingles
 from ..tables import load
 from .registry import query, stable_round
 
 # Shared token SQL (mirrors functions.text.tokens).
-_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_TOKS_SQL = TOKS_SQL  # canonical oracle twin of the engine tokenizer
 
 
 @query(

@@ -36,6 +36,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.hashing import md5_shard
 from ..functions.text import distinct_tokens, token_count
 from ..tables import load
 from .registry import query, stable_round
@@ -53,17 +54,10 @@ _HEX = "0123456789abcdef"
 
 
 def _shard_col(n: int) -> F.Column:
-    """Deterministic content shard in [0, n): first byte of
-    md5(doc_id), decoded via an exact nibble lookup. md5 produces
-    identical bytes in Spark and DuckDB, so the oracle can mirror the
-    assignment exactly (the engines' native hash functions differ).
-    The lookup must be exact — ``ascii(ch) % n`` folds '8'/'9' onto
-    'a'..'f' residues and leaves slots empty, skewing shards 3x."""
-    h = F.md5(F.col("doc_id").cast("string"))
-    byte = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
-        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
-    )
-    return byte % n
+    """The canonical content-shard assignment (functions.hashing.
+    md5_shard) applied to doc_id — the same function the export sink
+    writes with, so this module's audits grade the real layout."""
+    return md5_shard(F.col("doc_id"), n)
 
 
 def _shard_sql(n: int) -> str:

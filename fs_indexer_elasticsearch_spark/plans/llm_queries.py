@@ -544,7 +544,13 @@ def similarity_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AUG_EMB_SQL = """
+# The augmented-corpus CTE and the 8-plane coding CTE are SEPARATE
+# constants composed below: oracles that need only ``aug`` (embedding
+# outliers, the multi-table recall gate) concatenate from
+# ``_AUG_CTE_SQL`` directly — never by string-splitting the composed
+# block, which silently broke if its whitespace changed (round-6
+# review finding).
+_AUG_CTE_SQL = """
     WITH aug AS (
         SELECT vec_id,
                list_transform(range(1, 65), d -> embedding[d]::DOUBLE) AS emb
@@ -556,7 +562,9 @@ _AUG_EMB_SQL = """
                    + 0.1 * ((((('0x' || substr(md5('p:' || d::VARCHAR), 1, 8))::BIGINT)
                               % 2001) - 1000) / 1000.0))
         FROM embeddings WHERE vec_id % 5 = 0
-    ),
+    )"""
+
+_AUG_EMB_SQL = _AUG_CTE_SQL + """,
     coded AS (
         SELECT vec_id, emb,
                list_sum(list_transform(range(0, 8), h ->
@@ -788,7 +796,7 @@ def _multi_table_bucket_sql(emb: str, num_planes: int, num_tables: int) -> str:
 
 @query(
     "ann_neardup_recall_lsh",
-    oracle=_AUG_EMB_SQL.split(",\n    coded AS")[0]  # "WITH aug AS (...)"
+    oracle=_AUG_CTE_SQL
     + f""",
     coded AS ({_multi_table_bucket_sql("emb", 8, 8)}),
     q AS (SELECT vec_id AS query_id, t, code FROM coded

@@ -38,7 +38,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from ..functions.text import tokens
+from ..functions.text import TOKS_SQL, tokens
 from ..tables import load
 from .registry import query, stable_round
 
@@ -179,7 +179,7 @@ _CMS_DEPTH = 4
 _CMS_WIDTH = 256
 _CMS_TOPK = 20
 
-_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_TOKS_SQL = TOKS_SQL  # canonical oracle twin of the engine tokenizer
 
 
 def _cms_bucket_sql(d: str, tok: str) -> str:

@@ -32,15 +32,19 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.hashing import md5_shard
+
 
 def with_shard(df: DataFrame, key: str, n_shards: int, col: str = "shard") -> DataFrame:
-    """Deterministic content shard in [0, n_shards): leading 8 hex
-    chars of md5(key) mod n_shards. Pure function of the key — stable
-    across runs, cluster sizes, and partition layouts (Spark's native
-    ``hash`` is stable too, but md5 keeps the assignment reproducible
-    from any engine a loader might audit shards with)."""
-    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
-    return df.withColumn(col, (h.cast("long") % n_shards).cast("int"))
+    """Deterministic content shard in [0, n_shards): the canonical
+    ``functions.hashing.md5_shard`` assignment (first md5 byte mod n).
+    Pure function of the key — stable across runs, cluster sizes, and
+    partition layouts (Spark's native ``hash`` is stable too, but md5
+    keeps the assignment reproducible from any engine a loader might
+    audit shards with), and IDENTICAL to the assignment the
+    ``shard_balance_audit`` query audits — one shared function, so
+    sink and audit cannot drift."""
+    return df.withColumn(col, md5_shard(F.col(key), n_shards).cast("int"))
 
 
 def write_training_shards(
@@ -54,32 +58,41 @@ def write_training_shards(
 ) -> None:
     """Write ``df`` as ``n_shards`` deterministic parquet shards.
 
-    One repartition on the derived shard column co-locates each shard
-    in one task; rows are sorted by ``(shard, key)`` within tasks so
-    shard files are order-stable; ``maxRecordsPerFile`` bounds any
-    single object. With ``partition_by`` the layout is
-    ``<path>/<col>=<val>/part-*`` and the shard column is retained as
-    a data column for loader-side addressing.
+    Every shard is its own hive directory: ``<path>/shard=<i>/part-*``
+    (``<path>/<col>=<val>/shard=<i>/part-*`` with ``partition_by``),
+    written via dynamic partitioning — so EVERY file belongs to
+    exactly one shard by construction, whatever task it was written
+    from. This is deliberate: ``repartition(n, "shard")`` alone does
+    NOT give one shard per task — Spark hash-partitions the shard
+    VALUE through murmur3, which collides shard ids into shared tasks
+    and leaves others empty, so files would mix shards (round-6
+    review finding). The repartition is kept only to bound task count
+    and co-locate each shard's rows; correctness of the layout comes
+    from ``partitionBy``.
+
+    Rows are sorted by ``key`` within tasks so shard files are
+    order-stable; ``maxRecordsPerFile`` bounds any single object. The
+    shard column returns as a partition column on read, so
+    shard-subset reads are directory pruning, never a scan.
     """
     sharded = with_shard(df, key, n_shards)
-    out = (
+    cols = [partition_by, "shard"] if partition_by else ["shard"]
+    (
         sharded.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", key)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*cols)
+        .parquet(path)
     )
-    if partition_by:
-        out = out.partitionBy(partition_by)
-    out.parquet(path)
 
 
 def read_training_shards(
     spark: SparkSession, path: str, shards: list[int] | None = None
 ) -> DataFrame:
     """Read an export back; ``shards`` filters to a subset via the
-    retained shard column (a data-skipping predicate — parquet
-    row-group stats prune non-matching files since each file holds a
-    single shard value)."""
+    shard partition column — pure directory pruning (the scan never
+    opens non-matching shard directories)."""
     df = spark.read.parquet(path)
     if shards is not None:
         df = df.where(F.col("shard").isin([int(s) for s in shards]))

@@ -188,9 +188,14 @@ class EsClient(_RetryingClient):
             # `removed` — for an uncached diff that would execute the
             # caller's (possibly very expensive) upstream plan twice.
             # Materialize once unless the caller already cached it.
+            # cache() (MEMORY_AND_DISK), NOT localCheckpoint: checkpoint
+            # blocks are non-replicated and sever lineage, so losing one
+            # executor (spot node, decommission) between the count and
+            # the delete would fail the whole job; a cached plan just
+            # recomputes the lost partitions.
             sl = removed.storageLevel
             if not (sl.useMemory or sl.useDisk):
-                removed = removed.localCheckpoint(eager=True)
+                removed = removed.cache()
             distributed = removed.count() > distributed_threshold
         if distributed:
             return delete_from_dataframe_distributed(

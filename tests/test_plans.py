@@ -127,16 +127,19 @@ def test_registry_priority_prefix_covers_llm_layer():
     names = list(QUERIES.keys())
     first50 = set(names[:50])
     required = {
-        "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_connected_components",
         "similarity_lsh_ann_topk",
-        # dedup_simhash / ngram_jaccard_pairs / similarity_bruteforce_topk /
-        # doc_fingerprints / window_tumbling_10m / window_hopping_10m_5m /
-        # lang_id_confusion rotated below the prefix in r6 (multi-round
-        # driver-green) to make room for the never-driver-checked r5
-        # curation queries, the ANN recall gates, and the training-export
-        # layer — the driver's hard signal goes to the least-tested first.
-        "similarity_ivf_topk", "text_quality_stats", "robust_zscore_by_lang",
+        # The prefix holds EVERY never-driver-checked query (r5 curation,
+        # r6 recall gates / training-export / profiling additions) plus
+        # one anchor per core family; multi-round driver-green queries
+        # (simhash, IVF, TF-IDF, hygiene batch, ...) rotate below — the
+        # driver's hard signal goes to the least-tested first.
+        "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "ann_neardup_recall_lsh", "binary_payload_meta",
+        "minhash_estimate_quality", "quantized_ann_int8_topk",
+        "pagerank_neardup_graph", "dedup_cascade_attrition",
+        "gopher_quality_flags", "column_profile", "cms_heavy_hitters",
+        "approx_distinct_tolerance", "incremental_agg_maintenance",
         "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
         "sequence_packing_stats", "shard_balance_audit",
         "curriculum_quality_deciles", "skew_salted_hot_join",
@@ -190,3 +193,31 @@ def test_robust_zscore_runs_arrow_grouped_map(spark):
     for lang, zs in by_lang.items():
         neg = sum(1 for z in zs if z <= 0)
         assert 0.3 <= neg / len(zs) <= 0.7, (lang, neg, len(zs))
+
+
+def test_every_oracle_token_split_matches_engine():
+    """Every inline token-split fragment in every registered oracle
+    must use EXACTLY the engine's TOKEN_PATTERN — the oracle twin of
+    functions.text.tokens appears inline in ~20 long oracle strings
+    (rewriting them to interpolate a constant would churn hash-gated
+    SQL), so this guard pins them mechanically: a tokenizer change
+    that misses one copy fails here, not silently at the driver gate."""
+    import re
+
+    from fs_indexer_elasticsearch_spark.functions.text import (
+        TOKEN_PATTERN,
+        TOKS_SQL,
+    )
+    from fs_indexer_elasticsearch_spark.plans import ORACLES
+
+    assert TOKEN_PATTERN in TOKS_SQL
+    pat = re.compile(r"regexp_split_to_array\(lower\(\w+\),\s*'([^']+)'\)")
+    seen = 0
+    for name, sql in ORACLES.items():
+        for m in pat.finditer(sql):
+            assert m.group(1) == TOKEN_PATTERN, (
+                f"{name}: oracle token split uses {m.group(1)!r}, "
+                f"engine tokenizes with {TOKEN_PATTERN!r}"
+            )
+            seen += 1
+    assert seen >= 15  # the fragment really is everywhere

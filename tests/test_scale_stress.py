@@ -31,10 +31,16 @@ def test_amplify_documents_replicas_are_token_disjoint(spark, tmp_path):
     r1 = amp.filter(F.col("doc_id") >= 1_000_000_000)
     assert r0.count() == n and r1.count() == n
     assert r0.exceptAll(src).count() == 0
-    # Token vocabularies of the two replicas are pairwise disjoint, so
-    # no cross-replica near-dup can exist by construction.
+    # Token vocabularies of the two replicas are pairwise disjoint AS
+    # SEEN BY THE ENGINE'S TOKENIZER (not a naive whitespace split —
+    # the round-6 review caught an '_<r>' joint that whitespace-split
+    # called disjoint while TOKEN_PATTERN split it back into the
+    # shared base vocabulary), so no cross-replica near-dup can exist
+    # by construction.
+    from fs_indexer_elasticsearch_spark.functions.text import tokens
+
     tok = lambda df: df.select(  # noqa: E731
-        F.explode(F.split("text", " ")).alias("t")
+        F.explode(tokens(F.col("text"))).alias("t")
     ).distinct()
     assert tok(r0).join(tok(r1), "t", "left_semi").count() == 0
 

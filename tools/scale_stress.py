@@ -78,6 +78,10 @@ STRESSED = {
     "sequence_packing_stats": "documents",
     "window_tumbling_10m": "events",
     "window_session_30m": "events",
+    "merge_upsert_newer_wins": "orders",
+    "snapshot_diff_changes": "orders",
+    "q01_pricing_summary": "lineitem",
+    "q03_top_revenue_orders": "lineitem+orders",
 }
 
 ALL_TABLES = (
@@ -98,7 +102,10 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
     import pyspark.sql.functions as F
 
     out = os.path.join(base, f"x{k}")
-    marker = os.path.join(out, "_READY")
+    # Marker is versioned by the amplification scheme: bump when the
+    # set of amplified tables or the mutation changes, so stale caches
+    # regenerate.
+    marker = os.path.join(out, "_READY_v3")
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -106,7 +113,7 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
     for t in ALL_TABLES:
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
-        if t not in ("documents", "events") or k == 1:
+        if t not in ("documents", "events", "orders", "lineitem") or k == 1:
             os.symlink(src, dst)
             continue
         df = spark.read.parquet(src)
@@ -116,12 +123,17 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
         if t == "documents":
             # Replica-disjoint token sets: suffix every token with the
             # replica index (replica 0 keeps the original bytes so the
-            # k=1 corpus is a strict subset).
+            # k=1 corpus is a strict subset). The joint must survive
+            # the ENGINE's tokenizer (functions.text.TOKEN_PATTERN
+            # treats any non-[a-z0-9] as a separator — an '_' joint
+            # would split 'word_3' into 'word','3' and replicas would
+            # share the base vocabulary), so it is a bare alphanumeric
+            # 'x<r>'.
             mutated = F.when(F.col("_r") == 0, F.col("text")).otherwise(
                 F.array_join(
                     F.transform(
                         F.split(F.col("text"), " "),
-                        lambda x: F.concat(x, F.lit("_"), F.col("_r")),
+                        lambda x: F.concat(x, F.lit("x"), F.col("_r")),
                     ),
                     " ",
                 )
@@ -131,6 +143,18 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
             rep = rep.withColumn("text", mutated).withColumn(
                 "doc_id",
                 F.col("doc_id") + F.col("_r").cast("long") * F.lit(1_000_000_000),
+            )
+        elif t in ("orders", "lineitem"):
+            # Fact-table growth against FIXED dimensions: orderkeys
+            # offset into disjoint ranges (consistently across orders
+            # and lineitem, so the orderkey join structure replicates
+            # k times); custkey/partkey/suppkey untouched — each dim
+            # row simply gains k times the fact rows, which is what
+            # fact growth looks like in production.
+            keycol = "o_orderkey" if t == "orders" else "l_orderkey"
+            rep = rep.withColumn(
+                keycol,
+                F.col(keycol) + F.col("_r").cast("long") * F.lit(1_000_000_000),
             )
         else:  # events: replicate per-user structure, keep timestamps.
             # Ids are numeric — offset each replica into a disjoint id
@@ -146,7 +170,72 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
     return out
 
 
-def run(sf_dir: str, ks: list[int], out_path: str) -> int:
+def _build_tree(n_files: int) -> str:
+    """Delegates to bench.build_ingest_tree — ONE builder, because the
+    two consumers deliberately share the /tmp/bench-tree-{n} cache and
+    a drifting copy would silently poison the other's files/sec."""
+    from bench import build_ingest_tree
+
+    return build_ingest_tree(n_files)
+
+
+def ingest_stress(spark, ns: list[int]) -> dict:
+    """Weak-scaling of the full ingest pipeline (parallel walk ->
+    normalize -> snapshot merge -> publish) against tree size — the
+    reference's headline 'processing rate' axis. min-of-2 per size
+    after one untimed JIT warm-up at the smallest size."""
+    import math
+    import tempfile
+
+    from fs_indexer_elasticsearch_spark.pipeline import run_pipeline
+    from fs_indexer_elasticsearch_spark.sources.config import PipelineConfig
+
+    out = tempfile.mkdtemp(prefix="stress-ingest-")
+
+    def cycle(tree: str, tag: str) -> float:
+        cfg = PipelineConfig(
+            root_path=tree,
+            skip_patterns=[".complete"],
+            snapshot_path=os.path.join(out, f"snap-{tag}"),
+            direct_links_enabled=False,
+            num_buckets=32,
+        )
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        run_pipeline(spark, cfg, out_dir=out)
+        return time.perf_counter() - t0
+
+    trees = {n: _build_tree(n) for n in ns}
+    cycle(trees[ns[0]], "jit-warmup")
+    timings: dict[str, float] = {}
+    rates: dict[str, int] = {}
+    for n in ns:
+        best = min(cycle(trees[n], f"{n}-{i}") for i in range(2))
+        timings[f"n{n}"] = round(best, 3)
+        rates[f"n{n}"] = int(n / best)
+    a, b = ns[-2], ns[-1]
+    alpha_tail = math.log(timings[f"n{b}"] / timings[f"n{a}"]) / math.log(b / a)
+    k0, k1 = ns[0], ns[-1]
+    alpha = math.log(timings[f"n{k1}"] / timings[f"n{k0}"]) / math.log(k1 / k0)
+    entry = {
+        "seconds": timings,
+        "files_per_sec": rates,
+        "alpha": round(alpha, 3),
+        "alpha_tail": round(alpha_tail, 3),
+        "superlinear": alpha_tail >= SUPERLINEAR_ALPHA,
+    }
+    print(
+        "ingest_pipeline                  "
+        + "  ".join(f"n{n}={timings[f'n{n}']:.2f}s" for n in ns)
+        + f"  alpha={alpha:.2f} tail={alpha_tail:.2f}"
+        + ("  ** SUPERLINEAR" if entry["superlinear"] else "")
+    )
+    return entry
+
+
+def run(
+    sf_dir: str, ks: list[int], out_path: str, ingest_ns: list[int] | None = None
+) -> int:
     import math
 
     from fs_indexer_elasticsearch_spark.plans import QUERIES
@@ -202,11 +291,16 @@ def run(sf_dir: str, ks: list[int], out_path: str) -> int:
             + ("  ** SUPERLINEAR" if entry["superlinear"] else "")
         )
 
+    ingest = ingest_stress(spark, ingest_ns) if ingest_ns else None
+    if ingest and ingest["superlinear"]:
+        flagged.append("ingest_pipeline")
+
     artifact = {
         "sf_dir": sf_dir,
         "ks": ks,
         "superlinear_alpha": SUPERLINEAR_ALPHA,
         "results": results,
+        "ingest": ingest,
         "flagged": flagged,
         # Always recorded (not only when the variance-straddled flag
         # trips): the diagnosis belongs next to the number.
@@ -224,5 +318,11 @@ if __name__ == "__main__":
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default="SCALE_STRESS.json")
     ap.add_argument("--ks", default="1,4,16")
+    ap.add_argument(
+        "--ingest-ns",
+        default="12500,50000,200000",
+        help="comma-separated tree sizes for the ingest weak-scaling pass; '' skips",
+    )
     a = ap.parse_args()
-    sys.exit(run(a.sf_dir, [int(x) for x in a.ks.split(",")], a.out))
+    ns = [int(x) for x in a.ingest_ns.split(",") if x]
+    sys.exit(run(a.sf_dir, [int(x) for x in a.ks.split(",")], a.out, ns))
