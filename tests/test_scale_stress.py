@@ -27,8 +27,8 @@ def test_amplify_documents_replicas_are_token_disjoint(spark, tmp_path):
     n = src.count()
     assert amp.count() == 2 * n
     # Replica 1 ids live in a disjoint range; original rows unchanged.
-    r0 = amp.filter(F.col("doc_id") < 1_000_000_000)
-    r1 = amp.filter(F.col("doc_id") >= 1_000_000_000)
+    r0 = amp.filter(F.col("doc_id") < ss.REPLICA_OFFSET)
+    r1 = amp.filter(F.col("doc_id") >= ss.REPLICA_OFFSET)
     assert r0.count() == n and r1.count() == n
     assert r0.exceptAll(src).count() == 0
     # Token vocabularies of the two replicas are pairwise disjoint AS
@@ -54,13 +54,13 @@ def test_amplify_events_preserves_per_user_structure(spark, tmp_path):
     # Per-user event counts replicate exactly: the replica-1 histogram
     # (ids offset by 1e9) equals the replica-0 histogram.
     h0 = (
-        amp.filter(F.col("user_id") < 1_000_000_000)
+        amp.filter(F.col("user_id") < ss.REPLICA_OFFSET)
         .groupBy("user_id")
         .count()
     )
     h1 = (
-        amp.filter(F.col("user_id") >= 1_000_000_000)
-        .withColumn("user_id", F.col("user_id") - 1_000_000_000)
+        amp.filter(F.col("user_id") >= ss.REPLICA_OFFSET)
+        .withColumn("user_id", F.col("user_id") - ss.REPLICA_OFFSET)
         .groupBy("user_id")
         .count()
     )

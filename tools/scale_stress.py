@@ -18,14 +18,17 @@ exponent at these sizes, so a flagged operator is genuinely bending.
 
 Amplification keeps the *structure* of the workload linear on purpose:
 
-- documents: replica i suffixes every token with ``_i`` — replica
+- documents: replica i suffixes every token with ``x<i>`` (an
+  alphanumeric joint — it must survive the engine tokenizer) — replica
   token sets are pairwise disjoint, so no cross-replica near-dups
   exist and the original dup/near-dup cluster structure replicates
   exactly k times (a mutation that left replicas near-identical would
   create size-k clusters and O(k^2) candidate pairs BY CONSTRUCTION,
   measuring the generator, not the operator).
-- events: replica i suffixes user_id/event_id — per-user session and
-  window structure replicates k times, timestamps untouched.
+- events / orders / lineitem: replica i offsets the ids
+  (user_id/event_id, o_orderkey/l_orderkey) by i*REPLICA_OFFSET —
+  per-user session and per-order join structure replicates k times,
+  timestamps and dimension keys untouched.
 
 Tables the stressed queries don't touch are symlinked from the source
 scale factor, so registry queries run unmodified against each
@@ -48,23 +51,43 @@ sys.path.insert(0, "/root/repo")
 
 SUPERLINEAR_ALPHA = 1.35
 
+#: Replica id offset. MUST be divisible by every small modulus the
+#: query library uses for deterministic subsetting (doc_id % 5 / 7 /
+#: 10, vec_id % 5, ...) — lcm(1..10) = 2520 — or each replica's
+#: modular selections (e.g. _aug_corpus's %7 trunc planting) pick a
+#: DIFFERENT subset and the structure no longer replicates exactly
+#: k times (caught as +0.5% dup-row drift in the x4/x16 artifacts).
+REPLICA_OFFSET = 2_520_000_000
+
 #: Investigated flags whose superlinearity is a property of the
 #: SYNTHETIC DATA's density, not of the physical plan — kept flagged
 #: (the measurement is real) but annotated so the artifact records the
 #: diagnosis next to the number.
 DENSITY_BOUND_NOTES = {
     "dedup_simhash": (
-        "Fingerprint-density bound, not plan bound: the synthetic corpus "
-        "draws every token bag from a ~31-token vocabulary, so 64-bit "
-        "SimHash fingerprints concentrate (band-byte entropy ~100/256 "
-        "values; the top band-0 byte covers ~40% of docs) and the "
-        "exact-recall band test truly fires for ~78% of ALL doc pairs "
-        "(measured: 2.5e9 candidate slots over 80k docs). The optimized "
-        "plan already folds the Hamming predicate into the join "
-        "condition, so the cost is Theta(true collision mass) — the "
-        "floor any exact-recall blocker pays. On natural-vocabulary "
-        "corpora band bytes are near-uniform and the same plan is "
-        "linear; see operators/dedup.py:simhash_pairs docstring."
+        "Highest constant in the suite, fingerprint-density bound, not "
+        "plan bound: each replica draws its token bags from a ~31-token "
+        "vocabulary, so 64-bit SimHash fingerprints concentrate within "
+        "a replica (the top band-0 byte covers ~40% of a replica's "
+        "docs) and the exact-recall byte-pair band test truly fires for "
+        "~10% of ALL doc pairs (measured on the clean x16 corpus: 325M "
+        "candidate slots over 80k docs). The optimized plan already "
+        "folds the Hamming predicate into the join condition, so the "
+        "cost is Theta(true collision mass) — the floor any "
+        "exact-recall blocker pays. On natural-vocabulary corpora band "
+        "bytes are near-uniform and the same plan is linear; see "
+        "operators/dedup.py:simhash_pairs docstring. (Before the "
+        "byte-pair blocking and the tokenizer-safe amplification joint, "
+        "this measured 2.5e9 slots / 40s at x16 — the two fixes cut it "
+        "to 325M / ~10s.)"
+    ),
+    "dedup_minhash_lsh": (
+        "Verified-pair counts replicate k-times only approximately "
+        "(4625 vs 4x1177=4708 at x4): LSH banding recall is "
+        "probabilistic per hash values, and each replica's shingles "
+        "hash differently. Operator-inherent, not a generator artifact "
+        "— exact-dedup, merge, diff and session rows replicate "
+        "exactly."
     ),
 }
 
@@ -105,7 +128,7 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
     # Marker is versioned by the amplification scheme: bump when the
     # set of amplified tables or the mutation changes, so stale caches
     # regenerate.
-    marker = os.path.join(out, "_READY_v3")
+    marker = os.path.join(out, "_READY_v4")
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -142,7 +165,7 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
             # range, preserving the column type.
             rep = rep.withColumn("text", mutated).withColumn(
                 "doc_id",
-                F.col("doc_id") + F.col("_r").cast("long") * F.lit(1_000_000_000),
+                F.col("doc_id") + F.col("_r").cast("long") * F.lit(REPLICA_OFFSET),
             )
         elif t in ("orders", "lineitem"):
             # Fact-table growth against FIXED dimensions: orderkeys
@@ -154,7 +177,7 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
             keycol = "o_orderkey" if t == "orders" else "l_orderkey"
             rep = rep.withColumn(
                 keycol,
-                F.col(keycol) + F.col("_r").cast("long") * F.lit(1_000_000_000),
+                F.col(keycol) + F.col("_r").cast("long") * F.lit(REPLICA_OFFSET),
             )
         else:  # events: replicate per-user structure, keep timestamps.
             # Ids are numeric — offset each replica into a disjoint id
@@ -163,7 +186,7 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
             # the column types survive unchanged.
             for c in ("user_id", "event_id"):
                 rep = rep.withColumn(
-                    c, F.col(c) + F.col("_r").cast("long") * F.lit(1_000_000_000)
+                    c, F.col(c) + F.col("_r").cast("long") * F.lit(REPLICA_OFFSET)
                 )
         rep.drop("_r").write.mode("overwrite").parquet(dst)
     open(marker, "w").close()
