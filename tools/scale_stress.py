@@ -105,6 +105,10 @@ STRESSED = {
     "snapshot_diff_changes": "orders",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
+    "similarity_lsh_ann_topk": "embeddings",
+    "similarity_ivf_topk": "embeddings",
+    "kmeans_cluster_profile": "embeddings",
+    "embedding_outliers": "embeddings",
 }
 
 ALL_TABLES = (
@@ -124,11 +128,13 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
     Returns the directory path. Idempotent per (src, k)."""
     import pyspark.sql.functions as F
 
-    out = os.path.join(base, f"x{k}")
+    # Cache key includes the SOURCE dir name — a smoke run at sf0.001
+    # must never satisfy a later sf0.1 run's marker check.
+    out = os.path.join(base, f"{os.path.basename(os.path.normpath(src_dir))}-x{k}")
     # Marker is versioned by the amplification scheme: bump when the
     # set of amplified tables or the mutation changes, so stale caches
     # regenerate.
-    marker = os.path.join(out, "_READY_v4")
+    marker = os.path.join(out, "_READY_v5")
     if os.path.exists(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -136,7 +142,10 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
     for t in ALL_TABLES:
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
-        if t not in ("documents", "events", "orders", "lineitem") or k == 1:
+        if (
+            t not in ("documents", "events", "orders", "lineitem", "embeddings")
+            or k == 1
+        ):
             os.symlink(src, dst)
             continue
         df = spark.read.parquet(src)
@@ -178,6 +187,28 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
             rep = rep.withColumn(
                 keycol,
                 F.col(keycol) + F.col("_r").cast("long") * F.lit(REPLICA_OFFSET),
+            )
+        elif t == "embeddings":
+            # Candidate-corpus growth against a FIXED query set (the
+            # ANN queries select vec_id < 8, which stays in replica 0):
+            # vec_ids offset into disjoint ranges; vectors perturbed
+            # per (replica, dim) with a deterministic shift so replicas
+            # are geometrically distinct — identical copies would pile
+            # k replicas into the same LSH bucket / IVF cell and
+            # measure pile-up, not corpus growth.
+            pert = F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x.cast("double")
+                    + 0.05 * F.sin(F.col("_r").cast("double") * 7919 + i)
+                ).cast("float"),
+            )
+            rep = rep.withColumn(
+                "embedding",
+                F.when(F.col("_r") == 0, F.col("embedding")).otherwise(pert),
+            ).withColumn(
+                "vec_id",
+                F.col("vec_id") + F.col("_r").cast("long") * F.lit(REPLICA_OFFSET),
             )
         else:  # events: replicate per-user structure, keep timestamps.
             # Ids are numeric — offset each replica into a disjoint id
