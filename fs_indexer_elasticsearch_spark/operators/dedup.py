@@ -44,9 +44,16 @@ from ..tables import spread_small
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup groups: (keeper_id, n_dups, content_hash) for every
-    content hash appearing more than once; keeper = min id."""
+    content hash appearing more than once; keeper = min id.
+
+    NULL-text rows are excluded BEFORE hashing: md5(NULL) is NULL and
+    groupBy collects all NULL hashes into one group, which would
+    report documents whose content was never compared as "exact
+    duplicates" of each other (and a downstream dedup would drop
+    them)."""
     return (
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
         .filter(F.col("n_dups") > 1)
@@ -85,6 +92,22 @@ def minhash_lsh_pairs(
     verify then removes false positives, so precision is exact and
     recall follows the curve.
     """
+    from ..functions.text import MINHASH_AB
+
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_AB)}-entry "
+            "permutation table (functions.text.MINHASH_AB) — extend the "
+            "table to use more hashes (silently indexing past it was an "
+            "IndexError at plan build)."
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: "
+            "band_hashes floors rows-per-band and would silently drop "
+            f"the trailing {num_hashes % bands} signature value(s), "
+            "changing the S-curve from the requested configuration."
+        )
     sh = shingle_sets(df, id_col, text_col, shingle_n).cache()
     # Base hash materialized in its own projection: ONE md5 per
     # shingle; the 16 permutations are integer arithmetic over it

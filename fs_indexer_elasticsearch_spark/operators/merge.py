@@ -23,7 +23,7 @@ join with no extra exchange when bucketed.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def upsert_newer_wins(
@@ -78,10 +78,33 @@ def upsert_newer_wins(
     return joined.select(*picked)
 
 
-def insert_or_replace(current: DataFrame, batch: DataFrame, key: str) -> DataFrame:
+def insert_or_replace(
+    current: DataFrame,
+    batch: DataFrame,
+    key: str,
+    version_col: str | None = None,
+) -> DataFrame:
     """Last-writer-wins whole-row upsert (INSERT OR REPLACE,
     db_duckdb.py:242-245): keep current rows whose key is absent from
-    the batch, then append the batch."""
+    the batch, then append the batch.
+
+    A batch with DUPLICATE keys (e.g. a rescan union) collapses to one
+    row per key first — DuckDB's INSERT OR REPLACE keeps exactly one
+    (the last in statement order), and skipping this would plant
+    duplicate keys in the table of record, fanning out every later
+    merge join. A distributed batch has no statement order, so the
+    winner is deterministic instead: greatest ``version_col`` when
+    given (ties broken by the full row), else the greatest full row."""
+    order = F.struct(
+        *([F.col(version_col)] if version_col else []),
+        *[F.col(c) for c in batch.columns],
+    )
+    w = Window.partitionBy(key).orderBy(order.desc())
+    batch = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     survivors = current.join(batch.select(key), on=key, how="left_anti")
     return survivors.unionByName(batch)
 

@@ -79,26 +79,38 @@ def ivf_ann_topk(
     the assign pass is a broadcast argmin (no shuffle) and the search
     join shuffles on the small centroid-id key.
     """
-    c = centroids.select(
+    # One 1-row array of (cid, cvec): the broadcast cross join hands
+    # every row ALL centroids in-row, so the per-row top-n_keep is a
+    # pure projection (array_sort + slice) — a NARROW stage, no
+    # shuffle. The previous shape (broadcast join to centroid ROWS +
+    # row_number window partitioned by vector id) shuffled and sorted
+    # corpus×centroids rows — an O(table) exchange this docstring
+    # explicitly promises to avoid (round-6 review finding; same
+    # pattern as clustering.assign_clusters). Ordering is identical:
+    # struct(-csim, cid) ascending == (csim desc, cid asc).
+    c_arr = centroids.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    ).agg(F.collect_list(F.struct("cid", "cvec")).alias("_cs"))
 
     def assign(df: DataFrame, out_id: str, out_vec: str, n_keep: int) -> DataFrame:
-        scored = (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
-            .join(F.broadcast(c))
-            .select(
-                out_id,
-                out_vec,
-                "cid",
-                stable_round(cosine(out_vec, "cvec"), 6).alias("csim"),
+        ranked = F.array_sort(
+            F.transform(
+                F.col("_cs"),
+                lambda cc: F.struct(
+                    (-stable_round(cosine(F.col(out_vec), cc["cvec"]), 6)).alias(
+                        "negsim"
+                    ),
+                    cc["cid"].alias("cid"),
+                ),
             )
         )
-        w = Window.partitionBy(out_id).orderBy(F.desc("csim"), F.asc("cid"))
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n_keep)
-            .drop("rn", "csim")
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            .join(F.broadcast(c_arr))
+            .select(
+                out_id, out_vec, F.explode(F.slice(ranked, 1, n_keep)).alias("_b")
+            )
+            .select(out_id, out_vec, F.col("_b.cid").alias("cid"))
         )
 
     corpus_cells = assign(corpus, "neighbor_id", "nvec", 1)

@@ -36,7 +36,23 @@ def salted_join(
 ) -> DataFrame:
     """Join ``skewed`` (hot keys, salted by hashing ``salt_col``)
     against ``other`` (replicated ``factor`` ways). Result columns =
-    skewed ∪ other minus the duplicate key."""
+    skewed ∪ other minus the duplicate key.
+
+    ``how`` is restricted to join types whose semantics survive the
+    replication: the ``other`` side exists ``factor`` times, so any
+    type that EMITS unmatched ``other`` rows (right/full outer) would
+    emit ``factor`` null-extended copies of each — wrong row counts.
+    Inner/left/semi/anti only consume matches or unmatched SKEWED
+    rows (which are salted once), so they are exact."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            f"side would emit {factor} copies of every unmatched row "
+            "under right/full outer semantics. Salt the other side "
+            "instead, or use a plain join with AQE skew splitting."
+        )
     s = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(factor)).cast("int")
     )

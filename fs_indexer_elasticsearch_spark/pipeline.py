@@ -193,13 +193,16 @@ def run_pipeline(
             delete_dir = os.path.join(out_dir, "deletes")
             write_bulk_file(delete_actions(removed, cfg.es_index), delete_dir)
         # Optional live delivery (reference mode matrix: ES + Kibana
-        # fire only in elasticsearch mode). The bulk parts ship
-        # one-request-per-partition; deletes go through
+        # fire only in elasticsearch mode). The bulk parts re-chunk to
+        # cfg.es_bulk_size docs per request (a raw partition file can
+        # exceed ES's http.max_content_length); deletes go through
         # delete_by_query's 1000-id batches — the collect is
         # O(removed delta), the same driver-side id batching the
         # reference does (elasticsearch_integration.py:526-551).
         if es_client is not None:
-            ok, failed = es_client.ship_bulk_dir(bulk_dir)
+            ok, failed = es_client.ship_bulk_dir(
+                bulk_dir, batch_docs=cfg.es_bulk_size
+            )
             stats_extra["es_indexed"], stats_extra["es_failed"] = ok, failed
             if diff is not None:
                 # Stream removed ids to the transport in wire-sized

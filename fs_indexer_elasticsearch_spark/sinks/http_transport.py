@@ -125,17 +125,65 @@ class EsClient(_RetryingClient):
                 failed += 1
         return ok, failed
 
-    def ship_bulk_dir(self, bulk_dir: str) -> tuple[int, int]:
-        """Ship a write_bulk_file() output directory: each part file
-        (one per Spark partition) is already a valid `_bulk` body."""
+    #: Action-line prefixes emitted by sinks/es_bulk.py. index/create/
+    #: update actions are followed by ONE source line; delete stands
+    #: alone. Chunking must split only at action boundaries or a body
+    #: would end with an orphaned action line and ES would reject it.
+    _PAIRED_ACTIONS = ('{"index":', '{"create":', '{"update":')
+    _SINGLE_ACTIONS = ('{"delete":',)
+
+    def ship_bulk_dir(
+        self,
+        bulk_dir: str,
+        *,
+        batch_docs: int = 100_000,
+        max_bytes: int = 80 * 1024 * 1024,
+    ) -> tuple[int, int]:
+        """Ship a write_bulk_file() output directory, re-chunked so no
+        single `_bulk` request exceeds ``batch_docs`` documents or
+        ``max_bytes`` of body. A part file is one Spark partition —
+        at table scale that is table_size/num_buckets bytes, far past
+        Elasticsearch's http.max_content_length (100 MB default), and
+        an oversized request 413s non-retryably (the reference batches
+        at bulk_size=100k for exactly this reason, config.es_bulk_size
+        maps to ``batch_docs``). Chunks split only at action-line
+        boundaries so index/create/update pairs never straddle
+        requests."""
         ok = failed = 0
+        chunk: list[str] = []
+        docs = size = 0
+
+        def flush() -> None:
+            nonlocal ok, failed, chunk, docs, size
+            if chunk:
+                o, x = self.bulk_lines(chunk)
+                ok += o
+                failed += x
+            chunk, docs, size = [], 0, 0
+
         for part in sorted(glob.glob(os.path.join(bulk_dir, "part-*"))):
             with open(part, encoding="utf-8") as f:
                 lines = [ln for ln in f.read().split("\n") if ln]
-            if lines:
-                o, x = self.bulk_lines(lines)
-                ok += o
-                failed += x
+            i = 0
+            while i < len(lines):
+                action = lines[i]
+                unit = [action]
+                if action.startswith(self._PAIRED_ACTIONS) and i + 1 < len(lines):
+                    unit.append(lines[i + 1])
+                elif not action.startswith(
+                    self._SINGLE_ACTIONS + self._PAIRED_ACTIONS
+                ):
+                    # Defensive: a line we can't classify ships alone in
+                    # order, preserving the body byte-for-byte.
+                    pass
+                i += len(unit)
+                unit_size = sum(len(u) + 1 for u in unit)
+                if chunk and (docs >= batch_docs or size + unit_size > max_bytes):
+                    flush()
+                chunk.extend(unit)
+                docs += 1
+                size += unit_size
+        flush()
         return ok, failed
 
     def delete_by_ids(

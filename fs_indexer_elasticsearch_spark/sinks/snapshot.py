@@ -470,12 +470,16 @@ class SnapshotStore:
                     os.remove(os.path.join(self._data_dir(), rel))
                 except OSError:
                     pass
-            # Prune commit/bucket dirs emptied by the removals above
-            # (bottom-up so a commit dir whose buckets all vanished
-            # goes too; rmdir refuses non-empty dirs, so this can
-            # never remove live data).
-            for root, dirs, fnames in os.walk(self._data_dir(), topdown=False):
-                if root != self._data_dir() and not dirs and not fnames:
+            # Prune commit/bucket dirs emptied by the removals above.
+            # rmdir is attempted UNCONDITIONALLY (bottom-up): os.walk's
+            # `dirs` list is a pre-deletion snapshot, so a commit dir
+            # whose bucket children were rmdir'd earlier in this same
+            # walk still shows them and a `not dirs` guard would skip
+            # it forever (empty commit dirs then accumulate across
+            # vacuums). rmdir itself refuses non-empty dirs, so this
+            # can never remove live data.
+            for root, _dirs, _fnames in os.walk(self._data_dir(), topdown=False):
+                if root != self._data_dir():
                     try:
                         os.rmdir(root)
                     except OSError:

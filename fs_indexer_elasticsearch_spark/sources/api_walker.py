@@ -82,29 +82,49 @@ def api_bfs_scan(
                 )
 
     frontier = spark.createDataFrame([(root,)], "dir string")
+    # Cross-round visited set (the reference's `_seen_paths`): every
+    # dir ever LISTED FROM. Without it a listing cycle (A lists B, B
+    # lists A — parent links, mounts) re-enters the frontier every
+    # round and the same directories are re-fetched over HTTP for all
+    # `max_depth` rounds; dropDuplicates below is per-round only.
+    seen_dirs = frontier
+    rounds: list[DataFrame] = []
     collected: DataFrame | None = None
     for _ in range(max_depth):
         listed = (
             frontier.repartition(frontier_partitions)
             .mapInPandas(expand, LISTING_SCHEMA)
-            # visited-set semantics (`_seen_paths`): a path listed via
-            # two routes is kept once.
+            # a path listed via two routes in one round is kept once.
             .dropDuplicates(["path"])
             .filter(skip_filter(F.col("path"), patterns))
             .cache()
         )
+        rounds.append(listed)
         if listed.isEmpty():
             break
         collected = listed if collected is None else collected.unionByName(listed)
-        # Next frontier: directories only, pruned BEFORE fan-out (P2).
-        frontier = listed.filter(F.col("type") == "directory").select(
-            F.col("path").alias("dir")
+        # Next frontier: directories only, pruned BEFORE fan-out (P2),
+        # minus everything already listed from.
+        frontier = (
+            listed.filter(F.col("type") == "directory")
+            .select(F.col("path").alias("dir"))
+            .join(seen_dirs, on="dir", how="left_anti")
         )
         if frontier.isEmpty():
             break
+        seen_dirs = seen_dirs.unionByName(frontier)
     if collected is None:
+        for r in rounds:
+            r.unpersist()
         return spark.createDataFrame([], LISTING_SCHEMA)
-    return collected.dropDuplicates(["path"])
+    # Materialize once, truncate the multi-round lineage, then RELEASE
+    # every round's cache — without this each scan pins one cached
+    # DataFrame per level for the life of the session (the exact leak
+    # walker.py:308-318 documents and fixes).
+    out = collected.dropDuplicates(["path"]).localCheckpoint(eager=True)
+    for r in rounds:
+        r.unpersist()
+    return out
 
 
 def fake_tree_lister(tree: dict[str, list[dict]]) -> ListFn:

@@ -79,10 +79,18 @@ def load_config(path: str | None = None) -> PipelineConfig:
         es_index=data.get("elasticsearch", {}).get("index_name", "fs-entries"),
         es_bulk_size=int(data.get("elasticsearch", {}).get("bulk_size", 100_000)),
         snapshot_path=data.get("database", {}).get("path", "./snapshots"),
+        # ABSENT key → default 3; explicit `keep_versions: null` →
+        # None = keep every version (the documented retention-off
+        # mode; folding null into the default silently vacuumed
+        # versions the user asked to retain).
         keep_versions=(
-            int(data["database"]["keep_versions"])
-            if data.get("database", {}).get("keep_versions") is not None
-            else 3
+            3
+            if "keep_versions" not in data.get("database", {})
+            else (
+                int(data["database"]["keep_versions"])
+                if data["database"]["keep_versions"] is not None
+                else None
+            )
         ),
         snapshot_layout=data.get("database", {}).get("layout", "hardlink"),
         raw=data,

@@ -67,8 +67,11 @@ def get_filespace_info(
     raw filespace with dots dashed (the ES index naming rule,
     filespace_prompt.py:64-140). Single filespace auto-selects;
     several go through ``chooser``."""
-    if config is not None:
-        version = config.get("lucidlink_filespace", {}).get("lucidlink_version", 3)
+    # Config supplies the version only when it actually CARRIES one —
+    # a config dict without the key must not silently override an
+    # explicit ``version`` argument with the default.
+    if config is not None and version is None:
+        version = config.get("lucidlink_filespace", {}).get("lucidlink_version")
     version = version or 3
     bin_name = f"lucid{version}"
     run = runner or _subprocess_runner

@@ -93,3 +93,41 @@ def test_running_user_stats_accumulates(spark, tmp_path):
         assert len(m) == len(truth)
     finally:
         q.stop()
+
+
+def test_api_bfs_terminates_on_listing_cycle(spark):
+    """A listing with a cycle (parent links: A lists B, B lists A)
+    must list each directory ONCE and terminate — the cross-round
+    visited set (`_seen_paths` parity); per-round dropDuplicates alone
+    re-fetched the cycle for all max_depth rounds."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    # The lister runs on EXECUTORS (mapInPandas) — record calls through
+    # the filesystem (local mode shares it), not a driver-side list.
+    call_dir = tempfile.mkdtemp(prefix="api-cycle-calls-")
+
+    def lister(path):
+        tag = path.strip("/").replace("/", "_") or "root"
+        open(os.path.join(call_dir, f"{tag}.{uuid.uuid4().hex}"), "w").close()
+        cyc = {
+            "/": [{"path": "/a", "type": "directory"}],
+            "/a": [
+                {"path": "/b", "type": "directory"},
+                {"path": "/a/f.txt", "type": "file", "size_bytes": 1},
+            ],
+            "/b": [{"path": "/a", "type": "directory"}],  # back-edge
+        }
+        return cyc.get(path, [])
+
+    out = api_bfs_scan(spark, lister, "/", max_depth=16)
+    paths = {r.path for r in out.collect()}
+    assert paths == {"/a", "/b", "/a/f.txt"}
+    # Each directory listed exactly once despite the cycle.
+    calls = sorted(
+        os.path.basename(f).split(".")[0]
+        for f in glob.glob(os.path.join(call_dir, "*"))
+    )
+    assert calls == ["a", "b", "root"]

@@ -331,3 +331,53 @@ def test_empty_table_reads_from_recorded_schema(spark, tmp_path, layout):
     # And the table comes back to life on the next merge.
     store.merge(_df(spark, [("c", 1, "pc")]))
     assert {r.k for r in store.read().collect()} == {"c"}
+
+
+def test_insert_or_replace_collapses_duplicate_batch_keys(spark):
+    """A batch carrying the same key twice must leave exactly ONE row
+    per key in the table of record (INSERT OR REPLACE semantics) —
+    deterministically the greatest version when version_col is given."""
+    from fs_indexer_elasticsearch_spark.operators.merge import insert_or_replace
+
+    cur = spark.createDataFrame([("a", 1, 10)], "k string, ver int, v int")
+    batch = spark.createDataFrame(
+        [("a", 2, 20), ("a", 3, 30), ("b", 1, 40), ("b", 2, 50)],
+        "k string, ver int, v int",
+    )
+    out = insert_or_replace(cur, batch, "k", version_col="ver")
+    rows = {r.k: r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows["a"].ver == 3 and rows["a"].v == 30
+    assert rows["b"].ver == 2 and rows["b"].v == 50
+    # Without version_col: still exactly one row per key, chosen
+    # deterministically (greatest full row).
+    out2 = insert_or_replace(cur, batch, "k")
+    assert out2.groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_manifest_vacuum_prunes_emptied_commit_dirs(spark, tmp_path):
+    """After vacuum deletes every data file of a retired commit, the
+    commit's (now-empty) directory tree must go too — os.walk's dirs
+    list is a pre-deletion snapshot, so the prune must attempt rmdir
+    unconditionally rather than gate on `not dirs` (which skipped a
+    commit dir whose bucket children were rmdir'd in the same walk)."""
+    import os
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    # Three full overwrites → three commits' worth of data dirs.
+    for v in (1, 2, 3):
+        store.overwrite(_df(spark, [(f"k{i}", v, f"p{v}") for i in range(40)]))
+    data_dir = store._data_dir()
+    dirs_before = sum(len(d) for _, d, _ in os.walk(data_dir))
+    assert dirs_before > 0
+    store.vacuum(keep=1)
+    # Only the surviving commit's directories remain; every walked
+    # directory must still contain at least one file somewhere below.
+    for root, dirs, files in os.walk(data_dir):
+        if root == data_dir:
+            continue
+        has_content = any(f for _, _, fs in os.walk(root) for f in fs)
+        assert has_content, f"empty directory survived vacuum: {root}"

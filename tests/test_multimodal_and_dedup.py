@@ -373,3 +373,33 @@ def test_connected_components_duplicate_and_reversed_edges(spark):
     edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (10, 11), (11, 10)]
     got = _cc_spark(spark, edges)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_exact_duplicates_ignores_null_text(spark):
+    """md5(NULL) is NULL; groupBy would cluster all NULL-text docs into
+    one bogus 'duplicate' group and a downstream dedup would drop
+    documents whose content was never compared."""
+    from fs_indexer_elasticsearch_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same"), (5, "uniq")],
+        "doc_id long, text string",
+    )
+    got = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0].keeper_id == 3 and got[0].n_dups == 2
+
+
+def test_minhash_lsh_rejects_invalid_hash_band_config(spark):
+    """num_hashes beyond the permutation table was an IndexError at
+    plan build; bands not dividing num_hashes silently dropped trailing
+    signature values (a different S-curve than requested)."""
+    import pytest
+
+    from fs_indexer_elasticsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="permutation table"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=5)

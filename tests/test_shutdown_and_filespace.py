@@ -115,3 +115,29 @@ def test_filespace_multi_uses_chooser_and_config_version():
 def test_filespace_empty_raises():
     with pytest.raises(FilespaceError):
         get_filespace_info(version=2, runner=lambda args: "[]")
+
+
+def test_filespace_explicit_version_survives_versionless_config():
+    """A config dict WITHOUT lucidlink_version must not override an
+    explicit version argument with the default (wrong CLI binary)."""
+    from fs_indexer_elasticsearch_spark.sources.filespace import get_filespace_info
+
+    calls = []
+
+    def runner(argv):
+        calls.append(argv[0])
+        if argv[1] == "list":
+            return '[{"filespace": "fs.one", "port": 7778, "instanceId": "i1"}]'
+        return "Mount point: /mnt/fs\n"
+
+    fs, name, port, mount = get_filespace_info(
+        config={"unrelated": True}, version=2, runner=runner
+    )
+    assert calls and all(c == "lucid2" for c in calls)
+    # And a config that DOES carry the version wins when no explicit
+    # version is passed.
+    calls.clear()
+    get_filespace_info(
+        config={"lucidlink_filespace": {"lucidlink_version": 3}}, runner=runner
+    )
+    assert calls and all(c == "lucid3" for c in calls)

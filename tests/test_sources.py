@@ -211,3 +211,24 @@ def test_resplit_rounds_release_their_cache(spark, tmp_path):
     df.count()
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1, f"leaked persisted RDDs: {after - before}"
+
+
+def test_load_config_keep_versions_null_means_keep_all(tmp_path):
+    """Explicit `keep_versions: null` = retention OFF (keep every
+    version); an ABSENT key keeps the default of 3. Folding null into
+    the default silently vacuumed versions the user asked to retain."""
+    import yaml
+
+    from fs_indexer_elasticsearch_spark.sources.config import load_config
+
+    p = tmp_path / "c1.yaml"
+    p.write_text(yaml.safe_dump({"root_path": "/x", "database": {"keep_versions": None}}))
+    assert load_config(str(p)).keep_versions is None
+
+    p2 = tmp_path / "c2.yaml"
+    p2.write_text(yaml.safe_dump({"root_path": "/x", "database": {"path": "/s"}}))
+    assert load_config(str(p2)).keep_versions == 3
+
+    p3 = tmp_path / "c3.yaml"
+    p3.write_text(yaml.safe_dump({"root_path": "/x", "database": {"keep_versions": 7}}))
+    assert load_config(str(p3)).keep_versions == 7

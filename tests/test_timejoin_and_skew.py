@@ -128,3 +128,22 @@ def test_retention_cohorts_triangle(spark):
         assert r.week_offset >= 0
         assert r.cohort_week in base
         assert r.n_users <= base[r.cohort_week]
+
+
+def test_salted_join_rejects_outer_types(spark):
+    """The replicated side exists `factor` times, so right/full outer
+    would emit `factor` null-extended copies of every unmatched other
+    row — salted_join must refuse rather than return wrong counts."""
+    import pytest
+
+    from fs_indexer_elasticsearch_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(2, "y")], "k long, w string")
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="does not support"):
+            salted_join(a, b, "k", salt_col="v", factor=4, how=how)
+    # left join: the one unmatched OTHER row must NOT appear, and the
+    # unmatched skewed row appears exactly once.
+    out = salted_join(a, b, "k", salt_col="v", factor=4, how="left").collect()
+    assert len(out) == 1 and out[0].k == 1 and out[0].w is None

@@ -278,3 +278,37 @@ def test_pipeline_ships_live_when_clients_injected(spark, tmp_path):
     assert r3.snapshot_version == 1  # snapshot still maintained
     assert es_s.calls == [] and kb_s.calls == []
     assert "es_indexed" not in r3.stats and "kibana_ok" not in r3.stats
+
+
+def test_ship_bulk_dir_chunks_requests_at_action_boundaries(tmp_path):
+    """A part file bigger than the batch/byte budget must split into
+    multiple _bulk requests, and index action+source pairs must never
+    straddle a request (an orphaned trailing action line is a malformed
+    body ES rejects). Reference parity: bulk_size batching
+    (elasticsearch_integration.py, config bulk_size=100k)."""
+    part = tmp_path / "part-00000"
+    lines = []
+    for i in range(7):  # 7 index docs = 14 lines
+        lines.append('{"index":{"_index":"x","_id":"%d"}}' % i)
+        lines.append('{"f":%d}' % i)
+    for i in range(3):  # 3 single-line deletes
+        lines.append('{"delete":{"_index":"x","_id":"d%d"}}' % i)
+    part.write_text("\n".join(lines) + "\n")
+
+    ses = RecordingSession()
+    es = EsClient("http://es:9200", ses)
+    ok, failed = es.ship_bulk_dir(str(tmp_path), batch_docs=4)
+    assert failed == 0 and ok == 10
+    # ceil(10 docs / 4) = 3 requests.
+    bulk_calls = [c for c in ses.calls if "_bulk" in c[1]]
+    assert len(bulk_calls) == 3
+    for _, _, _, body in bulk_calls:
+        sent = [ln for ln in body.decode().splitlines() if ln]
+        # No request body ends with an orphaned paired-action line.
+        assert not sent[-1].startswith(('{"index":', '{"create":', '{"update":'))
+    # Byte cap alone also splits: 10 docs, tiny doc budget.
+    ses2 = RecordingSession()
+    es2 = EsClient("http://es:9200", ses2)
+    ok2, _ = es2.ship_bulk_dir(str(tmp_path), batch_docs=1000, max_bytes=120)
+    assert ok2 == 10
+    assert len([c for c in ses2.calls if "_bulk" in c[1]]) > 1
