@@ -146,7 +146,7 @@ def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
     # steady-state is the honest headline; the warm-up's time is
     # reported separately as ingest_cold_sec.
     t0 = time.perf_counter()
-    run_pipeline(spark, make_cfg("warm"), out_dir=out)
+    run_pipeline(spark, make_cfg("warm"), out_dir=out).release()
     cold_sec = round(time.perf_counter() - t0, 3)
 
     # Full first-cycle ingest: min-of-2 against FRESH stores (same
@@ -159,6 +159,7 @@ def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
         cfg = make_cfg(tag)
         t0 = time.perf_counter()
         result = run_pipeline(spark, cfg, out_dir=out)
+        result.release()
         full_times.append(time.perf_counter() - t0)
         files = int(result.stats.get("files", 0))
     dt = min(full_times)
@@ -173,7 +174,7 @@ def _ingest_metrics(spark, n_files: int = 50_000) -> dict[str, float]:
                 f.write(os.urandom(64))
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        run_pipeline(spark, cfg, out_dir=out)
+        run_pipeline(spark, cfg, out_dir=out).release()
         incr_times.append(time.perf_counter() - t0)
     dt2 = min(incr_times)
     shutil.rmtree(out, ignore_errors=True)

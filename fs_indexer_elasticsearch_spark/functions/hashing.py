@@ -49,19 +49,35 @@ _HEX = "0123456789abcdef"
 
 
 def md5_shard(key: Column | str, n_shards: int) -> Column:
-    """Deterministic content shard in [0, n_shards): first byte of
-    md5(key), decoded via an exact nibble lookup, mod n. md5 produces
-    identical bytes in Spark and DuckDB, so oracles can mirror the
-    assignment exactly (the engines' native hash functions differ).
-    The lookup must be exact — ``ascii(ch) % n`` folds '8'/'9' onto
-    'a'..'f' residues and leaves slots empty, skewing shards 3x.
+    """Deterministic content shard in [0, n_shards): the first 32-bit
+    word of md5(key) (8 hex chars, exact nibble decode) mod n. md5
+    produces identical bytes in Spark and DuckDB, so oracles can
+    mirror the assignment exactly (the engines' native hash functions
+    differ). The decode must be exact — ``ascii(ch) % n`` folds
+    '8'/'9' onto 'a'..'f' residues and leaves slots empty, skewing
+    shards 3x.
+
+    A 32-bit word, not one byte: a single byte caps the useful shard
+    count at 256 (shards 256.. would stay permanently empty) and any
+    n not dividing 256 gets a built-in ±(n/256) occupancy imbalance —
+    at 2^32 both effects are negligible for any practical n_shards.
 
     This is THE canonical shard assignment: the export sink
     (sinks/export.py) writes with it and the ``shard_balance_audit``
     query audits it — one function so they cannot drift.
     """
     h = F.md5(_c(key).cast("string"))
-    byte = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
-        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    word = F.lit(0).cast("long")
+    for i in range(1, 9):
+        word = word * 16 + (F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1)
+    return word % n_shards
+
+
+def md5_shard_sql(key_sql: str, n_shards: int) -> str:
+    """DuckDB oracle twin of :func:`md5_shard` — same first-32-bit-word
+    decode, importable next to the Spark expression so the two cannot
+    drift."""
+    return (
+        f"(('0x' || substr(md5(({key_sql})::VARCHAR), 1, 8))::BIGINT"
+        f" % {n_shards})"
     )
-    return byte % n_shards

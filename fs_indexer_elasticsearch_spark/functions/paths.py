@@ -47,10 +47,17 @@ def is_hidden(name: Column | str) -> Column:
 
 def relative_to(path: Column | str, root: str) -> Column:
     """Strip a mount-point/root prefix, keeping a leading '/'
-    (scanner.py:168-183)."""
+    (scanner.py:168-183).
+
+    The prefix match is anchored at a path-COMPONENT boundary
+    (lookahead for '/' or end): a bare string-prefix strip would
+    corrupt sibling paths that share the root as a character prefix —
+    root='/mnt/data' must leave '/mnt/database/x.txt' untouched, not
+    mangle it to 'base/x.txt' (wrong relative path → wrong sha256
+    entry_id for a file that is not even under the root)."""
     root = root.rstrip("/")
     quoted = re.escape(root)
-    out = F.regexp_replace(_c(path), f"^{quoted}", "")
+    out = F.regexp_replace(_c(path), f"^{quoted}(?=/|$)", "")
     return F.when(out == "", F.lit("/")).otherwise(out)
 
 

@@ -27,7 +27,13 @@ def find_ls_timestamp(raw: Column | str, now: Column | None = None) -> Column:
 
     ``now`` is injectable for deterministic tests.
     """
-    raw_c = F.trim(_c(raw))
+    # Squeeze runs of spaces first: `find -ls` pads single-digit days
+    # to two chars like ls ("Jun  3 04:22", "May  9 2020"), and the
+    # 'MMM d ...' patterns require exactly one space — without the
+    # squeeze those (roughly a third of all dates) parse to NULL, and
+    # a NULL modified_time is "never newer" to upsert_newer_wins, so
+    # the affected files would never update in the snapshot.
+    raw_c = F.regexp_replace(F.trim(_c(raw)), " +", " ")
     now = F.current_timestamp() if now is None else now
     year = F.date_format(now, "yyyy")
     # try_to_timestamp: unmatched format → NULL (Spark 4's to_timestamp

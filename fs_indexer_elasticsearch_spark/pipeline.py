@@ -54,6 +54,19 @@ class PipelineResult:
     bulk_dir: str | None = None
     delete_dir: str | None = None
 
+    def release(self) -> None:
+        """Unpersist the result's cached DataFrames. Call when done
+        with the cycle's outputs — a long-lived driver looping
+        run_pipeline otherwise accrues the entries/diff caches of
+        every past cycle (CacheManager retains them until explicit
+        unpersist)."""
+        for df in (self.entries, self.diff):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 - best-effort release
+                    pass
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -130,6 +143,12 @@ def run_pipeline(
         delta = entries.join(upsert_ids, on="id", how="left_semi")
         version = store.merge(delta, removed=removed_ids)
         current = store.read().drop("_bucket").cache()
+        # The scan cache is dead past this point in the incremental
+        # branch (stats/result use `current`; `diff` is cached
+        # separately) — release it, or a long-lived session accrues one
+        # pinned full-scan cache per nightly cycle. (First-cycle keeps
+        # it: there `current` IS the cached scan.)
+        entries.unpersist()
 
     # 5: enrichment (injectable fetcher; disabled → empty links).
     # Links persist in their own SnapshotStore (the reference's

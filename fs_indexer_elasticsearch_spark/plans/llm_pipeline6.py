@@ -36,7 +36,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.hashing import md5_shard
+from ..functions.hashing import md5_shard, md5_shard_sql
 from ..functions.text import distinct_tokens, token_count
 from ..tables import load
 from .registry import query, stable_round
@@ -61,10 +61,7 @@ def _shard_col(n: int) -> F.Column:
 
 
 def _shard_sql(n: int) -> str:
-    return (
-        f"((instr('{_HEX}', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16"
-        f" + instr('{_HEX}', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) % {n}"
-    )
+    return md5_shard_sql("doc_id", n)
 
 
 # ---------------------------------------------------------------------------

@@ -67,9 +67,14 @@ class ShutdownCoordinator:
     # -- signal plumbing ----------------------------------------------------
     def install(self, signals: tuple[int, ...] = (signal.SIGINT, signal.SIGTERM)) -> None:
         """Route the given signals to request_shutdown, remembering the
-        handlers they replace (main-thread only, like signal itself)."""
+        handlers they replace (main-thread only, like signal itself).
+        Idempotent: a second install() must NOT record our own handler
+        as "previous" — uninstall() would then re-install
+        request_shutdown instead of the original and Ctrl-C would be
+        dead for the rest of the process."""
         for s in signals:
-            self._previous[s] = signal.signal(s, self.request_shutdown)
+            prev = signal.signal(s, self.request_shutdown)
+            self._previous.setdefault(s, prev)
 
     def uninstall(self) -> None:
         for s, prev in self._previous.items():

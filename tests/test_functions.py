@@ -191,3 +191,52 @@ def test_format_size_tb_branch(spark):
 
     assert one(spark, format_size(F.lit(3 * 1024**4).cast("long"))) == "3.0 TB"
     assert one(spark, format_size(F.lit(2 * 1024**5).cast("long"))) == "2.0 PB"
+
+
+def test_find_ls_timestamp_space_padded_days(spark):
+    """`find -ls` pads single-digit days to two chars ('Jun  3 04:22',
+    'May  9 2020'); the 'MMM d' patterns need one space, so without
+    whitespace squeezing ~a third of real dates parsed to NULL — and a
+    NULL modified_time is 'never newer' to upsert_newer_wins."""
+    from fs_indexer_elasticsearch_spark.functions.timeparse import (
+        find_ls_timestamp,
+    )
+
+    df = spark.createDataFrame(
+        [("Jun  3 04:22",), ("May  9 2020",), ("Jun 13 04:22",), ("May 19 2020",)],
+        "raw string",
+    )
+    now = F.lit("2021-01-01 00:00:00").cast("timestamp")
+    got = df.select(find_ls_timestamp(F.col("raw"), now=now).alias("ts")).collect()
+    assert all(r.ts is not None for r in got), got
+    assert got[1].ts.year == 2020 and got[1].ts.day == 9
+    assert got[0].ts.day == 3
+
+
+def test_relative_to_requires_component_boundary(spark):
+    """root='/mnt/data' must not string-prefix-strip sibling paths like
+    '/mnt/database/x' (that yielded 'base/x' — a wrong relative path
+    and thus a wrong sha256 entry id for a file outside the root)."""
+    from fs_indexer_elasticsearch_spark.functions.paths import relative_to
+
+    df = spark.createDataFrame(
+        [("/mnt/data/a/b.txt",), ("/mnt/database/x.txt",), ("/mnt/data",)],
+        "p string",
+    )
+    got = [r.rel for r in df.select(relative_to(F.col("p"), "/mnt/data").alias("rel")).collect()]
+    assert got == ["/a/b.txt", "/mnt/database/x.txt", "/"]
+
+
+def test_md5_shard_uses_32_bit_word(spark):
+    """One md5 byte caps useful shard counts at 256 (shards 256+ stay
+    permanently empty for the export sink); the 32-bit word populates
+    any practical n_shards."""
+    from fs_indexer_elasticsearch_spark.functions.hashing import md5_shard
+
+    df = spark.range(4000).select(F.col("id").alias("k"))
+    shards = {
+        r.s for r in df.select(md5_shard(F.col("k"), 512).alias("s")).collect()
+    }
+    assert max(shards) >= 256  # upper half actually reachable
+    assert min(shards) >= 0 and max(shards) < 512
+    assert len(shards) > 400  # densely populated

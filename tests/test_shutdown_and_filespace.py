@@ -141,3 +141,27 @@ def test_filespace_explicit_version_survives_versionless_config():
         config={"lucidlink_filespace": {"lucidlink_version": 3}}, runner=runner
     )
     assert calls and all(c == "lucid3" for c in calls)
+
+
+def test_shutdown_install_idempotent():
+    """A second install() must not record our own handler as the
+    'previous' one — uninstall() would then leave request_shutdown
+    installed forever and Ctrl-C would be dead post-teardown."""
+    import signal
+
+    from fs_indexer_elasticsearch_spark.streaming.shutdown import (
+        ShutdownCoordinator,
+    )
+
+    orig_int = signal.getsignal(signal.SIGINT)
+    orig_term = signal.getsignal(signal.SIGTERM)
+    c = ShutdownCoordinator()
+    try:
+        c.install()
+        c.install()  # defensive double-install (supervisor + context mgr)
+        c.uninstall()
+        assert signal.getsignal(signal.SIGINT) is orig_int
+        assert signal.getsignal(signal.SIGTERM) is orig_term
+    finally:
+        signal.signal(signal.SIGINT, orig_int)
+        signal.signal(signal.SIGTERM, orig_term)
