@@ -45,13 +45,26 @@ def asof_join(
     """
     if set(value_cols) & set(left.columns):
         raise ValueError("value_cols must not collide with left columns")
-    l = left.withColumn("_is_left", F.lit(1))
-    for c in value_cols:
-        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    from pyspark.sql import types as T
+
+    # The matched right row travels as ONE struct, filled atomically —
+    # per-column last(..., ignorenulls) would TEAR rows whenever the
+    # matched row carries a NULL value column (ignorenulls skips back
+    # to an older row's value for that column only, inventing a
+    # franken-row no input contained; ASOF LEFT JOIN returns the
+    # matched row's values verbatim, NULLs included). The struct is
+    # non-NULL for every right row, so ignorenulls only ever skips
+    # LEFT rows, never a matched value.
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
+    l = left.withColumn("_is_left", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(r_struct_type)
+    )
     r = right.select(
         F.col(by).alias(by),
         F.col(on).alias(on),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     ).withColumn("_is_left", F.lit(0))
     for c in left.columns:
         if c not in (on, by):
@@ -64,28 +77,23 @@ def asof_join(
             .orderBy(F.asc(on), F.asc("_is_left"))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        filled = [
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ]
+        filled = F.last("_r", ignorenulls=True).over(w).alias("_f")
     elif direction == "forward":
         w = (
             Window.partitionBy(by)
             .orderBy(F.asc(on), F.desc("_is_left"))
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        filled = [
-            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ]
+        filled = F.first("_r", ignorenulls=True).over(w).alias("_f")
     else:
         raise ValueError(f"unknown direction {direction!r}")
 
-    out = u.select(*left.columns, "_is_left", *filled).filter(
+    out = u.select(*left.columns, "_is_left", filled).filter(
         F.col("_is_left") == 1
     )
     return out.select(
-        *left.columns, *[F.col(f"_f_{c}").alias(f"right_{c}") for c in value_cols]
+        *left.columns,
+        *[F.col("_f").getField(c).alias(f"right_{c}") for c in value_cols],
     )
 
 

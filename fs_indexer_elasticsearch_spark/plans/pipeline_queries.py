@@ -170,7 +170,7 @@ def project_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(o_totalprice * 1.1 + 1e-7, 2) AS price
         FROM orders WHERE o_orderkey % 2 = 0
         UNION ALL
-        SELECT o_orderkey + 10000000, o_orderdate, round(o_totalprice + 1e-7, 2)
+        SELECT o_orderkey + 1000000000000, o_orderdate, round(o_totalprice + 1e-7, 2)
         FROM orders WHERE o_orderkey % 5 = 0
     )
     SELECT coalesce(c.k, b.k) AS k,
@@ -185,7 +185,15 @@ def merge_upsert_newer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — the reference's ON CONFLICT DO UPDATE ... WHERE
     excluded.modified_time > files.modified_time (scanner.py:225-244)
     as a full-outer snapshot merge. The batch mixes newer rows
-    (updated), older rows (kept), and unseen keys (inserted)."""
+    (updated), older rows (kept), and unseen keys (inserted).
+
+    ``delta_batch=False``: this query's batch is ~70% of the table BY
+    CONSTRUCTION (every even key + every fifth), so the shuffle_hash
+    hint's precondition (delta-sized build side; SHJ builds don't
+    spill) does not hold — table-vs-table takes the spill-safe
+    sort-merge plan, exactly as the operator's contract directs. The
+    delta-shaped SHJ path is exercised where the precondition is real:
+    SnapshotStore.merge inside the pipeline/bench ingest cycles."""
     o = load(spark, sf_dir, "orders")
     cur = o.select(
         F.col("o_orderkey").alias("k"),
@@ -203,11 +211,17 @@ def merge_upsert_newer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("o_totalprice") * 1.1, 2).alias("price"),
     )
     inserts = o.filter(F.col("o_orderkey") % 5 == 0).select(
-        (F.col("o_orderkey") + 10000000).alias("k"),
+        (F.col("o_orderkey") + 1_000_000_000_000).alias("k"),
         F.col("o_orderdate").alias("version"),
         stable_round("o_totalprice", 2).alias("price"),
     )
-    return upsert_newer_wins(cur, updates.unionByName(inserts), key="k", version_col="version")
+    return upsert_newer_wins(
+        cur,
+        updates.unionByName(inserts),
+        key="k",
+        version_col="version",
+        delta_batch=False,
+    )
 
 
 @query(
@@ -292,8 +306,11 @@ def search_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 json parse (lucidlink_api.py:99) — from_json over the
-    events props payload + aggregation."""
+    """§2.8 json parse (lucidlink_api.py:99) — ``get_json_object``
+    path extraction over the events props payload + aggregation (the
+    typed ``from_json``-to-struct surface is ``json_struct_surface``
+    in relational_ext2.py; this query covers the string-path variant,
+    the reference's actual access pattern)."""
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (

@@ -70,7 +70,7 @@ def window_hopping_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session_30m",
     oracle="""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
@@ -78,8 +78,14 @@ def window_hopping_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
+        -- ORDER BY ts, event_id: same tiebreak as the marked CTE. On
+        -- ts alone the cumsum could order a same-timestamp tie row
+        -- BEFORE its session-boundary sibling (ROWS frames over a
+        -- nondeterministic tie order), splitting two same-ts events
+        -- across sessions where Spark's session_window merges them.
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_no
         FROM marked
     )

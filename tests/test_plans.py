@@ -59,15 +59,31 @@ def test_scalar_max_is_broadcast_not_collect(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
-def test_merge_join_is_key_partitioned(spark):
-    # The batch side's shuffle_hash hint must hold: a shuffled-hash
-    # full-outer join (hash built on the delta, current side STREAMED
-    # unsorted) — a SortMergeJoin here would mean two table-scale
-    # sorts at 100 TB.
+def test_merge_join_strategy_matches_batch_shape(spark):
+    # Two contracts (operators/merge.py upsert_newer_wins): a
+    # TABLE-SIZED batch (this query's ~70%-of-orders batch,
+    # delta_batch=False) must take the spill-safe SortMergeJoin —
+    # ShuffledHashJoin's build side doesn't spill; a DELTA-SIZED batch
+    # (delta_batch=True, the SnapshotStore.merge path) must keep the
+    # shuffle_hash hint so the current side streams with no sort.
     p = plan_of(spark, "merge_upsert_newer_wins")
-    assert "ShuffledHashJoin" in p
     assert "FullOuter" in p
-    assert "SortMergeJoin" not in p
+    assert "SortMergeJoin" in p
+    assert "ShuffledHashJoin" not in p
+
+    import pyspark.sql.functions as F
+
+    from fs_indexer_elasticsearch_spark.operators.merge import upsert_newer_wins
+
+    cur = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(1).alias("v"), F.lit("a").alias("p")
+    )
+    delta = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(2).alias("v"), F.lit("b").alias("p")
+    )
+    dp = upsert_newer_wins(cur, delta, key="k", version_col="v")
+    splan = dp._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in splan and "SortMergeJoin" not in splan
 
 
 def test_anti_and_semi_joins(spark):

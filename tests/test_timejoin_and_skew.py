@@ -147,3 +147,29 @@ def test_salted_join_rejects_outer_types(spark):
     # unmatched skewed row appears exactly once.
     out = salted_join(a, b, "k", salt_col="v", factor=4, how="left").collect()
     assert len(out) == 1 and out[0].k == 1 and out[0].w is None
+
+
+def test_asof_join_carries_matched_row_atomically(spark):
+    """A matched right row with a NULL value column must arrive
+    verbatim (ASOF LEFT JOIN semantics) — per-column ignorenulls fill
+    tore rows, pairing the newest row's non-null columns with OLDER
+    rows' values for its null columns (a franken-row no input had)."""
+    from fs_indexer_elasticsearch_spark.operators.timejoin import asof_join
+
+    left = spark.createDataFrame([(1, 11)], "user long, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 2, 7.0), (1, 10, 5, None)],
+        "user long, t long, ev long, val double",
+    )
+    got = asof_join(
+        left, right, on="t", by="user", value_cols=["ev", "val"]
+    ).collect()
+    assert len(got) == 1
+    # The match at t=10 carries (ev=5, val=NULL) — NOT val=7.0 from t=1.
+    assert got[0].right_ev == 5 and got[0].right_val is None
+    # And a left row before any right row gets all-NULL attributes.
+    early = spark.createDataFrame([(1, 0)], "user long, t long")
+    g2 = asof_join(
+        early, right, on="t", by="user", value_cols=["ev", "val"]
+    ).collect()
+    assert g2[0].right_ev is None and g2[0].right_val is None
