@@ -97,12 +97,12 @@ _KMEANS_CTES = (
     + _assign_cte("af", "c2")
 )
 
-_COS_AB = """
-    round( list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]))
-         / ( sqrt(list_sum(list_transform(range(1, 65), i -> a.emb[i] * a.emb[i])))
-           * sqrt(list_sum(list_transform(range(1, 65), i -> b.emb[i] * b.emb[i]))) )
-         + 1e-7, 6)
-"""
+# Composed from llm_queries' parameterized fragment — ONE cosine/
+# rounding recipe across every embedding oracle, so a change to the
+# dimension count or epsilon cannot silently drift one module.
+from .llm_queries import _COS_PAIR  # noqa: E402
+
+_COS_AB = _COS_PAIR.format(a="a.emb", b="b.emb")
 
 
 def _fit_and_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,7 +41,7 @@ from .registry import query, stable_round
     WITH corpus AS (
         SELECT doc_id, source, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, 'mirror', upper(text) || '  '
+        SELECT doc_id + 1000000000000, 'mirror', upper(text) || '  '
         FROM documents WHERE doc_id % 10 = 0
     ), d AS (
         SELECT doc_id, source, text,
@@ -75,7 +75,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting identical rows."""
     base = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     mirror = base.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
         F.lit("mirror").alias("source"),
         F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
     )

@@ -40,9 +40,9 @@ _CORPUS_SQL = """
     corpus AS (
         SELECT doc_id, text FROM base
         UNION ALL
-        SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 0
+        SELECT doc_id + 1000000000000, text FROM base WHERE doc_id % 10 = 0
         UNION ALL
-        SELECT doc_id + 2000000,
+        SELECT doc_id + 2000000000000,
                array_to_string(tk[1:CAST(ceil(len(tk) * 0.6) AS INT)], ' ') AS text
         FROM (
             SELECT doc_id,
@@ -82,14 +82,14 @@ _SHINGLES_SQL = (
 def _aug_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "documents").select("doc_id", "text")
     copies = base.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"), "text"
     )
     tk = tokens(F.col("text"))
     truncs = (
         base.select("doc_id", tk.alias("tk"))
         .filter((F.col("doc_id") % 7 == 0) & (F.size("tk") >= 5))
         .select(
-            (F.col("doc_id") + 2000000).alias("doc_id"),
+            (F.col("doc_id") + 2_000_000_000_000).alias("doc_id"),
             F.array_join(
                 F.slice(
                     F.col("tk"),
@@ -108,7 +108,8 @@ def _aug_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_CORPUS_SQL
     + """
     SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_dups
-    FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    FROM corpus WHERE text IS NOT NULL
+    GROUP BY md5(text) HAVING count(*) > 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,7 +557,7 @@ _AUG_CTE_SQL = """
                list_transform(range(1, 65), d -> embedding[d]::DOUBLE) AS emb
         FROM embeddings
         UNION ALL
-        SELECT vec_id + 100000,
+        SELECT vec_id + 1000000000000,
                list_transform(range(1, 65), d ->
                    embedding[d]::DOUBLE
                    + 0.1 * ((((('0x' || substr(md5('p:' || d::VARCHAR), 1, 8))::BIGINT)
@@ -580,7 +581,8 @@ _AUG_EMB_SQL = _AUG_CTE_SQL + """,
 
 def augmented_embeddings(emb: DataFrame) -> DataFrame:
     """Embeddings corpus augmented with deterministically perturbed
-    copies (vec + 0.1·w, w md5-derived, ids offset by 100000) so real
+    copies (vec + 0.1·w, w md5-derived, ids offset by 1e12 — far past
+    any realistic corpus id, so planted ids can never collide) so real
     near-dups exist at every SF. Mirrors ``_AUG_EMB_SQL``'s ``aug``
     CTE; shared by the LSH and the k-means (llm_pipeline3) dedup
     paths. Output: (vec_id, emb double[64])."""
@@ -596,7 +598,7 @@ def augmented_embeddings(emb: DataFrame) -> DataFrame:
         return ((v % 2001) - 1000) / F.lit(1000.0)
 
     planted = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + 1_000_000_000_000).alias("vec_id"),
         F.transform(
             dims,
             lambda d: F.element_at(F.col("embedding"), d).cast("double")
@@ -800,7 +802,7 @@ def _multi_table_bucket_sql(emb: str, num_planes: int, num_tables: int) -> str:
     + f""",
     coded AS ({_multi_table_bucket_sql("emb", 8, 8)}),
     q AS (SELECT vec_id AS query_id, t, code FROM coded
-          WHERE vec_id >= 100000 AND vec_id < 100040),
+          WHERE vec_id >= 1000000000000 AND vec_id < 1000000000040),
     c AS (SELECT vec_id AS neighbor_id, t, code FROM coded),
     cands AS (
         SELECT DISTINCT query_id, neighbor_id
@@ -824,7 +826,7 @@ def _multi_table_bucket_sql(emb: str, num_planes: int, num_tables: int) -> str:
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_COS_PAIR.format(a="q.emb", b="c.emb")} AS cos_sim
         FROM aug q JOIN aug c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id >= 100000 AND q.vec_id < 100040
+        WHERE q.vec_id >= 1000000000000 AND q.vec_id < 1000000000040
     ),
     bf1 AS (
         SELECT query_id, neighbor_id FROM (
@@ -862,7 +864,10 @@ def ann_neardup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import recall_against
 
     aug = augmented_embeddings(load(spark, sf_dir, "embeddings"))
-    q = aug.filter((F.col("vec_id") >= 100000) & (F.col("vec_id") < 100040))
+    q = aug.filter(
+        (F.col("vec_id") >= 1_000_000_000_000)
+        & (F.col("vec_id") < 1_000_000_000_040)
+    )
     ann = lsh_ann_topk(aug, q, "vec_id", "emb", k=1, num_planes=8, num_tables=8)
     bf = brute_force_topk(aug, q, "vec_id", "emb", k=1)
     return recall_against(ann, bf, "lsh_neardup")

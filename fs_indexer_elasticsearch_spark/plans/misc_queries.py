@@ -103,7 +103,8 @@ def parse_two_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN sum(l_quantity) * 1024 < 1048576 THEN printf('%.1f', sum(l_quantity) * 1024 / 1024.0 + 1e-7) || ' KB'
                WHEN sum(l_quantity) * 1024 < 1073741824 THEN printf('%.1f', sum(l_quantity) * 1024 / 1048576.0 + 1e-7) || ' MB'
                WHEN sum(l_quantity) * 1024 < 1099511627776 THEN printf('%.1f', sum(l_quantity) * 1024 / 1073741824.0 + 1e-7) || ' GB'
-               ELSE printf('%.1f', sum(l_quantity) * 1024 / 1099511627776.0 + 1e-7) || ' TB'
+               WHEN sum(l_quantity) * 1024 < 1125899906842624 THEN printf('%.1f', sum(l_quantity) * 1024 / 1099511627776.0 + 1e-7) || ' TB'
+               ELSE printf('%.1f', sum(l_quantity) * 1024 / 1125899906842624.0 + 1e-7) || ' PB'
            END AS total_human
     FROM lineitem
     """,

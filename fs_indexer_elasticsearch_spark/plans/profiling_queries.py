@@ -61,7 +61,11 @@ def _profile_oracle() -> str:
     parts = []
     for col, kind in _PROFILE_COLS:
         if kind == "money":
-            mn, mx = f"printf('%.2f', min({col}))", f"printf('%.2f', max({col}))"
+            # +1e-7 tie-shift like every other printf pair in the repo:
+            # a double landing exactly on a .005 boundary renders
+            # half-even in DuckDB but HALF_UP in Java's format_string.
+            mn = f"printf('%.2f', min({col}) + 1e-7)"
+            mx = f"printf('%.2f', max({col}) + 1e-7)"
         elif kind == "ts":
             mn = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S')"
             mx = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S')"
@@ -98,8 +102,8 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = []
     for col, kind in _PROFILE_COLS:
         if kind == "money":
-            mn = F.format_string("%.2f", F.min(col))
-            mx = F.format_string("%.2f", F.max(col))
+            mn = F.format_string("%.2f", F.min(col) + F.lit(1e-7))
+            mx = F.format_string("%.2f", F.max(col) + F.lit(1e-7))
         elif kind == "ts":
             mn = F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss")
             mx = F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss")
@@ -235,8 +239,17 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ann_recall_at_k); a production probe joins the sketch at its
     query tokens.
     """
-    occ = load(spark, sf_dir, "documents").select(
-        F.explode(tokens("text")).alias("tok")
+    from ..tables import spread_small
+
+    # Tokenized occurrences feed BOTH the sketch cells and the exact
+    # grading counts: cache so the interpreted-lambda tokenize+explode
+    # runs once, and spread_small so it parallelizes past the small
+    # file's single input split (the same recipe as
+    # split_contamination_ngrams and shingle_sets).
+    occ = (
+        spread_small(load(spark, sf_dir, "documents"))
+        .select(F.explode(tokens("text")).alias("tok"))
+        .cache()
     )
 
     def bucket(d_col: Column, tok_col: Column) -> Column:

@@ -29,7 +29,7 @@ def test_dedup_keep_best_prefers_longest_variant(spark):
     for r in rows:
         assert r.n_members == 2
         assert r.keeper_source == "mirror"
-        assert r.keeper_id >= 1000000
+        assert r.keeper_id >= 1_000_000_000_000
 
 
 def test_length_percentile_band_bounds(spark):
