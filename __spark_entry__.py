@@ -25,6 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return QUERIES["q01_pricing_summary"](spark, SF0001)
 
 
@@ -38,6 +39,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+            # Spark 4 defaults ANSI ON; the oracle (DuckDB) is
+            # permissive, so pin Spark to the same division/cast
+            # semantics wherever the driver's session comes from.
+            spark.conf.set("spark.sql.ansi.enabled", "false")
             return fn(spark, sf_dir)
 
         return run

@@ -45,7 +45,7 @@ from .registry import query, stable_round
         FROM documents WHERE doc_id % 10 = 0
     ), d AS (
         SELECT doc_id, source, text,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+               md5(trim(regexp_replace(lower(text), '[[:space:]]+', ' ', 'g'))) AS k
         FROM corpus
     ), r AS (
         SELECT *,
@@ -80,7 +80,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
     )
     d = base.union(mirror)
-    k = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    # \p{Space} == POSIX [[:space:]] == [ \t\n\x0B\f\r] in BOTH
+    # engines; a bare \s is Java-vs-RE2 divergent at \x0B (vertical
+    # tab), which would split the normalized cluster key cross-engine.
+    k = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\p{Space}+", " "))
+    )
     w = Window.partitionBy("k").orderBy(
         F.length("text").desc(), F.col("source"), F.col("doc_id")
     )
@@ -432,8 +437,8 @@ _CHUNK, _STRIDE = 64, 48
     """,
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size overlapping token chunking ({_CHUNK}-token chunks,
-    {_STRIDE}-token stride ⇒ 16-token overlap) — the pre-tokenization
+    """Fixed-size overlapping token chunking (64-token chunks,
+    48-token stride ⇒ 16-token overlap) — the pre-tokenization
     sharding pass that turns documents into training-sequence-sized
     pieces. Chunk count per doc is 1 + ceil(max(n−chunk,0)/stride):
     full coverage, a shorter final chunk, never a fully-redundant one.

@@ -222,10 +222,19 @@ def crossdoc_shingle_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", tokens("text").alias("toks")
     )
-    sh = d.filter(F.size("toks") > 0).select(
-        "doc_id",
-        "source",
-        F.explode(word_shingles(F.col("toks"), 5)).alias("shingle"),
+    # Cached: sh feeds BOTH the hot-shingle aggregate and the coverage
+    # probe join, and the two subplans differ (one holds a partial
+    # aggregate) so exchange reuse can't deduplicate them — without
+    # the cache the tokenize+shingle+explode (the expensive stage)
+    # runs twice per execution.
+    sh = (
+        d.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.col("toks"), 5)).alias("shingle"),
+        )
+        .cache()
     )
     hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_sh"))
     cov = (
@@ -275,6 +284,7 @@ _QCOS_SQL = """
     oracle=f"""
     WITH coded AS (
         SELECT vec_id, {_QVEC_SQL} AS qvec FROM embeddings
+        WHERE list_max(list_transform(embedding, v -> abs(v::DOUBLE))) > 0
     ),
     q AS (SELECT vec_id AS query_id, qvec AS qv FROM coded WHERE vec_id < 8),
     c AS (SELECT vec_id AS neighbor_id, qvec AS nv FROM coded),
@@ -304,10 +314,15 @@ def quantized_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     round() half-away-from-zero matches) so every product and sum is
     exact and byte-identical.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    scale = F.lit(127.0) / F.array_max(
+    # Zero vectors are excluded on BOTH sides before the 127/max|x|
+    # scale: the division is undefined for them, and the engines'
+    # permissive-mode answers differ (Spark non-ANSI NULL vs DuckDB
+    # Inf) — a zero embedding carries no direction to search anyway.
+    maxabs = F.array_max(
         F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
     )
+    emb = load(spark, sf_dir, "embeddings").filter(maxabs > 0)
+    scale = F.lit(127.0) / maxabs
     coded = emb.select(
         "vec_id",
         F.transform(
@@ -547,7 +562,8 @@ def _cascade_oracle() -> str:
         _CORPUS_SQL
         + f"""
     , keep AS (
-        SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+        SELECT min(doc_id) AS doc_id FROM corpus
+        WHERE text IS NOT NULL GROUP BY md5(text)
     ),
     pairs AS (SELECT id_a, id_b FROM ({pairs})),
     drops AS (
@@ -590,8 +606,13 @@ def dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _aug_corpus(spark, sf_dir).cache()
     n_raw = corpus.agg(F.count(F.lit(1)).alias("n_raw"))
+    # NULL-text rows are excluded before hashing, like
+    # operators/dedup.exact_duplicates: md5(NULL) groups every
+    # NULL-content doc into one fake duplicate cluster and all but one
+    # would be dropped without their content ever being compared.
     keep = (
-        corpus.groupBy(F.md5("text").alias("h"))
+        corpus.filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
         .cache()

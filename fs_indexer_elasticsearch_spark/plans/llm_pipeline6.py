@@ -27,7 +27,9 @@ Scale design notes (the whole point of these shapes):
 - The tiny context-size axis of ``context_truncation_loss`` is a
   4-row exploded literal — broadcast by construction.
 
-All four are pure DataFrame plans (no UDFs, no collect); each has a
+All six queries are pure DataFrame plans (no UDFs, no collect:
+packing, shard audit, curriculum, context sizing, weighted sampling,
+temperature mixture); each has a
 DuckDB oracle twin for the hash-compare gate.
 """
 
@@ -426,6 +428,7 @@ WITH s AS (
                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                x -> x <> ''))) AS BIGINT) AS n_tokens
     FROM documents GROUP BY source
+    HAVING n_tokens > 0
 ),
 t AS (
     SELECT source, n_tokens,
@@ -456,8 +459,13 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is a driver-sized final step.
     """
     docs = load(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(
-        F.sum(token_count("text")).alias("n_tokens")
+    # A source whose documents carry zero tokens has no defined epoch
+    # count (x/0: Spark non-ANSI NULL vs DuckDB Inf) and no data to
+    # mix — excluded identically on both sides.
+    s = (
+        docs.groupBy("source")
+        .agg(F.sum(token_count("text")).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
     )
     w = Window.partitionBy()
     p_nat = F.col("n_tokens") / F.sum("n_tokens").over(w)

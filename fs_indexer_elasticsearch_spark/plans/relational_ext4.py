@@ -179,8 +179,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN nation ON n_nationkey = s_nationkey
     WHERE n_name = 'NATION_7'
     GROUP BY l_partkey
-    HAVING sum(l_extendedprice) > (
-        SELECT sum(l_extendedprice) * 0.0002
+    HAVING round(sum(l_extendedprice) + 1e-7, 2) > (
+        SELECT round(sum(l_extendedprice) * 0.0002 + 1e-7, 2)
         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                       JOIN nation ON n_nationkey = s_nationkey
         WHERE n_name = 'NATION_7')
@@ -203,10 +203,19 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = supplied.groupBy("l_partkey").agg(
         F.sum("l_extendedprice").alias("_v")
     )
-    threshold = supplied.agg((F.sum("l_extendedprice") * 0.0002).alias("_t"))
+    # Threshold derived FROM per_part (sum of per-part sums == total),
+    # so the fact scan + broadcast join subtree runs ONCE, not twice
+    # (the common subtree ends before any exchange, so Spark's
+    # exchange reuse can't deduplicate a second `supplied` branch).
+    # The membership comparison rounds BOTH sides to 2 decimals first:
+    # raw double sums are partial-aggregation-order dependent, and a
+    # part landing within ulps of the threshold would flip row
+    # membership between runs/engines — the one flake stable_round on
+    # the OUTPUT cannot mask.
+    threshold = per_part.agg((F.sum("_v") * 0.0002).alias("_t"))
     return (
         per_part.join(F.broadcast(threshold))
-        .filter(F.col("_v") > F.col("_t"))
+        .filter(stable_round("_v", 2) > stable_round("_t", 2))
         .select("l_partkey", stable_round("_v", 2).alias("value"))
     )
 

@@ -42,6 +42,12 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 defaults ANSI ON; the docstring's promise must be
+        # explicit or division-by-zero / overflow RAISE where the
+        # permissive DuckDB oracle returns Inf/NULL — a crash-vs-rows
+        # divergence on any corpus with a zero denominator (round-6
+        # review: the conf was documented but never set).
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
