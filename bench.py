@@ -3,9 +3,17 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "suite_seconds", "value": <total>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, ...}
+Output contract (round-7 fix — BENCH_r06.json was `parsed: null`
+because the single fat JSON line outgrew the driver's 2000-char tail
+capture, losing the round's warm suite total from the artifact):
+
+- FINAL stdout line: a COMPACT headline JSON (kept under ~1500 chars,
+  asserted in tests/test_entry_contract.py) — suite warm/cold totals,
+  per-headline-query warm seconds, ingest + incremental, CPU canary,
+  regime-labeled ANN recall.
+- The line BEFORE it: the full detail JSON (per-query cold times, row
+  counts, the `extra` query timings, errors), also written to
+  ``BENCH_DETAIL.json`` next to this file.
 
 Each query is executed to completion (collect) — timings include the
 full plan: scan, shuffle, agg, and driver fetch.
@@ -275,27 +283,84 @@ def main() -> None:
             extra[name] = None
             errors[name] = repr(e)[:500]
 
+    headline, detail = build_payloads(
+        sf=sf,
+        timings=timings,
+        cold=cold,
+        rows=rows,
+        extra=extra,
+        ann_recall=ann_recall,
+        ingest=ingest,
+        errors=errors,
+        canary_sec=_cpu_canary(),
+    )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still carries it
+    # Detail first, compact headline LAST — the driver captures the tail.
+    print(json.dumps(detail, sort_keys=True))
+    print(json.dumps(headline))
+    spark.stop()
+
+
+# Out-of-design regimes are labeled so a reader of the bench artifact
+# alone doesn't read e.g. single-table bucket-LSH recall 0.0 on exact
+# top-k of weakly similar vectors as a broken index (r6 verdict #3;
+# rationale in plans/llm_queries.py ann_recall_at_k docstrings).
+ANN_REGIMES = {
+    "lsh": "exact-topk; out of design for single-table bucket LSH (~0 expected) — use ivf",
+    "ivf": "exact-topk (design regime)",
+    "lsh_neardup": "planted near-dup retrieval, 8x8 OR-construction (design regime; pytest floor 0.8)",
+}
+
+
+def build_payloads(
+    *,
+    sf: float,
+    timings: dict,
+    cold: dict,
+    rows: dict,
+    extra: dict,
+    ann_recall: dict,
+    ingest: dict,
+    errors: dict,
+    canary_sec: float,
+) -> tuple[dict, dict]:
+    """Assemble (headline, detail). Pure function of the measurements
+    so the compactness contract is unit-testable without Spark."""
     total = round(sum(t for t in timings.values() if t is not None), 3)
-    payload = {
+    headline = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "rows": rows,
-        "cold": cold,
         "cold_total": round(sum(c for c in cold.values() if c is not None), 3),
-        "extra": extra,
         "extra_total": round(sum(t for t in extra.values() if t is not None), 3),
-        "ann_recall": ann_recall,
-        "cpu_canary_sec": _cpu_canary(),
+        "ann_recall": {
+            m: {"value": v, "regime": ANN_REGIMES.get(m, "?")}
+            for m, v in ann_recall.items()
+        },
+        "cpu_canary_sec": canary_sec,
         **ingest,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "n_errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
     }
-    if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
-    spark.stop()
+    detail = {
+        "metric": "bench_detail",
+        "sf": sf,
+        "rows": rows,
+        "cold": cold,
+        "extra": extra,
+        "errors": errors,
+    }
+    return headline, detail
 
 
 if __name__ == "__main__":

@@ -43,23 +43,50 @@ def hyperplane_weight(h: int | Column, d: Column) -> Column:
     return ((v % 2001) - 1000) / F.lit(1000.0)
 
 
-def lsh_bucket(vec: Column | str, num_planes: int = 8, table: int = 0) -> Column:
+def hyperplane_weight_py(h: int, d: int) -> float:
+    """Python twin of :func:`hyperplane_weight` — bit-identical value
+    (int(md5 hex[:8], 16) is exactly conv(substr(md5, 1, 8), 16, 10),
+    and the % / division operands are non-negative, so Python and JVM
+    arithmetic agree). Used to FOLD the planes into literal arrays at
+    plan-build time: the weight depends only on (plane, dim), but
+    inside a ``transform`` lambda Catalyst cannot constant-fold the
+    md5, so the expression form cost tables x planes x dims md5 evals
+    PER ROW — 4096/row for the 8x8 OR-construction, the actual hot
+    spot of the r6 recall gate (r6 verdict #6)."""
+    import hashlib
+
+    v = int(hashlib.md5(f"{h}:{d}".encode()).hexdigest()[:8], 16)
+    return ((v % 2001) - 1000) / 1000.0
+
+
+def lsh_bucket(
+    vec: Column | str, num_planes: int = 8, table: int = 0, ndims: int = 64
+) -> Column:
     """Sign-random-projection LSH bucket code (num_planes bits).
 
     Scale path for ANN: vectors land in 2^num_planes buckets; search
     joins on the bucket key instead of crossing the full corpus.
     ``table`` offsets the hyperplane keys so multiple independent
     tables (the recall-boosting OR-construction) reuse this builder.
+
+    The hyperplanes are baked into the plan as LITERAL weight arrays
+    (one per plane, ``hyperplane_weight_py``) — zero per-row hash
+    work; the per-row cost is ``num_planes`` fused multiply-add folds.
+    ``ndims`` must match the vector width (shorter vectors would read
+    NULLs; the zip_with would yield NULL products and a NULL dot).
+    Bit-identical to the md5-expression form this replaces: same
+    weights, same left-fold summation order.
     """
     v = _c(vec)
-    dims = F.sequence(F.lit(1), F.size(v))
 
     def plane_bit(h: int) -> Column:
-        prods = F.transform(
-            dims,
-            lambda d: F.element_at(v, d).cast("double")
-            * hyperplane_weight(table * 64 + h, d),
+        w = F.array(
+            *[
+                F.lit(hyperplane_weight_py(table * 64 + h, d))
+                for d in range(1, ndims + 1)
+            ]
         )
+        prods = F.zip_with(v, w, lambda x, y: x.cast("double") * y)
         dp = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         return F.when(dp > 0, F.shiftleft(F.lit(1).cast("long"), h)).otherwise(
             F.lit(0).cast("long")

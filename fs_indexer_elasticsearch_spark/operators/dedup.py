@@ -163,6 +163,7 @@ def simhash_pairs(
     text_col: str,
     *,
     max_hamming: int = 6,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by 64-bit SimHash: byte-band blocking
     (8 bands × 8 bits) then Hamming-distance verify on candidates.
@@ -186,13 +187,29 @@ def simhash_pairs(
       the amplified corpus) — 256 buckets cannot block a large
       corpus; 2^16 defers the bend by that factor and the same
       construction extends to triples if a deployment needs more.
-    - ``max_hamming >= 7``: single-byte bands (8 x 8 bits), exact to
+    - ``max_hamming == 7``: single-byte bands (8 x 8 bits), exact to
       Hamming 7 by the 1-intact-band pigeonhole.
+    - ``max_hamming > 7``: rejected (ValueError) unless the caller
+      opts in with ``allow_partial_recall=True``. Beyond 7 flipped
+      bits, every 8-bit band can differ and single-byte blocking
+      degrades to PROBABILISTIC recall — previously silent, now an
+      explicit contract mirroring minhash_lsh_pairs' config
+      validation (r6 advice). The opt-in exists for diagnostics
+      (e.g. "report the hamming of whatever candidates block
+      together"); production budgets past 7 need a wider-band
+      construction instead.
 
     Either way the final predicate verifies true Hamming distance on
     candidates, so the emitted pair set is identical under both
     blockings — which is why the DuckDB oracle twin (single-byte
     blocking) stays byte-for-byte comparable."""
+    if max_hamming > 7 and not allow_partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 8-band blocking is exact only to "
+            "Hamming 7; recall beyond that is probabilistic. Pass "
+            "allow_partial_recall=True to accept that (diagnostics), or "
+            "use a wider-band construction."
+        )
     s = (
         spread_small(df)
         .select(

@@ -590,19 +590,23 @@ def augmented_embeddings(emb: DataFrame) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
     )
-    dims = F.sequence(F.lit(1), F.lit(64))
 
-    def perturb_weight(d):
-        key = F.concat(F.lit("p:"), d.cast("string"))
-        v = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-        return ((v % 2001) - 1000) / F.lit(1000.0)
+    # Perturbation weights folded to a literal array at plan-build time
+    # (bit-identical Python twin of the md5 expression — same rationale
+    # as functions.vectors.hyperplane_weight_py): md5 inside a
+    # transform lambda is evaluated per row x per dim, and Catalyst
+    # cannot fold it.
+    import hashlib
 
+    def perturb_weight_py(d: int) -> float:
+        v = int(hashlib.md5(f"p:{d}".encode()).hexdigest()[:8], 16)
+        return ((v % 2001) - 1000) / 1000.0
+
+    w = F.array(*[F.lit(perturb_weight_py(d)) for d in range(1, 65)])
     planted = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 1_000_000_000_000).alias("vec_id"),
-        F.transform(
-            dims,
-            lambda d: F.element_at(F.col("embedding"), d).cast("double")
-            + 0.1 * perturb_weight(d),
+        F.zip_with(
+            F.col("embedding"), w, lambda x, ww: x.cast("double") + 0.1 * ww
         ).alias("emb"),
     )
     return base.unionByName(planted)
@@ -863,7 +867,16 @@ def ann_neardup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor asserts ≥ 0.8."""
     from ..operators.similarity import recall_against
 
-    aug = augmented_embeddings(load(spark, sf_dir, "embeddings"))
+    # Lazy localCheckpoint: ``aug`` feeds FOUR consumers (corpus +
+    # query side of both the LSH search and the brute-force ground
+    # truth); without it each consumer re-derives the 64-dim perturbed
+    # projection from parquet. Computed once at first materialization,
+    # blocks reused by every branch — measured ~2× off this gate's
+    # wall time, the heaviest bench entry (r6 verdict #6). Lazy, so
+    # registering the query stays plan-only.
+    aug = augmented_embeddings(load(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
     q = aug.filter(
         (F.col("vec_id") >= 1_000_000_000_000)
         & (F.col("vec_id") < 1_000_000_000_040)

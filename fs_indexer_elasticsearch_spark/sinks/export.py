@@ -37,7 +37,10 @@ from ..functions.hashing import md5_shard
 
 def with_shard(df: DataFrame, key: str, n_shards: int, col: str = "shard") -> DataFrame:
     """Deterministic content shard in [0, n_shards): the canonical
-    ``functions.hashing.md5_shard`` assignment (first md5 byte mod n).
+    ``functions.hashing.md5_shard`` assignment (first 32-bit word of
+    md5(key), i.e. the leading 8 hex chars, mod n — matching
+    ``md5_shard`` / ``md5_shard_sql`` exactly; a loader auditing
+    shards should recompute that word, not the first byte).
     Pure function of the key — stable across runs, cluster sizes, and
     partition layouts (Spark's native ``hash`` is stable too, but md5
     keeps the assignment reproducible from any engine a loader might

@@ -177,7 +177,12 @@ class EsClient(_RetryingClient):
                     # order, preserving the body byte-for-byte.
                     pass
                 i += len(unit)
-                unit_size = sum(len(u) + 1 for u in unit)
+                # Budget in UTF-8 BYTES, not code points: ES enforces
+                # http.max_content_length on the wire body, and CJK-heavy
+                # paths/text expand ~3x on encode — a code-point budget
+                # would reintroduce the non-retryable 413 this
+                # re-chunking exists to prevent (r6 advice).
+                unit_size = sum(len(u.encode("utf-8")) + 1 for u in unit)
                 if chunk and (docs >= batch_docs or size + unit_size > max_bytes):
                     flush()
                 chunk.extend(unit)
@@ -231,6 +236,7 @@ class EsClient(_RetryingClient):
         typically hold it cached from the diff that produced it).
         Returns (deleted, batches).
         """
+        owned_cache = False
         if distributed is None:
             # The count() decides the path, then either path re-reads
             # `removed` — for an uncached diff that would execute the
@@ -244,29 +250,39 @@ class EsClient(_RetryingClient):
             sl = removed.storageLevel
             if not (sl.useMemory or sl.useDisk):
                 removed = removed.cache()
+                owned_cache = True  # released below — a long-lived
+                # driver runs one delete per cycle, and leaking one
+                # cache entry per cycle is the same leak class
+                # pipeline.release() exists to prevent (r6 advice).
             distributed = removed.count() > distributed_threshold
-        if distributed:
-            return delete_from_dataframe_distributed(
-                index,
-                removed,
-                self.base_url,
-                session=self.session,
-                batch_size=batch_size,
-                max_retries=self.max_retries,
-            )
-        col = removed.columns[0]
-        deleted = batches = 0
-        chunk: list[str] = []
-        for row in removed.toLocalIterator():
-            chunk.append(row[col])
-            if len(chunk) >= batch_size:
+        try:
+            if distributed:
+                return delete_from_dataframe_distributed(
+                    index,
+                    removed,
+                    self.base_url,
+                    session=self.session,
+                    batch_size=batch_size,
+                    max_retries=self.max_retries,
+                )
+            col = removed.columns[0]
+            deleted = batches = 0
+            chunk: list[str] = []
+            for row in removed.toLocalIterator():
+                chunk.append(row[col])
+                if len(chunk) >= batch_size:
+                    deleted += self.delete_by_ids(
+                        index, chunk, batch_size=batch_size
+                    )
+                    batches += 1
+                    chunk = []
+            if chunk:
                 deleted += self.delete_by_ids(index, chunk, batch_size=batch_size)
                 batches += 1
-                chunk = []
-        if chunk:
-            deleted += self.delete_by_ids(index, chunk, batch_size=batch_size)
-            batches += 1
-        return deleted, batches
+            return deleted, batches
+        finally:
+            if owned_cache:
+                removed.unpersist()
 
 
 def delete_from_dataframe_distributed(

@@ -64,3 +64,40 @@ elasticsearch:
     assert cfg.max_entries_per_task == 200000
     assert cfg.es_index == "my-index"
     assert cfg.es_bulk_size == 25000
+
+
+def test_bench_headline_stays_inside_driver_tail_capture():
+    """BENCH_r06.json was lost to a >2000-char final line; the compact
+    headline payload must stay well inside the capture window even
+    with every measurement populated (r6 verdict #1)."""
+    import json
+
+    import bench
+
+    timings = {n: 123.456 for n in bench.HEADLINE}
+    extra = {n: 123.456 for n in bench.EXTRA}
+    headline, detail = bench.build_payloads(
+        sf=0.1,
+        timings=timings,
+        cold=dict(timings),
+        rows={n: 99999 for n in bench.HEADLINE},
+        extra=extra,
+        ann_recall={"lsh": 0.0, "ivf": 1.0, "lsh_neardup": 0.875},
+        ingest={
+            "ingest_files_per_sec": 25836.4,
+            "ingest_cold_sec": 123.456,
+            "incremental_cycle_sec": 123.456,
+            "incremental_vs_full": 1.234,
+        },
+        errors={"_ingest": "x" * 500},
+        canary_sec=0.475,
+    )
+    line = json.dumps(headline)
+    assert len(line) <= 1500, f"headline line is {len(line)} chars"
+    parsed = json.loads(line)
+    assert parsed["metric"] == "suite_seconds"
+    assert parsed["value"] == round(123.456 * len(bench.HEADLINE), 3)
+    for m in parsed["ann_recall"].values():
+        assert "regime" in m and "value" in m
+    # Detail carries what the headline dropped.
+    assert detail["rows"] and detail["cold"] and detail["errors"]

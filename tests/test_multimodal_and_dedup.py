@@ -218,9 +218,17 @@ def test_simhash64_separates_32bit_collision(spark):
     # Operator agrees: at hamming 0 (exact-dup hunt) no pair fires,
     # and the hamming it reports is exactly the hi-word distance.
     assert simhash_pairs(df, "doc_id", "text", max_hamming=0).count() == 0
-    got = simhash_pairs(df, "doc_id", "text", max_hamming=64).collect()
+    got = simhash_pairs(
+        df, "doc_id", "text", max_hamming=64, allow_partial_recall=True
+    ).collect()
     assert len(got) == 1
     assert got[0].hamming == bin(r[1].hi ^ r[2].hi).count("1")
+    # Budgets past the exact-recall bound must be an explicit opt-in,
+    # never silent (r6 advice).
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exact only to"):
+        simhash_pairs(df, "doc_id", "text", max_hamming=8)
 
 
 def test_simhash_banding_exact_recall_to_h7(spark):

@@ -227,7 +227,9 @@ def test_every_oracle_token_split_matches_engine():
     from fs_indexer_elasticsearch_spark.plans import ORACLES
 
     assert TOKEN_PATTERN in TOKS_SQL
-    pat = re.compile(r"regexp_split_to_array\(lower\(\w+\),\s*'([^']+)'\)")
+    # Match qualified columns (lower(d.text)) and stray whitespace too,
+    # or a drifted copy in such a fragment escapes the guard (r6 advice).
+    pat = re.compile(r"regexp_split_to_array\(\s*lower\(\s*[\w.]+\s*\),\s*'([^']+)'\)")
     seen = 0
     for name, sql in ORACLES.items():
         for m in pat.finditer(sql):
