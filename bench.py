@@ -72,6 +72,12 @@ EXTRA = [
     "context_truncation_loss",
     "weighted_sample_stats",
     "mixture_temperature_weights",
+    # r7: incremental band-store dedup, exact tokenizer, domain curation
+    "dedup_incremental_batch",
+    "token_count_exact",
+    "domain_extract_counts",
+    "per_domain_cap",
+    "domain_blocklist_filter",
 ]
 
 

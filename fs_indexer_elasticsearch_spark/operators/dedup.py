@@ -74,6 +74,80 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     ).select("sid", word_shingles(F.col("tk"), n).alias("shingles"))
 
 
+def _validate_minhash_config(num_hashes: int, bands: int) -> None:
+    from ..functions.text import MINHASH_AB
+
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_AB)}-entry "
+            "permutation table (functions.text.MINHASH_AB) — extend the "
+            "table to use more hashes (silently indexing past it was an "
+            "IndexError at plan build)."
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: "
+            "band_hashes floors rows-per-band and would silently drop "
+            f"the trailing {num_hashes % bands} signature value(s), "
+            "changing the S-curve from the requested configuration."
+        )
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE form of the MinHash-LSH index: one row per
+    (document, band) — ``(sid, sig array<long>, b, h)`` where ``h`` is
+    the band hash and ``sig`` the full signature. Identical hashing
+    chain to :func:`minhash_lsh_pairs` (same base hash, permutation
+    table, and band md5), so rows computed for a DELTA batch join
+    bit-compatibly against rows persisted for the corpus in an earlier
+    run — the foundation of incremental batch-vs-corpus dedup
+    (operators/incremental_dedup.py), where the reference's whole
+    design is incremental upsert (scanner.py:225-244) and a nightly 1%
+    delta must cost O(delta), not a full-corpus re-dedup.
+
+    Carrying ``sig`` on every band row costs bands x num_hashes longs
+    per doc (~512 B at 4x16) and buys candidate verification straight
+    off the index — no second lookup into a corpus-text table (which
+    would be an O(corpus) scan per batch on an engine without keyed
+    point reads)."""
+    _validate_minhash_config(num_hashes, bands)
+    sh = shingle_sets(df, id_col, text_col, shingle_n)
+    based = sh.select("sid", minhash_base(F.col("shingles")).alias("mhb"))
+    sig = based.select(
+        "sid", *minhash_signature(F.col("mhb"), num_hashes)
+    ).select(
+        "sid",
+        F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("sig"),
+    )
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("sig", b * rows_per_band + i + 1)
+                        for i in range(rows_per_band)
+                    ],
+                )
+            ).alias("h"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "sid", "sig", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("sid", "sig", F.col("bd.b").alias("b"), F.col("bd.h").alias("h"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -92,22 +166,7 @@ def minhash_lsh_pairs(
     verify then removes false positives, so precision is exact and
     recall follows the curve.
     """
-    from ..functions.text import MINHASH_AB
-
-    if num_hashes > len(MINHASH_AB):
-        raise ValueError(
-            f"num_hashes={num_hashes} exceeds the {len(MINHASH_AB)}-entry "
-            "permutation table (functions.text.MINHASH_AB) — extend the "
-            "table to use more hashes (silently indexing past it was an "
-            "IndexError at plan build)."
-        )
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes}: "
-            "band_hashes floors rows-per-band and would silently drop "
-            f"the trailing {num_hashes % bands} signature value(s), "
-            "changing the S-curve from the requested configuration."
-        )
+    _validate_minhash_config(num_hashes, bands)
     sh = shingle_sets(df, id_col, text_col, shingle_n).cache()
     # Base hash materialized in its own projection: ONE md5 per
     # shingle; the 16 permutations are integer arithmetic over it

@@ -25,6 +25,7 @@ from . import timejoin_queries  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
 from . import skew_queries  # noqa: E402,F401
 from . import arrow_surface  # noqa: E402,F401
+from . import domain_queries  # noqa: E402,F401
 
 # Assembled below: the 50-query driver prefix. Priority = never-driver-
 # checked first (the newest queries are the least battle-tested), then
@@ -36,19 +37,22 @@ from . import arrow_surface  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r6 rotation (amended mid-round after the review pass): EVERY query
-# that has never had a driver row sits inside the 50-query prefix —
-# the 11 r5 curation queries, the r6 recall-gate / training-export /
-# skew additions, AND the 11 late-r6 additions the first rotation left
-# at the registry tail (gopher flags, crossdoc shingles, quantized
-# ANN, minhash estimator, token histogram, cascade attrition, column
-# profile, approx-distinct, CMS heavy hitters, incremental agg,
-# PageRank). Displaced to make room: 11 queries driver-green for 3+
-# rounds (embedding-cosine dedup, kmeans profile, IVF top-k, TF-IDF,
-# splits, stratified sample, contamination, PII, boilerplate, BPE
-# estimate, binary header) — all remain covered by the local replica
-# gate + pytest.
+# r7 rotation: after r6, every registered query had a driver-pass row
+# with no latest-row failure, so the prefix = the 5 NEW r7 queries
+# (incremental band-store dedup, exact tokenizer counts, the three
+# domain-curation operators — never driver-checked) followed by the
+# same family anchors as r6. Displaced to make room: 5 queries
+# driver-green in r6 (length_percentile_band_approx,
+# template_prefix_by_source, chunk_documents, context_truncation_loss,
+# mixture_temperature_weights) — all remain covered by the local
+# replica gate + pytest.
 _PRIORITY = [
+    # New in r7 — never driver-checked
+    "dedup_incremental_batch",
+    "token_count_exact",
+    "domain_extract_counts",
+    "per_domain_cap",
+    "domain_blocklist_filter",
     # Dedup / similarity core + quality gates
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -75,12 +79,9 @@ _PRIORITY = [
     # Corpus curation / analytics layer (r5; first driver rows)
     "dedup_keep_best",
     "length_percentile_band",
-    "length_percentile_band_approx",
     "vocab_concentration",
     "char_bigram_nll",
     "token_budget_mixture",
-    "template_prefix_by_source",
-    "chunk_documents",
     "collocations_pmi",
     "embedding_outliers",
     "funnel_view_click_purchase",
@@ -90,9 +91,7 @@ _PRIORITY = [
     "sequence_packing_stats",
     "shard_balance_audit",
     "curriculum_quality_deciles",
-    "context_truncation_loss",
     "weighted_sample_stats",
-    "mixture_temperature_weights",
     # Incremental maintenance + skew demonstration (r6)
     "incremental_agg_maintenance",
     "skew_salted_hot_join",
@@ -109,9 +108,14 @@ _PRIORITY = [
     "rollup_directory_sizes",
     "q01_pricing_summary",
     # --- 50-query prefix boundary (driver samples a prefix; everything
-    # above has either never had a driver row or anchors a §2 family;
-    # everything below is driver-green from r5 or earlier and stays
-    # green under the local replica gate, CORRECTNESS_LOCAL_r06.json) ---
+    # above is either new in r7 or anchors a §2 family; everything
+    # below is driver-green from r6 or earlier and stays green under
+    # the local replica gate) ---
+    "length_percentile_band_approx",
+    "template_prefix_by_source",
+    "chunk_documents",
+    "context_truncation_loss",
+    "mixture_temperature_weights",
     "dedup_embedding_cosine",
     "kmeans_cluster_profile",
     "similarity_ivf_topk",

@@ -1,0 +1,178 @@
+"""Domain/URL curation operators (r6 verdict #4).
+
+C4/RefinedWeb-style pipelines curate per ORIGIN before anything else:
+extract the registrable domain from each document's URL, cap documents
+per site (one over-represented host otherwise dominates the mixture),
+and drop blocklisted origins. The documents table's ``source`` column
+is categorical (``src0..src19``), so the queries first derive a
+deterministic URL from (lang, source, doc_id) — identical expression
+in both engines, making the parsing/capping/blocking logic itself the
+thing the oracle gate verifies.
+
+Scale notes: domain extraction is a pure projection (regexp over one
+short column — codegen, no UDF); the per-site cap is one window over a
+``host`` hash partition (the exact shape used for per-domain caps at
+corpus scale — skew-safe because a single host's rows land in one
+partition only if one host dominates, in which case THE CAP ITSELF is
+the fix and the window can run over a pre-limited ``rn <= cap`` via
+groupBy-topK if a pathological host appears); the blocklist is a
+broadcast-literal IN filter pushed into the scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import load
+from .registry import query, stable_round
+
+_TLDS = ("com", "org", "biz")
+
+# url = https://<lang>.<source>.example.<tld>/d/<doc_id>, tld chosen by
+# the numeric suffix of source — deterministic, engine-portable.
+_URL_SQL = f"""
+    WITH urls AS (
+        SELECT doc_id, lang, source, n_chars,
+               'https://' || lang || '.' || source || '.example.' ||
+               ['{_TLDS[0]}','{_TLDS[1]}','{_TLDS[2]}'][substr(source, 4)::INT % 3 + 1]
+               || '/d/' || doc_id AS url
+        FROM documents
+    ),
+    hosts AS (
+        SELECT doc_id, lang, source, n_chars, url,
+               regexp_extract(url, '^https?://([^/]+)/', 1) AS host
+        FROM urls
+    ),
+    domains AS (
+        SELECT doc_id, lang, source, n_chars, url, host,
+               regexp_extract(host, '([a-z0-9-]+\\.[a-z]+)$', 1) AS domain
+        FROM hosts
+    )
+"""
+
+
+def _with_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _TLDS]),
+        (F.substring("source", 4, 8).cast("int") % 3 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("lang"),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example."),
+        tld,
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    d = d.select("doc_id", "lang", "source", "n_chars", url.alias("url"))
+    d = d.withColumn(
+        "host", F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    )
+    return d.withColumn(
+        "domain", F.regexp_extract("host", r"([a-z0-9-]+\.[a-z]+)$", 1)
+    )
+
+
+@query(
+    "domain_extract_counts",
+    oracle=_URL_SQL
+    + """
+    SELECT domain,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM domains GROUP BY domain
+    """,
+)
+def domain_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain extraction + per-domain corpus profile: the
+    first question a curation pass asks ("where does my corpus come
+    from?"). URL -> host -> registrable domain via portable regexes;
+    one groupBy on the (3-value) domain key with map-side combine."""
+    return (
+        _with_domain(spark, sf_dir)
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "per_domain_cap",
+    oracle=_URL_SQL
+    + """
+    , ranked AS (
+        SELECT doc_id, host, n_chars,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM domains
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk <= 5 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(min(doc_id) AS BIGINT) AS sample_doc
+    FROM ranked GROUP BY host
+    """,
+)
+def per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site document cap (RefinedWeb-style "max N pages per
+    domain"): rank each host's docs by quality proxy (n_chars desc,
+    doc_id tiebreak) and report kept-vs-dropped at cap 5 per host.
+    One row_number window over the host hash partition — the standard
+    corpus-scale shape; no global sort anywhere."""
+    w = Window.partitionBy("host").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _with_domain(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum((F.col("rk") > 5).cast("long")).alias("n_dropped"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+    )
+
+
+_BLOCKLIST = ("src3", "src7", "src13")
+
+
+@query(
+    "domain_blocklist_filter",
+    oracle=_URL_SQL
+    + f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM domains
+    WHERE source NOT IN ('{_BLOCKLIST[0]}', '{_BLOCKLIST[1]}', '{_BLOCKLIST[2]}')
+      AND domain NOT LIKE '%.biz'
+    GROUP BY lang
+    """,
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin blocklisting: drop explicit bad sources AND an entire
+    TLD class (.biz), then profile the surviving corpus per language.
+    Both predicates are literal filters Catalyst pushes into the scan
+    (broadcast of nothing — an IN over a 3-literal list is a simple
+    predicate); the blocklist at production scale becomes a broadcast
+    anti-join against a blocklist table, same plan shape as
+    anti_join_missing."""
+    return (
+        _with_domain(spark, sf_dir)
+        .filter(~F.col("source").isin(*_BLOCKLIST))
+        .filter(~F.col("domain").endswith(".biz"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -526,3 +526,94 @@ def context_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("tok") > F.col("ctx")).cast("int")).alias("n_truncated"),
         stable_round(1 - F.sum(kept) / F.sum("tok"), 4).alias("lost_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact tokenizer token counts (deterministic reference wordpiece)
+# --------------------------------------------------------------------------
+
+def _token_count_exact_oracle() -> str:
+    """DuckDB twin of the greedy longest-match wordpiece: precompute
+    each (word, position)'s greedy step length (LEFT JOIN vocab on
+    prefix match, max piece length, fallback 1), then a recursive walk
+    advances through every distinct word; per-word counts join back to
+    per-(lang, word) frequencies. Vocab VALUES are generated from the
+    same Python constant the engine tokenizes with
+    (functions/tokenize.py TOKENIZER_VOCAB)."""
+    from ..functions.tokenize import vocab_values_sql
+
+    return f"""
+    WITH RECURSIVE vocab(piece) AS (VALUES {vocab_values_sql()}),
+    toks AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    words AS (SELECT lang, unnest(tk) AS w FROM toks),
+    lw AS (SELECT lang, w, count(*) AS n FROM words GROUP BY lang, w),
+    uw AS (SELECT DISTINCT w FROM lw),
+    positions AS (SELECT w, unnest(range(1, len(w)+1)) AS pos FROM uw),
+    steplen AS (
+        SELECT p.w, p.pos, coalesce(max(len(v.piece)), 1) AS adv
+        FROM positions p
+        LEFT JOIN vocab v ON substr(p.w, p.pos, len(v.piece)) = v.piece
+        GROUP BY p.w, p.pos
+    ),
+    walk(w, pos, ntok) AS (
+        SELECT w, 1, 0 FROM uw
+        UNION ALL
+        SELECT s.w, s.pos + sl.adv, s.ntok + 1
+        FROM walk s JOIN steplen sl ON sl.w = s.w AND sl.pos = s.pos
+    ),
+    wtok AS (SELECT w, max(ntok) AS ntok FROM walk GROUP BY w),
+    tok AS (
+        SELECT lang, sum(n * ntok) AS total FROM lw JOIN wtok USING (w)
+        GROUP BY lang
+    ),
+    docs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT d.lang,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(t.total, 0) AS BIGINT) AS total_tokens,
+           round(coalesce(t.total, 0)::DOUBLE / d.n_docs + 1e-7, 3)
+               AS avg_tokens
+    FROM docs d LEFT JOIN tok t USING (lang)
+    """
+
+
+@query("token_count_exact", oracle=_token_count_exact_oracle())
+def token_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tokenizer token counts per language (r6 verdict #3: the
+    training-export layer budgeted in heuristic BPE estimates; budgets
+    are denominated in real tokenizer tokens).
+
+    The reference tokenizer is greedy longest-match wordpiece over the
+    fixed TOKENIZER_VOCAB with char fallback — a real tokenizer
+    inference algorithm with a small fixed vocab so DuckDB recomputes
+    it exactly (recursive CTE). Spark never tokenizes row-at-a-time:
+    counting runs Arrow-batched over DISTINCT words (Heaps-law
+    sublinear) and joins counts back to (lang, word) frequencies. A
+    real installed tokenizer (tiktoken / HF tokenizers) slots into the
+    same plumbing via functions.tokenize.count_tokens_exact_docs'
+    tokenizer_spec."""
+    from ..functions.text import tokens
+    from ..functions.tokenize import word_token_counts
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+    lw = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n"))
+    counts = word_token_counts(lw.select("w").distinct())
+    tok = (
+        lw.join(counts, "w")
+        .groupBy("lang")
+        .agg(F.sum(F.col("n") * F.col("ntok")).alias("total"))
+    )
+    docs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return docs.join(tok, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce(F.col("total"), F.lit(0)).alias("total_tokens"),
+        stable_round(
+            F.coalesce(F.col("total"), F.lit(0)) / F.col("n_docs"), 3
+        ).alias("avg_tokens"),
+    )

@@ -188,3 +188,86 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental batch-vs-corpus dedup (persisted MinHash band index)
+# --------------------------------------------------------------------------
+
+def _incremental_dedup_oracle() -> str:
+    """From-scratch recompute of what the band store answers
+    incrementally: signatures over the full augmented corpus, bands,
+    batch-side (planted ids >= 1e12) vs corpus-side candidates sharing
+    a band, signature-agreement Jaccard estimate. Reuses the EXACT SQL
+    fragments of the dedup_minhash_lsh oracle so the stored index and
+    the recompute are definitionally the same hashing chain."""
+    from .llm_queries import _CORPUS_SQL, _MINHASH_SIG_ITEMS, _SHINGLES_SQL
+
+    return (
+        _CORPUS_SQL
+        + _SHINGLES_SQL
+        + f"""
+    , hbase AS (
+        SELECT sid,
+               list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {2**31 - 1}) AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT sid, [{_MINHASH_SIG_ITEMS}] AS sg
+        FROM hbase
+    ),"""
+        + """
+    bands AS (
+        SELECT sid, b, md5(array_to_string(sg[(4*b+1):(4*b+4)], '|')) AS h
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT q.sid AS batch_id, c.sid AS corpus_id
+        FROM bands q JOIN bands c ON q.b = c.b AND q.h = c.h
+        WHERE q.sid >= 1000000000000 AND c.sid < 1000000000000
+    )
+    SELECT batch_id, corpus_id, est_jaccard FROM (
+        SELECT batch_id, corpus_id,
+               round(len(list_filter(range(1, 17), i -> x.sg[i] = y.sg[i]))::DOUBLE
+                     / 16 + 1e-7, 3) AS est_jaccard
+        FROM cand
+        JOIN sig x ON x.sid = cand.batch_id
+        JOIN sig y ON y.sid = cand.corpus_id
+    ) WHERE est_jaccard >= 0.5
+    """
+    )
+
+
+@query("dedup_incremental_batch", oracle=_incremental_dedup_oracle())
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup — the O(delta) path a 100 TB
+    deployment actually runs nightly (r6 verdict's top engine gap; the
+    reference's signature property is incremental upsert,
+    scanner.py:225-244).
+
+    The corpus's MinHash band index is persisted ONCE in a
+    SnapshotStore bucketed by band hash (here seeded in-query so the
+    gate is self-contained; in production seed() runs once and only
+    match_and_merge() recurs). The delta batch — the planted
+    copies/truncations (ids >= 1e12) of the shared augmented corpus —
+    is shingled, signed, banded (O(batch)), probed against the PRUNED
+    bucket slice of the stored index, scored by signature agreement,
+    and merged in (bucket-pruned upsert). The oracle recomputes the
+    same matches from scratch over the full corpus, proving the
+    incremental answer equals the full recompute."""
+    import tempfile
+
+    from ..operators.incremental_dedup import MinHashBandStore
+    from .llm_queries import _aug_corpus
+
+    aug = _aug_corpus(spark, sf_dir)
+    corpus = aug.filter(F.col("doc_id") < 1_000_000_000_000)
+    batch = aug.filter(F.col("doc_id") >= 1_000_000_000_000)
+    store = MinHashBandStore(
+        spark, tempfile.mkdtemp(prefix="bandstore-"), num_buckets=32
+    )
+    store.seed(corpus, "doc_id", "text")
+    return store.match_and_merge(
+        batch, "doc_id", "text", batch_seq=1, threshold=0.5
+    )

@@ -62,7 +62,16 @@ class SnapshotStore:
         version_col: str,
         num_buckets: int = 32,
         layout: str = "hardlink",
+        bucket_key: str | None = None,
     ):
+        """``bucket_key`` (default: ``key``) is the column the physical
+        bucket layout hashes on. Separating it from the merge key lets
+        an INDEX table co-locate rows by lookup key while upserting by
+        row identity — e.g. the MinHash band store buckets on the band
+        hash ``h`` (so a batch's band lookups and merges prune to the
+        buckets its bands hash into) but upserts by the unique
+        ``doc:band`` row key (many docs share a band hash; keying the
+        upsert on ``h`` would collapse them)."""
         if layout not in ("hardlink", "manifest"):
             raise ValueError(f"unknown layout {layout!r}")
         self.spark = spark
@@ -71,6 +80,7 @@ class SnapshotStore:
         self.version_col = version_col
         self.num_buckets = num_buckets
         self.layout = layout
+        self.bucket_key = bucket_key or key
         os.makedirs(path, exist_ok=True)
 
     # -- pointer management -------------------------------------------------
@@ -94,7 +104,41 @@ class SnapshotStore:
         return os.path.join(self.path, f"v{version}")
 
     def _bucket_col(self) -> F.Column:
-        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.num_buckets)).cast("int")
+        return F.pmod(
+            F.xxhash64(F.col(self.bucket_key)), F.lit(self.num_buckets)
+        ).cast("int")
+
+    def read_buckets(self, bucket_ids: list[int]) -> DataFrame | None:
+        """Current snapshot restricted to ``bucket_ids`` — a PRUNED
+        read: untouched buckets' files are never opened, so the cost is
+        proportional to the touched fraction of the table, not the
+        table. This is the index-lookup read path (e.g. the MinHash
+        band store probing only the buckets a batch's bands hash to).
+
+        Hardlink layout: ``_bucket=N`` are partition directories, so a
+        partition filter prunes at the source. Manifest layout: the
+        manifest maps bucket -> files, so the file list itself is
+        pruned before the reader ever runs."""
+        v = self.current_version()
+        if v is None:
+            return None
+        wanted = set(bucket_ids)
+        if self.layout == "manifest":
+            files = self._read_manifest(v)
+            paths = [
+                os.path.join(self._data_dir(), rel)
+                for b, rels in files.items()
+                if b in wanted
+                for rel in rels
+            ]
+            if not paths:
+                return self._empty_df()
+            return (
+                self.spark.read.option("recursiveFileLookup", "true")
+                .parquet(*paths)
+                .withColumn("_bucket", self._bucket_col())
+            )
+        return self._read_version(v).filter(F.col("_bucket").isin(list(wanted)))
 
     # -- schema evolution ---------------------------------------------------
     # Reference parity: needs_schema_update / migrate_schema

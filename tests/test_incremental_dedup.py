@@ -1,0 +1,125 @@
+"""Incremental batch-vs-corpus dedup: band-store growth is O(delta),
+matches equal the from-scratch recompute, merges are idempotent, and
+the lookup prunes to the batch's buckets."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fs_indexer_elasticsearch_spark.operators.dedup import minhash_band_rows
+from fs_indexer_elasticsearch_spark.operators.incremental_dedup import (
+    MinHashBandStore,
+)
+
+BANDS = 4
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(spark, n=24):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(12)))
+        for i in range(n)
+    ]
+    return _docs(spark, rows)
+
+
+def test_store_grows_by_o_delta_and_merge_is_idempotent(spark, tmp_path):
+    store = MinHashBandStore(spark, str(tmp_path / "bands"), num_buckets=16)
+    corpus = _corpus(spark)
+    store.seed(corpus, "doc_id", "text")
+    n0 = store.store.read().count()
+    assert n0 == 24 * BANDS  # one row per doc x band
+
+    batch1 = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta eta theta "
+                                 "alpha beta gamma delta")])
+    store.match_and_merge(batch1, "doc_id", "text", batch_seq=1).collect()
+    n1 = store.store.read().count()
+    assert n1 == n0 + 1 * BANDS  # grew by exactly the batch's bands
+
+    batch2 = _docs(spark, [(200, "one two three four five six seven eight nine"),
+                           (201, "ten eleven twelve thirteen fourteen fifteen "
+                                 "sixteen seventeen")])
+    store.match_and_merge(batch2, "doc_id", "text", batch_seq=2).collect()
+    n2 = store.store.read().count()
+    assert n2 == n1 + 2 * BANDS
+
+    # Re-merging the same batch (retry semantics) upserts by the unique
+    # doc:band row key — LWW replacement, zero growth.
+    store.match_and_merge(batch2, "doc_id", "text", batch_seq=3).collect()
+    assert store.store.read().count() == n2
+
+
+def test_matches_equal_full_recompute(spark, tmp_path):
+    """The incremental answer must be indistinguishable from banding
+    corpus+batch together from scratch (restricted to batch-vs-corpus
+    pairs) — the engine-level twin of the registered query's oracle."""
+    corpus = _corpus(spark)
+    # 100: exact copy of doc 0 (est 1.0); 101: unrelated.
+    c0 = corpus.filter(F.col("doc_id") == 0).first().text
+    batch = _docs(spark, [(100, c0), (101, "unrelated words only here now")])
+
+    store = MinHashBandStore(spark, str(tmp_path / "bands"), num_buckets=16)
+    store.seed(corpus, "doc_id", "text")
+    got = {
+        (r.batch_id, r.corpus_id): r.est_jaccard
+        for r in store.match_and_merge(
+            batch, "doc_id", "text", batch_seq=1
+        ).collect()
+    }
+
+    both = corpus.unionByName(batch)
+    rows = minhash_band_rows(both, "doc_id", "text")
+    sig = {r.sid: r.sig for r in rows.select("sid", "sig").distinct().collect()}
+    bands = [(r.sid, r.b, r.h) for r in rows.collect()]
+    cands = {
+        (qs, cs)
+        for (qs, qb, qh) in bands
+        for (cs, cb, ch) in bands
+        if qs >= 100 and cs < 100 and qb == cb and qh == ch
+    }
+    want = {}
+    for qs, cs in cands:
+        est = round(
+            sum(1 for a, b in zip(sig[qs], sig[cs]) if a == b) / 16 + 1e-7, 3
+        )
+        if est >= 0.5:
+            want[(qs, cs)] = est
+    assert got == want
+    assert got[(100, 0)] == 1.0  # the planted exact copy is found
+
+
+def test_lookup_touches_only_batch_buckets(spark, tmp_path):
+    """A 1-doc batch emits BANDS band rows, so the pruned lookup reads
+    at most BANDS of the store's buckets — the property that makes the
+    cycle O(delta) instead of O(corpus)."""
+    num_buckets = 64
+    store = MinHashBandStore(
+        spark, str(tmp_path / "bands"), num_buckets=num_buckets
+    )
+    store.seed(_corpus(spark), "doc_id", "text")
+    batch = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    bands = store.delta_bands(batch, "doc_id", "text", 1)
+    touched = (
+        bands.withColumn("_bucket", store.store._bucket_col())
+        .select("_bucket")
+        .distinct()
+        .count()
+    )
+    assert touched <= BANDS < num_buckets
+    pruned = store.store.read_buckets(list(range(BANDS)))
+    # read_buckets really filters: it returns a strict subset of rows.
+    assert pruned.count() < store.store.read().count()
+
+
+def test_match_before_seed_raises(spark, tmp_path):
+    store = MinHashBandStore(spark, str(tmp_path / "bands"))
+    import pytest
+
+    with pytest.raises(ValueError, match="seed"):
+        store.match_and_merge(
+            _docs(spark, [(1, "a b c")]), "doc_id", "text", batch_seq=1
+        )

@@ -91,3 +91,50 @@ def test_truncation_loss_monotone(spark):
     for r in rows:
         assert 0.0 <= r.lost_frac < 1.0
         assert r.kept_tokens <= r.total_tokens
+
+
+def test_wordpiece_greedy_longest_match():
+    from fs_indexer_elasticsearch_spark.functions.tokenize import (
+        TOKENIZER_VOCAB,
+        wordpiece_count,
+    )
+
+    assert "table" in TOKENIZER_VOCAB and "ta" in TOKENIZER_VOCAB
+    # greedy takes the 5-char piece, not ta|ble
+    assert wordpiece_count("table") == 1
+    assert wordpiece_count("tablescan") == 2  # table|scan
+    assert wordpiece_count("xyzq") == 4  # all char fallback ('qu' needs the u)
+    assert wordpiece_count("") == 0
+
+
+def test_count_tokens_exact_docs_matches_python(spark):
+    from fs_indexer_elasticsearch_spark.functions.tokenize import (
+        count_tokens_exact_docs,
+        wordpiece_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Table-Scan, the query!"), (2, ""), (3, "big big big")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_tokens for r in count_tokens_exact_docs(
+        df, "doc_id", "text").collect()}
+    # tokens(): lower + [^a-z0-9]+ split → per-word wordpiece sums
+    assert got[1] == sum(wordpiece_count(w) for w in ["table", "scan", "the", "query"])
+    assert got[3] == 3 * wordpiece_count("big")
+    assert 2 not in got  # zero-token doc drops from the word join
+
+
+def test_real_tokenizer_gate_absent():
+    from fs_indexer_elasticsearch_spark.functions.tokenize import (
+        load_real_tokenizer,
+    )
+
+    # Neither lib ships in this image: the gate must return None (not
+    # raise), so callers fall back to the reference wordpiece.
+    assert load_real_tokenizer("tiktoken:cl100k_base") is None
+    assert load_real_tokenizer("hf:gpt2") is None
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        load_real_tokenizer("sentencepiece:x")

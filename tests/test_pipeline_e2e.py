@@ -392,3 +392,48 @@ def test_pipeline_manifest_layout_end_to_end(spark, tmp_path):
         d.startswith("v") and d[1:].isdigit() for d in os.listdir(store_dir)
     )
     assert any(d.startswith("_MANIFEST_v") for d in os.listdir(store_dir))
+
+
+def test_manifest_and_hardlink_layouts_read_back_identically(spark, tmp_path):
+    """Byte-parity of the two snapshot layouts at a non-trivial size
+    (r6 verdict #7): the same two-generation pipeline (full ingest,
+    then a delta with adds/changes/removes) runs once per layout, and
+    the final snapshots must contain the IDENTICAL row set — the
+    object-store-safe manifest commit path is a pure layout change,
+    not a semantic one."""
+    root = str(tmp_path / "fsroot")
+    for d in range(12):
+        for i in range(50):
+            _write(f"{root}/dir{d}/f{i}.dat", bytes([d]) * (i + 1))
+
+    def run_two_generations(layout):
+        snap = str(tmp_path / f"snap-{layout}")
+        cfg = PipelineConfig(
+            root_path=root,
+            skip_patterns=[],
+            snapshot_path=snap,
+            direct_links_enabled=False,
+            num_buckets=8,
+            snapshot_layout=layout,
+        )
+        run_pipeline(spark, cfg, out_dir=str(tmp_path / f"o1-{layout}"))
+        return cfg
+
+    cfg_h = run_two_generations("hardlink")
+    # Delta applied between the layouts' generation-2 runs must be the
+    # same, so mutate once, then run generation 2 for BOTH layouts.
+    cfg_m = run_two_generations("manifest")
+    time.sleep(1.1)
+    os.remove(f"{root}/dir0/f0.dat")
+    _write(f"{root}/dir0/f99.dat", b"new")
+    _write(f"{root}/dir5/f10.dat", b"changed-bytes")
+    r2h = run_pipeline(spark, cfg_h, out_dir=str(tmp_path / "o2-h"))
+    r2m = run_pipeline(spark, cfg_m, out_dir=str(tmp_path / "o2-m"))
+
+    cols = ["relative_path", "size_bytes", "checksum", "type"]
+    rows_h = sorted(tuple(r) for r in r2h.entries.select(*cols).collect())
+    rows_m = sorted(tuple(r) for r in r2m.entries.select(*cols).collect())
+    assert len(rows_h) == len(rows_m)
+    assert rows_h == rows_m
+    assert any("/dir0/f99.dat" == r[0] for r in rows_h)
+    assert not any("/dir0/f0.dat" == r[0] for r in rows_h)

@@ -95,6 +95,12 @@ DENSITY_BOUND_NOTES = {
 STRESSED = {
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
+    # r7: the incremental cycle must scale with the BATCH, which the
+    # amplification grows k-fold along with the corpus — alpha ~ 1
+    # means seed+match+merge stays delta/corpus-proportional with no
+    # quadratic candidate term hiding in the band join.
+    "dedup_incremental_batch": "documents",
+    "token_count_exact": "documents",
     "dedup_connected_components": "documents",
     "dedup_simhash": "documents",
     "bm25_search_topk": "documents",
