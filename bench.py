@@ -72,12 +72,14 @@ EXTRA = [
     "context_truncation_loss",
     "weighted_sample_stats",
     "mixture_temperature_weights",
-    # r7: incremental band-store dedup, exact tokenizer, domain curation
+    # r7: incremental band-store dedup, exact tokenizer, domain
+    # curation, multi-probe LSH recall gate
     "dedup_incremental_batch",
     "token_count_exact",
     "domain_extract_counts",
     "per_domain_cap",
     "domain_blocklist_filter",
+    "ann_neardup_recall_multiprobe",
 ]
 
 
@@ -282,7 +284,11 @@ def main() -> None:
                 res = QUERIES[name](spark, sf_dir).collect()
                 steady.append(time.perf_counter() - t0)
             extra[name] = round(min(steady), 3)
-            if name in ("ann_recall_at_k", "ann_neardup_recall_lsh"):
+            if name in (
+                "ann_recall_at_k",
+                "ann_neardup_recall_lsh",
+                "ann_neardup_recall_multiprobe",
+            ):
                 for r in res:
                     ann_recall[r["method"]] = r["recall_at_k"]
         except Exception as e:  # noqa: BLE001
@@ -322,6 +328,7 @@ ANN_REGIMES = {
     "lsh": "exact-topk; out of design for single-table bucket LSH (~0 expected) — use ivf",
     "ivf": "exact-topk (design regime)",
     "lsh_neardup": "planted near-dup retrieval, 8x8 OR-construction (design regime; pytest floor 0.8)",
+    "lsh_multiprobe": "planted near-dup retrieval, 4x10 + 1-bit probes, half the index (floor 0.8)",
 }
 
 

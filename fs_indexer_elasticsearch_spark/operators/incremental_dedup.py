@@ -32,15 +32,16 @@ is precisely what this path exists to avoid. Callers needing exact
 verification feed the (small) match list to a follow-up join against
 the text table.
 
-Contract: the corpus is APPEND-ONLY (the common case for training
-corpora — new crawl batches arrive, old documents don't mutate). A
-re-ingested CHANGED document would leave its old band rows stranded in
-buckets its new bands don't hash to (bucketing by ``h`` means old rows
-can't be found by the new batch's pruned merge); supporting mutation
-needs either a doc-keyed sidecar mapping sid -> old band hashes or a
-periodic compaction that drops rows whose ``batch_seq`` is superseded
-— both O(delta)/O(corpus-but-rare) respectively, neither needed for
-append-only ingestion.
+Contract: the fast path assumes an APPEND-MOSTLY corpus (the common
+case for training corpora — new crawl batches arrive, old documents
+rarely mutate). A re-ingested CHANGED document would leave its old
+band rows stranded in buckets its new bands don't hash to (bucketing
+by ``h`` means old rows can't be found by the new batch's pruned
+merge); mutation therefore goes through :meth:`MinHashBandStore.
+remove_docs` — an explicit, deliberately O(index) anti-join overwrite
+— before the changed text merges as a normal batch. High-mutation
+deployments would amortize that with batched removals or a doc-keyed
+sidecar mapping sid -> band hashes.
 """
 
 from __future__ import annotations
@@ -198,3 +199,27 @@ class MinHashBandStore:
             # itself is a bucket-pruned upsert, O(batch bands).
             self.store.merge(bands)
         return matches
+
+    def remove_docs(self, doc_ids: DataFrame) -> int:
+        """Drop every band row of the given doc ids (one-column
+        DataFrame) — the slow path that makes document MUTATION safe:
+        remove, then merge the new text as a normal batch.
+
+        Deliberately O(index): the rows to delete are keyed by sid but
+        the store is bucketed by band hash, so finding them requires a
+        full (broadcast-anti-join) pass and an overwrite commit. That
+        is the documented cost of bucketing for O(delta) LOOKUP on an
+        append-mostly corpus; a deployment mutating documents at high
+        rate should batch removals and amortize this pass (or keep the
+        sid -> band-hash sidecar sketched in the module docstring).
+        Returns the new store version."""
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("_rm_sid"))
+        cur = self.store.read()
+        if cur is None:
+            raise ValueError("band store is empty — nothing to remove")
+        kept = cur.join(
+            F.broadcast(ids),
+            cur["sid"] == ids["_rm_sid"],
+            "left_anti",
+        )
+        return self.store.overwrite(kept)

@@ -53,6 +53,7 @@ _PRIORITY = [
     "domain_extract_counts",
     "per_domain_cap",
     "domain_blocklist_filter",
+    "ann_neardup_recall_multiprobe",
     # Dedup / similarity core + quality gates
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -91,7 +92,6 @@ _PRIORITY = [
     "sequence_packing_stats",
     "shard_balance_audit",
     "curriculum_quality_deciles",
-    "weighted_sample_stats",
     # Incremental maintenance + skew demonstration (r6)
     "incremental_agg_maintenance",
     "skew_salted_hot_join",
@@ -111,6 +111,7 @@ _PRIORITY = [
     # above is either new in r7 or anchors a §2 family; everything
     # below is driver-green from r6 or earlier and stays green under
     # the local replica gate) ---
+    "weighted_sample_stats",
     "length_percentile_band_approx",
     "template_prefix_by_source",
     "chunk_documents",

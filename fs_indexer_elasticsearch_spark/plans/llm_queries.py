@@ -886,6 +886,90 @@ def ann_neardup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_against(ann, bf, "lsh_neardup")
 
 
+@query(
+    "ann_neardup_recall_multiprobe",
+    oracle=_AUG_CTE_SQL
+    + f""",
+    coded AS ({_multi_table_bucket_sql("emb", 10, 4)}),
+    q AS (
+        SELECT vec_id AS query_id, t,
+               CASE WHEN p = 0 THEN code
+                    ELSE xor(code, (1::BIGINT << (p - 1))) END AS code
+        FROM coded, (SELECT unnest(range(0, 11)) AS p)
+        WHERE vec_id >= 1000000000000 AND vec_id < 1000000000040
+    ),
+    c AS (SELECT vec_id AS neighbor_id, t, code FROM coded),
+    cands AS (
+        SELECT DISTINCT query_id, neighbor_id
+        FROM q JOIN c USING (t, code) WHERE neighbor_id <> query_id
+    ),
+    scored AS (
+        SELECT cands.query_id, cands.neighbor_id,
+               {_COS_PAIR.format(a="qv.emb", b="nv.emb")} AS cos_sim
+        FROM cands
+        JOIN aug qv ON qv.vec_id = cands.query_id
+        JOIN aug nv ON nv.vec_id = cands.neighbor_id
+    ),
+    ann1 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    bscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_PAIR.format(a="q.emb", b="c.emb")} AS cos_sim
+        FROM aug q JOIN aug c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id >= 1000000000000 AND q.vec_id < 1000000000040
+    ),
+    bf1 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM bscored
+        ) WHERE rn = 1
+    ),
+    tot AS (
+        SELECT count(*) AS n_truth, count(DISTINCT query_id) AS n_queries
+        FROM bf1
+    ),
+    h AS (
+        SELECT count(*) AS n_hits FROM bf1 JOIN ann1 USING (query_id, neighbor_id)
+    )
+    SELECT 'lsh_multiprobe' AS method, CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(n_truth AS BIGINT) AS n_truth, CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits::DOUBLE / n_truth + 1e-7, 4) AS recall_at_k
+    FROM h, tot
+    """,
+)
+def ann_neardup_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH recall in the near-dup regime — the SAME
+    planted-twin ground truth as ann_neardup_recall_lsh, searched with
+    HALF the index (4 tables x 10 planes + 1-bit query-side probes,
+    Lv et al. VLDB'07) instead of the 8x8 exact OR-construction. Per
+    table a cos-0.9 twin (bit agreement q ~ 0.94) is caught with
+    probability q^10 + 10q^9(1-q) ~ 0.85, so 4 probed tables reach
+    ~0.999 expected recall at ~4% random-pair candidate volume —
+    index rows and signature compute drop 2x/1.6x vs the 8x8
+    construction for equal recall. Probing expands only the broadcast
+    query side; the corpus index stays one row per (vector, table)."""
+    from ..operators.similarity import lsh_multiprobe_ann_topk, recall_against
+
+    aug = augmented_embeddings(load(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
+    q = aug.filter(
+        (F.col("vec_id") >= 1_000_000_000_000)
+        & (F.col("vec_id") < 1_000_000_000_040)
+    )
+    ann = lsh_multiprobe_ann_topk(
+        aug, q, "vec_id", "emb", k=1, num_planes=10, num_tables=4
+    )
+    bf = brute_force_topk(aug, q, "vec_id", "emb", k=1)
+    return recall_against(ann, bf, "lsh_multiprobe")
+
+
 # --------------------------------------------------------------------------
 # Multimodal binary plumbing
 # --------------------------------------------------------------------------

@@ -117,6 +117,67 @@ def streaming_dedup(
     )
 
 
+def streaming_neardup_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    band_store,
+    matches_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Streaming NEAR-dup detection: every micro-batch of documents is
+    probed against (then merged into) the persisted MinHash band index
+    — the streaming cadence of operators/incremental_dedup.py, sharing
+    the identical match_and_merge operator with the batch path (one
+    code path, two cadences — the same rule run_incremental_pipeline
+    follows for the snapshot merge).
+
+    Each epoch costs O(batch): band derivation, a bucket-pruned index
+    probe, and a bucket-pruned merge; state lives in the band store
+    (disk, versioned), not the streaming state store, so the stream
+    restarts cold with zero state rebuild. Failure semantics: the
+    MERGE is idempotent under epoch replay (LWW upsert on the unique
+    doc:band row key), while the matches sink is append-parquet —
+    at-least-once, so a replayed epoch can append duplicate match
+    rows; readers dedup on (batch_id, corpus_id) or the sink is
+    swapped for a SnapshotStore keyed on that pair when exactly-once
+    matters.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        matches = band_store.match_and_merge(
+            batch,
+            id_col,
+            text_col,
+            batch_seq=epoch_id + 1,  # seed() owns batch_seq 0
+            threshold=threshold,
+        )
+        (
+            matches.withColumn("epoch", F.lit(epoch_id).cast("long"))
+            .write.mode("append")
+            .parquet(matches_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_stream_error_after_purchase(
     events: DataFrame,
     *,

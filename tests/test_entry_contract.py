@@ -82,7 +82,12 @@ def test_bench_headline_stays_inside_driver_tail_capture():
         cold=dict(timings),
         rows={n: 99999 for n in bench.HEADLINE},
         extra=extra,
-        ann_recall={"lsh": 0.0, "ivf": 1.0, "lsh_neardup": 0.875},
+        ann_recall={
+            "lsh": 0.0,
+            "ivf": 1.0,
+            "lsh_neardup": 0.875,
+            "lsh_multiprobe": 1.0,
+        },
         ingest={
             "ingest_files_per_sec": 25836.4,
             "ingest_cold_sec": 123.456,

@@ -123,3 +123,36 @@ def test_match_before_seed_raises(spark, tmp_path):
         store.match_and_merge(
             _docs(spark, [(1, "a b c")]), "doc_id", "text", batch_seq=1
         )
+
+
+def test_remove_docs_then_reingest_changed_text(spark, tmp_path):
+    """Mutation path: remove a doc's band rows (full-pass overwrite —
+    the documented slow path), merge its changed text as a normal
+    batch, and the index answers with the NEW content only."""
+    store = MinHashBandStore(spark, str(tmp_path / "bands"), num_buckets=16)
+    corpus = _corpus(spark)
+    store.seed(corpus, "doc_id", "text")
+    n0 = store.store.read().count()
+
+    store.remove_docs(spark.createDataFrame([(3,)], "doc_id long"))
+    assert store.store.read().count() == n0 - BANDS
+    assert store.store.read().filter(F.col("sid") == 3).count() == 0
+
+    new_text = "completely different replacement words here now ok yes"
+    store.match_and_merge(
+        _docs(spark, [(3, new_text)]), "doc_id", "text", batch_seq=1
+    ).collect()
+    assert store.store.read().count() == n0
+    # A probe identical to the NEW text matches doc 3 at 1.0; a probe
+    # of the OLD text no longer matches doc 3 at all.
+    old_text = corpus.filter(F.col("doc_id") == 3).first().text
+    m_new = store.match_and_merge(
+        _docs(spark, [(900, new_text)]), "doc_id", "text",
+        batch_seq=2, merge=False,
+    ).collect()
+    assert any(r.corpus_id == 3 and r.est_jaccard == 1.0 for r in m_new)
+    m_old = store.match_and_merge(
+        _docs(spark, [(901, old_text)]), "doc_id", "text",
+        batch_seq=3, merge=False,
+    ).collect()
+    assert not any(r.corpus_id == 3 for r in m_old)

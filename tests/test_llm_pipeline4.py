@@ -206,3 +206,10 @@ def test_ann_recall_floors(spark):
     assert nd.method == "lsh_neardup"
     assert nd.n_queries == 8
     assert nd.recall_at_k >= 0.8, nd
+
+    # Multi-probe (4x10 + 1-bit probes) must hold the same floor with
+    # HALF the index rows of the 8x8 construction (measured: 1.0 at
+    # sf0.001/0.01/0.1).
+    (mp,) = QUERIES["ann_neardup_recall_multiprobe"](spark, SF_DIR).collect()
+    assert mp.method == "lsh_multiprobe"
+    assert mp.recall_at_k >= 0.8, mp

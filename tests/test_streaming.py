@@ -197,3 +197,72 @@ def test_streaming_dedup_suppresses_replays(spark, tmp_path):
         assert len(hashes) == len(set(hashes)) == n_distinct == 40
     finally:
         q.stop()
+
+
+def test_streaming_neardup_detects_against_band_store(spark, tmp_path):
+    """Per-micro-batch near-dup detection over the persisted band
+    index: drops stream in, matches append out, the store grows
+    O(batch) per epoch — the streaming cadence of the incremental
+    dedup operator."""
+    from fs_indexer_elasticsearch_spark.operators.incremental_dedup import (
+        MinHashBandStore,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_neardup_pipeline,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    corpus_rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(12)))
+        for i in range(20)
+    ]
+    store = MinHashBandStore(spark, str(tmp_path / "bands"), num_buckets=8)
+    store.seed(spark.createDataFrame(corpus_rows, doc_schema), "doc_id", "text")
+    n0 = store.store.read().count()
+
+    inp = tmp_path / "docs-in"
+    inp.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    drop("b1", [(100, corpus_rows[3][1]), (101, "totally unrelated text here")])
+    q = streaming_neardup_pipeline(
+        spark,
+        str(inp) + "/*",
+        doc_schema,
+        store,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        m1 = spark.read.parquet(str(tmp_path / "matches")).collect()
+        # The exact copy of corpus doc 3 is found at estimate 1.0.
+        assert any(
+            r.batch_id == 100 and r.corpus_id == 3 and r.est_jaccard == 1.0
+            for r in m1
+        )
+        assert not any(r.batch_id == 101 for r in m1)
+        assert store.store.read().count() == n0 + 2 * 4  # bands per doc
+
+        # Epoch 2: a dup of a DOC MERGED IN EPOCH 1 — the index the
+        # second batch probes includes the first batch's documents.
+        drop("b2", [(200, corpus_rows[3][1])])
+        q.processAllAvailable()
+        m2 = spark.read.parquet(str(tmp_path / "matches")).collect()
+        assert any(
+            r.batch_id == 200 and r.corpus_id == 100 and r.est_jaccard == 1.0
+            for r in m2
+        )
+        assert store.store.read().count() == n0 + 3 * 4
+    finally:
+        q.stop()

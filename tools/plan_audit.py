@@ -57,6 +57,7 @@ ALLOW_NLJ = {
     # n_hits and n_truth aggregates — O(n·|Q|) then O(1).
     "ann_recall_at_k",
     "ann_neardup_recall_lsh",
+    "ann_neardup_recall_multiprobe",
     # Freshness predicate: keyless join against the broadcast 1-row
     # max(ts) aggregate (the anchor timestamp) — O(n·1).
     "freshness_last_hours",
