@@ -79,6 +79,7 @@ EXTRA = [
     "domain_extract_counts",
     "per_domain_cap",
     "domain_blocklist_filter",
+    "url_canonical_dedup",
     "ann_neardup_recall_multiprobe",
 ]
 

@@ -53,6 +53,7 @@ _PRIORITY = [
     "domain_extract_counts",
     "per_domain_cap",
     "domain_blocklist_filter",
+    "url_canonical_dedup",
     "ann_neardup_recall_multiprobe",
     # Dedup / similarity core + quality gates
     "dedup_exact",
@@ -76,7 +77,6 @@ _PRIORITY = [
     "token_count_histogram",
     "column_profile",
     "approx_distinct_tolerance",
-    "cms_heavy_hitters",
     # Corpus curation / analytics layer (r5; first driver rows)
     "dedup_keep_best",
     "length_percentile_band",
@@ -111,6 +111,7 @@ _PRIORITY = [
     # above is either new in r7 or anchors a §2 family; everything
     # below is driver-green from r6 or earlier and stays green under
     # the local replica gate) ---
+    "cms_heavy_hitters",
     "weighted_sample_stats",
     "length_percentile_band_approx",
     "template_prefix_by_source",

@@ -176,3 +176,84 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "url_canonical_dedup",
+    oracle="""
+    WITH noisy AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 5 = 0 THEN 'http://' ELSE 'https://' END)
+               || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+               || 'News.Example.com/story/' || (doc_id % 25)
+               || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END)
+               || (CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(url), '#.*$', ''),
+                       '\\?.*$', ''),
+                     '^http://', 'https://'),
+                   '^https://www\\.', 'https://'),
+                 '/+$', '') AS canonical_url
+        FROM noisy
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the C4/web-pipeline step that runs
+    BEFORE content dedup (a re-crawled page differs only by tracking
+    params/scheme/www/fragment noise; deduping on the canonical URL is
+    free compared to shingling content). Deterministic noisy URLs are
+    derived in-query (scheme flip, www., trailing slash, utm query,
+    fragment — each keyed to a doc_id modulus), canonicalized by a
+    5-step regexp normalization (lower, strip fragment, strip query,
+    https-normalize, strip www., strip trailing slash), then
+    hash-grouped. Pure column expressions — one shuffle on the
+    canonical key with map-side combine, the cheapest possible dedup
+    at 100 TB (same shape as dedup_exact)."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("http://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("News.Example.com/story/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&ref=rss")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#section-2")).otherwise(
+            F.lit("")
+        ),
+    )
+    canon = F.lower(url)
+    for pat, rep in (
+        (r"#.*$", ""),
+        (r"\?.*$", ""),
+        (r"^http://", "https://"),
+        (r"^https://www\.", "https://"),
+        (r"/+$", ""),
+    ):
+        canon = F.regexp_replace(canon, pat, rep)
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+    )

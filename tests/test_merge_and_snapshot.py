@@ -381,3 +381,29 @@ def test_manifest_vacuum_prunes_emptied_commit_dirs(spark, tmp_path):
             continue
         has_content = any(f for _, _, fs in os.walk(root) for f in fs)
         assert has_content, f"empty directory survived vacuum: {root}"
+
+
+@pytest.mark.parametrize("layout", ["hardlink", "manifest"])
+def test_read_buckets_prunes_and_matches_full_read(spark, tmp_path, layout):
+    """read_buckets (the index-lookup path) returns exactly the rows
+    whose _bucket is requested — pruned at the partition-directory
+    level (hardlink) or the manifest file list (manifest) — and the
+    union over all buckets equals the full read."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=8, layout=layout,
+    )
+    assert store.read_buckets([0, 1]) is None  # empty store
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(200)]))
+
+    full = {(r.k, r._bucket) for r in store.read().collect()}
+    some = store.read_buckets([0, 3]).collect()
+    assert {r._bucket for r in some} <= {0, 3}
+    assert {(r.k, r._bucket) for r in some} == {
+        (k, b) for (k, b) in full if b in (0, 3)
+    }
+    everything = {
+        (r.k, r._bucket) for r in store.read_buckets(list(range(8))).collect()
+    }
+    assert everything == full
+    assert store.read_buckets([]).count() == 0
