@@ -142,6 +142,19 @@ def per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOCKLIST = ("src3", "src7", "src13")
 
+# URL canonicalization, applied in order after lower(): strip
+# fragment, strip query, https-normalize, strip www., strip trailing
+# slash. Shared by the Spark plan and the idempotence property test
+# (tests/test_properties.py) so the two can't drift; the oracle SQL
+# nests the same five regexp_replace calls textually.
+CANON_STEPS = (
+    (r"#.*$", ""),
+    (r"\?.*$", ""),
+    (r"^http://", "https://"),
+    (r"^https://www\.", "https://"),
+    (r"/+$", ""),
+)
+
 
 @query(
     "domain_blocklist_filter",
@@ -240,13 +253,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     canon = F.lower(url)
-    for pat, rep in (
-        (r"#.*$", ""),
-        (r"\?.*$", ""),
-        (r"^http://", "https://"),
-        (r"^https://www\.", "https://"),
-        (r"/+$", ""),
-    ):
+    for pat, rep in CANON_STEPS:
         canon = F.regexp_replace(canon, pat, rep)
     return (
         d.select("doc_id", canon.alias("canonical_url"))

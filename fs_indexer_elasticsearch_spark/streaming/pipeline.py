@@ -129,6 +129,7 @@ def streaming_neardup_pipeline(
     text_col: str = "text",
     threshold: float = 0.5,
     max_files_per_trigger: int = 10,
+    matches_store=None,
 ) -> StreamingQuery:
     """Streaming NEAR-dup detection: every micro-batch of documents is
     probed against (then merged into) the persisted MinHash band index
@@ -141,12 +142,16 @@ def streaming_neardup_pipeline(
     probe, and a bucket-pruned merge; state lives in the band store
     (disk, versioned), not the streaming state store, so the stream
     restarts cold with zero state rebuild. Failure semantics: the
-    MERGE is idempotent under epoch replay (LWW upsert on the unique
-    doc:band row key), while the matches sink is append-parquet —
-    at-least-once, so a replayed epoch can append duplicate match
-    rows; readers dedup on (batch_id, corpus_id) or the sink is
-    swapped for a SnapshotStore keyed on that pair when exactly-once
-    matters.
+    INDEX merge is idempotent under epoch replay (LWW upsert on the
+    unique doc:band row key). The matches sink is chosen by the
+    caller:
+
+    - default (``matches_dir``): append-parquet — at-least-once; a
+      replayed epoch can append duplicate match rows, readers dedup
+      on (batch_id, corpus_id).
+    - ``matches_store`` (a SnapshotStore keyed on the pair id with
+      ``epoch`` as its version column): effectively-once — a replayed
+      epoch's upsert collapses onto the same keys.
     """
     stream = (
         spark.readStream.schema(schema)
@@ -163,12 +168,20 @@ def streaming_neardup_pipeline(
             text_col,
             batch_seq=epoch_id + 1,  # seed() owns batch_seq 0
             threshold=threshold,
-        )
-        (
-            matches.withColumn("epoch", F.lit(epoch_id).cast("long"))
-            .write.mode("append")
-            .parquet(matches_dir)
-        )
+        ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+        if matches_store is not None:
+            matches_store.merge(
+                matches.withColumn(
+                    matches_store.key,
+                    F.concat_ws(
+                        ":",
+                        F.col("batch_id").cast("string"),
+                        F.col("corpus_id").cast("string"),
+                    ),
+                )
+            )
+            return
+        matches.write.mode("append").parquet(matches_dir)
 
     return (
         stream.writeStream.foreachBatch(dedup_batch)

@@ -300,3 +300,69 @@ def test_split_bucket_range_pure(doc_id):
     assert 0 <= b < 100
     b2 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
     assert b == b2
+
+
+WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", max_size=24)
+
+
+@given(word=WORD)
+@settings(max_examples=300)
+def test_wordpiece_count_invariants(word):
+    """Greedy longest-match wordpiece: bounded by [ceil(len/max_piece),
+    len]; zero only for the empty word; and exactly reproduced by an
+    independent step-table walk (the DuckDB oracle's formulation — a
+    precomputed per-position greedy advance, then a walk), so the
+    Spark/Python tokenizer and the recursive-CTE twin cannot drift."""
+    from fs_indexer_elasticsearch_spark.functions.tokenize import (
+        TOKENIZER_VOCAB,
+        wordpiece_count,
+    )
+
+    n = wordpiece_count(word)
+    if not word:
+        assert n == 0
+        return
+    max_piece = max(len(p) for p in TOKENIZER_VOCAB)
+    assert -(-len(word) // max_piece) <= n <= len(word)
+
+    # Oracle-twin walk: advance = longest matching piece at pos, else 1.
+    pos, steps = 0, 0
+    while pos < len(word):
+        adv = max(
+            (len(p) for p in TOKENIZER_VOCAB if word.startswith(p, pos)),
+            default=1,
+        )
+        pos += adv
+        steps += 1
+    assert n == steps
+
+
+URLISH = st.text(
+    alphabet="abcz09./?#=&_-", min_size=0, max_size=30
+)
+
+
+@given(tail=URLISH, www=st.booleans(), http=st.booleans())
+@settings(max_examples=300)
+def test_url_canonicalization_idempotent_and_normalizing(tail, www, http):
+    """canon(canon(u)) == canon(u), and the canonical form never
+    retains a fragment, a query string, an http:// scheme, or a
+    leading www. — the invariants the url_canonical_dedup key relies
+    on (a non-idempotent canonicalizer would make dedup keys depend
+    on how many times a pipeline stage ran)."""
+    from fs_indexer_elasticsearch_spark.plans.domain_queries import CANON_STEPS
+
+    url = ("http://" if http else "https://") + ("www." if www else "") + tail
+
+    def canon(u: str) -> str:
+        u = u.lower()
+        for pat, rep in CANON_STEPS:
+            u = re.sub(pat, rep, u)
+        return u
+
+    c = canon(url)
+    assert canon(c) == c
+    assert "#" not in c and "?" not in c
+    assert not c.startswith("http://")
+    assert not c.startswith("https://www.")
+    assert not c.endswith("/")

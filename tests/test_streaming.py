@@ -266,3 +266,67 @@ def test_streaming_neardup_detects_against_band_store(spark, tmp_path):
         assert store.store.read().count() == n0 + 3 * 4
     finally:
         q.stop()
+
+
+def test_streaming_neardup_exactly_once_matches_store(spark, tmp_path):
+    """With a SnapshotStore matches sink keyed on the match pair, a
+    REPLAYED epoch collapses onto the same keys — effectively-once
+    match rows, vs the documented at-least-once parquet append."""
+    from fs_indexer_elasticsearch_spark.operators.incremental_dedup import (
+        MinHashBandStore,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_neardup_pipeline,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    corpus_rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(12)))
+        for i in range(12)
+    ]
+    band_store = MinHashBandStore(spark, str(tmp_path / "bands"), num_buckets=8)
+    band_store.seed(
+        spark.createDataFrame(corpus_rows, doc_schema), "doc_id", "text"
+    )
+    matches_store = SnapshotStore(
+        spark, str(tmp_path / "matches"), key="pair", version_col="epoch",
+        num_buckets=4,
+    )
+
+    inp = tmp_path / "docs-in"
+    inp.mkdir()
+    spark.createDataFrame(
+        [(100, corpus_rows[2][1])], doc_schema
+    ).coalesce(1).write.parquet(str(inp / "b1"))
+
+    def run_once(ckpt):
+        q = streaming_neardup_pipeline(
+            spark,
+            str(inp) + "/*",
+            doc_schema,
+            band_store,
+            str(tmp_path / "unused-parquet"),
+            ckpt,
+            matches_store=matches_store,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once(str(tmp_path / "ckpt1"))
+    n1 = matches_store.read().count()
+    assert n1 >= 1
+    rows = {r.pair for r in matches_store.read().collect()}
+    assert "100:2" in rows
+
+    # Replay the SAME input from a fresh checkpoint (the worst-case
+    # reprocessing): pair keys collapse, no duplicates.
+    run_once(str(tmp_path / "ckpt2"))
+    assert matches_store.read().count() == n1
