@@ -152,8 +152,15 @@ def count_tokens_exact_docs(
     )
     per_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("n"))
     counts = word_token_counts(per_word.select("w").distinct())
-    return (
+    summed = (
         per_word.join(counts, "w")
         .groupBy(id_col)
-        .agg(F.sum(F.col("n") * F.col("ntok")).alias("n_tokens"))
+        .agg(F.sum(F.col("n") * F.col("ntok")).alias("_nt"))
+    )
+    # One row per INPUT document in both paths: the explode drops
+    # zero-token docs, so left-join back and coalesce to 0 — otherwise
+    # result multiplicity would depend on which tokenizer happens to
+    # be installed (r7 review finding).
+    return df.select(id_col).join(summed, id_col, "left").select(
+        id_col, F.coalesce(F.col("_nt"), F.lit(0)).cast("long").alias("n_tokens")
     )

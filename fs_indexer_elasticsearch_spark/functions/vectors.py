@@ -72,12 +72,29 @@ def lsh_bucket(
     The hyperplanes are baked into the plan as LITERAL weight arrays
     (one per plane, ``hyperplane_weight_py``) — zero per-row hash
     work; the per-row cost is ``num_planes`` fused multiply-add folds.
-    ``ndims`` must match the vector width (shorter vectors would read
-    NULLs; the zip_with would yield NULL products and a NULL dot).
-    Bit-identical to the md5-expression form this replaces: same
+    Bit-identical to the md5-expression form it replaced: same
     weights, same left-fold summation order.
+
+    ``ndims`` must match the vector width, and that is ENFORCED per
+    row: a mismatched vector would zip against NULL-padded weights,
+    yield a NULL dot product, and silently land every such vector in
+    code 0 — collapsing the bucket join toward a cross product with
+    no error (r7 review finding). raise_error beats that failure mode;
+    callers with variable-width vectors pass the right ndims per call.
     """
     v = _c(vec)
+    dim_guard = F.when(
+        F.size(v) == F.lit(ndims), F.lit(0).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "lsh_bucket: vector has %s dims, expected "
+                + str(ndims)
+                + " (pass ndims= to match the data)",
+                F.size(v).cast("string"),
+            )
+        ).cast("long")
+    )
 
     def plane_bit(h: int) -> Column:
         w = F.array(
@@ -92,7 +109,7 @@ def lsh_bucket(
             F.lit(0).cast("long")
         )
 
-    code = F.lit(0).cast("long")
+    code = dim_guard
     for h in range(num_planes):
         code = code + plane_bit(h)
     return code

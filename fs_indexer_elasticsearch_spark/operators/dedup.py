@@ -121,29 +121,22 @@ def minhash_band_rows(
     _validate_minhash_config(num_hashes, bands)
     sh = shingle_sets(df, id_col, text_col, shingle_n)
     based = sh.select("sid", minhash_base(F.col("shingles")).alias("mhb"))
-    sig = based.select(
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    # Band hashes come from the SAME band_hashes helper the self-join
+    # path (minhash_lsh_pairs) uses — one formula, so persisted index
+    # rows and in-memory candidates cannot drift (r7 review finding).
+    wide = based.select(
         "sid", *minhash_signature(F.col("mhb"), num_hashes)
     ).select(
         "sid",
-        F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("sig"),
+        F.array(*mh_cols).alias("sig"),
+        *band_hashes(mh_cols, bands),
     )
-    rows_per_band = num_hashes // bands
     band_structs = [
-        F.struct(
-            F.lit(b).alias("b"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at("sig", b * rows_per_band + i + 1)
-                        for i in range(rows_per_band)
-                    ],
-                )
-            ).alias("h"),
-        )
+        F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("h"))
         for b in range(bands)
     ]
-    return sig.select(
+    return wide.select(
         "sid", "sig", F.explode(F.array(*band_structs)).alias("bd")
     ).select("sid", "sig", F.col("bd.b").alias("b"), F.col("bd.h").alias("h"))
 

@@ -159,6 +159,15 @@ class MinHashBandStore:
         stored = self.store.read_buckets(touched)
         if stored is None:
             raise ValueError("band store is empty — seed() the corpus index first")
+        # Match ONLY against strictly earlier batches. Without this,
+        # a replayed epoch (crash after the index merge committed but
+        # before the caller's matches sink did) would find the failed
+        # attempt's own rows in the store and emit intra-batch pairs
+        # the first attempt never produced — replay must be a pure
+        # re-computation of the original answer (r7 review finding).
+        # It also makes re-running a seq idempotent in RESULT, not
+        # just in store growth.
+        stored = stored.filter(F.col("batch_seq") < F.lit(int(batch_seq)))
         q = bands.select(
             F.col("sid").alias("batch_id"),
             "b",

@@ -369,7 +369,22 @@ class SnapshotStore:
         CONTRACT: the batch is expected to be DELTA-sized (the join
         builds an in-memory hash map on it per partition — see
         upsert_newer_wins' delta_batch precondition). A table-sized
-        rewrite belongs in overwrite(), not merge()."""
+        rewrite belongs in overwrite(), not merge().
+
+        ``removed`` requires ``bucket_key == key`` (the default): a
+        one-column key list can't be routed to buckets hashed on a
+        DIFFERENT column, so for an index store (e.g. the MinHash band
+        store, bucketed on the band hash) keyed deletion has no pruned
+        path — use the store's own full-pass removal
+        (MinHashBandStore.remove_docs) instead. Raising here beats the
+        AnalysisException the bucket derivation would otherwise throw
+        from deep inside the plan (r7 review finding)."""
+        if removed is not None and self.bucket_key != self.key:
+            raise ValueError(
+                "merge(removed=...) needs bucket_key == key: removal keys "
+                f"can't be hashed to buckets keyed on {self.bucket_key!r}. "
+                "Use an explicit full-pass removal for index stores."
+            )
         cur_v = self.current_version()
         batch = batch.drop("_bucket")
         if cur_v is None:

@@ -156,3 +156,42 @@ def test_remove_docs_then_reingest_changed_text(spark, tmp_path):
         batch_seq=3, merge=False,
     ).collect()
     assert not any(r.corpus_id == 3 for r in m_old)
+
+
+def test_replay_after_partial_failure_emits_original_answer(spark, tmp_path):
+    """Crash-replay semantics: if an epoch's index merge committed but
+    its matches sink didn't, re-running the SAME batch_seq must emit
+    exactly the first attempt's pairs — matching is restricted to
+    strictly earlier batches, so the failed attempt's own rows (two
+    intra-batch dups of the same corpus doc) are invisible to the
+    replay (r7 review finding)."""
+    corpus = _corpus(spark)
+    c3 = corpus.filter(F.col("doc_id") == 3).first().text
+    batch = _docs(spark, [(100, c3), (101, c3)])  # intra-batch dup pair
+
+    store = MinHashBandStore(spark, str(tmp_path / "bands"), num_buckets=16)
+    store.seed(corpus, "doc_id", "text")
+    first = {
+        (r.batch_id, r.corpus_id)
+        for r in store.match_and_merge(
+            batch, "doc_id", "text", batch_seq=1
+        ).collect()
+    }
+    # merge committed; simulate the sink crash by replaying seq 1
+    replay = {
+        (r.batch_id, r.corpus_id)
+        for r in store.match_and_merge(
+            batch, "doc_id", "text", batch_seq=1
+        ).collect()
+    }
+    assert replay == first
+    assert (100, 101) not in replay and (101, 100) not in replay
+    assert (100, 3) in replay and (101, 3) in replay
+    # A LATER batch does see epoch 1's documents.
+    later = {
+        (r.batch_id, r.corpus_id)
+        for r in store.match_and_merge(
+            _docs(spark, [(200, c3)]), "doc_id", "text", batch_seq=2
+        ).collect()
+    }
+    assert {(200, 3), (200, 100), (200, 101)} <= later

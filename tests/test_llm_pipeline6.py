@@ -122,7 +122,9 @@ def test_count_tokens_exact_docs_matches_python(spark):
     # tokens(): lower + [^a-z0-9]+ split → per-word wordpiece sums
     assert got[1] == sum(wordpiece_count(w) for w in ["table", "scan", "the", "query"])
     assert got[3] == 3 * wordpiece_count("big")
-    assert 2 not in got  # zero-token doc drops from the word join
+    # Zero-token docs keep their row at 0 — SAME multiplicity as the
+    # real-tokenizer path, so swapping tokenizers is behavior-preserving.
+    assert got[2] == 0
 
 
 def test_real_tokenizer_gate_absent():

@@ -407,3 +407,24 @@ def test_read_buckets_prunes_and_matches_full_read(spark, tmp_path, layout):
     }
     assert everything == full
     assert store.read_buckets([]).count() == 0
+
+
+def test_merge_removed_requires_matching_bucket_key(spark, tmp_path):
+    """Keyed deletion can't be bucket-routed when the store buckets on
+    a different column than the merge key — must raise a clear error
+    up front, not an AnalysisException from inside the plan."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "s"), key="band_row", version_col="v",
+        num_buckets=4, bucket_key="h",
+    )
+    store.overwrite(
+        spark.createDataFrame([("a:0", "h1", 1)], "band_row string, h string, v long")
+    )
+    batch = spark.createDataFrame(
+        [("b:0", "h2", 2)], "band_row string, h string, v long"
+    )
+    removed = spark.createDataFrame([("a:0",)], "band_row string")
+    with pytest.raises(ValueError, match="bucket_key == key"):
+        store.merge(batch, removed=removed)
+    store.merge(batch)  # without removals the index merge works
+    assert store.read().count() == 2

@@ -366,3 +366,24 @@ def test_url_canonicalization_idempotent_and_normalizing(tail, www, http):
     assert not c.startswith("http://")
     assert not c.startswith("https://www.")
     assert not c.endswith("/")
+
+
+def test_hyperplane_weight_expression_matches_python_twin(spark):
+    """The md5-EXPRESSION plane form (hyperplane_weight — still the
+    formula the DuckDB oracle SQL derives planes with) and the literal
+    Python twin lsh_bucket now folds into plans must stay
+    bit-identical; this is the parity gate that lets both exist
+    (r7 review finding: an edit to one but not the other would
+    silently desynchronize engine and oracle)."""
+    from fs_indexer_elasticsearch_spark.functions.vectors import (
+        hyperplane_weight,
+        hyperplane_weight_py,
+    )
+
+    pairs = [(h, d) for h in (0, 7, 63, 64, 511) for d in (1, 2, 33, 64)]
+    df = spark.createDataFrame(pairs, "h int, d int")
+    rows = df.select(
+        "h", "d", hyperplane_weight(F.col("h"), F.col("d")).alias("w")
+    ).collect()
+    for r in rows:
+        assert r.w == hyperplane_weight_py(r.h, r.d), (r.h, r.d)
