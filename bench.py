@@ -75,6 +75,7 @@ EXTRA = [
     # r7: incremental band-store dedup, exact tokenizer, domain
     # curation, multi-probe LSH recall gate
     "dedup_incremental_batch",
+    "dedup_incremental_batch_manifest",
     "token_count_exact",
     "domain_extract_counts",
     "per_domain_cap",

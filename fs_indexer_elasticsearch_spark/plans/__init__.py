@@ -38,19 +38,21 @@ from . import domain_queries  # noqa: E402,F401
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
 # r7 rotation: after r6, every registered query had a driver-pass row
-# with no latest-row failure, so the prefix = the 7 NEW r7 queries
-# (incremental band-store dedup, exact tokenizer counts, the three
-# domain-curation operators, URL-canonicalization dedup, the
-# multi-probe LSH recall gate — never driver-checked) followed by the
-# same family anchors as r6. Displaced to make room: 7 queries
-# driver-green in r6 (length_percentile_band_approx,
-# template_prefix_by_source, chunk_documents, context_truncation_loss,
+# with no latest-row failure, so the prefix = the 8 NEW r7 queries
+# (incremental band-store dedup on BOTH snapshot layouts, exact
+# tokenizer counts, the three domain-curation operators,
+# URL-canonicalization dedup, the multi-probe LSH recall gate — never
+# driver-checked) followed by the same family anchors as r6.
+# Displaced to make room: 8 queries driver-green in r6
+# (length_percentile_band_approx, template_prefix_by_source,
+# chunk_documents, context_truncation_loss,
 # mixture_temperature_weights, weighted_sample_stats,
-# cms_heavy_hitters) — all remain covered by the local replica gate +
-# pytest, directly below the boundary.
+# cms_heavy_hitters, approx_distinct_tolerance) — all remain covered
+# by the local replica gate + pytest, directly below the boundary.
 _PRIORITY = [
     # New in r7 — never driver-checked
     "dedup_incremental_batch",
+    "dedup_incremental_batch_manifest",
     "token_count_exact",
     "domain_extract_counts",
     "per_domain_cap",
@@ -78,7 +80,6 @@ _PRIORITY = [
     "gopher_quality_flags",
     "token_count_histogram",
     "column_profile",
-    "approx_distinct_tolerance",
     # Corpus curation / analytics layer (r5; first driver rows)
     "dedup_keep_best",
     "length_percentile_band",
@@ -113,6 +114,7 @@ _PRIORITY = [
     # above is either new in r7 or anchors a §2 family; everything
     # below is driver-green from r6 or earlier and stays green under
     # the local replica gate) ---
+    "approx_distinct_tolerance",
     "cms_heavy_hitters",
     "weighted_sample_stats",
     "length_percentile_band_approx",

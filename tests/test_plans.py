@@ -145,17 +145,23 @@ def test_registry_priority_prefix_covers_llm_layer():
     required = {
         "dedup_exact", "dedup_minhash_lsh", "dedup_connected_components",
         "similarity_lsh_ann_topk",
-        # The prefix holds EVERY never-driver-checked query (r5 curation,
-        # r6 recall gates / training-export / profiling additions) plus
-        # one anchor per core family; multi-round driver-green queries
-        # (simhash, IVF, TF-IDF, hygiene batch, ...) rotate below — the
-        # driver's hard signal goes to the least-tested first.
+        # The prefix holds EVERY never-driver-checked query (r7: the
+        # incremental band-store dedup pair, exact tokenizer, domain
+        # curation, URL dedup, multi-probe recall gate) plus one anchor
+        # per core family; multi-round driver-green queries (r7
+        # displaced cms_heavy_hitters / approx_distinct_tolerance and
+        # five r5-curation entries) rotate below — the driver's hard
+        # signal goes to the least-tested first.
+        "dedup_incremental_batch", "dedup_incremental_batch_manifest",
+        "token_count_exact", "domain_extract_counts", "per_domain_cap",
+        "domain_blocklist_filter", "url_canonical_dedup",
+        "ann_neardup_recall_multiprobe",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "ann_neardup_recall_lsh", "binary_payload_meta",
         "minhash_estimate_quality", "quantized_ann_int8_topk",
         "pagerank_neardup_graph", "dedup_cascade_attrition",
-        "gopher_quality_flags", "column_profile", "cms_heavy_hitters",
-        "approx_distinct_tolerance", "incremental_agg_maintenance",
+        "gopher_quality_flags", "column_profile",
+        "incremental_agg_maintenance",
         "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
         "sequence_packing_stats", "shard_balance_audit",
         "curriculum_quality_deciles", "skew_salted_hot_join",
