@@ -82,6 +82,7 @@ EXTRA = [
     "domain_blocklist_filter",
     "url_canonical_dedup",
     "ann_neardup_recall_multiprobe",
+    "ann_incremental_ivf_topk",
 ]
 
 

@@ -60,6 +60,50 @@ def brute_force_topk(
     return _ranked_topk(scored, k)
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+    n_keep: int,
+) -> DataFrame:
+    """Assign each vector to its ``n_keep`` nearest-centroid cells:
+    one 1-row array of (cid, cvec) — the broadcast cross join hands
+    every row ALL centroids in-row, so the per-row top-n_keep is a
+    pure projection (array_sort + slice), a NARROW stage with no
+    shuffle. The previous shape (broadcast join to centroid ROWS +
+    row_number window partitioned by vector id) shuffled and sorted
+    corpus×centroids rows — an O(table) exchange this function
+    explicitly avoids (round-6 review finding; same pattern as
+    clustering.assign_clusters). Ordering: struct(-csim, cid)
+    ascending == (csim desc, cid asc). Shared by the one-shot
+    ivf_ann_topk and the persisted IvfIndexStore
+    (operators/incremental_ann.py) so batch and incremental builds
+    assign identically by construction."""
+    c_arr = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    ).agg(F.collect_list(F.struct("cid", "cvec")).alias("_cs"))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("_cs"),
+            lambda cc: F.struct(
+                (-stable_round(cosine(F.col(out_vec), cc["cvec"]), 6)).alias(
+                    "negsim"
+                ),
+                cc["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+        .join(F.broadcast(c_arr))
+        .select(out_id, out_vec, F.explode(F.slice(ranked, 1, n_keep)).alias("_b"))
+        .select(out_id, out_vec, F.col("_b.cid").alias("cid"))
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,42 +123,10 @@ def ivf_ann_topk(
     the assign pass is a broadcast argmin (no shuffle) and the search
     join shuffles on the small centroid-id key.
     """
-    # One 1-row array of (cid, cvec): the broadcast cross join hands
-    # every row ALL centroids in-row, so the per-row top-n_keep is a
-    # pure projection (array_sort + slice) — a NARROW stage, no
-    # shuffle. The previous shape (broadcast join to centroid ROWS +
-    # row_number window partitioned by vector id) shuffled and sorted
-    # corpus×centroids rows — an O(table) exchange this docstring
-    # explicitly promises to avoid (round-6 review finding; same
-    # pattern as clustering.assign_clusters). Ordering is identical:
-    # struct(-csim, cid) ascending == (csim desc, cid asc).
-    c_arr = centroids.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    ).agg(F.collect_list(F.struct("cid", "cvec")).alias("_cs"))
-
-    def assign(df: DataFrame, out_id: str, out_vec: str, n_keep: int) -> DataFrame:
-        ranked = F.array_sort(
-            F.transform(
-                F.col("_cs"),
-                lambda cc: F.struct(
-                    (-stable_round(cosine(F.col(out_vec), cc["cvec"]), 6)).alias(
-                        "negsim"
-                    ),
-                    cc["cid"].alias("cid"),
-                ),
-            )
-        )
-        return (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
-            .join(F.broadcast(c_arr))
-            .select(
-                out_id, out_vec, F.explode(F.slice(ranked, 1, n_keep)).alias("_b")
-            )
-            .select(out_id, out_vec, F.col("_b.cid").alias("cid"))
-        )
-
-    corpus_cells = assign(corpus, "neighbor_id", "nvec", 1)
-    query_cells = assign(queries, "query_id", "qvec", nprobe)
+    corpus_cells = assign_cells(corpus, centroids, id_col, vec_col,
+                                "neighbor_id", "nvec", 1)
+    query_cells = assign_cells(queries, centroids, id_col, vec_col,
+                               "query_id", "qvec", nprobe)
     scored = (
         corpus_cells.join(F.broadcast(query_cells), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))

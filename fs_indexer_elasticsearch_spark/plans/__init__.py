@@ -59,6 +59,7 @@ _PRIORITY = [
     "domain_blocklist_filter",
     "url_canonical_dedup",
     "ann_neardup_recall_multiprobe",
+    "ann_incremental_ivf_topk",
     # Dedup / similarity core + quality gates
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -78,7 +79,6 @@ _PRIORITY = [
     "binary_payload_meta",
     "bm25_search_topk",
     "gopher_quality_flags",
-    "token_count_histogram",
     "column_profile",
     # Corpus curation / analytics layer (r5; first driver rows)
     "dedup_keep_best",
@@ -114,6 +114,7 @@ _PRIORITY = [
     # above is either new in r7 or anchors a §2 family; everything
     # below is driver-green from r6 or earlier and stays green under
     # the local replica gate) ---
+    "token_count_histogram",
     "approx_distinct_tolerance",
     "cms_heavy_hitters",
     "weighted_sample_stats",

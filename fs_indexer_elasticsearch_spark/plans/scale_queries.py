@@ -315,3 +315,45 @@ def _incremental_batch_matches(
     # one newer), so collecting after return stays safe.
     store.store.vacuum(keep=2)
     return matches
+
+
+@query("ann_incremental_ivf_topk", oracle=ORACLES["similarity_ivf_topk"])
+def ann_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a PERSISTED, INCREMENTALLY-BUILT index
+    (operators/incremental_ann.py): seed with 90% of the corpus, add
+    the remaining 10% as a delta batch (broadcast-argmin assignment +
+    bucket-pruned merge, O(delta)), then search the stored index —
+    reading ONLY the probed cells' buckets from disk, the on-disk
+    analog of an inverted list.
+
+    The oracle is similarity_ivf_topk's VERBATIM: assignment is a pure
+    function of (vector, fixed centroids), so seed+add must be
+    row-identical to a single-pass build and the search must hash-match
+    the one-shot operator — incremental maintenance proven
+    behavior-preserving under the driver gate, the same guarantee
+    dedup_incremental_batch gives the dedup layer."""
+    import hashlib
+    import os
+
+    from ..operators.incremental_ann import IvfIndexStore
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    centroids = emb.filter(F.col("vec_id") < 16)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|ivf|c16|nb32|v1".encode()
+    ).hexdigest()[:12]
+    store = IvfIndexStore(
+        spark, f"/tmp/spark-graft-ivfstore-{tag}", num_buckets=32
+    )
+    if store.store.current_version() is None:
+        store.seed(emb.filter(F.col("vec_id") % 10 != 0), centroids,
+                   "vec_id", "emb")
+    store.add(emb.filter(F.col("vec_id") % 10 == 0), "vec_id", "emb", seq=1)
+    matches = store.search(
+        emb.filter(F.col("vec_id") < 8), "vec_id", "emb", k=3, nprobe=2
+    )
+    store.store.vacuum(keep=2)
+    return matches

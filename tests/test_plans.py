@@ -155,7 +155,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "dedup_incremental_batch", "dedup_incremental_batch_manifest",
         "token_count_exact", "domain_extract_counts", "per_domain_cap",
         "domain_blocklist_filter", "url_canonical_dedup",
-        "ann_neardup_recall_multiprobe",
+        "ann_neardup_recall_multiprobe", "ann_incremental_ivf_topk",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "ann_neardup_recall_lsh", "binary_payload_meta",
         "minhash_estimate_quality", "quantized_ann_int8_topk",

@@ -46,6 +46,9 @@ ALLOW_NLJ = {
     # vector set (documented O(n·|Q|) baseline), not a data relation.
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
+    # Incremental IVF: same keyless 1-row centroid-array broadcast in
+    # assign_cells (O(n·1) projection), plus the equi cid search join.
+    "ann_incremental_ivf_topk",
     # Bigram model normalization: keyless join against the broadcast
     # 1-row corpus-total aggregate — O(vocab·1).
     "char_bigram_nll",
