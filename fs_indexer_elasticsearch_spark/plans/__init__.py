@@ -38,17 +38,19 @@ from . import domain_queries  # noqa: E402,F401
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
 # r7 rotation: after r6, every registered query had a driver-pass row
-# with no latest-row failure, so the prefix = the 8 NEW r7 queries
+# with no latest-row failure, so the prefix = the 9 NEW r7 queries
 # (incremental band-store dedup on BOTH snapshot layouts, exact
 # tokenizer counts, the three domain-curation operators,
-# URL-canonicalization dedup, the multi-probe LSH recall gate — never
-# driver-checked) followed by the same family anchors as r6.
-# Displaced to make room: 8 queries driver-green in r6
-# (length_percentile_band_approx, template_prefix_by_source,
+# URL-canonicalization dedup, the multi-probe LSH recall gate, the
+# incremental IVF ANN index — never driver-checked) followed by the
+# same family anchors as r6.
+# Displaced to make room: 9 queries driver-green in r6
+# (token_count_histogram, approx_distinct_tolerance,
+# cms_heavy_hitters, weighted_sample_stats,
+# length_percentile_band_approx, template_prefix_by_source,
 # chunk_documents, context_truncation_loss,
-# mixture_temperature_weights, weighted_sample_stats,
-# cms_heavy_hitters, approx_distinct_tolerance) — all remain covered
-# by the local replica gate + pytest, directly below the boundary.
+# mixture_temperature_weights) — all remain covered by the local
+# replica gate + pytest, directly below the boundary.
 _PRIORITY = [
     # New in r7 — never driver-checked
     "dedup_incremental_batch",

@@ -343,7 +343,7 @@ def ann_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = emb.filter(F.col("vec_id") < 16)
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|ivf|c16|nb32|v1".encode()
+        f"{os.path.abspath(sf_dir)}|ivf|c16|nb32|v2".encode()
     ).hexdigest()[:12]
     store = IvfIndexStore(
         spark, f"/tmp/spark-graft-ivfstore-{tag}", num_buckets=32

@@ -84,3 +84,90 @@ def test_search_reads_only_probed_buckets(spark, tmp_path):
     empty = IvfIndexStore(spark, str(tmp_path / "ivf2"))
     with pytest.raises(ValueError, match="seed"):
         empty.search(full.limit(1), "vec_id", "emb")
+
+
+def test_caller_column_names_are_normalized(spark, tmp_path):
+    """seed/add/search accept any (id_col, vec_col) pair — the
+    persisted centroids are canonical (vec_id, emb), so assignment
+    must normalize caller names first (r7 review finding: any name
+    other than vec_id/emb crashed on the centroid select)."""
+    full = _vecs(spark, range(30)).select(
+        F.col("vec_id").alias("doc_id"), F.col("emb").alias("vector")
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(
+        full.filter(F.col("doc_id") < 20),
+        full.filter(F.col("doc_id") < 4),
+        "doc_id",
+        "vector",
+    )
+    store.add(full.filter(F.col("doc_id") >= 20), "doc_id", "vector", seq=1)
+    got = store.search(
+        full.filter(F.col("doc_id") == 1), "doc_id", "vector", k=3, nprobe=2
+    ).collect()
+    assert len(got) == 3 and all(r.cos_sim is not None for r in got)
+
+
+def test_add_rejects_dimension_mismatch(spark, tmp_path):
+    """A wrong-width vector must raise, not persist with a NULL-cosine
+    cell-0 assignment (r7 review finding)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    full = _vecs(spark, range(20))
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(full, full.filter(F.col("vec_id") < 4), "vec_id", "emb")
+    bad = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0, 4.0])], "vec_id long, emb array<double>"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception), match="dims"):
+        store.add(bad, "vec_id", "emb", seq=1)
+    # nothing persisted
+    assert store.store.read().filter(F.col("vec_id") == 100).count() == 0
+    with pytest.raises(Exception, match="dims"):
+        store.search(bad, "vec_id", "emb").collect()
+
+
+def test_remove_vecs_enables_cross_cell_update(spark, tmp_path):
+    """Embedding mutation that moves a vector across cells: remove +
+    re-add leaves exactly one (new) row; search scores the new
+    embedding."""
+    full = _vecs(spark, range(40))
+    centroids = full.filter(F.col("vec_id") < 4)
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(full, centroids, "vec_id", "emb")
+
+    moved = _vecs(spark, [200]).select(
+        F.lit(7).cast("long").alias("vec_id"), "emb"
+    )
+    rm = spark.createDataFrame([(7,)], "vec_id long")
+    store.remove_vecs(rm)
+    assert store.store.read().filter(F.col("vec_id") == 7).count() == 0
+    store.add(moved, "vec_id", "emb", seq=5)
+    rows = store.store.read().filter(F.col("vec_id") == 7).collect()
+    assert len(rows) == 1 and rows[0].ivf_seq == 5
+
+
+def test_orphan_centroid_dir_is_ignored(spark, tmp_path):
+    """A crash between the centroid write and the pointer swap leaves
+    an orphan _CENTROIDS_v{n} with n > pointer; centroids() must keep
+    resolving the committed set (A5 for centroids)."""
+    import os
+    import shutil as sh
+
+    full = _vecs(spark, range(20))
+    path = str(tmp_path / "ivf")
+    store = IvfIndexStore(spark, path, num_buckets=16)
+    store.seed(full, full.filter(F.col("vec_id") < 4), "vec_id", "emb")
+    committed = store._centroid_version()
+    # simulate the crashed re-seed: orphan centroid dir, old pointer
+    sh.copytree(
+        store._centroid_dir(committed), store._centroid_dir(committed + 7)
+    )
+    fresh = IvfIndexStore(spark, path, num_buckets=16)
+    assert fresh._centroid_version() == committed
+    got = fresh.search(
+        full.filter(F.col("vec_id") == 1), "vec_id", "emb", k=2
+    ).collect()
+    assert len(got) == 2

@@ -147,11 +147,12 @@ def test_registry_priority_prefix_covers_llm_layer():
         "similarity_lsh_ann_topk",
         # The prefix holds EVERY never-driver-checked query (r7: the
         # incremental band-store dedup pair, exact tokenizer, domain
-        # curation, URL dedup, multi-probe recall gate) plus one anchor
-        # per core family; multi-round driver-green queries (r7
-        # displaced cms_heavy_hitters / approx_distinct_tolerance and
-        # five r5-curation entries) rotate below — the driver's hard
-        # signal goes to the least-tested first.
+        # curation, URL dedup, multi-probe recall gate, incremental
+        # IVF ANN) plus one anchor per core family; multi-round
+        # driver-green queries (the 9 r7-displaced entries listed in
+        # plans/__init__.py — token_count_histogram through
+        # mixture_temperature_weights) rotate below — the driver's
+        # hard signal goes to the least-tested first.
         "dedup_incremental_batch", "dedup_incremental_batch_manifest",
         "token_count_exact", "domain_extract_counts", "per_domain_cap",
         "domain_blocklist_filter", "url_canonical_dedup",
