@@ -38,19 +38,20 @@ from . import domain_queries  # noqa: E402,F401
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
 # r7 rotation: after r6, every registered query had a driver-pass row
-# with no latest-row failure, so the prefix = the 9 NEW r7 queries
+# with no latest-row failure, so the prefix = the 10 NEW r7 queries
 # (incremental band-store dedup on BOTH snapshot layouts, exact
 # tokenizer counts, the three domain-curation operators,
 # URL-canonicalization dedup, the multi-probe LSH recall gate, the
-# incremental IVF ANN index — never driver-checked) followed by the
-# same family anchors as r6.
-# Displaced to make room: 9 queries driver-green in r6
-# (token_count_histogram, approx_distinct_tolerance,
-# cms_heavy_hitters, weighted_sample_stats,
-# length_percentile_band_approx, template_prefix_by_source,
-# chunk_documents, context_truncation_loss,
-# mixture_temperature_weights) — all remain covered by the local
-# replica gate + pytest, directly below the boundary.
+# incremental IVF ANN index, duplicated-substring span extraction —
+# never driver-checked) followed by the same family anchors as r6.
+# Displaced to make room: 10 queries driver-green in r6
+# (crossdoc_shingle_boilerplate, token_count_histogram,
+# approx_distinct_tolerance, cms_heavy_hitters,
+# weighted_sample_stats, length_percentile_band_approx,
+# template_prefix_by_source, chunk_documents,
+# context_truncation_loss, mixture_temperature_weights) — all remain
+# covered by the local replica gate + pytest, directly below the
+# boundary.
 _PRIORITY = [
     # New in r7 — never driver-checked
     "dedup_incremental_batch",
@@ -62,6 +63,7 @@ _PRIORITY = [
     "url_canonical_dedup",
     "ann_neardup_recall_multiprobe",
     "ann_incremental_ivf_topk",
+    "substring_dup_spans",
     # Dedup / similarity core + quality gates
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -74,7 +76,6 @@ _PRIORITY = [
     "quantized_ann_int8_topk",
     "pagerank_neardup_graph",
     "dedup_cascade_attrition",
-    "crossdoc_shingle_boilerplate",
     # Text analysis / profiling
     "text_quality_stats",
     "robust_zscore_by_lang",
@@ -116,6 +117,7 @@ _PRIORITY = [
     # above is either new in r7 or anchors a §2 family; everything
     # below is driver-green from r6 or earlier and stays green under
     # the local replica gate) ---
+    "crossdoc_shingle_boilerplate",
     "token_count_histogram",
     "approx_distinct_tolerance",
     "cms_heavy_hitters",

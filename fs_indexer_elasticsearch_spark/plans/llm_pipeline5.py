@@ -644,3 +644,115 @@ def dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_kept"),
         )
     )
+
+
+@query(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM d, unnest(range(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 5
+    ),
+    hot AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+        SELECT s.doc_id, s.pos,
+               s.pos - row_number() OVER (
+                   PARTITION BY s.doc_id ORDER BY s.pos) AS grp
+        FROM sh s JOIN hot h USING (shingle)
+    ),
+    spans AS (
+        SELECT doc_id, count(*) AS n_pos, min(pos) AS p0, max(pos) AS p1
+        FROM dup GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(p1 - p0 + 5) AS BIGINT) AS max_span_words,
+           CAST(sum(n_pos) AS BIGINT) AS dup_shingles
+    FROM spans GROUP BY doc_id
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated-substring spans per document — the
+    span-extraction step of exact substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes every ≥50-token substring occurring twice in the corpus).
+    A suffix array is inherently sequential; the scale-out equivalent
+    is stride-1 window hashing: a span of L ≥ K duplicated words is
+    exactly a run of L−K+1 consecutive duplicated K-shingle start
+    positions, so maximal spans fall out of a gaps-and-islands pass
+    over the positions (pos − row_number is constant within a run).
+
+    Pipeline: positional K=5 word shingles (in-row transform, stride
+    1 — NOT deduplicated, unlike ``word_shingles``: positions matter
+    here); one shingle groupBy keeps shingles seen in ≥2 DISTINCT
+    docs (map-side combine, linear); the hot set joins back on the
+    shingle key (equi-join, only duplicated positions survive); one
+    window per doc partition merges runs. Output per affected doc:
+    span count, longest span in words, duplicated-position count.
+    Nothing pairwise, nothing quadratic — the same banded discipline
+    as MinHash LSH, applied at sub-document granularity.
+
+    At 100 TB: shingle strings would be xxhash64-ed to 8-byte keys
+    before the groupBy/join to cut shuffle bytes (kept as raw strings
+    here for DuckDB oracle parity — hashing changes no row counts);
+    production K is ~50 tokens (K=5 matches this corpus's planted
+    duplication scale). The within-doc window is bounded by document
+    length, not corpus size."""
+    K = 5
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= K)
+    )
+
+    def shingle_at(i: F.Column) -> F.Column:
+        pieces = []
+        for k in range(K):
+            if k:
+                pieces.append(F.lit(" "))
+            pieces.append(F.element_at(F.col("toks"), i + F.lit(k)))
+        return F.concat(*pieces)
+
+    pos_sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (K - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"), shingle_at(i).alias("shingle")
+        ),
+    )
+    # Cached: sh feeds BOTH the hot-shingle aggregate and the probe
+    # join (same two-consumer shape as crossdoc_shingle_boilerplate).
+    sh = (
+        d.select("doc_id", F.explode(pos_sh).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
+        .cache()
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    dup = (
+        sh.join(hot, "shingle")
+        .select("doc_id", "pos")
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+    )
+    spans = dup.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.min("pos").alias("p0"),
+        F.max("pos").alias("p1"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max(F.col("p1") - F.col("p0") + K).cast("long").alias("max_span_words"),
+        F.sum("n_pos").cast("long").alias("dup_shingles"),
+    )

@@ -102,3 +102,29 @@ def test_dedup_cascade_monotone(spark):
     assert row.n_after_exact < row.n_raw
     assert row.n_after_neardup < row.n_after_exact
     assert abs(row.pct_kept - row.n_after_neardup / row.n_raw) < 1e-3
+
+
+def test_substring_dup_spans_planted(spark, tmp_path):
+    """Plant a known shared 7-word run inside otherwise-unique docs:
+    the gaps-and-islands merge must report ONE maximal span of exactly
+    7 words (3 consecutive duplicated 5-shingle starts), not three
+    separate 5-word hits."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    rows = [
+        (1, f"u1a u1b u1c {shared} u1d u1e u1f u1g", "s1"),
+        (2, f"v1a v1b {shared} v1c v1d v1e v1f v1g v1h", "s1"),
+        (3, "w1a w1b w1c w1d w1e w1f w1g w1h w1i w1j", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: r
+        for r in QUERIES["substring_dup_spans"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2}  # doc 3 shares nothing
+    for doc_id in (1, 2):
+        r = got[doc_id]
+        assert r.n_spans == 1
+        assert r.max_span_words == 7
+        assert r.dup_shingles == 3  # 7-word run -> 3 stride-1 5-shingles

@@ -148,15 +148,17 @@ def test_registry_priority_prefix_covers_llm_layer():
         # The prefix holds EVERY never-driver-checked query (r7: the
         # incremental band-store dedup pair, exact tokenizer, domain
         # curation, URL dedup, multi-probe recall gate, incremental
-        # IVF ANN) plus one anchor per core family; multi-round
-        # driver-green queries (the 9 r7-displaced entries listed in
-        # plans/__init__.py — token_count_histogram through
+        # IVF ANN, duplicated-substring spans) plus one anchor per
+        # core family; multi-round driver-green queries (the 10
+        # r7-displaced entries listed in plans/__init__.py —
+        # crossdoc_shingle_boilerplate through
         # mixture_temperature_weights) rotate below — the driver's
         # hard signal goes to the least-tested first.
         "dedup_incremental_batch", "dedup_incremental_batch_manifest",
         "token_count_exact", "domain_extract_counts", "per_domain_cap",
         "domain_blocklist_filter", "url_canonical_dedup",
         "ann_neardup_recall_multiprobe", "ann_incremental_ivf_topk",
+        "substring_dup_spans",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "ann_neardup_recall_lsh", "binary_payload_meta",
         "minhash_estimate_quality", "quantized_ann_int8_topk",
