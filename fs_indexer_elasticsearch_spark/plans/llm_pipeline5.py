@@ -25,8 +25,13 @@ llm_pipeline2/3/4):
   cancel in the cosine ratio). Retrieval quality is measured, not
   assumed: tests/test_llm_pipeline5.py gates recall@3 against
   ``similarity_bruteforce_topk`` float ground truth.
+- ``substring_dup_spans`` / ``substring_dedup_clean``: exact substring
+  dedup at sub-document granularity (Lee et al.) — maximal duplicated
+  spans via stride-1 positional shingles + gaps-and-islands run
+  merging, then the removal transform that drops covered positions
+  and fingerprints the rebuilt text.
 
-All three are pure DataFrame plans (no UDFs, no collect); each has a
+All are pure DataFrame plans (no UDFs, no collect); each has a
 DuckDB oracle twin for the hash-compare gate.
 """
 
@@ -755,4 +760,146 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.max(F.col("p1") - F.col("p0") + K).cast("long").alias("max_span_words"),
         F.sum("n_pos").cast("long").alias("dup_shingles"),
+    )
+
+
+@query(
+    "substring_dedup_clean",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    dd AS (
+        SELECT doc_id, toks FROM d WHERE len(toks) > 0
+    ),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM dd, unnest(range(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 5
+    ),
+    hot AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT s.doc_id, s.pos + o AS cpos
+        FROM sh s JOIN hot h USING (shingle),
+             unnest(range(0, 5)) AS t(o)
+    ),
+    words AS (
+        SELECT doc_id, i AS pos, toks[i] AS w
+        FROM dd, unnest(range(1, len(toks) + 1)) AS t(i)
+    ),
+    kept AS (
+        SELECT w.doc_id, w.pos, w.w
+        FROM words w LEFT JOIN covered c
+          ON w.doc_id = c.doc_id AND w.pos = c.cpos
+        WHERE c.cpos IS NULL
+    )
+    SELECT dd.doc_id,
+           CAST(len(dd.toks) AS BIGINT) AS n_words,
+           CAST(len(dd.toks) - count(k.pos) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(k.w, ' ' ORDER BY k.pos), ''))
+               AS clean_md5
+    FROM dd LEFT JOIN kept k USING (doc_id)
+    GROUP BY dd.doc_id, len(dd.toks)
+    """,
+)
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step of exact substring dedup (Lee et al.): drop
+    every word position covered by a cross-document duplicated
+    K=5-shingle and emit, per document, the surviving word count and
+    an md5 fingerprint of the cleaned text (the fingerprint keeps the
+    gate row small while still pinning the exact byte sequence the
+    transform would write).
+
+    Same candidate machinery as ``substring_dup_spans`` (positional
+    shingles → hot-shingle groupBy → equi-join back), then: covered
+    positions are the K-width expansion of duplicated starts (in-row
+    sequence explode, distinct), kept words are a broadcast-free
+    anti-join on (doc, pos), and the cleaned text is rebuilt by one
+    per-doc sort of the kept (pos, word) structs — bounded by document
+    length, never corpus size. Everything is keyed by (doc_id, pos):
+    the heavy joins shuffle on the doc axis, which is uniformly
+    distributed, so no skew handling is needed."""
+    K = 5
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+
+    def shingle_at(i: F.Column) -> F.Column:
+        pieces = []
+        for k in range(K):
+            if k:
+                pieces.append(F.lit(" "))
+            pieces.append(F.element_at(F.col("toks"), i + F.lit(k)))
+        return F.concat(*pieces)
+
+    pos_sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (K - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"), shingle_at(i).alias("shingle")
+        ),
+    )
+    sh = (
+        d.filter(F.size("toks") >= K)
+        .select("doc_id", F.explode(pos_sh).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.pos").alias("pos"),
+            F.col("s.shingle").alias("shingle"),
+        )
+        .cache()
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    covered = (
+        sh.join(hot, "shingle")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (K - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    words = d.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.posexplode("toks").alias("pos0", "w"),
+    ).select(
+        "doc_id", "n_words", (F.col("pos0") + 1).cast("long").alias("pos"), "w"
+    )
+    kept = words.join(
+        covered,
+        (words["doc_id"] == covered["doc_id"]) & (words["pos"] == covered["cpos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    base = d.select("doc_id", F.size("toks").cast("long").alias("n_words"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
     )

@@ -128,3 +128,30 @@ def test_substring_dup_spans_planted(spark, tmp_path):
         assert r.n_spans == 1
         assert r.max_span_words == 7
         assert r.dup_shingles == 3  # 7-word run -> 3 stride-1 5-shingles
+
+
+def test_substring_dedup_clean_planted(spark, tmp_path):
+    """The removal step must drop exactly the words covered by the
+    shared run and rebuild the remaining text in original order."""
+    import hashlib
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    rows = [
+        (1, f"u1a u1b u1c {shared} u1d u1e", "s1"),
+        (2, f"v1a v1b {shared} v1c", "s1"),
+        (3, "w1a w1b w1c w1d w1e w1f", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: r
+        for r in QUERIES["substring_dedup_clean"](spark, str(tmp_path)).collect()
+    }
+    assert got[1].n_words == 12 and got[1].n_removed == 7
+    assert got[1].clean_md5 == hashlib.md5(b"u1a u1b u1c u1d u1e").hexdigest()
+    assert got[2].n_words == 10 and got[2].n_removed == 7
+    assert got[2].clean_md5 == hashlib.md5(b"v1a v1b v1c").hexdigest()
+    # untouched doc keeps its full text
+    assert got[3].n_removed == 0
+    assert got[3].clean_md5 == hashlib.md5(b"w1a w1b w1c w1d w1e w1f").hexdigest()

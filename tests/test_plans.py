@@ -158,12 +158,12 @@ def test_registry_priority_prefix_covers_llm_layer():
         "token_count_exact", "domain_extract_counts", "per_domain_cap",
         "domain_blocklist_filter", "url_canonical_dedup",
         "ann_neardup_recall_multiprobe", "ann_incremental_ivf_topk",
-        "substring_dup_spans",
+        "substring_dup_spans", "substring_dedup_clean",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "ann_neardup_recall_lsh", "binary_payload_meta",
         "minhash_estimate_quality", "quantized_ann_int8_topk",
         "pagerank_neardup_graph", "dedup_cascade_attrition",
-        "gopher_quality_flags", "column_profile",
+        "gopher_quality_flags",
         "incremental_agg_maintenance",
         "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
         "sequence_packing_stats", "shard_balance_audit",
