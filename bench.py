@@ -83,6 +83,11 @@ EXTRA = [
     "url_canonical_dedup",
     "ann_neardup_recall_multiprobe",
     "ann_incremental_ivf_topk",
+    # r7: exact substring dedup (span extraction + removal), hashed
+    # linear quality classifier
+    "substring_dup_spans",
+    "substring_dedup_clean",
+    "quality_classifier_score",
 ]
 
 

@@ -30,6 +30,11 @@ llm_pipeline2/3/4):
   spans via stride-1 positional shingles + gaps-and-islands run
   merging, then the removal transform that drops covered positions
   and fingerprints the rebuilt text.
+- ``quality_classifier_score``: model-based quality filtering (the
+  fasttext/linear-classifier stage) — in-row hashed bag-of-words
+  features, sigmoid score, threshold rollup per source; deterministic
+  md5-derived weights stand in for a trained model so the operator
+  sits under the oracle gate.
 
 All are pure DataFrame plans (no UDFs, no collect); each has a
 DuckDB oracle twin for the hash-compare gate.
@@ -902,4 +907,84 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removed"),
         F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               round(
+                   1.0 / (1.0 + exp(-4.0 * (
+                       list_sum(list_transform(toks,
+                           t -> ((('0x' || substr(md5('qw1:' || t), 1, 8))::BIGINT
+                                  % 2001) - 1000) / 1000.0))
+                       / len(toks)))) + 1e-9, 6) AS score
+        FROM d WHERE len(toks) > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score) + 1e-9, 4) AS avg_score,
+           CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           round(min(score) + 1e-9, 4) AS min_score,
+           round(max(score) + 1e-9, 4) AS max_score
+    FROM scored GROUP BY source
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fasttext/linear-classifier
+    stage of GPT-3/CCNet/DCLM-style pipelines: score each document with a
+    bag-of-words linear model over hashed unigram features and keep
+    docs above a probability threshold.
+
+    The weight table is the DETERMINISTIC stand-in for a trained
+    model: w(tok) = ((md5("qw1:"+tok)[:8] as int) % 2001 − 1000)/1000
+    — the same store-nothing hashing trick as the LSH hyperplanes
+    (functions/vectors.hyperplane_weight), which makes the operator
+    oracle-checkable end-to-end. A production deployment swaps the
+    md5 expression for a broadcast literal map of trained weights
+    (or a Pandas-UDF model call); every other part of the plan — the
+    in-row feature fold, the sigmoid, the threshold rollup — is
+    unchanged.
+
+    Scale shape: the entire per-document score is ONE in-row
+    projection (transform → aggregate fold over the token array — no
+    explode, no per-token shuffle); the only exchange is the final
+    per-source rollup. Sub-linear in bytes shuffled, embarrassingly
+    parallel in scoring — exactly how a 100 TB corpus wants its
+    quality gate."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("toks")
+    ).filter(F.size("toks") > 0)
+    weights = F.transform(
+        F.col("toks"),
+        lambda t: (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("qw1:"), t)), 1, 8), 16, 10
+                ).cast("long")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ),
+    )
+    logit = F.aggregate(weights, F.lit(0.0), lambda a, v: a + v) / F.size("toks")
+    score = stable_round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * logit)), 6
+    )
+    scored = d.select("source", score.alias("score"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        stable_round(F.avg("score"), 4).alias("avg_score"),
+        F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        stable_round(F.min("score"), 4).alias("min_score"),
+        stable_round(F.max("score"), 4).alias("max_score"),
     )

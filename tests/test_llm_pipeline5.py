@@ -155,3 +155,16 @@ def test_substring_dedup_clean_planted(spark, tmp_path):
     # untouched doc keeps its full text
     assert got[3].n_removed == 0
     assert got[3].clean_md5 == hashlib.md5(b"w1a w1b w1c w1d w1e w1f").hexdigest()
+
+
+def test_quality_classifier_score_bounds_and_determinism(spark):
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["quality_classifier_score"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.min_score <= r.avg_score <= r.max_score <= 1.0
+        assert 0 <= r.n_keep <= r.n_docs
+    # deterministic weights: a second run is bit-identical
+    again = QUERIES["quality_classifier_score"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

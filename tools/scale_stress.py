@@ -101,6 +101,12 @@ STRESSED = {
     # quadratic candidate term hiding in the band join.
     "dedup_incremental_batch": "documents",
     "token_count_exact": "documents",
+    # r7: stride-1 positional shingling is the widest explode in the
+    # library (~n_words rows per doc); the hot-set join and island
+    # window must stay linear in corpus size or substring dedup dies
+    # first at 100 TB.
+    "substring_dup_spans": "documents",
+    "substring_dedup_clean": "documents",
     "dedup_connected_components": "documents",
     "dedup_simhash": "documents",
     "bm25_search_topk": "documents",
