@@ -87,13 +87,18 @@ class IvfIndexStore:
         return os.path.join(self.path, f"{_CENTROID_PREFIX}{version}")
 
     def _centroid_version(self) -> int | None:
-        """Largest committed centroid set: the highest _CENTROIDS_v{n}
+        """Largest committed centroid set: the highest centroids_v{n}
         with n <= the snapshot pointer. seed() writes the centroid dir
         BEFORE the pointer swap, so a crash mid-seed leaves an orphan
         dir with n > pointer that this resolution ignores — the A5
         'failed write leaves the pointer untouched' guarantee holds
-        for centroids exactly as it does for rows (r7 review
-        finding)."""
+        for centroids exactly as it does for rows (r7 review finding).
+        The n <= pointer rule alone is not enough: a LATER add()
+        commit would advance the pointer past the orphan and silently
+        promote it, so every mutating entry point first garbage-
+        collects orphans (:meth:`_gc_orphan_centroids`) — in the
+        single-writer contract an orphan can therefore never become
+        resolvable."""
         cur = self.store.current_version()
         if cur is None:
             return None
@@ -112,6 +117,26 @@ class IvfIndexStore:
             if n <= cur and (best is None or n > best):
                 best = n
         return best
+
+    def _gc_orphan_centroids(self) -> None:
+        """Delete centroid dirs above the committed pointer (crashed
+        re-seed leftovers). Called before every commit so a pointer
+        advanced by a later add()/remove_vecs() can never reach an
+        orphan's number (second r7 review finding)."""
+        cur = self.store.current_version() or 0
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if not name.startswith(_CENTROID_PREFIX):
+                continue
+            try:
+                n = int(name[len(_CENTROID_PREFIX):])
+            except ValueError:
+                continue
+            if n > cur:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     def centroids(self) -> DataFrame:
         v = self._centroid_version()
@@ -137,9 +162,12 @@ class IvfIndexStore:
         would zip against the centroid to a NULL cosine and silently
         land in the lowest cell with NULL search scores; raise_error
         beats durable corruption (same guard contract as
-        functions/vectors.lsh_bucket)."""
-        guard = F.when(
-            F.size(vec_col) == F.lit(dim), F.lit(0).cast("long")
+        functions/vectors.lsh_bucket). The guard wraps the VECTOR
+        column itself (when size ok then vec else raise) — never
+        arithmetic on the id column, which would break string ids and
+        retype numeric ones (r7 review finding)."""
+        guarded_vec = F.when(
+            F.size(vec_col) == F.lit(dim), F.col(vec_col)
         ).otherwise(
             F.raise_error(
                 F.format_string(
@@ -147,11 +175,11 @@ class IvfIndexStore:
                     + str(dim),
                     F.size(vec_col).cast("string"),
                 )
-            ).cast("long")
+            )
         )
         return df.select(
-            (F.col(id_col) + guard).alias("vec_id"),
-            F.col(vec_col).alias("emb"),
+            F.col(id_col).alias("vec_id"),
+            guarded_vec.alias("emb"),
         )
 
     def _assigned(
@@ -190,6 +218,7 @@ class IvfIndexStore:
         on the old version and the new centroid dir orphaned (ignored
         by :meth:`_centroid_version`), so readers never see new
         centroids paired with rows assigned under old ones."""
+        self._gc_orphan_centroids()
         v_next = (self.store.current_version() or 0) + 1
         norm_c = centroids.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
@@ -221,6 +250,7 @@ class IvfIndexStore:
         FIXED centroids and bucket-pruned-merge it in."""
         if self.store.current_version() is None:
             raise ValueError("IVF index is empty — seed() it first")
+        self._gc_orphan_centroids()
         return self.store.merge(
             self._assigned(
                 batch, id_col, vec_col, seq, self.centroids(), self._dim()
@@ -244,6 +274,7 @@ class IvfIndexStore:
         cur = self.store.read()
         if cur is None:
             raise ValueError("IVF index is empty — nothing to remove")
+        self._gc_orphan_centroids()
         kept = cur.join(
             F.broadcast(ids), cur["vec_id"] == ids["_rm_id"], "left_anti"
         )

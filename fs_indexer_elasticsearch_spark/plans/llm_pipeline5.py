@@ -46,6 +46,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.text import TOKS_SQL, tokens, word_shingles
+from ..functions.vectors import hyperplane_weight
 from ..tables import load
 from .registry import query, stable_round
 
@@ -829,10 +830,15 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy joins shuffle on the doc axis, which is uniformly
     distributed, so no skew handling is needed."""
     K = 5
+    # Cached: d feeds THREE consumers (the shingle pipeline, the
+    # word positions, the per-doc word counts) and tokenization is
+    # the expensive projection — without the cache it runs 3x per
+    # execution (r7 review finding).
     d = (
         load(spark, sf_dir, "documents")
         .select("doc_id", tokens("text").alias("toks"))
         .filter(F.size("toks") > 0)
+        .cache()
     )
 
     def shingle_at(i: F.Column) -> F.Column:
@@ -865,26 +871,29 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("shingle")
     )
+    # covered's columns are RENAMED: words and covered share lineage
+    # through the cached d, so a same-name join condition degenerates
+    # to a trivially-true self-comparison (Spark warns and may
+    # mis-resolve); distinct names make the equi-join unambiguous.
     covered = (
         sh.join(hot, "shingle")
         .select(
-            "doc_id",
+            F.col("doc_id").alias("c_doc_id"),
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + (K - 1))
             ).alias("cpos"),
         )
         .distinct()
     )
+    # n_words deliberately NOT carried through the word-level rows:
+    # it would ride the heaviest shuffle (the per-word anti-join) as
+    # dead weight; base recomputes it doc-sized below.
     words = d.select(
-        "doc_id",
-        F.size("toks").alias("n_words"),
-        F.posexplode("toks").alias("pos0", "w"),
-    ).select(
-        "doc_id", "n_words", (F.col("pos0") + 1).cast("long").alias("pos"), "w"
-    )
+        "doc_id", F.posexplode("toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "w")
     kept = words.join(
         covered,
-        (words["doc_id"] == covered["doc_id"]) & (words["pos"] == covered["cpos"]),
+        (words["doc_id"] == covered["c_doc_id"]) & (words["pos"] == covered["cpos"]),
         "left_anti",
     )
     rebuilt = kept.groupBy("doc_id").agg(
@@ -923,16 +932,16 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list_sum(list_transform(toks,
                            t -> ((('0x' || substr(md5('qw1:' || t), 1, 8))::BIGINT
                                   % 2001) - 1000) / 1000.0))
-                       / len(toks)))) + 1e-9, 6) AS score
+                       / len(toks)))) + 1e-7, 6) AS score
         FROM d WHERE len(toks) > 0
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(score) + 1e-9, 4) AS avg_score,
+           round(avg(score) + 1e-7, 4) AS avg_score,
            CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_keep,
-           round(min(score) + 1e-9, 4) AS min_score,
-           round(max(score) + 1e-9, 4) AS max_score
+           round(min(score) + 1e-7, 4) AS min_score,
+           round(max(score) + 1e-7, 4) AS max_score
     FROM scored GROUP BY source
     """,
 )
@@ -961,18 +970,12 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", tokens("text").alias("toks")
     ).filter(F.size("toks") > 0)
+    # The shared md5 weight derivation (functions/vectors): w(tok) =
+    # ((md5("qw1:"+tok)[:8] as int) % 2001 - 1000)/1000 — reusing it
+    # keeps the classifier in lockstep with the LSH hyperplanes if the
+    # derivation ever changes.
     weights = F.transform(
-        F.col("toks"),
-        lambda t: (
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit("qw1:"), t)), 1, 8), 16, 10
-                ).cast("long")
-                % 2001
-                - 1000
-            )
-            / 1000.0
-        ),
+        F.col("toks"), lambda t: hyperplane_weight(F.lit("qw1"), t)
     )
     logit = F.aggregate(weights, F.lit(0.0), lambda a, v: a + v) / F.size("toks")
     score = stable_round(

@@ -112,8 +112,6 @@ def test_add_rejects_dimension_mismatch(spark, tmp_path):
     """A wrong-width vector must raise, not persist with a NULL-cosine
     cell-0 assignment (r7 review finding)."""
     import pytest
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     full = _vecs(spark, range(20))
     store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
@@ -121,7 +119,9 @@ def test_add_rejects_dimension_mismatch(spark, tmp_path):
     bad = spark.createDataFrame(
         [(100, [1.0, 2.0, 3.0, 4.0])], "vec_id long, emb array<double>"
     )
-    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception), match="dims"):
+    # the message is the contract; the surfaced wrapper type varies
+    # by execution path, so match on it rather than an exception tuple
+    with pytest.raises(Exception, match="dims"):
         store.add(bad, "vec_id", "emb", seq=1)
     # nothing persisted
     assert store.store.read().filter(F.col("vec_id") == 100).count() == 0
@@ -171,3 +171,45 @@ def test_orphan_centroid_dir_is_ignored(spark, tmp_path):
         full.filter(F.col("vec_id") == 1), "vec_id", "emb", k=2
     ).collect()
     assert len(got) == 2
+
+
+def test_orphan_centroid_never_promoted_by_later_commits(spark, tmp_path):
+    """A crashed re-seed leaves centroids_v{n} with n > pointer. A
+    LATER add() advances the pointer — it must not silently promote
+    the orphan (it is GC-ed before the commit), so assignment keeps
+    using the committed centroid set (r7 review finding)."""
+    import os
+
+    full = _vecs(spark, range(30))
+    path = str(tmp_path / "ivf")
+    store = IvfIndexStore(spark, path, num_buckets=16)
+    store.seed(
+        full.filter(F.col("vec_id") < 20),
+        full.filter(F.col("vec_id") < 4),
+        "vec_id",
+        "emb",
+    )
+    # simulate crashed re-seed at the version the NEXT commit will take
+    import shutil as sh
+
+    orphan = store._centroid_dir(store.store.current_version() + 1)
+    sh.copytree(store._centroid_dir(store._centroid_version()), orphan)
+
+    store.add(full.filter(F.col("vec_id") >= 20), "vec_id", "emb", seq=1)
+    assert not os.path.exists(orphan)  # GC-ed, not promoted
+    assert store._centroid_version() == 1
+
+
+def test_string_vector_ids_supported(spark, tmp_path):
+    """The width guard must not do arithmetic on the id column —
+    string ids are legal (r7 review finding)."""
+    full = _vecs(spark, range(20)).select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "emb",
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(full, full.limit(4), "vec_id", "emb")
+    got = store.search(full.limit(2), "vec_id", "emb", k=2).collect()
+    assert len(got) == 4 and all(
+        r.neighbor_id.startswith("doc-") and r.cos_sim is not None for r in got
+    )
