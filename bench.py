@@ -88,6 +88,7 @@ EXTRA = [
     "substring_dup_spans",
     "substring_dedup_clean",
     "quality_classifier_score",
+    "substring_dup_incremental",
 ]
 
 

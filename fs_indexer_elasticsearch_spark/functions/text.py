@@ -70,6 +70,36 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def positional_word_shingles(toks: Column, n: int) -> Column:
+    """Array of struct(pos, shingle): stride-1 n-word shingles WITH
+    their 1-based start positions, NOT deduplicated — unlike
+    :func:`word_shingles`, positions matter here. A doc shorter than
+    n tokens yields an EMPTY array (the when-guard matters: an
+    unguarded sequence(1, size-n+1) runs DESCENDING when size < n and
+    would emit wrap-around garbage shingles). Shared by the
+    substring-dedup queries (plans/llm_pipeline5.py) and the
+    incremental shingle store (operators/incremental_substring.py) so
+    batch and full-corpus paths shingle identically by construction."""
+
+    def mk(i: Column) -> Column:
+        pieces = []
+        for k in range(n):
+            if k:
+                pieces.append(F.lit(" "))
+            pieces.append(F.element_at(toks, i + F.lit(k)))
+        return F.concat(*pieces)
+
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"), mk(i).alias("shingle")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,shingle:string>>"))
+
+
 # Universal-hash MinHash family: permutation i maps a 32-bit base
 # hash h to (a_i*h + b_i) mod MINHASH_P. p = 2^31-1 (prime); with
 # h, b < p and a < p the product stays under 2^62 — exact BIGINT

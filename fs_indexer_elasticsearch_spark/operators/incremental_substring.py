@@ -1,0 +1,208 @@
+"""Incremental batch-vs-corpus EXACT SUBSTRING duplication detection.
+
+The full-corpus queries (``substring_dup_spans`` /
+``substring_dedup_clean``, plans/llm_pipeline5.py) re-shingle
+EVERYTHING on every run — the Lee et al. span semantics, but at 100 TB
+a nightly delta must not pay an O(corpus) recompute. This module gives
+the substring layer the same incremental shape the MinHash band index
+(operators/incremental_dedup.py) gives near-dup detection:
+
+- The POSITIONAL SHINGLE INDEX is persisted once in a
+  :class:`SnapshotStore` — one row per (doc, shingle-start position),
+  keyed by the unique ``sid:pos`` row id but physically BUCKETED BY
+  THE SHINGLE HASH (``bucket_key="h"``), so both the probe and the
+  merge prune to the buckets a batch's shingles actually hash into.
+  Rows store ``h = md5(shingle)`` and NOT the shingle string — the
+  index is engine-internal (no oracle reads it), so the 8x-smaller
+  fixed-width key is pure shuffle/storage savings; equality on md5 is
+  equality on the shingle.
+- A delta batch is tokenized and positionally shingled (O(batch),
+  the SAME ``positional_word_shingles`` expression as the full-corpus
+  queries — batch and corpus shingle identically by construction),
+  probed against the pruned slice of the stored index for shingles
+  seen in ANY strictly-earlier batch, and its duplicated start
+  positions are merged into MAXIMAL spans by the same
+  gaps-and-islands window the one-shot query uses. The batch's own
+  rows then merge in (bucket-pruned upsert, O(batch)).
+
+Per-cycle cost is proportional to the delta and the touched fraction
+of the index — never the corpus. The store grows by exactly one row
+per (new doc, shingle position) — O(words), the size of the corpus'
+token stream, the inherent cost of an exact-substring inverted index
+(a suffix array is the same asymptotic size).
+
+Replay purity: matching is restricted to strictly earlier
+``batch_seq``, so a crashed-and-replayed cycle (index merge committed,
+caller's sink did not) recomputes the original answer instead of
+matching the failed attempt's own rows — the same contract as
+``MinHashBandStore.match_and_merge``.
+
+Mutation: a re-ingested CHANGED document leaves stale position rows in
+buckets its new shingles don't hash to; mutation goes through
+:meth:`ShingleSpanStore.remove_docs` (explicit O(index) anti-join
+overwrite) before the new text merges — same discipline as the band
+store and the IVF index.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.text import positional_word_shingles, tokens
+
+
+class ShingleSpanStore:
+    """Persisted positional-shingle index over a SnapshotStore.
+
+    Row schema: (srow, sid, pos, h, batch_seq) — ``srow`` =
+    ``"<sid>:<pos>"`` is the upsert key (unique per doc x position, so
+    re-merging a batch is idempotent), ``h = md5(shingle)`` the
+    physical bucket key, ``batch_seq`` the LWW version.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        k: int = 5,
+        num_buckets: int = 32,
+        layout: str = "hardlink",
+    ):
+        from ..sinks.snapshot import SnapshotStore
+
+        self.k = k
+        self.store = SnapshotStore(
+            spark,
+            path,
+            key="srow",
+            version_col="batch_seq",
+            num_buckets=num_buckets,
+            layout=layout,
+            bucket_key="h",
+        )
+
+    # -- shingle derivation --------------------------------------------------
+    def delta_rows(
+        self, df: DataFrame, id_col: str, text_col: str, batch_seq: int
+    ) -> DataFrame:
+        d = df.select(
+            F.col(id_col).alias("sid"), tokens(text_col).alias("toks")
+        ).filter(F.size("toks") >= self.k)
+        return (
+            d.select(
+                "sid",
+                F.explode(positional_word_shingles(F.col("toks"), self.k)).alias(
+                    "s"
+                ),
+            )
+            .select(
+                F.concat_ws(
+                    ":",
+                    F.col("sid").cast("string"),
+                    F.col("s.pos").cast("string"),
+                ).alias("srow"),
+                "sid",
+                F.col("s.pos").alias("pos"),
+                F.md5(F.col("s.shingle")).alias("h"),
+                F.lit(batch_seq).cast("long").alias("batch_seq"),
+            )
+        )
+
+    # -- lifecycle -----------------------------------------------------------
+    def seed(self, corpus: DataFrame, id_col: str, text_col: str) -> int:
+        """Initial full-corpus index build (one-time O(corpus); every
+        later cycle is O(delta) via :meth:`match_and_merge`)."""
+        return self.store.overwrite(self.delta_rows(corpus, id_col, text_col, 0))
+
+    def match_and_merge(
+        self,
+        batch: DataFrame,
+        id_col: str,
+        text_col: str,
+        *,
+        batch_seq: int,
+        merge: bool = True,
+    ) -> DataFrame:
+        """Find every MAXIMAL duplicated-against-the-corpus span in the
+        batch, then (optionally) merge the batch's shingle rows in.
+
+        Returns (batch_id, n_spans, max_span_words, dup_shingles) for
+        every batch document with >= 1 span whose K-shingles all occur
+        somewhere in a strictly earlier batch — the batch-vs-corpus
+        twin of ``substring_dup_spans``'s output shape. Computed
+        against the store's CURRENT version; the merge commits a new
+        version afterwards (old version files persist until vacuum, so
+        the returned lazy DataFrame stays valid).
+        """
+        # Lazy localCheckpoint: THREE consumers (touched-bucket scan,
+        # probe join, store merge) share one computation of the
+        # tokenize/shingle/hash chain (same reasoning as
+        # MinHashBandStore.match_and_merge).
+        rows = self.delta_rows(batch, id_col, text_col, batch_seq).localCheckpoint(
+            eager=False
+        )
+        # Touched-bucket list: bounded driver metadata (<= num_buckets
+        # ints) — same justified-collect class as SnapshotStore.merge.
+        touched = sorted(
+            r._bucket
+            for r in rows.withColumn("_bucket", self.store._bucket_col())
+            .select("_bucket")
+            .distinct()
+            .collect()
+        )
+        stored = self.store.read_buckets(touched)
+        if stored is None:
+            raise ValueError(
+                "shingle store is empty — seed() the corpus index first"
+            )
+        # Replay purity: match only strictly earlier batches (see
+        # module docstring).
+        corpus_h = (
+            stored.filter(F.col("batch_seq") < F.lit(int(batch_seq)))
+            .select("h")
+            .distinct()
+        )
+        dup = rows.join(corpus_h, "h").select(
+            F.col("sid").alias("batch_id"), "pos"
+        )
+        # Gaps-and-islands: consecutive duplicated start positions form
+        # one maximal span (identical merge to substring_dup_spans).
+        w = Window.partitionBy("batch_id").orderBy("pos")
+        spans = (
+            dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("batch_id", "grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_pos"),
+                F.min("pos").alias("p0"),
+                F.max("pos").alias("p1"),
+            )
+        )
+        out = spans.groupBy("batch_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max(F.col("p1") - F.col("p0") + self.k)
+            .cast("long")
+            .alias("max_span_words"),
+            F.sum("n_pos").cast("long").alias("dup_shingles"),
+        )
+        if merge:
+            # Result stays valid across the merge: versions are
+            # immutable and retained until vacuum.
+            self.store.merge(rows)
+        return out
+
+    def remove_docs(self, doc_ids: DataFrame) -> int:
+        """Drop every position row of the given doc ids (one-column
+        DataFrame) — the slow path that makes document MUTATION safe:
+        remove, then merge the new text as a normal batch. Deliberately
+        O(index) for the same bucketing reason as
+        ``MinHashBandStore.remove_docs``. Returns the new version."""
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("_rm_sid"))
+        cur = self.store.read()
+        if cur is None:
+            raise ValueError("shingle store is empty — nothing to remove")
+        kept = cur.join(
+            F.broadcast(ids), cur["sid"] == ids["_rm_sid"], "left_anti"
+        )
+        return self.store.overwrite(kept)

@@ -38,14 +38,15 @@ from . import domain_queries  # noqa: E402,F401
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
 # r7 rotation: after r6, every registered query had a driver-pass row
-# with no latest-row failure, so the prefix = the 12 NEW r7 queries
+# with no latest-row failure, so the prefix = the 13 NEW r7 queries
 # (incremental band-store dedup on BOTH snapshot layouts, exact
 # tokenizer counts, the three domain-curation operators,
 # URL-canonicalization dedup, the multi-probe LSH recall gate, the
 # incremental IVF ANN index, duplicated-substring span extraction +
-# removal, the hashed-linear quality classifier — never driver-checked) followed by the same family anchors as r6.
-# Displaced to make room: 12 queries driver-green in r6
-# (gopher_quality_flags, column_profile, crossdoc_shingle_boilerplate, token_count_histogram,
+# removal + the incremental shingle-store form, the hashed-linear
+# quality classifier — never driver-checked) followed by the same family anchors as r6.
+# Displaced to make room: 13 queries driver-green in r6
+# (dedup_cascade_attrition, gopher_quality_flags, column_profile, crossdoc_shingle_boilerplate, token_count_histogram,
 # approx_distinct_tolerance, cms_heavy_hitters,
 # weighted_sample_stats, length_percentile_band_approx,
 # template_prefix_by_source, chunk_documents,
@@ -66,6 +67,7 @@ _PRIORITY = [
     "substring_dup_spans",
     "substring_dedup_clean",
     "quality_classifier_score",
+    "substring_dup_incremental",
     # Dedup / similarity core + quality gates
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -77,7 +79,6 @@ _PRIORITY = [
     "minhash_estimate_quality",
     "quantized_ann_int8_topk",
     "pagerank_neardup_graph",
-    "dedup_cascade_attrition",
     # Text analysis / profiling
     "text_quality_stats",
     "robust_zscore_by_lang",
@@ -117,6 +118,7 @@ _PRIORITY = [
     # above is either new in r7 or anchors a §2 family; everything
     # below is driver-green from r6 or earlier and stays green under
     # the local replica gate) ---
+    "dedup_cascade_attrition",
     "gopher_quality_flags",
     "column_profile",
     "crossdoc_shingle_boilerplate",

@@ -45,7 +45,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.text import TOKS_SQL, tokens, word_shingles
+from ..functions.text import (
+    TOKS_SQL,
+    positional_word_shingles,
+    tokens,
+    word_shingles,
+)
 from ..functions.vectors import hyperplane_weight
 from ..tables import load
 from .registry import query, stable_round
@@ -724,20 +729,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= K)
     )
 
-    def shingle_at(i: F.Column) -> F.Column:
-        pieces = []
-        for k in range(K):
-            if k:
-                pieces.append(F.lit(" "))
-            pieces.append(F.element_at(F.col("toks"), i + F.lit(k)))
-        return F.concat(*pieces)
-
-    pos_sh = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - (K - 1)),
-        lambda i: F.struct(
-            i.cast("long").alias("pos"), shingle_at(i).alias("shingle")
-        ),
-    )
+    pos_sh = positional_word_shingles(F.col("toks"), K)
     # Cached: sh feeds BOTH the hot-shingle aggregate and the probe
     # join (same two-consumer shape as crossdoc_shingle_boilerplate).
     sh = (
@@ -841,20 +833,7 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
-    def shingle_at(i: F.Column) -> F.Column:
-        pieces = []
-        for k in range(K):
-            if k:
-                pieces.append(F.lit(" "))
-            pieces.append(F.element_at(F.col("toks"), i + F.lit(k)))
-        return F.concat(*pieces)
-
-    pos_sh = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - (K - 1)),
-        lambda i: F.struct(
-            i.cast("long").alias("pos"), shingle_at(i).alias("shingle")
-        ),
-    )
+    pos_sh = positional_word_shingles(F.col("toks"), K)
     sh = (
         d.filter(F.size("toks") >= K)
         .select("doc_id", F.explode(pos_sh).alias("s"))

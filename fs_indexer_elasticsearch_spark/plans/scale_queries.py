@@ -357,3 +357,80 @@ def ann_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.store.vacuum(keep=2)
     return matches
+
+
+@query(
+    "substring_dup_incremental",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    corpus AS (SELECT * FROM d WHERE doc_id % 10 != 0),
+    batch  AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+    csh AS (
+        SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM corpus, unnest(range(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 5
+    ),
+    bsh AS (
+        SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM batch, unnest(range(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 5
+    ),
+    dup AS (
+        SELECT b.doc_id, b.pos,
+               b.pos - row_number() OVER (
+                   PARTITION BY b.doc_id ORDER BY b.pos) AS grp
+        FROM bsh b JOIN csh c USING (shingle)
+    ),
+    spans AS (
+        SELECT doc_id, count(*) AS n_pos, min(pos) AS p0, max(pos) AS p1
+        FROM dup GROUP BY doc_id, grp
+    )
+    SELECT doc_id AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(p1 - p0 + 5) AS BIGINT) AS max_span_words,
+           CAST(sum(n_pos) AS BIGINT) AS dup_shingles
+    FROM spans GROUP BY doc_id
+    """,
+)
+def substring_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus EXACT SUBSTRING dedup
+    (operators/incremental_substring.py): the corpus' positional
+    shingle index is persisted ONCE in a SnapshotStore bucketed by
+    shingle hash; the delta batch (every 10th doc) is shingled
+    (O(batch)), probed against the PRUNED bucket slice, and its
+    duplicated positions merged into maximal spans — the O(delta)
+    nightly form of ``substring_dup_spans``, completing the
+    incremental triad (near-dup bands, IVF ANN, substrings).
+
+    The oracle recomputes the same spans from scratch (batch shingles
+    joined against the corpus partition's distinct shingle set),
+    proving the incremental answer equals the full recompute. Reuse
+    across runs is correctness-invariant: the batch merges at
+    batch_seq=1 and matching is restricted to strictly earlier
+    batches, so a prior run's merged rows are invisible to the next
+    run's seq-1 match (replay purity) — byte-identical to a fresh
+    store."""
+    import hashlib
+    import os
+
+    from ..operators.incremental_substring import ShingleSpanStore
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|shingle|k5|nb32|v1".encode()
+    ).hexdigest()[:12]
+    store = ShingleSpanStore(
+        spark, f"/tmp/spark-graft-shinglestore-{tag}", k=5, num_buckets=32
+    )
+    if store.store.current_version() is None:
+        store.seed(corpus, "doc_id", "text")
+    out = store.match_and_merge(batch, "doc_id", "text", batch_seq=1)
+    store.store.vacuum(keep=2)
+    return out

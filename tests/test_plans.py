@@ -152,7 +152,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         # quality classifier) plus one anchor per
         # core family; multi-round driver-green queries (the 12
         # r7-displaced entries listed in plans/__init__.py —
-        # gopher_quality_flags through
+        # dedup_cascade_attrition through
         # mixture_temperature_weights) rotate below — the driver's
         # hard signal goes to the least-tested first.
         "dedup_incremental_batch", "dedup_incremental_batch_manifest",
@@ -160,11 +160,11 @@ def test_registry_priority_prefix_covers_llm_layer():
         "domain_blocklist_filter", "url_canonical_dedup",
         "ann_neardup_recall_multiprobe", "ann_incremental_ivf_topk",
         "substring_dup_spans", "substring_dedup_clean",
-        "quality_classifier_score",
+        "quality_classifier_score", "substring_dup_incremental",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "ann_neardup_recall_lsh", "binary_payload_meta",
         "minhash_estimate_quality", "quantized_ann_int8_topk",
-        "pagerank_neardup_graph", "dedup_cascade_attrition",
+        "pagerank_neardup_graph",
         "incremental_agg_maintenance",
         "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
         "sequence_packing_stats", "shard_balance_audit",

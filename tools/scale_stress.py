@@ -107,6 +107,7 @@ STRESSED = {
     # first at 100 TB.
     "substring_dup_spans": "documents",
     "substring_dedup_clean": "documents",
+    "substring_dup_incremental": "documents",
     "dedup_connected_components": "documents",
     "dedup_simhash": "documents",
     "bm25_search_topk": "documents",
