@@ -52,21 +52,26 @@ def distinct_tokens(text: Column | str) -> Column:
     return F.array_distinct(tokens(text))
 
 
+def _shingle_at(toks: Column, i: Column, n: int) -> Column:
+    """The n tokens starting at 1-based position ``i``, space-joined —
+    the single definition of shingle text shared by word_shingles,
+    positional_word_shingles, and rolling_fingerprint (r7 review
+    finding: three byte-identical copies of this closure)."""
+    pieces = []
+    for k in range(n):
+        if k:
+            pieces.append(F.lit(" "))
+        pieces.append(F.element_at(toks, i + F.lit(k)))
+    return F.concat(*pieces)
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-word shingles; whole text as one shingle when shorter
     than n tokens (so tiny docs still dedup)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-
-    def mk(i: Column) -> Column:
-        pieces = []
-        for k in range(n):
-            if k:
-                pieces.append(F.lit(" "))
-            pieces.append(F.element_at(toks, i + F.lit(k)))
-        return F.concat(*pieces)
-
     return F.when(
-        F.size(toks) >= n, F.array_distinct(F.transform(idx, mk))
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(idx, lambda i: _shingle_at(toks, i, n))),
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
@@ -81,20 +86,13 @@ def positional_word_shingles(toks: Column, n: int) -> Column:
     incremental shingle store (operators/incremental_substring.py) so
     batch and full-corpus paths shingle identically by construction."""
 
-    def mk(i: Column) -> Column:
-        pieces = []
-        for k in range(n):
-            if k:
-                pieces.append(F.lit(" "))
-            pieces.append(F.element_at(toks, i + F.lit(k)))
-        return F.concat(*pieces)
-
     return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.struct(
-                i.cast("long").alias("pos"), mk(i).alias("shingle")
+                i.cast("long").alias("pos"),
+                _shingle_at(toks, i, n).alias("shingle"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:bigint,shingle:string>>"))
@@ -267,15 +265,9 @@ def rolling_fingerprint(toks: Column, window: int = 4) -> Column:
     """Document fingerprint: minimum md5 over all ``window``-gram
     token windows (winnowing-style min-sampling of a rolling hash)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (window - 1))
-
-    def mk(i: Column) -> Column:
-        pieces = []
-        for k in range(window):
-            if k:
-                pieces.append(F.lit(" "))
-            pieces.append(F.element_at(toks, i + F.lit(k)))
-        return F.md5(F.concat(*pieces))
-
-    return F.when(F.size(toks) >= window, F.array_min(F.transform(idx, mk))).otherwise(
-        F.md5(F.array_join(toks, " "))
-    )
+    return F.when(
+        F.size(toks) >= window,
+        F.array_min(
+            F.transform(idx, lambda i: F.md5(_shingle_at(toks, i, window)))
+        ),
+    ).otherwise(F.md5(F.array_join(toks, " ")))

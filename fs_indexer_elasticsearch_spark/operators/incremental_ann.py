@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..functions.rounding import stable_round
 from ..functions.vectors import cosine
 from .similarity import _ranked_topk, assign_cells
+from .store_common import read_pruned, remove_by_column
 
 # No leading underscore: Spark's file index treats "_"/"."-prefixed
 # paths as hidden metadata (the read works only because the dir is
@@ -270,15 +271,13 @@ class IvfIndexStore:
         documented cost of cell-bucketing for O(delta) SEARCH on an
         append-mostly corpus; batch removals to amortize. Returns the
         new store version."""
-        ids = vec_ids.select(F.col(vec_ids.columns[0]).alias("_rm_id"))
-        cur = self.store.read()
-        if cur is None:
-            raise ValueError("IVF index is empty — nothing to remove")
         self._gc_orphan_centroids()
-        kept = cur.join(
-            F.broadcast(ids), cur["vec_id"] == ids["_rm_id"], "left_anti"
+        return remove_by_column(
+            self.store,
+            vec_ids,
+            "vec_id",
+            empty_msg="IVF index is empty — nothing to remove",
         )
-        return self.store.overwrite(kept)
 
     def search(
         self,
@@ -308,16 +307,9 @@ class IvfIndexStore:
         # Bounded driver metadata: nprobe cells per query, <= num_buckets
         # distinct buckets (same justified-collect class as merge()).
         probed = query_cells.select("cid").distinct()
-        touched = sorted(
-            r._bucket
-            for r in probed.withColumn("_bucket", self.store._bucket_col())
-            .select("_bucket")
-            .distinct()
-            .collect()
+        stored = read_pruned(
+            self.store, probed, empty_msg="IVF index is empty — seed() it first"
         )
-        stored = self.store.read_buckets(touched)
-        if stored is None:
-            raise ValueError("IVF index is empty — seed() it first")
         # Bucket pruning is hash-coarse; the cid equi-join below is the
         # exact cell filter (and the shuffle key).
         corpus_cells = stored.select(

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.rounding import stable_round
 from .dedup import minhash_band_rows
+from .store_common import read_pruned, remove_by_column
 
 
 class MinHashBandStore:
@@ -147,18 +148,11 @@ class MinHashBandStore:
         bands = self.delta_bands(batch, id_col, text_col, batch_seq).localCheckpoint(
             eager=False
         )
-        # Touched-bucket list: bounded driver metadata (<= num_buckets
-        # ints) — same justified-collect class as SnapshotStore.merge.
-        touched = sorted(
-            r._bucket
-            for r in bands.withColumn("_bucket", self.store._bucket_col())
-            .select("_bucket")
-            .distinct()
-            .collect()
+        stored = read_pruned(
+            self.store,
+            bands,
+            empty_msg="band store is empty — seed() the corpus index first",
         )
-        stored = self.store.read_buckets(touched)
-        if stored is None:
-            raise ValueError("band store is empty — seed() the corpus index first")
         # Match ONLY against strictly earlier batches. Without this,
         # a replayed epoch (crash after the index merge committed but
         # before the caller's matches sink did) would find the failed
@@ -222,13 +216,9 @@ class MinHashBandStore:
         rate should batch removals and amortize this pass (or keep the
         sid -> band-hash sidecar sketched in the module docstring).
         Returns the new store version."""
-        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("_rm_sid"))
-        cur = self.store.read()
-        if cur is None:
-            raise ValueError("band store is empty — nothing to remove")
-        kept = cur.join(
-            F.broadcast(ids),
-            cur["sid"] == ids["_rm_sid"],
-            "left_anti",
+        return remove_by_column(
+            self.store,
+            doc_ids,
+            "sid",
+            empty_msg="band store is empty — nothing to remove",
         )
-        return self.store.overwrite(kept)

@@ -50,6 +50,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.text import positional_word_shingles, tokens
+from .store_common import read_pruned, remove_by_column
 
 
 class ShingleSpanStore:
@@ -143,20 +144,11 @@ class ShingleSpanStore:
         rows = self.delta_rows(batch, id_col, text_col, batch_seq).localCheckpoint(
             eager=False
         )
-        # Touched-bucket list: bounded driver metadata (<= num_buckets
-        # ints) — same justified-collect class as SnapshotStore.merge.
-        touched = sorted(
-            r._bucket
-            for r in rows.withColumn("_bucket", self.store._bucket_col())
-            .select("_bucket")
-            .distinct()
-            .collect()
+        stored = read_pruned(
+            self.store,
+            rows,
+            empty_msg="shingle store is empty — seed() the corpus index first",
         )
-        stored = self.store.read_buckets(touched)
-        if stored is None:
-            raise ValueError(
-                "shingle store is empty — seed() the corpus index first"
-            )
         # Replay purity: match only strictly earlier batches (see
         # module docstring).
         corpus_h = (
@@ -198,11 +190,9 @@ class ShingleSpanStore:
         remove, then merge the new text as a normal batch. Deliberately
         O(index) for the same bucketing reason as
         ``MinHashBandStore.remove_docs``. Returns the new version."""
-        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("_rm_sid"))
-        cur = self.store.read()
-        if cur is None:
-            raise ValueError("shingle store is empty — nothing to remove")
-        kept = cur.join(
-            F.broadcast(ids), cur["sid"] == ids["_rm_sid"], "left_anti"
+        return remove_by_column(
+            self.store,
+            doc_ids,
+            "sid",
+            empty_msg="shingle store is empty — nothing to remove",
         )
-        return self.store.overwrite(kept)

@@ -150,7 +150,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         # curation, URL dedup, multi-probe recall gate, incremental
         # IVF ANN, duplicated-substring spans + removal, the hashed
         # quality classifier) plus one anchor per
-        # core family; multi-round driver-green queries (the 12
+        # core family; multi-round driver-green queries (the 13
         # r7-displaced entries listed in plans/__init__.py —
         # dedup_cascade_attrition through
         # mixture_temperature_weights) rotate below — the driver's
