@@ -13,9 +13,10 @@ the substring layer the same incremental shape the MinHash band index
   THE SHINGLE HASH (``bucket_key="h"``), so both the probe and the
   merge prune to the buckets a batch's shingles actually hash into.
   Rows store ``h = md5(shingle)`` and NOT the shingle string — the
-  index is engine-internal (no oracle reads it), so the 8x-smaller
-  fixed-width key is pure shuffle/storage savings; equality on md5 is
-  equality on the shingle.
+  index is engine-internal (no oracle reads it), so the fixed-width
+  32-hex-char key replaces a variable-length string that at the
+  production K of ~50 tokens runs hundreds of bytes; equality on md5
+  is equality on the shingle.
 - A delta batch is tokenized and positionally shingled (O(batch),
   the SAME ``positional_word_shingles`` expression as the full-corpus
   queries — batch and corpus shingle identically by construction),
