@@ -153,30 +153,103 @@ def streaming_neardup_pipeline(
       ``epoch`` as its version column): effectively-once — a replayed
       epoch's upsert collapses onto the same keys.
     """
+    return _streaming_match_pipeline(
+        spark,
+        input_dir,
+        schema,
+        matches_dir,
+        checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        match_fn=lambda batch, epoch_id: band_store.match_and_merge(
+            batch,
+            id_col,
+            text_col,
+            batch_seq=epoch_id + 1,  # seed() owns batch_seq 0
+            threshold=threshold,
+        ),
+        key_cols=("batch_id", "corpus_id"),
+        matches_store=matches_store,
+    )
+
+
+def streaming_substring_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    shingle_store,
+    matches_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 10,
+    matches_store=None,
+) -> StreamingQuery:
+    """Streaming EXACT-SUBSTRING dedup: every micro-batch of documents
+    is probed against (then merged into) the persisted positional
+    shingle index — the streaming cadence of
+    operators/incremental_substring.py, sharing the identical
+    match_and_merge operator with the batch path. Same state, failure,
+    and sink semantics as :func:`streaming_neardup_pipeline` (state in
+    the versioned store, idempotent index merge under epoch replay via
+    the LWW sid:pos key, at-least-once parquet matches or
+    effectively-once via a keyed ``matches_store`` — here keyed on
+    batch_id alone, since the span rollup emits one row per batch
+    doc)."""
+    return _streaming_match_pipeline(
+        spark,
+        input_dir,
+        schema,
+        matches_dir,
+        checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        match_fn=lambda batch, epoch_id: shingle_store.match_and_merge(
+            batch,
+            id_col,
+            text_col,
+            batch_seq=epoch_id + 1,  # seed() owns batch_seq 0
+        ),
+        key_cols=("batch_id",),
+        matches_store=matches_store,
+    )
+
+
+def _streaming_match_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    matches_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int,
+    match_fn,
+    key_cols: tuple[str, ...],
+    matches_store,
+) -> StreamingQuery:
+    """Shared probe-then-merge micro-batch loop for the incremental
+    index stores (one definition, N cadences — the store_common.py
+    rule applied to the streaming layer): read files as a stream, call
+    the store's match_and_merge per epoch, land matches in
+    append-parquet (at-least-once) or a SnapshotStore keyed on
+    ``key_cols`` (effectively-once under epoch replay)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
-    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        matches = band_store.match_and_merge(
-            batch,
-            id_col,
-            text_col,
-            batch_seq=epoch_id + 1,  # seed() owns batch_seq 0
-            threshold=threshold,
-        ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+        matches = match_fn(batch, epoch_id).withColumn(
+            "epoch", F.lit(epoch_id).cast("long")
+        )
         if matches_store is not None:
             matches_store.merge(
                 matches.withColumn(
                     matches_store.key,
                     F.concat_ws(
-                        ":",
-                        F.col("batch_id").cast("string"),
-                        F.col("corpus_id").cast("string"),
+                        ":", *[F.col(c).cast("string") for c in key_cols]
                     ),
                 )
             )
@@ -184,7 +257,7 @@ def streaming_neardup_pipeline(
         matches.write.mode("append").parquet(matches_dir)
 
     return (
-        stream.writeStream.foreachBatch(dedup_batch)
+        stream.writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()

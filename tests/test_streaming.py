@@ -330,3 +330,78 @@ def test_streaming_neardup_exactly_once_matches_store(spark, tmp_path):
     # reprocessing): pair keys collapse, no duplicates.
     run_once(str(tmp_path / "ckpt2"))
     assert matches_store.read().count() == n1
+
+
+def test_streaming_substring_detects_against_shingle_store(spark, tmp_path):
+    """Per-micro-batch exact-substring span detection over the
+    persisted positional shingle index — the streaming cadence of
+    operators/incremental_substring.py. Epoch 2 must match spans
+    merged by epoch 1, and the index grows O(batch) per epoch."""
+    from fs_indexer_elasticsearch_spark.operators.incremental_substring import (
+        ShingleSpanStore,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_substring_pipeline,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    store = ShingleSpanStore(spark, str(tmp_path / "shingles"), k=5, num_buckets=8)
+    store.seed(
+        spark.createDataFrame(
+            [(1, f"c1a c1b {shared} c1c"), (2, "d1 d2 d3 d4 d5 d6")], doc_schema
+        ),
+        "doc_id",
+        "text",
+    )
+    n0 = store.store.read().count()
+
+    inp = tmp_path / "docs-in"
+    inp.mkdir()
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    # epoch 1: one doc sharing the corpus run + one fresh doc with a
+    # NEW 6-word run (x1..x6) no earlier batch has
+    drop(
+        "b1",
+        [(100, f"u1 u2 {shared} u3"), (101, "x1 x2 x3 x4 x5 x6 y7 y8")],
+    )
+    q = streaming_substring_pipeline(
+        spark,
+        str(inp) + "/*",
+        doc_schema,
+        store,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        m1 = spark.read.parquet(str(tmp_path / "matches")).collect()
+        by_id = {r.batch_id: r for r in m1}
+        assert set(by_id) == {100}
+        assert by_id[100].max_span_words == 7 and by_id[100].n_spans == 1
+        # store grew by the batch's shingle rows: doc 100 has 10 words
+        # -> 6 shingles, doc 101 has 8 words -> 4 shingles
+        assert store.store.read().count() == n0 + 6 + 4
+
+        # epoch 2: duplicates the 6-word run MERGED IN EPOCH 1 — the
+        # index the second batch probes includes the first batch.
+        drop("b2", [(200, "z1 x1 x2 x3 x4 x5 x6 z2")])
+        q.processAllAvailable()
+        m2 = [
+            r
+            for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+            if r.batch_id == 200
+        ]
+        assert len(m2) == 1 and m2[0].max_span_words == 6
+    finally:
+        q.stop()
