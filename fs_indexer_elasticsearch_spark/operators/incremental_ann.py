@@ -11,15 +11,23 @@ and maintained by deltas:
   ``nprobe`` cells reads only those cells' buckets (partition/manifest
   pruning — the on-disk analog of an inverted list) and an ``add``
   batch touches only the buckets its vectors' cells hash to.
-- Centroids are fixed at :meth:`seed` and persisted beside the data
-  in a VERSIONED directory committed by the same pointer swap as the
-  row snapshot (see :meth:`seed`); assignment is a pure function of
-  (vector, centroids) — the broadcast argmin projection shared with
-  the one-shot operator (``similarity.assign_cells``) — so an index
-  built as seed + N adds is ROW-IDENTICAL to one built in a single
-  pass, and a search over it returns exactly what ``ivf_ann_topk``
-  returns on the union corpus. The registered query
-  ``ann_incremental_ivf_topk`` pins that under the oracle gate by
+- Centroids are fixed at :meth:`seed` and committed IN the snapshot's
+  per-version META PAYLOAD (``SnapshotStore.read_meta`` — k tiny rows
+  of JSON written by the same write-file-then-swap-pointer protocol
+  as the data, r8: replaces the r7 POSIX-only ``centroids_v{n}``
+  directory sidecar whose listdir/rmtree resolution could not run on
+  an object store). Rows and centroids therefore publish ATOMICALLY
+  with every version: a crash mid-seed leaves the pointer on the old
+  version and the new meta file orphaned (never resolved — meta is
+  read by exact version number, not directory listing), and every
+  merge/remove carries the centroid meta forward automatically.
+  Assignment is a pure function of (vector, centroids) — the
+  broadcast argmin projection shared with the one-shot operator
+  (``similarity.assign_cells``) — so an index built as seed + N adds
+  is ROW-IDENTICAL to one built in a single pass, and a search over
+  it returns exactly what ``ivf_ann_topk`` returns on the union
+  corpus. The registered queries ``ann_incremental_ivf_topk`` /
+  ``ann_incremental_ivf_manifest`` pin that under the oracle gate by
   REUSING similarity_ivf_topk's oracle verbatim.
 - Re-adding a batch is idempotent (LWW upsert on vec_id); a vector's
   embedding update lands in its (possibly new) cell's bucket and the
@@ -40,23 +48,13 @@ distribution shift).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.rounding import stable_round
 from ..functions.vectors import cosine
 from .similarity import _ranked_topk, assign_cells
-from .store_common import read_pruned, remove_by_column
-
-# No leading underscore: Spark's file index treats "_"/"."-prefixed
-# paths as hidden metadata (the read works only because the dir is
-# passed as an explicit root, with an "all paths ignored" WARN).
-# Cannot collide with the snapshot's own root entries (v{N}, _CURRENT,
-# manifests).
-_CENTROID_PREFIX = "centroids_v"
+from .store_common import TombstoneStore, read_pruned, remove_by_column
 
 
 class IvfIndexStore:
@@ -81,78 +79,38 @@ class IvfIndexStore:
             layout=layout,
             bucket_key="cid",
         )
-        self._dim_cache: int | None = None
+        self.tombstones = TombstoneStore(
+            spark, path, "vec_id", num_buckets=num_buckets, layout=layout
+        )
+        self._cent_cache: tuple[int, DataFrame] | None = None
 
     # -- centroids -----------------------------------------------------------
-    def _centroid_dir(self, version: int) -> str:
-        return os.path.join(self.path, f"{_CENTROID_PREFIX}{version}")
-
-    def _centroid_version(self) -> int | None:
-        """Largest committed centroid set: the highest centroids_v{n}
-        with n <= the snapshot pointer. seed() writes the centroid dir
-        BEFORE the pointer swap, so a crash mid-seed leaves an orphan
-        dir with n > pointer that this resolution ignores — the A5
-        'failed write leaves the pointer untouched' guarantee holds
-        for centroids exactly as it does for rows (r7 review finding).
-        The n <= pointer rule alone is not enough: a LATER add()
-        commit would advance the pointer past the orphan and silently
-        promote it, so every mutating entry point first garbage-
-        collects orphans (:meth:`_gc_orphan_centroids`) — in the
-        single-writer contract an orphan can therefore never become
-        resolvable."""
-        cur = self.store.current_version()
-        if cur is None:
-            return None
-        best = None
-        try:
-            names = os.listdir(self.path)
-        except FileNotFoundError:
-            return None
-        for name in names:
-            if not name.startswith(_CENTROID_PREFIX):
-                continue
-            try:
-                n = int(name[len(_CENTROID_PREFIX):])
-            except ValueError:
-                continue
-            if n <= cur and (best is None or n > best):
-                best = n
-        return best
-
-    def _gc_orphan_centroids(self) -> None:
-        """Delete centroid dirs above the committed pointer (crashed
-        re-seed leftovers). Called before every commit so a pointer
-        advanced by a later add()/remove_vecs() can never reach an
-        orphan's number (second r7 review finding)."""
-        cur = self.store.current_version() or 0
-        try:
-            names = os.listdir(self.path)
-        except FileNotFoundError:
-            return
-        for name in names:
-            if not name.startswith(_CENTROID_PREFIX):
-                continue
-            try:
-                n = int(name[len(_CENTROID_PREFIX):])
-            except ValueError:
-                continue
-            if n > cur:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+    def _meta(self) -> dict:
+        meta = self.store.read_meta()
+        if meta is None or "centroids" not in meta:
+            raise ValueError("IVF index is empty — seed() it first")
+        return meta
 
     def centroids(self) -> DataFrame:
-        v = self._centroid_version()
-        if v is None:
-            raise ValueError("IVF index is empty — seed() it first")
-        return self.spark.read.parquet(self._centroid_dir(v))
+        """The committed centroid set as a (vec_id, emb) DataFrame,
+        rebuilt from the current version's meta payload. k tiny rows —
+        a createDataFrame, no file scan, no directory listing; Python
+        floats JSON-round-trip exactly, so assignment is bit-identical
+        to the seeding pass."""
+        v = self.store.current_version()
+        if self._cent_cache is not None and self._cent_cache[0] == v:
+            return self._cent_cache[1]
+        meta = self._meta()
+        rows = [(r[0], [float(x) for x in r[1]]) for r in meta["centroids"]]
+        df = self.spark.createDataFrame(
+            rows, f"vec_id {meta['id_type']}, emb array<double>"
+        )
+        self._cent_cache = (v, df)
+        return df
 
     def _dim(self) -> int:
-        """Vector width the index was seeded with (from the committed
-        centroid table — k rows, one tiny scan, cached per instance)."""
-        if self._dim_cache is None:
-            self._dim_cache = int(
-                self.centroids().select(F.size("emb").alias("d")).first().d
-            )
-        return self._dim_cache
+        """Vector width the index was seeded with."""
+        return int(self._meta()["dim"])
 
     def _norm(self, df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
         """Normalize caller columns to the index's canonical
@@ -208,73 +166,89 @@ class IvfIndexStore:
         id_col: str,
         vec_col: str,
     ) -> int:
-        """One-time index build: persist the centroids, assign the
-        corpus (broadcast argmin, no shuffle), write the cell-bucketed
-        table.
-
-        Commit protocol: the centroid set is written to the dir of the
-        version the row snapshot is ABOUT to commit as; the pointer
-        swap inside ``store.overwrite`` then publishes rows and
-        centroids together. A crash between the two leaves the pointer
-        on the old version and the new centroid dir orphaned (ignored
-        by :meth:`_centroid_version`), so readers never see new
-        centroids paired with rows assigned under old ones."""
-        self._gc_orphan_centroids()
-        v_next = (self.store.current_version() or 0) + 1
+        """One-time index build: assign the corpus against the centroid
+        set (broadcast argmin, no shuffle) and commit rows + centroids
+        as ONE version — the centroid rows ride the version's meta
+        payload, so the pointer swap inside ``store.overwrite``
+        publishes both together. A crash mid-seed leaves the pointer
+        on the old version; the orphan meta/data files are never
+        resolved and are GC-ed by vacuum."""
         norm_c = centroids.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
         )
-        dims = [r.d for r in norm_c.select(F.size("emb").alias("d")).distinct().collect()]
+        # k rows — bounded driver metadata (the centroid set is small
+        # by definition); collected once to ride the version meta.
+        crows = [
+            (r.vec_id, [float(x) for x in r.emb]) for r in norm_c.collect()
+        ]
+        dims = sorted({len(e) for _i, e in crows})
         if len(dims) != 1:
             raise ValueError(
-                f"IvfIndexStore.seed: centroids have mixed dims {sorted(dims)}"
+                f"IvfIndexStore.seed: centroids have mixed dims {dims}"
             )
-        self._dim_cache = int(dims[0])
-        cdir = self._centroid_dir(v_next)
-        shutil.rmtree(cdir, ignore_errors=True)
-        # centroid set is small by definition (k cells)
-        norm_c.coalesce(1).write.mode("overwrite").parquet(cdir)
-        cents = self.spark.read.parquet(cdir)
-        v = self.store.overwrite(
-            self._assigned(corpus, id_col, vec_col, 0, cents, self._dim_cache)
+        id_type = norm_c.schema["vec_id"].dataType.simpleString()
+        meta = {"centroids": crows, "dim": dims[0], "id_type": id_type}
+        cents = self.spark.createDataFrame(
+            crows, f"vec_id {id_type}, emb array<double>"
         )
+        v_next = (self.store.current_version() or 0) + 1
+        v = self.store.overwrite(
+            self._assigned(corpus, id_col, vec_col, 0, cents, dims[0]),
+            meta=meta,
+        )
+        self._cent_cache = None
+        # A fresh corpus must not inherit the old index's tombstones
+        # (a purged id legitimately re-seeded would be filtered).
+        self.tombstones.clear()
         if v != v_next:
             raise RuntimeError(
                 f"IvfIndexStore.seed: concurrent writer detected "
                 f"(expected version {v_next}, committed {v}); the store is "
-                "single-writer by contract"
+                "single-writer by contract and the committed rows/centroid "
+                "pairing is now unreliable — re-seed to restore it"
             )
         return v
 
     def add(self, batch: DataFrame, id_col: str, vec_col: str, *, seq: int) -> int:
         """O(delta) index maintenance: assign the batch against the
-        FIXED centroids and bucket-pruned-merge it in."""
+        FIXED centroids and bucket-pruned-merge it in (the centroid
+        meta carries forward with the new version automatically)."""
         if self.store.current_version() is None:
             raise ValueError("IVF index is empty — seed() it first")
-        self._gc_orphan_centroids()
         return self.store.merge(
             self._assigned(
                 batch, id_col, vec_col, seq, self.centroids(), self._dim()
             )
         )
 
-    def remove_vecs(self, vec_ids: DataFrame) -> int:
+    def remove_vecs(self, vec_ids: DataFrame, *, mode: str = "eager") -> int:
         """Drop every index row of the given vector ids (one-column
-        DataFrame) — the slow path that makes embedding MUTATION safe
-        when an update moves a vector across cells: remove, then add()
-        the new embedding as a normal batch.
+        DataFrame) — the path that makes embedding MUTATION safe when
+        an update moves a vector across cells: remove, then add() the
+        new embedding as a normal batch.
 
-        Deliberately O(index), mirroring
-        ``MinHashBandStore.remove_docs``: rows are keyed by vec_id but
-        bucketed by cid, so finding them requires a full
-        broadcast-anti-join pass and an overwrite commit. That is the
-        documented cost of cell-bucketing for O(delta) SEARCH on an
-        append-mostly corpus; batch removals to amortize. Returns the
-        new store version."""
-        self._gc_orphan_centroids()
+        ``mode="eager"`` is O(index) (anti-join overwrite), mirroring
+        ``MinHashBandStore.remove_docs``. ``mode="tombstone"`` is
+        O(removal): the ids land in a bucket-pruned removal log and
+        :meth:`search` filters against it; fold the log in with
+        :meth:`compact_tombstones`. Returns the new version (of the
+        index store for eager, of the tombstone log for tombstone)."""
+        if mode == "tombstone":
+            return self.tombstones.add(vec_ids)
         return remove_by_column(
             self.store,
             vec_ids,
+            "vec_id",
+            empty_msg="IVF index is empty — nothing to remove",
+        )
+
+    def compact_tombstones(self) -> int | None:
+        """Fold the tombstone log into the index (ONE amortized
+        O(index) pass for any number of tombstone batches), then clear
+        the log. Returns the new index version, or None if the log was
+        empty."""
+        return self.tombstones.compact_into(
+            self.store,
             "vec_id",
             empty_msg="IVF index is empty — nothing to remove",
         )
@@ -287,12 +261,21 @@ class IvfIndexStore:
         *,
         k: int = 3,
         nprobe: int = 2,
+        max_seq: int | None = None,
     ) -> DataFrame:
         """IVF search over the PERSISTED index: queries are assigned
         their ``nprobe`` nearest cells (broadcast projection), only
         those cells' buckets are read from disk, candidates are scored
         exactly and ranked. Semantics identical to ``ivf_ann_topk`` on
         the same corpus/centroids — same assignment, same tiebreaks.
+
+        ``max_seq`` restricts candidates to rows with ``ivf_seq <
+        max_seq`` — the replay-purity hook for the streaming cadence
+        (streaming/pipeline.py streaming_ivf_pipeline): a replayed
+        epoch that already add()-ed its batch at seq N searches with
+        ``max_seq=N`` and recomputes the original answer instead of
+        matching its own rows (same contract as
+        ``MinHashBandStore.match_and_merge``).
         """
         if self.store.current_version() is None:
             raise ValueError("IVF index is empty — seed() it first")
@@ -310,6 +293,9 @@ class IvfIndexStore:
         stored = read_pruned(
             self.store, probed, empty_msg="IVF index is empty — seed() it first"
         )
+        if max_seq is not None:
+            stored = stored.filter(F.col("ivf_seq") < F.lit(int(max_seq)))
+        stored = self.tombstones.apply(stored, "vec_id")
         # Bucket pruning is hash-coarse; the cid equi-join below is the
         # exact cell filter (and the shuffle key).
         corpus_cells = stored.select(

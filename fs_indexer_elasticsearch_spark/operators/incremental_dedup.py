@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.rounding import stable_round
 from .dedup import minhash_band_rows
-from .store_common import read_pruned, remove_by_column
+from .store_common import TombstoneStore, read_pruned, remove_by_column
 
 
 class MinHashBandStore:
@@ -88,6 +88,9 @@ class MinHashBandStore:
             layout=layout,
             bucket_key="h",
         )
+        self.tombstones = TombstoneStore(
+            spark, path, "sid", num_buckets=num_buckets, layout=layout
+        )
 
     # -- band derivation ----------------------------------------------------
     def delta_bands(
@@ -115,8 +118,11 @@ class MinHashBandStore:
     # -- lifecycle ----------------------------------------------------------
     def seed(self, corpus: DataFrame, id_col: str, text_col: str) -> int:
         """Initial full-corpus index build (one-time O(corpus); every
-        later cycle is O(delta) via :meth:`match_and_merge`)."""
-        return self.store.overwrite(self.delta_bands(corpus, id_col, text_col, 0))
+        later cycle is O(delta) via :meth:`match_and_merge`). Clears
+        any prior tombstones — a fresh corpus must not inherit them."""
+        v = self.store.overwrite(self.delta_bands(corpus, id_col, text_col, 0))
+        self.tombstones.clear()
+        return v
 
     def match_and_merge(
         self,
@@ -162,6 +168,9 @@ class MinHashBandStore:
         # It also makes re-running a seq idempotent in RESULT, not
         # just in store growth.
         stored = stored.filter(F.col("batch_seq") < F.lit(int(batch_seq)))
+        # Tombstoned docs are logically removed even before compaction
+        # folds them out of the physical index (store_common).
+        stored = self.tombstones.apply(stored, "sid")
         q = bands.select(
             F.col("sid").alias("batch_id"),
             "b",
@@ -203,7 +212,7 @@ class MinHashBandStore:
             self.store.merge(bands)
         return matches
 
-    def remove_docs(self, doc_ids: DataFrame) -> int:
+    def remove_docs(self, doc_ids: DataFrame, *, mode: str = "eager") -> int:
         """Drop every band row of the given doc ids (one-column
         DataFrame) — the slow path that makes document MUTATION safe:
         remove, then merge the new text as a normal batch.
@@ -212,13 +221,27 @@ class MinHashBandStore:
         the store is bucketed by band hash, so finding them requires a
         full (broadcast-anti-join) pass and an overwrite commit. That
         is the documented cost of bucketing for O(delta) LOOKUP on an
-        append-mostly corpus; a deployment mutating documents at high
-        rate should batch removals and amortize this pass (or keep the
-        sid -> band-hash sidecar sketched in the module docstring).
-        Returns the new store version."""
+        append-mostly corpus (``mode="eager"``). ``mode="tombstone"``
+        is the amortized form: O(removal) per call — ids land in a
+        bucket-pruned removal log that match_and_merge filters against;
+        :meth:`compact_tombstones` folds the log in with ONE O(index)
+        pass for any number of batches. Returns the new store version
+        (of the index for eager, of the log for tombstone)."""
+        if mode == "tombstone":
+            return self.tombstones.add(doc_ids)
         return remove_by_column(
             self.store,
             doc_ids,
+            "sid",
+            empty_msg="band store is empty — nothing to remove",
+        )
+
+    def compact_tombstones(self) -> int | None:
+        """Fold the tombstone log into the index (one amortized
+        O(index) pass), then clear the log. Returns the new index
+        version, or None if the log was empty."""
+        return self.tombstones.compact_into(
+            self.store,
             "sid",
             empty_msg="band store is empty — nothing to remove",
         )

@@ -9,14 +9,21 @@ the substring layer the same incremental shape the MinHash band index
 
 - The POSITIONAL SHINGLE INDEX is persisted once in a
   :class:`SnapshotStore` — one row per (doc, shingle-start position),
-  keyed by the unique ``sid:pos`` row id but physically BUCKETED BY
+  upserted on the COMPOSITE (sid, pos) key but physically BUCKETED BY
   THE SHINGLE HASH (``bucket_key="h"``), so both the probe and the
   merge prune to the buckets a batch's shingles actually hash into.
-  Rows store ``h = md5(shingle)`` and NOT the shingle string — the
-  index is engine-internal (no oracle reads it), so the fixed-width
-  32-hex-char key replaces a variable-length string that at the
-  production K of ~50 tokens runs hundreds of bytes; equality on md5
-  is equality on the shingle.
+  Rows store ``h = xxhash64(shingle)`` (one int64) and NOT the shingle
+  string — the index is engine-internal (no oracle reads it), so the
+  8-byte hash replaces a variable-length string that at the production
+  K of ~50 tokens runs hundreds of bytes. r8 row shrink (r7 verdict
+  #3): the former 32-hex-char md5 ``h`` and the concatenated
+  ``"sid:pos"`` string key are gone — per-position row constants drop
+  from ~60+ B to ~28 B (sid + pos + h + batch_seq, before parquet
+  encoding), measured as an index:corpus byte ratio in SCALE.md.
+  Equality on xxhash64 is equality on the shingle up to 64-bit
+  collisions — acceptable here because a collision only ADDS a
+  candidate duplicated position (the same one-sided tolerance the
+  banded MinHash layer already accepts by design).
 - A delta batch is tokenized and positionally shingled (O(batch),
   the SAME ``positional_word_shingles`` expression as the full-corpus
   queries — batch and corpus shingle identically by construction),
@@ -40,9 +47,11 @@ matching the failed attempt's own rows — the same contract as
 
 Mutation: a re-ingested CHANGED document leaves stale position rows in
 buckets its new shingles don't hash to; mutation goes through
-:meth:`ShingleSpanStore.remove_docs` (explicit O(index) anti-join
-overwrite) before the new text merges — same discipline as the band
-store and the IVF index.
+:meth:`ShingleSpanStore.remove_docs` — eager (explicit O(index)
+anti-join overwrite) or amortized via the tombstone log
+(``mode="tombstone"``, O(removal) per call, folded in by
+:meth:`compact_tombstones`) — before the new text merges. Same
+discipline as the band store and the IVF index.
 """
 
 from __future__ import annotations
@@ -51,16 +60,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.text import positional_word_shingles, tokens
-from .store_common import read_pruned, remove_by_column
+from .store_common import TombstoneStore, read_pruned, remove_by_column
 
 
 class ShingleSpanStore:
     """Persisted positional-shingle index over a SnapshotStore.
 
-    Row schema: (srow, sid, pos, h, batch_seq) — ``srow`` =
-    ``"<sid>:<pos>"`` is the upsert key (unique per doc x position, so
-    re-merging a batch is idempotent), ``h = md5(shingle)`` the
-    physical bucket key, ``batch_seq`` the LWW version.
+    Row schema: (sid, pos, h, batch_seq) — (sid, pos) the composite
+    upsert key (unique per doc x position, so re-merging a batch is
+    idempotent), ``h = xxhash64(shingle)`` the physical bucket key,
+    ``batch_seq`` the LWW version.
     """
 
     def __init__(
@@ -78,11 +87,14 @@ class ShingleSpanStore:
         self.store = SnapshotStore(
             spark,
             path,
-            key="srow",
+            key=["sid", "pos"],
             version_col="batch_seq",
             num_buckets=num_buckets,
             layout=layout,
             bucket_key="h",
+        )
+        self.tombstones = TombstoneStore(
+            spark, path, "sid", num_buckets=num_buckets, layout=layout
         )
 
     # -- shingle derivation --------------------------------------------------
@@ -100,14 +112,9 @@ class ShingleSpanStore:
                 ),
             )
             .select(
-                F.concat_ws(
-                    ":",
-                    F.col("sid").cast("string"),
-                    F.col("s.pos").cast("string"),
-                ).alias("srow"),
                 "sid",
                 F.col("s.pos").alias("pos"),
-                F.md5(F.col("s.shingle")).alias("h"),
+                F.xxhash64(F.col("s.shingle")).alias("h"),
                 F.lit(batch_seq).cast("long").alias("batch_seq"),
             )
         )
@@ -115,8 +122,11 @@ class ShingleSpanStore:
     # -- lifecycle -----------------------------------------------------------
     def seed(self, corpus: DataFrame, id_col: str, text_col: str) -> int:
         """Initial full-corpus index build (one-time O(corpus); every
-        later cycle is O(delta) via :meth:`match_and_merge`)."""
-        return self.store.overwrite(self.delta_rows(corpus, id_col, text_col, 0))
+        later cycle is O(delta) via :meth:`match_and_merge`). Clears
+        any prior tombstones — a fresh corpus must not inherit them."""
+        v = self.store.overwrite(self.delta_rows(corpus, id_col, text_col, 0))
+        self.tombstones.clear()
+        return v
 
     def match_and_merge(
         self,
@@ -151,12 +161,11 @@ class ShingleSpanStore:
             empty_msg="shingle store is empty — seed() the corpus index first",
         )
         # Replay purity: match only strictly earlier batches (see
-        # module docstring).
-        corpus_h = (
-            stored.filter(F.col("batch_seq") < F.lit(int(batch_seq)))
-            .select("h")
-            .distinct()
-        )
+        # module docstring); tombstoned docs are logically removed even
+        # before compaction folds them out of the physical index.
+        stored = stored.filter(F.col("batch_seq") < F.lit(int(batch_seq)))
+        stored = self.tombstones.apply(stored, "sid")
+        corpus_h = stored.select("h").distinct()
         dup = rows.join(corpus_h, "h").select(
             F.col("sid").alias("batch_id"), "pos"
         )
@@ -185,15 +194,30 @@ class ShingleSpanStore:
             self.store.merge(rows)
         return out
 
-    def remove_docs(self, doc_ids: DataFrame) -> int:
+    def remove_docs(self, doc_ids: DataFrame, *, mode: str = "eager") -> int:
         """Drop every position row of the given doc ids (one-column
-        DataFrame) — the slow path that makes document MUTATION safe:
-        remove, then merge the new text as a normal batch. Deliberately
-        O(index) for the same bucketing reason as
-        ``MinHashBandStore.remove_docs``. Returns the new version."""
+        DataFrame) — the path that makes document MUTATION safe:
+        remove, then merge the new text as a normal batch.
+
+        ``mode="eager"`` is O(index) for the same bucketing reason as
+        ``MinHashBandStore.remove_docs``; ``mode="tombstone"`` is the
+        amortized O(removal) log (see store_common.TombstoneStore).
+        Returns the new version (index for eager, log for tombstone)."""
+        if mode == "tombstone":
+            return self.tombstones.add(doc_ids)
         return remove_by_column(
             self.store,
             doc_ids,
+            "sid",
+            empty_msg="shingle store is empty — nothing to remove",
+        )
+
+    def compact_tombstones(self) -> int | None:
+        """Fold the tombstone log into the index (one amortized
+        O(index) pass), then clear the log. Returns the new index
+        version, or None if the log was empty."""
+        return self.tombstones.compact_into(
+            self.store,
             "sid",
             empty_msg="shingle store is empty — nothing to remove",
         )

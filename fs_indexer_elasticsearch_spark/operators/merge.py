@@ -29,13 +29,20 @@ from pyspark.sql import DataFrame, Window
 def upsert_newer_wins(
     current: DataFrame,
     batch: DataFrame,
-    key: str,
+    key: str | list[str],
     version_col: str,
     *,
     delta_batch: bool = True,
 ) -> DataFrame:
     """Insert new keys; update existing keys only when the incoming row
     is strictly newer (P8 staleness predicate, scanner.py:243).
+
+    ``key`` may be a single column or a COMPOSITE key (list of
+    columns, each non-null by contract) — e.g. the positional shingle
+    index upserts on (sid, pos), which as a composite avoids
+    materializing a concatenated "sid:pos" string per row (r7 verdict
+    #3: at O(corpus tokens) rows that string is a storage-bill
+    constant).
 
     Implemented as a full-outer join + per-column ``when`` pick —
     deterministic, idempotent (re-applying the same batch is a no-op).
@@ -61,15 +68,21 @@ def upsert_newer_wins(
         raise ValueError(
             f"schema mismatch: current={sorted(cols)} batch={sorted(batch.columns)}"
         )
+    keys = [key] if isinstance(key, str) else list(key)
     cur = current.alias("cur")
     new = (batch.hint("shuffle_hash") if delta_batch else batch).alias("new")
-    take_new = F.col(f"cur.{key}").isNull() | (
+    # Key columns are non-null by contract, so one component's nullity
+    # marks side-absence for the whole (possibly composite) key.
+    take_new = F.col(f"cur.{keys[0]}").isNull() | (
         F.col(f"new.{version_col}") > F.col(f"cur.{version_col}")
     )
-    joined = cur.join(new, F.col(f"cur.{key}") == F.col(f"new.{key}"), "full_outer")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"cur.{k}") == F.col(f"new.{k}"))
+    joined = cur.join(new, cond, "full_outer")
     picked = [
         F.when(
-            F.col(f"new.{key}").isNotNull() & take_new, F.col(f"new.{c}")
+            F.col(f"new.{keys[0]}").isNotNull() & take_new, F.col(f"new.{c}")
         )
         .otherwise(F.col(f"cur.{c}"))
         .alias(c)

@@ -12,8 +12,17 @@ fixes had to be hand-applied per store).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+# Above this many removal ids the eager anti-join drops its broadcast
+# hint and lets AQE pick the join strategy: ShuffledHash/SortMerge
+# spill, a forced broadcast build side does not — a bulk GDPR-style
+# purge (1e8 ids) would OOM the build before the documented O(index)
+# cost even starts (r7 verdict #2).
+BROADCAST_REMOVAL_MAX = 1_000_000
 
 
 def touched_buckets(snapshot_store, rows: DataFrame) -> list[int]:
@@ -48,11 +57,111 @@ def remove_by_column(
     MUTATION safe on an index bucketed by something other than its
     logical id (band hash / cell id / shingle hash): the rows to drop
     cannot be found by bucket pruning, so this is deliberately
-    O(index) — one broadcast-anti-join pass and an overwrite commit.
-    Returns the new store version."""
-    ids2 = ids.select(F.col(ids.columns[0]).alias("_rm_id"))
+    O(index) — one anti-join pass and an overwrite commit. The
+    broadcast hint is applied only under ``BROADCAST_REMOVAL_MAX`` ids
+    (counted once off a lazy checkpoint); above it AQE picks a
+    spill-safe plan. For amortized bulk removal without the O(index)
+    rewrite per call, see :class:`TombstoneStore`. Returns the new
+    store version."""
+    ids2 = ids.select(F.col(ids.columns[0]).alias("_rm_id")).localCheckpoint(
+        eager=False
+    )
     cur = snapshot_store.read()
     if cur is None:
         raise ValueError(empty_msg)
-    kept = cur.join(F.broadcast(ids2), cur[col] == ids2["_rm_id"], "left_anti")
+    if ids2.count() <= BROADCAST_REMOVAL_MAX:
+        ids2 = F.broadcast(ids2)
+    kept = cur.join(ids2, cur[col] == ids2["_rm_id"], "left_anti")
     return snapshot_store.overwrite(kept)
+
+
+class TombstoneStore:
+    """Bucket-prunable removal log for an index store whose physical
+    buckets hash a NON-id column (band hash / cell id / shingle hash).
+
+    Removing by logical id from such an index cannot be bucket-pruned
+    — the rows to drop live in buckets the id doesn't determine — so
+    the eager path (:func:`remove_by_column`) rewrites the whole
+    index per call. The tombstone path makes removal O(removal)
+    instead: ids land in THIS store (its own SnapshotStore, keyed AND
+    bucketed on the id, so each add is a bucket-pruned merge touching
+    only the buckets the removed ids hash into), the index's read
+    paths anti-join the probed slice against the log (the log is
+    delta-sized between compactions — AQE broadcasts it), and
+    :meth:`compact_into` folds any number of tombstone batches into
+    the index with ONE amortized O(index) rewrite.
+
+    The log lives under ``<index path>/_tombstones`` — an
+    underscore-prefixed entry the index's own readers and version
+    listings ignore.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        id_col: str,
+        *,
+        num_buckets: int = 32,
+        layout: str = "hardlink",
+    ):
+        from ..sinks.snapshot import SnapshotStore
+
+        self.id_col = id_col
+        self.store = SnapshotStore(
+            spark,
+            os.path.join(index_path, "_tombstones"),
+            key=id_col,
+            version_col="rm_seq",
+            num_buckets=num_buckets,
+            layout=layout,
+        )
+
+    def add(self, ids: DataFrame) -> int:
+        """Append removal ids to the log — a bucket-pruned merge,
+        O(removal); idempotent (LWW upsert on the id)."""
+        seq = (self.store.current_version() or 0) + 1
+        rows = ids.select(
+            F.col(ids.columns[0]).alias(self.id_col),
+            F.lit(seq).cast("long").alias("rm_seq"),
+        )
+        if self.store.current_version() is None:
+            return self.store.overwrite(rows)
+        return self.store.merge(rows)
+
+    def ids(self) -> DataFrame | None:
+        """Current tombstoned ids (None when the log is empty)."""
+        cur = self.store.read()
+        if cur is None:
+            return None
+        return cur.select(self.id_col)
+
+    def apply(self, df: DataFrame, col: str) -> DataFrame:
+        """``df`` minus rows whose ``col`` is tombstoned. No forced
+        broadcast: between compactions the log is delta-sized and AQE
+        broadcasts it on its own; after a bulk purge it may not be
+        broadcastable, and the shuffled anti-join spills safely."""
+        t = self.ids()
+        if t is None:
+            return df
+        t = t.select(F.col(self.id_col).alias("_ts_id"))
+        return df.join(t, df[col] == t["_ts_id"], "left_anti")
+
+    def compact_into(self, index_store, col: str, *, empty_msg: str) -> int | None:
+        """Fold the log into ``index_store`` (one O(index) anti-join
+        overwrite for ALL accumulated tombstones), then clear the log.
+        Returns the new index version, or None when the log is empty."""
+        t = self.ids()
+        if t is None or t.isEmpty():
+            return None
+        v = remove_by_column(index_store, t, col, empty_msg=empty_msg)
+        self.clear()
+        return v
+
+    def clear(self) -> None:
+        """Empty the log (post-compaction, or at index re-seed — a
+        fresh corpus must not inherit stale tombstones)."""
+        if self.store.current_version() is None:
+            return
+        self.store.overwrite(self.store.read().drop("_bucket").limit(0))
+        self.store.vacuum(keep=1)

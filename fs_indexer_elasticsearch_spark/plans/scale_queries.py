@@ -194,6 +194,56 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental batch-vs-corpus dedup (persisted MinHash band index)
 # --------------------------------------------------------------------------
 
+def _dataset_fingerprint(sf_dir: str, *tables: str) -> str:
+    """md5 over (relpath, size, mtime_ns) of the given tables' data
+    files. Folded into the cached index stores' /tmp tags so
+    regenerating a dataset at the same path changes the tag and can
+    never silently reuse a stale seeded index (r7 advice)."""
+    import hashlib
+    import os
+
+    hsh = hashlib.md5()
+    for t in tables:
+        root = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isfile(root):
+            st = os.stat(root)
+            hsh.update(f"{t}|{st.st_size}|{st.st_mtime_ns}".encode())
+            continue
+        for r, _dirs, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                try:
+                    st = os.stat(os.path.join(r, fn))
+                except OSError:
+                    continue
+                rel = os.path.relpath(os.path.join(r, fn), root)
+                hsh.update(f"{t}/{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return hsh.hexdigest()[:12]
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _store_lock(path: str):
+    """Exclusive flock over the store dir for the whole
+    seed+probe+merge+vacuum cycle: the index stores are single-writer
+    by contract, and concurrent bench/gate processes sharing a /tmp
+    tag would otherwise race the seed (r7 advice — seed() detects a
+    racing writer only after its overwrite committed). The matches
+    DataFrame returned to the caller stays readable after release:
+    vacuum(keep=2) retains the version it reads."""
+    import fcntl
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    f = open(os.path.join(path, ".lock"), "w")
+    fcntl.flock(f, fcntl.LOCK_EX)
+    try:
+        yield
+    finally:
+        fcntl.flock(f, fcntl.LOCK_UN)
+        f.close()
+
 def _incremental_dedup_oracle() -> str:
     """From-scratch recompute of what the band store answers
     incrementally: signatures over the full augmented corpus, bands,
@@ -296,24 +346,76 @@ def _incremental_batch_matches(
     aug = _aug_corpus(spark, sf_dir)
     corpus = aug.filter(F.col("doc_id") < 1_000_000_000_000)
     batch = aug.filter(F.col("doc_id") >= 1_000_000_000_000)
+    fp = _dataset_fingerprint(sf_dir, "documents")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|nh16|b4|sh3|nb32|{layout}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|nh16|b4|sh3|nb32|{layout}|v2".encode()
     ).hexdigest()[:12]
-    store = MinHashBandStore(
-        spark,
-        f"/tmp/spark-graft-bandstore-{tag}",
-        num_buckets=32,
-        layout=layout,
-    )
-    if store.store.current_version() is None:
-        store.seed(corpus, "doc_id", "text")
-    matches = store.match_and_merge(
-        batch, "doc_id", "text", batch_seq=1, threshold=0.5
-    )
-    # Bound the version chain across repeated runs. keep=2 retains the
-    # pre-merge version the lazy `matches` plan reads (merge committed
-    # one newer), so collecting after return stays safe.
-    store.store.vacuum(keep=2)
+    path = f"/tmp/spark-graft-bandstore-{tag}"
+    with _store_lock(path):
+        store = MinHashBandStore(spark, path, num_buckets=32, layout=layout)
+        if store.store.current_version() is None:
+            store.seed(corpus, "doc_id", "text")
+        matches = store.match_and_merge(
+            batch, "doc_id", "text", batch_seq=1, threshold=0.5
+        )
+        # Bound the version chain across repeated runs. keep=2 retains
+        # the pre-merge version the lazy `matches` plan reads (merge
+        # committed one newer), so collecting after return stays safe.
+        store.store.vacuum(keep=2)
+    return matches
+
+
+def _incremental_tombstone_oracle() -> str:
+    """The incremental-dedup recompute with the tombstoned corpus slice
+    (sid % 7 == 0) excluded from the candidate side — what the band
+    store must answer after an O(removal) tombstone pass, BEFORE any
+    compaction has physically dropped the rows."""
+    base = _incremental_dedup_oracle()
+    old = "WHERE q.sid >= 1000000000000 AND c.sid < 1000000000000"
+    assert old in base  # our own oracle text — keep the splice honest
+    return base.replace(old, old + " AND c.sid % 7 != 0")
+
+
+@query("dedup_incremental_tombstone", oracle=_incremental_tombstone_oracle())
+def dedup_incremental_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with TOMBSTONED removals (r7 verdict #2): a
+    seventh of the corpus is removed via the O(removal) tombstone log
+    (``remove_docs(mode="tombstone")`` — a bucket-pruned merge into
+    the removal log; the index itself is NOT rewritten), then the
+    delta batch is matched. The probe filters the pruned index slice
+    against the log, so removed docs are logically gone immediately;
+    :meth:`compact_tombstones` folds the log in with one amortized
+    O(index) pass later (pytest-covered). The oracle recomputes the
+    matches from scratch over corpus-minus-removed, proving the
+    tombstone filter is exact — not just 'applied'."""
+    import hashlib
+    import os
+
+    from ..operators.incremental_dedup import MinHashBandStore
+    from .llm_queries import _aug_corpus
+
+    aug = _aug_corpus(spark, sf_dir)
+    corpus = aug.filter(F.col("doc_id") < 1_000_000_000_000)
+    batch = aug.filter(F.col("doc_id") >= 1_000_000_000_000)
+    fp = _dataset_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|nh16|b4|sh3|nb32|tomb|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-bandstore-{tag}"
+    with _store_lock(path):
+        store = MinHashBandStore(spark, path, num_buckets=32)
+        if store.store.current_version() is None:
+            store.seed(corpus, "doc_id", "text")
+        # O(removal), idempotent across runs (LWW on the id).
+        store.remove_docs(
+            corpus.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+            mode="tombstone",
+        )
+        matches = store.match_and_merge(
+            batch, "doc_id", "text", batch_seq=1, threshold=0.5
+        )
+        store.store.vacuum(keep=2)
+        store.tombstones.store.vacuum(keep=2)
     return matches
 
 
@@ -337,25 +439,51 @@ def ann_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.incremental_ann import IvfIndexStore
 
+    return _incremental_ivf_matches(spark, sf_dir, layout="hardlink")
+
+
+@query("ann_incremental_ivf_manifest", oracle=ORACLES["similarity_ivf_topk"])
+def ann_incremental_ivf_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME incremental IVF cycle on the OBJECT-STORE snapshot
+    layout (``layout="manifest"``) — r8: the centroid set now commits
+    through the snapshot's per-version meta payload
+    (SnapshotStore.read_meta) instead of a POSIX directory sidecar, so
+    the WHOLE index (rows + centroids) rides the
+    write-files-then-swap-pointer protocol and is S3/GCS-safe. Shares
+    similarity_ivf_topk's oracle verbatim: layout must be a pure
+    storage decision (the driver-gate upgrade of the pytest
+    byte-parity check, mirroring dedup_incremental_batch_manifest)."""
+    return _incremental_ivf_matches(spark, sf_dir, layout="manifest")
+
+
+def _incremental_ivf_matches(
+    spark: SparkSession, sf_dir: str, *, layout: str
+) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..operators.incremental_ann import IvfIndexStore
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
     )
     centroids = emb.filter(F.col("vec_id") < 16)
+    fp = _dataset_fingerprint(sf_dir, "embeddings")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|ivf|c16|nb32|v2".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|ivf|c16|nb32|{layout}|v3".encode()
     ).hexdigest()[:12]
-    store = IvfIndexStore(
-        spark, f"/tmp/spark-graft-ivfstore-{tag}", num_buckets=32
-    )
-    if store.store.current_version() is None:
-        store.seed(emb.filter(F.col("vec_id") % 10 != 0), centroids,
-                   "vec_id", "emb")
-    store.add(emb.filter(F.col("vec_id") % 10 == 0), "vec_id", "emb", seq=1)
-    matches = store.search(
-        emb.filter(F.col("vec_id") < 8), "vec_id", "emb", k=3, nprobe=2
-    )
-    store.store.vacuum(keep=2)
+    path = f"/tmp/spark-graft-ivfstore-{tag}"
+    with _store_lock(path):
+        store = IvfIndexStore(spark, path, num_buckets=32, layout=layout)
+        if store.store.current_version() is None:
+            store.seed(emb.filter(F.col("vec_id") % 10 != 0), centroids,
+                       "vec_id", "emb")
+        store.add(emb.filter(F.col("vec_id") % 10 == 0), "vec_id", "emb", seq=1)
+        matches = store.search(
+            emb.filter(F.col("vec_id") < 8), "vec_id", "emb", k=3, nprobe=2
+        )
+        store.store.vacuum(keep=2)
     return matches
 
 
@@ -423,14 +551,15 @@ def substring_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
+    fp = _dataset_fingerprint(sf_dir, "documents")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|shingle|k5|nb32|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|shingle|k5|nb32|v2".encode()
     ).hexdigest()[:12]
-    store = ShingleSpanStore(
-        spark, f"/tmp/spark-graft-shinglestore-{tag}", k=5, num_buckets=32
-    )
-    if store.store.current_version() is None:
-        store.seed(corpus, "doc_id", "text")
-    out = store.match_and_merge(batch, "doc_id", "text", batch_seq=1)
-    store.store.vacuum(keep=2)
+    path = f"/tmp/spark-graft-shinglestore-{tag}"
+    with _store_lock(path):
+        store = ShingleSpanStore(spark, path, k=5, num_buckets=32)
+        if store.store.current_version() is None:
+            store.seed(corpus, "doc_id", "text")
+        out = store.match_and_merge(batch, "doc_id", "text", batch_seq=1)
+        store.store.vacuum(keep=2)
     return out

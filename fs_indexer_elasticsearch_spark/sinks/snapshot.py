@@ -51,6 +51,7 @@ from ..operators.merge import upsert_newer_wins
 
 _POINTER = "_CURRENT"
 _SCHEMA = "_SCHEMA.json"
+_META_PREFIX = "_META_v"
 
 
 class SnapshotStore:
@@ -58,7 +59,7 @@ class SnapshotStore:
         self,
         spark: SparkSession,
         path: str,
-        key: str,
+        key: str | list[str],
         version_col: str,
         num_buckets: int = 32,
         layout: str = "hardlink",
@@ -74,6 +75,11 @@ class SnapshotStore:
         upsert on ``h`` would collapse them)."""
         if layout not in ("hardlink", "manifest"):
             raise ValueError(f"unknown layout {layout!r}")
+        if not isinstance(key, str) and bucket_key is None:
+            raise ValueError(
+                "a composite key cannot derive the physical bucket "
+                "layout — pass bucket_key explicitly"
+            )
         self.spark = spark
         self.path = path
         self.key = key
@@ -102,6 +108,48 @@ class SnapshotStore:
 
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version}")
+
+    # -- per-version meta payload --------------------------------------------
+    # A small JSON document committed WITH each version by the same
+    # write-file-then-swap-pointer protocol the data uses: the meta
+    # file is written (tmp + atomic replace) BEFORE the pointer swap,
+    # so readers never see a version without its meta, and a crash
+    # between the two leaves an orphan _META_v{n} with n > pointer
+    # that exact-version resolution simply never reads (it is
+    # overwritten by the next commit that takes version n, and GC-ed
+    # by vacuum). This is what makes index sidecar state — e.g. the
+    # IVF centroid set (operators/incremental_ann.py) — object-store
+    # safe: no listdir-based resolution, no rmtree, no directory
+    # beside the commit protocol (r7 verdict #1).
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.path, f"{_META_PREFIX}{version}.json")
+
+    def read_meta(self) -> dict | None:
+        """Meta payload of the CURRENT version (None when the store is
+        empty or the version carries no meta)."""
+        v = self.current_version()
+        if v is None:
+            return None
+        try:
+            with open(self._meta_path(v)) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _commit_meta(self, version: int, meta: dict | None) -> None:
+        """Write version ``version``'s meta before its pointer swap.
+        ``meta=None`` carries the current version's meta forward (a
+        merge/remove must not drop the index's sidecar state); a store
+        with no prior meta writes nothing."""
+        if meta is None:
+            meta = self.read_meta()
+            if meta is None:
+                return
+        tmp = self._meta_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path(version))
 
     def _bucket_col(self) -> F.Column:
         return F.pmod(
@@ -196,7 +244,8 @@ class SnapshotStore:
         new_types = {f.name: f.dataType for f in batch.schema.fields}
         names = list(cur_types) + [n for n in new_types if n not in cur_types]
         target = {n: new_types.get(n, cur_types.get(n)) for n in names}
-        if self.key not in new_types or self.version_col not in new_types:
+        keys = [self.key] if isinstance(self.key, str) else list(self.key)
+        if any(k not in new_types for k in keys) or self.version_col not in new_types:
             raise ValueError(
                 f"batch must carry key '{self.key}' and version '{self.version_col}'"
             )
@@ -340,7 +389,7 @@ class SnapshotStore:
             .parquet(out)
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, *, meta: dict | None = None) -> int:
         v = (self.current_version() or 0) + 1
         df = df.drop("_bucket")
         if self.layout == "manifest":
@@ -350,10 +399,17 @@ class SnapshotStore:
             shutil.rmtree(out, ignore_errors=True)
             self._write_buckets(df, out)
         self._record_schema(df)
+        self._commit_meta(v, meta)
         self._swap_pointer(v)
         return v
 
-    def merge(self, batch: DataFrame, removed: DataFrame | None = None) -> int:
+    def merge(
+        self,
+        batch: DataFrame,
+        removed: DataFrame | None = None,
+        *,
+        meta: dict | None = None,
+    ) -> int:
         """Newer-wins upsert of a batch into the current snapshot
         (the reference's ON CONFLICT ... WHERE excluded newer), plus
         optional key deletions (the reference's DELETE ... NOT IN,
@@ -394,7 +450,7 @@ class SnapshotStore:
                     on=self.key,
                     how="left_anti",
                 )
-            return self.overwrite(batch)
+            return self.overwrite(batch, meta=meta)
 
         if self.needs_schema_update(batch):
             # Schema drift → migrate: one O(table) rewrite under the
@@ -408,7 +464,7 @@ class SnapshotStore:
                     on=self.key,
                     how="left_anti",
                 )
-            return self.overwrite(merged)
+            return self.overwrite(merged, meta=meta)
 
         batch = batch.withColumn("_bucket", self._bucket_col()).cache()
         touched = {r._bucket for r in batch.select("_bucket").distinct().collect()}
@@ -457,6 +513,7 @@ class SnapshotStore:
             }
             manifest.update(new_files)
             self._write_manifest(v, manifest)
+            self._commit_meta(v, meta)
             self._swap_pointer(v)
             return v
 
@@ -498,8 +555,28 @@ class SnapshotStore:
                 if fname.startswith((".", "_")):
                     continue
                 os.link(os.path.join(src, fname), os.path.join(dst, fname))
+        self._commit_meta(v, meta)
         self._swap_pointer(v)
         return v
+
+    def _vacuum_meta(self, victims: list[int]) -> None:
+        """Drop victims' meta files plus crash orphans (n > current —
+        a commit that wrote its meta but died before the pointer
+        swap)."""
+        cur = self.current_version() or 0
+        doomed = set(victims)
+        for name in os.listdir(self.path):
+            if not (name.startswith(_META_PREFIX) and name.endswith(".json")):
+                continue
+            try:
+                n = int(name[len(_META_PREFIX) : -len(".json")])
+            except ValueError:
+                continue
+            if n in doomed or n > cur:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` versions (never the
@@ -543,6 +620,7 @@ class SnapshotStore:
                         os.rmdir(root)
                     except OSError:
                         pass
+            self._vacuum_meta(victims)
             return victims
         versions = sorted(
             int(d[1:])
@@ -554,4 +632,5 @@ class SnapshotStore:
         ]
         for v in victims:
             shutil.rmtree(self._version_dir(v), ignore_errors=True)
+        self._vacuum_meta(victims)
         return victims

@@ -149,36 +149,42 @@ def test_remove_vecs_enables_cross_cell_update(spark, tmp_path):
     assert len(rows) == 1 and rows[0].ivf_seq == 5
 
 
-def test_orphan_centroid_dir_is_ignored(spark, tmp_path):
-    """A crash between the centroid write and the pointer swap leaves
-    an orphan _CENTROIDS_v{n} with n > pointer; centroids() must keep
-    resolving the committed set (A5 for centroids)."""
+def test_orphan_meta_is_never_resolved(spark, tmp_path):
+    """A crash between the meta write and the pointer swap leaves an
+    orphan _META_v{n} with n > pointer. Meta resolution is by EXACT
+    version number (no directory-listing scan), so the committed
+    centroid set keeps resolving — A5 semantics for centroids, now via
+    the snapshot's own commit protocol (r8: object-store-safe, no
+    POSIX sidecar)."""
+    import json
     import os
-    import shutil as sh
 
     full = _vecs(spark, range(20))
     path = str(tmp_path / "ivf")
     store = IvfIndexStore(spark, path, num_buckets=16)
     store.seed(full, full.filter(F.col("vec_id") < 4), "vec_id", "emb")
-    committed = store._centroid_version()
-    # simulate the crashed re-seed: orphan centroid dir, old pointer
-    sh.copytree(
-        store._centroid_dir(committed), store._centroid_dir(committed + 7)
-    )
+    committed = store.store.current_version()
+    good_meta = store.store.read_meta()
+    # simulate the crashed re-seed: orphan meta above the pointer
+    with open(store.store._meta_path(committed + 7), "w") as f:
+        json.dump({"centroids": [], "dim": 1, "id_type": "bigint"}, f)
     fresh = IvfIndexStore(spark, path, num_buckets=16)
-    assert fresh._centroid_version() == committed
+    assert fresh.store.read_meta() == good_meta
     got = fresh.search(
         full.filter(F.col("vec_id") == 1), "vec_id", "emb", k=2
     ).collect()
     assert len(got) == 2
+    # vacuum GCs the orphan (n > current pointer)
+    fresh.store.vacuum(keep=2)
+    assert not os.path.exists(store.store._meta_path(committed + 7))
 
 
-def test_orphan_centroid_never_promoted_by_later_commits(spark, tmp_path):
-    """A crashed re-seed leaves centroids_v{n} with n > pointer. A
-    LATER add() advances the pointer — it must not silently promote
-    the orphan (it is GC-ed before the commit), so assignment keeps
-    using the committed centroid set (r7 review finding)."""
-    import os
+def test_meta_carries_forward_and_never_promotes_orphans(spark, tmp_path):
+    """A LATER add() advances the pointer past a crashed re-seed's
+    orphan meta; the commit must carry the COMMITTED centroids forward
+    onto its own version (overwriting the orphan), so assignment keeps
+    using the committed set (r7 review finding, meta-protocol form)."""
+    import json
 
     full = _vecs(spark, range(30))
     path = str(tmp_path / "ivf")
@@ -189,15 +195,69 @@ def test_orphan_centroid_never_promoted_by_later_commits(spark, tmp_path):
         "vec_id",
         "emb",
     )
-    # simulate crashed re-seed at the version the NEXT commit will take
-    import shutil as sh
-
-    orphan = store._centroid_dir(store.store.current_version() + 1)
-    sh.copytree(store._centroid_dir(store._centroid_version()), orphan)
+    good_meta = store.store.read_meta()
+    # crashed re-seed wrote its meta at the version the NEXT commit takes
+    v_next = store.store.current_version() + 1
+    with open(store.store._meta_path(v_next), "w") as f:
+        json.dump({"centroids": [], "dim": 1, "id_type": "bigint"}, f)
 
     store.add(full.filter(F.col("vec_id") >= 20), "vec_id", "emb", seq=1)
-    assert not os.path.exists(orphan)  # GC-ed, not promoted
-    assert store._centroid_version() == 1
+    assert store.store.current_version() == v_next
+    # the orphan was overwritten by the carried-forward committed meta
+    assert store.store.read_meta() == good_meta
+
+
+def test_manifest_layout_matches_hardlink_end_to_end(spark, tmp_path):
+    """Full lifecycle (seed → add → search) on the object-store
+    manifest layout, byte-parity with hardlink — and no POSIX-only op
+    anywhere in the centroid path (r7 verdict #1 done criterion)."""
+    full = _vecs(spark, range(60))
+    centroids = full.filter(F.col("vec_id") < 6)
+    queries = full.filter(F.col("vec_id") % 17 == 1)
+
+    results = {}
+    for layout in ("hardlink", "manifest"):
+        store = IvfIndexStore(
+            spark, str(tmp_path / f"ivf-{layout}"), num_buckets=16, layout=layout
+        )
+        store.seed(
+            full.filter(F.col("vec_id") % 4 != 0), centroids, "vec_id", "emb"
+        )
+        store.add(full.filter(F.col("vec_id") % 4 == 0), "vec_id", "emb", seq=1)
+        results[layout] = sorted(
+            map(
+                tuple,
+                store.search(queries, "vec_id", "emb", k=3, nprobe=2).collect(),
+            )
+        )
+    assert results["hardlink"] == results["manifest"] and results["hardlink"]
+
+
+def test_tombstone_removal_filters_without_index_rewrite(spark, tmp_path):
+    """mode='tombstone' removal: O(removal) — the INDEX version does
+    not move (only the log's), search filters the ids immediately, and
+    compact_tombstones folds them in physically with one pass."""
+    full = _vecs(spark, range(40))
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(full, full.filter(F.col("vec_id") < 4), "vec_id", "emb")
+    v_before = store.store.current_version()
+
+    rm = spark.createDataFrame([(7,), (9,)], "vec_id long")
+    store.remove_vecs(rm, mode="tombstone")
+    assert store.store.current_version() == v_before  # index untouched
+
+    got = store.search(
+        full.filter(F.col("vec_id") == 1), "vec_id", "emb", k=30, nprobe=4
+    ).collect()
+    assert {r.neighbor_id for r in got}.isdisjoint({7, 9})
+
+    store.compact_tombstones()
+    assert store.store.read().filter(F.col("vec_id").isin(7, 9)).count() == 0
+    assert store.tombstones.ids() is None or store.tombstones.ids().isEmpty()
+    got2 = store.search(
+        full.filter(F.col("vec_id") == 1), "vec_id", "emb", k=30, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
 
 
 def test_string_vector_ids_supported(spark, tmp_path):

@@ -195,3 +195,39 @@ def test_replay_after_partial_failure_emits_original_answer(spark, tmp_path):
         ).collect()
     }
     assert {(200, 3), (200, 100), (200, 101)} <= later
+
+
+def test_tombstone_removal_filters_then_compacts(spark, tmp_path):
+    """Band-store tombstone path: index version unmoved by the
+    removal, matches exclude the doc immediately, compaction folds the
+    log in with identical results (r7 verdict #2)."""
+    from fs_indexer_elasticsearch_spark.operators.incremental_dedup import (
+        MinHashBandStore,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, text), (3, "something else entirely unrelated words")],
+        "doc_id long, text string",
+    )
+    store = MinHashBandStore(spark, str(tmp_path / "bs"), num_buckets=16)
+    store.seed(corpus, "doc_id", "text")
+    v_before = store.store.current_version()
+
+    store.remove_docs(
+        spark.createDataFrame([(1,)], "doc_id long"), mode="tombstone"
+    )
+    assert store.store.current_version() == v_before  # O(removal) only
+
+    batch = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    got = store.match_and_merge(
+        batch, "doc_id", "text", batch_seq=1, merge=False
+    ).collect()
+    assert {r.corpus_id for r in got} == {2}  # 1 tombstoned, 3 dissimilar
+
+    store.compact_tombstones()
+    assert store.store.read().filter("sid = 1").count() == 0
+    got2 = store.match_and_merge(
+        batch, "doc_id", "text", batch_seq=1, merge=False
+    ).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got))

@@ -116,3 +116,57 @@ def test_empty_store_refuses_match(spark, tmp_path):
         store.match_and_merge(
             _docs(spark, [(1, "a b c d e f")]), "doc_id", "text", batch_seq=1
         )
+
+
+def test_tombstone_removal_is_o_removal_then_compacts(spark, tmp_path):
+    """mode='tombstone': the index version does not move, the match
+    filters the doc immediately, and compact_tombstones folds the log
+    in physically with identical results (r7 verdict #2)."""
+    store = ShingleSpanStore(spark, str(tmp_path / "ss"), k=5, num_buckets=16)
+    store.seed(
+        _docs(spark, [(1, f"a1 a2 {SHARED}"), (2, "b1 b2 b3 b4 b5 b6")]),
+        "doc_id",
+        "text",
+    )
+    v_before = store.store.current_version()
+    store.remove_docs(
+        spark.createDataFrame([(1,)], "doc_id long"), mode="tombstone"
+    )
+    assert store.store.current_version() == v_before  # index untouched
+    got = store.match_and_merge(
+        _docs(spark, [(100, f"q1 {SHARED} q2")]),
+        "doc_id",
+        "text",
+        batch_seq=1,
+        merge=False,  # keep the index = seed-only for the second probe
+    ).collect()
+    assert got == []  # logically removed before any compaction
+
+    store.compact_tombstones()
+    assert store.store.read().filter(F.col("sid") == 1).count() == 0
+    t = store.tombstones.ids()
+    assert t is None or t.isEmpty()
+    got2 = store.match_and_merge(
+        _docs(spark, [(200, f"r1 {SHARED} r2")]),
+        "doc_id",
+        "text",
+        batch_seq=2,
+        merge=False,
+    ).collect()
+    assert got2 == []
+
+
+def test_row_schema_is_compact(spark, tmp_path):
+    """r8 row shrink: no concatenated string key, int64 shingle hash —
+    the per-token constants are the storage bill at O(corpus tokens)
+    rows (r7 verdict #3)."""
+    store = ShingleSpanStore(spark, str(tmp_path / "ss"), k=5, num_buckets=16)
+    store.seed(_docs(spark, [(1, f"a1 a2 {SHARED}")]), "doc_id", "text")
+    schema = {f.name: f.dataType.simpleString() for f in store.store.read().schema.fields}
+    schema.pop("_bucket", None)
+    assert schema == {
+        "sid": "bigint",
+        "pos": "bigint",
+        "h": "bigint",
+        "batch_seq": "bigint",
+    }
