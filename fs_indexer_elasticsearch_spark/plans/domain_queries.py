@@ -115,7 +115,7 @@ def domain_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM domains
     )
     SELECT host,
-           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN rk <= 5 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
            CAST(min(doc_id) AS BIGINT) AS sample_doc
     FROM ranked GROUP BY host
@@ -126,14 +126,18 @@ def per_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain"): rank each host's docs by quality proxy (n_chars desc,
     doc_id tiebreak) and report kept-vs-dropped at cap 5 per host.
     One row_number window over the host hash partition — the standard
-    corpus-scale shape; no global sort anywhere."""
+    corpus-scale shape; no global sort anywhere. n_kept counts the
+    docs the cap actually KEEPS (rk <= 5), not the host's total — the
+    r7 advice fix: the old count(*) mislabeled dropped docs as kept,
+    invisibly to the hash gate because the oracle used the identical
+    expression."""
     w = Window.partitionBy("host").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (
         _with_domain(spark, sf_dir)
         .withColumn("rk", F.row_number().over(w))
         .groupBy("host")
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
+            F.sum((F.col("rk") <= 5).cast("long")).alias("n_kept"),
             F.sum((F.col("rk") > 5).cast("long")).alias("n_dropped"),
             F.min("doc_id").alias("sample_doc"),
         )

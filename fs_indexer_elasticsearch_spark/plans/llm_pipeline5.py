@@ -730,12 +730,16 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pos_sh = positional_word_shingles(F.col("toks"), K)
-    # Cached: sh feeds BOTH the hot-shingle aggregate and the probe
-    # join (same two-consumer shape as crossdoc_shingle_boilerplate).
+    # Lazy localCheckpoint, not cache(): sh feeds BOTH the hot-shingle
+    # aggregate and the probe join, and a registered query owns no
+    # unpersist hook — checkpoint blocks are released by the context
+    # cleaner when the plan drops, where an unreleased cache() would
+    # pin the block manager across bench/gate loops (r7 advice; same
+    # pattern as the incremental stores).
     sh = (
         d.select("doc_id", F.explode(pos_sh).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     hot = (
         sh.groupBy("shingle")
@@ -822,15 +826,16 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy joins shuffle on the doc axis, which is uniformly
     distributed, so no skew handling is needed."""
     K = 5
-    # Cached: d feeds THREE consumers (the shingle pipeline, the
-    # word positions, the per-doc word counts) and tokenization is
-    # the expensive projection — without the cache it runs 3x per
-    # execution (r7 review finding).
+    # Lazy localCheckpoint: d feeds THREE consumers (the shingle
+    # pipeline, the word positions, the per-doc word counts) and
+    # tokenization is the expensive projection — without sharing it
+    # runs 3x per execution (r7 review finding). Checkpoint, not
+    # cache(): registered queries own no unpersist hook (r7 advice).
     d = (
         load(spark, sf_dir, "documents")
         .select("doc_id", tokens("text").alias("toks"))
         .filter(F.size("toks") > 0)
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     pos_sh = positional_word_shingles(F.col("toks"), K)
@@ -842,7 +847,7 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.pos").alias("pos"),
             F.col("s.shingle").alias("shingle"),
         )
-        .cache()
+        .localCheckpoint(eager=False)
     )
     hot = (
         sh.groupBy("shingle")
