@@ -26,6 +26,7 @@ from . import sql_surface  # noqa: E402,F401
 from . import skew_queries  # noqa: E402,F401
 from . import arrow_surface  # noqa: E402,F401
 from . import domain_queries  # noqa: E402,F401
+from . import curation_pipeline  # noqa: E402,F401
 
 # Assembled below: the 50-query driver prefix. Priority = never-driver-
 # checked first (the newest queries are the least battle-tested), then

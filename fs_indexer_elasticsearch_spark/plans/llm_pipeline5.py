@@ -58,6 +58,33 @@ from .registry import query, stable_round
 # Shared token SQL (mirrors functions.text.tokens).
 _TOKS_SQL = TOKS_SQL  # canonical oracle twin of the engine tokenizer
 
+# The hashed-linear quality score, shared by quality_classifier_score
+# and the composed curation pipeline (plans/curation_pipeline.py) so
+# the two can never drift. Per-row over a ``toks`` array column:
+# w(tok) = ((md5("qw1:"+tok)[:8] as int) % 2001 − 1000)/1000,
+# score = sigmoid(4 * mean(w)) rounded to 6 (stable_round twin).
+QUALITY_SCORE_SQL = """round(
+    1.0 / (1.0 + exp(-4.0 * (
+        list_sum(list_transform(toks,
+            t -> ((('0x' || substr(md5('qw1:' || t), 1, 8))::BIGINT
+                   % 2001) - 1000) / 1000.0))
+        / len(toks)))) + 1e-7, 6)"""
+
+
+def quality_score_expr() -> F.Column:
+    """Spark twin of :data:`QUALITY_SCORE_SQL` over a ``toks`` array
+    column — one in-row transform/aggregate fold, no explode, no
+    per-token shuffle (see quality_classifier_score's docstring)."""
+    weights = F.transform(
+        F.col("toks"), lambda t: hyperplane_weight(F.lit("qw1"), t)
+    )
+    logit = F.aggregate(weights, F.lit(0.0), lambda a, v: a + v) / F.size(
+        "toks"
+    )
+    return stable_round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * logit)), 6
+    )
+
 
 @query(
     "gopher_quality_flags",
@@ -910,13 +937,7 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
     ),
     scored AS (
-        SELECT doc_id, source,
-               round(
-                   1.0 / (1.0 + exp(-4.0 * (
-                       list_sum(list_transform(toks,
-                           t -> ((('0x' || substr(md5('qw1:' || t), 1, 8))::BIGINT
-                                  % 2001) - 1000) / 1000.0))
-                       / len(toks)))) + 1e-7, 6) AS score
+        SELECT doc_id, source, {QUALITY_SCORE_SQL} AS score
         FROM d WHERE len(toks) > 0
     )
     SELECT source,
@@ -954,18 +975,10 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", tokens("text").alias("toks")
     ).filter(F.size("toks") > 0)
-    # The shared md5 weight derivation (functions/vectors): w(tok) =
-    # ((md5("qw1:"+tok)[:8] as int) % 2001 - 1000)/1000 — reusing it
-    # keeps the classifier in lockstep with the LSH hyperplanes if the
-    # derivation ever changes.
-    weights = F.transform(
-        F.col("toks"), lambda t: hyperplane_weight(F.lit("qw1"), t)
-    )
-    logit = F.aggregate(weights, F.lit(0.0), lambda a, v: a + v) / F.size("toks")
-    score = stable_round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * logit)), 6
-    )
-    scored = d.select("source", score.alias("score"))
+    # quality_score_expr is the shared md5-weight derivation
+    # (functions/vectors hyperplane_weight) — one definition for this
+    # query and the composed curation pipeline (curation_pipeline.py).
+    scored = d.select("source", quality_score_expr().alias("score"))
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         stable_round(F.avg("score"), 4).alias("avg_score"),
