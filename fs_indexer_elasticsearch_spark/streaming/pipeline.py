@@ -214,6 +214,61 @@ def streaming_substring_pipeline(
     )
 
 
+def streaming_ivf_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    ivf_store,
+    matches_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    k: int = 3,
+    nprobe: int = 2,
+    max_files_per_trigger: int = 10,
+    matches_store=None,
+) -> StreamingQuery:
+    """Streaming ANN maintenance: every micro-batch of embeddings is
+    SEARCHED against the persisted IVF index, then ADDED to it — the
+    streaming cadence of operators/incremental_ann.py, completing the
+    one-operator-two-cadences story for the whole incremental triad
+    (bands, shingles, and now cells; r7 verdict #5). This is how ANN
+    indexes are actually fed: an embedding stream arrives, each batch
+    is first answered against the corpus-so-far, then becomes corpus.
+
+    Replay purity: the search passes ``max_seq = epoch + 1`` so a
+    replayed epoch (index add committed, matches sink did not) never
+    matches its own already-committed rows — it recomputes the
+    original answer, exactly the band/shingle contract. The add is
+    idempotent under replay (LWW upsert on the vector id). Matches
+    sink semantics as in :func:`streaming_neardup_pipeline`
+    (at-least-once parquet, or effectively-once via a ``matches_store``
+    keyed on the (query_id, neighbor_id) pair)."""
+
+    def match_fn(batch: DataFrame, epoch_id: int) -> DataFrame:
+        seq = epoch_id + 1  # seed() owns ivf_seq 0
+        matches = ivf_store.search(
+            batch, id_col, vec_col, k=k, nprobe=nprobe, max_seq=seq
+        )
+        # Lazy matches stay valid across the add: versions are
+        # immutable and retained until vacuum (store contract).
+        ivf_store.add(batch, id_col, vec_col, seq=seq)
+        return matches
+
+    return _streaming_match_pipeline(
+        spark,
+        input_dir,
+        schema,
+        matches_dir,
+        checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        match_fn=match_fn,
+        key_cols=("query_id", "neighbor_id"),
+        matches_store=matches_store,
+    )
+
+
 def _streaming_match_pipeline(
     spark: SparkSession,
     input_dir: str,

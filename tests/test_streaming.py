@@ -405,3 +405,114 @@ def test_streaming_substring_detects_against_shingle_store(spark, tmp_path):
         assert len(m2) == 1 and m2[0].max_span_words == 6
     finally:
         q.stop()
+
+
+def test_streaming_ivf_search_then_add(spark, tmp_path):
+    """IVF streaming cadence (r7 verdict #5): each micro-batch is
+    searched against the corpus-so-far, then added; a later epoch
+    retrieves vectors the earlier epoch added; effectively-once via a
+    keyed matches store across a forced epoch replay."""
+    from fs_indexer_elasticsearch_spark.operators.incremental_ann import (
+        IvfIndexStore,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_ivf_pipeline,
+    )
+
+    def vec(i):
+        return [float(((i * 31 + d * 7) % 13) - 6) for d in range(16)]
+
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=8)
+    store.seed(
+        spark.createDataFrame([(i, vec(i)) for i in range(20)], vec_schema),
+        spark.createDataFrame([(i, vec(i)) for i in range(4)], vec_schema),
+        "vec_id",
+        "emb",
+    )
+
+    # effectively-once sink: matches keyed on the (query, neighbor) pair
+    matches_store = SnapshotStore(
+        spark,
+        str(tmp_path / "matches-store"),
+        key="pair",
+        version_col="epoch",
+        num_buckets=8,
+    )
+
+    inp = tmp_path / "vecs-in"
+    inp.mkdir()
+
+    def drop(name, ids):
+        spark.createDataFrame(
+            [(i, vec(i)) for i in ids], vec_schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(inp / name))
+
+    drop("b1", range(100, 104))
+    q = streaming_ivf_pipeline(
+        spark,
+        str(inp) + "/*",
+        vec_schema,
+        store,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        k=2,
+        nprobe=2,
+        matches_store=matches_store,
+    )
+    try:
+        q.processAllAvailable()
+        m1 = matches_store.read().collect()
+        assert {r.query_id for r in m1} == {100, 101, 102, 103}
+        # searched BEFORE added: no intra-batch neighbors
+        assert all(r.neighbor_id < 100 for r in m1)
+        assert store.store.read().count() == 24  # 20 seed + 4 added
+
+        # epoch 2's queries search an index that now CONTAINS epoch
+        # 1's vectors (neighbors may span seed and epoch-1 rows)
+        drop("b2", [200, 201])
+        q.processAllAvailable()
+        m2 = [r for r in matches_store.read().collect() if r.query_id in (200, 201)]
+        assert len(m2) == 4  # k=2 per query
+        assert store.store.read().count() == 26
+    finally:
+        q.stop()
+
+    # forced replay of the LAST epoch: wipe the checkpoint's commit so
+    # foreachBatch re-runs it. Index add is idempotent (LWW on vec_id),
+    # search excludes ivf_seq >= its own seq (max_seq), and the keyed
+    # matches upsert collapses — byte-identical state.
+    import os
+    import shutil
+
+    before_rows = sorted(map(tuple, matches_store.read().drop("_bucket").collect()))
+    commits = sorted(
+        c for c in os.listdir(tmp_path / "ckpt" / "commits") if not c.startswith(".")
+    )
+    os.remove(tmp_path / "ckpt" / "commits" / commits[-1])
+    crc = tmp_path / "ckpt" / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():
+        os.remove(crc)
+    q2 = streaming_ivf_pipeline(
+        spark,
+        str(inp) + "/*",
+        vec_schema,
+        store,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        k=2,
+        nprobe=2,
+        matches_store=matches_store,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after_rows = sorted(map(tuple, matches_store.read().drop("_bucket").collect()))
+    assert after_rows == before_rows
+    assert store.store.read().count() == 26  # replayed add did not grow
