@@ -89,6 +89,11 @@ EXTRA = [
     "substring_dedup_clean",
     "quality_classifier_score",
     "substring_dup_incremental",
+    # r8: composed curation pipeline, tombstone-path dedup, manifest-
+    # layout incremental IVF
+    "curation_pipeline_e2e",
+    "dedup_incremental_tombstone",
+    "ann_incremental_ivf_manifest",
 ]
 
 
@@ -341,6 +346,12 @@ ANN_REGIMES = {
 }
 
 
+#: Reference canary for cross-round normalization (the r6 re-measured
+#: box, the same constant README.md's bench-history table uses):
+#: canary_norm_suite = suite x (CANARY_REF_SEC / this run's canary).
+CANARY_REF_SEC = 0.429
+
+
 def build_payloads(
     *,
     sf: float,
@@ -362,6 +373,13 @@ def build_payloads(
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Box-drift-normalized suite total, computed here so the
+        # per-round artifact is directly comparable without arithmetic
+        # (r7 verdict #8).
+        "canary_norm_suite": (
+            round(total * CANARY_REF_SEC / canary_sec, 3) if canary_sec else None
+        ),
+        "canary_ref_sec": CANARY_REF_SEC,
         "cold_total": round(sum(c for c in cold.values() if c is not None), 3),
         "extra_total": round(sum(t for t in extra.values() if t is not None), 3),
         "ann_recall": {

@@ -38,36 +38,31 @@ from . import curation_pipeline  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r7 rotation: after r6, every registered query had a driver-pass row
-# with no latest-row failure, so the prefix = the 13 NEW r7 queries
-# (incremental band-store dedup on BOTH snapshot layouts, exact
-# tokenizer counts, the three domain-curation operators,
-# URL-canonicalization dedup, the multi-probe LSH recall gate, the
-# incremental IVF ANN index, duplicated-substring span extraction +
-# removal + the incremental shingle-store form, the hashed-linear
-# quality classifier — never driver-checked) followed by the same family anchors as r6.
-# Displaced to make room: 13 queries driver-green in r6
-# (dedup_cascade_attrition, gopher_quality_flags, column_profile, crossdoc_shingle_boilerplate, token_count_histogram,
-# approx_distinct_tolerance, cms_heavy_hitters,
-# weighted_sample_stats, length_percentile_band_approx,
-# template_prefix_by_source, chunk_documents,
-# context_truncation_loss, mixture_temperature_weights) — all remain
-# covered by the local replica gate + pytest, directly below the
-# boundary.
+# r8 rotation: prefix = the 3 NEW r8 queries (composed curation
+# pipeline, tombstone-path incremental dedup, manifest-layout
+# incremental IVF — never driver-checked), then the 8 r7 queries whose
+# IMPLEMENTATION changed this round and so need fresh driver rows
+# (per_domain_cap's kept-count semantics fix; the quality-classifier
+# shared-expression refactor; the substring pair's checkpoint swap;
+# the incremental stores' meta-protocol / row-shrink / fingerprint-tag
+# changes), then the same family anchors as r7, then two young-but-
+# unchanged r7 queries to fill the 50. Displaced below the boundary:
+# token_count_exact, domain_extract_counts, domain_blocklist_filter,
+# ann_neardup_recall_multiprobe (driver-green r7, unchanged in r8) —
+# all remain covered by the local replica gate + pytest.
 _PRIORITY = [
-    # New in r7 — never driver-checked
-    "dedup_incremental_batch",
-    "dedup_incremental_batch_manifest",
-    "token_count_exact",
-    "domain_extract_counts",
+    # New in r8 — never driver-checked
+    "curation_pipeline_e2e",
+    "dedup_incremental_tombstone",
+    "ann_incremental_ivf_manifest",
+    # Changed in r8 — need fresh driver rows
     "per_domain_cap",
-    "domain_blocklist_filter",
-    "url_canonical_dedup",
-    "ann_neardup_recall_multiprobe",
-    "ann_incremental_ivf_topk",
+    "quality_classifier_score",
     "substring_dup_spans",
     "substring_dedup_clean",
-    "quality_classifier_score",
+    "dedup_incremental_batch",
+    "dedup_incremental_batch_manifest",
+    "ann_incremental_ivf_topk",
     "substring_dup_incremental",
     # Dedup / similarity core + quality gates
     "dedup_exact",
@@ -115,10 +110,16 @@ _PRIORITY = [
     "snapshot_diff_changes",
     "rollup_directory_sizes",
     "q01_pricing_summary",
+    # Young r7 queries (driver-green r7, unchanged) filling the 50
+    "token_count_exact",
+    "url_canonical_dedup",
     # --- 50-query prefix boundary (driver samples a prefix; everything
-    # above is either new in r7 or anchors a §2 family; everything
-    # below is driver-green from r6 or earlier and stays green under
-    # the local replica gate) ---
+    # above is new in r8, changed in r8, or anchors a §2 family;
+    # everything below is driver-green from an earlier round and stays
+    # green under the local replica gate) ---
+    "domain_extract_counts",
+    "domain_blocklist_filter",
+    "ann_neardup_recall_multiprobe",
     "dedup_cascade_attrition",
     "gopher_quality_flags",
     "column_profile",

@@ -102,6 +102,10 @@ def test_bench_headline_stays_inside_driver_tail_capture():
     parsed = json.loads(line)
     assert parsed["metric"] == "suite_seconds"
     assert parsed["value"] == round(123.456 * len(bench.HEADLINE), 3)
+    # r8: the normalized suite total rides the artifact itself.
+    assert parsed["canary_norm_suite"] == round(
+        parsed["value"] * bench.CANARY_REF_SEC / 0.475, 3
+    )
     for m in parsed["ann_recall"].values():
         assert "regime" in m and "value" in m
     # Detail carries what the headline dropped.

@@ -145,20 +145,18 @@ def test_registry_priority_prefix_covers_llm_layer():
     required = {
         "dedup_exact", "dedup_minhash_lsh", "dedup_connected_components",
         "similarity_lsh_ann_topk",
-        # The prefix holds EVERY never-driver-checked query (r7: the
-        # incremental band-store dedup pair, exact tokenizer, domain
-        # curation, URL dedup, multi-probe recall gate, incremental
-        # IVF ANN, duplicated-substring spans + removal, the hashed
-        # quality classifier) plus one anchor per
-        # core family; multi-round driver-green queries (the 13
-        # r7-displaced entries listed in plans/__init__.py —
-        # dedup_cascade_attrition through
-        # mixture_temperature_weights) rotate below — the driver's
+        # The prefix holds EVERY never-driver-checked query (r8: the
+        # composed curation pipeline, tombstone-path dedup, manifest-
+        # layout incremental IVF) and every query whose IMPLEMENTATION
+        # changed this round, plus one anchor per core family;
+        # multi-round driver-green queries rotate below — the driver's
         # hard signal goes to the least-tested first.
+        "curation_pipeline_e2e", "dedup_incremental_tombstone",
+        "ann_incremental_ivf_manifest",
         "dedup_incremental_batch", "dedup_incremental_batch_manifest",
-        "token_count_exact", "domain_extract_counts", "per_domain_cap",
-        "domain_blocklist_filter", "url_canonical_dedup",
-        "ann_neardup_recall_multiprobe", "ann_incremental_ivf_topk",
+        "token_count_exact", "per_domain_cap",
+        "url_canonical_dedup",
+        "ann_incremental_ivf_topk",
         "substring_dup_spans", "substring_dedup_clean",
         "quality_classifier_score", "substring_dup_incremental",
         "text_quality_stats", "robust_zscore_by_lang",

@@ -135,15 +135,28 @@ def build_session():
     return get_spark(app_name="scale-stress")
 
 
-def amplify(spark, src_dir: str, base: str, k: int) -> str:
+AMPLIFIABLE = ("documents", "events", "orders", "lineitem", "embeddings")
+
+
+def amplify(spark, src_dir: str, base: str, k: int, tables=None) -> str:
     """Materialize an amplified copy of ``src_dir`` at replication
     factor k (documents/events amplified, everything else symlinked).
-    Returns the directory path. Idempotent per (src, k)."""
+    Returns the directory path. Idempotent per (src, k, tables).
+
+    ``tables`` restricts which tables are amplified (default: all of
+    AMPLIFIABLE) — an ``--only`` run at a large k (e.g. the x64
+    extension for the density-bound queries) must not pay a 64x
+    lineitem materialization it never reads. Subset caches carry a
+    subset-suffixed marker so they can never satisfy a full run."""
     import pyspark.sql.functions as F
 
+    tables = set(AMPLIFIABLE if tables is None else tables)
     # Cache key includes the SOURCE dir name — a smoke run at sf0.001
     # must never satisfy a later sf0.1 run's marker check.
-    out = os.path.join(base, f"{os.path.basename(os.path.normpath(src_dir))}-x{k}")
+    suffix = "" if tables == set(AMPLIFIABLE) else "-" + "-".join(sorted(tables))
+    out = os.path.join(
+        base, f"{os.path.basename(os.path.normpath(src_dir))}-x{k}{suffix}"
+    )
     # Marker is versioned by the amplification scheme: bump when the
     # set of amplified tables or the mutation changes, so stale caches
     # regenerate.
@@ -155,10 +168,7 @@ def amplify(spark, src_dir: str, base: str, k: int) -> str:
     for t in ALL_TABLES:
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
-        if (
-            t not in ("documents", "events", "orders", "lineitem", "embeddings")
-            or k == 1
-        ):
+        if t not in tables or k == 1:
             os.symlink(src, dst)
             continue
         df = spark.read.parquet(src)
@@ -301,7 +311,12 @@ def ingest_stress(spark, ns: list[int]) -> dict:
 
 
 def run(
-    sf_dir: str, ks: list[int], out_path: str, ingest_ns: list[int] | None = None
+    sf_dir: str,
+    ks: list[int],
+    out_path: str,
+    ingest_ns: list[int] | None = None,
+    only: list[str] | None = None,
+    merge_into: str | None = None,
 ) -> int:
     import math
 
@@ -310,11 +325,17 @@ def run(
     spark = build_session()
     base = "/tmp/scale_stress"
     os.makedirs(base, exist_ok=True)
-    dirs = {k: amplify(spark, sf_dir, base, k) for k in ks}
+    stressed = (
+        {n: STRESSED[n] for n in only} if only else dict(STRESSED)
+    )
+    needed = None
+    if only:
+        needed = {p for spec in stressed.values() for p in spec.split("+")}
+    dirs = {k: amplify(spark, sf_dir, base, k, tables=needed) for k in ks}
 
     results: dict[str, dict] = {}
     flagged: list[str] = []
-    for name, table in STRESSED.items():
+    for name, table in stressed.items():
         timings: dict[str, float] = {}
         rows: dict[str, int] = {}
         for k in ks:
@@ -362,19 +383,36 @@ def run(
     if ingest and ingest["superlinear"]:
         flagged.append("ingest_pipeline")
 
-    artifact = {
-        "sf_dir": sf_dir,
-        "ks": ks,
-        "superlinear_alpha": SUPERLINEAR_ALPHA,
-        "results": results,
-        "ingest": ingest,
-        "flagged": flagged,
-        # Always recorded (not only when the variance-straddled flag
-        # trips): the diagnosis belongs next to the number.
-        "notes": DENSITY_BOUND_NOTES,
-    }
+    if merge_into:
+        # Extend an existing artifact in place: replace the re-run
+        # entries (now carrying the longer ks column), recompute the
+        # flagged list over the union, and record which entries run
+        # the extended range.
+        with open(merge_into) as f:
+            artifact = json.load(f)
+        artifact["results"].update(results)
+        artifact["flagged"] = sorted(
+            n for n, e in artifact["results"].items() if e["superlinear"]
+        ) + (["ingest_pipeline"] if (artifact.get("ingest") or {}).get("superlinear") else [])
+        ext = artifact.setdefault("ks_extended", {})
+        for n in results:
+            ext[n] = ks
+        out_path = merge_into
+    else:
+        artifact = {
+            "sf_dir": sf_dir,
+            "ks": ks,
+            "superlinear_alpha": SUPERLINEAR_ALPHA,
+            "results": results,
+            "ingest": ingest,
+            "flagged": flagged,
+            # Always recorded (not only when the variance-straddled flag
+            # trips): the diagnosis belongs next to the number.
+            "notes": DENSITY_BOUND_NOTES,
+        }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
+    flagged = artifact["flagged"]
     print(f"\nwrote {out_path}; {len(flagged)} flagged: {flagged or 'none'}")
     spark.stop()
     return 1 if flagged else 0
@@ -390,6 +428,25 @@ if __name__ == "__main__":
         default="12500,50000,200000",
         help="comma-separated tree sizes for the ingest weak-scaling pass; '' skips",
     )
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated stressed-query names to re-run (subset mode)",
+    )
+    ap.add_argument(
+        "--merge-into",
+        default="",
+        help="existing artifact to update in place with this run's entries",
+    )
     a = ap.parse_args()
     ns = [int(x) for x in a.ingest_ns.split(",") if x]
-    sys.exit(run(a.sf_dir, [int(x) for x in a.ks.split(",")], a.out, ns))
+    sys.exit(
+        run(
+            a.sf_dir,
+            [int(x) for x in a.ks.split(",")],
+            a.out,
+            ns,
+            only=[x for x in a.only.split(",") if x] or None,
+            merge_into=a.merge_into or None,
+        )
+    )
