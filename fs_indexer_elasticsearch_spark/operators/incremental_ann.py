@@ -228,11 +228,16 @@ class IvfIndexStore:
         new embedding as a normal batch.
 
         ``mode="eager"`` is O(index) (anti-join overwrite), mirroring
-        ``MinHashBandStore.remove_docs``. ``mode="tombstone"`` is
-        O(removal): the ids land in a bucket-pruned removal log and
-        :meth:`search` filters against it; fold the log in with
-        :meth:`compact_tombstones`. Returns the new version (of the
-        index store for eager, of the tombstone log for tombstone)."""
+        ``MinHashBandStore.remove_docs``, and is the mode the
+        remove-then-add MUTATION flow requires. ``mode="tombstone"``
+        is the pure-DELETION path, O(removal): the ids land in a
+        bucket-pruned removal log and :meth:`search` filters against
+        it — which means a tombstoned id RE-ADDED later stays hidden
+        until :meth:`compact_tombstones` (or an explicit
+        ``tombstones.unmark``) runs; the filter is by id, not by seq,
+        because the log's and the index's sequence domains are
+        unrelated. Returns the new version (of the index store for
+        eager, of the tombstone log for tombstone)."""
         if mode == "tombstone":
             return self.tombstones.add(vec_ids)
         return remove_by_column(

@@ -221,12 +221,16 @@ class MinHashBandStore:
         the store is bucketed by band hash, so finding them requires a
         full (broadcast-anti-join) pass and an overwrite commit. That
         is the documented cost of bucketing for O(delta) LOOKUP on an
-        append-mostly corpus (``mode="eager"``). ``mode="tombstone"``
-        is the amortized form: O(removal) per call — ids land in a
-        bucket-pruned removal log that match_and_merge filters against;
-        :meth:`compact_tombstones` folds the log in with ONE O(index)
-        pass for any number of batches. Returns the new store version
-        (of the index for eager, of the log for tombstone)."""
+        append-mostly corpus (``mode="eager"`` — the mode the
+        remove-then-merge MUTATION flow requires). ``mode="tombstone"``
+        is the amortized pure-DELETION form: O(removal) per call — ids
+        land in a bucket-pruned removal log that match_and_merge
+        filters against (by id, not seq: a tombstoned doc RE-MERGED
+        later stays hidden until :meth:`compact_tombstones` or an
+        explicit ``tombstones.unmark``); compaction folds the log in
+        with ONE O(index) pass for any number of batches. Returns the
+        new store version (of the index for eager, of the log for
+        tombstone)."""
         if mode == "tombstone":
             return self.tombstones.add(doc_ids)
         return remove_by_column(

@@ -200,9 +200,13 @@ class ShingleSpanStore:
         remove, then merge the new text as a normal batch.
 
         ``mode="eager"`` is O(index) for the same bucketing reason as
-        ``MinHashBandStore.remove_docs``; ``mode="tombstone"`` is the
-        amortized O(removal) log (see store_common.TombstoneStore).
-        Returns the new version (index for eager, log for tombstone)."""
+        ``MinHashBandStore.remove_docs`` and is what the
+        remove-then-merge MUTATION flow requires; ``mode="tombstone"``
+        is the amortized O(removal) pure-DELETION log (a tombstoned
+        doc re-merged later stays hidden until compaction or an
+        explicit ``tombstones.unmark`` — see
+        store_common.TombstoneStore). Returns the new version (index
+        for eager, log for tombstone)."""
         if mode == "tombstone":
             return self.tombstones.add(doc_ids)
         return remove_by_column(

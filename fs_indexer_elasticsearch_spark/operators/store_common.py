@@ -136,6 +136,24 @@ class TombstoneStore:
             return None
         return cur.select(self.id_col)
 
+    def unmark(self, ids: DataFrame) -> int | None:
+        """Delete the given ids from the log — the RESURRECTION path
+        for a doc re-ingested after a tombstone removal. Bucket-pruned
+        (the log is keyed AND bucketed on the id, so the deletion
+        routes to exactly the ids' buckets): O(ids), like add().
+
+        Deliberately explicit, never called from the stores' add/merge
+        paths: auto-unmarking on re-add would break replay purity — a
+        crash-replayed epoch re-adding a batch would resurrect ids
+        tombstoned AFTER that epoch's original run. The caller owns
+        the ordering knowledge; the operator does not guess. Returns
+        the new log version, or None when the log is empty."""
+        cur = self.store.current_version()
+        if cur is None:
+            return None
+        empty = self.store.read().drop("_bucket").limit(0)
+        return self.store.merge(empty, removed=ids)
+
     def apply(self, df: DataFrame, col: str) -> DataFrame:
         """``df`` minus rows whose ``col`` is tombstoned. No forced
         broadcast: between compactions the log is delta-sized and AQE

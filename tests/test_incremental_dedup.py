@@ -231,3 +231,45 @@ def test_tombstone_removal_filters_then_compacts(spark, tmp_path):
         batch, "doc_id", "text", batch_seq=1, merge=False
     ).collect()
     assert sorted(map(tuple, got2)) == sorted(map(tuple, got))
+
+
+def test_tombstone_readd_stays_hidden_until_unmark(spark, tmp_path):
+    """The tombstone log is a pure-deletion path: a doc RE-MERGED
+    after a tombstone removal stays hidden (the filter is by id — the
+    log's and the index's seq domains are unrelated), until the caller
+    explicitly unmarks or compacts. unmark() is bucket-pruned and
+    restores visibility."""
+    from fs_indexer_elasticsearch_spark.operators.incremental_dedup import (
+        MinHashBandStore,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, "different words entirely here now")],
+        "doc_id long, text string",
+    )
+    store = MinHashBandStore(spark, str(tmp_path / "bs"), num_buckets=16)
+    store.seed(corpus, "doc_id", "text")
+    rm = spark.createDataFrame([(1,)], "doc_id long")
+    store.remove_docs(rm, mode="tombstone")
+
+    # re-merge doc 1's text under its own id at a later seq: still hidden
+    store.match_and_merge(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"),
+        "doc_id",
+        "text",
+        batch_seq=1,
+    ).collect()
+    probe = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    got = store.match_and_merge(
+        probe, "doc_id", "text", batch_seq=2, merge=False
+    ).collect()
+    assert all(r.corpus_id != 1 for r in got)
+
+    store.tombstones.unmark(rm)
+    t = store.tombstones.ids()
+    assert t is None or t.isEmpty()
+    got2 = store.match_and_merge(
+        probe, "doc_id", "text", batch_seq=2, merge=False
+    ).collect()
+    assert {r.corpus_id for r in got2} == {1}
