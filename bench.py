@@ -92,6 +92,7 @@ EXTRA = [
     # r8: composed curation pipeline, tombstone-path dedup, manifest-
     # layout incremental IVF
     "curation_pipeline_e2e",
+    "incremental_curation_cycle",
     "dedup_incremental_tombstone",
     "ann_incremental_ivf_manifest",
 ]

@@ -209,6 +209,39 @@ class IvfIndexStore:
             )
         return v
 
+    def retrain(
+        self,
+        corpus: DataFrame,
+        id_col: str,
+        vec_col: str,
+        *,
+        k: int = 16,
+        iterations: int = 2,
+    ) -> int:
+        """The periodic centroid-refresh pass of the IVF maintenance
+        model (module docstring: train once, add forever, retrain on
+        distribution shift): fit k-means over the given corpus
+        (operators/clustering.kmeans_fit — deterministic smallest-id
+        seeding, stable-rounded means) and re-seed the index with the
+        new centroid set in ONE atomic commit. O(corpus), run rarely;
+        between retrains adds stay O(delta) under the fixed-centroid
+        contract. Returns the new store version."""
+        from .clustering import kmeans_fit
+
+        cents = kmeans_fit(
+            corpus, id_col=id_col, vec_col=vec_col, k=k, iterations=iterations
+        )
+        cdf = (
+            self.spark.createDataFrame(
+                [(int(cid), vec) for cid, vec in cents],
+                "vec_id bigint, emb array<double>",
+            )
+            # seed() normalizes centroid columns by the CALLER's names.
+            .withColumnRenamed("vec_id", id_col)
+            .withColumnRenamed("emb", vec_col)
+        )
+        return self.seed(corpus, cdf, id_col, vec_col)
+
     def add(self, batch: DataFrame, id_col: str, vec_col: str, *, seq: int) -> int:
         """O(delta) index maintenance: assign the batch against the
         FIXED centroids and bucket-pruned-merge it in (the centroid

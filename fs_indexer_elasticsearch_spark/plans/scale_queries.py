@@ -365,6 +365,151 @@ def _incremental_batch_matches(
     return matches
 
 
+def _incremental_curation_oracle() -> str:
+    """From-scratch recompute of the nightly O(delta) curation cycle:
+    the planted delta (ids >= 1e12 — exact re-crawls + truncated
+    variants of the base corpus) is quality-gated, then every quality
+    survivor with a banded-MinHash match (est_jaccard >= 0.5) against
+    the BASE corpus is dropped. Reuses the dedup_minhash_lsh oracle's
+    exact SQL fragments plus the shared QUALITY_SCORE_SQL, so the
+    composed recompute is definitionally the same chain the engine
+    runs."""
+    from ..functions.text import MINHASH_P
+    from .llm_pipeline5 import QUALITY_SCORE_SQL
+    from .llm_queries import _CORPUS_SQL, _MINHASH_SIG_ITEMS, _SHINGLES_SQL
+
+    return (
+        _CORPUS_SQL
+        + _SHINGLES_SQL
+        + f"""
+    , hbase AS (
+        SELECT sid,
+               list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % {MINHASH_P}) AS hb
+        FROM sh
+    ),
+    sig AS (
+        SELECT sid, [{_MINHASH_SIG_ITEMS}] AS sg
+        FROM hbase
+    ),
+    quality AS (
+        SELECT doc_id, len(toks) AS n_tokens, {QUALITY_SCORE_SQL} AS score
+        FROM (SELECT doc_id, tk AS toks FROM toks
+              WHERE doc_id >= 1000000000000 AND len(tk) > 0)
+    ),
+    qkeep AS (SELECT * FROM quality WHERE score >= 0.5),"""
+        + """
+    bands AS (
+        SELECT sid, b, md5(array_to_string(sg[(4*b+1):(4*b+4)], '|')) AS h
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT q.sid AS batch_id, c.sid AS corpus_id
+        FROM bands q JOIN bands c ON q.b = c.b AND q.h = c.h
+        WHERE q.sid IN (SELECT doc_id FROM qkeep)
+          AND c.sid < 1000000000000
+    ),
+    matched AS (
+        SELECT DISTINCT batch_id FROM (
+            SELECT batch_id,
+                   round(len(list_filter(range(1, 17), i -> x.sg[i] = y.sg[i]))::DOUBLE
+                         / 16 + 1e-7, 3) AS est_jaccard
+            FROM cand
+            JOIN sig x ON x.sid = cand.batch_id
+            JOIN sig y ON y.sid = cand.corpus_id
+        ) WHERE est_jaccard >= 0.5
+    ),
+    kept AS (
+        SELECT * FROM qkeep WHERE doc_id NOT IN (SELECT batch_id FROM matched)
+    )
+    SELECT
+        CAST((SELECT count(*) FROM corpus
+              WHERE doc_id >= 1000000000000) AS BIGINT) AS n_batch,
+        CAST((SELECT count(*) FROM qkeep) AS BIGINT) AS n_quality,
+        CAST((SELECT count(*) FROM matched) AS BIGINT) AS n_dropped_neardup,
+        CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_kept,
+        CAST(coalesce((SELECT sum(n_tokens) FROM kept), 0) AS BIGINT)
+            AS kept_tokens,
+        CAST(coalesce((SELECT sum(doc_id) FROM kept), 0) AS BIGINT)
+            AS sum_kept_ids
+    """
+    )
+
+
+@query("incremental_curation_cycle", oracle=_incremental_curation_oracle())
+def incremental_curation_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY O(delta) curation cycle, composed: a delta batch
+    (the planted re-crawls + truncations, ids >= 1e12) runs quality
+    gate -> near-dup-vs-corpus probe against the PERSISTED MinHash
+    band index -> survivor rollup, and the whole composition sits
+    under one from-scratch oracle. This is the incremental twin of
+    ``curation_pipeline_e2e``: that query proves the composed
+    FULL-CORPUS chain; this one proves the composed chain a 100 TB
+    deployment actually runs every night, where the corpus side is
+    TOUCHED ONLY THROUGH THE INDEX (bucket-pruned probe, O(delta)) —
+    never rescanned, never reshingled.
+
+    The probe uses ``merge=False``: the cycle's sink decision (merge
+    survivors, merge everything, or quarantine) belongs to the caller;
+    a pure probe also makes repeated gate/bench invocations trivially
+    idempotent. Quality runs FIRST so the band probe only pays for
+    quality survivors — filters before joins, the usual order."""
+    import hashlib
+    import os
+
+    from ..functions.text import tokens
+    from ..operators.incremental_dedup import MinHashBandStore
+    from .llm_pipeline5 import quality_score_expr
+    from .llm_queries import _aug_corpus
+
+    aug = _aug_corpus(spark, sf_dir)
+    corpus = aug.filter(F.col("doc_id") < 1_000_000_000_000)
+    batch = aug.filter(F.col("doc_id") >= 1_000_000_000_000)
+    fp = _dataset_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|nh16|b4|sh3|nb32|cur|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-bandstore-{tag}"
+
+    bt = batch.select(
+        "doc_id", "text", tokens("text").alias("toks")
+    ).filter(F.size("toks") > 0)
+    qkeep = (
+        bt.withColumn("score", quality_score_expr())
+        .filter(F.col("score") >= 0.5)
+        .select("doc_id", "text", F.size("toks").alias("n_tokens"))
+        # Three consumers (probe input, anti-join, rollup) share one
+        # computation of the tokenize+score chain.
+        .localCheckpoint(eager=False)
+    )
+    with _store_lock(path):
+        store = MinHashBandStore(spark, path, num_buckets=32)
+        if store.store.current_version() is None:
+            store.seed(corpus, "doc_id", "text")
+        matches = store.match_and_merge(
+            qkeep.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            batch_seq=1,
+            threshold=0.5,
+            merge=False,
+        )
+    matched = matches.select(F.col("batch_id").alias("doc_id")).distinct()
+    kept = qkeep.join(matched, "doc_id", "left_anti")
+
+    n_batch = batch.agg(F.count(F.lit(1)).cast("long").alias("n_batch"))
+    n_quality = qkeep.agg(F.count(F.lit(1)).cast("long").alias("n_quality"))
+    n_matched = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped_neardup")
+    )
+    kept_agg = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("sum_kept_ids"),
+    )
+    return n_batch.join(n_quality).join(n_matched).join(kept_agg)
+
+
 def _incremental_tombstone_oracle() -> str:
     """The incremental-dedup recompute with the tombstoned corpus slice
     (sid % 7 == 0) excluded from the candidate side — what the band

@@ -214,6 +214,93 @@ def streaming_substring_pipeline(
     )
 
 
+def streaming_curation_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    band_store,
+    matches_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_threshold: float = 0.5,
+    neardup_threshold: float = 0.5,
+    max_files_per_trigger: int = 10,
+    matches_store=None,
+) -> StreamingQuery:
+    """The COMPOSED curation cycle at streaming cadence — the
+    foreachBatch twin of plans/scale_queries.incremental_curation_cycle:
+    per micro-batch, documents are quality-gated (the shared
+    hashed-linear score, llm_pipeline5.quality_score_expr), quality
+    survivors are probed against the persisted MinHash band index, and
+    the emitted rows carry each survivor's kept/dropped verdict.
+    Quality runs FIRST so the probe pays only for survivors; only
+    survivors MERGE into the index (rejected docs never become corpus
+    — the standard curation invariant that garbage must not poison the
+    dedup index).
+
+    Emitted rows: (batch_id, n_tokens, score, kept) — kept=false means
+    a near-dup of the corpus-so-far at ``neardup_threshold``. Replay
+    purity and sink semantics follow :func:`streaming_neardup_pipeline`
+    (the probe matches strictly-earlier batch_seq only; the merge is
+    an idempotent LWW upsert; a keyed ``matches_store`` gives
+    effectively-once)."""
+    import pyspark.sql.functions as F2
+
+    from ..functions.text import tokens
+    from ..plans.llm_pipeline5 import quality_score_expr
+
+    def match_fn(batch: DataFrame, epoch_id: int) -> DataFrame:
+        scored = (
+            batch.select(
+                F2.col(id_col).alias("batch_id"),
+                F2.col(text_col).alias("_text"),
+                tokens(text_col).alias("toks"),
+            )
+            .filter(F2.size("toks") > 0)
+            .withColumn("score", quality_score_expr())
+            .filter(F2.col("score") >= quality_threshold)
+            .select(
+                "batch_id", "_text", F2.size("toks").alias("n_tokens"), "score"
+            )
+            # Three consumers (probe, verdict join, merge) share one
+            # computation of the tokenize+score chain.
+            .localCheckpoint(eager=False)
+        )
+        matches = band_store.match_and_merge(
+            scored.select(F2.col("batch_id").alias(id_col), F2.col("_text").alias(text_col)),
+            id_col,
+            text_col,
+            batch_seq=epoch_id + 1,  # seed() owns batch_seq 0
+            threshold=neardup_threshold,
+        )
+        matched = matches.select("batch_id").distinct().withColumn(
+            "_dup", F2.lit(True)
+        )
+        return (
+            scored.join(matched, "batch_id", "left")
+            .select(
+                "batch_id",
+                "n_tokens",
+                "score",
+                F2.coalesce(~F2.col("_dup"), F2.lit(True)).alias("kept"),
+            )
+        )
+
+    return _streaming_match_pipeline(
+        spark,
+        input_dir,
+        schema,
+        matches_dir,
+        checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        match_fn=match_fn,
+        key_cols=("batch_id",),
+        matches_store=matches_store,
+    )
+
+
 def streaming_ivf_pipeline(
     spark: SparkSession,
     input_dir: str,

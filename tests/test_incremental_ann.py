@@ -273,3 +273,25 @@ def test_string_vector_ids_supported(spark, tmp_path):
     assert len(got) == 4 and all(
         r.neighbor_id.startswith("doc-") and r.cos_sim is not None for r in got
     )
+
+
+def test_retrain_refreshes_centroids_and_search_works(spark, tmp_path):
+    """retrain(): k-means centroids (deterministic seeding) re-seed the
+    index atomically; the new centroid set replaces the old in the
+    version meta, adds keep working against it."""
+    full = _vecs(spark, range(40))
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(full, full.filter(F.col("vec_id") < 4), "vec_id", "emb")
+    meta_before = store.store.read_meta()
+
+    store.retrain(full, "vec_id", "emb", k=6, iterations=2)
+    meta_after = store.store.read_meta()
+    assert meta_after != meta_before
+    assert len(meta_after["centroids"]) <= 6
+    assert store.store.read().count() == 40  # corpus re-assigned, not lost
+
+    store.add(_vecs(spark, range(40, 45)), "vec_id", "emb", seq=1)
+    got = store.search(
+        full.filter(F.col("vec_id") == 1), "vec_id", "emb", k=3, nprobe=2
+    ).collect()
+    assert len(got) == 3 and all(r.cos_sim is not None for r in got)

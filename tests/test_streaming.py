@@ -516,3 +516,75 @@ def test_streaming_ivf_search_then_add(spark, tmp_path):
     after_rows = sorted(map(tuple, matches_store.read().drop("_bucket").collect()))
     assert after_rows == before_rows
     assert store.store.read().count() == 26  # replayed add did not grow
+
+
+def test_streaming_curation_quality_gate_then_probe(spark, tmp_path):
+    """Composed curation at streaming cadence: per micro-batch, the
+    quality gate runs first, only survivors probe AND merge into the
+    band index, and each survivor carries a kept/near-dup verdict."""
+    from fs_indexer_elasticsearch_spark.operators.incremental_dedup import (
+        MinHashBandStore,
+    )
+    from fs_indexer_elasticsearch_spark.plans.llm_pipeline5 import (
+        quality_score_expr,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_curation_pipeline,
+    )
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    store = MinHashBandStore(spark, str(tmp_path / "bands"), num_buckets=8)
+    store.seed(
+        spark.createDataFrame([(1, corpus_text)], doc_schema), "doc_id", "text"
+    )
+    n0 = store.store.read().count()
+
+    # Split candidate words into quality-pass / quality-fail under the
+    # deterministic score so the test doesn't depend on magic strings.
+    from fs_indexer_elasticsearch_spark.functions.text import tokens
+
+    words = [f"w{i}a b{i}c d{i}e f{i}g" for i in range(40)]
+    cand = spark.createDataFrame(
+        [(100 + i, w) for i, w in enumerate(words)], doc_schema
+    ).select(
+        "doc_id", "text", tokens("text").alias("toks")
+    ).withColumn("score", quality_score_expr())
+    passing = [(r.doc_id, r.text) for r in cand.filter("score >= 0.5").collect()]
+    failing = [(r.doc_id, r.text) for r in cand.filter("score < 0.5").collect()]
+    assert passing and failing  # both classes must exist for the test
+
+    inp = tmp_path / "docs-in"
+    inp.mkdir()
+    rows = [(900, corpus_text)] + passing[:3] + failing[:3]
+    spark.createDataFrame(rows, doc_schema).coalesce(1).write.parquet(
+        str(inp / "b1")
+    )
+    q = streaming_curation_pipeline(
+        spark,
+        str(inp) + "/*",
+        doc_schema,
+        store,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r.batch_id: r for r in spark.read.parquet(str(tmp_path / "matches")).collect()}
+    # doc 900 repeats the corpus text: quality-pass (same as corpus
+    # doc), probed, flagged as near-dup.
+    assert 900 in out and out[900].kept is False
+    for did, _ in passing[:3]:
+        assert did in out and out[did].kept is True
+    for did, _ in failing[:3]:
+        assert did not in out  # rejected before the probe
+    # Only quality survivors merged: 900 + the passing subset.
+    grew = store.store.read().count() - n0
+    assert grew == (1 + len(passing[:3])) * store.bands

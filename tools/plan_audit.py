@@ -68,6 +68,11 @@ ALLOW_NLJ = {
     # similarity_bruteforce_topk — the broadcast side is the tiny
     # query-vector set (O(n·|Q|)), not a data relation.
     "quantized_ann_int8_topk",
+    # Nightly incremental curation rollup: keyless joins of four
+    # 1-row stage-count aggregates (n_batch/n_quality/n_matched/kept)
+    # — O(1), same shape as the cascade summary below; the probe
+    # itself is the band store's equi-join.
+    "incremental_curation_cycle",
     # Cascade summary: keyless joins of three 1-row stage-count
     # aggregates (n_raw × n_after_exact × n_drops) — O(1).
     "dedup_cascade_attrition",
