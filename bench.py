@@ -94,6 +94,7 @@ EXTRA = [
     "curation_pipeline_e2e",
     "incremental_curation_cycle",
     "dedup_incremental_tombstone",
+    "substring_incremental_tombstone",
     "ann_incremental_ivf_manifest",
 ]
 

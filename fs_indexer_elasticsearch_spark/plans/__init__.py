@@ -38,24 +38,26 @@ from . import curation_pipeline  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r8 rotation: prefix = the 4 NEW r8 queries (composed curation
+# r8 rotation: prefix = the 5 NEW r8 queries (composed curation
 # pipeline at both cadences — full-corpus and O(delta) nightly —
-# tombstone-path incremental dedup, manifest-layout incremental IVF;
-# never driver-checked), then the 8 r7 queries whose
+# tombstone-path incremental dedup on BOTH the band and shingle
+# stores, manifest-layout incremental IVF; never driver-checked), then the 8 r7 queries whose
 # IMPLEMENTATION changed this round and so need fresh driver rows
 # (per_domain_cap's kept-count semantics fix; the quality-classifier
 # shared-expression refactor; the substring pair's checkpoint swap;
 # the incremental stores' meta-protocol / row-shrink / fingerprint-tag
-# changes), then the same family anchors as r7, then a young-but-
-# unchanged r7 query to fill the 50. Displaced below the boundary:
-# url_canonical_dedup, domain_extract_counts, domain_blocklist_filter,
-# ann_neardup_recall_multiprobe (driver-green r7, unchanged in r8) —
+# changes), then the same family anchors as r7, with the family
+# anchors filling the 50. Displaced below the boundary:
+# token_count_exact, url_canonical_dedup, domain_extract_counts,
+# domain_blocklist_filter, ann_neardup_recall_multiprobe
+# (driver-green r7, unchanged in r8) —
 # all remain covered by the local replica gate + pytest.
 _PRIORITY = [
     # New in r8 — never driver-checked
     "curation_pipeline_e2e",
     "incremental_curation_cycle",
     "dedup_incremental_tombstone",
+    "substring_incremental_tombstone",
     "ann_incremental_ivf_manifest",
     # Changed in r8 — need fresh driver rows
     "per_domain_cap",
@@ -112,12 +114,11 @@ _PRIORITY = [
     "snapshot_diff_changes",
     "rollup_directory_sizes",
     "q01_pricing_summary",
-    # Young r7 query (driver-green r7, unchanged) filling the 50
-    "token_count_exact",
     # --- 50-query prefix boundary (driver samples a prefix; everything
     # above is new in r8, changed in r8, or anchors a §2 family;
     # everything below is driver-green from an earlier round and stays
     # green under the local replica gate) ---
+    "token_count_exact",
     "url_canonical_dedup",
     "domain_extract_counts",
     "domain_blocklist_filter",

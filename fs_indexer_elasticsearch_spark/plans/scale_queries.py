@@ -633,6 +633,84 @@ def _incremental_ivf_matches(
 
 
 @query(
+    "substring_incremental_tombstone",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    corpus AS (
+        SELECT * FROM d WHERE doc_id % 10 != 0 AND doc_id % 6 != 3
+    ),
+    batch  AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+    csh AS (
+        SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM corpus, unnest(range(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 5
+    ),
+    bsh AS (
+        SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM batch, unnest(range(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 5
+    ),
+    dup AS (
+        SELECT b.doc_id, b.pos,
+               b.pos - row_number() OVER (
+                   PARTITION BY b.doc_id ORDER BY b.pos) AS grp
+        FROM bsh b JOIN csh c USING (shingle)
+    ),
+    spans AS (
+        SELECT doc_id, count(*) AS n_pos, min(pos) AS p0, max(pos) AS p1
+        FROM dup GROUP BY doc_id, grp
+    )
+    SELECT doc_id AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(p1 - p0 + 5) AS BIGINT) AS max_span_words,
+           CAST(sum(n_pos) AS BIGINT) AS dup_shingles
+    FROM spans GROUP BY doc_id
+    """,
+)
+def substring_incremental_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup with TOMBSTONED corpus removals —
+    the shingle-store twin of ``dedup_incremental_tombstone``: corpus
+    docs with doc_id % 6 == 3 are removed via the O(removal) tombstone
+    log (the shingle index itself is NOT rewritten), then the delta
+    batch's spans are extracted against corpus-minus-removed. The
+    oracle recomputes from scratch with the removed slice excluded,
+    proving the log's filter is exact at the position-row level (a
+    doc's EVERY shingle row must vanish, or a span would survive
+    partially)."""
+    import hashlib
+    import os
+
+    from ..operators.incremental_substring import ShingleSpanStore
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    fp = _dataset_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|shingle|k5|nb32|tomb|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-shinglestore-{tag}"
+    with _store_lock(path):
+        store = ShingleSpanStore(spark, path, k=5, num_buckets=32)
+        if store.store.current_version() is None:
+            store.seed(corpus, "doc_id", "text")
+        store.remove_docs(
+            corpus.filter(F.col("doc_id") % 6 == 3).select("doc_id"),
+            mode="tombstone",
+        )
+        out = store.match_and_merge(
+            batch, "doc_id", "text", batch_seq=1, merge=False
+        )
+        store.tombstones.store.vacuum(keep=2)
+    return out
+
+
+@query(
     "substring_dup_incremental",
     oracle="""
     WITH d AS (

@@ -152,9 +152,10 @@ def test_registry_priority_prefix_covers_llm_layer():
         # multi-round driver-green queries rotate below — the driver's
         # hard signal goes to the least-tested first.
         "curation_pipeline_e2e", "incremental_curation_cycle",
-        "dedup_incremental_tombstone", "ann_incremental_ivf_manifest",
+        "dedup_incremental_tombstone", "substring_incremental_tombstone",
+        "ann_incremental_ivf_manifest",
         "dedup_incremental_batch", "dedup_incremental_batch_manifest",
-        "token_count_exact", "per_domain_cap",
+        "per_domain_cap",
         "ann_incremental_ivf_topk",
         "substring_dup_spans", "substring_dedup_clean",
         "quality_classifier_score", "substring_dup_incremental",
