@@ -125,10 +125,11 @@ class SnapshotStore:
     def _meta_path(self, version: int) -> str:
         return os.path.join(self.path, f"{_META_PREFIX}{version}.json")
 
-    def read_meta(self) -> dict | None:
-        """Meta payload of the CURRENT version (None when the store is
-        empty or the version carries no meta)."""
-        v = self.current_version()
+    def read_meta(self, version: int | None = None) -> dict | None:
+        """Meta payload of the CURRENT version (or, time-travel, of an
+        explicit retained ``version``); None when the store is empty or
+        the version carries no meta."""
+        v = self.current_version() if version is None else version
         if v is None:
             return None
         try:
@@ -344,10 +345,34 @@ class SnapshotStore:
         return self.spark.createDataFrame([], ddl)
 
     # -- read / write -------------------------------------------------------
-    def read(self) -> DataFrame | None:
-        v = self.current_version()
+    def versions(self) -> list[int]:
+        """All RETAINED versions (ascending) — what read(version=...)
+        can still time-travel to; vacuum shrinks this list."""
+        if self.layout == "manifest":
+            return sorted(
+                int(name[len("_MANIFEST_v") : -len(".json")])
+                for name in os.listdir(self.path)
+                if name.startswith("_MANIFEST_v") and name.endswith(".json")
+            )
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(self.path)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """The current snapshot — or, time-travel, an explicit retained
+        ``version`` (versions are immutable; ``versions()`` lists what
+        vacuum has kept). Raises ValueError for a version vacuum has
+        already dropped, instead of a deep-plan file-not-found."""
+        v = self.current_version() if version is None else version
         if v is None:
             return None
+        if version is not None and version not in self.versions():
+            raise ValueError(
+                f"version {version} is not retained (have {self.versions()}); "
+                "vacuum(keep=...) controls time-travel depth"
+            )
         if self.layout == "manifest":
             files = self._read_manifest(v)
             paths = [
@@ -584,11 +609,7 @@ class SnapshotStore:
         no surviving manifest references."""
         cur = self.current_version()
         if self.layout == "manifest":
-            versions = sorted(
-                int(name[len("_MANIFEST_v") : -len(".json")])
-                for name in os.listdir(self.path)
-                if name.startswith("_MANIFEST_v") and name.endswith(".json")
-            )
+            versions = self.versions()
             victims = [
                 v
                 for v in (versions[:-keep] if keep > 0 else versions)
@@ -622,11 +643,7 @@ class SnapshotStore:
                         pass
             self._vacuum_meta(victims)
             return victims
-        versions = sorted(
-            int(d[1:])
-            for d in os.listdir(self.path)
-            if d.startswith("v") and d[1:].isdigit()
-        )
+        versions = self.versions()
         victims = [
             v for v in (versions[:-keep] if keep > 0 else versions) if v != cur
         ]

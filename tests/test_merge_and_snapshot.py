@@ -428,3 +428,47 @@ def test_merge_removed_requires_matching_bucket_key(spark, tmp_path):
         store.merge(batch, removed=removed)
     store.merge(batch)  # without removals the index merge works
     assert store.read().count() == 2
+
+
+def test_time_travel_read_and_retention(spark, tmp_path):
+    """read(version=) time-travels to any RETAINED version (immutable
+    snapshots make this free); vacuum shrinks versions() and a dropped
+    version raises a clear ValueError instead of a deep-plan file
+    error. Works on both layouts; meta payloads travel too."""
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    import pytest
+
+    for layout in ("hardlink", "manifest"):
+        store = SnapshotStore(
+            spark,
+            str(tmp_path / f"tt-{layout}"),
+            key="k",
+            version_col="seq",
+            num_buckets=4,
+            layout=layout,
+        )
+        store.overwrite(
+            spark.createDataFrame([("a", 1, "v1")], "k string, seq long, p string"),
+            meta={"gen": 1},
+        )
+        store.merge(
+            spark.createDataFrame([("a", 2, "v2")], "k string, seq long, p string")
+        )
+        store.merge(
+            spark.createDataFrame([("b", 3, "v3")], "k string, seq long, p string")
+        )
+        assert store.versions() == [1, 2, 3]
+        # current: a@2, b@3; version 1: a@1 only
+        assert {(r.k, r.p) for r in store.read().collect()} == {
+            ("a", "v2"),
+            ("b", "v3"),
+        }
+        assert {(r.k, r.p) for r in store.read(version=1).collect()} == {
+            ("a", "v1")
+        }
+        assert store.read_meta(version=1) == {"gen": 1}
+        store.vacuum(keep=1)
+        assert store.versions() == [3]
+        with pytest.raises(ValueError, match="not retained"):
+            store.read(version=1)
