@@ -584,6 +584,65 @@ class SnapshotStore:
         self._swap_pointer(v)
         return v
 
+    def rollback(self, version: int) -> int:
+        """Point the store back at a retained ``version`` and drop the
+        newer versions — the bad-ingest-night recovery: one pointer
+        swap, no data movement (versions are immutable), and the dead
+        branch above the rollback point is garbage-collected so a
+        subsequent commit reuses its numbers cleanly.
+
+        The pointer swap IS the rollback (atomic, crash-safe); the
+        branch cleanup after it is idempotent housekeeping — a crash
+        mid-cleanup leaves stale higher versions that the next
+        rollback/vacuum removes, while readers already see the rolled
+        -back state."""
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} is not retained (have {self.versions()})"
+            )
+        self._swap_pointer(version)
+        for v in self.versions():
+            if v <= version:
+                continue
+            if self.layout == "manifest":
+                try:
+                    os.remove(self._manifest_path(v))
+                except OSError:
+                    pass
+            else:
+                shutil.rmtree(self._version_dir(v), ignore_errors=True)
+        self._vacuum_meta([])  # drops meta above the (new) pointer
+        if self.layout == "manifest":
+            self._gc_unreferenced_data()
+        return version
+
+    def _gc_unreferenced_data(self) -> None:
+        """Manifest layout: delete data files no surviving manifest
+        references, then prune emptied commit/bucket dirs (shared by
+        vacuum and rollback)."""
+        referenced: set[str] = set()
+        for v in self.versions():
+            for rels in self._read_manifest(v).values():
+                referenced.update(rels)
+        for rel in self._list_data_files() - referenced:
+            try:
+                os.remove(os.path.join(self._data_dir(), rel))
+            except OSError:
+                pass
+        # rmdir is attempted UNCONDITIONALLY (bottom-up): os.walk's
+        # `dirs` list is a pre-deletion snapshot, so a commit dir
+        # whose bucket children were rmdir'd earlier in this same
+        # walk still shows them and a `not dirs` guard would skip
+        # it forever (empty commit dirs then accumulate across
+        # vacuums). rmdir itself refuses non-empty dirs, so this
+        # can never remove live data.
+        for root, _dirs, _fnames in os.walk(self._data_dir(), topdown=False):
+            if root != self._data_dir():
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+
     def _vacuum_meta(self, victims: list[int]) -> None:
         """Drop victims' meta files plus crash orphans (n > current —
         a commit that wrote its meta but died before the pointer
@@ -615,32 +674,9 @@ class SnapshotStore:
                 for v in (versions[:-keep] if keep > 0 else versions)
                 if v != cur
             ]
-            kept = [v for v in versions if v not in victims]
-            referenced: set[str] = set()
-            for v in kept:
-                for rels in self._read_manifest(v).values():
-                    referenced.update(rels)
             for v in victims:
                 os.remove(self._manifest_path(v))
-            for rel in self._list_data_files() - referenced:
-                try:
-                    os.remove(os.path.join(self._data_dir(), rel))
-                except OSError:
-                    pass
-            # Prune commit/bucket dirs emptied by the removals above.
-            # rmdir is attempted UNCONDITIONALLY (bottom-up): os.walk's
-            # `dirs` list is a pre-deletion snapshot, so a commit dir
-            # whose bucket children were rmdir'd earlier in this same
-            # walk still shows them and a `not dirs` guard would skip
-            # it forever (empty commit dirs then accumulate across
-            # vacuums). rmdir itself refuses non-empty dirs, so this
-            # can never remove live data.
-            for root, _dirs, _fnames in os.walk(self._data_dir(), topdown=False):
-                if root != self._data_dir():
-                    try:
-                        os.rmdir(root)
-                    except OSError:
-                        pass
+            self._gc_unreferenced_data()
             self._vacuum_meta(victims)
             return victims
         versions = self.versions()

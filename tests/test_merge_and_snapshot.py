@@ -472,3 +472,49 @@ def test_time_travel_read_and_retention(spark, tmp_path):
         assert store.versions() == [3]
         with pytest.raises(ValueError, match="not retained"):
             store.read(version=1)
+
+
+def test_rollback_restores_state_and_gcs_dead_branch(spark, tmp_path):
+    """rollback(v): atomic pointer swap back to a retained version;
+    the dead branch above it (manifests/dirs, orphan data files, meta)
+    is GC-ed, and a subsequent commit reuses its numbers cleanly."""
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    import pytest
+
+    for layout in ("hardlink", "manifest"):
+        store = SnapshotStore(
+            spark,
+            str(tmp_path / f"rb-{layout}"),
+            key="k",
+            version_col="seq",
+            num_buckets=4,
+            layout=layout,
+        )
+        store.overwrite(
+            spark.createDataFrame([("a", 1, "good")], "k string, seq long, p string"),
+            meta={"gen": 1},
+        )
+        store.merge(
+            spark.createDataFrame(
+                [("a", 2, "bad"), ("b", 2, "bad")], "k string, seq long, p string"
+            )
+        )
+        store.merge(
+            spark.createDataFrame([("c", 3, "bad")], "k string, seq long, p string")
+        )
+        assert store.rollback(1) == 1
+        assert store.versions() == [1]
+        assert {(r.k, r.p) for r in store.read().collect()} == {("a", "good")}
+        assert store.read_meta() == {"gen": 1}
+        with pytest.raises(ValueError, match="not retained"):
+            store.rollback(3)
+        # the re-ingest after the bad night: numbering resumes at 2
+        v = store.merge(
+            spark.createDataFrame([("b", 5, "fixed")], "k string, seq long, p string")
+        )
+        assert v == 2
+        assert {(r.k, r.p) for r in store.read().collect()} == {
+            ("a", "good"),
+            ("b", "fixed"),
+        }
