@@ -345,9 +345,9 @@ class SnapshotStore:
         return self.spark.createDataFrame([], ddl)
 
     # -- read / write -------------------------------------------------------
-    def versions(self) -> list[int]:
-        """All RETAINED versions (ascending) — what read(version=...)
-        can still time-travel to; vacuum shrinks this list."""
+    def _versions_on_disk(self) -> list[int]:
+        """Raw version artifacts present (ascending), INCLUDING crash
+        orphans above the pointer — vacuum's GC input."""
         if self.layout == "manifest":
             return sorted(
                 int(name[len("_MANIFEST_v") : -len(".json")])
@@ -359,6 +359,18 @@ class SnapshotStore:
             for d in os.listdir(self.path)
             if d.startswith("v") and d[1:].isdigit()
         )
+
+    def versions(self) -> list[int]:
+        """All RETAINED COMMITTED versions (ascending) — what
+        read(version=...) can time-travel to; vacuum shrinks this
+        list. Artifacts ABOVE the pointer are excluded: a crashed
+        write leaves its partial version dir/manifest orphaned there,
+        and exposing it as "retained" would serve a half-written
+        snapshot (same rule as meta resolution)."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        return [v for v in self._versions_on_disk() if v <= cur]
 
     def read(self, version: int | None = None) -> DataFrame | None:
         """The current snapshot — or, time-travel, an explicit retained
@@ -601,7 +613,9 @@ class SnapshotStore:
                 f"version {version} is not retained (have {self.versions()})"
             )
         self._swap_pointer(version)
-        for v in self.versions():
+        # Dead branches sit ABOVE the new pointer, so list raw disk
+        # artifacts — versions() deliberately filters them out now.
+        for v in self._versions_on_disk():
             if v <= version:
                 continue
             if self.layout == "manifest":
@@ -667,6 +681,19 @@ class SnapshotStore:
         current one). Manifest layout additionally deletes data files
         no surviving manifest references."""
         cur = self.current_version()
+        # Crash orphans above the pointer (a failed write's partial
+        # version) are unconditionally GC-ed — they are unreadable by
+        # contract (versions() excludes them) and a later commit would
+        # overwrite their numbers anyway.
+        for v in self._versions_on_disk():
+            if v > (cur or 0):
+                if self.layout == "manifest":
+                    try:
+                        os.remove(self._manifest_path(v))
+                    except OSError:
+                        pass
+                else:
+                    shutil.rmtree(self._version_dir(v), ignore_errors=True)
         if self.layout == "manifest":
             versions = self.versions()
             victims = [

@@ -505,6 +505,7 @@ def test_rollback_restores_state_and_gcs_dead_branch(spark, tmp_path):
         )
         assert store.rollback(1) == 1
         assert store.versions() == [1]
+        assert store._versions_on_disk() == [1]  # dead branch GC-ed, not hidden
         assert {(r.k, r.p) for r in store.read().collect()} == {("a", "good")}
         assert store.read_meta() == {"gen": 1}
         with pytest.raises(ValueError, match="not retained"):
@@ -518,3 +519,37 @@ def test_rollback_restores_state_and_gcs_dead_branch(spark, tmp_path):
             ("a", "good"),
             ("b", "fixed"),
         }
+
+
+def test_crash_orphan_version_is_not_retained_and_vacuumed(spark, tmp_path):
+    """A crashed write's partial version artifact (above the pointer)
+    must never be served by read(version=) — versions() excludes it —
+    and vacuum GCs it (the data-file analog of orphan-meta GC)."""
+    import json
+    import os
+
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    for layout in ("hardlink", "manifest"):
+        store = SnapshotStore(
+            spark,
+            str(tmp_path / f"orph-{layout}"),
+            key="k",
+            version_col="seq",
+            num_buckets=4,
+            layout=layout,
+        )
+        store.overwrite(
+            spark.createDataFrame([("a", 1, "x")], "k string, seq long, p string")
+        )
+        # simulate the crash: partial version artifact above the pointer
+        if layout == "manifest":
+            orphan = store._manifest_path(5)
+            with open(orphan, "w") as f:
+                json.dump({"version": 5, "files": {}}, f)
+        else:
+            orphan = store._version_dir(5)
+            os.makedirs(orphan)
+        assert store.versions() == [1]
+        store.vacuum(keep=2)
+        assert not os.path.exists(orphan)
