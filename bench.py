@@ -96,6 +96,8 @@ EXTRA = [
     "dedup_incremental_tombstone",
     "substring_incremental_tombstone",
     "ann_incremental_ivf_manifest",
+    # r8: bucket-count evolution under the incremental dedup cycle
+    "dedup_incremental_rebucket",
 ]
 
 

@@ -334,6 +334,54 @@ def dedup_incremental_batch_manifest(spark: SparkSession, sf_dir: str) -> DataFr
     return _incremental_batch_matches(spark, sf_dir, layout="manifest")
 
 
+@query("dedup_incremental_rebucket", oracle=_incremental_dedup_oracle())
+def dedup_incremental_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout EVOLUTION under the incremental dedup cycle:
+    the band index is seeded at 8 physical buckets, grown to 32 via
+    ``SnapshotStore.rebucket`` (one O(table) rewrite committed as a
+    normal version whose _STORECFG sidecar records the new count),
+    and THEN the O(delta) probe runs — against the post-evolution
+    layout. Shares dedup_incremental_batch's oracle verbatim: the
+    bucket count is a physical knob, so growing it mid-life must be
+    invisible in the answers while every subsequent probe/merge
+    prunes under the new, finer layout.
+
+    Why this is a first-class scale operator: a store bucketed for
+    today's corpus under-partitions next year's — at 100 TB with 32
+    buckets every touched bucket is a ~3 TB rewrite per nightly
+    merge. Growing the count (here 8 -> 32; production 32 -> 4096)
+    shrinks the merge's rewrite unit without re-seeding, and because
+    the count rides in the version's own config sidecar, crash
+    recovery, rollback, and reopening with a stale constructor value
+    all resolve the layout the live data was actually written under
+    (`sinks/snapshot.py` rebucket/_commit_cfg). Idempotent across
+    bench/gate reruns: once grown, rebucket(32) is a no-op."""
+    import hashlib
+    import os
+
+    from ..operators.incremental_dedup import MinHashBandStore
+    from .llm_queries import _aug_corpus
+
+    aug = _aug_corpus(spark, sf_dir)
+    corpus = aug.filter(F.col("doc_id") < 1_000_000_000_000)
+    batch = aug.filter(F.col("doc_id") >= 1_000_000_000_000)
+    fp = _dataset_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|nh16|b4|sh3|nb8rb32|hardlink|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-bandstore-{tag}"
+    with _store_lock(path):
+        store = MinHashBandStore(spark, path, num_buckets=8, layout="hardlink")
+        if store.store.current_version() is None:
+            store.seed(corpus, "doc_id", "text")
+        store.store.rebucket(32)
+        matches = store.match_and_merge(
+            batch, "doc_id", "text", batch_seq=1, threshold=0.5
+        )
+        store.store.vacuum(keep=2)
+    return matches
+
+
 def _incremental_batch_matches(
     spark: SparkSession, sf_dir: str, *, layout: str
 ) -> DataFrame:

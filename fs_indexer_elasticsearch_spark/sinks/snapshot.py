@@ -36,6 +36,12 @@ Two storage layouts, selectable per store:
   (S3/GCS) where hard links don't exist and rename is a copy. This is
   the same commit protocol Iceberg/Delta use (write files, then swap a
   tiny metadata pointer).
+
+The bucket COUNT is a per-version property (``_STORECFG_v<N>``,
+committed before the pointer swap) evolvable via ``rebucket`` —
+partition evolution for a growing corpus; the rest of the physical
+identity (key, bucket_key, version_col, layout) is immutable and
+validated on reopen against ``_LAYOUT.json``.
 """
 
 from __future__ import annotations
@@ -52,6 +58,19 @@ from ..operators.merge import upsert_newer_wins
 _POINTER = "_CURRENT"
 _SCHEMA = "_SCHEMA.json"
 _META_PREFIX = "_META_v"
+# Per-version physical-layout config (today: the bucket count),
+# committed before the pointer swap exactly like _META_v — so the
+# effective bucket count is a property OF THE VERSION, and crash
+# recovery / rollback / time travel all resolve the layout each
+# version was actually written under. See ``rebucket``.
+_CFG_PREFIX = "_STORECFG_v"
+# Immutable store identity, written at first commit and validated on
+# reopen: hashing probes against a store whose physical buckets were
+# laid out under a DIFFERENT bucket_key (or reading a manifest store
+# as a hardlink one) fails silently — pruned reads return the wrong
+# slice and merges scatter duplicate keys across buckets. Mismatch is
+# therefore a constructor-time ValueError, not a runtime mystery.
+_LAYOUT_FILE = "_LAYOUT.json"
 
 
 class SnapshotStore:
@@ -84,10 +103,20 @@ class SnapshotStore:
         self.path = path
         self.key = key
         self.version_col = version_col
-        self.num_buckets = num_buckets
+        # Seed value only: once the store has a committed version the
+        # EFFECTIVE count is the one recorded with that version (the
+        # _STORECFG sidecar — see the ``num_buckets`` property), so
+        # reopening an existing store with a different constructor
+        # value ADOPTS the on-disk truth instead of silently hashing
+        # probes into the wrong physical layout. ``rebucket`` is the
+        # only way to change the count of a non-empty store.
+        self._default_buckets = num_buckets
+        self._pinned_buckets: int | None = None  # rebucket's override
+        self._cfg_cache: tuple[int | None, int] = (None, num_buckets)
         self.layout = layout
         self.bucket_key = bucket_key or key
         os.makedirs(path, exist_ok=True)
+        self._check_identity()
 
     # -- pointer management -------------------------------------------------
     def _pointer_path(self) -> str:
@@ -108,6 +137,89 @@ class SnapshotStore:
 
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version}")
+
+    # -- store identity ------------------------------------------------------
+    def _identity(self) -> dict:
+        return {
+            "key": [self.key] if isinstance(self.key, str) else list(self.key),
+            "bucket_key": self.bucket_key,
+            "version_col": self.version_col,
+            "layout": self.layout,
+        }
+
+    def _check_identity(self) -> None:
+        """Reopen-time guard: the merge key, bucket column, version
+        column, and physical layout are IMMUTABLE store properties —
+        opening with different ones corrupts silently (wrong-slice
+        pruned reads, duplicate keys scattered across buckets), so
+        mismatch raises here instead. The bucket COUNT is deliberately
+        not identity: it is versioned per commit and evolvable via
+        ``rebucket``."""
+        try:
+            with open(os.path.join(self.path, _LAYOUT_FILE)) as f:
+                on_disk = json.load(f)
+        except (FileNotFoundError, ValueError):
+            return  # new store, or one created before identity files
+        mine = self._identity()
+        if on_disk != mine:
+            raise ValueError(
+                f"snapshot store at {self.path} was created as {on_disk} "
+                f"but opened as {mine}; key/bucket_key/version_col/layout "
+                "are immutable (the bucket COUNT evolves via rebucket())"
+            )
+
+    def _write_identity(self) -> None:
+        p = os.path.join(self.path, _LAYOUT_FILE)
+        if os.path.exists(p):
+            return
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._identity(), f, indent=1)
+        os.replace(tmp, p)
+
+    # -- per-version bucket count -------------------------------------------
+    @property
+    def num_buckets(self) -> int:
+        """The bucket count of the CURRENT version — resolved from the
+        version's committed _STORECFG sidecar, so every probe, merge,
+        and pruned read hashes against the layout the live data was
+        actually written under, no matter what the constructor said.
+        Empty store (or one written before config sidecars existed):
+        the constructor's value."""
+        if self._pinned_buckets is not None:
+            return self._pinned_buckets
+        v = self.current_version()
+        if v is None:
+            return self._default_buckets
+        cached_v, cached_n = self._cfg_cache
+        if cached_v == v:
+            return cached_n
+        cfg = self._read_cfg(v)
+        n = cfg.get("num_buckets", self._default_buckets) if cfg else self._default_buckets
+        self._cfg_cache = (v, n)
+        return n
+
+    def _cfg_path(self, version: int) -> str:
+        return os.path.join(self.path, f"{_CFG_PREFIX}{version}.json")
+
+    def _read_cfg(self, version: int) -> dict | None:
+        try:
+            with open(self._cfg_path(version)) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _commit_cfg(self, version: int) -> None:
+        """Record the bucket count version ``version`` is being written
+        under — before its pointer swap, same crash contract as meta:
+        an orphan _STORECFG with n > pointer is never read (exact-
+        version resolution) and vacuum GCs it."""
+        n = self.num_buckets
+        tmp = self._cfg_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"num_buckets": n}, f)
+        os.replace(tmp, self._cfg_path(version))
+        self._cfg_cache = (version, n)
 
     # -- per-version meta payload --------------------------------------------
     # A small JSON document committed WITH each version by the same
@@ -152,9 +264,9 @@ class SnapshotStore:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path(version))
 
-    def _bucket_col(self) -> F.Column:
+    def _bucket_col(self, n: int | None = None) -> F.Column:
         return F.pmod(
-            F.xxhash64(F.col(self.bucket_key)), F.lit(self.num_buckets)
+            F.xxhash64(F.col(self.bucket_key)), F.lit(n or self.num_buckets)
         ).cast("int")
 
     def read_buckets(self, bucket_ids: list[int]) -> DataFrame | None:
@@ -397,11 +509,16 @@ class SnapshotStore:
             # recursiveFileLookup disables partition inference (commit
             # dirs between data/ and _bucket= would otherwise trip
             # CONFLICTING_DIRECTORY_STRUCTURES); _bucket is derivable
-            # from the key, so recompute it instead of inferring.
+            # from the key, so recompute it instead of inferring —
+            # under the count THIS version was written with (a
+            # time-travel read across a rebucket boundary must label
+            # rows by its own version's physical layout).
+            cfg = self._read_cfg(v)
+            n = cfg.get("num_buckets") if cfg else None
             return (
                 self.spark.read.option("recursiveFileLookup", "true")
                 .parquet(*paths)
-                .withColumn("_bucket", self._bucket_col())
+                .withColumn("_bucket", self._bucket_col(n))
             )
         return self._read_version(v)
 
@@ -436,8 +553,133 @@ class SnapshotStore:
             shutil.rmtree(out, ignore_errors=True)
             self._write_buckets(df, out)
         self._record_schema(df)
+        self._write_identity()
+        self._commit_cfg(v)
         self._commit_meta(v, meta)
         self._swap_pointer(v)
+        return v
+
+    def bucket_stats(self) -> dict | None:
+        """Physical balance of the CURRENT version — per-bucket file
+        count and bytes — from METADATA only (the manifest's file list
+        or the version dir's listing; no parquet is read). Driver-side
+        O(files), bounded by buckets x retained-files-per-bucket.
+        None on an empty store.
+
+        This is the measurement half of bucket evolution: a nightly
+        pipeline reads these numbers to decide when ``rebucket`` (or
+        the ``maybe_rebucket`` policy) should fire, and the max/avg
+        ratio exposes hash skew on the bucket key."""
+        v = self.current_version()
+        if v is None:
+            return None
+        per: dict[int, dict] = {}
+        if self.layout == "manifest":
+            for b, rels in self._read_manifest(v).items():
+                files, size = 0, 0
+                for rel in rels:
+                    try:
+                        size += os.path.getsize(os.path.join(self._data_dir(), rel))
+                        files += 1
+                    except OSError:
+                        pass
+                per[b] = {"files": files, "bytes": size}
+        else:
+            vdir = self._version_dir(v)
+            if os.path.isdir(vdir):
+                for entry in os.listdir(vdir):
+                    if not entry.startswith("_bucket="):
+                        continue
+                    b = int(entry.split("=", 1)[1])
+                    files, size = 0, 0
+                    bd = os.path.join(vdir, entry)
+                    for fname in os.listdir(bd):
+                        if fname.startswith((".", "_")):
+                            continue
+                        try:
+                            size += os.path.getsize(os.path.join(bd, fname))
+                            files += 1
+                        except OSError:
+                            pass
+                    per[b] = {"files": files, "bytes": size}
+        total = sum(d["bytes"] for d in per.values())
+        n = self.num_buckets
+        return {
+            "version": v,
+            "num_buckets": n,
+            "buckets": per,
+            "total_bytes": total,
+            "avg_bucket_bytes": total / n if n else 0.0,
+            "max_bucket_bytes": max((d["bytes"] for d in per.values()), default=0),
+        }
+
+    def maybe_rebucket(
+        self,
+        *,
+        target_bucket_bytes: int,
+        max_buckets: int = 1 << 20,
+        meta: dict | None = None,
+    ) -> int | None:
+        """Evolution POLICY on top of the ``rebucket`` mechanism: when
+        the current version's AVERAGE bucket exceeds
+        ``target_bucket_bytes``, grow the count to the next power of
+        two that brings the average back under target (capped at
+        ``max_buckets``), in one committed rewrite. Returns the new
+        version, or None when no evolution was needed.
+
+        Sized for the nightly cycle: the check itself is metadata-only
+        (``bucket_stats``), so calling this every cycle costs nothing
+        until the corpus actually outgrows its layout — at which point
+        one O(table) rewrite amortizes against every subsequent
+        merge's smaller rewrite unit. Average (not max) drives the
+        decision: a hot BUCKET with an average-sized table signals key
+        skew, which more buckets dilute only by the skewed key's
+        multiplicity — that is salting's job, not evolution's."""
+        stats = self.bucket_stats()
+        if stats is None or stats["avg_bucket_bytes"] <= target_bucket_bytes:
+            return None
+        need = -(-stats["total_bytes"] // target_bucket_bytes)  # ceil
+        n = self.num_buckets
+        while n < need and n < max_buckets:
+            n *= 2
+        n = min(n, max_buckets)
+        if n <= self.num_buckets:
+            return None
+        return self.rebucket(n, meta=meta)
+
+    def rebucket(self, num_buckets: int, *, meta: dict | None = None) -> int | None:
+        """Evolve the physical bucket count — the partition-evolution
+        operation a growing corpus needs: a store seeded at 32 buckets
+        serves a 100 GB index fine, but at 100 TB each touched bucket
+        is a ~3 TB rewrite per nightly merge; growing the count shrinks
+        the per-delta rewrite unit without re-seeding the index.
+
+        One O(table) rewrite committed as a NORMAL version: data files
+        are written under the new hashing, the version's _STORECFG
+        records the new count (before the pointer swap), and the
+        pointer swap publishes both atomically. Crash before the swap
+        leaves orphans the next commit overwrites and vacuum GCs;
+        ``rollback`` across a rebucket boundary restores the OLD count
+        automatically because the count is resolved from the version
+        the pointer names. Meta (index sidecar state, e.g. IVF
+        centroids) is carried forward unless ``meta`` overrides it.
+
+        On an EMPTY store this just re-seeds the default for the first
+        commit and returns None."""
+        if num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+        cur_v = self.current_version()
+        if cur_v is None:
+            self._default_buckets = num_buckets
+            return None
+        if num_buckets == self.num_buckets:
+            return cur_v
+        cur = self.read().drop("_bucket")
+        self._pinned_buckets = num_buckets
+        try:
+            v = self.overwrite(cur, meta=meta)
+        finally:
+            self._pinned_buckets = None
         return v
 
     def merge(
@@ -550,6 +792,8 @@ class SnapshotStore:
             }
             manifest.update(new_files)
             self._write_manifest(v, manifest)
+            self._write_identity()
+            self._commit_cfg(v)
             self._commit_meta(v, meta)
             self._swap_pointer(v)
             return v
@@ -592,6 +836,8 @@ class SnapshotStore:
                 if fname.startswith((".", "_")):
                     continue
                 os.link(os.path.join(src, fname), os.path.join(dst, fname))
+        self._write_identity()
+        self._commit_cfg(v)
         self._commit_meta(v, meta)
         self._swap_pointer(v)
         return v
@@ -658,16 +904,20 @@ class SnapshotStore:
                     pass
 
     def _vacuum_meta(self, victims: list[int]) -> None:
-        """Drop victims' meta files plus crash orphans (n > current —
-        a commit that wrote its meta but died before the pointer
-        swap)."""
+        """Drop victims' meta AND config sidecars plus crash orphans
+        (n > current — a commit that wrote its sidecars but died
+        before the pointer swap)."""
         cur = self.current_version() or 0
         doomed = set(victims)
         for name in os.listdir(self.path):
-            if not (name.startswith(_META_PREFIX) and name.endswith(".json")):
+            prefix = next(
+                (p for p in (_META_PREFIX, _CFG_PREFIX) if name.startswith(p)),
+                None,
+            )
+            if prefix is None or not name.endswith(".json"):
                 continue
             try:
-                n = int(name[len(_META_PREFIX) : -len(".json")])
+                n = int(name[len(prefix) : -len(".json")])
             except ValueError:
                 continue
             if n in doomed or n > cur:

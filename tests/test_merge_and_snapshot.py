@@ -553,3 +553,148 @@ def test_crash_orphan_version_is_not_retained_and_vacuumed(spark, tmp_path):
         assert store.versions() == [1]
         store.vacuum(keep=2)
         assert not os.path.exists(orphan)
+
+
+@pytest.mark.parametrize("layout", ["hardlink", "manifest"])
+def test_rebucket_evolves_count_and_preserves_rows(spark, tmp_path, layout):
+    """rebucket = partition evolution: one O(table) rewrite under a
+    new bucket count, committed as a normal version; rows identical,
+    subsequent merges prune under the NEW count, and reopening adopts
+    the on-disk count regardless of the constructor value."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4, layout=layout,
+    )
+    rows = [(f"k{i}", 1, f"p{i}") for i in range(40)]
+    store.overwrite(_df(spark, rows))
+    before = {(r.k, r.v, r.payload) for r in store.read().drop("_bucket").collect()}
+    assert store.num_buckets == 4
+
+    v = store.rebucket(16)
+    assert v == 2 and store.num_buckets == 16
+    after = {(r.k, r.v, r.payload) for r in store.read().drop("_bucket").collect()}
+    assert after == before
+
+    # A merge after the rebucket lands in the new layout and stays
+    # correct; its pruned read path resolves the new count too.
+    store.merge(_df(spark, [("k0", 2, "new"), ("zz", 1, "ins")]))
+    out = {r.k: r.payload for r in store.read().drop("_bucket").collect()}
+    assert out["k0"] == "new" and out["zz"] == "ins" and len(out) == 41
+    buckets = {r._bucket for r in store.read().select("_bucket").distinct().collect()}
+    assert buckets <= set(range(16)) and len(buckets) > 4
+
+    # Pruned single-bucket read under the new count matches a filter
+    # of the full read.
+    want = sorted(buckets)[0]
+    pruned = {r.k for r in store.read_buckets([want]).collect()}
+    full = {r.k for r in store.read().filter(F.col("_bucket") == want).collect()}
+    assert pruned == full and pruned
+
+    # Reopening with a stale constructor count ADOPTS the disk truth.
+    reopened = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4, layout=layout,
+    )
+    assert reopened.num_buckets == 16
+
+
+def test_rebucket_rollback_restores_old_count(spark, tmp_path):
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(20)]))
+    store.rebucket(8, meta={"gen": 7})
+    assert store.num_buckets == 8
+    assert store.read_meta() == {"gen": 7}
+
+    store.rollback(1)
+    assert store.num_buckets == 4  # the version's own layout wins
+    # And the dead rebucketed branch's cfg sidecar is gone.
+    assert store._read_cfg(2) is None
+    # Committing again after the rollback stays under the old count.
+    store.merge(_df(spark, [("k0", 2, "new")]))
+    assert store.num_buckets == 4
+
+
+def test_rebucket_meta_carried_forward(spark, tmp_path):
+    """Index sidecar state (e.g. IVF centroids) must survive a
+    rebucket: meta=None carries the current version's meta forward."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=2
+    )
+    store.overwrite(_df(spark, [("a", 1, "p")]), meta={"centroids": [1, 2]})
+    store.rebucket(8)
+    assert store.read_meta() == {"centroids": [1, 2]}
+
+
+def test_crash_orphan_cfg_never_read_and_vacuumed(spark, tmp_path):
+    """A _STORECFG above the pointer (a rebucket that died before its
+    pointer swap) must not perturb the effective count, and vacuum
+    GCs it."""
+    import json as _json
+    import os as _os
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(_df(spark, [("a", 1, "p"), ("b", 1, "p")]))
+    with open(store._cfg_path(99), "w") as f:
+        _json.dump({"num_buckets": 1000}, f)
+    assert store.num_buckets == 4
+    store.vacuum(keep=2)
+    assert not _os.path.exists(store._cfg_path(99))
+
+
+def test_store_identity_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    store = SnapshotStore(spark, path, key="k", version_col="v", num_buckets=4)
+    store.overwrite(_df(spark, [("a", 1, "p")]))
+
+    # Same identity reopens fine (different bucket count is NOT
+    # identity — it's versioned and adopted).
+    SnapshotStore(spark, path, key="k", version_col="v", num_buckets=32)
+
+    with pytest.raises(ValueError, match="immutable"):
+        SnapshotStore(spark, path, key="k", version_col="OTHER", num_buckets=4)
+    with pytest.raises(ValueError, match="immutable"):
+        SnapshotStore(spark, path, key="payload", version_col="v", num_buckets=4)
+    with pytest.raises(ValueError, match="immutable"):
+        SnapshotStore(
+            spark, path, key="k", version_col="v", num_buckets=4, layout="manifest"
+        )
+
+
+@pytest.mark.parametrize("layout", ["hardlink", "manifest"])
+def test_bucket_stats_and_maybe_rebucket_policy(spark, tmp_path, layout):
+    """bucket_stats is metadata-only measurement; maybe_rebucket is
+    the policy that grows the layout when the average bucket outgrows
+    its target, and stays quiet otherwise."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=2, layout=layout,
+    )
+    assert store.bucket_stats() is None
+    rows = [(f"k{i}", 1, "x" * 50) for i in range(60)]
+    store.overwrite(_df(spark, rows))
+
+    stats = store.bucket_stats()
+    assert stats["num_buckets"] == 2 and stats["total_bytes"] > 0
+    assert set(stats["buckets"]) <= {0, 1}
+    assert stats["max_bucket_bytes"] >= stats["avg_bucket_bytes"]
+
+    # Comfortably under target: no evolution.
+    assert store.maybe_rebucket(target_bucket_bytes=10**9) is None
+    assert store.num_buckets == 2
+
+    # Tiny target: grows to the next power of two that fits, and the
+    # rows survive byte-identically.
+    before = {(r.k, r.v, r.payload) for r in store.read().drop("_bucket").collect()}
+    v = store.maybe_rebucket(target_bucket_bytes=stats["total_bytes"] // 7)
+    assert v is not None and store.num_buckets >= 8
+    after = {(r.k, r.v, r.payload) for r in store.read().drop("_bucket").collect()}
+    assert after == before
+    # Quiet again once the layout fits the target (per-file parquet
+    # overhead grew total_bytes with the file count, so re-check
+    # against the NEW average rather than the old total).
+    new_avg = store.bucket_stats()["avg_bucket_bytes"]
+    assert store.maybe_rebucket(target_bucket_bytes=int(new_avg) + 1) is None

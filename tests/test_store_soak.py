@@ -6,6 +6,7 @@ see it. Numbers are recorded in SCALE.md."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 import time
 
@@ -92,3 +93,63 @@ def test_store_soak_bounded_disk_and_flat_latency(spark, tmp_path):
 
     early, late = median(cycle_secs[5:25]), median(cycle_secs[-20:])
     assert late < 3 * early, (early, late)
+
+
+def test_soak_with_rebucket_policy_in_the_loop(spark, tmp_path):
+    """The nightly cycle a 100 TB deployment actually runs: merge →
+    maybe_rebucket → vacuum, every cycle. The policy must stay quiet
+    while the corpus fits its layout, fire (possibly in steps — it
+    sizes from the average at check time, and the corpus keeps
+    growing) once the average bucket outgrows the target, and settle
+    at a count that keeps the average under target — while rows stay
+    LWW-correct and retention keeps the disk bounded across the
+    evolution boundary."""
+    path = str(tmp_path / "soak-evolve")
+    store = SnapshotStore(
+        spark, path, key="k", version_col="seq", num_buckets=2, layout="manifest"
+    )
+    # Target must sit comfortably above parquet's per-file overhead or
+    # the overhead itself re-triggers growth forever; payloads must be
+    # incompressible or the columnar encoding shrinks the corpus under
+    # any target (both found empirically — constants worth knowing).
+    target = 16 * 1024
+    counts: list[int] = []
+    n_cycles, rows_per_cycle = 30, 40
+    for c in range(n_cycles):
+        rows = [
+            (
+                c * rows_per_cycle + i,
+                c,
+                hashlib.md5(f"{c}-{i}".encode()).hexdigest() * 12,
+            )
+            for i in range(rows_per_cycle)
+        ]  # all inserts: the corpus genuinely grows
+        store.merge(spark.createDataFrame(rows, "k long, seq long, payload string"))
+        store.maybe_rebucket(target_bucket_bytes=target)
+        store.vacuum(keep=KEEP)
+        counts.append(store.num_buckets)
+
+    # The count evolved (monotonically, powers of two) and then held.
+    assert counts[0] == 2 and counts[-1] > 2
+    assert all(b >= a for a, b in zip(counts, counts[1:]))
+    assert all((c & (c - 1)) == 0 for c in counts)
+    # Settled: after its last change the policy stayed quiet — the
+    # layout fits (avg under target), so every later check is a no-op.
+    last_change = max(i for i in range(1, n_cycles) if counts[i] != counts[i - 1])
+    assert last_change < n_cycles - 3
+    assert store.bucket_stats()["avg_bucket_bytes"] <= target
+
+    # Correctness across every evolution boundary.
+    assert store.read().count() == n_cycles * rows_per_cycle
+    sample = store.read().filter(F.col("k") == 5 * rows_per_cycle + 3).collect()
+    assert len(sample) == 1 and sample[0].seq == 5
+
+    # Retention still bounds metadata after evolution.
+    n_manifests, _n_files, _total = _disk_stats(path)
+    assert n_manifests <= KEEP
+    # A post-evolution merge lands under the NEW count and stays correct.
+    store.merge(
+        spark.createDataFrame([(0, 999, "upd")], "k long, seq long, payload string")
+    )
+    assert store.num_buckets == counts[-1]
+    assert store.read().filter(F.col("k") == 0).collect()[0].payload == "upd"
