@@ -98,6 +98,8 @@ EXTRA = [
     "ann_incremental_ivf_manifest",
     # r8: bucket-count evolution under the incremental dedup cycle
     "dedup_incremental_rebucket",
+    # r8: clustered point lookup through the snapshot store
+    "store_point_lookup",
 ]
 
 

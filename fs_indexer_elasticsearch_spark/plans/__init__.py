@@ -38,8 +38,9 @@ from . import curation_pipeline  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r8 rotation: prefix = the 6 NEW r8 queries (bucket-count evolution
-# under the incremental dedup cycle, composed curation
+# r8 rotation: prefix = the 7 NEW r8 queries (bucket-count evolution
+# under the incremental dedup cycle, clustered point lookup through
+# the snapshot store, composed curation
 # pipeline at both cadences — full-corpus and O(delta) nightly —
 # tombstone-path incremental dedup on BOTH the band and shingle
 # stores, manifest-layout incremental IVF; never driver-checked), then the 8 r7 queries whose
@@ -49,13 +50,14 @@ from . import curation_pipeline  # noqa: E402,F401
 # the incremental stores' meta-protocol / row-shrink / fingerprint-tag
 # changes), then the same family anchors as r7, with the family
 # anchors filling the 50. Displaced below the boundary:
-# funnel_view_click_purchase, token_count_exact, url_canonical_dedup,
-# domain_extract_counts, domain_blocklist_filter,
+# q01_pricing_summary, funnel_view_click_purchase, token_count_exact,
+# url_canonical_dedup, domain_extract_counts, domain_blocklist_filter,
 # ann_neardup_recall_multiprobe (driver-green r6/r7, unchanged in r8)
 # — all remain covered by the local replica gate + pytest.
 _PRIORITY = [
     # New in r8 — never driver-checked
     "dedup_incremental_rebucket",
+    "store_point_lookup",
     "curation_pipeline_e2e",
     "incremental_curation_cycle",
     "dedup_incremental_tombstone",

@@ -382,6 +382,56 @@ def dedup_incremental_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches
 
 
+_LOOKUP_KEYS = [1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 10**9]  # last one misses
+
+
+@query(
+    "store_point_lookup",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey IN ({", ".join(map(str, _LOOKUP_KEYS))})
+    """,
+)
+def store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational point lookup through the snapshot store: seed a
+    manifest-layout store from ``orders`` (key-clustered bucket files),
+    then ``read_keys`` a fixed key list. The oracle filters the raw
+    table directly, so the gate proves the whole physical path —
+    bucketed clustered write → manifest commit → driver-side key→bucket
+    hash → pruned file list → pushed IN-filter — is value-invisible.
+
+    At 100 TB this is the "show me these rows" path: O(keys) buckets
+    opened instead of a table scan, the IN predicate pushed into the
+    parquet scan, and row-group min/max skipping inside each file via
+    the writers' sortWithinPartitions clustering (sinks/snapshot.py
+    read_keys/_write_data_files). The reference serves this with a
+    B-tree primary key (db_duckdb schema); buckets + clustering are
+    the shared-nothing equivalent."""
+    import hashlib
+    import os
+
+    from ..sinks.snapshot import SnapshotStore
+
+    fp = _dataset_fingerprint(sf_dir, "orders")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|orders|nb32|manifest|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-orderstore-{tag}"
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    with _store_lock(path):
+        store = SnapshotStore(
+            spark,
+            path,
+            key="o_orderkey",
+            version_col="o_custkey",  # unused: seed-only store, no merges
+            num_buckets=32,
+            layout="manifest",
+        )
+        if store.current_version() is None:
+            store.overwrite(load(spark, sf_dir, "orders").select(*cols))
+        return store.read_keys(_LOOKUP_KEYS).select(*cols)
+
+
 def _incremental_batch_matches(
     spark: SparkSession, sf_dir: str, *, layout: str
 ) -> DataFrame:

@@ -301,6 +301,51 @@ class SnapshotStore:
             )
         return self._read_version(v).filter(F.col("_bucket").isin(list(wanted)))
 
+    def _buckets_for_keys(self, keys: list) -> list[int]:
+        """Which physical buckets the given key VALUES live in — the
+        same xxhash64-pmod the writers applied, computed on the keys
+        cast to the STORED column type (xxhash64 is type-sensitive:
+        hashing a probe int against a column written as bigint would
+        silently probe the wrong buckets)."""
+        stored_t = self._schema_meta()["fields"].get(self.bucket_key)
+        df = self.spark.createDataFrame(
+            [(k,) for k in keys], f"`{self.bucket_key}` {stored_t}"
+            if stored_t
+            else None,
+        )
+        if stored_t is None:  # pre-schema store: trust the probe type
+            df = df.toDF(self.bucket_key)
+        rows = df.select(self._bucket_col().alias("b")).distinct().collect()
+        return sorted(r.b for r in rows)
+
+    def read_keys(self, keys: list) -> DataFrame | None:
+        """Point lookup: the rows whose key is in ``keys``, touching
+        only the buckets those keys hash to. At 100 TB this is the
+        difference between opening a handful of files and scanning the
+        table: bucket pruning cuts the file list to O(len(keys))
+        buckets, the IN-predicate is pushed into the parquet scan
+        (PushedFilters), and because the writers cluster each file by
+        the bucket key (sortWithinPartitions), row-group min/max stats
+        skip inside the surviving files too.
+
+        CONTRACT: ``keys`` is a SMALL driver-side list (an operational
+        lookup — "show me these documents"), not a join side; bulk key
+        sets belong in a join against ``read()``. Requires
+        ``bucket_key == key`` for the same reason merge(removed=...)
+        does: values of the merge key can't be routed to buckets
+        hashed on a different column."""
+        if self.bucket_key != self.key:
+            raise ValueError(
+                "read_keys needs bucket_key == key: key values can't be "
+                f"hashed to buckets keyed on {self.bucket_key!r}."
+            )
+        if self.current_version() is None:
+            return None
+        if not keys:
+            return self._empty_df()
+        df = self.read_buckets(self._buckets_for_keys(keys))
+        return df.filter(F.col(self.key).isin(list(keys)))
+
     # -- schema evolution ---------------------------------------------------
     # Reference parity: needs_schema_update / migrate_schema
     # (db_duckdb.py:369-419, 421-503) — detect drift between the stored
@@ -429,9 +474,12 @@ class SnapshotStore:
 
         commit = uuid.uuid4().hex[:16]
         out = os.path.join(self._data_dir(), commit)
+        # Clustered like _write_buckets: key-sorted row groups give
+        # read_keys row-group skipping on top of bucket pruning.
         (
             df.withColumn("_bucket", self._bucket_col())
             .repartition(self.num_buckets, "_bucket")
+            .sortWithinPartitions("_bucket", self.bucket_key)
             .write.mode("append")
             .partitionBy("_bucket")
             .parquet(out)
@@ -535,9 +583,14 @@ class SnapshotStore:
         return self.spark.read.parquet(vdir)
 
     def _write_buckets(self, df: DataFrame, out: str) -> None:
+        # sortWithinPartitions clusters each written file's row groups
+        # by the bucket key: parquet min/max stats become tight, so a
+        # later key-predicate read (read_keys) skips row groups inside
+        # the pruned bucket too. In-partition sort — no extra shuffle.
         (
             df.withColumn("_bucket", self._bucket_col())
             .repartition(self.num_buckets, "_bucket")
+            .sortWithinPartitions("_bucket", self.bucket_key)
             .write.mode("append")
             .partitionBy("_bucket")
             .parquet(out)

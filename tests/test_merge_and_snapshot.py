@@ -698,3 +698,96 @@ def test_bucket_stats_and_maybe_rebucket_policy(spark, tmp_path, layout):
     # against the NEW average rather than the old total).
     new_avg = store.bucket_stats()["avg_bucket_bytes"]
     assert store.maybe_rebucket(target_bucket_bytes=int(new_avg) + 1) is None
+
+
+@pytest.mark.parametrize("layout", ["hardlink", "manifest"])
+def test_read_keys_point_lookup(spark, tmp_path, layout):
+    """read_keys = the operational point lookup: same rows as a full
+    read filtered, touching only the buckets the keys hash to, with
+    the IN-predicate pushed into the parquet scan."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=16, layout=layout,
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, f"p{i}") for i in range(200)]))
+    want = ["k3", "k77", "k150", "nope"]
+
+    got = store.read_keys(want)
+    expect = store.read().filter(F.col("k").isin(want))
+    assert {(r.k, r.payload) for r in got.collect()} == {
+        (r.k, r.payload) for r in expect.collect()
+    }
+    assert got.count() == 3  # 'nope' matches nothing on either path
+
+    # The key predicate reaches the scan (row-group skipping inside
+    # the surviving buckets rides on this + the clustered writes).
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "k3" in plan
+
+    # Merge then look up again: the probe hashes against the layout
+    # the merge wrote (type-correct re-hash, not a cached bucket set).
+    store.merge(_df(spark, [("k3", 2, "updated"), ("k999", 1, "fresh")]))
+    out = {r.k: r.payload for r in store.read_keys(["k3", "k999"]).collect()}
+    assert out == {"k3": "updated", "k999": "fresh"}
+
+    # Empty key list and empty store are total, not errors.
+    assert store.read_keys([]).count() == 0
+    empty = SnapshotStore(
+        spark, str(tmp_path / "empty"), key="k", version_col="v"
+    )
+    assert empty.read_keys(["a"]) is None
+
+
+def test_read_keys_prunes_buckets_and_requires_key_bucketing(spark, tmp_path):
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=32, layout="manifest",
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(300)]))
+    # A one-key lookup opens exactly the one bucket's files: compare
+    # the scan's file count against the manifest's total.
+    total_files = sum(
+        len(v) for v in store._read_manifest(store.current_version()).values()
+    )
+    assert total_files >= 32
+    target = store._buckets_for_keys(["k42"])
+    assert len(target) == 1
+    # Every file the scan actually reads belongs to the one target
+    # bucket — the lookup opened 1/32nd of the table.
+    scanned = store.read_keys(["k42"]).inputFiles()
+    assert scanned and all(f"_bucket={target[0]}/" in f for f in scanned)
+    assert len(scanned) < total_files / 8
+
+    bad = SnapshotStore(
+        spark, str(tmp_path / "band"), key="k", version_col="v",
+        bucket_key="payload",
+    )
+    bad.overwrite(_df(spark, [("a", 1, "p")]))
+    with pytest.raises(ValueError, match="bucket_key == key"):
+        bad.read_keys(["a"])
+
+
+def test_written_files_are_key_clustered(spark, tmp_path):
+    """The writers sort within partitions so every data file is
+    ordered by the bucket key — the property parquet row-group
+    min/max skipping depends on."""
+    import pyarrow.parquet as pq
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=2
+    )
+    store.overwrite(
+        _df(spark, [(f"k{i:04d}", 1, "p") for i in reversed(range(500))])
+    )
+    import os
+
+    vdir = store._version_dir(store.current_version())
+    checked = 0
+    for root, _dirs, files in os.walk(vdir):
+        for fn in files:
+            if fn.startswith((".", "_")) or not fn.endswith(".parquet"):
+                continue
+            ks = pq.read_table(os.path.join(root, fn), columns=["k"])["k"].to_pylist()
+            assert ks == sorted(ks), os.path.join(root, fn)
+            checked += 1
+    assert checked >= 2
