@@ -175,12 +175,14 @@ def split_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_small(load(spark, sf_dir, "documents")).select(
         "doc_id", _split_col().alias("split"), tokens(F.col("text")).alias("tk")
     )
-    # cache: both the train-vocabulary side and the eval side derive
-    # from the same tokenize+shingle pass — without the cache the
-    # interpreted-lambda pipeline executes twice (once per branch).
+    # Lazy localCheckpoint: both the train-vocabulary side and the
+    # eval side derive from the same tokenize+shingle pass — without
+    # it the interpreted-lambda pipeline executes twice (once per
+    # branch); blocks release on GC, unlike cache() in a registered
+    # query, which leaks across repeated invocations.
     sh = d.select(
         "doc_id", "split", word_shingles(F.col("tk"), 3).alias("shingles")
-    ).cache()
+    ).localCheckpoint(eager=False)
     train_sh = (
         sh.filter(F.col("split") == "train")
         .select(F.explode("shingles").alias("s"))

@@ -265,11 +265,12 @@ def crossdoc_shingle_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", tokens("text").alias("toks")
     )
-    # Cached: sh feeds BOTH the hot-shingle aggregate and the coverage
-    # probe join, and the two subplans differ (one holds a partial
-    # aggregate) so exchange reuse can't deduplicate them — without
-    # the cache the tokenize+shingle+explode (the expensive stage)
-    # runs twice per execution.
+    # Lazy localCheckpoint, not cache(): sh feeds BOTH the hot-shingle
+    # aggregate and the coverage probe join, and the two subplans
+    # differ (one holds a partial aggregate) so exchange reuse can't
+    # deduplicate them — without it the tokenize+shingle+explode (the
+    # expensive stage) runs twice; checkpoint blocks release on GC
+    # instead of lingering in the block manager across invocations.
     sh = (
         d.filter(F.size("toks") > 0)
         .select(
@@ -277,7 +278,7 @@ def crossdoc_shingle_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(word_shingles(F.col("toks"), 5)).alias("shingle"),
         )
-        .cache()
+        .localCheckpoint(eager=False)
     )
     hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_sh"))
     cov = (
@@ -482,7 +483,9 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan shape as dedup_minhash_lsh (banded bucket self-join;
     candidates only, never all pairs) plus one error aggregate.
     """
-    sh = shingle_sets(_aug_corpus(spark, sf_dir), "doc_id", "text", 3).cache()
+    sh = shingle_sets(_aug_corpus(spark, sf_dir), "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
     based = sh.select("sid", "shingles", minhash_base(F.col("shingles")).alias("mhb"))
     sig = based.select(
         "sid", "shingles", *minhash_signature(F.col("mhb"), 16)
@@ -501,7 +504,7 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band"),
         )
         .select("sid", "band.b", "band.h")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     a, b_ = long.alias("a"), long.alias("b")
     cands = (
@@ -647,7 +650,7 @@ def dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import minhash_lsh_pairs
 
-    corpus = _aug_corpus(spark, sf_dir).cache()
+    corpus = _aug_corpus(spark, sf_dir).localCheckpoint(eager=False)
     n_raw = corpus.agg(F.count(F.lit(1)).alias("n_raw"))
     # NULL-text rows are excluded before hashing, like
     # operators/dedup.exact_duplicates: md5(NULL) groups every
@@ -658,7 +661,7 @@ def dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     pairs = minhash_lsh_pairs(
         corpus, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3, threshold=0.5

@@ -242,14 +242,15 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import spread_small
 
     # Tokenized occurrences feed BOTH the sketch cells and the exact
-    # grading counts: cache so the interpreted-lambda tokenize+explode
-    # runs once, and spread_small so it parallelizes past the small
+    # grading counts: lazy localCheckpoint so the interpreted-lambda
+    # tokenize+explode runs once (blocks GC-released, no cross-run
+    # block-manager leak), and spread_small so it parallelizes past the small
     # file's single input split (the same recipe as
     # split_contamination_ngrams and shingle_sets).
     occ = (
         spread_small(load(spark, sf_dir, "documents"))
         .select(F.explode(tokens("text")).alias("tok"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     def bucket(d_col: Column, tok_col: Column) -> Column:
