@@ -100,6 +100,9 @@ EXTRA = [
     "dedup_incremental_rebucket",
     # r8: clustered point lookup through the snapshot store
     "store_point_lookup",
+    # r8: change data feed between two store versions (manifest layout;
+    # the hardlink twin shares the implementation above the layout)
+    "store_read_changes",
 ]
 
 

@@ -38,26 +38,29 @@ from . import curation_pipeline  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r8 rotation: prefix = the 7 NEW r8 queries (bucket-count evolution
-# under the incremental dedup cycle, clustered point lookup through
-# the snapshot store, composed curation
-# pipeline at both cadences — full-corpus and O(delta) nightly —
-# tombstone-path incremental dedup on BOTH the band and shingle
-# stores, manifest-layout incremental IVF; never driver-checked), then the 8 r7 queries whose
-# IMPLEMENTATION changed this round and so need fresh driver rows
-# (per_domain_cap's kept-count semantics fix; the quality-classifier
-# shared-expression refactor; the substring pair's checkpoint swap;
-# the incremental stores' meta-protocol / row-shrink / fingerprint-tag
-# changes), then the same family anchors as r7, with the family
-# anchors filling the 50. Displaced below the boundary:
-# q01_pricing_summary, funnel_view_click_purchase, token_count_exact,
-# url_canonical_dedup, domain_extract_counts, domain_blocklist_filter,
-# ann_neardup_recall_multiprobe (driver-green r6/r7, unchanged in r8)
-# — all remain covered by the local replica gate + pytest.
+# r8 rotation: prefix = the 9 NEW r8 queries (bucket-count evolution
+# under the incremental dedup cycle, clustered point lookup and the
+# change data feed — both layouts — through the snapshot store,
+# composed curation pipeline at both cadences — full-corpus and
+# O(delta) nightly — tombstone-path incremental dedup on BOTH the band
+# and shingle stores, manifest-layout incremental IVF; never
+# driver-checked), then the 8 r7 queries whose IMPLEMENTATION changed
+# this round and so need fresh driver rows (per_domain_cap's
+# kept-count semantics fix; the quality-classifier shared-expression
+# refactor; the substring pair's checkpoint swap; the incremental
+# stores' meta-protocol / row-shrink / fingerprint-tag changes), then
+# the same family anchors as r7, filling the 50. Displaced below the
+# boundary: q01_pricing_summary, embedding_outliers, retention_cohorts,
+# funnel_view_click_purchase, token_count_exact, url_canonical_dedup,
+# domain_extract_counts, domain_blocklist_filter,
+# ann_neardup_recall_multiprobe (driver-green r5/r6/r7, unchanged in
+# r8) — all remain covered by the local replica gate + pytest.
 _PRIORITY = [
     # New in r8 — never driver-checked
     "dedup_incremental_rebucket",
     "store_point_lookup",
+    "store_read_changes",
+    "store_read_changes_hardlink",
     "curation_pipeline_e2e",
     "incremental_curation_cycle",
     "dedup_incremental_tombstone",
@@ -95,8 +98,6 @@ _PRIORITY = [
     "char_bigram_nll",
     "token_budget_mixture",
     "collocations_pmi",
-    "embedding_outliers",
-    "retention_cohorts",
     # Training-export layer (r6): packing, sharding, curriculum,
     # context sizing, sampling
     "sequence_packing_stats",
@@ -111,16 +112,18 @@ _PRIORITY = [
     "window_rank_lag_gap",
     "asof_click_before_purchase",
     "range_join_error_after_purchase",
-    # Flagship merge / diff / rollup + headline TPC-H representative —
-    # must stay inside any first-50 prefix sample.
+    # Flagship merge / diff / rollup — must stay inside any first-50
+    # prefix sample.
     "merge_upsert_newer_wins",
     "snapshot_diff_changes",
     "rollup_directory_sizes",
-    "q01_pricing_summary",
     # --- 50-query prefix boundary (driver samples a prefix; everything
     # above is new in r8, changed in r8, or anchors a §2 family;
     # everything below is driver-green from an earlier round and stays
     # green under the local replica gate) ---
+    "q01_pricing_summary",
+    "embedding_outliers",
+    "retention_cohorts",
     "funnel_view_click_purchase",
     "token_count_exact",
     "url_canonical_dedup",

@@ -432,6 +432,112 @@ def store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return store.read_keys(_LOOKUP_KEYS).select(*cols)
 
 
+# --------------------------------------------------------------------------
+# Change data feed through the snapshot store
+# --------------------------------------------------------------------------
+
+_CDF_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, 1 AS v, o_orderstatus,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey, 2 AS v, o_orderstatus,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    )
+    SELECT o_orderkey, v, o_orderstatus, price, 'insert' AS change
+    FROM delta WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, v, o_orderstatus, price, 'update' AS change
+    FROM delta WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey, v, o_orderstatus, price, 'delete' AS change
+    FROM base WHERE o_orderkey % 10 = 5
+"""
+
+
+def _cdf_changes(spark: SparkSession, sf_dir: str, *, layout: str) -> DataFrame:
+    """Shared body of the two change-feed gate queries: seed v1 from
+    ``orders`` minus the %10==3 keys, merge a delta (updates %10==7,
+    inserts %10==3, price bumped, version 2) with removals (%10==5),
+    then serve ``read_changes(1, 2)``. The store persists across runs
+    (fingerprint-tagged path, flock around the cycle); replays skip
+    straight to the read — the feed is a pure function of two retained
+    immutable versions."""
+    import hashlib
+    import os
+
+    from ..sinks.snapshot import SnapshotStore
+
+    fp = _dataset_fingerprint(sf_dir, "orders")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|orders-cdf|nb16|{layout}|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-cdfstore-{tag}"
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        F.lit(1).alias("v"),
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    delta = orders.filter((F.col("o_orderkey") % 10).isin(3, 7)).select(
+        "o_orderkey",
+        F.lit(2).alias("v"),
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice") + 1000, 2).alias("price"),
+    )
+    removed = orders.filter(F.col("o_orderkey") % 10 == 5).select("o_orderkey")
+    with _store_lock(path):
+        store = SnapshotStore(
+            spark,
+            path,
+            key="o_orderkey",
+            version_col="v",
+            num_buckets=16,
+            layout=layout,
+        )
+        if store.current_version() is None:
+            store.overwrite(base)
+        if store.current_version() == 1:
+            store.merge(delta, removed=removed)
+        return store.read_changes(1, 2).withColumnRenamed("_change", "change")
+
+
+@query("store_read_changes", oracle=_CDF_ORACLE)
+def store_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed through the snapshot store (manifest layout):
+    what tonight's merge actually DID — one row per key whose state
+    differs between version 1 and version 2, labeled insert / update /
+    delete (post-image for insert/update, pre-image for delete). The
+    oracle recomputes the expected diff from the raw table, so the
+    gate proves the whole path — bucket-pruned merge, commit-metadata
+    changed-bucket resolution (sinks/snapshot.py changed_buckets), the
+    two pruned version slices, null-safe row classification — emits
+    exactly the true delta, no phantoms.
+
+    At 100 TB this is how a DOWNSTREAM incremental consumer (the
+    nightly curation cycle, an index refresh, an ES sync) gets its
+    input: O(changed buckets) read from commit metadata instead of
+    diffing two full snapshots. Reference parity: the scanner's
+    new/modified/removed detection between consecutive scans
+    (scanner.py:414-463), served from the store's own commit metadata
+    instead of a rescan."""
+    return _cdf_changes(spark, sf_dir, layout="manifest")
+
+
+@query("store_read_changes_hardlink", oracle=_CDF_ORACLE)
+def store_read_changes_hardlink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same change feed on the hardlink layout, where changed
+    buckets are resolved from per-bucket FILE NAMES (an untouched
+    bucket is hard-linked forward under the same names; a rewrite
+    mints fresh task-UUID part names) — both layouts must serve the
+    identical feed (same oracle, same hash)."""
+    return _cdf_changes(spark, sf_dir, layout="hardlink")
+
+
 def _incremental_batch_matches(
     spark: SparkSession, sf_dir: str, *, layout: str
 ) -> DataFrame:

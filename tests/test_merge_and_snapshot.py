@@ -791,3 +791,87 @@ def test_written_files_are_key_clustered(spark, tmp_path):
             assert ks == sorted(ks), os.path.join(root, fn)
             checked += 1
     assert checked >= 2
+
+
+@pytest.mark.parametrize("layout", ["hardlink", "manifest"])
+def test_read_changes_classification(spark, tmp_path, layout):
+    """The change feed emits exactly the true delta between two
+    versions: inserts/updates post-image, deletes pre-image, and a
+    rewritten-but-identical row NEVER surfaces as a phantom update."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=8, layout=layout,
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, f"p{i}") for i in range(40)]))
+    store.merge(
+        _df(spark, [("k3", 2, "updated"), ("k999", 2, "fresh")]),
+        removed=spark.createDataFrame([("k11",)], "k string"),
+    )
+    ch = {r.k: r for r in store.read_changes(1, 2).collect()}
+    assert {k: r._change for k, r in ch.items()} == {
+        "k3": "update", "k999": "insert", "k11": "delete"
+    }
+    assert ch["k3"].payload == "updated" and ch["k3"].v == 2  # post-image
+    assert ch["k11"].payload == "p11" and ch["k11"].v == 1  # pre-image
+
+    # Rewriting a bucket with IDENTICAL content (stale upsert loses,
+    # same-row upsert is a no-op) changes files but must emit nothing.
+    store.merge(_df(spark, [("k3", 2, "updated"), ("k5", 0, "stale")]))
+    assert store.changed_buckets(2, 3)  # files did change...
+    assert store.read_changes(2, 3).count() == 0  # ...rows did not
+
+    # Feed addressing is validated: unretained / inverted / same.
+    assert store.read_changes(3, 3).count() == 0
+    with pytest.raises(ValueError, match="not retained"):
+        store.read_changes(0, 2)
+    with pytest.raises(ValueError, match="v_from"):
+        store.read_changes(3, 2)
+
+
+def test_read_changes_prunes_to_changed_buckets(spark, tmp_path):
+    """O(changed buckets), not O(table): the feed's scan reads files
+    from the buckets the merge touched — in BOTH versions — and no
+    others."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=32, layout="manifest",
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(300)]))
+    store.merge(_df(spark, [("k42", 2, "updated")]))
+    changed = store.changed_buckets(1, 2)
+    assert len(changed) == 1
+    allowed = {f"_bucket={b}/" for b in changed}
+    feed = store.read_changes(1, 2)
+    scanned = feed.inputFiles()
+    assert scanned and all(any(a in f for a in allowed) for f in scanned)
+    total_files = sum(
+        len(v) for v in store._read_manifest(store.current_version()).values()
+    )
+    assert len(scanned) < total_files / 8
+    assert [(r.k, r._change) for r in feed.collect()] == [("k42", "update")]
+
+
+def test_read_changes_across_rebucket_and_schema_evolution(spark, tmp_path):
+    """Across a rebucket boundary bucket ids aren't comparable — the
+    feed degrades to a full diff (changed_buckets None) but stays
+    EXACT (a rebucket rewrites every file yet changes no rows).
+    Across a schema-evolution boundary added columns compare as typed
+    NULLs: pre-image rows carry NULL for columns born later."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, f"p{i}") for i in range(30)]))
+    store.rebucket(8)
+    assert store.changed_buckets(1, 2) is None
+    assert store.read_changes(1, 2).count() == 0
+
+    wide = spark.createDataFrame(
+        [("k3", 2, "updated", "extra")], "k string, v int, payload string, note string"
+    )
+    store.merge(wide, removed=spark.createDataFrame([("k7",)], "k string"))
+    ch = {r.k: r for r in store.read_changes(2, 3).collect()}
+    assert ch["k3"]._change == "update" and ch["k3"].note == "extra"
+    assert ch["k7"]._change == "delete" and ch["k7"].note is None
+    # Spanning BOTH boundaries at once (v1 -> v3) also stays exact.
+    spanning = {r.k: r._change for r in store.read_changes(1, 3).collect()}
+    assert spanning == {"k3": "update", "k7": "delete"}

@@ -153,7 +153,9 @@ def test_registry_priority_prefix_covers_llm_layer():
         # hard signal goes to the least-tested first.
         "curation_pipeline_e2e", "incremental_curation_cycle",
         "dedup_incremental_tombstone", "substring_incremental_tombstone",
-        "ann_incremental_ivf_manifest",
+        "ann_incremental_ivf_manifest", "dedup_incremental_rebucket",
+        "store_point_lookup", "store_read_changes",
+        "store_read_changes_hardlink",
         "dedup_incremental_batch", "dedup_incremental_batch_manifest",
         "per_domain_cap",
         "ann_incremental_ivf_topk",
@@ -170,7 +172,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "window_session_30m", "window_rank_lag_gap",
         "asof_click_before_purchase", "range_join_error_after_purchase",
         "merge_upsert_newer_wins", "snapshot_diff_changes",
-        "rollup_directory_sizes", "q01_pricing_summary",
+        "rollup_directory_sizes",
     }
     assert required <= first50, sorted(required - first50)
     assert len(names) == len(set(names))
