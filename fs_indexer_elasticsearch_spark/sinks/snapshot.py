@@ -42,6 +42,16 @@ committed before the pointer swap) evolvable via ``rebucket`` —
 partition evolution for a growing corpus; the rest of the physical
 identity (key, bucket_key, version_col, layout) is immutable and
 validated on reopen against ``_LAYOUT.json``.
+
+Writes are single-writer by contract, and the contract is ENFORCED
+fail-fast: every commit first atomically claims its version number
+(``_TXN_v<N>``, O_EXCL — the POSIX stand-in for an object store's
+if-none-match conditional put) and re-verifies the pointer under the
+claim, so a racing writer raises ConcurrentWriteError before writing
+any data and a stale read can never silently overwrite a newer
+commit (lost update). Crashed writers' claims are cleared by a pid
+liveness check; on an object store the same role is played by a
+lease timestamp.
 """
 
 from __future__ import annotations
@@ -49,6 +59,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +82,27 @@ _CFG_PREFIX = "_STORECFG_v"
 # slice and merges scatter duplicate keys across buckets. Mismatch is
 # therefore a constructor-time ValueError, not a runtime mystery.
 _LAYOUT_FILE = "_LAYOUT.json"
+# Per-version write claim (fail-fast concurrent-writer guard): a
+# commit of version N first atomically creates _TXN_vN (O_EXCL) —
+# see _txn().
+_TXN_PREFIX = "_TXN_v"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer raced this store's commit. The store is
+    single-writer by contract; this error upgrades a violation from
+    silent lost-update to a fail-fast exception raised BEFORE the
+    loser writes any data."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # exists, owned by someone else
+        return True
 
 
 class SnapshotStore:
@@ -137,6 +169,79 @@ class SnapshotStore:
 
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version}")
+
+    # -- write transaction (fail-fast concurrency guard) ----------------------
+    def _txn_path(self, version: int) -> str:
+        return os.path.join(self.path, f"{_TXN_PREFIX}{version}")
+
+    def _claim(self, version: int) -> None:
+        """Atomically claim the right to commit ``version`` by creating
+        its _TXN file with O_EXCL — the POSIX equivalent of an object
+        store's if-none-match conditional put. A racing writer fails
+        HERE, before writing any data. A claim left by a CRASHED
+        process (its recorded pid no longer runs) is stale and is
+        cleared, once; a claim held by a live process raises."""
+        path = self._txn_path(version)
+        for _attempt in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, str(os.getpid()).encode())
+                finally:
+                    os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        holder = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    holder = 0
+                if holder and holder != os.getpid() and not _pid_alive(holder):
+                    try:  # crashed writer's stale claim — clear and retry
+                        os.remove(path)
+                    except OSError:
+                        pass
+                    continue
+                raise ConcurrentWriteError(
+                    f"version {version} of {self.path} is being committed "
+                    f"by pid {holder or '?'}; this store is single-writer "
+                    "— serialize commits (the registered queries flock the "
+                    "store dir for exactly this reason)"
+                )
+        raise ConcurrentWriteError(
+            f"could not claim version {version} of {self.path}"
+        )
+
+    def _release(self, version: int) -> None:
+        try:
+            os.remove(self._txn_path(version))
+        except OSError:
+            pass
+
+    @contextmanager
+    def _txn(self, base: int | None):
+        """Commit transaction for the version after ``base``: claim it,
+        then re-verify the pointer still names ``base`` (a commit that
+        slipped in between reading the pointer and claiming would
+        otherwise be silently overwritten — the classic lost update).
+        Sound because pointer advance to N requires the claim of N,
+        claims are mutually exclusive, and the pointer only moves
+        forward during commits — so between the re-check and this
+        writer's swap nobody else can advance it. The claim is always
+        released (committed or failed); a kill -9 leaves a stale claim
+        that the next writer's liveness check clears."""
+        v = (base or 0) + 1
+        self._claim(v)
+        try:
+            if self.current_version() != base:
+                raise ConcurrentWriteError(
+                    f"pointer of {self.path} moved from {base} to "
+                    f"{self.current_version()} since this write began; "
+                    "lost update prevented — re-read and retry"
+                )
+            yield v
+        finally:
+            self._release(v)
 
     # -- store identity ------------------------------------------------------
     def _identity(self) -> dict:
@@ -748,19 +853,19 @@ class SnapshotStore:
         )
 
     def overwrite(self, df: DataFrame, *, meta: dict | None = None) -> int:
-        v = (self.current_version() or 0) + 1
         df = df.drop("_bucket")
-        if self.layout == "manifest":
-            self._write_manifest(v, self._write_data_files(df))
-        else:
-            out = self._version_dir(v)
-            shutil.rmtree(out, ignore_errors=True)
-            self._write_buckets(df, out)
-        self._record_schema(df)
-        self._write_identity()
-        self._commit_cfg(v)
-        self._commit_meta(v, meta)
-        self._swap_pointer(v)
+        with self._txn(self.current_version()) as v:
+            if self.layout == "manifest":
+                self._write_manifest(v, self._write_data_files(df))
+            else:
+                out = self._version_dir(v)
+                shutil.rmtree(out, ignore_errors=True)
+                self._write_buckets(df, out)
+            self._record_schema(df)
+            self._write_identity()
+            self._commit_cfg(v)
+            self._commit_meta(v, meta)
+            self._swap_pointer(v)
         return v
 
     def bucket_stats(self) -> dict | None:
@@ -949,6 +1054,27 @@ class SnapshotStore:
                 )
             return self.overwrite(merged, meta=meta)
 
+        # Claim the commit BEFORE the merge compute: a racing writer
+        # fails fast here, not after minutes of shuffle.
+        self._claim(cur_v + 1)
+        try:
+            return self._merge_committed(batch, removed, cur_v, meta)
+        finally:
+            self._release(cur_v + 1)
+
+    def _merge_committed(
+        self,
+        batch: DataFrame,
+        removed: DataFrame | None,
+        cur_v: int,
+        meta: dict | None,
+    ) -> int:
+        if self.current_version() != cur_v:
+            raise ConcurrentWriteError(
+                f"pointer of {self.path} moved from {cur_v} to "
+                f"{self.current_version()} since this merge began; "
+                "lost update prevented — re-read and retry"
+            )
         batch = batch.withColumn("_bucket", self._bucket_col()).cache()
         touched = {r._bucket for r in batch.select("_bucket").distinct().collect()}
         if removed is not None:

@@ -875,3 +875,63 @@ def test_read_changes_across_rebucket_and_schema_evolution(spark, tmp_path):
     # Spanning BOTH boundaries at once (v1 -> v3) also stays exact.
     spanning = {r.k: r._change for r in store.read_changes(1, 3).collect()}
     assert spanning == {"k3": "update", "k7": "delete"}
+
+
+def test_concurrent_writer_fails_fast(spark, tmp_path):
+    """A racing writer is refused BEFORE writing any data: a live
+    claim on the next version raises ConcurrentWriteError; a crashed
+    writer's stale claim (dead pid) is cleared and the write proceeds;
+    a pointer that moved since the writer read it is a prevented lost
+    update, not a silent overwrite."""
+    import os
+
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import (
+        ConcurrentWriteError,
+    )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(_df(spark, [("a", 1, "p")]))
+
+    # Live claim (pid 1 = init, always alive, never us) blocks v2.
+    claim = store._txn_path(2)
+    with open(claim, "w") as f:
+        f.write("1")
+    with pytest.raises(ConcurrentWriteError, match="single-writer"):
+        store.merge(_df(spark, [("a", 2, "new")]))
+    with pytest.raises(ConcurrentWriteError):
+        store.overwrite(_df(spark, [("a", 2, "new")]))
+    assert store.current_version() == 1  # nothing committed
+    assert {r.payload for r in store.read().collect()} == {"p"}
+
+    # Stale claim: a pid that no longer runs (we spawn-and-reap one).
+    import subprocess
+
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(claim, "w") as f:
+        f.write(str(dead.pid))
+    store.merge(_df(spark, [("a", 2, "new")]))  # clears + proceeds
+    assert store.current_version() == 2
+    assert not os.path.exists(claim)  # released after commit
+
+    # Lost update: a writer that read base=1 before v2 committed must
+    # NOT overwrite v2 — the pointer re-check under the claim refuses.
+    with pytest.raises(ConcurrentWriteError, match="lost update"):
+        with store._txn(1):
+            pass
+    assert not os.path.exists(store._txn_path(2))  # claim released
+
+    # Failed commits release their claim too (no wedged store).
+    class Boom(Exception):
+        pass
+
+    try:
+        with store._txn(2):
+            raise Boom()
+    except Boom:
+        pass
+    assert not os.path.exists(store._txn_path(3))
+    store.merge(_df(spark, [("b", 1, "q")]))  # store still writable
+    assert store.current_version() == 3
