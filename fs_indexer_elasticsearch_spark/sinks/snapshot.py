@@ -105,6 +105,57 @@ def _pid_alive(pid: int) -> bool:
         return True
 
 
+def classify_changes(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Row-level change classification between two same-schema states:
+    one row per key whose state differs, ``_change`` = 'insert' /
+    'update' / 'delete' (post-image for insert/update, pre-image for
+    delete). Null-safe column comparison — exact, never a hash — so
+    identical rows are dropped, not surfaced as phantom updates.
+    Shared by read_changes (two committed versions) and the streaming
+    change-feed cadence (pre-commit: current slice vs the batch's
+    would-be merge result)."""
+    from functools import reduce
+
+    # Presence tags so NULL-valued keys can't be mistaken for absence.
+    o = old.withColumn("_o", F.lit(1)).alias("o")
+    n = new.withColumn("_n", F.lit(1)).alias("n")
+    joined = o.join(
+        n,
+        reduce(
+            lambda a, b: a & b,
+            [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
+        ),
+        "full_outer",
+    )
+    data_cols = [c for c in new.columns if c not in keys]
+    same = (
+        reduce(
+            lambda a, b: a & b,
+            [F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in data_cols],
+        )
+        if data_cols
+        else F.lit(True)
+    )
+    change = (
+        F.when(F.col("o._o").isNull(), F.lit("insert"))
+        .when(F.col("n._n").isNull(), F.lit("delete"))
+        .when(same, F.lit(None))  # identical: drop
+        .otherwise(F.lit("update"))
+    )
+    post = F.col("n._n").isNotNull()
+    return (
+        joined.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(
+            *[
+                F.when(post, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+                for c in new.columns
+            ],
+            "_change",
+        )
+    )
+
+
 class SnapshotStore:
     def __init__(
         self,
@@ -526,8 +577,6 @@ class SnapshotStore:
         removed detection between consecutive scans
         (scanner.py:414-463), served here from the store's own commit
         metadata instead of a rescan."""
-        from functools import reduce
-
         v_to = self.current_version() if v_to is None else v_to
         retained = self.versions()
         for v in (v_from, v_to):
@@ -554,53 +603,11 @@ class SnapshotStore:
             old = self.read_buckets(changed, version=v_from)
             new = self.read_buckets(changed, version=v_to)
         # Align on the union schema (a diff across a schema-evolution
-        # boundary compares added columns as typed NULLs), then tag
-        # presence so NULL-valued keys can't be mistaken for absence.
+        # boundary compares added columns as typed NULLs).
         old, new = self._migrate(
             old.drop("_bucket"), new.drop("_bucket")
         )
-        o = old.withColumn("_o", F.lit(1)).alias("o")
-        n = new.withColumn("_n", F.lit(1)).alias("n")
-        joined = o.join(
-            n,
-            reduce(
-                lambda a, b: a & b,
-                [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
-            ),
-            "full_outer",
-        )
-        data_cols = [c for c in new.columns if c not in keys]
-        same = (
-            reduce(
-                lambda a, b: a & b,
-                [
-                    F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-                    for c in data_cols
-                ],
-            )
-            if data_cols
-            else F.lit(True)
-        )
-        change = (
-            F.when(F.col("o._o").isNull(), F.lit("insert"))
-            .when(F.col("n._n").isNull(), F.lit("delete"))
-            .when(same, F.lit(None))  # rewritten-but-identical: drop
-            .otherwise(F.lit("update"))
-        )
-        post = F.col("n._n").isNotNull()
-        return (
-            joined.withColumn("_change", change)
-            .filter(F.col("_change").isNotNull())
-            .select(
-                *[
-                    F.when(post, F.col(f"n.{c}"))
-                    .otherwise(F.col(f"o.{c}"))
-                    .alias(c)
-                    for c in new.columns
-                ],
-                "_change",
-            )
-        )
+        return classify_changes(old, new, keys)
 
     # -- schema evolution ---------------------------------------------------
     # Reference parity: needs_schema_update / migrate_schema

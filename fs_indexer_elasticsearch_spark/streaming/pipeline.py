@@ -214,6 +214,98 @@ def streaming_substring_pipeline(
     )
 
 
+def streaming_changefeed_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    store: SnapshotStore,
+    feed_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 10,
+    feed_store: SnapshotStore | None = None,
+) -> StreamingQuery:
+    """The change data feed at streaming cadence: each micro-batch is
+    merged into the snapshot store AND the feed of what that merge
+    actually did (insert/update rows; classification per
+    sinks/snapshot.classify_changes) is published downstream.
+
+    The feed is derived PRE-commit — the batch classified against the
+    CURRENT bucket-pruned slice, i.e. exactly the rows the following
+    merge will change — which makes it deterministic under epoch
+    replay: a replayed epoch whose merge already committed re-derives
+    against the post-merge state, classifies everything identical, and
+    emits ZERO rows. With a keyed ``feed_store`` (key =
+    key:change:epoch, LWW on epoch) the feed is therefore
+    effectively-once across the whole crash window — crash before the
+    merge collapses onto the same keys, crash after it emits nothing;
+    the parquet-append path is at-least-once, matching the other
+    streaming sinks' documented semantics. Cost per batch is
+    O(touched buckets), same as the merge itself."""
+    from pyspark.sql import Window
+
+    from ..operators.merge import upsert_newer_wins
+    from ..sinks.snapshot import classify_changes
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        w = Window.partitionBy(store.key).orderBy(F.desc(store.version_col))
+        deduped = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if store.current_version() is None:
+            feed = deduped.withColumn("_change", F.lit("insert"))
+        else:
+            tagged = deduped.withColumn("_bucket", store._bucket_col())
+            touched = sorted(
+                r._bucket for r in tagged.select("_bucket").distinct().collect()
+            )
+            # Lazy localCheckpoint: the slice feeds both the would-be
+            # merge result and the classification join's old side.
+            old = (
+                store.read_buckets(touched)
+                .drop("_bucket")
+                .localCheckpoint(eager=False)
+            )
+            new = upsert_newer_wins(old, deduped, store.key, store.version_col)
+            feed = classify_changes(old, new, [store.key])
+        feed = feed.withColumn("epoch", F.lit(epoch_id).cast("long"))
+        # Publish the feed BEFORE the merge commits: the feed plan
+        # lazily reads the store's CURRENT version, so it must
+        # materialize while that is still the pre-merge state.
+        if feed_store is not None:
+            feed_store.merge(
+                feed.withColumn(
+                    feed_store.key,
+                    F.concat_ws(
+                        ":",
+                        F.col(store.key).cast("string"),
+                        F.col("_change"),
+                        F.col("epoch").cast("string"),
+                    ),
+                )
+            )
+        else:
+            feed.write.mode("append").parquet(feed_dir)
+        store.merge(deduped)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def streaming_curation_pipeline(
     spark: SparkSession,
     input_dir: str,
