@@ -43,6 +43,18 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        # width*height grayscale bytes, row-major — the normalized
+        # raster a training pipeline feeds the encoder.
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resize_kind", T.StringType()),
+    ]
+)
+
 
 def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build an asset DataFrame from any table: payload = utf-8 bytes
@@ -160,6 +172,86 @@ def extract_features(
         yield from _feature_batches(batches, dim, fake)
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _fake_resize(b: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a real raster resize: stride-sample
+    the payload down to exactly w*h bytes (zero-padded) — same output
+    shape and dtype as the real kernel, so downstream plumbing is
+    exercised identically."""
+    n = w * h
+    if not b:
+        return bytes(n)
+    step = max(len(b) // n, 1)
+    return (b[::step])[:n].ljust(n, b"\0")
+
+
+def _real_resize(b: bytes, w: int, h: int) -> bytes:
+    """Real image resize → w*h grayscale raster bytes (row-major).
+    Imports PIL at call time (worker-side)."""
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(b)).convert("L").resize((w, h)).tobytes()
+
+
+def _resize_batches(batches: Iterator, w: int, h: int, fake: bool | None) -> Iterator:
+    """Resize kernel with the same fake/auto/strict + per-payload
+    fault-isolation contract as ``_feature_batches``: a corrupt
+    payload falls back (kind='fallback'), a missing library under
+    ``fake=False`` is a hard NotImplementedError."""
+    import pandas as pd
+
+    use_real = fake is False
+    if fake is None:
+        use_real = _pil_available()
+
+    for pdf in batches:
+        outs, kinds = [], []
+        for payload in pdf["payload"]:
+            b = bytes(payload or b"")
+            if use_real:
+                try:
+                    outs.append(_real_resize(b, w, h))
+                    kinds.append("real")
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "real media resize requires PIL — not in this image"
+                    ) from exc
+                except Exception:  # noqa: BLE001 — poison payload
+                    outs.append(_fake_resize(b, w, h))
+                    kinds.append("fallback")
+            else:
+                outs.append(_fake_resize(b, w, h))
+                kinds.append("fake")
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "width": pd.array([w] * len(outs), dtype="int32"),
+                "height": pd.array([h] * len(outs), dtype="int32"),
+                "resized": outs,
+                "resize_kind": kinds,
+            }
+        )
+
+
+def resize_images(
+    assets: DataFrame, width: int = 8, height: int = 8, fake: bool | None = True
+) -> DataFrame:
+    """Resize every asset's raster to width x height (Arrow-batched
+    mapInPandas) — the third of the four multimodal kernels (decode /
+    feature-extract / RESIZE / frame-sample). Output is a fixed-size
+    grayscale byte raster plus typed dimensions, the shape an
+    image-training pipeline normalizes into before encoding. Same
+    fake/auto/strict kernel contract as ``extract_features``."""
+    if fake is None:
+        fake = not _pil_available()  # resolved on the driver
+
+    def run(batches: Iterator) -> Iterator:
+        yield from _resize_batches(batches, width, height, fake)
+
+    return assets.mapInPandas(run, RESIZE_SCHEMA)
 
 
 def sample_frames(

@@ -411,3 +411,83 @@ def test_minhash_lsh_rejects_invalid_hash_band_config(spark):
         minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32)
     with pytest.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=5)
+
+
+def test_resize_plumbing_and_contract(spark):
+    """resize_images: fixed w*h raster out for every payload (fake
+    kernel deterministic), and the fake/strict contract matches
+    extract_features — NotImplementedError without PIL under
+    fake=False, per-payload fallback with it."""
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        _pil_available,
+        resize_images,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(8)
+    assets = attach_payload(docs, "text", "doc_id")
+    rows = resize_images(assets, width=4, height=3, fake=True).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert (r.width, r.height) == (4, 3)
+        assert len(bytes(r.resized)) == 12  # exactly w*h bytes, padded
+        assert r.resize_kind == "fake"
+    # Deterministic: same payloads, same bytes.
+    again = resize_images(assets, width=4, height=3, fake=True).collect()
+    assert {(r.asset_id, bytes(r.resized)) for r in rows} == {
+        (r.asset_id, bytes(r.resized)) for r in again
+    }
+
+    one = assets.limit(1)
+    if _pil_available():
+        out = resize_images(one, fake=False).collect()
+        assert [r.resize_kind for r in out] == ["fallback"]  # not an image
+    else:
+        with pytest.raises(Exception, match="NotImplementedError|not in this image"):
+            resize_images(one, fake=False).collect()
+
+
+def test_resize_real_branch_with_fake_pil():
+    """The real-resize branch via a PIL lookalike, kernel called
+    in-process (worker closures are beyond a driver monkeypatch)."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        _resize_batches,
+    )
+
+    class _Img:
+        def convert(self, _mode):
+            return self
+
+        def resize(self, size):
+            self._size = size
+            return self
+
+        def tobytes(self):
+            w, h = self._size
+            return bytes(range(w * h))
+
+    class _Image:
+        @staticmethod
+        def open(_buf):
+            return _Img()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _Image
+    saved = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    sys.modules["PIL"] = pil
+    sys.modules["PIL.Image"] = _Image
+    try:
+        pdf = pd.DataFrame({"asset_id": ["a"], "payload": [b"whatever"]})
+        res = list(_resize_batches(iter([pdf]), 3, 2, fake=False))[0]
+        assert list(res["resize_kind"]) == ["real"]
+        assert bytes(res["resized"][0]) == bytes(range(6))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v

@@ -116,6 +116,11 @@ STRESSED = {
     "window_session_30m": "events",
     "merge_upsert_newer_wins": "orders",
     "snapshot_diff_changes": "orders",
+    # r8: the change feed must scale with the CHANGED slice (the base,
+    # delta and removal sets all grow k-fold under amplification) —
+    # alpha ~ 1 means changed-bucket resolution + the classification
+    # join stay delta-proportional, no full-table diff hiding inside.
+    "store_read_changes": "orders",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
     "similarity_lsh_ann_topk": "embeddings",
