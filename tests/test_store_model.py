@@ -1,0 +1,164 @@
+"""Randomized model-based test of the SnapshotStore.
+
+Every other store test checks one scenario; this one checks the
+ALGEBRA: a seeded random program of merges (upserts + deletions),
+overwrites, rollbacks, vacuums and rebuckets is applied in lockstep to
+the store and to a pure-Python model (dict + committed-snapshot
+history), and after every commit the store must agree with the model
+on the full read, on point lookups, on time travel, and on the change
+feed between every checked pair of retained versions. Interleaving
+bugs (merge-after-rollback, feed-across-rebucket, vacuum eating a
+version the feed still needs) live exactly in the sequences humans
+don't think to write down — the seeded program writes them for us,
+deterministically (no flaky shrinking; a failure reproduces from the
+seed)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+KEYS = [f"k{i:02d}" for i in range(24)]  # small space → heavy collisions
+SCHEMA = "k string, v int, payload string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _apply_merge(model: dict, batch: list, removed: list) -> None:
+    """upsert_newer_wins + key deletions, on the model: strictly newer
+    wins, deletions apply after the upsert (merge's left_anti)."""
+    for k, v, p in batch:
+        cur = model.get(k)
+        if cur is None or v > cur[0]:
+            model[k] = (v, p)
+    for k in removed:
+        model.pop(k, None)
+
+
+def _store_state(store) -> dict:
+    return {
+        r.k: (r.v, r.payload)
+        for r in store.read().select("k", "v", "payload").collect()
+    }
+
+
+def _model_diff(h_from: dict, h_to: dict) -> dict:
+    out = {}
+    for k in h_to.keys() - h_from.keys():
+        out[k] = ("insert", h_to[k])
+    for k in h_from.keys() - h_to.keys():
+        out[k] = ("delete", h_from[k])
+    for k in h_to.keys() & h_from.keys():
+        if h_to[k] != h_from[k]:
+            out[k] = ("update", h_to[k])
+    return out
+
+
+@pytest.mark.parametrize("layout,seed", [("hardlink", 7), ("manifest", 11)])
+def test_store_agrees_with_model_under_random_programs(
+    spark, tmp_path, layout, seed
+):
+    rng = random.Random(seed)
+    store = SnapshotStore(
+        spark,
+        str(tmp_path / "snap"),
+        key="k",
+        version_col="v",
+        num_buckets=4,
+        layout=layout,
+    )
+    model: dict[str, tuple[int, str]] = {}
+    history: dict[int, dict] = {}  # committed version -> model snapshot
+
+    def commit_snapshot(v: int) -> None:
+        history[v] = dict(model)
+
+    ops = ["merge"] * 8 + ["overwrite", "rollback", "vacuum", "rebucket"]
+    for step in range(18):
+        op = rng.choice(ops)
+        if op == "merge":
+            ks = rng.sample(KEYS, rng.randint(1, 6))
+            batch = [
+                (k, rng.randint(1, 9), f"p{rng.randrange(100)}") for k in ks
+            ]
+            removed = (
+                rng.sample(KEYS, rng.randint(0, 2)) if rng.random() < 0.5 else []
+            )
+            v = store.merge(
+                _df(spark, batch),
+                removed=(
+                    spark.createDataFrame([(k,) for k in removed], "k string")
+                    if removed
+                    else None
+                ),
+            )
+            _apply_merge(model, batch, removed)
+            commit_snapshot(v)
+        elif op == "overwrite":
+            rows = [
+                (k, rng.randint(1, 9), f"p{rng.randrange(100)}")
+                for k in rng.sample(KEYS, rng.randint(1, 8))
+            ]
+            v = store.overwrite(_df(spark, rows))
+            model = {k: (vv, p) for k, vv, p in rows}
+            commit_snapshot(v)
+        elif op == "rollback":
+            retained = store.versions()
+            if len(retained) < 2:
+                continue
+            target = rng.choice(retained[:-1])
+            store.rollback(target)
+            model = dict(history[target])
+            for dead in [x for x in history if x > target]:
+                del history[dead]
+        elif op == "vacuum":
+            keep = rng.randint(1, 3)
+            for victim in store.vacuum(keep=keep):
+                history.pop(victim, None)
+        elif op == "rebucket":
+            if store.current_version() is None:
+                continue
+            v = store.rebucket(rng.choice([2, 4, 8]))
+            if v is not None:
+                commit_snapshot(v)
+
+        # -- invariants after every op --------------------------------
+        if store.current_version() is None:
+            assert model == {}
+            continue
+        assert _store_state(store) == model, f"step {step} op {op}"
+        probe = rng.sample(KEYS, 4)
+        got = {
+            r.k: (r.v, r.payload)
+            for r in store.read_keys(probe).select("k", "v", "payload").collect()
+        }
+        assert got == {k: model[k] for k in probe if k in model}, (
+            f"step {step} read_keys"
+        )
+        # versions() must be exactly the model's retained history.
+        assert sorted(history) == store.versions(), f"step {step} versions"
+
+        # Time travel + change feed on a random retained pair (every
+        # other step — the feed join is the expensive check).
+        retained = store.versions()
+        if step % 2 == 0 and len(retained) >= 2:
+            v_from, v_to = sorted(rng.sample(retained, 2))
+            tt = {
+                r.k: (r.v, r.payload)
+                for r in store.read(version=v_from)
+                .select("k", "v", "payload")
+                .collect()
+            }
+            assert tt == history[v_from], f"step {step} time-travel v{v_from}"
+            feed = {
+                r.k: (r._change, (r.v, r.payload))
+                for r in store.read_changes(v_from, v_to).collect()
+            }
+            assert feed == _model_diff(history[v_from], history[v_to]), (
+                f"step {step} feed v{v_from}->v{v_to}"
+            )
