@@ -101,6 +101,52 @@ def delete_actions(ids: DataFrame, index: str, id_col: str = "id") -> DataFrame:
     )
 
 
+def sync_actions_from_changes(
+    store,
+    index: str,
+    v_from: int,
+    v_to: int | None = None,
+    *,
+    format_docs=None,
+) -> DataFrame:
+    """Incremental ES sync driven by the snapshot store's change feed:
+    one `_bulk` NDJSON DataFrame holding index actions for every
+    inserted/updated key (post-image source) and delete actions for
+    every removed key — nothing for untouched keys.
+
+    This closes the reference's main loop (scan → diff vs DB → update
+    DB → sync ES, main.py:339-362 + elasticsearch_integration bulk /
+    delete batches) from COMMIT METADATA instead of a rescan: the feed
+    reads only the buckets the merge touched (sinks/snapshot.py
+    read_changes), so a nightly sync of a 100 TB index ships O(changed)
+    documents, and the delete side replaces the reference's
+    10k-capped scroll with the feed's exact removed-key set.
+
+    ``format_docs`` optionally projects post-image rows into document
+    shape (e.g. ``format_documents``) BEFORE action encoding; it must
+    preserve the store's key column. The store key becomes ``_id``
+    (keys are unique per feed, so action order within the bulk body is
+    irrelevant)."""
+    changes = store.read_changes(v_from, v_to)
+    key = store.key
+    if not isinstance(key, str):
+        raise ValueError(
+            "sync_actions_from_changes needs a single-column store key "
+            f"to use as the ES _id; got composite {key!r}"
+        )
+    upserts = changes.filter(F.col("_change") != "delete").drop("_change")
+    if format_docs is not None:
+        upserts = format_docs(upserts)
+    if key != "id":
+        upserts = upserts.withColumnRenamed(key, "id")
+    deletes = changes.filter(F.col("_change") == "delete").select(
+        F.col(key).alias("id")
+    )
+    return bulk_actions(upserts, index).unionByName(
+        delete_actions(deletes, index)
+    )
+
+
 def write_bulk_file(actions: DataFrame, out_dir: str) -> None:
     """Partitioned NDJSON bulk files — one part per partition; each
     part is a valid `_bulk` request body."""

@@ -125,3 +125,52 @@ def test_link_work_discovery_and_enrichment(spark):
     # (direct_links.py:223-233 predicate).
     stale_check = discover_link_work(entries, links)
     assert stale_check.count() == 0
+
+
+def test_sync_actions_from_changes(spark, tmp_path):
+    """CDF-driven ES sync: index actions for inserted/updated keys
+    with post-image sources, delete actions for removed keys, nothing
+    for untouched keys — the reference's diff-then-sync loop served
+    from commit metadata."""
+    from fs_indexer_elasticsearch_spark.sinks.es_bulk import (
+        sync_actions_from_changes,
+    )
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    store.overwrite(
+        spark.createDataFrame(
+            [(f"k{i}", 1, f"p{i}") for i in range(10)],
+            "k string, v int, payload string",
+        )
+    )
+    store.merge(
+        spark.createDataFrame(
+            [("k3", 2, "updated"), ("k99", 1, "fresh")],
+            "k string, v int, payload string",
+        ),
+        removed=spark.createDataFrame([("k7",)], "k string"),
+    )
+
+    lines = [
+        ln
+        for r in sync_actions_from_changes(store, "files", 1, 2).collect()
+        for ln in r.value.split("\n")
+    ]
+    acts = [json.loads(ln) for ln in lines]
+    idx_ids = {a["index"]["_id"] for a in acts if "index" in a}
+    del_ids = {a["delete"]["_id"] for a in acts if "delete" in a}
+    assert idx_ids == {"k3", "k99"}  # update + insert only
+    assert del_ids == {"k7"}
+    sources = {
+        json.loads(lines[i + 1])["id"]: json.loads(lines[i + 1])
+        for i, a in enumerate(acts)
+        if "index" in a
+    }
+    assert sources["k3"]["payload"] == "updated"  # post-image
+    assert sources["k3"]["v"] == 2
+    # Untouched keys ship nothing: 2 index pairs + 1 delete.
+    assert len(acts) == 5
