@@ -191,20 +191,22 @@ class IvfIndexStore:
         cents = self.spark.createDataFrame(
             crows, f"vec_id {id_type}, emb array<double>"
         )
-        v_next = (self.store.current_version() or 0) + 1
-        # A racing writer is now refused BEFORE committing: overwrite
-        # claims its version and re-verifies the pointer under the
-        # claim (snapshot.py _txn, ConcurrentWriteError), so rows and
-        # centroids can no longer commit against a moved pointer.
+        base = self.store.current_version()
+        v_next = (base or 0) + 1
+        # expected_base pins the commit to the version this seed read:
+        # a racing writer makes overwrite raise ConcurrentWriteError
+        # BEFORE committing (snapshot.py _txn), so rows and centroids
+        # can never commit against a moved pointer.
         v = self.store.overwrite(
             self._assigned(corpus, id_col, vec_col, 0, cents, dims[0]),
             meta=meta,
+            expected_base=base,
         )
         self._cent_cache = None
         # A fresh corpus must not inherit the old index's tombstones
         # (a purged id legitimately re-seeded would be filtered).
         self.tombstones.clear()
-        if v != v_next:  # unreachable given the claim; belt-and-braces
+        if v != v_next:  # unreachable given expected_base; belt-and-braces
             raise RuntimeError(
                 f"IvfIndexStore.seed: concurrent writer detected "
                 f"(expected version {v_next}, committed {v}); the store is "

@@ -138,6 +138,17 @@ def sync_actions_from_changes(
     if format_docs is not None:
         upserts = format_docs(upserts)
     if key != "id":
+        if "id" in upserts.columns:
+            # Renaming the key over an existing 'id' column would make
+            # every downstream F.col("id") ambiguous (and silently
+            # re-key the index if it resolved) — demand an explicit
+            # decision instead.
+            raise ValueError(
+                f"document shape already has an 'id' column distinct from "
+                f"the store key {key!r}; make format_docs emit the key AS "
+                "'id' (or drop the conflicting column) so the ES _id is "
+                "unambiguous"
+            )
         upserts = upserts.withColumnRenamed(key, "id")
     deletes = changes.filter(F.col("_change") == "delete").select(
         F.col(key).alias("id")

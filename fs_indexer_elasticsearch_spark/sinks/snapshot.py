@@ -45,13 +45,17 @@ validated on reopen against ``_LAYOUT.json``.
 
 Writes are single-writer by contract, and the contract is ENFORCED
 fail-fast: every commit first atomically claims its version number
-(``_TXN_v<N>``, O_EXCL — the POSIX stand-in for an object store's
-if-none-match conditional put) and re-verifies the pointer under the
-claim, so a racing writer raises ConcurrentWriteError before writing
-any data and a stale read can never silently overwrite a newer
-commit (lost update). Crashed writers' claims are cleared by a pid
-liveness check; on an object store the same role is played by a
-lease timestamp.
+(``_TXN_v<N>``, created by an atomic hard-link of a pid-stamped temp
+file — the POSIX stand-in for an object store's if-none-match
+conditional put) and re-verifies the pointer under the claim against
+the version its DATA BASIS was read from (``expected_base`` on the
+paths that derive from an earlier read), so a racing writer raises
+ConcurrentWriteError before writing any data and a stale read can
+never silently overwrite a newer commit (lost update). Crashed
+writers' claims are cleared by a pid-liveness check via atomic
+rename (one clearer wins — no remove/recreate race); on an object
+store the same roles are played by lease timestamps and conditional
+puts.
 """
 
 from __future__ import annotations
@@ -226,42 +230,61 @@ class SnapshotStore:
         return os.path.join(self.path, f"{_TXN_PREFIX}{version}")
 
     def _claim(self, version: int) -> None:
-        """Atomically claim the right to commit ``version`` by creating
-        its _TXN file with O_EXCL — the POSIX equivalent of an object
-        store's if-none-match conditional put. A racing writer fails
-        HERE, before writing any data. A claim left by a CRASHED
-        process (its recorded pid no longer runs) is stale and is
-        cleared, once; a claim held by a live process raises."""
+        """Atomically claim the right to commit ``version`` by LINKING
+        a pid-stamped temp file into the claim path — atomic
+        create-WITH-content (the POSIX stand-in for an object store's
+        if-none-match conditional put), so an existing claim always
+        carries its holder's pid; an unreadable/empty claim can only
+        be corruption and is therefore stale by definition. A racing
+        writer fails HERE, before writing any data. A stale claim (a
+        crashed holder, or corruption) is cleared by an atomic RENAME
+        — only one clearer can win the rename, so two writers racing
+        to clear the same dead claim can never delete each other's
+        fresh claims (the remove-based TOCTOU)."""
+        import uuid as _uuid
+
         path = self._txn_path(version)
-        for _attempt in range(2):
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        tmp = f"{path}.pid.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(os.getpid()))
+        try:
+            for _attempt in range(3):
                 try:
-                    os.write(fd, str(os.getpid()).encode())
-                finally:
-                    os.close(fd)
-                return
-            except FileExistsError:
+                    os.link(tmp, path)  # atomic create-with-content
+                    return
+                except FileExistsError:
+                    pass
                 try:
                     with open(path) as f:
                         holder = int(f.read().strip() or "0")
+                except FileNotFoundError:
+                    continue  # released/cleared since our link attempt
                 except (OSError, ValueError):
-                    holder = 0
-                if holder and holder != os.getpid() and not _pid_alive(holder):
-                    try:  # crashed writer's stale claim — clear and retry
-                        os.remove(path)
-                    except OSError:
-                        pass
-                    continue
-                raise ConcurrentWriteError(
-                    f"version {version} of {self.path} is being committed "
-                    f"by pid {holder or '?'}; this store is single-writer "
-                    "— serialize commits (the registered queries flock the "
-                    "store dir for exactly this reason)"
-                )
-        raise ConcurrentWriteError(
-            f"could not claim version {version} of {self.path}"
-        )
+                    holder = 0  # corrupt: linked claims always carry a pid
+                if holder == os.getpid() or (holder and _pid_alive(holder)):
+                    raise ConcurrentWriteError(
+                        f"version {version} of {self.path} is being "
+                        f"committed by pid {holder}; this store is "
+                        "single-writer — serialize commits (the registered "
+                        "queries flock the store dir for exactly this reason)"
+                    )
+                # Stale (dead holder or corrupt): steal via rename — one
+                # winner; the loser's rename raises and it just retries.
+                stale = f"{path}.stale.{os.getpid()}"
+                try:
+                    os.rename(path, stale)
+                    os.remove(stale)
+                except OSError:
+                    pass
+            raise ConcurrentWriteError(
+                f"could not claim version {version} of {self.path} "
+                "(persistent contention)"
+            )
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def _release(self, version: int) -> None:
         try:
@@ -859,9 +882,27 @@ class SnapshotStore:
             .parquet(out)
         )
 
-    def overwrite(self, df: DataFrame, *, meta: dict | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        *,
+        meta: dict | None = None,
+        expected_base: int | None | type(...) = ...,
+    ) -> int:
+        """Commit ``df`` as a full new version. ``expected_base`` is
+        the optimistic-concurrency token: the version this write's
+        DATA BASIS was read from. When the caller derived ``df`` from
+        an earlier read (merge's schema-migration path, rebucket, an
+        index re-seed), passing that version makes the transaction
+        re-check verify the pointer against the true basis — a commit
+        that landed in between raises ConcurrentWriteError instead of
+        being silently folded over (lost update). Omitted, the base is
+        the pointer read here, which is only sound when ``df`` does
+        not depend on current store contents."""
+        if expected_base is ...:
+            expected_base = self.current_version()
         df = df.drop("_bucket")
-        with self._txn(self.current_version()) as v:
+        with self._txn(expected_base) as v:
             if self.layout == "manifest":
                 self._write_manifest(v, self._write_data_files(df))
             else:
@@ -993,7 +1034,9 @@ class SnapshotStore:
         cur = self.read().drop("_bucket")
         self._pinned_buckets = num_buckets
         try:
-            v = self.overwrite(cur, meta=meta)
+            # The rewrite is derived from cur_v: a racing commit since
+            # that read raises instead of being rebucketed away.
+            v = self.overwrite(cur, meta=meta, expected_base=cur_v)
         finally:
             self._pinned_buckets = None
         return v
@@ -1045,7 +1088,10 @@ class SnapshotStore:
                     on=self.key,
                     how="left_anti",
                 )
-            return self.overwrite(batch, meta=meta)
+            # expected_base pins the txn to the emptiness this path
+            # relied on: a seed that raced in raises instead of being
+            # overwritten.
+            return self.overwrite(batch, meta=meta, expected_base=None)
 
         if self.needs_schema_update(batch):
             # Schema drift → migrate: one O(table) rewrite under the
@@ -1059,29 +1105,25 @@ class SnapshotStore:
                     on=self.key,
                     how="left_anti",
                 )
-            return self.overwrite(merged, meta=meta)
+            # The rewrite was derived from the cur_v read above —
+            # expected_base makes a commit that slipped in since then
+            # a ConcurrentWriteError, not a silent fold-over.
+            return self.overwrite(merged, meta=meta, expected_base=cur_v)
 
-        # Claim the commit BEFORE the merge compute: a racing writer
-        # fails fast here, not after minutes of shuffle.
-        self._claim(cur_v + 1)
-        try:
-            return self._merge_committed(batch, removed, cur_v, meta)
-        finally:
-            self._release(cur_v + 1)
+        # Claim the commit BEFORE the merge compute (via _txn, which
+        # also re-verifies the pointer under the claim): a racing
+        # writer fails fast here, not after minutes of shuffle.
+        with self._txn(cur_v) as v:
+            return self._merge_committed(batch, removed, cur_v, v, meta)
 
     def _merge_committed(
         self,
         batch: DataFrame,
         removed: DataFrame | None,
         cur_v: int,
+        v: int,
         meta: dict | None,
     ) -> int:
-        if self.current_version() != cur_v:
-            raise ConcurrentWriteError(
-                f"pointer of {self.path} moved from {cur_v} to "
-                f"{self.current_version()} since this merge began; "
-                "lost update prevented — re-read and retry"
-            )
         batch = batch.withColumn("_bucket", self._bucket_col()).cache()
         touched = {r._bucket for r in batch.select("_bucket").distinct().collect()}
         if removed is not None:
@@ -1092,7 +1134,6 @@ class SnapshotStore:
             )
             touched |= {r._bucket for r in removed.select("_bucket").distinct().collect()}
         touched = sorted(touched)
-        v = cur_v + 1
 
         if self.layout == "manifest":
             # Write the merged touched buckets as NEW data files, then

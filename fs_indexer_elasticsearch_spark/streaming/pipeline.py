@@ -240,8 +240,13 @@ def streaming_changefeed_pipeline(
     effectively-once across the whole crash window — crash before the
     merge collapses onto the same keys, crash after it emits nothing;
     the parquet-append path is at-least-once, matching the other
-    streaming sinks' documented semantics. Cost per batch is
-    O(touched buckets), same as the merge itself."""
+    streaming sinks' documented semantics.
+
+    COST: the touched slice is read and upserted twice per batch —
+    once for the feed derivation, once inside ``store.merge`` — a
+    deliberate trade: deriving pre-commit is what buys replay
+    determinism, and both passes are O(touched buckets), so the
+    cadence stays delta-bound (2x a small number, never O(table))."""
     from pyspark.sql import Window
 
     from ..operators.merge import upsert_newer_wins

@@ -935,3 +935,46 @@ def test_concurrent_writer_fails_fast(spark, tmp_path):
     assert not os.path.exists(store._txn_path(3))
     store.merge(_df(spark, [("b", 1, "q")]))  # store still writable
     assert store.current_version() == 3
+
+
+def test_lost_update_guard_covers_derived_rewrites(spark, tmp_path):
+    """The full-rewrite paths (schema migration, rebucket, explicit
+    expected_base) verify the pointer against the version their DATA
+    BASIS was read from — a commit that slipped in between raises
+    instead of being silently folded over."""
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import (
+        ConcurrentWriteError,
+    )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(_df(spark, [("a", 1, "p")]))
+    store.merge(_df(spark, [("b", 1, "q")]))  # pointer now 2
+
+    # A rewrite whose basis was v1 must refuse to commit over v2.
+    with pytest.raises(ConcurrentWriteError, match="moved"):
+        store.overwrite(_df(spark, [("a", 1, "stale")]), expected_base=1)
+    assert store.current_version() == 2
+    assert {r.k for r in store.read().collect()} == {"a", "b"}  # intact
+
+    # expected_base=None pins "the store was empty when I read it".
+    with pytest.raises(ConcurrentWriteError, match="moved"):
+        store.overwrite(_df(spark, [("c", 1, "r")]), expected_base=None)
+
+
+def test_empty_claim_file_is_cleared_not_wedging(spark, tmp_path):
+    """A zero-byte claim (a writer killed between creating and
+    stamping it — impossible under the link protocol, but possible
+    from older code or corruption) is stale by definition and must be
+    cleared, not wedge the store forever."""
+    import os
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(_df(spark, [("a", 1, "p")]))
+    open(store._txn_path(2), "w").close()  # empty claim
+    store.merge(_df(spark, [("b", 1, "q")]))  # clears it and commits
+    assert store.current_version() == 2
+    assert not os.path.exists(store._txn_path(2))
