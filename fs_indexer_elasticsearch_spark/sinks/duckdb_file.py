@@ -43,3 +43,58 @@ def read_duckdb(spark: SparkSession, db_path: str, table: str) -> DataFrame:
     finally:
         con.close()
     return spark.createDataFrame(adf.to_pandas())
+
+
+def store_scan_sql(store, version: int | None = None) -> str:
+    """SQL that ANY DuckDB (no Spark, no this package) can run to read
+    a SnapshotStore snapshot — the zero-copy external read path: the
+    store's committed metadata already names the exact parquet files
+    of every retained version, so an external tool queries the same
+    immutable bytes Spark does, at any retained point in time.
+
+    Works on both layouts (the manifest's file list, or the hardlink
+    version directory's bucket files) and excludes the physical
+    ``_bucket=`` partition column (``hive_partitioning=0`` — it is
+    derivable layout detail, not data). This is the migration story
+    for the reference's DuckDB-embedded users: keep the DuckDB
+    tooling, point it at the store.
+
+    The file list is pinned at CALL time: the returned SQL reads a
+    specific immutable version, so a concurrent merge/vacuum cannot
+    shift what it reads — re-call for a fresh pointer (and hold
+    ``vacuum`` retention over the window you hand SQL to others)."""
+    import os
+
+    v = store.current_version() if version is None else version
+    if v is None:
+        raise ValueError(f"store at {store.path} has no committed version")
+    if version is not None and version not in store.versions():
+        raise ValueError(
+            f"version {version} is not retained (have {store.versions()})"
+        )
+    if store.layout == "manifest":
+        files = sorted(
+            os.path.join(store._data_dir(), rel)
+            for rels in store._read_manifest(v).values()
+            for rel in rels
+        )
+    else:
+        vdir = store._version_dir(v)
+        files = sorted(
+            os.path.join(root, fn)
+            for root, _dirs, fnames in os.walk(vdir)
+            if os.path.basename(root).startswith("_bucket=")
+            for fn in fnames
+            if not fn.startswith((".", "_"))
+        )
+    if not files:
+        # A fully-deleted snapshot still has a schema; emit an empty
+        # relation with the recorded columns so SQL composes.
+        fields = store._schema_meta()["fields"]
+        cols = ", ".join(f'NULL AS "{n}"' for n in fields) or "NULL AS _empty"
+        return f"SELECT {cols} WHERE 1=0"
+    quoted = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+    return (
+        f"SELECT * FROM read_parquet([{quoted}], "
+        "union_by_name=true, hive_partitioning=0)"
+    )

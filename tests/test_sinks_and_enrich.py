@@ -5,6 +5,8 @@ from __future__ import annotations
 import glob
 import json
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from fs_indexer_elasticsearch_spark.operators.enrich import (
@@ -174,3 +176,61 @@ def test_sync_actions_from_changes(spark, tmp_path):
     assert sources["k3"]["v"] == 2
     # Untouched keys ship nothing: 2 index pairs + 1 delete.
     assert len(acts) == 5
+
+
+def test_store_scan_sql_external_duckdb_read(spark, tmp_path):
+    """store_scan_sql: plain DuckDB reads the exact snapshot Spark
+    serves — both layouts, current and time-travel versions, and the
+    pinned file list survives a subsequent merge."""
+    import duckdb
+
+    from fs_indexer_elasticsearch_spark.sinks.duckdb_file import store_scan_sql
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    for layout in ("hardlink", "manifest"):
+        store = SnapshotStore(
+            spark, str(tmp_path / layout), key="k", version_col="v",
+            num_buckets=4, layout=layout,
+        )
+        store.overwrite(
+            spark.createDataFrame(
+                [(f"k{i}", 1, f"p{i}") for i in range(20)],
+                "k string, v int, payload string",
+            )
+        )
+        store.merge(
+            spark.createDataFrame(
+                [("k3", 2, "updated")], "k string, v int, payload string"
+            ),
+            removed=spark.createDataFrame([("k7",)], "k string"),
+        )
+
+        def via_duck(sql):
+            return {
+                (r[0], r[1], r[2])
+                for r in duckdb.sql(f"SELECT k, v, payload FROM ({sql})").fetchall()
+            }
+
+        def via_spark(version=None):
+            return {
+                (r.k, r.v, r.payload)
+                for r in store.read(version=version)
+                .select("k", "v", "payload")
+                .collect()
+            }
+
+        v2_sql = store_scan_sql(store)
+        assert via_duck(v2_sql) == via_spark()
+        assert via_duck(store_scan_sql(store, version=1)) == via_spark(1)
+
+        # Pinned: the SQL handed out before a later merge still reads
+        # the version it named (immutable files), not the new pointer.
+        store.merge(
+            spark.createDataFrame(
+                [("k99", 1, "fresh")], "k string, v int, payload string"
+            )
+        )
+        assert via_duck(v2_sql) == via_spark(2)
+
+        with pytest.raises(ValueError, match="not retained"):
+            store_scan_sql(store, version=99)
