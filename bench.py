@@ -103,6 +103,8 @@ EXTRA = [
     # r8: change data feed between two store versions (manifest layout;
     # the hardlink twin shares the implementation above the layout)
     "store_read_changes",
+    # r8: CDC-driven materialized-view maintenance from the feed
+    "incremental_view_maintenance",
 ]
 
 

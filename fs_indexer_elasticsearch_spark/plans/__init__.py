@@ -38,7 +38,7 @@ from . import curation_pipeline  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r8 rotation: prefix = the 9 NEW r8 queries (bucket-count evolution
+# r8 rotation: prefix = the 10 NEW r8 queries (bucket-count evolution
 # under the incremental dedup cycle, clustered point lookup and the
 # change data feed — both layouts — through the snapshot store,
 # composed curation pipeline at both cadences — full-corpus and
@@ -51,6 +51,7 @@ from . import curation_pipeline  # noqa: E402,F401
 # stores' meta-protocol / row-shrink / fingerprint-tag changes), then
 # the same family anchors as r7, filling the 50. Displaced below the
 # boundary: q01_pricing_summary, embedding_outliers, retention_cohorts,
+# ann_neardup_recall_lsh,
 # funnel_view_click_purchase, token_count_exact, url_canonical_dedup,
 # domain_extract_counts, domain_blocklist_filter,
 # ann_neardup_recall_multiprobe (driver-green r5/r6/r7, unchanged in
@@ -61,6 +62,7 @@ _PRIORITY = [
     "store_point_lookup",
     "store_read_changes",
     "store_read_changes_hardlink",
+    "incremental_view_maintenance",
     "curation_pipeline_e2e",
     "incremental_curation_cycle",
     "dedup_incremental_tombstone",
@@ -82,7 +84,6 @@ _PRIORITY = [
     "semantic_dedup_clusters",
     "similarity_lsh_ann_topk",
     "ann_recall_at_k",
-    "ann_neardup_recall_lsh",
     "minhash_estimate_quality",
     "quantized_ann_int8_topk",
     "pagerank_neardup_graph",
@@ -124,6 +125,7 @@ _PRIORITY = [
     "q01_pricing_summary",
     "embedding_outliers",
     "retention_cohorts",
+    "ann_neardup_recall_lsh",
     "funnel_view_click_purchase",
     "token_count_exact",
     "url_canonical_dedup",

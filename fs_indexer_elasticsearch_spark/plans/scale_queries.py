@@ -458,14 +458,13 @@ _CDF_ORACLE = """
 """
 
 
-def _cdf_changes(spark: SparkSession, sf_dir: str, *, layout: str) -> DataFrame:
-    """Shared body of the two change-feed gate queries: seed v1 from
-    ``orders`` minus the %10==3 keys, merge a delta (updates %10==7,
-    inserts %10==3, price bumped, version 2) with removals (%10==5),
-    then serve ``read_changes(1, 2)``. The store persists across runs
-    (fingerprint-tagged path, flock around the cycle); replays skip
-    straight to the read — the feed is a pure function of two retained
-    immutable versions."""
+def _cdf_store(spark: SparkSession, sf_dir: str, *, layout: str):
+    """Seed-and-merge the change-feed demo store: v1 = ``orders``
+    minus the %10==3 keys, v2 = a merged delta (updates %10==7,
+    inserts %10==3, price bumped) with removals (%10==5). The store
+    persists across runs (fingerprint-tagged path, flock around the
+    cycle); replays skip straight to the reads — versions 1 and 2 are
+    retained immutable state shared by every CDF-family gate query."""
     import hashlib
     import os
 
@@ -503,7 +502,12 @@ def _cdf_changes(spark: SparkSession, sf_dir: str, *, layout: str) -> DataFrame:
             store.overwrite(base)
         if store.current_version() == 1:
             store.merge(delta, removed=removed)
-        return store.read_changes(1, 2).withColumnRenamed("_change", "change")
+    return store
+
+
+def _cdf_changes(spark: SparkSession, sf_dir: str, *, layout: str) -> DataFrame:
+    store = _cdf_store(spark, sf_dir, layout=layout)
+    return store.read_changes(1, 2).withColumnRenamed("_change", "change")
 
 
 @query("store_read_changes", oracle=_CDF_ORACLE)
@@ -536,6 +540,75 @@ def store_read_changes_hardlink(spark: SparkSession, sf_dir: str) -> DataFrame:
     mints fresh task-UUID part names) — both layouts must serve the
     identical feed (same oracle, same hash)."""
     return _cdf_changes(spark, sf_dir, layout="hardlink")
+
+
+_VIEW_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM delta
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(price) + 1e-7, 2) AS total_price
+    FROM v2 GROUP BY o_orderstatus
+"""
+
+
+@query("incremental_view_maintenance", oracle=_VIEW_ORACLE)
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance from the change feed: yesterday's
+    per-status (count, sum) aggregate is updated by ADDING the feed's
+    insert/update_postimage rows and SUBTRACTING its delete/
+    update_preimage rows (``read_changes(update_images="both")``) —
+    the base is never rescanned. The oracle aggregates the post-merge
+    state from scratch, so the hash gate proves the algebraic identity
+    agg(v2) = agg(v1) + signed(feed) holds bit-stably after rounding.
+
+    This is the CDC-driven view-maintenance pattern (Delta CDF /
+    Materialize shape): at 100 TB the nightly dashboard aggregate
+    costs O(feed) + O(groups), not an O(table) rescan — the feed
+    itself already costs only O(changed buckets) from commit metadata.
+    Composes incremental_agg_maintenance (mergeable partials) with the
+    store's CDF: together they close the loop the reference's
+    scan-over-scan freshness logic (scanner.py:414-463) rescans for."""
+    store = _cdf_store(spark, sf_dir, layout="manifest")
+    old_agg = (
+        store.read(version=1)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n0"), F.sum("price").alias("s0"))
+    )
+    feed = store.read_changes(1, 2, update_images="both")
+    sign = F.when(
+        F.col("_change").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    inc = feed.groupBy("o_orderstatus").agg(
+        F.sum(sign).alias("n1"),
+        F.sum(sign.cast("double") * F.col("price")).alias("s1"),
+    )
+    return (
+        old_agg.join(inc, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            stable_round(
+                F.coalesce("s0", F.lit(0.0)) + F.coalesce("s1", F.lit(0.0)), 2
+            ).alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
 
 
 def _incremental_batch_matches(

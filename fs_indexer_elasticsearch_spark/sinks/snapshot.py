@@ -109,7 +109,13 @@ def _pid_alive(pid: int) -> bool:
         return True
 
 
-def classify_changes(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+def classify_changes(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    *,
+    update_images: str = "post",
+) -> DataFrame:
     """Row-level change classification between two same-schema states:
     one row per key whose state differs, ``_change`` = 'insert' /
     'update' / 'delete' (post-image for insert/update, pre-image for
@@ -117,9 +123,17 @@ def classify_changes(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFra
     identical rows are dropped, not surfaced as phantom updates.
     Shared by read_changes (two committed versions) and the streaming
     change-feed cadence (pre-commit: current slice vs the batch's
-    would-be merge result)."""
+    would-be merge result).
+
+    ``update_images="both"`` emits TWO rows per update —
+    'update_preimage' (old values) and 'update_postimage' (new) — the
+    Delta-CDF shape incremental VIEW MAINTENANCE needs: a downstream
+    aggregate subtracts pre-images and adds post-images, so sums/counts
+    over a 100 TB base update from the feed alone, never a rescan."""
     from functools import reduce
 
+    if update_images not in ("post", "both"):
+        raise ValueError(f"update_images must be 'post' or 'both', got {update_images!r}")
     # Presence tags so NULL-valued keys can't be mistaken for absence.
     o = old.withColumn("_o", F.lit(1)).alias("o")
     n = new.withColumn("_n", F.lit(1)).alias("n")
@@ -140,24 +154,33 @@ def classify_changes(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFra
         if data_cols
         else F.lit(True)
     )
+    update_label = "update_postimage" if update_images == "both" else "update"
     change = (
         F.when(F.col("o._o").isNull(), F.lit("insert"))
         .when(F.col("n._n").isNull(), F.lit("delete"))
         .when(same, F.lit(None))  # identical: drop
-        .otherwise(F.lit("update"))
+        .otherwise(F.lit(update_label))
     )
     post = F.col("n._n").isNotNull()
-    return (
-        joined.withColumn("_change", change)
-        .filter(F.col("_change").isNotNull())
-        .select(
-            *[
-                F.when(post, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
-                for c in new.columns
-            ],
-            "_change",
-        )
+    classified = joined.withColumn("_change", change).filter(
+        F.col("_change").isNotNull()
     )
+    out = classified.select(
+        *[
+            F.when(post, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+            for c in new.columns
+        ],
+        "_change",
+    )
+    if update_images == "both":
+        pre = classified.filter(
+            F.col("_change") == "update_postimage"
+        ).select(
+            *[F.col(f"o.{c}").alias(c) for c in new.columns],
+            F.lit("update_preimage").alias("_change"),
+        )
+        out = out.unionByName(pre)
+    return out
 
 
 class SnapshotStore:
@@ -579,7 +602,13 @@ class SnapshotStore:
             if lf.get(b, set()) != lt.get(b, set())
         )
 
-    def read_changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        *,
+        update_images: str = "post",
+    ) -> DataFrame:
         """Change data feed between two retained versions: one row per
         key whose state differs, labeled ``_change`` = 'insert' /
         'update' / 'delete' (post-image values for insert/update,
@@ -630,7 +659,7 @@ class SnapshotStore:
         old, new = self._migrate(
             old.drop("_bucket"), new.drop("_bucket")
         )
-        return classify_changes(old, new, keys)
+        return classify_changes(old, new, keys, update_images=update_images)
 
     # -- schema evolution ---------------------------------------------------
     # Reference parity: needs_schema_update / migrate_schema

@@ -978,3 +978,32 @@ def test_empty_claim_file_is_cleared_not_wedging(spark, tmp_path):
     store.merge(_df(spark, [("b", 1, "q")]))  # clears it and commits
     assert store.current_version() == 2
     assert not os.path.exists(store._txn_path(2))
+
+
+def test_read_changes_update_images_both(spark, tmp_path):
+    """update_images='both' emits the Delta-CDF update pair — preimage
+    (old values) + postimage (new) — which is what downstream view
+    maintenance subtracts/adds; inserts and deletes are unchanged."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(_df(spark, [("a", 1, "old"), ("b", 1, "pb")]))
+    store.merge(
+        _df(spark, [("a", 2, "new"), ("c", 1, "pc")]),
+        removed=spark.createDataFrame([("b",)], "k string"),
+    )
+    rows = {
+        (r.k, r._change): (r.v, r.payload)
+        for r in store.read_changes(1, 2, update_images="both").collect()
+    }
+    assert rows == {
+        ("a", "update_preimage"): (1, "old"),
+        ("a", "update_postimage"): (2, "new"),
+        ("c", "insert"): (1, "pc"),
+        ("b", "delete"): (1, "pb"),
+    }
+    # Default stays the compact post-only shape (gate hashes unchanged).
+    default = {r._change for r in store.read_changes(1, 2).collect()}
+    assert default == {"insert", "update", "delete"}
+    with pytest.raises(ValueError, match="update_images"):
+        store.read_changes(1, 2, update_images="pre")

@@ -155,14 +155,14 @@ def test_registry_priority_prefix_covers_llm_layer():
         "dedup_incremental_tombstone", "substring_incremental_tombstone",
         "ann_incremental_ivf_manifest", "dedup_incremental_rebucket",
         "store_point_lookup", "store_read_changes",
-        "store_read_changes_hardlink",
+        "store_read_changes_hardlink", "incremental_view_maintenance",
         "dedup_incremental_batch", "dedup_incremental_batch_manifest",
         "per_domain_cap",
         "ann_incremental_ivf_topk",
         "substring_dup_spans", "substring_dedup_clean",
         "quality_classifier_score", "substring_dup_incremental",
         "text_quality_stats", "robust_zscore_by_lang",
-        "ann_recall_at_k", "ann_neardup_recall_lsh", "binary_payload_meta",
+        "ann_recall_at_k", "binary_payload_meta",
         "minhash_estimate_quality", "quantized_ann_int8_topk",
         "pagerank_neardup_graph",
         "incremental_agg_maintenance",
