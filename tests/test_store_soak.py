@@ -94,6 +94,15 @@ def test_store_soak_bounded_disk_and_flat_latency(spark, tmp_path):
     early, late = median(cycle_secs[5:25]), median(cycle_secs[-20:])
     assert late < 3 * early, (early, late)
 
+    # Write-claim hygiene over the long horizon: every commit claims
+    # and releases, so no _TXN/pid/stale artifacts may accrue.
+    leftovers = [
+        n
+        for n in os.listdir(path)
+        if n.startswith("_TXN_") or ".pid." in n or ".stale." in n
+    ]
+    assert leftovers == []
+
 
 def test_soak_with_rebucket_policy_in_the_loop(spark, tmp_path):
     """The nightly cycle a 100 TB deployment actually runs: merge →
