@@ -1007,3 +1007,26 @@ def test_read_changes_update_images_both(spark, tmp_path):
     assert default == {"insert", "update", "delete"}
     with pytest.raises(ValueError, match="update_images"):
         store.read_changes(1, 2, update_images="pre")
+
+
+def test_read_changes_composite_key(spark, tmp_path):
+    """The feed classifies by the FULL composite key (the substring
+    index's (sid, pos) shape): same first component + different second
+    is two distinct keys, never an update."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key=["k1", "k2"], version_col="v",
+        num_buckets=4, bucket_key="k1",
+    )
+    df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k1 string, k2 int, v int, payload string"
+    )
+    store.overwrite(df([("a", 1, 1, "p1"), ("a", 2, 1, "p2"), ("b", 1, 1, "q")]))
+    store.merge(df([("a", 1, 2, "updated"), ("a", 3, 1, "fresh")]))
+    rows = {
+        (r.k1, r.k2): (r._change, r.payload)
+        for r in store.read_changes(1, 2).collect()
+    }
+    assert rows == {
+        ("a", 1): ("update", "updated"),
+        ("a", 3): ("insert", "fresh"),
+    }
