@@ -416,10 +416,14 @@ class SnapshotStore:
         under — before its pointer swap, same crash contract as meta:
         an orphan _STORECFG with n > pointer is never read (exact-
         version resolution) and vacuum GCs it."""
+        import time
+
         n = self.num_buckets
         tmp = self._cfg_path(version) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"num_buckets": n}, f)
+            json.dump(
+                {"num_buckets": n, "committed_at": round(time.time(), 3)}, f
+            )
         os.replace(tmp, self._cfg_path(version))
         self._cfg_cache = (version, n)
 
@@ -945,6 +949,55 @@ class SnapshotStore:
             self._swap_pointer(v)
         return v
 
+    def history(self) -> list[dict]:
+        """Commit log of the retained versions (ascending) — the
+        DESCRIBE HISTORY surface: per version, when it committed, the
+        bucket count it was written under, its physical file count and
+        bytes, and whether it carries a meta payload (index sidecar
+        state). Metadata-only — manifests / directory listings, no
+        parquet opened — so it is cheap enough for an operator
+        dashboard to poll. ``committed_at`` is None for versions
+        written before timestamps were recorded."""
+        out: list[dict] = []
+        for v in self.versions():
+            cfg = self._read_cfg(v) or {}
+            files, size = 0, 0
+            if self.layout == "manifest":
+                for rels in self._read_manifest(v).values():
+                    for rel in rels:
+                        try:
+                            size += os.path.getsize(
+                                os.path.join(self._data_dir(), rel)
+                            )
+                            files += 1
+                        except OSError:
+                            pass
+            else:
+                vdir = self._version_dir(v)
+                for root, _dirs, fnames in os.walk(vdir):
+                    if not os.path.basename(root).startswith("_bucket="):
+                        continue
+                    for fn in fnames:
+                        if fn.startswith((".", "_")):
+                            continue
+                        try:
+                            size += os.path.getsize(os.path.join(root, fn))
+                            files += 1
+                        except OSError:
+                            pass
+            out.append(
+                {
+                    "version": v,
+                    "committed_at": cfg.get("committed_at"),
+                    "num_buckets": cfg.get("num_buckets"),
+                    "n_files": files,
+                    "bytes": size,
+                    "has_meta": os.path.exists(self._meta_path(v)),
+                    "is_current": v == self.current_version(),
+                }
+            )
+        return out
+
     def bucket_stats(self) -> dict | None:
         """Physical balance of the CURRENT version — per-bucket file
         count and bytes — from METADATA only (the manifest's file list
@@ -1333,10 +1386,28 @@ class SnapshotStore:
                 except OSError:
                     pass
 
-    def vacuum(self, keep: int = 2) -> list[int]:
+    def vacuum(
+        self,
+        keep: int = 2,
+        *,
+        max_age_s: float | None = None,
+        now: float | None = None,
+    ) -> list[int]:
         """Drop all but the newest ``keep`` versions (never the
         current one). Manifest layout additionally deletes data files
-        no surviving manifest references."""
+        no surviving manifest references.
+
+        ``max_age_s`` adds AGE-based retention on top of the count
+        bound: any non-current version whose recorded ``committed_at``
+        is older than ``now - max_age_s`` is dropped even if it is
+        inside the newest ``keep`` — the "retain 7 days of time
+        travel" policy a nightly pipeline states in hours, not
+        version counts. Versions written before timestamps were
+        recorded have no age and are never age-expired (conservative;
+        the count bound still applies). ``now`` defaults to the wall
+        clock; tests inject it."""
+        import time as _time
+
         cur = self.current_version()
         # Crash orphans above the pointer (a failed write's partial
         # version) are unconditionally GC-ed — they are unreadable by
@@ -1351,22 +1422,25 @@ class SnapshotStore:
                         pass
                 else:
                     shutil.rmtree(self._version_dir(v), ignore_errors=True)
+        versions = self.versions()
+        doomed = {
+            v for v in (versions[:-keep] if keep > 0 else versions) if v != cur
+        }
+        if max_age_s is not None:
+            cutoff = (now if now is not None else _time.time()) - max_age_s
+            for v in versions:
+                if v == cur:
+                    continue
+                ts = (self._read_cfg(v) or {}).get("committed_at")
+                if ts is not None and ts < cutoff:
+                    doomed.add(v)
+        victims = sorted(doomed)
         if self.layout == "manifest":
-            versions = self.versions()
-            victims = [
-                v
-                for v in (versions[:-keep] if keep > 0 else versions)
-                if v != cur
-            ]
             for v in victims:
                 os.remove(self._manifest_path(v))
             self._gc_unreferenced_data()
             self._vacuum_meta(victims)
             return victims
-        versions = self.versions()
-        victims = [
-            v for v in (versions[:-keep] if keep > 0 else versions) if v != cur
-        ]
         for v in victims:
             shutil.rmtree(self._version_dir(v), ignore_errors=True)
         self._vacuum_meta(victims)

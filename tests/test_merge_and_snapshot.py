@@ -1030,3 +1030,49 @@ def test_read_changes_composite_key(spark, tmp_path):
         ("a", 1): ("update", "updated"),
         ("a", 3): ("insert", "fresh"),
     }
+
+
+@pytest.mark.parametrize("layout", ["hardlink", "manifest"])
+def test_history_and_age_based_vacuum(spark, tmp_path, layout):
+    """history() is the DESCRIBE HISTORY surface (metadata-only commit
+    log); vacuum(max_age_s=) retires versions by wall-clock age on top
+    of the count bound."""
+    import json as _json
+    import os
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4, layout=layout,
+    )
+    store.overwrite(_df(spark, [("a", 1, "p")]))
+    store.merge(_df(spark, [("b", 1, "q")]), meta={"note": "idx"})
+    store.merge(_df(spark, [("c", 1, "r")]))
+
+    hist = store.history()
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert all(h["num_buckets"] == 4 for h in hist)
+    assert all(isinstance(h["committed_at"], float) for h in hist)
+    assert hist[0]["committed_at"] <= hist[-1]["committed_at"]
+    assert all(h["n_files"] >= 1 and h["bytes"] > 0 for h in hist)
+    assert [h["has_meta"] for h in hist] == [False, True, True]  # carried fwd
+    assert [h["is_current"] for h in hist] == [False, False, True]
+
+    # Backdate v1 by rewriting its cfg sidecar, then age-vacuum: v1
+    # falls to the age bound even though keep=3 would retain it.
+    cfg_path = store._cfg_path(1)
+    cfg = _json.load(open(cfg_path))
+    cfg["committed_at"] = cfg["committed_at"] - 10_000
+    _json.dump(cfg, open(cfg_path, "w"))
+    assert store.vacuum(keep=3, max_age_s=3_600) == [1]
+    assert store.versions() == [2, 3]
+    # The current version is never age-expired.
+    assert store.vacuum(keep=1, max_age_s=0) == [2]
+    assert store.versions() == [3]
+    assert store.read().count() == 3
+
+    # Pre-timestamp versions (no committed_at) are never age-expired.
+    cfg2 = _json.load(open(store._cfg_path(3)))
+    del cfg2["committed_at"]
+    _json.dump(cfg2, open(store._cfg_path(3), "w"))
+    store.merge(_df(spark, [("d", 1, "s")]))
+    assert store.vacuum(keep=5, max_age_s=0) == []
