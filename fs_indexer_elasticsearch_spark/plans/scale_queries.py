@@ -542,6 +542,13 @@ def store_read_changes_hardlink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdf_changes(spark, sf_dir, layout="hardlink")
 
 
+# Sums run on integer CENTS (round(price*100) as BIGINT) in BOTH
+# engines: the maintained identity agg(v1) + signed(feed) sums a
+# DIFFERENT operand set than the oracle's direct rescan, and float
+# cancellation error grows with group size — at a large SF the drift
+# would straddle a half-cent boundary and flake the hash gate.
+# Integer sums are exact at any scale; the single final /100.0 is the
+# same operation on the same long in both engines.
 _VIEW_ORACLE = """
     WITH base AS (
         SELECT o_orderkey, o_orderstatus,
@@ -560,7 +567,8 @@ _VIEW_ORACLE = """
     )
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(price) + 1e-7, 2) AS total_price
+           round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS total_price
     FROM v2 GROUP BY o_orderstatus
 """
 
@@ -583,10 +591,11 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     store's CDF: together they close the loop the reference's
     scan-over-scan freshness logic (scanner.py:414-463) rescans for."""
     store = _cdf_store(spark, sf_dir, layout="manifest")
+    cents = F.round(F.col("price") * 100).cast("long")
     old_agg = (
         store.read(version=1)
         .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n0"), F.sum("price").alias("s0"))
+        .agg(F.count(F.lit(1)).alias("n0"), F.sum(cents).alias("s0"))
     )
     feed = store.read_changes(1, 2, update_images="both")
     sign = F.when(
@@ -594,7 +603,7 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(-1))
     inc = feed.groupBy("o_orderstatus").agg(
         F.sum(sign).alias("n1"),
-        F.sum(sign.cast("double") * F.col("price")).alias("s1"),
+        F.sum(sign * cents).alias("s1"),
     )
     return (
         old_agg.join(inc, "o_orderstatus", "full_outer")
@@ -604,7 +613,9 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_orders"),
             stable_round(
-                F.coalesce("s0", F.lit(0.0)) + F.coalesce("s1", F.lit(0.0)), 2
+                (F.coalesce("s0", F.lit(0)) + F.coalesce("s1", F.lit(0)))
+                / 100.0,
+                2,
             ).alias("total_price"),
         )
         .filter(F.col("n_orders") > 0)

@@ -63,8 +63,6 @@ def store_scan_sql(store, version: int | None = None) -> str:
     specific immutable version, so a concurrent merge/vacuum cannot
     shift what it reads — re-call for a fresh pointer (and hold
     ``vacuum`` retention over the window you hand SQL to others)."""
-    import os
-
     v = store.current_version() if version is None else version
     if v is None:
         raise ValueError(f"store at {store.path} has no committed version")
@@ -72,21 +70,9 @@ def store_scan_sql(store, version: int | None = None) -> str:
         raise ValueError(
             f"version {version} is not retained (have {store.versions()})"
         )
-    if store.layout == "manifest":
-        files = sorted(
-            os.path.join(store._data_dir(), rel)
-            for rels in store._read_manifest(v).values()
-            for rel in rels
-        )
-    else:
-        vdir = store._version_dir(v)
-        files = sorted(
-            os.path.join(root, fn)
-            for root, _dirs, fnames in os.walk(vdir)
-            if os.path.basename(root).startswith("_bucket=")
-            for fn in fnames
-            if not fn.startswith((".", "_"))
-        )
+    # Absolute paths via the store's shared listing — handed-out SQL
+    # must run from ANY working directory, not just the store's.
+    files = store._version_data_files(v)
     if not files:
         # A fully-deleted snapshot still has a schema; emit an empty
         # relation with the recorded columns so SQL composes.

@@ -165,6 +165,11 @@ def classify_changes(
     classified = joined.withColumn("_change", change).filter(
         F.col("_change").isNotNull()
     )
+    if update_images == "both":
+        # Two consumers (post rows + pre rows) would re-execute the
+        # full-outer join; lazy localCheckpoint materializes it once
+        # (blocks GC-released — the repo's multi-consumer idiom).
+        classified = classified.localCheckpoint(eager=False)
     out = classified.select(
         *[
             F.when(post, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
@@ -633,6 +638,10 @@ class SnapshotStore:
         removed detection between consecutive scans
         (scanner.py:414-463), served here from the store's own commit
         metadata instead of a rescan."""
+        if update_images not in ("post", "both"):
+            raise ValueError(
+                f"update_images must be 'post' or 'both', got {update_images!r}"
+            )
         v_to = self.current_version() if v_to is None else v_to
         retained = self.versions()
         for v in (v_from, v_to):
@@ -949,6 +958,25 @@ class SnapshotStore:
             self._swap_pointer(v)
         return v
 
+    def _version_data_files(self, v: int) -> list[str]:
+        """ABSOLUTE paths of version ``v``'s data files, both layouts —
+        the single listing history() and duckdb_file.store_scan_sql
+        share (bucket_stats keeps its own per-bucket-keyed shape)."""
+        if self.layout == "manifest":
+            return sorted(
+                os.path.abspath(os.path.join(self._data_dir(), rel))
+                for rels in self._read_manifest(v).values()
+                for rel in rels
+            )
+        vdir = self._version_dir(v)
+        return sorted(
+            os.path.abspath(os.path.join(root, fn))
+            for root, _dirs, fnames in os.walk(vdir)
+            if os.path.basename(root).startswith("_bucket=")
+            for fn in fnames
+            if not fn.startswith((".", "_"))
+        )
+
     def history(self) -> list[dict]:
         """Commit log of the retained versions (ascending) — the
         DESCRIBE HISTORY surface: per version, when it committed, the
@@ -959,32 +987,16 @@ class SnapshotStore:
         dashboard to poll. ``committed_at`` is None for versions
         written before timestamps were recorded."""
         out: list[dict] = []
+        cur = self.current_version()
         for v in self.versions():
             cfg = self._read_cfg(v) or {}
             files, size = 0, 0
-            if self.layout == "manifest":
-                for rels in self._read_manifest(v).values():
-                    for rel in rels:
-                        try:
-                            size += os.path.getsize(
-                                os.path.join(self._data_dir(), rel)
-                            )
-                            files += 1
-                        except OSError:
-                            pass
-            else:
-                vdir = self._version_dir(v)
-                for root, _dirs, fnames in os.walk(vdir):
-                    if not os.path.basename(root).startswith("_bucket="):
-                        continue
-                    for fn in fnames:
-                        if fn.startswith((".", "_")):
-                            continue
-                        try:
-                            size += os.path.getsize(os.path.join(root, fn))
-                            files += 1
-                        except OSError:
-                            pass
+            for f in self._version_data_files(v):
+                try:
+                    size += os.path.getsize(f)
+                    files += 1
+                except OSError:
+                    pass
             out.append(
                 {
                     "version": v,
@@ -993,7 +1005,7 @@ class SnapshotStore:
                     "n_files": files,
                     "bytes": size,
                     "has_meta": os.path.exists(self._meta_path(v)),
-                    "is_current": v == self.current_version(),
+                    "is_current": v == cur,
                 }
             )
         return out
