@@ -122,6 +122,7 @@ def run_pipeline(
     # merge updates and delete the removed rows, reference parity with
     # ON CONFLICT upsert + DELETE..NOT IN (scanner.py:225-244,447-454).
     diff = None
+    prev_version = store.current_version()  # publish_mode="changed" anchor
     if previous is None:
         version = store.merge(entries)
         # First cycle: the store was written FROM `entries` (unique keys,
@@ -196,7 +197,40 @@ def run_pipeline(
     # mode matrix, test_configuration_modes.py).
     bulk_dir = delete_dir = None
     stats_extra: dict[str, Any] = {}
-    if cfg.mode != "index-only":
+    if cfg.mode != "index-only" and cfg.publish_mode == "changed" and prev_version is not None:
+        # CDF publish: ship ONLY what this cycle's merge changed —
+        # index actions (post-image, freshly enriched) + delete
+        # actions, O(changed buckets) from commit metadata instead of
+        # re-bulking the live table. Tradeoff vs the reference-parity
+        # "full" mode below: unchanged docs keep their previous
+        # last_seen. First cycle (no previous version) always takes
+        # the full path — everything is new anyway.
+        from .sinks.es_bulk import sync_actions_from_changes
+
+        def _fmt(df):
+            if cfg.direct_links_enabled:
+                df = enrich_with_links(df, links, broadcast_links=False)
+            else:
+                df = df.withColumn("direct_link", F.lit("")).withColumn(
+                    "fsentry_id", F.lit(None).cast("string")
+                )
+            return format_documents(
+                df.withColumn("last_seen", F.current_timestamp())
+            )
+
+        actions = sync_actions_from_changes(
+            store, cfg.es_index, prev_version, version, format_docs=_fmt
+        )
+        bulk_dir = os.path.join(out_dir, "bulk")
+        write_bulk_file(actions, bulk_dir)
+        if es_client is not None:
+            ok, failed = es_client.ship_bulk_dir(
+                bulk_dir, batch_docs=cfg.es_bulk_size
+            )
+            stats_extra["es_indexed"], stats_extra["es_failed"] = ok, failed
+        if kibana_client is not None:
+            stats_extra["kibana_ok"] = kibana_client.create_data_views(cfg.es_index)
+    elif cfg.mode != "index-only":
         # Published last_seen is the CYCLE timestamp (reference
         # scanner.py updates last_seen on every scan pass): the
         # delta-only merge leaves unchanged rows' stored column at the

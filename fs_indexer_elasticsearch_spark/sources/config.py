@@ -35,6 +35,14 @@ class PipelineConfig:
     # Snapshot storage layout: "hardlink" (POSIX fs) | "manifest"
     # (object-store safe; see sinks/snapshot.py).
     snapshot_layout: str = "hardlink"
+    # ES publish scope per cycle: "full" republishes every live doc
+    # (reference parity — scanner refreshes last_seen on every row,
+    # elasticsearch_integration re-bulks the table) | "changed" ships
+    # only the change feed of this cycle's merge (O(changed) actions
+    # from commit metadata; unchanged docs keep their previous
+    # last_seen — the documented tradeoff that makes a nightly 100 TB
+    # publish affordable).
+    publish_mode: str = "full"
     raw: dict[str, Any] = field(default_factory=dict)
 
 
@@ -93,5 +101,6 @@ def load_config(path: str | None = None) -> PipelineConfig:
             )
         ),
         snapshot_layout=data.get("database", {}).get("layout", "hardlink"),
+        publish_mode=data.get("elasticsearch", {}).get("publish_mode", "full"),
         raw=data,
     )

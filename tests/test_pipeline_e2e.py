@@ -437,3 +437,62 @@ def test_manifest_and_hardlink_layouts_read_back_identically(spark, tmp_path):
     assert rows_h == rows_m
     assert any("/dir0/f99.dat" == r[0] for r in rows_h)
     assert not any("/dir0/f0.dat" == r[0] for r in rows_h)
+
+
+def test_publish_mode_changed_ships_only_the_delta(spark, tmp_path):
+    """publish_mode='changed': the second cycle's bulk body carries
+    exactly the changed docs (index actions for added/modified, delete
+    actions for removed) — not a re-bulk of the live table; the first
+    cycle (no previous version) takes the full path."""
+    root = str(tmp_path / "fsroot")
+    for i in range(12):
+        _write(f"{root}/data/f{i:02d}.txt", b"x" * (i + 1))
+
+    cfg = PipelineConfig(
+        root_path=root,
+        skip_patterns=[],
+        snapshot_path=str(tmp_path / "snapshots"),
+        direct_links_enabled=False,
+        num_buckets=8,
+        publish_mode="changed",
+    )
+    r1 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "out1"))
+
+    def actions(out):
+        acts = []
+        for part in glob.glob(os.path.join(out, "bulk", "part-*")):
+            with open(part) as f:
+                acts.extend(json.loads(ln) for ln in f if ln.strip())
+        return acts
+
+    # Cycle 1: full publish (13 index pairs: 12 files + the dir).
+    a1 = actions(str(tmp_path / "out1"))
+    assert sum(1 for a in a1 if "index" in a) == 13
+    assert not any("delete" in a for a in a1)
+
+    time.sleep(1.1)
+    _write(f"{root}/data/f00.txt", b"y" * 100)  # changed
+    os.remove(f"{root}/data/f03.txt")  # removed
+    _write(f"{root}/data/f99.txt", b"new")  # added
+    r2 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "out2"))
+    assert r2.snapshot_version == r1.snapshot_version + 1
+
+    a2 = actions(str(tmp_path / "out2"))
+    idx = [a for a in a2 if "index" in a]
+    dels = [a for a in a2 if "delete" in a]
+    assert len(dels) == 1  # the removed file only
+    # Changed + added file — and possibly the parent dir if its mtime
+    # moved — but NEVER the ~13-doc full table.
+    assert 2 <= len(idx) <= 3
+    # Source docs are post-images: find the changed file's doc line.
+    srcs = []
+    for part in glob.glob(os.path.join(str(tmp_path / "out2"), "bulk", "part-*")):
+        with open(part) as f:
+            lines = [ln for ln in f if ln.strip()]
+        for i, ln in enumerate(lines):
+            d = json.loads(ln)
+            if "index" in d:
+                srcs.append(json.loads(lines[i + 1]))
+    by_path = {s["relative_path"]: s for s in srcs}
+    assert by_path["/data/f00.txt"]["size_bytes"] == 100
+    assert by_path["/data/f99.txt"]["size_bytes"] == 3
