@@ -80,7 +80,14 @@ class IvfIndexStore:
             bucket_key="cid",
         )
         self.tombstones = TombstoneStore(
-            spark, path, "vec_id", num_buckets=num_buckets, layout=layout
+            spark,
+            path,
+            "vec_id",
+            num_buckets=num_buckets,
+            layout=layout,
+            gen_of=lambda: (self.store.read_meta() or {}).get(
+                "tombstone_gen", 0
+            ),
         )
         self._cent_cache: tuple[int, DataFrame] | None = None
 
@@ -187,7 +194,18 @@ class IvfIndexStore:
                 f"IvfIndexStore.seed: centroids have mixed dims {dims}"
             )
         id_type = norm_c.schema["vec_id"].dataType.simpleString()
-        meta = {"centroids": crows, "dim": dims[0], "id_type": id_type}
+        meta = {
+            "centroids": crows,
+            "dim": dims[0],
+            "id_type": id_type,
+            # Bumped atomically with the fresh corpus: invalidates the
+            # old generation's tombstones even if the clear below never
+            # runs (crash window — store_common.TombstoneStore).
+            "tombstone_gen": (self.store.read_meta() or {}).get(
+                "tombstone_gen", 0
+            )
+            + 1,
+        }
         cents = self.spark.createDataFrame(
             crows, f"vec_id {id_type}, emb array<double>"
         )
@@ -203,8 +221,9 @@ class IvfIndexStore:
             expected_base=base,
         )
         self._cent_cache = None
-        # A fresh corpus must not inherit the old index's tombstones
-        # (a purged id legitimately re-seeded would be filtered).
+        # Pure GC — the generation bump in the committed meta already
+        # invalidated the old tombstones (a purged id legitimately
+        # re-seeded must not be filtered, even across a crash here).
         self.tombstones.clear()
         if v != v_next:  # unreachable given expected_base; belt-and-braces
             raise RuntimeError(

@@ -89,7 +89,14 @@ class MinHashBandStore:
             bucket_key="h",
         )
         self.tombstones = TombstoneStore(
-            spark, path, "sid", num_buckets=num_buckets, layout=layout
+            spark,
+            path,
+            "sid",
+            num_buckets=num_buckets,
+            layout=layout,
+            gen_of=lambda: (self.store.read_meta() or {}).get(
+                "tombstone_gen", 0
+            ),
         )
 
     # -- band derivation ----------------------------------------------------
@@ -118,10 +125,18 @@ class MinHashBandStore:
     # -- lifecycle ----------------------------------------------------------
     def seed(self, corpus: DataFrame, id_col: str, text_col: str) -> int:
         """Initial full-corpus index build (one-time O(corpus); every
-        later cycle is O(delta) via :meth:`match_and_merge`). Clears
-        any prior tombstones — a fresh corpus must not inherit them."""
-        v = self.store.overwrite(self.delta_bands(corpus, id_col, text_col, 0))
-        self.tombstones.clear()
+        later cycle is O(delta) via :meth:`match_and_merge`). Prior
+        tombstones must not filter the fresh corpus: the seed commit
+        bumps the tombstone GENERATION atomically with the data (the
+        meta payload), so stale log rows are invalidated even if the
+        follow-up GC never runs (crash between the two commits — the
+        window the old clear-after-seed ordering left open forever)."""
+        gen = (self.store.read_meta() or {}).get("tombstone_gen", 0) + 1
+        v = self.store.overwrite(
+            self.delta_bands(corpus, id_col, text_col, 0),
+            meta={"tombstone_gen": gen},
+        )
+        self.tombstones.clear()  # pure GC; generation already moved on
         return v
 
     def match_and_merge(

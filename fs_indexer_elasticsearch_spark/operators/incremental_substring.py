@@ -94,7 +94,14 @@ class ShingleSpanStore:
             bucket_key="h",
         )
         self.tombstones = TombstoneStore(
-            spark, path, "sid", num_buckets=num_buckets, layout=layout
+            spark,
+            path,
+            "sid",
+            num_buckets=num_buckets,
+            layout=layout,
+            gen_of=lambda: (self.store.read_meta() or {}).get(
+                "tombstone_gen", 0
+            ),
         )
 
     # -- shingle derivation --------------------------------------------------
@@ -122,9 +129,15 @@ class ShingleSpanStore:
     # -- lifecycle -----------------------------------------------------------
     def seed(self, corpus: DataFrame, id_col: str, text_col: str) -> int:
         """Initial full-corpus index build (one-time O(corpus); every
-        later cycle is O(delta) via :meth:`match_and_merge`). Clears
-        any prior tombstones — a fresh corpus must not inherit them."""
-        v = self.store.overwrite(self.delta_rows(corpus, id_col, text_col, 0))
+        later cycle is O(delta) via :meth:`match_and_merge`). Prior
+        tombstones are invalidated by a GENERATION bump committed
+        atomically with the data (crash-safe — see
+        store_common.TombstoneStore); the clear is pure GC."""
+        gen = (self.store.read_meta() or {}).get("tombstone_gen", 0) + 1
+        v = self.store.overwrite(
+            self.delta_rows(corpus, id_col, text_col, 0),
+            meta={"tombstone_gen": gen},
+        )
         self.tombstones.clear()
         return v
 

@@ -94,6 +94,21 @@ class TombstoneStore:
     The log lives under ``<index path>/_tombstones`` — an
     underscore-prefixed entry the index's own readers and version
     listings ignore.
+
+    GENERATION PAIRING (crash safety): tombstones only apply to the
+    index GENERATION they were added under. Each index seed bumps a
+    ``tombstone_gen`` counter committed atomically WITH the new corpus
+    (it rides the index version's meta payload), and every log row is
+    stamped with the generation current at add time; ``ids()`` serves
+    only current-generation rows. A crash between the seed's commit
+    and the follow-up ``clear()`` therefore leaves only STALE-
+    generation rows behind — ignored by every probe — instead of
+    silently filtering docs out of the fresh corpus forever (the one
+    crash window no later commit repaired). ``clear()`` is thereby
+    pure GC. ``gen_of`` is the index's current-generation resolver;
+    logs written before generations existed read as generation 0,
+    which is also what a never-seeded-again index resolves — fully
+    backward compatible.
     """
 
     def __init__(
@@ -104,10 +119,12 @@ class TombstoneStore:
         *,
         num_buckets: int = 32,
         layout: str = "hardlink",
+        gen_of=None,
     ):
         from ..sinks.snapshot import SnapshotStore
 
         self.id_col = id_col
+        self._gen_of = gen_of or (lambda: 0)
         self.store = SnapshotStore(
             spark,
             os.path.join(index_path, "_tombstones"),
@@ -119,22 +136,32 @@ class TombstoneStore:
 
     def add(self, ids: DataFrame) -> int:
         """Append removal ids to the log — a bucket-pruned merge,
-        O(removal); idempotent (LWW upsert on the id)."""
+        O(removal); idempotent (LWW upsert on the id). Rows are
+        stamped with the index's CURRENT generation (see class doc)."""
         seq = (self.store.current_version() or 0) + 1
         rows = ids.select(
             F.col(ids.columns[0]).alias(self.id_col),
             F.lit(seq).cast("long").alias("rm_seq"),
+            F.lit(int(self._gen_of())).cast("long").alias("gen"),
         )
         if self.store.current_version() is None:
             return self.store.overwrite(rows)
         return self.store.merge(rows)
 
     def ids(self) -> DataFrame | None:
-        """Current tombstoned ids (None when the log is empty)."""
+        """Current-GENERATION tombstoned ids (None when the log is
+        empty). Rows from earlier generations — stale entries a crash
+        left behind after a re-seed — are never served; pre-generation
+        logs read as generation 0."""
         cur = self.store.read()
         if cur is None:
             return None
-        return cur.select(self.id_col)
+        gen = (
+            F.coalesce(F.col("gen"), F.lit(0))
+            if "gen" in cur.columns
+            else F.lit(0)
+        )
+        return cur.filter(gen == int(self._gen_of())).select(self.id_col)
 
     def unmark(self, ids: DataFrame) -> int | None:
         """Delete the given ids from the log — the RESURRECTION path
@@ -177,8 +204,9 @@ class TombstoneStore:
         return v
 
     def clear(self) -> None:
-        """Empty the log (post-compaction, or at index re-seed — a
-        fresh corpus must not inherit stale tombstones)."""
+        """Empty the log — pure GC: a re-seed already invalidated old
+        rows via the generation bump (class doc), and compaction
+        already folded them in; this just reclaims the bytes."""
         if self.store.current_version() is None:
             return
         self.store.overwrite(self.store.read().drop("_bucket").limit(0))

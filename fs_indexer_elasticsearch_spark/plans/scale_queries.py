@@ -244,6 +244,16 @@ def _store_lock(path: str):
         fcntl.flock(f, fcntl.LOCK_UN)
         f.close()
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a store-backed result INSIDE the store lock (eager
+    localCheckpoint): the returned plan reads executor blocks, not
+    store files, so a CONCURRENT process's later vacuum on the shared
+    /tmp store cannot delete parquet the caller hasn't collected yet —
+    the flock serializes the seed/merge/vacuum cycle, but never the
+    caller's collect (review r8: the lazy read outlived the lock)."""
+    return df.localCheckpoint(eager=True)
+
+
 def _incremental_dedup_oracle() -> str:
     """From-scratch recompute of what the band store answers
     incrementally: signatures over the full augmented corpus, bands,
@@ -375,8 +385,10 @@ def dedup_incremental_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         if store.store.current_version() is None:
             store.seed(corpus, "doc_id", "text")
         store.store.rebucket(32)
-        matches = store.match_and_merge(
-            batch, "doc_id", "text", batch_seq=1, threshold=0.5
+        matches = _pin(
+            store.match_and_merge(
+                batch, "doc_id", "text", batch_seq=1, threshold=0.5
+            )
         )
         store.store.vacuum(keep=2)
     return matches
@@ -643,12 +655,13 @@ def _incremental_batch_matches(
         store = MinHashBandStore(spark, path, num_buckets=32, layout=layout)
         if store.store.current_version() is None:
             store.seed(corpus, "doc_id", "text")
-        matches = store.match_and_merge(
-            batch, "doc_id", "text", batch_seq=1, threshold=0.5
+        # Pinned before the vacuum: safe against our own retention AND
+        # a concurrent process's (see _pin).
+        matches = _pin(
+            store.match_and_merge(
+                batch, "doc_id", "text", batch_seq=1, threshold=0.5
+            )
         )
-        # Bound the version chain across repeated runs. keep=2 retains
-        # the pre-merge version the lazy `matches` plan reads (merge
-        # committed one newer), so collecting after return stays safe.
         store.store.vacuum(keep=2)
     return matches
 
@@ -844,8 +857,10 @@ def dedup_incremental_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
             mode="tombstone",
         )
-        matches = store.match_and_merge(
-            batch, "doc_id", "text", batch_seq=1, threshold=0.5
+        matches = _pin(
+            store.match_and_merge(
+                batch, "doc_id", "text", batch_seq=1, threshold=0.5
+            )
         )
         store.store.vacuum(keep=2)
         store.tombstones.store.vacuum(keep=2)
@@ -913,8 +928,10 @@ def _incremental_ivf_matches(
             store.seed(emb.filter(F.col("vec_id") % 10 != 0), centroids,
                        "vec_id", "emb")
         store.add(emb.filter(F.col("vec_id") % 10 == 0), "vec_id", "emb", seq=1)
-        matches = store.search(
-            emb.filter(F.col("vec_id") < 8), "vec_id", "emb", k=3, nprobe=2
+        matches = _pin(
+            store.search(
+                emb.filter(F.col("vec_id") < 8), "vec_id", "emb", k=3, nprobe=2
+            )
         )
         store.store.vacuum(keep=2)
     return matches
@@ -991,8 +1008,10 @@ def substring_incremental_tombstone(spark: SparkSession, sf_dir: str) -> DataFra
             corpus.filter(F.col("doc_id") % 6 == 3).select("doc_id"),
             mode="tombstone",
         )
-        out = store.match_and_merge(
-            batch, "doc_id", "text", batch_seq=1, merge=False
+        out = _pin(
+            store.match_and_merge(
+                batch, "doc_id", "text", batch_seq=1, merge=False
+            )
         )
         store.tombstones.store.vacuum(keep=2)
     return out
@@ -1071,6 +1090,6 @@ def substring_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = ShingleSpanStore(spark, path, k=5, num_buckets=32)
         if store.store.current_version() is None:
             store.seed(corpus, "doc_id", "text")
-        out = store.match_and_merge(batch, "doc_id", "text", batch_seq=1)
+        out = _pin(store.match_and_merge(batch, "doc_id", "text", batch_seq=1))
         store.store.vacuum(keep=2)
     return out

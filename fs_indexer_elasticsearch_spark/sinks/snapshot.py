@@ -451,10 +451,18 @@ class SnapshotStore:
     def read_meta(self, version: int | None = None) -> dict | None:
         """Meta payload of the CURRENT version (or, time-travel, of an
         explicit retained ``version``); None when the store is empty or
-        the version carries no meta."""
+        the version carries no meta. An explicit unretained version
+        raises, exactly like ``read()`` — a crash-orphan's meta above
+        the pointer (e.g. centroids whose data never committed) must
+        not be servable through the side door."""
         v = self.current_version() if version is None else version
         if v is None:
             return None
+        if version is not None and version not in self.versions():
+            raise ValueError(
+                f"version {version} is not retained (have {self.versions()}); "
+                "vacuum(keep=...) controls time-travel depth"
+            )
         try:
             with open(self._meta_path(v)) as f:
                 return json.load(f)
@@ -514,7 +522,12 @@ class SnapshotStore:
             # read across a rebucket boundary must label rows by its
             # own version's physical layout).
             cfg = self._read_cfg(v)
-            n = cfg.get("num_buckets") if cfg else None
+            # Legacy pre-_STORECFG versions were written under the
+            # CONSTRUCTOR count (rebucket always records cfg, so a
+            # cfg-less version's count never changed) — falling through
+            # to the current version's count would mislabel rows after
+            # a later rebucket.
+            n = cfg.get("num_buckets") if cfg else self._default_buckets
             return (
                 self.spark.read.option("recursiveFileLookup", "true")
                 .parquet(*paths)
@@ -890,7 +903,8 @@ class SnapshotStore:
             # time-travel read across a rebucket boundary must label
             # rows by its own version's physical layout).
             cfg = self._read_cfg(v)
-            n = cfg.get("num_buckets") if cfg else None
+            # Same legacy-count rule as read_buckets above.
+            n = cfg.get("num_buckets") if cfg else self._default_buckets
             return (
                 self.spark.read.option("recursiveFileLookup", "true")
                 .parquet(*paths)

@@ -365,6 +365,17 @@ def streaming_curation_pipeline(
             # computation of the tokenize+score chain.
             .localCheckpoint(eager=False)
         )
+        if scored.isEmpty():
+            # Every doc failed the quality gate: emit nothing and —
+            # critically — skip the merge, which would otherwise commit
+            # a no-op store version per rejected micro-batch (hardlink
+            # layout: a full link-forward of every bucket, each epoch).
+            return scored.select(
+                "batch_id",
+                "n_tokens",
+                "score",
+                F2.lit(True).alias("kept"),
+            )
         matches = band_store.match_and_merge(
             scored.select(F2.col("batch_id").alias(id_col), F2.col("_text").alias(text_col)),
             id_col,

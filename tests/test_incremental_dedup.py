@@ -273,3 +273,38 @@ def test_tombstone_readd_stays_hidden_until_unmark(spark, tmp_path):
         probe, "doc_id", "text", batch_seq=2, merge=False
     ).collect()
     assert {r.corpus_id for r in got2} == {1}
+
+
+def test_stale_tombstones_cannot_filter_a_fresh_corpus(spark, tmp_path, monkeypatch):
+    """Crash window between re-seed and tombstone GC: the seed commit
+    bumps the tombstone GENERATION atomically with the data, so a log
+    the crash left behind is stale by generation and can never filter
+    the fresh corpus — the old clear-after-seed ordering silently hid
+    re-seeded docs forever."""
+    store = MinHashBandStore(spark, str(tmp_path / "bands"), num_buckets=16)
+    corpus = _corpus(spark)
+    store.seed(corpus, "doc_id", "text")
+    store.remove_docs(
+        spark.createDataFrame([(3,)], "doc_id long"), mode="tombstone"
+    )
+    probe = corpus.filter(F.col("doc_id") == 3).select(
+        F.col("doc_id") + 900, "text"
+    ).toDF("doc_id", "text")
+    m = store.match_and_merge(probe, "doc_id", "text", batch_seq=1, merge=False)
+    assert not any(r.corpus_id == 3 for r in m.collect())  # tombstoned
+
+    # Re-seed a fresh corpus CONTAINING doc 3, with the GC step dead
+    # (the simulated crash): the stale tombstone must not apply.
+    monkeypatch.setattr(store.tombstones, "clear", lambda: None)
+    store.seed(corpus, "doc_id", "text")
+    assert store.tombstones.store.read().count() > 0  # stale rows linger...
+    assert store.tombstones.ids().isEmpty()  # ...but serve nothing
+    m2 = store.match_and_merge(probe, "doc_id", "text", batch_seq=1, merge=False)
+    assert any(r.corpus_id == 3 and r.est_jaccard == 1.0 for r in m2.collect())
+
+    # New-generation tombstones still work after the re-seed.
+    store.remove_docs(
+        spark.createDataFrame([(3,)], "doc_id long"), mode="tombstone"
+    )
+    m3 = store.match_and_merge(probe, "doc_id", "text", batch_seq=2, merge=False)
+    assert not any(r.corpus_id == 3 for r in m3.collect())

@@ -396,6 +396,8 @@ def run(
         with open(merge_into) as f:
             artifact = json.load(f)
         artifact["results"].update(results)
+        if ingest is not None:  # a re-run ingest pass replaces the old one
+            artifact["ingest"] = ingest
         artifact["flagged"] = sorted(
             n for n, e in artifact["results"].items() if e["superlinear"]
         ) + (["ingest_pipeline"] if (artifact.get("ingest") or {}).get("superlinear") else [])
