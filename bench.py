@@ -105,6 +105,8 @@ EXTRA = [
     "store_read_changes",
     # r8: CDC-driven materialized-view maintenance from the feed
     "incremental_view_maintenance",
+    # r8: benchmark decontamination (removal form of the GPT-3 recipe)
+    "decontaminate_clean",
 ]
 
 

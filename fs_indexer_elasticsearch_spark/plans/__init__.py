@@ -38,7 +38,7 @@ from . import curation_pipeline  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r8 rotation: prefix = the 10 NEW r8 queries (bucket-count evolution
+# r8 rotation: prefix = the 11 NEW r8 queries (bucket-count evolution
 # under the incremental dedup cycle, clustered point lookup and the
 # change data feed — both layouts — through the snapshot store,
 # composed curation pipeline at both cadences — full-corpus and
@@ -51,7 +51,7 @@ from . import curation_pipeline  # noqa: E402,F401
 # stores' meta-protocol / row-shrink / fingerprint-tag changes), then
 # the same family anchors as r7, filling the 50. Displaced below the
 # boundary: q01_pricing_summary, embedding_outliers, retention_cohorts,
-# ann_neardup_recall_lsh,
+# ann_neardup_recall_lsh, semantic_dedup_clusters,
 # funnel_view_click_purchase, token_count_exact, url_canonical_dedup,
 # domain_extract_counts, domain_blocklist_filter,
 # ann_neardup_recall_multiprobe (driver-green r5/r6/r7, unchanged in
@@ -63,6 +63,7 @@ _PRIORITY = [
     "store_read_changes",
     "store_read_changes_hardlink",
     "incremental_view_maintenance",
+    "decontaminate_clean",
     "curation_pipeline_e2e",
     "incremental_curation_cycle",
     "dedup_incremental_tombstone",
@@ -81,7 +82,6 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "semantic_dedup_clusters",
     "similarity_lsh_ann_topk",
     "ann_recall_at_k",
     "minhash_estimate_quality",
@@ -126,6 +126,7 @@ _PRIORITY = [
     "embedding_outliers",
     "retention_cohorts",
     "ann_neardup_recall_lsh",
+    "semantic_dedup_clusters",
     "funnel_view_click_purchase",
     "token_count_exact",
     "url_canonical_dedup",

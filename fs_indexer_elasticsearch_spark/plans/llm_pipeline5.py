@@ -53,6 +53,7 @@ from ..functions.text import (
 )
 from ..functions.vectors import hyperplane_weight
 from ..tables import load
+from .llm_pipeline2 import _SPLIT_CASE_SQL
 from .registry import query, stable_round
 
 # Shared token SQL (mirrors functions.text.tokens).
@@ -923,6 +924,138 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_md5"),
     )
     base = d.select("doc_id", F.size("toks").cast("long").alias("n_words"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+@query(
+    "decontaminate_clean",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SPLIT_CASE_SQL} AS split, {_TOKS_SQL} AS toks
+        FROM documents
+    ),
+    dd AS (SELECT doc_id, split, toks FROM d WHERE len(toks) > 0),
+    train AS (SELECT doc_id, toks FROM dd WHERE split = 'train'),
+    evsh AS (
+        SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM dd, unnest(range(1, len(toks) - 3)) AS t(i)
+        WHERE split <> 'train' AND len(toks) >= 5
+    ),
+    tsh AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i:i+4], ' ') AS shingle
+        FROM train, unnest(range(1, len(toks) - 3)) AS t(i)
+        WHERE len(toks) >= 5
+    ),
+    covered AS (
+        SELECT DISTINCT s.doc_id, s.pos + o AS cpos
+        FROM tsh s JOIN evsh h USING (shingle),
+             unnest(range(0, 5)) AS t(o)
+    ),
+    words AS (
+        SELECT doc_id, i AS pos, toks[i] AS w
+        FROM train, unnest(range(1, len(toks) + 1)) AS t(i)
+    ),
+    kept AS (
+        SELECT w.doc_id, w.pos, w.w
+        FROM words w LEFT JOIN covered c
+          ON w.doc_id = c.doc_id AND w.pos = c.cpos
+        WHERE c.cpos IS NULL
+    )
+    SELECT train.doc_id,
+           CAST(len(train.toks) AS BIGINT) AS n_words,
+           CAST(len(train.toks) - count(k.pos) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(k.w, ' ' ORDER BY k.pos), ''))
+               AS clean_md5
+    FROM train LEFT JOIN kept k USING (doc_id)
+    GROUP BY train.doc_id, len(train.toks)
+    """,
+)
+def decontaminate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION, removal form (the GPT-3/PaLM recipe):
+    every train-split word position covered by a K=5-shingle that also
+    occurs anywhere in the val/test splits is dropped, and each train
+    doc emits its surviving word count plus an md5 fingerprint of the
+    cleaned text. ``split_contamination_ngrams`` is the DETECTION half
+    (overlap fractions); this is the half that actually edits the
+    training set so eval can't be memorized.
+
+    Same machinery as ``substring_dedup_clean`` with the hot-set
+    replaced by the EVAL SHINGLE VOCABULARY: train positional shingles
+    equi-join the distinct eval shingles (never doc x doc), covered
+    positions are the K-width expansion, kept words are an anti-join
+    on (doc, pos), and the cleaned text rebuild is one per-doc sort —
+    bounded by document length. At 100 TB the eval vocabulary is tiny
+    relative to train (benchmarks are megabytes), so the join's build
+    side is the eval set — exactly the broadcast you want; production
+    K is 8-13 tokens per the published recipes (K=5 matches this
+    corpus's scale)."""
+    from .llm_pipeline2 import _split_col
+
+    K = 5
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id", _split_col().alias("split"), tokens("text").alias("toks")
+        )
+        .filter(F.size("toks") > 0)
+        .localCheckpoint(eager=False)
+    )
+    train = d.filter(F.col("split") == "train")
+    pos_sh = positional_word_shingles(F.col("toks"), K)
+    eval_sh = (
+        d.filter(F.col("split") != "train")
+        .filter(F.size("toks") >= K)
+        .select(F.explode(word_shingles(F.col("toks"), K)).alias("shingle"))
+        .distinct()
+    )
+    tsh = (
+        train.filter(F.size("toks") >= K)
+        .select("doc_id", F.explode(pos_sh).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.pos").alias("pos"),
+            F.col("s.shingle").alias("shingle"),
+        )
+    )
+    covered = (
+        tsh.join(eval_sh, "shingle")
+        .select(
+            F.col("doc_id").alias("c_doc_id"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (K - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    words = train.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "w")
+    kept = words.join(
+        covered,
+        (words["doc_id"] == covered["c_doc_id"]) & (words["pos"] == covered["cpos"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    base = train.select("doc_id", F.size("toks").cast("long").alias("n_words"))
     return base.join(rebuilt, "doc_id", "left").select(
         "doc_id",
         "n_words",

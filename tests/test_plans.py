@@ -156,6 +156,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "ann_incremental_ivf_manifest", "dedup_incremental_rebucket",
         "store_point_lookup", "store_read_changes",
         "store_read_changes_hardlink", "incremental_view_maintenance",
+        "decontaminate_clean",
         "dedup_incremental_batch", "dedup_incremental_batch_manifest",
         "per_domain_cap",
         "ann_incremental_ivf_topk",
