@@ -282,7 +282,8 @@ def streaming_changefeed_pipeline(
                 .localCheckpoint(eager=False)
             )
             new = upsert_newer_wins(old, deduped, store.key, store.version_col)
-            feed = classify_changes(old, new, [store.key])
+            keys = [store.key] if isinstance(store.key, str) else list(store.key)
+            feed = classify_changes(old, new, keys)
         feed = feed.withColumn("epoch", F.lit(epoch_id).cast("long"))
         # Publish the feed BEFORE the merge commits: the feed plan
         # lazily reads the store's CURRENT version, so it must
