@@ -66,13 +66,17 @@ def remove_by_column(
     ids2 = ids.select(F.col(ids.columns[0]).alias("_rm_id")).localCheckpoint(
         eager=False
     )
+    base = snapshot_store.current_version()  # the kept-set's data basis
     cur = snapshot_store.read()
     if cur is None:
         raise ValueError(empty_msg)
     if ids2.count() <= BROADCAST_REMOVAL_MAX:
         ids2 = F.broadcast(ids2)
     kept = cur.join(ids2, cur[col] == ids2["_rm_id"], "left_anti")
-    return snapshot_store.overwrite(kept)
+    # expected_base: a commit that landed since the read raises instead
+    # of being silently deleted by this rewrite (lost-update guard,
+    # same rule as merge's migration path / rebucket / IVF seed).
+    return snapshot_store.overwrite(kept, expected_base=base)
 
 
 class TombstoneStore:

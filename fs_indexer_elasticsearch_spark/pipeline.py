@@ -79,6 +79,14 @@ def run_pipeline(
 ) -> PipelineResult:
     """One full scan→index cycle (the reference's `python -m
     fs_indexer_elasticsearch.main`)."""
+    if cfg.publish_mode not in ("full", "changed"):
+        # A typo'd mode must not silently fall back to the full
+        # republish — at the scale publish_mode="changed" targets,
+        # that silent fallback IS the failure.
+        raise ValueError(
+            f"publish_mode must be 'full' or 'changed', got "
+            f"{cfg.publish_mode!r}"
+        )
     store = SnapshotStore(
         spark,
         os.path.join(cfg.snapshot_path, "fs_entries"),

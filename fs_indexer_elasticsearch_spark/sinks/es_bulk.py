@@ -137,17 +137,18 @@ def sync_actions_from_changes(
     upserts = changes.filter(F.col("_change") != "delete").drop("_change")
     if format_docs is not None:
         upserts = format_docs(upserts)
-    if key != "id":
+    if key != "id" and key in upserts.columns:
         if "id" in upserts.columns:
-            # Renaming the key over an existing 'id' column would make
-            # every downstream F.col("id") ambiguous (and silently
-            # re-key the index if it resolved) — demand an explicit
-            # decision instead.
+            # BOTH the key and a distinct 'id' column exist: renaming
+            # would make every downstream F.col("id") ambiguous (and
+            # silently re-key the index if it resolved) — demand an
+            # explicit decision. A format_docs that already emitted the
+            # key AS 'id' (key column gone) falls through cleanly.
             raise ValueError(
-                f"document shape already has an 'id' column distinct from "
-                f"the store key {key!r}; make format_docs emit the key AS "
-                "'id' (or drop the conflicting column) so the ES _id is "
-                "unambiguous"
+                f"document shape has BOTH an 'id' column and the store "
+                f"key {key!r}; make format_docs emit the key AS 'id' "
+                "(dropping the original) or drop the conflicting column "
+                "so the ES _id is unambiguous"
             )
         upserts = upserts.withColumnRenamed(key, "id")
     deletes = changes.filter(F.col("_change") == "delete").select(

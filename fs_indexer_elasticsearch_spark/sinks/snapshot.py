@@ -264,11 +264,18 @@ class SnapshotStore:
         if-none-match conditional put), so an existing claim always
         carries its holder's pid; an unreadable/empty claim can only
         be corruption and is therefore stale by definition. A racing
-        writer fails HERE, before writing any data. A stale claim (a
-        crashed holder, or corruption) is cleared by an atomic RENAME
-        — only one clearer can win the rename, so two writers racing
-        to clear the same dead claim can never delete each other's
-        fresh claims (the remove-based TOCTOU)."""
+        writer fails HERE, before writing any data.
+
+        The inspect-stale/clear/create sequence runs under a kernel
+        flock on a sidecar lock file: check-then-clear without it is
+        an irreducible TOCTOU (two writers racing to clear the same
+        dead claim can steal each other's FRESH claims, however the
+        clear is expressed — remove or rename). The flock serializes
+        only this microseconds-long acquisition section, is released
+        by the kernel if the holder dies, and binds all cooperating
+        writers (the single-writer contract's scope); the claim FILE
+        remains the visible, pid-stamped, crash-inspectable token."""
+        import fcntl
         import uuid as _uuid
 
         path = self._txn_path(version)
@@ -276,38 +283,34 @@ class SnapshotStore:
         with open(tmp, "w") as f:
             f.write(str(os.getpid()))
         try:
-            for _attempt in range(3):
+            with open(os.path.join(self.path, ".claims.lock"), "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
                 try:
-                    os.link(tmp, path)  # atomic create-with-content
+                    try:
+                        os.link(tmp, path)  # atomic create-with-content
+                        return
+                    except FileExistsError:
+                        pass
+                    try:
+                        with open(path) as f:
+                            holder = int(f.read().strip() or "0")
+                    except (OSError, ValueError):
+                        holder = 0  # corrupt: linked claims carry a pid
+                    if holder == os.getpid() or (holder and _pid_alive(holder)):
+                        raise ConcurrentWriteError(
+                            f"version {version} of {self.path} is being "
+                            f"committed by pid {holder}; this store is "
+                            "single-writer — serialize commits (the "
+                            "registered queries flock the store dir for "
+                            "exactly this reason)"
+                        )
+                    # Stale (dead holder or corrupt): clear and take it —
+                    # safe under the flock, no second clearer can run.
+                    os.remove(path)
+                    os.link(tmp, path)
                     return
-                except FileExistsError:
-                    pass
-                try:
-                    with open(path) as f:
-                        holder = int(f.read().strip() or "0")
-                except FileNotFoundError:
-                    continue  # released/cleared since our link attempt
-                except (OSError, ValueError):
-                    holder = 0  # corrupt: linked claims always carry a pid
-                if holder == os.getpid() or (holder and _pid_alive(holder)):
-                    raise ConcurrentWriteError(
-                        f"version {version} of {self.path} is being "
-                        f"committed by pid {holder}; this store is "
-                        "single-writer — serialize commits (the registered "
-                        "queries flock the store dir for exactly this reason)"
-                    )
-                # Stale (dead holder or corrupt): steal via rename — one
-                # winner; the loser's rename raises and it just retries.
-                stale = f"{path}.stale.{os.getpid()}"
-                try:
-                    os.rename(path, stale)
-                    os.remove(stale)
-                except OSError:
-                    pass
-            raise ConcurrentWriteError(
-                f"could not claim version {version} of {self.path} "
-                "(persistent contention)"
-            )
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
         finally:
             try:
                 os.remove(tmp)

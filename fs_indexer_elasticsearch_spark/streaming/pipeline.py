@@ -267,6 +267,7 @@ def streaming_changefeed_pipeline(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        keys = [store.key] if isinstance(store.key, str) else list(store.key)
         if store.current_version() is None:
             feed = deduped.withColumn("_change", F.lit("insert"))
         else:
@@ -282,7 +283,6 @@ def streaming_changefeed_pipeline(
                 .localCheckpoint(eager=False)
             )
             new = upsert_newer_wins(old, deduped, store.key, store.version_col)
-            keys = [store.key] if isinstance(store.key, str) else list(store.key)
             feed = classify_changes(old, new, keys)
         feed = feed.withColumn("epoch", F.lit(epoch_id).cast("long"))
         # Publish the feed BEFORE the merge commits: the feed plan
@@ -294,7 +294,7 @@ def streaming_changefeed_pipeline(
                     feed_store.key,
                     F.concat_ws(
                         ":",
-                        F.col(store.key).cast("string"),
+                        *[F.col(k).cast("string") for k in keys],
                         F.col("_change"),
                         F.col("epoch").cast("string"),
                     ),
@@ -495,6 +495,15 @@ def _streaming_match_pipeline(
         matches = match_fn(batch, epoch_id).withColumn(
             "epoch", F.lit(epoch_id).cast("long")
         )
+        if matches.isEmpty():
+            # Nothing to record: skip the sink entirely — a keyed
+            # matches_store merge of zero rows would still commit a
+            # fresh no-op store version per epoch (hardlink layout:
+            # a full link-forward of every bucket), and a stream of
+            # match-free batches would grow the version chain
+            # unboundedly. match_fn's own side effects (the index
+            # merge) have already run.
+            return
         if matches_store is not None:
             matches_store.merge(
                 matches.withColumn(
