@@ -234,3 +234,53 @@ def test_store_scan_sql_external_duckdb_read(spark, tmp_path):
 
         with pytest.raises(ValueError, match="not retained"):
             store_scan_sql(store, version=99)
+
+
+def test_sync_actions_format_docs_key_as_id(spark, tmp_path):
+    """The id-conflict guard's own remediation must work: a
+    format_docs that emits the store key AS 'id' (original key column
+    dropped) flows through; key + distinct 'id' coexisting raises."""
+    from fs_indexer_elasticsearch_spark.sinks.es_bulk import (
+        sync_actions_from_changes,
+    )
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="doc_key", version_col="v",
+        num_buckets=4,
+    )
+    store.overwrite(
+        spark.createDataFrame(
+            [(f"k{i}", 1, f"p{i}") for i in range(5)],
+            "doc_key string, v int, payload string",
+        )
+    )
+    store.merge(
+        spark.createDataFrame(
+            [("k2", 2, "updated")], "doc_key string, v int, payload string"
+        )
+    )
+    acts = sync_actions_from_changes(
+        store, "idx", 1, 2,
+        format_docs=lambda df: df.withColumnRenamed("doc_key", "id"),
+    ).collect()
+    got = [json.loads(r.value.split("\n")[0]) for r in acts]
+    assert [a["index"]["_id"] for a in got if "index" in a] == ["k2"]
+
+    with pytest.raises(ValueError, match="BOTH an 'id' column"):
+        sync_actions_from_changes(
+            store, "idx", 1, 2,
+            format_docs=lambda df: df.withColumn("id", F.lit("x")),
+        )
+
+
+def test_publish_mode_is_validated(spark, tmp_path):
+    from fs_indexer_elasticsearch_spark.pipeline import run_pipeline
+    from fs_indexer_elasticsearch_spark.sources.config import PipelineConfig
+
+    cfg = PipelineConfig(
+        root_path=str(tmp_path), snapshot_path=str(tmp_path / "s"),
+        publish_mode="cdc",
+    )
+    with pytest.raises(ValueError, match="publish_mode"):
+        run_pipeline(spark, cfg, out_dir=str(tmp_path / "out"))
