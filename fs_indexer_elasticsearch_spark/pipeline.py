@@ -174,6 +174,7 @@ def run_pipeline(
             num_buckets=cfg.num_buckets,
             layout=cfg.snapshot_layout,
         )
+        links_prev_version = links_store.current_version()
         known = links_store.read()
         known = known.drop("_bucket") if known is not None else None
         fetcher = link_fetcher or fake_link_fetcher(cfg.direct_links_version)
@@ -189,7 +190,7 @@ def run_pipeline(
         # merge() executes the fetch plan exactly once (the bucket
         # write); enrichment below reads the materialized store, so no
         # side-effecting call runs twice.
-        links_store.merge(fetched, removed=removed_links)
+        links_version = links_store.merge(fetched, removed=removed_links)
         links = links_store.read().drop("_bucket")
         enriched = enrich_with_links(current, links, broadcast_links=False)
     else:
@@ -229,6 +230,35 @@ def run_pipeline(
         actions = sync_actions_from_changes(
             store, cfg.es_index, prev_version, version, format_docs=_fmt
         )
+        # Enrichment-only changes: a document whose LINK changed while
+        # its fs entry did not (e.g. direct links newly enabled on an
+        # existing corpus backfills links for unchanged files) is
+        # invisible to the fs_entries feed — union in the link store's
+        # OWN change feed so those docs republish too. Post-image rows
+        # come from `current`, which this cycle already materializes
+        # (rollup + stats), so the extra pass is in-memory; the
+        # dedup-against-fs-feed anti-join uses the cached `diff`.
+        if cfg.direct_links_enabled and links_version > (links_prev_version or 0):
+            if links_prev_version is None:
+                link_keys = links.select(F.col("file_id").alias("id"))
+            else:
+                link_keys = (
+                    links_store.read_changes(links_prev_version, links_version)
+                    .filter(F.col("_change") != "delete")
+                    .select(F.col("file_id").alias("id"))
+                )
+            fs_changed = (
+                diff.filter(F.col("change").isin("added", "changed")).select("id")
+                if diff is not None
+                else current.select("id")
+            )
+            link_only = (
+                current.join(link_keys, "id", "left_semi")
+                .join(fs_changed, "id", "left_anti")
+            )
+            actions = actions.unionByName(
+                bulk_actions(_fmt(link_only), cfg.es_index)
+            )
         bulk_dir = os.path.join(out_dir, "bulk")
         write_bulk_file(actions, bulk_dir)
         if es_client is not None:

@@ -124,17 +124,53 @@ def sync_actions_from_changes(
 
     ``format_docs`` optionally projects post-image rows into document
     shape (e.g. ``format_documents``) BEFORE action encoding; it must
-    preserve the store's key column. The store key becomes ``_id``
+    preserve the store's key column(s). The store key becomes ``_id``
     (keys are unique per feed, so action order within the bulk body is
-    irrelevant)."""
-    changes = store.read_changes(v_from, v_to)
+    irrelevant).
+
+    A COMPOSITE store key — e.g. (relative_path, snapshot_domain) —
+    serializes to a deterministic ``_id`` by colon-joining the key
+    columns cast to string, THE SAME encoding the streaming change
+    feed's keyed store uses (streaming/pipeline.py feed-store cadence),
+    so a document keeps one stable ES identity across both the batch
+    and streaming publish paths; the delete side mirrors it exactly
+    (reference ``_id`` semantics: elasticsearch_integration.py:424-429,
+    one explicit _id per action)."""
+    # The feed is consumed twice (upsert filter + delete filter); a
+    # lazy localCheckpoint materializes the changed-bucket
+    # classification join once instead of per consumer.
+    changes = store.read_changes(v_from, v_to).localCheckpoint(eager=False)
     key = store.key
-    if not isinstance(key, str):
-        raise ValueError(
-            "sync_actions_from_changes needs a single-column store key "
-            f"to use as the ES _id; got composite {key!r}"
-        )
+    keys = [key] if isinstance(key, str) else list(key)
+    composite = len(keys) > 1
     upserts = changes.filter(F.col("_change") != "delete").drop("_change")
+    if composite:
+        # Deterministic composite _id BEFORE format_docs runs, so the
+        # projection can keep / drop the raw key columns freely as long
+        # as it preserves 'id'.
+        id_expr = F.concat_ws(
+            ":", *[F.col(k).cast("string") for k in keys]
+        )
+        if "id" in upserts.columns:
+            raise ValueError(
+                f"composite store key {keys!r} must serialize into the "
+                "ES _id column 'id', but the row shape already has an "
+                "'id' column; drop or rename it upstream"
+            )
+        upserts = upserts.withColumn("id", id_expr)
+        if format_docs is not None:
+            upserts = format_docs(upserts)
+        if "id" not in upserts.columns:
+            raise ValueError(
+                "format_docs dropped the composite 'id' column the ES "
+                "_id is derived from; preserve it"
+            )
+        deletes = changes.filter(F.col("_change") == "delete").select(
+            id_expr.alias("id")
+        )
+        return bulk_actions(upserts, index).unionByName(
+            delete_actions(deletes, index)
+        )
     if format_docs is not None:
         upserts = format_docs(upserts)
     if key != "id" and key in upserts.columns:

@@ -232,6 +232,25 @@ class SnapshotStore:
         self.bucket_key = bucket_key or key
         os.makedirs(path, exist_ok=True)
         self._check_identity()
+        self._backfill_cfg()
+
+    def _backfill_cfg(self) -> None:
+        """First reopen of a store written before _STORECFG sidecars
+        existed: pin the CURRENT version's bucket count on disk using
+        this opener's constructor value — the best available truth —
+        so every SUBSEQUENT open adopts the recorded count instead of
+        its own constructor default (a legacy store reopened with a
+        different count would otherwise hash probes into the wrong
+        physical layout). New stores never hit this: every commit
+        writes its own cfg."""
+        v = self.current_version()
+        if v is None or self._read_cfg(v) is not None:
+            return
+        tmp = self._cfg_path(v) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"num_buckets": self._default_buckets}, f)
+        os.replace(tmp, self._cfg_path(v))
+        self._cfg_cache = (v, self._default_buckets)
 
     # -- pointer management -------------------------------------------------
     def _pointer_path(self) -> str:
@@ -394,8 +413,10 @@ class SnapshotStore:
         version's committed _STORECFG sidecar, so every probe, merge,
         and pruned read hashes against the layout the live data was
         actually written under, no matter what the constructor said.
-        Empty store (or one written before config sidecars existed):
-        the constructor's value."""
+        Empty store: the constructor's value. A store written before
+        config sidecars existed gets its count pinned at first reopen
+        (``_backfill_cfg``), so even legacy stores stop trusting later
+        constructors after one open."""
         if self._pinned_buckets is not None:
             return self._pinned_buckets
         v = self.current_version()

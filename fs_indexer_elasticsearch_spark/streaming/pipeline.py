@@ -285,9 +285,19 @@ def streaming_changefeed_pipeline(
             new = upsert_newer_wins(old, deduped, store.key, store.version_col)
             feed = classify_changes(old, new, keys)
         feed = feed.withColumn("epoch", F.lit(epoch_id).cast("long"))
-        # Publish the feed BEFORE the merge commits: the feed plan
-        # lazily reads the store's CURRENT version, so it must
-        # materialize while that is still the pre-merge state.
+        # Materialize the feed BEFORE the merge commits (the plan
+        # lazily reads the store's CURRENT version, so it must resolve
+        # while that is still the pre-merge state); the checkpoint also
+        # serves the isEmpty probe and the publish from one execution.
+        feed = feed.localCheckpoint(eager=False)
+        if feed.isEmpty():
+            # Replayed or no-change epoch: the classification proved
+            # the merge would be a no-op, so skip BOTH sinks AND the
+            # store merge — otherwise every such epoch commits a no-op
+            # version (hardlink layout: a full link-forward of every
+            # bucket), the exact version churn the match pipeline's
+            # isEmpty guard exists to prevent.
+            return
         if feed_store is not None:
             feed_store.merge(
                 feed.withColumn(

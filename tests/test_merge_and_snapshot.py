@@ -645,6 +645,33 @@ def test_crash_orphan_cfg_never_read_and_vacuumed(spark, tmp_path):
     assert not _os.path.exists(store._cfg_path(99))
 
 
+def test_legacy_cfgless_store_backfills_count_on_reopen(spark, tmp_path):
+    """A store whose current version predates _STORECFG sidecars gets
+    its bucket count PINNED at first reopen with the opener's value —
+    so a later opener with a different constructor default adopts the
+    pinned truth instead of hashing probes into a phantom layout (the
+    r8 advice: legacy stores fell back to the NEW constructor value)."""
+    import os as _os
+
+    path = str(tmp_path / "snap")
+    store = SnapshotStore(spark, path, key="k", version_col="v", num_buckets=4)
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(12)]))
+    # Simulate a legacy store: delete the committed cfg sidecar.
+    _os.remove(store._cfg_path(1))
+
+    first_reopen = SnapshotStore(
+        spark, path, key="k", version_col="v", num_buckets=4
+    )
+    assert first_reopen.num_buckets == 4
+    assert _os.path.exists(first_reopen._cfg_path(1))  # pinned on disk
+
+    # A second opener with a DIFFERENT constructor value adopts the
+    # backfilled truth, and its point lookups hash correctly.
+    other = SnapshotStore(spark, path, key="k", version_col="v", num_buckets=16)
+    assert other.num_buckets == 4
+    assert {r.k for r in other.read_keys(["k3", "k7"]).collect()} == {"k3", "k7"}
+
+
 def test_store_identity_mismatch_raises(spark, tmp_path):
     path = str(tmp_path / "snap")
     store = SnapshotStore(spark, path, key="k", version_col="v", num_buckets=4)

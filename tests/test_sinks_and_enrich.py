@@ -274,6 +274,149 @@ def test_sync_actions_format_docs_key_as_id(spark, tmp_path):
         )
 
 
+def test_sync_actions_composite_key(spark, tmp_path):
+    """CDC publish from a COMPOSITE-key store: the _id is the
+    colon-joined key columns (the streaming feed-store encoding), the
+    delete path mirrors it, and the id is stable across repeated
+    derivations (round-trip id stability — the r8 gap where a store
+    keyed on (relative_path, snapshot_domain) could not sync)."""
+    from fs_indexer_elasticsearch_spark.sinks.es_bulk import (
+        sync_actions_from_changes,
+    )
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key=["path", "domain"],
+        version_col="v", num_buckets=4, bucket_key="path",
+    )
+    store.overwrite(
+        spark.createDataFrame(
+            [(f"p{i}", f"d{i % 2}", 1, f"x{i}") for i in range(8)],
+            "path string, domain string, v int, payload string",
+        )
+    )
+    # Composite removals can't route through merge(removed=...) on a
+    # bucket_key!=key store; express the delete as a full overwrite of
+    # the surviving rows plus one update.
+    survivors = (
+        store.read()
+        .drop("_bucket")
+        .filter(~((F.col("path") == "p3") & (F.col("domain") == "d1")))
+    )
+    updated = survivors.withColumn(
+        "payload",
+        F.when(
+            (F.col("path") == "p2") & (F.col("domain") == "d0"),
+            F.lit("updated"),
+        ).otherwise(F.col("payload")),
+    ).withColumn(
+        "v",
+        F.when(
+            (F.col("path") == "p2") & (F.col("domain") == "d0"), F.lit(2)
+        ).otherwise(F.col("v")),
+    )
+    store.overwrite(updated)
+
+    def collect_ids():
+        acts = [
+            json.loads(ln)
+            for r in sync_actions_from_changes(store, "files", 1, 2).collect()
+            for ln in r.value.split("\n")
+        ]
+        idx = {a["index"]["_id"] for a in acts if "index" in a}
+        dels = {a["delete"]["_id"] for a in acts if "delete" in a}
+        return idx, dels, acts
+
+    idx_ids, del_ids, acts = collect_ids()
+    assert idx_ids == {"p2:d0"}
+    assert del_ids == {"p3:d1"}
+    # Round-trip stability: a second derivation yields identical ids.
+    assert collect_ids()[:2] == (idx_ids, del_ids)
+    # The source doc carries the serialized id column + post-image.
+    lines = [
+        r.value.split("\n")
+        for r in sync_actions_from_changes(store, "files", 1, 2).collect()
+    ]
+    docs = {
+        json.loads(pair[1])["id"]: json.loads(pair[1])
+        for pair in lines
+        if "index" in json.loads(pair[0])
+    }
+    assert docs["p2:d0"]["payload"] == "updated"
+
+    # A pre-existing 'id' column is an explicit error, not a silent
+    # re-key.
+    store2 = SnapshotStore(
+        spark, str(tmp_path / "snap2"), key=["id", "domain"],
+        version_col="v", num_buckets=4, bucket_key="id",
+    )
+    store2.overwrite(
+        spark.createDataFrame(
+            [("a", "d0", 1)], "id string, domain string, v int"
+        )
+    )
+    store2.overwrite(
+        spark.createDataFrame(
+            [("a", "d0", 2)], "id string, domain string, v int"
+        )
+    )
+    with pytest.raises(ValueError, match="composite store key"):
+        sync_actions_from_changes(store2, "files", 1, 2).collect()
+
+
+def test_publish_mode_changed_republishes_link_only_changes(spark, tmp_path):
+    """publish_mode='changed' + direct links: a file whose LINK changed
+    while its fs entry did not must still republish (the r8 advice gap:
+    enabling direct_links on an existing corpus backfills links for
+    unchanged files — invisible to the fs_entries feed alone)."""
+    import os
+
+    from fs_indexer_elasticsearch_spark.pipeline import run_pipeline
+    from fs_indexer_elasticsearch_spark.sources.config import PipelineConfig
+
+    root = tmp_path / "tree"
+    for i in range(4):
+        (root / f"dir{i}").mkdir(parents=True)
+        (root / f"dir{i}" / f"f{i}.txt").write_text("x" * (i + 1))
+
+    cfg = PipelineConfig(
+        root_path=str(root),
+        snapshot_path=str(tmp_path / "snap"),
+        publish_mode="changed",
+        direct_links_enabled=False,
+    )
+    r1 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "out1"))
+    r1.release()
+
+    # Cycle 2: NO fs change, but direct links newly enabled — every
+    # file gets a fresh link, so every doc must ship despite an empty
+    # fs change feed.
+    cfg.direct_links_enabled = True
+    r2 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "out2"))
+    lines = []
+    for part in glob.glob(os.path.join(str(tmp_path / "out2"), "bulk", "part-*")):
+        with open(part) as f:
+            lines.extend(ln for ln in f.read().splitlines() if ln)
+    actions = [json.loads(ln) for ln in lines[::2]]
+    docs = [json.loads(ln) for ln in lines[1::2]]
+    # Only FILES get links (directories never had a link change), so
+    # exactly the files republish — and each carries its fresh link.
+    assert len([a for a in actions if "index" in a]) == r2.stats["files"]
+    assert all(d["type"] == "file" for d in docs)
+    assert all(d["direct_link"].startswith("lucid://") for d in docs)
+    r2.release()
+
+    # Cycle 3: nothing changed at all (links fresh, fs unchanged) —
+    # the changed publish ships zero index actions.
+    r3 = run_pipeline(spark, cfg, out_dir=str(tmp_path / "out3"))
+    lines3 = []
+    for part in glob.glob(os.path.join(str(tmp_path / "out3"), "bulk", "part-*")):
+        with open(part) as f:
+            lines3.extend(ln for ln in f.read().splitlines() if ln)
+    assert lines3 == []
+    r3.release()
+
+
 def test_publish_mode_is_validated(spark, tmp_path):
     from fs_indexer_elasticsearch_spark.pipeline import run_pipeline
     from fs_indexer_elasticsearch_spark.sources.config import PipelineConfig

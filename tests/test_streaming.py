@@ -656,11 +656,16 @@ def test_streaming_changefeed_effectively_once(spark, tmp_path):
     # Replay EVERYTHING from a fresh checkpoint (worst-case
     # reprocessing): the feed re-derives against the post-merge store,
     # classifies all rows identical, and emits nothing new.
-    n_store_versions = len(store.versions())
+    n_store_versions = store.current_version()
+    n_feed_versions = feed_store.current_version()
     run_once(str(tmp_path / "ckpt3"))
     assert feed_store.read().count() == 7
-    # ...and the merges were no-ops content-wise.
+    # ...and the no-change epochs were SKIPPED outright: neither the
+    # feed store nor the snapshot store committed a version for them
+    # (the empty-feed guard — replayed epochs used to link-forward
+    # every bucket into a fresh no-op version per epoch).
     assert {r.payload for r in store.read().collect()} == {
         "p0", "p1", "updated", "p3", "p4", "p5"
     }
-    assert len(store.versions()) >= n_store_versions  # replay re-merged
+    assert store.current_version() == n_store_versions
+    assert feed_store.current_version() == n_feed_versions
