@@ -1352,6 +1352,54 @@ class SnapshotStore:
         self._swap_pointer(v)
         return v
 
+    def merge_with_retry(
+        self,
+        batch: DataFrame,
+        removed: DataFrame | None = None,
+        *,
+        meta: dict | None = None,
+        max_retries: int = 5,
+        backoff_s: float = 0.05,
+    ) -> int:
+        """``merge`` with a bounded optimistic rebase-and-retry loop —
+        the multi-writer path for COMMUTABLE commits.
+
+        The fail-fast single-writer contract stays the store's default
+        (and the only safe mode for overwrite/rebucket, whose result
+        depends on the exact base state). A newer-wins merge, though,
+        COMMUTES with other merges: whichever writer lands first, the
+        final state per key is the row with the greatest version_col
+        (ties keep the incumbent — the one order-dependent edge, same
+        as the reference's strictly-newer upsert predicate), and key
+        deletions route to their own buckets regardless of order. So
+        when two legitimate jobs collide (nightly merge vs ad-hoc
+        backfill), the loser can simply REBASE: re-read the pointer —
+        ``merge`` re-reads it on entry — and re-apply its delta on top
+        of the winner's commit.
+
+        Each attempt is all-or-nothing (the claim + pointer re-check
+        happen before any data is written), so a retry can never
+        double-apply. Exponential backoff with deterministic
+        per-attempt jitter (hash of pid+attempt — no wall-clock
+        randomness) de-synchronizes herds. Raises the last
+        ConcurrentWriteError after ``max_retries`` rebases — a
+        persistent collision means the deployment needs a queue, not
+        more retries."""
+        import time
+
+        attempt = 0
+        while True:
+            try:
+                return self.merge(batch, removed, meta=meta)
+            except ConcurrentWriteError:
+                if attempt >= max_retries:
+                    raise
+                # Deterministic jitter: spread two same-moment losers
+                # apart without Math.random-style nondeterminism.
+                jitter = ((os.getpid() * 1103515245 + attempt) % 97) / 97.0
+                time.sleep(backoff_s * (2**attempt) * (0.5 + jitter))
+                attempt += 1
+
     def rollback(self, version: int) -> int:
         """Point the store back at a retained ``version`` and drop the
         newer versions — the bad-ingest-night recovery: one pointer

@@ -59,6 +59,69 @@ def _model_diff(h_from: dict, h_to: dict) -> dict:
     return out
 
 
+@pytest.mark.parametrize("layout", ["hardlink", "manifest"])
+def test_two_concurrent_writers_all_commits_land_exactly_once(
+    spark, tmp_path, layout
+):
+    """Optimistic multi-writer: two threads (each with its OWN store
+    handle, as two jobs would have) race merge_with_retry on one store.
+    Every merge must land EXACTLY once — the loser of each claim race
+    rebases and re-applies, never double-applies, never silently drops
+    — and the final state is the newer-wins fold of all batches
+    (well-defined: every (key, v) pair is globally unique)."""
+    import threading
+
+    path = str(tmp_path / "snap")
+    SnapshotStore(
+        spark, path, key="k", version_col="v", num_buckets=4, layout=layout
+    ).overwrite(_df(spark, [(k, 0, "seed") for k in KEYS]))
+
+    N_MERGES = 6
+    programs = {}  # writer -> list of batches
+    rng = random.Random(13)
+    for w, vbase in (("A", 1), ("B", 2)):
+        batches = []
+        for j in range(N_MERGES):
+            ks = rng.sample(KEYS, rng.randint(2, 6))
+            v = vbase + 2 * j  # A: odd steps 1,3,..; B: even 2,4,..
+            batches.append([(k, v, f"{w}{j}") for k in ks])
+        programs[w] = batches
+
+    errors: list[Exception] = []
+
+    def run(writer: str) -> None:
+        try:
+            store = SnapshotStore(
+                spark, path, key="k", version_col="v", num_buckets=4,
+                layout=layout,
+            )
+            for batch in programs[writer]:
+                store.merge_with_retry(
+                    _df(spark, batch), max_retries=20, backoff_s=0.02
+                )
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in ("A", "B")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+    store = SnapshotStore(
+        spark, path, key="k", version_col="v", num_buckets=4, layout=layout
+    )
+    # Exactly once: the seed + one version per merge, no lost commits.
+    assert store.current_version() == 1 + 2 * N_MERGES
+
+    model: dict[str, tuple[int, str]] = {k: (0, "seed") for k in KEYS}
+    for batches in programs.values():
+        for batch in batches:
+            _apply_merge(model, batch, [])
+    assert _store_state(store) == model
+
+
 @pytest.mark.parametrize("layout,seed", [("hardlink", 7), ("manifest", 11)])
 def test_store_agrees_with_model_under_random_programs(
     spark, tmp_path, layout, seed
