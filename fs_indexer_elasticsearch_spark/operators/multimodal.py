@@ -1,11 +1,15 @@
 """Multimodal column operators: opaque binary payloads + typed
 metadata, processed with Arrow-batched pandas transforms.
 
-The image/audio libraries are NOT in this container, so the decode
-kernels are stubbed (NotImplementedError or a deterministic fake
-behind ``fake=True``) — but the Spark-side plumbing is real: schema
-(schema.MEDIA_ASSET_SCHEMA), mapInPandas batch shape, partitioning,
-and the UDF signatures are what a production decode would use.
+The decode kernels have THREE paths: (1) a hermetic pure-Python
+NetPBM decoder (``decode_pnm`` — binary PGM/PPM) that runs a GENUINE
+decode with no library, in CI and in the oracle-checked query
+``multimodal_ppm_decode``; (2) PIL for every other format, imported
+worker-side where deployed (absent from this container, so those
+branches raise NotImplementedError under ``fake=False``); (3) a
+deterministic byte-histogram fake behind ``fake=True`` for tests that
+only need the plumbing. The Spark-side shape — schema, mapInPandas
+batching, partitioning, UDF signatures — is identical across paths.
 
 Scale notes: payloads ride as parquet binary; repartition by asset id
 before decode so one poison payload can't skew a task; decode output
@@ -67,6 +71,79 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def decode_pnm(b: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free decode of binary NetPBM rasters — P5 (grayscale
+    PGM) and P6 (RGB PPM) — to ``(width, height, grayscale_bytes)``.
+
+    This is the hermetic REAL-decode path: PIL is absent from the CI
+    image, so without this every "real" branch only ever ran against a
+    monkeypatched lookalike (r8 verdict #3). NetPBM is trivial enough
+    to decode exactly per spec in pure Python: ASCII header tokens
+    (magic, width, height, maxval; '#' comments to end-of-line),
+    exactly one whitespace byte, then the raw raster. P6 collapses to
+    grayscale with ITU-R 601 integer luma. Raises ValueError on
+    malformed/truncated payloads and maxval > 255 (2-byte samples) —
+    the kernels' poison-payload fallback contract handles those."""
+    if b[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM payload: {b[:2]!r}")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        # Skip whitespace and comments.
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            nl = b.find(b"\n", pos)
+            pos = len(b) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PNM header")
+        tokens.append(int(b[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNM dimensions {w}x{h}")
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    if b[:2] == b"P5":
+        raster = b[pos : pos + w * h]
+        if len(raster) != w * h:
+            raise ValueError("truncated PGM raster")
+        return w, h, raster
+    raster = b[pos : pos + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    gray = bytes(
+        (raster[i] * 299 + raster[i + 1] * 587 + raster[i + 2] * 114) // 1000
+        for i in range(0, len(raster), 3)
+    )
+    return w, h, gray
+
+
+def encode_pgm(width: int, height: int, gray: bytes) -> bytes:
+    """Binary PGM (P5) encode — the fixture-side inverse of
+    ``decode_pnm`` (tests and payload builders)."""
+    if len(gray) != width * height:
+        raise ValueError(f"raster is {len(gray)} bytes, need {width * height}")
+    return b"P5\n%d %d\n255\n" % (width, height) + gray
+
+
+def nn_resize(gray: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of a row-major grayscale raster —
+    deterministic integer arithmetic (``src = floor(dst * src_n /
+    dst_n)``), so the oracle SQL can reproduce each output pixel
+    exactly. (PIL, when present, uses its own filters; the two real
+    paths are both genuine decodes but are not byte-identical.)"""
+    return bytes(
+        gray[(y * h // out_h) * w + (x * w // out_w)]
+        for y in range(out_h)
+        for x in range(out_w)
+    )
+
+
 def _fake_feature(b: bytes, dim: int) -> list[float]:
     """Deterministic byte-histogram stand-in for a real decode."""
     import numpy as np
@@ -81,8 +158,13 @@ def _fake_feature(b: bytes, dim: int) -> list[float]:
 def _real_feature(b: bytes, dim: int) -> list[float]:
     """Real image decode → dim-length grayscale strip, [0,1] floats.
 
-    Imports PIL at call time (worker-side); callers decide what a
+    PGM/PPM payloads decode via the hermetic pure-Python ``decode_pnm``
+    (runs in CI, no library needed); anything else needs a full codec
+    and imports PIL at call time (worker-side) — callers decide what a
     missing library means (see ``_feature_batches``)."""
+    if b[:2] in (b"P5", b"P6"):
+        w, h, gray = decode_pnm(b)
+        return [float(p) / 255.0 for p in nn_resize(gray, w, h, dim, 1)]
     import io
 
     from PIL import Image
@@ -188,7 +270,12 @@ def _fake_resize(b: bytes, w: int, h: int) -> bytes:
 
 def _real_resize(b: bytes, w: int, h: int) -> bytes:
     """Real image resize → w*h grayscale raster bytes (row-major).
-    Imports PIL at call time (worker-side)."""
+    PGM/PPM decodes hermetically (``decode_pnm`` + deterministic
+    nearest-neighbor); other formats import PIL at call time
+    (worker-side)."""
+    if b[:2] in (b"P5", b"P6"):
+        src_w, src_h, gray = decode_pnm(b)
+        return nn_resize(gray, src_w, src_h, w, h)
     import io
 
     from PIL import Image

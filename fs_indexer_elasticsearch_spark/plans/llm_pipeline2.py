@@ -473,6 +473,61 @@ def binary_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_ppm_decode",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           3 AS width, 2 AS height, 'real' AS resize_kind,
+           CAST((SELECT SUM((doc_id * 31 + ((y * 2) * 6 + x * 2) * 7) % 256)
+                 FROM range(3) tx(x), range(2) ty(y)) AS BIGINT) AS resized_sum
+    FROM documents WHERE doc_id % 37 = 0
+    """,
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GENUINE image decode in the oracle gate — no fake, no
+    monkeypatch, no PIL: deterministic 6x4 binary PGM payloads (pixel
+    i = (doc_id*31 + i*7) mod 256) are built as real PNM bytes, pushed
+    through the REAL resize kernel (``fake=False`` →
+    operators/multimodal.decode_pnm + integer nearest-neighbor to
+    3x2), and the output raster's byte sum is reproduced by the oracle
+    from the closed-form pixel function. ``resize_kind`` rides along,
+    so a silent fallback to the histogram fake hash-mismatches — the
+    gate proves the real decode branch executed. Reference parity:
+    the decode stage a training pipeline runs after binary_header_parse
+    prunes undecodables."""
+    from ..operators.multimodal import resize_images
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 37 == 0)
+    hexpix = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda i: F.lpad(
+                F.hex((F.col("doc_id") * 31 + i * 7) % 256), 2, "0"
+            ),
+        ),
+        "",
+    )
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.lit("P5\n6 4\n255\n").cast("binary"), F.unhex(hexpix)).alias(
+            "payload"
+        ),
+        F.lit("image/x-portable-graymap").alias("mime"),
+    )
+    resized = resize_images(assets, width=3, height=2, fake=False)
+    return resized.select(
+        "asset_id",
+        "width",
+        "height",
+        "resize_kind",
+        F.expr(
+            "CAST(aggregate(regexp_extract_all(hex(resized), '..', 0), 0L, "
+            "(acc, x) -> acc + CAST(conv(x, 16, 10) AS LONG)) AS LONG)"
+        ).alias("resized_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # PII detection and boilerplate metrics
 # --------------------------------------------------------------------------

@@ -49,6 +49,96 @@ def test_multimodal_real_decode_contract(spark):
             extract_features(assets, fake=False).collect()
 
 
+def test_decode_pnm_roundtrip_and_errors():
+    """The hermetic NetPBM decoder: P5 roundtrip through the encoder,
+    P6 integer luma, header comments, and the malformed-payload
+    errors the poison-fallback contract relies on."""
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        decode_pnm,
+        encode_pgm,
+        nn_resize,
+    )
+
+    gray = bytes(range(24))
+    assert decode_pnm(encode_pgm(6, 4, gray)) == (6, 4, gray)
+
+    # Comments and arbitrary whitespace in the header are spec-legal.
+    with_comment = b"P5\n# a comment\n 6 # mid\n4\n255\n" + gray
+    assert decode_pnm(with_comment) == (6, 4, gray)
+
+    # P6 RGB -> ITU-R 601 integer luma.
+    rgb = b"".join(bytes((r, 2 * r % 256, 3 * r % 256)) for r in range(8))
+    w, h, g = decode_pnm(b"P6\n4 2\n255\n" + rgb)
+    assert (w, h) == (4, 2)
+    assert g == bytes(
+        (r * 299 + (2 * r % 256) * 587 + (3 * r % 256) * 114) // 1000
+        for r in range(8)
+    )
+
+    for bad in (
+        b"P4\n6 4\n255\n" + gray,  # unsupported variant
+        b"P5\n6 4\n65535\n" + gray * 2,  # 2-byte samples
+        b"P5\n6 4\n255\n" + gray[:-1],  # truncated raster
+        b"P5\n6",  # truncated header
+        b"P5\n0 4\n255\n",  # degenerate dims
+    ):
+        with pytest.raises(ValueError):
+            decode_pnm(bad)
+
+    # Nearest-neighbor resample: exact integer source mapping.
+    assert nn_resize(gray, 6, 4, 3, 2) == bytes(
+        gray[(y * 2) * 6 + x * 2] for y in range(2) for x in range(3)
+    )
+
+
+def test_real_ppm_decode_in_spark_without_pil(spark):
+    """A GENUINE decode in a real Spark worker, no PIL, no
+    monkeypatch: P5 payloads through BOTH real kernels (fake=False)
+    must come back kind='real' with the exactly-predicted bytes."""
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        encode_pgm,
+        extract_features,
+        resize_images,
+    )
+
+    payloads = {
+        f"a{i}": bytes((i * 31 + j * 7) % 256 for j in range(24))
+        for i in range(5)
+    }
+    assets = spark.createDataFrame(
+        [
+            (aid, "image", encode_pgm(6, 4, g), "image/x-portable-graymap")
+            for aid, g in payloads.items()
+        ],
+        "asset_id string, media_type string, payload binary, mime string",
+    )
+
+    resized = {r.asset_id: r for r in resize_images(assets, 3, 2, fake=False).collect()}
+    for aid, g in payloads.items():
+        r = resized[aid]
+        assert r.resize_kind == "real"
+        assert (r.width, r.height) == (3, 2)
+        assert bytes(r.resized) == bytes(
+            g[(y * 2) * 6 + x * 2] for y in range(2) for x in range(3)
+        )
+
+    feats = {r.asset_id: r for r in extract_features(assets, dim=4, fake=False).collect()}
+    for aid, g in payloads.items():
+        r = feats[aid]
+        assert r.feature_kind == "real"
+        # dim=4 strip over a 6x4 raster: row 0, columns floor(i*6/4).
+        expect = [g[i * 6 // 4] / 255.0 for i in range(4)]
+        assert r.features == pytest.approx(expect)
+
+    # A corrupt PNM payload (truncated raster) falls back per-payload.
+    poison = spark.createDataFrame(
+        [("bad", "image", b"P5\n6 4\n255\nxx", "image/x-portable-graymap")],
+        "asset_id string, media_type string, payload binary, mime string",
+    )
+    out = resize_images(poison, 3, 2, fake=False).collect()
+    assert [r.resize_kind for r in out] == ["fallback"]
+
+
 def test_multimodal_real_decode_branch_with_fake_pil(monkeypatch):
     """Import-guarded real-decode branch: with a PIL lookalike in
     sys.modules, the kernel (called in-process — mapInPandas closures
