@@ -554,6 +554,57 @@ def store_read_changes_hardlink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdf_changes(spark, sf_dir, layout="hardlink")
 
 
+@query("store_read_changes_rebucket", oracle=_CDF_ORACLE)
+def store_read_changes_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed across a BUCKET-COUNT EVOLUTION: v1 = base at
+    16 buckets, v2 = rebucket to 32 (a pure layout rewrite, tagged
+    rebucket_from in its commit cfg), v3 = the nightly merge. The same
+    oracle as store_read_changes proves the feed window (1 -> 3)
+    contributes ZERO rows for the rebucket transition and stays exact
+    through the count change — while the version-path walk
+    (sinks/snapshot.py _changed_bucket_groups) keeps the reads pruned
+    to the merge's touched buckets projected onto each endpoint's own
+    layout, instead of r8's honest-but-O(table) full two-version diff.
+    At 100 TB a quarterly bucket evolution would otherwise turn every
+    spanning feed consumer into a double full-table scan."""
+    import hashlib
+    import os
+
+    from ..sinks.snapshot import SnapshotStore
+
+    fp = _dataset_fingerprint(sf_dir, "orders")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|orders-cdf-rb|nb16-32|manifest|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-cdfrbstore-{tag}"
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        F.lit(1).alias("v"),
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    delta = orders.filter((F.col("o_orderkey") % 10).isin(3, 7)).select(
+        "o_orderkey",
+        F.lit(2).alias("v"),
+        "o_orderstatus",
+        stable_round(F.col("o_totalprice") + 1000, 2).alias("price"),
+    )
+    removed = orders.filter(F.col("o_orderkey") % 10 == 5).select("o_orderkey")
+    with _store_lock(path):
+        store = SnapshotStore(
+            spark, path, key="o_orderkey", version_col="v",
+            num_buckets=16, layout="manifest",
+        )
+        if store.current_version() is None:
+            store.overwrite(base)
+        if store.current_version() == 1:
+            assert store.rebucket(32) == 2
+        if store.current_version() == 2:
+            store.merge(delta, removed=removed)
+        return store.read_changes(1, 3).withColumnRenamed("_change", "change")
+
+
 # Sums run on integer CENTS (round(price*100) as BIGINT) in BOTH
 # engines: the maintained identity agg(v1) + signed(feed) sums a
 # DIFFERENT operand set than the oracle's direct rescan, and float

@@ -227,6 +227,7 @@ class SnapshotStore:
         # only way to change the count of a non-empty store.
         self._default_buckets = num_buckets
         self._pinned_buckets: int | None = None  # rebucket's override
+        self._rebucket_base: int | None = None  # rebucket's provenance tag
         self._cfg_cache: tuple[int | None, int] = (None, num_buckets)
         self.layout = layout
         self.bucket_key = bucket_key or key
@@ -448,11 +449,17 @@ class SnapshotStore:
         import time
 
         n = self.num_buckets
+        cfg: dict = {"num_buckets": n, "committed_at": round(time.time(), 3)}
+        if self._rebucket_base is not None:
+            # Provenance tag: this version is a PURE REBUCKET of that
+            # base — same rows, new physical layout. The change feed
+            # uses it to contribute ZERO changed keys for this
+            # transition instead of degrading to a full two-version
+            # diff (bucket ids alone are incomparable across counts).
+            cfg["rebucket_from"] = self._rebucket_base
         tmp = self._cfg_path(version) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {"num_buckets": n, "committed_at": round(time.time(), 3)}, f
-            )
+            json.dump(cfg, f)
         os.replace(tmp, self._cfg_path(version))
         self._cfg_cache = (version, n)
 
@@ -648,6 +655,55 @@ class SnapshotStore:
             if lf.get(b, set()) != lt.get(b, set())
         )
 
+    def _cfg_count(self, version: int) -> int:
+        """Bucket count a retained version was written under (legacy
+        cfg-less versions: the constructor seed — see read())."""
+        return (self._read_cfg(version) or {}).get(
+            "num_buckets", self._default_buckets
+        )
+
+    def _changed_bucket_groups(
+        self, v_from: int, v_to: int
+    ) -> dict[int, set[int]] | None:
+        """Changed buckets between two retained versions, WALKED
+        version-by-version so the feed survives rebucket boundaries:
+        per adjacent retained pair, a same-count transition contributes
+        its metadata-diffed buckets (under that count) and a pure
+        rebucket — identified by the cfg's ``rebucket_from`` provenance
+        tag — contributes nothing (same rows, new layout). Returns
+        ``{bucket_count: {bucket, ...}}`` (possibly several counts when
+        the window spans an evolution), ``{}`` when nothing changed,
+        or None when a count change can't be proven pure (legacy
+        rebucket, vacuumed intermediate) — the caller degrades to a
+        full two-version diff, honestly."""
+        path = [v for v in self.versions() if v_from <= v <= v_to]
+        groups: dict[int, set[int]] = {}
+        for a, b in zip(path, path[1:]):
+            na, nb = self._cfg_count(a), self._cfg_count(b)
+            if na == nb:
+                ch = self.changed_buckets(a, b)
+                if ch is None:  # pragma: no cover - counts equal above
+                    return None
+                if ch:
+                    groups.setdefault(na, set()).update(ch)
+            elif (self._read_cfg(b) or {}).get("rebucket_from") != a:
+                return None
+        return groups
+
+    @staticmethod
+    def _project_buckets(bs: set[int], n: int, n2: int) -> set[int] | None:
+        """Map a bucket set under count ``n`` to the bucket set under
+        count ``n2`` covering the SAME keys. Exact for divisible
+        evolutions (pmod(h, n) determines pmod(h, n2) up to the listed
+        expansions); None for incommensurable counts."""
+        if n == n2:
+            return set(bs)
+        if n2 % n == 0:  # grow: each bucket splits into n2/n
+            return {b + i * n for b in bs for i in range(n2 // n)}
+        if n % n2 == 0:  # shrink: buckets collapse
+            return {b % n2 for b in bs}
+        return None
+
     def read_changes(
         self,
         v_from: int,
@@ -662,19 +718,30 @@ class SnapshotStore:
         consumer reads — "what did tonight's merge actually do" —
         without diffing two full snapshots.
 
-        Cost is O(changed buckets), not O(table): ``changed_buckets``
-        resolves from commit metadata which buckets any merge touched,
-        and only those buckets' files are read FROM EITHER VERSION.
-        A nightly merge that rewrites 1% of a 100 TB store yields a
-        change feed that reads ~2 TB (both versions' slices), never
-        200 TB. Across a rebucket boundary (bucket ids incomparable)
-        it degrades honestly to a full two-version diff. Row-level
-        classification is exact — null-safe column comparison, not a
-        hash — so a rewritten-but-identical row never surfaces as a
-        phantom update. Reference parity: the scanner's new/modified/
-        removed detection between consecutive scans
-        (scanner.py:414-463), served here from the store's own commit
-        metadata instead of a rescan."""
+        Cost is O(changed buckets), not O(table): the retained-version
+        path is walked pair-by-pair (``_changed_bucket_groups``), each
+        same-count transition resolves its touched buckets from commit
+        metadata, a PURE REBUCKET transition (provenance-tagged by
+        ``rebucket``) contributes zero, and the union — projected onto
+        each endpoint's own bucket count for divisible evolutions —
+        prunes the reads FROM EITHER VERSION, so the feed stays
+        delta-bound even when the window spans a bucket-count
+        evolution. When the projection crosses counts, both slices are
+        additionally filtered to the exact candidate key set (the same
+        xxhash64-pmod the writers applied) so a key sharing a
+        coarse-count bucket with a changed key can never surface as a
+        phantom insert/delete. A nightly merge that rewrites 1% of a
+        100 TB store yields a change feed that reads ~2 TB (both
+        versions' slices), never 200 TB. Only an UNPROVABLE count
+        change (legacy rebucket with no tag, vacuumed intermediate
+        version, non-divisible counts) degrades — honestly — to a full
+        two-version diff. Row-level classification is exact —
+        null-safe column comparison, not a hash — so a
+        rewritten-but-identical row never surfaces as a phantom
+        update. Reference parity: the scanner's new/modified/removed
+        detection between consecutive scans (scanner.py:414-463),
+        served here from the store's own commit metadata instead of a
+        rescan."""
         if update_images not in ("post", "both"):
             raise ValueError(
                 f"update_images must be 'post' or 'both', got {update_images!r}"
@@ -696,14 +763,40 @@ class SnapshotStore:
                 .drop("_bucket")
                 .withColumn("_change", F.lit("").cast("string"))
             )
-        changed = self.changed_buckets(v_from, v_to)
-        if changed is not None and not changed:
+        groups = self._changed_bucket_groups(v_from, v_to)
+        nf, nt = self._cfg_count(v_from), self._cfg_count(v_to)
+        old_b: set[int] | None = set()
+        new_b: set[int] | None = set()
+        if groups is not None:
+            for n, bs in groups.items():
+                po = self._project_buckets(bs, n, nf)
+                pn = self._project_buckets(bs, n, nt)
+                if po is None or pn is None:
+                    groups = None  # incommensurable counts → full diff
+                    break
+                old_b |= po
+                new_b |= pn
+        if groups is not None and not groups:
             old = new = self._empty_df()
-        elif changed is None:
+        elif groups is None:
             old, new = self.read(v_from), self.read(v_to)
         else:
-            old = self.read_buckets(changed, version=v_from)
-            new = self.read_buckets(changed, version=v_to)
+            old = self.read_buckets(sorted(old_b), version=v_from)
+            new = self.read_buckets(sorted(new_b), version=v_to)
+            if set(groups) != {nf} or nf != nt:
+                # The projection crossed bucket counts, so each slice
+                # covers a SUPERSET of the candidate keys (a coarse
+                # bucket holds several fine ones). Filter both sides to
+                # the exact candidate set — the same hash the writers
+                # bucketed by — or an untouched cohabitant key would
+                # appear in one slice only and classify as a phantom
+                # insert/delete.
+                member = None
+                for n, bs in groups.items():
+                    clause = self._bucket_col(n).isin(sorted(bs))
+                    member = clause if member is None else (member | clause)
+                old = old.filter(member)
+                new = new.filter(member)
         # Align on the union schema (a diff across a schema-evolution
         # boundary compares added columns as typed NULLs).
         old, new = self._migrate(
@@ -1165,12 +1258,14 @@ class SnapshotStore:
             return cur_v
         cur = self.read().drop("_bucket")
         self._pinned_buckets = num_buckets
+        self._rebucket_base = cur_v
         try:
             # The rewrite is derived from cur_v: a racing commit since
             # that read raises instead of being rebucketed away.
             v = self.overwrite(cur, meta=meta, expected_base=cur_v)
         finally:
             self._pinned_buckets = None
+            self._rebucket_base = None
         return v
 
     def merge(

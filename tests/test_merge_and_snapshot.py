@@ -904,6 +904,57 @@ def test_read_changes_across_rebucket_and_schema_evolution(spark, tmp_path):
     assert spanning == {"k3": "update", "k7": "delete"}
 
 
+def test_read_changes_spans_rebucket_with_pruned_reads(spark, tmp_path):
+    """A feed window spanning merge -> rebucket -> merge stays PRUNED:
+    the version path is walked, the pure-rebucket transition (tagged
+    rebucket_from) contributes zero, each merge contributes its touched
+    buckets under its own count, and the union projects onto each
+    endpoint's layout — so the scan reads a handful of files, never
+    both full versions, and classification stays exact (no phantom
+    rows from coarse-bucket cohabitants)."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(300)]))  # v1
+    store.merge(_df(spark, [("k42", 2, "updated42")]))                    # v2
+    assert store.rebucket(8) == 3                                         # v3
+    assert (store._read_cfg(3) or {}).get("rebucket_from") == 2
+    store.merge(_df(spark, [("k17", 2, "updated17"), ("k301", 1, "new")]))  # v4
+
+    feed = store.read_changes(1, 4)
+    rows = {r.k: r._change for r in feed.collect()}
+    assert rows == {"k42": "update", "k17": "update", "k301": "insert"}
+
+    # Pruned: ≤ 2 old-count buckets (k42's + k17-k301's collapse) on
+    # the v1 side, ≤ 3 new-count buckets on the v4 side — never the
+    # 4 + 8 files of the two full versions.
+    scanned = feed.inputFiles()
+    full = len(store._version_data_files(1)) + len(store._version_data_files(4))
+    assert scanned and len(scanned) <= 5 < full
+
+    # The pure-rebucket window alone is EMPTY without reading anything.
+    assert store.read_changes(2, 3).count() == 0
+    assert store.read_changes(2, 3).inputFiles() == []
+
+    # Unprovable boundary (intermediate versions vacuumed away, so the
+    # rebucket tag can't anchor): degrade to the full diff, same rows.
+    store.vacuum(keep=1)
+    store2 = SnapshotStore(
+        spark, str(tmp_path / "snap2"), key="k", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    store2.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(50)]))
+    store2.merge(_df(spark, [("k7", 2, "up")]))
+    store2.rebucket(8)
+    store2.merge(_df(spark, [("k9", 2, "up")]))
+    store2.vacuum(keep=2)  # drops v1..v2; path can't walk the boundary
+    assert store2.versions() == [3, 4]
+    assert {r.k: r._change for r in store2.read_changes(3, 4).collect()} == {
+        "k9": "update"
+    }
+
+
 def test_concurrent_writer_fails_fast(spark, tmp_path):
     """A racing writer is refused BEFORE writing any data: a live
     claim on the next version raises ConcurrentWriteError; a crashed
