@@ -685,6 +685,162 @@ def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VIEW_MINMAX_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM delta
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(price) + 1e-7, 2) AS min_price,
+           round(max(price) + 1e-7, 2) AS max_price
+    FROM v2 GROUP BY o_orderstatus
+"""
+
+
+@query("incremental_view_minmax", oracle=_VIEW_MINMAX_ORACLE)
+def incremental_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX view maintenance from the change feed — the
+    NON-distributive extension of incremental_view_maintenance: inserts
+    improve the extremum algebraically, but a delete that ties-or-beats
+    a group's stored extremum forces a recompute OF THAT GROUP ONLY
+    (operators/ivm.maintain_min_max), read from the post-state with a
+    pushed-down group predicate. The oracle recomputes every group from
+    scratch, so the hash gate proves both paths — pure-delta groups and
+    extremum-departure recomputes — land on the exact final view. The
+    demo window deletes every %10==5 key, so statuses whose cheapest/
+    priciest order sits in that residue exercise the recompute branch
+    on real data. At 100 TB: O(feed) on cycles where no extremum
+    departs; an extremum departure pays one pushed-predicate scan
+    restricted to the affected groups (see operators/ivm.py's cost
+    note) — still never on the common path."""
+    from ..operators.ivm import maintain_min_max
+
+    store = _cdf_store(spark, sf_dir, layout="manifest")
+    view = maintain_min_max(store, 1, 2, ["o_orderstatus"], "price")
+    return view.select(
+        "o_orderstatus",
+        F.col("n").alias("n_orders"),
+        stable_round(F.col("min_v"), 2).alias("min_price"),
+        stable_round(F.col("max_v"), 2).alias("max_price"),
+    )
+
+
+_VIEW_JOIN_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, 1 AS v, o_custkey,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey, 2 AS v, o_custkey,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM delta
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS total_price
+    FROM v2 JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+"""
+
+
+@query("incremental_view_joined", oracle=_VIEW_JOIN_ORACLE)
+def incremental_view_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOINED-view maintenance from the fact feed alone: the view is
+    fact ⋈ dim aggregated (orders joined to customer, per-nation count
+    + revenue), and the dim side is static across the window — so the
+    delta is just the feed rows JOINED TO THE DIM with the same signed
+    algebra as the flat view (pre-images subtract, post-images add).
+    The oracle rejoins and reaggregates the post-state from scratch.
+    At 100 TB the nightly cost is O(feed ⋈ dim) + O(groups): the fact
+    table — the big side — is never rescanned; only changed fact rows
+    visit the join."""
+    import hashlib
+    import os
+
+    from ..sinks.snapshot import SnapshotStore
+
+    fp = _dataset_fingerprint(sf_dir, "orders")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|orders-cdf-join|nb16|manifest|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-cdfjoinstore-{tag}"
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        F.lit(1).alias("v"),
+        "o_custkey",
+        stable_round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    delta = orders.filter((F.col("o_orderkey") % 10).isin(3, 7)).select(
+        "o_orderkey",
+        F.lit(2).alias("v"),
+        "o_custkey",
+        stable_round(F.col("o_totalprice") + 1000, 2).alias("price"),
+    )
+    removed = orders.filter(F.col("o_orderkey") % 10 == 5).select("o_orderkey")
+    with _store_lock(path):
+        store = SnapshotStore(
+            spark, path, key="o_orderkey", version_col="v",
+            num_buckets=16, layout="manifest",
+        )
+        if store.current_version() is None:
+            store.overwrite(base)
+        if store.current_version() == 1:
+            store.merge(delta, removed=removed)
+
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.round(F.col("price") * 100).cast("long")
+    old_agg = (
+        store.read(version=1)
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n0"), F.sum(cents).alias("s0"))
+    )
+    feed = store.read_changes(1, 2, update_images="both").join(
+        dim, F.col("o_custkey") == F.col("c_custkey")
+    )
+    sign = F.when(
+        F.col("_change").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    inc = feed.groupBy("c_nationkey").agg(
+        F.sum(sign).alias("n1"), F.sum(sign * cents).alias("s1")
+    )
+    return (
+        old_agg.join(inc, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            stable_round(
+                (F.coalesce("s0", F.lit(0)) + F.coalesce("s1", F.lit(0)))
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
 def _incremental_batch_matches(
     spark: SparkSession, sf_dir: str, *, layout: str
 ) -> DataFrame:

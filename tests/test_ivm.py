@@ -1,0 +1,112 @@
+"""Incremental view maintenance (operators/ivm.py): min/max across
+inserts, interior deletes (pure delta), and extremum departures
+(per-group recompute) — every case checked against a from-scratch
+aggregate of the post state."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fs_indexer_elasticsearch_spark.operators.ivm import maintain_min_max
+from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+SCHEMA = "k string, v int, grp string, val int"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _scratch(store, version):
+    return {
+        r.grp: (r.n, r.min_v, r.max_v)
+        for r in store.read(version=version)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("min_v"),
+            F.max("val").alias("max_v"),
+        )
+        .collect()
+    }
+
+
+def _maintained(store, v_from, v_to):
+    return {
+        r.grp: (r.n, r.min_v, r.max_v)
+        for r in maintain_min_max(store, v_from, v_to, ["grp"], "val").collect()
+    }
+
+
+def test_minmax_all_branches(spark, tmp_path):
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    # Group A: min=1 (a1), interior 5, max=9 (a3).
+    # Group B: min=10, interior 20, max=30.
+    # Group C: single row (its min IS its max).
+    store.overwrite(
+        _df(
+            spark,
+            [
+                ("a1", 1, "A", 1), ("a2", 1, "A", 5), ("a3", 1, "A", 9),
+                ("b1", 1, "B", 10), ("b2", 1, "B", 20), ("b3", 1, "B", 30),
+                ("c1", 1, "C", 7),
+            ],
+        )
+    )
+
+    # v2: delete A's MIN (extremum departure -> recompute A), delete
+    # B's interior row (pure delta), insert a new B max (pure delta),
+    # new group D, and an UPDATE that moves c1 from C to D (C empties).
+    store.merge(
+        _df(spark, [("b4", 1, "B", 35), ("d1", 1, "D", 50), ("c1", 2, "D", 60)]),
+        removed=spark.createDataFrame([("a1",), ("b2",)], "k string"),
+    )
+    assert _maintained(store, 1, 2) == _scratch(store, 2)
+    assert _scratch(store, 2) == {
+        "A": (2, 5, 9),
+        "B": (3, 10, 35),
+        "D": (2, 50, 60),
+    }
+
+    # v3: a no-extremum cycle — the delta path alone must carry it
+    # (insert interior values, update an interior row in place).
+    store.merge(
+        _df(spark, [("a4", 1, "A", 7), ("b3", 2, "B", 30)]),
+    )
+    assert _maintained(store, 2, 3) == _scratch(store, 3)
+    # And the full window spans both cycles.
+    assert _maintained(store, 1, 3) == _scratch(store, 3)
+
+
+def test_minmax_tie_departure_is_conservative(spark, tmp_path):
+    """Deleting ONE of two rows that tie at the extremum flags a
+    recompute (conservative) and still lands on the exact view: the
+    surviving tie keeps the extremum."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(
+        _df(spark, [("a1", 1, "A", 3), ("a2", 1, "A", 3), ("a3", 1, "A", 8)])
+    )
+    store.merge(
+        _df(spark, []).limit(0),
+        removed=spark.createDataFrame([("a1",)], "k string"),
+    )
+    assert _maintained(store, 1, 2) == {"A": (2, 3, 8)}
+
+
+def test_minmax_max_departure_and_group_vanish(spark, tmp_path):
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(
+        _df(spark, [("a1", 1, "A", 1), ("a2", 1, "A", 9), ("b1", 1, "B", 4)])
+    )
+    # Delete A's MAX and all of B.
+    store.merge(
+        _df(spark, []).limit(0),
+        removed=spark.createDataFrame([("a2",), ("b1",)], "k string"),
+    )
+    assert _maintained(store, 1, 2) == {"A": (1, 1, 1)}
