@@ -800,6 +800,52 @@ def _multi_table_bucket_sql(emb: str, num_planes: int, num_tables: int) -> str:
     return " UNION ALL ".join(one(t) for t in range(num_tables))
 
 
+# One (aug, queries, exact-top-1) triple per (session, dataset) —
+# shared by BOTH near-dup recall gates. The exact ground truth is
+# quadratic BY DEFINITION of recall measurement; computing it twice
+# (once per gate) made the pair ~26% of the extra bench suite (r8
+# verdict #7). The brute-force result is lazily checkpointed, so the
+# second gate reuses the materialized blocks instead of re-scoring
+# corpus x queries. Keyed by applicationId + dataset fingerprint (a
+# new session or regenerated parquet can never serve stale blocks);
+# held to ONE entry so checkpoint blocks from other SFs don't accrue.
+_NEARDUP_GT_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _neardup_ground_truth(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    import os
+
+    from .scale_queries import _dataset_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _dataset_fingerprint(sf_dir, "embeddings"),
+    )
+    hit = _NEARDUP_GT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    # Lazy localCheckpoints: ``aug`` feeds four consumers per gate
+    # (corpus + query side of both the ANN search and the ground
+    # truth); ``bf`` feeds both gates. Computed once at first
+    # materialization — registering queries stays plan-only.
+    aug = augmented_embeddings(load(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
+    q = aug.filter(
+        (F.col("vec_id") >= 1_000_000_000_000)
+        & (F.col("vec_id") < 1_000_000_000_040)
+    )
+    bf = brute_force_topk(aug, q, "vec_id", "emb", k=1).localCheckpoint(
+        eager=False
+    )
+    _NEARDUP_GT_CACHE.clear()
+    _NEARDUP_GT_CACHE[key] = (aug, q, bf)
+    return aug, q, bf
+
+
 @query(
     "ann_neardup_recall_lsh",
     oracle=_AUG_CTE_SQL
@@ -867,22 +913,8 @@ def ann_neardup_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor asserts ≥ 0.8."""
     from ..operators.similarity import recall_against
 
-    # Lazy localCheckpoint: ``aug`` feeds FOUR consumers (corpus +
-    # query side of both the LSH search and the brute-force ground
-    # truth); without it each consumer re-derives the 64-dim perturbed
-    # projection from parquet. Computed once at first materialization,
-    # blocks reused by every branch — measured ~2× off this gate's
-    # wall time, the heaviest bench entry (r6 verdict #6). Lazy, so
-    # registering the query stays plan-only.
-    aug = augmented_embeddings(load(spark, sf_dir, "embeddings")).localCheckpoint(
-        eager=False
-    )
-    q = aug.filter(
-        (F.col("vec_id") >= 1_000_000_000_000)
-        & (F.col("vec_id") < 1_000_000_000_040)
-    )
+    aug, q, bf = _neardup_ground_truth(spark, sf_dir)
     ann = lsh_ann_topk(aug, q, "vec_id", "emb", k=1, num_planes=8, num_tables=8)
-    bf = brute_force_topk(aug, q, "vec_id", "emb", k=1)
     return recall_against(ann, bf, "lsh_neardup")
 
 
@@ -956,17 +988,10 @@ def ann_neardup_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     query side; the corpus index stays one row per (vector, table)."""
     from ..operators.similarity import lsh_multiprobe_ann_topk, recall_against
 
-    aug = augmented_embeddings(load(spark, sf_dir, "embeddings")).localCheckpoint(
-        eager=False
-    )
-    q = aug.filter(
-        (F.col("vec_id") >= 1_000_000_000_000)
-        & (F.col("vec_id") < 1_000_000_000_040)
-    )
+    aug, q, bf = _neardup_ground_truth(spark, sf_dir)
     ann = lsh_multiprobe_ann_topk(
         aug, q, "vec_id", "emb", k=1, num_planes=10, num_tables=4
     )
-    bf = brute_force_topk(aug, q, "vec_id", "emb", k=1)
     return recall_against(ann, bf, "lsh_multiprobe")
 
 
