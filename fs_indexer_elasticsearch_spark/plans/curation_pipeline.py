@@ -152,18 +152,11 @@ _CURATION_ORACLE = f"""
 """
 
 
-@query("curation_pipeline_e2e", oracle=_CURATION_ORACLE)
-def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The five curation stages COMPOSED (module docstring): URL-canon
-    dedup → blocklist → quality >= 0.5 → prefix-hash dedup → per-lang
-    token-budget packing, reported as per-language attrition plus the
-    selected set's token total and doc-id sum. The oracle recomputes
-    the entire chain from scratch, so a multiplicity or column-drift
-    bug at ANY seam fails the hash gate."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "text", tokens("text").alias("toks")
-    )
-    url = F.concat(
+def synthetic_url_expr() -> F.Column:
+    """The demo corpus's deterministic noisy URL (keyed to doc_id —
+    module docstring stage 1); a real crawl would carry its own url
+    column instead."""
+    return F.concat(
         F.when(F.col("doc_id") % 5 == 0, F.lit("http://")).otherwise(
             F.lit("https://")
         ),
@@ -182,7 +175,28 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")
         ),
     )
-    canon = F.lower(url)
+
+
+def curate_stages(
+    docs: DataFrame, *, token_budget: int = _LANG_TOKEN_BUDGET
+) -> dict[str, DataFrame]:
+    """Run the five composed stages over a documents DataFrame
+    (columns: doc_id, lang, source, text; url defaults to the demo's
+    synthetic one when absent). Returns every stage boundary —
+    base/s1..s5 — so callers can report attrition (the registered
+    query) or ship the selected set (the corpus-build CLI). Shared by
+    both so the CLI can never drift from the oracle-gated plan."""
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        tokens("text").alias("toks"),
+        (
+            F.col("url") if "url" in docs.columns else synthetic_url_expr()
+        ).alias("url"),
+    )
+    canon = F.lower(F.col("url"))
     for pat, rep in CANON_STEPS:
         canon = F.regexp_replace(canon, pat, rep)
     base = d.withColumn("canonical_url", canon).localCheckpoint(eager=False)
@@ -216,23 +230,28 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     s5 = s4.withColumn("cum_tokens", F.sum(F.size("toks")).over(w_pack)).filter(
-        F.col("cum_tokens") <= _LANG_TOKEN_BUDGET
+        F.col("cum_tokens") <= token_budget
     )
+    return {"base": base, "s1": s1, "s2": s2, "s3": s3, "s4": s4, "s5": s5}
 
+
+def curation_report(stages: dict[str, DataFrame]) -> DataFrame:
+    """Per-language attrition rollup over the stage boundaries — the
+    registered query's output shape."""
     def per_lang(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
 
-    sel = s5.groupBy("lang").agg(
+    sel = stages["s5"].groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_selected"),
         F.sum(F.size("toks")).alias("selected_tokens"),
         F.sum("doc_id").alias("sum_selected_ids"),
     )
     out = (
-        per_lang(base, "n_raw")
-        .join(per_lang(s1, "n_url"), "lang", "left")
-        .join(per_lang(s2, "n_block"), "lang", "left")
-        .join(per_lang(s3, "n_quality"), "lang", "left")
-        .join(per_lang(s4, "n_exact"), "lang", "left")
+        per_lang(stages["base"], "n_raw")
+        .join(per_lang(stages["s1"], "n_url"), "lang", "left")
+        .join(per_lang(stages["s2"], "n_block"), "lang", "left")
+        .join(per_lang(stages["s3"], "n_quality"), "lang", "left")
+        .join(per_lang(stages["s4"], "n_exact"), "lang", "left")
         .join(sel, "lang", "left")
     )
     zero = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)  # noqa: E731
@@ -247,3 +266,16 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero("selected_tokens"),
         zero("sum_selected_ids"),
     )
+
+
+@query("curation_pipeline_e2e", oracle=_CURATION_ORACLE)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five curation stages COMPOSED (module docstring): URL-canon
+    dedup → blocklist → quality >= 0.5 → prefix-hash dedup → per-lang
+    token-budget packing, reported as per-language attrition plus the
+    selected set's token total and doc-id sum. The oracle recomputes
+    the entire chain from scratch, so a multiplicity or column-drift
+    bug at ANY seam fails the hash gate. The stage chain itself is
+    ``curate_stages`` — the same function the corpus-build CLI ships
+    corpora with."""
+    return curation_report(curate_stages(load(spark, sf_dir, "documents")))

@@ -496,3 +496,79 @@ def test_publish_mode_changed_ships_only_the_delta(spark, tmp_path):
     by_path = {s["relative_path"]: s for s in srcs}
     assert by_path["/data/f00.txt"]["size_bytes"] == 100
     assert by_path["/data/f99.txt"]["size_bytes"] == 3
+
+
+def test_corpus_build_cli_matches_curation_query(spark, tmp_path, capsys):
+    """The corpus-build subcommand is the CLI face of the composed
+    curation pipeline + CDC publish: its report must equal the
+    oracle-gated curation_pipeline_e2e rows, its first build publishes
+    exactly the selected set, an unchanged rebuild publishes NOTHING
+    (and commits no version), and a budget change ships only the
+    delta — including DELETE actions for docs curated out."""
+    from fs_indexer_elasticsearch_spark.__main__ import main
+    from fs_indexer_elasticsearch_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = f"{sf}/documents.parquet"
+    snap = str(tmp_path / "snap")
+
+    def bulk_lines(out_dir):
+        lines = []
+        for part in sorted(glob.glob(os.path.join(out_dir, "bulk", "part-*"))):
+            with open(part) as f:
+                lines.extend(ln for ln in f.read().splitlines() if ln)
+        return lines
+
+    rc = main(
+        ["corpus-build", "--documents", docs, "--out-dir",
+         str(tmp_path / "out1"), "--snapshot-path", snap],
+        spark=spark,
+    )
+    assert rc == 0
+    summary1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    with open(tmp_path / "out1" / "curation_report.json") as f:
+        report = json.load(f)
+    expected = sorted(
+        (r.asDict() for r in QUERIES["curation_pipeline_e2e"](spark, sf).collect()),
+        key=lambda r: r["lang"],
+    )
+    assert report == expected
+
+    lines1 = bulk_lines(str(tmp_path / "out1"))
+    acts1 = [json.loads(ln) for ln in lines1[::2]]
+    n_selected = sum(r["n_selected"] for r in expected)
+    assert summary1["n_selected"] == n_selected
+    assert len([a for a in acts1 if "index" in a]) == n_selected
+    ids1 = {a["index"]["_id"] for a in acts1 if "index" in a}
+
+    # Rebuild with identical inputs: zero actions, zero version churn.
+    rc = main(
+        ["corpus-build", "--documents", docs, "--out-dir",
+         str(tmp_path / "out2"), "--snapshot-path", snap],
+        spark=spark,
+    )
+    assert rc == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["snapshot_version"] == summary1["snapshot_version"]
+    assert bulk_lines(str(tmp_path / "out2")) == []
+
+    # Shrink the budget: the selection shrinks, and the publish ships
+    # ONLY delete actions for the docs that fell out (nothing about
+    # the survivors changed).
+    rc = main(
+        ["corpus-build", "--documents", docs, "--out-dir",
+         str(tmp_path / "out3"), "--snapshot-path", snap,
+         "--token-budget", "300"],
+        spark=spark,
+    )
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lines3 = bulk_lines(str(tmp_path / "out3"))
+    acts3 = [json.loads(ln) for ln in lines3 if "delete" in json.loads(ln)]
+    assert acts3, "a smaller budget must curate docs out"
+    del_ids = {a["delete"]["_id"] for a in acts3}
+    assert del_ids <= ids1
+    assert not any(
+        "index" in json.loads(ln) for ln in lines3
+    ), "survivors are unchanged — only deletes ship"
