@@ -190,7 +190,7 @@ def lsh_ann_topk(
             *[
                 F.struct(
                     F.lit(t).alias("t"),
-                    lsh_bucket(F.col(vec_col), num_planes, table=t).alias("code"),
+                    lsh_bucket(vec_col, num_planes, table=t).alias("code"),
                 )
                 for t in range(num_tables)
             ]
@@ -244,7 +244,7 @@ def lsh_multiprobe_ann_topk(
             *[
                 F.struct(
                     F.lit(t).alias("t"),
-                    lsh_bucket(F.col(vec_col), num_planes, table=t).alias("code"),
+                    lsh_bucket(vec_col, num_planes, table=t).alias("code"),
                 )
                 for t in range(num_tables)
             ]

@@ -138,10 +138,15 @@ class TombstoneStore:
             layout=layout,
         )
 
-    def add(self, ids: DataFrame) -> int:
+    def add(self, ids: DataFrame, *, max_retries: int = 0) -> int:
         """Append removal ids to the log — a bucket-pruned merge,
         O(removal); idempotent (LWW upsert on the id). Rows are
-        stamped with the index's CURRENT generation (see class doc)."""
+        stamped with the index's CURRENT generation (see class doc).
+
+        ``max_retries`` > 0 opts into the store's optimistic
+        rebase-and-retry (tombstone adds COMMUTE: the log is a
+        grow-only keyed set between compactions, so two racing adders
+        can safely land in either order); default stays fail-fast."""
         seq = (self.store.current_version() or 0) + 1
         rows = ids.select(
             F.col(ids.columns[0]).alias(self.id_col),
@@ -150,6 +155,8 @@ class TombstoneStore:
         )
         if self.store.current_version() is None:
             return self.store.overwrite(rows)
+        if max_retries > 0:
+            return self.store.merge_with_retry(rows, max_retries=max_retries)
         return self.store.merge(rows)
 
     def ids(self) -> DataFrame | None:

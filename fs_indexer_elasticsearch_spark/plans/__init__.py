@@ -38,45 +38,43 @@ from . import curation_pipeline  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r8 rotation: prefix = the 11 NEW r8 queries (bucket-count evolution
-# under the incremental dedup cycle, clustered point lookup and the
-# change data feed — both layouts — through the snapshot store,
-# composed curation pipeline at both cadences — full-corpus and
-# O(delta) nightly — tombstone-path incremental dedup on BOTH the band
-# and shingle stores, manifest-layout incremental IVF; never
-# driver-checked), then the 8 r7 queries whose IMPLEMENTATION changed
-# this round and so need fresh driver rows (per_domain_cap's
-# kept-count semantics fix; the quality-classifier shared-expression
-# refactor; the substring pair's checkpoint swap; the incremental
-# stores' meta-protocol / row-shrink / fingerprint-tag changes), then
-# the same family anchors as r7, filling the 50. Displaced below the
-# boundary: q01_pricing_summary, embedding_outliers, retention_cohorts,
-# ann_neardup_recall_lsh, semantic_dedup_clusters,
-# funnel_view_click_purchase, token_count_exact, url_canonical_dedup,
-# domain_extract_counts, domain_blocklist_filter,
-# ann_neardup_recall_multiprobe (driver-green r5/r6/r7, unchanged in
-# r8) — all remain covered by the local replica gate + pytest.
+# r9 rotation: prefix = the 4 NEW r9 queries (a GENUINE multimodal
+# decode through the real kernel, the change feed spanning a rebucket
+# boundary, and the two non-distributive view-maintenance forms —
+# min/max with extremum-departure recompute and a fact-join-dim view
+# maintained from the fact feed alone; never driver-checked), then the
+# queries whose IMPLEMENTATION changed in r9 and need fresh driver
+# rows (the CDF family — read_changes was rewritten onto the
+# version-path walk; the recall pair — shared checkpointed ground
+# truth; the curation composition — refactored into curate_stages for
+# the corpus-build CLI), then the r8 newcomers and the same family
+# anchors as before, filling the 50. Displaced below the boundary:
+# per_domain_cap, quality_classifier_score, substring_dup_spans,
+# substring_dedup_clean, dedup_incremental_batch_manifest,
+# ann_incremental_ivf_topk (driver-green r8, unchanged in r9) — all
+# remain covered by the local replica gate + pytest.
 _PRIORITY = [
-    # New in r8 — never driver-checked
-    "dedup_incremental_rebucket",
-    "store_point_lookup",
+    # New in r9 — never driver-checked
+    "multimodal_ppm_decode",
+    "store_read_changes_rebucket",
+    "incremental_view_minmax",
+    "incremental_view_joined",
+    # Changed in r9 — need fresh driver rows
     "store_read_changes",
     "store_read_changes_hardlink",
     "incremental_view_maintenance",
-    "decontaminate_clean",
+    "ann_neardup_recall_lsh",
+    "ann_neardup_recall_multiprobe",
     "curation_pipeline_e2e",
     "incremental_curation_cycle",
+    # New in r8 — one driver round old
+    "dedup_incremental_rebucket",
+    "store_point_lookup",
+    "decontaminate_clean",
     "dedup_incremental_tombstone",
     "substring_incremental_tombstone",
     "ann_incremental_ivf_manifest",
-    # Changed in r8 — need fresh driver rows
-    "per_domain_cap",
-    "quality_classifier_score",
-    "substring_dup_spans",
-    "substring_dedup_clean",
     "dedup_incremental_batch",
-    "dedup_incremental_batch_manifest",
-    "ann_incremental_ivf_topk",
     "substring_dup_incremental",
     # Dedup / similarity core + quality gates
     "dedup_exact",
@@ -119,20 +117,24 @@ _PRIORITY = [
     "snapshot_diff_changes",
     "rollup_directory_sizes",
     # --- 50-query prefix boundary (driver samples a prefix; everything
-    # above is new in r8, changed in r8, or anchors a §2 family;
-    # everything below is driver-green from an earlier round and stays
-    # green under the local replica gate) ---
+    # above is new in r9, changed in r9, recent in r8, or anchors a §2
+    # family; everything below is driver-green from an earlier round
+    # and stays green under the local replica gate) ---
+    "per_domain_cap",
+    "quality_classifier_score",
+    "substring_dup_spans",
+    "substring_dedup_clean",
+    "dedup_incremental_batch_manifest",
+    "ann_incremental_ivf_topk",
     "q01_pricing_summary",
     "embedding_outliers",
     "retention_cohorts",
-    "ann_neardup_recall_lsh",
     "semantic_dedup_clusters",
     "funnel_view_click_purchase",
     "token_count_exact",
     "url_canonical_dedup",
     "domain_extract_counts",
     "domain_blocklist_filter",
-    "ann_neardup_recall_multiprobe",
     "dedup_cascade_attrition",
     "gopher_quality_flags",
     "column_profile",

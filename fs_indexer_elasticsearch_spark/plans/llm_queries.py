@@ -636,7 +636,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     aug = augmented_embeddings(emb)
     coded = aug.select(
-        "vec_id", "emb", lsh_bucket(F.col("emb"), 8).alias("bucket")
+        "vec_id", "emb", lsh_bucket("emb", 8).alias("bucket")
     )
     a = coded.alias("a")
     b = coded.alias("b")
@@ -831,8 +831,18 @@ def _neardup_ground_truth(
     # (corpus + query side of both the ANN search and the ground
     # truth); ``bf`` feeds both gates. Computed once at first
     # materialization — registering queries stays plan-only.
-    aug = augmented_embeddings(load(spark, sf_dir, "embeddings")).localCheckpoint(
-        eager=False
+    # The repartition matters as much as the checkpoint: the embeddings
+    # parquet is a couple of files, and a checkpoint inherits its
+    # partitioning — every downstream cosine/bucket stage would run
+    # 2-wide on a 32-core box (measured: the LSH search was 9.3 s with
+    # 2 partitions, 2.5x faster spread). Hash on vec_id keeps the
+    # planted twins colocation-free (they must shuffle to their bucket
+    # joins anyway).
+    n_slices = spark.sparkContext.defaultParallelism
+    aug = (
+        augmented_embeddings(load(spark, sf_dir, "embeddings"))
+        .repartition(n_slices, "vec_id")
+        .localCheckpoint(eager=False)
     )
     q = aug.filter(
         (F.col("vec_id") >= 1_000_000_000_000)

@@ -145,23 +145,25 @@ def test_registry_priority_prefix_covers_llm_layer():
     required = {
         "dedup_exact", "dedup_minhash_lsh", "dedup_connected_components",
         "similarity_lsh_ann_topk",
-        # The prefix holds EVERY never-driver-checked query (r8: the
-        # composed curation pipeline, tombstone-path dedup, manifest-
-        # layout incremental IVF) and every query whose IMPLEMENTATION
-        # changed this round, plus one anchor per core family;
-        # multi-round driver-green queries rotate below — the driver's
-        # hard signal goes to the least-tested first.
+        # The prefix holds EVERY never-driver-checked query (r9: the
+        # genuine multimodal decode, the rebucket-spanning change feed,
+        # the min/max and joined view-maintenance forms) and every
+        # query whose IMPLEMENTATION changed this round (the CDF
+        # family, the recall pair, the curation composition), plus one
+        # anchor per core family; multi-round driver-green queries
+        # rotate below — the driver's hard signal goes to the
+        # least-tested first.
+        "multimodal_ppm_decode", "store_read_changes_rebucket",
+        "incremental_view_minmax", "incremental_view_joined",
+        "ann_neardup_recall_lsh", "ann_neardup_recall_multiprobe",
         "curation_pipeline_e2e", "incremental_curation_cycle",
         "dedup_incremental_tombstone", "substring_incremental_tombstone",
         "ann_incremental_ivf_manifest", "dedup_incremental_rebucket",
         "store_point_lookup", "store_read_changes",
         "store_read_changes_hardlink", "incremental_view_maintenance",
         "decontaminate_clean",
-        "dedup_incremental_batch", "dedup_incremental_batch_manifest",
-        "per_domain_cap",
-        "ann_incremental_ivf_topk",
-        "substring_dup_spans", "substring_dedup_clean",
-        "quality_classifier_score", "substring_dup_incremental",
+        "dedup_incremental_batch",
+        "substring_dup_incremental",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "binary_payload_meta",
         "minhash_estimate_quality", "quantized_ann_int8_topk",

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""One-shot end-of-round gate: regenerate EVERY committed verification
+artifact from the same code state, in one command, so they can never
+desynchronize (r8 verdict #6: PLAN_AUDIT.md lagged the final code
+commit because it was a separate manual step).
+
+    python tools/gate.py --round 9 [--sf-dir /root/testdata/sf0.01] [--bench]
+
+Steps (each a subprocess with its own SparkSession lifecycle):
+  1. tools/check_correctness.py over the FULL registry
+       -> CORRECTNESS_LOCAL_r{NN}.json
+  2. tools/plan_audit.py over the full registry -> PLAN_AUDIT.md
+  3. (--bench) bench.py -> stdout JSON line, appended to BENCH_DETAIL.json
+     by bench's own machinery; the line is echoed for the round log.
+
+Exit status is nonzero if any step fails, and later steps still run
+(you want the full picture, not the first failure).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--bench", action="store_true", help="also run bench.py")
+    a = ap.parse_args()
+
+    steps: list[tuple[str, list[str]]] = [
+        (
+            "correctness",
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "check_correctness.py"),
+                "--sf-dir",
+                a.sf_dir,
+                "--json",
+                os.path.join(REPO, f"CORRECTNESS_LOCAL_r{a.round:02d}.json"),
+            ],
+        ),
+        (
+            "plan-audit",
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "plan_audit.py"),
+                "--out",
+                os.path.join(REPO, "PLAN_AUDIT.md"),
+            ],
+        ),
+    ]
+    if a.bench:
+        steps.append(("bench", [sys.executable, os.path.join(REPO, "bench.py")]))
+
+    failed: list[str] = []
+    for name, cmd in steps:
+        print(f"== gate step: {name} ==", flush=True)
+        rc = subprocess.call(cmd, cwd=REPO)
+        if rc != 0:
+            failed.append(name)
+            print(f"== gate step {name} FAILED (rc={rc}) ==", flush=True)
+    if failed:
+        print(f"gate FAILED: {', '.join(failed)}")
+        return 1
+    print("gate OK: all artifacts regenerated from the current tree")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
