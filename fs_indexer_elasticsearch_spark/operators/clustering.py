@@ -52,6 +52,35 @@ def sq_dist_to(vec: Column, centroid: list[float]) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _assign_cands_sql(
+    vec_sql: str, centroids: list[tuple[int, list[float]]]
+) -> str:
+    """The whole argmin candidate array as ONE Spark-SQL string —
+    semantically identical to the Column path in ``assign_clusters``
+    (same repr-round-tripped double literals, same fold order, same
+    ``round(x + 1e-7, 6)`` boundary shift), but parsed JVM-side in a
+    single F.expr instead of k x dim py4j literal calls (the same
+    driver-side plan-build pathology measured on lsh_bucket: ~3 s of
+    build for 0.1 s of execution on the k-means profile query)."""
+
+    def cand(cid: int, c: list[float]) -> str:
+        lits = ",".join(f"{float(x)!r}D" for x in c)
+        dist = (
+            f"aggregate(zip_with({vec_sql}, array({lits}), "
+            "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+        )
+        return (
+            f"named_struct('d', round({dist} + {1e-7!r}D, 6), "
+            f"'cid', {int(cid)})"
+        )
+
+    return (
+        "array_min(array("
+        + ",".join(cand(cid, c) for cid, c in centroids)
+        + "))"
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -63,19 +92,22 @@ def assign_clusters(
     pairs; they are inlined as literals, so the assignment is a pure
     projection (broadcast-free narrow stage). The argmin compares
     ``(stable_round(dist, 6), cluster_id)`` structs so last-ulp
-    distance differences can't flip the choice across engines.
-    """
-    v = F.col(vec_col)
-    cands = F.array(
-        *[
-            F.struct(
-                stable_round(sq_dist_to(v, c), 6).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, c in centroids
-        ]
-    )
-    best = F.array_min(cands)
+    distance differences can't flip the choice across engines. A plain
+    column name takes the single-F.expr fast path (``_assign_cands_sql``)."""
+    if vec_col.isidentifier():
+        best = F.expr(_assign_cands_sql(vec_col, centroids))
+    else:
+        v = F.col(vec_col)
+        cands = F.array(
+            *[
+                F.struct(
+                    stable_round(sq_dist_to(v, c), 6).alias("d"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, c in centroids
+            ]
+        )
+        best = F.array_min(cands)
     return df.withColumn("cluster_id", best.getField("cid")).withColumn(
         "sq_dist", best.getField("d")
     )
