@@ -26,8 +26,8 @@ import json
 import sys
 
 
-def _index_parser(sub=None) -> argparse.ArgumentParser:
-    ap = sub.add_parser("index") if sub is not None else argparse.ArgumentParser(
+def _index_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
         prog="fs_indexer_elasticsearch_spark",
         description="PySpark filesystem indexing pipeline",
     )
@@ -41,7 +41,6 @@ def _index_parser(sub=None) -> argparse.ArgumentParser:
     ap.add_argument("--out-dir", default="./out", help="bulk/delete output dir")
     ap.add_argument("--direct-links", action="store_true", help="enable enrichment")
     ap.add_argument("--version", action="version", version="0.1.0")
-    ap.set_defaults(cmd="index")
     return ap
 
 

@@ -59,6 +59,14 @@ def hyperplane_weight_py(h: int, d: int) -> float:
     return ((v % 2001) - 1000) / 1000.0
 
 
+def quote_ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in SQL text: quoting
+    keeps reserved words, non-ASCII names, and names that collide with
+    niladic functions (``current_date``) resolving as COLUMNS, exactly
+    like F.col. Embedded backticks are escaped by doubling."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _lsh_bucket_sql(
     vec_sql: str, num_planes: int, table: int, ndims: int
 ) -> str:
@@ -121,12 +129,15 @@ def lsh_bucket(
     callers with variable-width vectors pass the right ndims per call.
 
     A plain column NAME takes the single-F.expr fast path
-    (``_lsh_bucket_sql``) — identical semantics, ~100x cheaper plan
-    construction; an arbitrary Column expression keeps the
-    builder below.
+    (``_lsh_bucket_sql``, name backtick-quoted so reserved words and
+    non-ASCII names resolve as columns) — identical semantics, ~100x
+    cheaper plan construction; an arbitrary Column expression keeps
+    the builder below.
     """
-    if isinstance(vec, str) and vec.isidentifier():
-        return F.expr(_lsh_bucket_sql(vec, num_planes, table, ndims))
+    if isinstance(vec, str):
+        return F.expr(
+            _lsh_bucket_sql(quote_ident(vec), num_planes, table, ndims)
+        )
     v = _c(vec)
     dim_guard = F.when(
         F.size(v) == F.lit(ndims), F.lit(0).cast("long")

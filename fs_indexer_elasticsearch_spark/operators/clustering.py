@@ -92,22 +92,13 @@ def assign_clusters(
     pairs; they are inlined as literals, so the assignment is a pure
     projection (broadcast-free narrow stage). The argmin compares
     ``(stable_round(dist, 6), cluster_id)`` structs so last-ulp
-    distance differences can't flip the choice across engines. A plain
-    column name takes the single-F.expr fast path (``_assign_cands_sql``)."""
-    if vec_col.isidentifier():
-        best = F.expr(_assign_cands_sql(vec_col, centroids))
-    else:
-        v = F.col(vec_col)
-        cands = F.array(
-            *[
-                F.struct(
-                    stable_round(sq_dist_to(v, c), 6).alias("d"),
-                    F.lit(int(cid)).alias("cid"),
-                )
-                for cid, c in centroids
-            ]
-        )
-        best = F.array_min(cands)
+    distance differences can't flip the choice across engines. The
+    column name is backtick-quoted into the single-F.expr fast path
+    (``_assign_cands_sql``), so reserved words / non-ASCII names
+    resolve as columns exactly like F.col."""
+    from ..functions.vectors import quote_ident
+
+    best = F.expr(_assign_cands_sql(quote_ident(vec_col), centroids))
     return df.withColumn("cluster_id", best.getField("cid")).withColumn(
         "sq_dist", best.getField("d")
     )

@@ -49,23 +49,42 @@ def maintain_min_max(
     v_to: int,
     group_cols: list[str],
     value_col: str,
+    *,
+    old_view: DataFrame | None = None,
 ) -> DataFrame:
     """Maintain a per-group (count, min, max) view across a feed
     window. Returns columns ``group_cols + [n, min_v, max_v]`` equal to
     a from-scratch ``groupBy(group).agg(count, min, max)`` over the
     ``v_to`` state. ``value_col`` is assumed non-null (the view's
-    measure)."""
+    measure).
+
+    ``old_view`` is the PREVIOUSLY MAINTAINED view (columns
+    ``group_cols + [n, min_v, max_v]``, as this function returns) — in
+    steady state the caller feeds each cycle's output back in, so the
+    common path touches ONLY the feed plus the affected-group
+    recompute, never the base. When omitted (first cycle, or the
+    oracle-gated demo, which must re-derive deterministically) the old
+    view is computed from the ``v_from`` snapshot — one O(v_from)
+    aggregate."""
     g = list(group_cols)
     val = F.col(value_col)
-    old = (
-        store.read(version=v_from)
-        .groupBy(*g)
-        .agg(
-            F.count(F.lit(1)).alias("_n0"),
-            F.min(val).alias("_m0"),
-            F.max(val).alias("_x0"),
+    if old_view is not None:
+        old = old_view.select(
+            *g,
+            F.col("n").alias("_n0"),
+            F.col("min_v").alias("_m0"),
+            F.col("max_v").alias("_x0"),
         )
-    )
+    else:
+        old = (
+            store.read(version=v_from)
+            .groupBy(*g)
+            .agg(
+                F.count(F.lit(1)).alias("_n0"),
+                F.min(val).alias("_m0"),
+                F.max(val).alias("_x0"),
+            )
+        )
     feed = store.read_changes(v_from, v_to, update_images="both")
     is_add = F.col("_change").isin("insert", "update_postimage")
     inc = feed.groupBy(*g).agg(
@@ -75,10 +94,35 @@ def maintain_min_max(
         F.min(F.when(~is_add, val)).alias("_mr"),
         F.max(F.when(~is_add, val)).alias("_xr"),
     )
+    # Null-safe full outer: a NULL group value is a legitimate group
+    # (SQL GROUP BY treats NULL as one group), but an equi-join on the
+    # group columns would never pair its old row with its feed row —
+    # the old extremum would pass through untouched. eqNullSafe joins
+    # them like classify_changes does; group values coalesce from
+    # whichever side is present.
+    o, i = old.alias("o"), inc.alias("i")
+    joined = o.join(
+        i,
+        reduce(
+            lambda a, b: a & b,
+            [F.col(f"o.{c}").eqNullSafe(F.col(f"i.{c}")) for c in g],
+        ),
+        "full_outer",
+    ).select(
+        *[F.coalesce(F.col(f"o.{c}"), F.col(f"i.{c}")).alias(c) for c in g],
+        "_n0",
+        "_m0",
+        "_x0",
+        "_dn",
+        "_ma",
+        "_xa",
+        "_mr",
+        "_xr",
+    )
     # Two consumers (kept branch + affected-group collect) share one
     # execution of the old-view/feed join.
     j = (
-        old.join(inc, g, "full_outer")
+        joined
         .withColumn(
             "_n_new",
             (
@@ -118,19 +162,22 @@ def maintain_min_max(
     if not affected:
         return kept
     cur = store.read(version=v_to)
-    if len(g) == 1:
-        pred = F.col(g[0]).isin([a[0] for a in affected])
-    else:
-        pred = reduce(
-            lambda a, b: a | b,
+
+    # Null-safe membership: a NULL group value never matches isin/==,
+    # so an affected NULL group would silently vanish from the view.
+    def _match(vals: tuple) -> F.Column:
+        return reduce(
+            lambda x, y: x & y,
             [
-                reduce(
-                    lambda x, y: x & y,
-                    [F.col(c) == F.lit(v) for c, v in zip(g, a)],
-                )
-                for a in affected
+                F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                for c, v in zip(g, vals)
             ],
         )
+
+    if len(g) == 1 and not any(a[0] is None for a in affected):
+        pred = F.col(g[0]).isin([a[0] for a in affected])
+    else:
+        pred = reduce(lambda a, b: a | b, [_match(a) for a in affected])
     recomputed = (
         cur.filter(pred)
         .groupBy(*g)

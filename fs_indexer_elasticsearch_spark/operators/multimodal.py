@@ -102,20 +102,28 @@ def decode_pnm(b: bytes) -> tuple[int, int, bytes]:
         if pos == start:
             raise ValueError("truncated PNM header")
         tokens.append(int(b[start:pos]))
-    pos += 1  # the single whitespace byte after maxval
+    # Exactly ONE whitespace byte separates maxval from the raster
+    # (spec); verify it AND that the raster fills the remainder
+    # exactly — a CRLF-terminated header would otherwise shift every
+    # pixel by one byte and still pass a length-only check (a silently
+    # corrupt "real" decode instead of the ValueError/poison-fallback
+    # contract).
+    if not b[pos : pos + 1].isspace():
+        raise ValueError("PNM header not terminated by whitespace")
+    pos += 1
     w, h, maxval = tokens
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNM dimensions {w}x{h}")
     if not 0 < maxval < 256:
         raise ValueError(f"unsupported PNM maxval {maxval}")
+    n_raster = (w * h) if b[:2] == b"P5" else (3 * w * h)
+    if len(b) - pos != n_raster:
+        raise ValueError(
+            f"PNM raster is {len(b) - pos} bytes, expected {n_raster}"
+        )
     if b[:2] == b"P5":
-        raster = b[pos : pos + w * h]
-        if len(raster) != w * h:
-            raise ValueError("truncated PGM raster")
-        return w, h, raster
-    raster = b[pos : pos + 3 * w * h]
-    if len(raster) != 3 * w * h:
-        raise ValueError("truncated PPM raster")
+        return w, h, b[pos:]
+    raster = b[pos:]
     gray = bytes(
         (raster[i] * 299 + raster[i + 1] * 587 + raster[i + 2] * 114) // 1000
         for i in range(0, len(raster), 3)

@@ -154,7 +154,19 @@ class TombstoneStore:
             F.lit(int(self._gen_of())).cast("long").alias("gen"),
         )
         if self.store.current_version() is None:
-            return self.store.overwrite(rows)
+            if max_retries <= 0:
+                return self.store.overwrite(rows)
+            # Racing FIRST adders: the seed overwrite is not
+            # rebase-safe in general, but tombstone rows are — the
+            # loser's rows merge on top of whichever seed won.
+            from ..sinks.snapshot import ConcurrentWriteError
+
+            try:
+                return self.store.overwrite(rows)
+            except ConcurrentWriteError:
+                return self.store.merge_with_retry(
+                    rows, max_retries=max_retries
+                )
         if max_retries > 0:
             return self.store.merge_with_retry(rows, max_retries=max_retries)
         return self.store.merge(rows)

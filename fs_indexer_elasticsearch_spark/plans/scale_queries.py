@@ -470,13 +470,47 @@ _CDF_ORACLE = """
 """
 
 
-def _cdf_store(spark: SparkSession, sf_dir: str, *, layout: str):
-    """Seed-and-merge the change-feed demo store: v1 = ``orders``
-    minus the %10==3 keys, v2 = a merged delta (updates %10==7,
-    inserts %10==3, price bumped) with removals (%10==5). The store
-    persists across runs (fingerprint-tagged path, flock around the
-    cycle); replays skip straight to the reads — versions 1 and 2 are
-    retained immutable state shared by every CDF-family gate query."""
+def _cdf_demo_frames(spark: SparkSession, sf_dir: str, dim_col: str):
+    """The ONE definition of the CDF demo window (shared by every
+    CDF-family builder so the oracles can't diverge from one copy):
+    base = ``orders`` minus the %10==3 keys at v=1; delta = updates
+    (%10==7) + inserts (%10==3) with the price bumped, v=2; removals =
+    %10==5. ``dim_col`` is the carried dimension column
+    (o_orderstatus for the flat views, o_custkey for the joined one)."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        F.lit(1).alias("v"),
+        dim_col,
+        stable_round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    delta = orders.filter((F.col("o_orderkey") % 10).isin(3, 7)).select(
+        "o_orderkey",
+        F.lit(2).alias("v"),
+        dim_col,
+        stable_round(F.col("o_totalprice") + 1000, 2).alias("price"),
+    )
+    removed = orders.filter(F.col("o_orderkey") % 10 == 5).select("o_orderkey")
+    return base, delta, removed
+
+
+def _cdf_store(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    layout: str,
+    dim_col: str = "o_orderstatus",
+    tag_body: str = "orders-cdf|nb16",
+    path_prefix: str = "cdfstore",
+    rebucket_to: int | None = None,
+):
+    """Seed-and-merge the change-feed demo store (frames per
+    ``_cdf_demo_frames``), optionally committing a pure REBUCKET
+    between the seed and the merge (``rebucket_to``), so the merge
+    lands at v3 instead of v2. The store persists across runs
+    (fingerprint-tagged path, flock around the cycle); replays skip
+    straight to the reads — the retained versions are immutable state
+    shared by every CDF-family gate query."""
     import hashlib
     import os
 
@@ -484,23 +518,10 @@ def _cdf_store(spark: SparkSession, sf_dir: str, *, layout: str):
 
     fp = _dataset_fingerprint(sf_dir, "orders")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|orders-cdf|nb16|{layout}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|{tag_body}|{layout}|v1".encode()
     ).hexdigest()[:12]
-    path = f"/tmp/spark-graft-cdfstore-{tag}"
-    orders = load(spark, sf_dir, "orders")
-    base = orders.filter(F.col("o_orderkey") % 10 != 3).select(
-        "o_orderkey",
-        F.lit(1).alias("v"),
-        "o_orderstatus",
-        stable_round(F.col("o_totalprice"), 2).alias("price"),
-    )
-    delta = orders.filter((F.col("o_orderkey") % 10).isin(3, 7)).select(
-        "o_orderkey",
-        F.lit(2).alias("v"),
-        "o_orderstatus",
-        stable_round(F.col("o_totalprice") + 1000, 2).alias("price"),
-    )
-    removed = orders.filter(F.col("o_orderkey") % 10 == 5).select("o_orderkey")
+    path = f"/tmp/spark-graft-{path_prefix}-{tag}"
+    base, delta, removed = _cdf_demo_frames(spark, sf_dir, dim_col)
     with _store_lock(path):
         store = SnapshotStore(
             spark,
@@ -512,7 +533,14 @@ def _cdf_store(spark: SparkSession, sf_dir: str, *, layout: str):
         )
         if store.current_version() is None:
             store.overwrite(base)
-        if store.current_version() == 1:
+        merge_base = 1
+        if rebucket_to is not None:
+            if store.current_version() == 1:
+                v = store.rebucket(rebucket_to)  # plain: survives -O
+                if v != 2:
+                    raise RuntimeError(f"rebucket committed v{v}, expected v2")
+            merge_base = 2
+        if store.current_version() == merge_base:
             store.merge(delta, removed=removed)
     return store
 
@@ -567,42 +595,15 @@ def store_read_changes_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout, instead of r8's honest-but-O(table) full two-version diff.
     At 100 TB a quarterly bucket evolution would otherwise turn every
     spanning feed consumer into a double full-table scan."""
-    import hashlib
-    import os
-
-    from ..sinks.snapshot import SnapshotStore
-
-    fp = _dataset_fingerprint(sf_dir, "orders")
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|orders-cdf-rb|nb16-32|manifest|v1".encode()
-    ).hexdigest()[:12]
-    path = f"/tmp/spark-graft-cdfrbstore-{tag}"
-    orders = load(spark, sf_dir, "orders")
-    base = orders.filter(F.col("o_orderkey") % 10 != 3).select(
-        "o_orderkey",
-        F.lit(1).alias("v"),
-        "o_orderstatus",
-        stable_round(F.col("o_totalprice"), 2).alias("price"),
+    store = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        tag_body="orders-cdf-rb|nb16-32",
+        path_prefix="cdfrbstore",
+        rebucket_to=32,
     )
-    delta = orders.filter((F.col("o_orderkey") % 10).isin(3, 7)).select(
-        "o_orderkey",
-        F.lit(2).alias("v"),
-        "o_orderstatus",
-        stable_round(F.col("o_totalprice") + 1000, 2).alias("price"),
-    )
-    removed = orders.filter(F.col("o_orderkey") % 10 == 5).select("o_orderkey")
-    with _store_lock(path):
-        store = SnapshotStore(
-            spark, path, key="o_orderkey", version_col="v",
-            num_buckets=16, layout="manifest",
-        )
-        if store.current_version() is None:
-            store.overwrite(base)
-        if store.current_version() == 1:
-            assert store.rebucket(32) == 2
-        if store.current_version() == 2:
-            store.merge(delta, removed=removed)
-        return store.read_changes(1, 3).withColumnRenamed("_change", "change")
+    return store.read_changes(1, 3).withColumnRenamed("_change", "change")
 
 
 # Sums run on integer CENTS (round(price*100) as BIGINT) in BOTH
@@ -773,40 +774,14 @@ def incremental_view_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the nightly cost is O(feed ⋈ dim) + O(groups): the fact
     table — the big side — is never rescanned; only changed fact rows
     visit the join."""
-    import hashlib
-    import os
-
-    from ..sinks.snapshot import SnapshotStore
-
-    fp = _dataset_fingerprint(sf_dir, "orders")
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|orders-cdf-join|nb16|manifest|v1".encode()
-    ).hexdigest()[:12]
-    path = f"/tmp/spark-graft-cdfjoinstore-{tag}"
-    orders = load(spark, sf_dir, "orders")
-    base = orders.filter(F.col("o_orderkey") % 10 != 3).select(
-        "o_orderkey",
-        F.lit(1).alias("v"),
-        "o_custkey",
-        stable_round(F.col("o_totalprice"), 2).alias("price"),
+    store = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
     )
-    delta = orders.filter((F.col("o_orderkey") % 10).isin(3, 7)).select(
-        "o_orderkey",
-        F.lit(2).alias("v"),
-        "o_custkey",
-        stable_round(F.col("o_totalprice") + 1000, 2).alias("price"),
-    )
-    removed = orders.filter(F.col("o_orderkey") % 10 == 5).select("o_orderkey")
-    with _store_lock(path):
-        store = SnapshotStore(
-            spark, path, key="o_orderkey", version_col="v",
-            num_buckets=16, layout="manifest",
-        )
-        if store.current_version() is None:
-            store.overwrite(base)
-        if store.current_version() == 1:
-            store.merge(delta, removed=removed)
-
     dim = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     cents = F.round(F.col("price") * 100).cast("long")
     old_agg = (

@@ -97,6 +97,55 @@ def test_minmax_tie_departure_is_conservative(spark, tmp_path):
     assert _maintained(store, 1, 2) == {"A": (2, 3, 8)}
 
 
+def test_minmax_null_group_extremum_departure(spark, tmp_path):
+    """A NULL group value must survive the recompute path: isin/==
+    never match NULL, so without the null-safe predicate the group
+    silently vanished from the maintained view (r9 review finding)."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(
+        spark.createDataFrame(
+            [("n1", 1, None, 2), ("n2", 1, None, 6), ("a1", 1, "A", 5)],
+            SCHEMA,
+        )
+    )
+    # Delete the NULL group's min -> recompute must still report it.
+    store.merge(
+        _df(spark, []).limit(0),
+        removed=spark.createDataFrame([("n1",)], "k string"),
+    )
+    assert _maintained(store, 1, 2) == _scratch(store, 2)
+    assert _scratch(store, 2) == {None: (1, 6, 6), "A": (1, 5, 5)}
+
+
+def test_minmax_steady_state_reuses_previous_view(spark, tmp_path):
+    """Feeding each cycle's output back in (old_view=) must equal the
+    from-v_from derivation — the steady-state path that never rescans
+    the base."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(
+        _df(spark, [("a1", 1, "A", 1), ("a2", 1, "A", 9), ("b1", 1, "B", 4)])
+    )
+    store.merge(_df(spark, [("a3", 1, "A", 5), ("b2", 1, "B", 7)]))
+    v1_view = maintain_min_max(store, 1, 2, ["grp"], "val").localCheckpoint(
+        eager=False
+    )
+    store.merge(
+        _df(spark, [("c1", 1, "C", 3)]),
+        removed=spark.createDataFrame([("a2",)], "k string"),
+    )
+    chained = {
+        r.grp: (r.n, r.min_v, r.max_v)
+        for r in maintain_min_max(
+            store, 2, 3, ["grp"], "val", old_view=v1_view
+        ).collect()
+    }
+    assert chained == _scratch(store, 3)
+
+
 def test_minmax_max_departure_and_group_vanish(spark, tmp_path):
     store = SnapshotStore(
         spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4

@@ -81,6 +81,9 @@ def test_decode_pnm_roundtrip_and_errors():
         b"P5\n6 4\n255\n" + gray[:-1],  # truncated raster
         b"P5\n6",  # truncated header
         b"P5\n0 4\n255\n",  # degenerate dims
+        b"P5\n6 4\n255\r\n" + gray,  # CRLF header: off-by-one raster
+        b"P5\n6 4\n255\n" + gray + b"x",  # trailing junk
+        b"P5\n6 4\n255x" + gray,  # non-whitespace terminator
     ):
         with pytest.raises(ValueError):
             decode_pnm(bad)
