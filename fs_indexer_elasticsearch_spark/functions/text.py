@@ -176,16 +176,37 @@ def hex_word32(hexstr: Column, pos: int) -> Column:
     return F.conv(F.substring(hexstr, pos, 8), 16, 10).cast("long")
 
 
-def simhash32_from_hashes(hashes: Column) -> Column:
+def _simhash32_sql(hs_sql: str) -> str:
+    """The whole 32-bit SimHash fold as ONE Spark-SQL string — the
+    SQL function form of shiftright takes a column shift amount, so
+    the bit loop that the Column API forces to unroll (32 x ~10 py4j
+    calls of plan construction per call site) collapses to a single
+    aggregate over sequence(0, 31). Identical per-bit semantics and
+    ascending summation order."""
+    return (
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + "
+        f"IF(size(filter({hs_sql}, h -> (shiftright(h, j) & 1) = 1)) * 2 "
+        f"> size({hs_sql}), "
+        "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+    )
+
+
+def simhash32_from_hashes(hashes: Column | str) -> Column:
     """32-bit SimHash from a MATERIALIZED array of 32-bit token
     hashes: bit j is set when more than half the tokens have bit j set
-    (#set*2 > n form avoids a ±1 accumulator). The bit loop is
-    unrolled in Python (shiftright requires a literal shift).
+    (#set*2 > n form avoids a ±1 accumulator). A column NAME takes the
+    single-F.expr fast path (``_simhash32_sql``); a Column expression
+    unrolls the bit loop in Python (the Column-API shiftright requires
+    a literal shift).
 
     Callers must project the hash array in a prior select —
     ``transform(tk, token_hash32)`` inlined here would recompute the
     md5 once per (token, bit): 32× the work (no CSE across lambdas).
     """
+    if isinstance(hashes, str):
+        from .vectors import quote_ident
+
+        return F.expr(_simhash32_sql(quote_ident(hashes)))
     n = F.size(hashes)
 
     def bit_set(j: int):

@@ -276,8 +276,8 @@ def simhash_pairs(
         )
         .select(
             "sid",
-            simhash32_from_hashes(F.col("th_lo")).alias("lo"),
-            simhash32_from_hashes(F.col("th_hi")).alias("hi"),
+            simhash32_from_hashes("th_lo").alias("lo"),
+            simhash32_from_hashes("th_hi").alias("hi"),
         )
         .cache()
     )
