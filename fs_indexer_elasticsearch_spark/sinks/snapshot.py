@@ -315,7 +315,7 @@ class SnapshotStore:
                         with open(path) as f:
                             holder = int(f.read().strip() or "0")
                     except (OSError, ValueError):
-                        holder = 0  # corrupt: linked claims carry a pid
+                        holder = 0  # corrupt OR just released (see below)
                     if holder == os.getpid() or (holder and _pid_alive(holder)):
                         raise ConcurrentWriteError(
                             f"version {version} of {self.path} is being "
@@ -325,8 +325,16 @@ class SnapshotStore:
                             "exactly this reason)"
                         )
                     # Stale (dead holder or corrupt): clear and take it —
-                    # safe under the flock, no second clearer can run.
-                    os.remove(path)
+                    # safe under the flock, no second CLEARER can run.
+                    # RELEASE, however, happens outside the flock (the
+                    # holder must not need the lock to give the claim
+                    # up), so the file may have vanished between the
+                    # failed link and here — missing is success for a
+                    # clear.
+                    try:
+                        os.remove(path)
+                    except FileNotFoundError:
+                        pass
                     os.link(tmp, path)
                     return
                 finally:

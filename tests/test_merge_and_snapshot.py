@@ -955,6 +955,95 @@ def test_read_changes_spans_rebucket_with_pruned_reads(spark, tmp_path):
     }
 
 
+_CLAIM_WORKER_SRC = """
+import os, sys
+sys.path.insert(0, "/root/repo")
+from fs_indexer_elasticsearch_spark.sinks.snapshot import (
+    ConcurrentWriteError, SnapshotStore,
+)
+path, counter, out = sys.argv[1], sys.argv[2], sys.argv[3]
+store = SnapshotStore(None, path, key="k", version_col="v")
+wins = 0
+for _ in range(150):
+    try:
+        store._claim(1)
+    except ConcurrentWriteError:
+        continue
+    try:
+        with open(store._txn_path(1)) as f:
+            assert int(f.read()) == os.getpid()
+        with open(counter) as f:
+            n = int(f.read())
+        with open(counter, "w") as f:
+            f.write(str(n + 1))
+        wins += 1
+    finally:
+        store._release(1)
+with open(out, "w") as f:
+    f.write(str(wins))
+"""
+
+
+def test_claim_protocol_across_processes(tmp_path):
+    """The claim layer under real MULTI-PROCESS contention (the model
+    test's threads share one pid, so the pid-liveness and flock paths
+    never cross a process boundary there): 4 processes hammer the SAME
+    version's claim, each doing a deliberately NON-ATOMIC
+    read-modify-write of a shared counter inside the hold. If mutual
+    exclusion ever breaks, increments get lost and the final counter
+    undercounts the recorded wins. Pure claim-file exercise — no
+    SparkSession, no data; plain subprocesses (forking or spawning
+    under a live py4j gateway is unreliable)."""
+    import os as _os
+    import subprocess
+    import sys
+
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    path = str(tmp_path / "snap")
+    counter = str(tmp_path / "counter")
+    with open(counter, "w") as f:
+        f.write("0")
+
+    outs = [str(tmp_path / f"wins{i}") for i in range(4)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CLAIM_WORKER_SRC, path, counter, o]
+        )
+        for o in outs
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+
+    wins = []
+    for o in outs:
+        with open(o) as f:
+            wins.append(int(f.read()))
+    total_wins = sum(wins)
+    assert total_wins > 0, "nobody won anything — the claim path is wedged"
+    with open(counter) as f:
+        assert int(f.read()) == total_wins, "lost update inside the hold"
+
+    # A dead holder's stale claim is cleared by the next claimer: fake
+    # a claim from a dead pid (find one that isn't alive).
+    store = SnapshotStore(None, path, key="k", version_col="v")
+    dead = 99999
+    while True:
+        try:
+            _os.kill(dead, 0)
+            dead -= 1
+        except ProcessLookupError:
+            break
+        except PermissionError:
+            dead -= 1
+    with open(store._txn_path(99), "w") as f:
+        f.write(str(dead))
+    store._claim(99)  # clears the stale claim and takes it
+    with open(store._txn_path(99)) as f:
+        assert int(f.read()) == _os.getpid()
+    store._release(99)
+
+
 def test_concurrent_writer_fails_fast(spark, tmp_path):
     """A racing writer is refused BEFORE writing any data: a live
     claim on the next version raises ConcurrentWriteError; a crashed
