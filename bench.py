@@ -107,8 +107,10 @@ EXTRA = [
     "incremental_view_maintenance",
     # r8: benchmark decontamination (removal form of the GPT-3 recipe)
     "decontaminate_clean",
-    # r9: genuine multimodal decode through the real PNM kernel
+    # r9: genuine multimodal decode through the real PNM kernel, and
+    # the frame-sample kernel under the gate
     "multimodal_ppm_decode",
+    "multimodal_frame_sample",
     # r9: change feed spanning a bucket-count evolution (pruned walk)
     "store_read_changes_rebucket",
     # r9: non-distributive view maintenance (min/max + joined view)

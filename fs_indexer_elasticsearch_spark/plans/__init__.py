@@ -56,6 +56,7 @@ from . import curation_pipeline  # noqa: E402,F401
 _PRIORITY = [
     # New in r9 — never driver-checked
     "multimodal_ppm_decode",
+    "multimodal_frame_sample",
     "store_read_changes_rebucket",
     "incremental_view_minmax",
     "incremental_view_joined",
@@ -75,7 +76,6 @@ _PRIORITY = [
     "substring_incremental_tombstone",
     "ann_incremental_ivf_manifest",
     "dedup_incremental_batch",
-    "substring_dup_incremental",
     # Dedup / similarity core + quality gates
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -122,6 +122,7 @@ _PRIORITY = [
     # and stays green under the local replica gate) ---
     "per_domain_cap",
     "quality_classifier_score",
+    "substring_dup_incremental",
     "substring_dup_spans",
     "substring_dedup_clean",
     "dedup_incremental_batch_manifest",

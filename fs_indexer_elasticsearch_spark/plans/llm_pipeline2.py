@@ -528,6 +528,62 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH built AS (
+        SELECT doc_id,
+               (SELECT string_agg(
+                          lpad(hex((doc_id * 13 + i * 11) % 256), 2, '0'),
+                          '' ORDER BY i)
+                FROM range(96) t(i)) AS hexpayload
+        FROM documents WHERE doc_id % 41 = 0
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CAST(f.i AS INTEGER) AS frame_index,
+           CAST(32 AS INTEGER) AS n_bytes,
+           substr(md5(substr(hexpayload, 1 + f.i * 64, 64)), 1, 8)
+               AS frame_sig
+    FROM built, range(3) f(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FRAME-SAMPLE kernel under the oracle gate — completing the
+    four multimodal kernels (header parse, decode, resize, frame
+    sample): deterministic 96-byte payloads (byte i = (doc_id*13 +
+    i*11) mod 256) are sliced into 32-byte pseudo-frames by the
+    mapInPandas kernel (operators/multimodal.sample_frames — a real
+    demuxer would cut keyframes; the batch/explode plumbing is
+    identical), and the oracle re-slices the same blob with SQL
+    substring, hashing each frame's bytes — so frame boundaries,
+    ordering, and content all gate-check, not just row counts."""
+    from ..operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 41 == 0)
+    hexpix = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(95)),
+            lambda i: F.lpad(
+                F.hex((F.col("doc_id") * 13 + i * 11) % 256), 2, "0"
+            ),
+        ),
+        "",
+    )
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.unhex(hexpix).alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    frames = sample_frames(assets, every_n_bytes=32, max_frames=3)
+    return frames.select(
+        "asset_id",
+        "frame_index",
+        F.length("frame_payload").cast("int").alias("n_bytes"),
+        F.substring(F.md5(F.hex("frame_payload")), 1, 8).alias("frame_sig"),
+    )
+
+
 # --------------------------------------------------------------------------
 # PII detection and boilerplate metrics
 # --------------------------------------------------------------------------

@@ -153,7 +153,8 @@ def test_registry_priority_prefix_covers_llm_layer():
         # anchor per core family; multi-round driver-green queries
         # rotate below — the driver's hard signal goes to the
         # least-tested first.
-        "multimodal_ppm_decode", "store_read_changes_rebucket",
+        "multimodal_ppm_decode", "multimodal_frame_sample",
+        "store_read_changes_rebucket",
         "incremental_view_minmax", "incremental_view_joined",
         "ann_neardup_recall_lsh", "ann_neardup_recall_multiprobe",
         "curation_pipeline_e2e", "incremental_curation_cycle",
@@ -163,7 +164,6 @@ def test_registry_priority_prefix_covers_llm_layer():
         "store_read_changes_hardlink", "incremental_view_maintenance",
         "decontaminate_clean",
         "dedup_incremental_batch",
-        "substring_dup_incremental",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "binary_payload_meta",
         "minhash_estimate_quality", "quantized_ann_int8_topk",
