@@ -115,6 +115,7 @@ EXTRA = [
     "store_read_changes_rebucket",
     # r9: non-distributive view maintenance (min/max + joined view)
     "incremental_view_minmax",
+    "incremental_view_minmax_chained",
     "incremental_view_joined",
 ]
 

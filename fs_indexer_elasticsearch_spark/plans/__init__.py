@@ -38,10 +38,11 @@ from . import curation_pipeline  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r9 rotation: prefix = the 4 NEW r9 queries (a GENUINE multimodal
-# decode through the real kernel, the change feed spanning a rebucket
-# boundary, and the two non-distributive view-maintenance forms —
-# min/max with extremum-departure recompute and a fact-join-dim view
+# r9 rotation: prefix = the 6 NEW r9 queries (a GENUINE multimodal
+# decode through the real kernel plus the frame-sample kernel, the
+# change feed spanning a rebucket boundary, and the non-distributive
+# view-maintenance forms — min/max with extremum-departure recompute,
+# its steady-state chained variant, and a fact-join-dim view
 # maintained from the fact feed alone; never driver-checked), then the
 # queries whose IMPLEMENTATION changed in r9 and need fresh driver
 # rows (the CDF family — read_changes was rewritten onto the
@@ -59,6 +60,7 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "store_read_changes_rebucket",
     "incremental_view_minmax",
+    "incremental_view_minmax_chained",
     "incremental_view_joined",
     # Changed in r9 — need fresh driver rows
     "store_read_changes",
@@ -75,7 +77,6 @@ _PRIORITY = [
     "dedup_incremental_tombstone",
     "substring_incremental_tombstone",
     "ann_incremental_ivf_manifest",
-    "dedup_incremental_batch",
     # Dedup / similarity core + quality gates
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -122,6 +123,7 @@ _PRIORITY = [
     # and stays green under the local replica gate) ---
     "per_domain_cap",
     "quality_classifier_score",
+    "dedup_incremental_batch",
     "substring_dup_incremental",
     "substring_dup_spans",
     "substring_dedup_clean",

@@ -738,6 +738,41 @@ def incremental_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("incremental_view_minmax_chained", oracle=_VIEW_MINMAX_ORACLE)
+def incremental_view_minmax_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STEADY-STATE maintenance path, chained across a bucket
+    evolution: cycle 1 maintains the view over the pure-rebucket
+    window (1 -> 2: zero feed rows, view carried), cycle 2 feeds that
+    output back in as ``old_view=`` and maintains over the merge
+    window (2 -> 3) — so the base is never rescanned after the first
+    derivation, exactly how a nightly job runs. The final state equals
+    the flat store's v2, so the SAME oracle as incremental_view_minmax
+    must hash-match — proving view-chaining and the evolved layout's
+    feed compose without drift."""
+    from ..operators.ivm import maintain_min_max
+
+    store = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        tag_body="orders-cdf-rb|nb16-32",
+        path_prefix="cdfrbstore",
+        rebucket_to=32,
+    )
+    cycle1 = maintain_min_max(
+        store, 1, 2, ["o_orderstatus"], "price"
+    ).localCheckpoint(eager=False)
+    view = maintain_min_max(
+        store, 2, 3, ["o_orderstatus"], "price", old_view=cycle1
+    )
+    return view.select(
+        "o_orderstatus",
+        F.col("n").alias("n_orders"),
+        stable_round(F.col("min_v"), 2).alias("min_price"),
+        stable_round(F.col("max_v"), 2).alias("max_price"),
+    )
+
+
 _VIEW_JOIN_ORACLE = """
     WITH base AS (
         SELECT o_orderkey, 1 AS v, o_custkey,

@@ -154,7 +154,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         # rotate below — the driver's hard signal goes to the
         # least-tested first.
         "multimodal_ppm_decode", "multimodal_frame_sample",
-        "store_read_changes_rebucket",
+        "store_read_changes_rebucket", "incremental_view_minmax_chained",
         "incremental_view_minmax", "incremental_view_joined",
         "ann_neardup_recall_lsh", "ann_neardup_recall_multiprobe",
         "curation_pipeline_e2e", "incremental_curation_cycle",
@@ -163,7 +163,6 @@ def test_registry_priority_prefix_covers_llm_layer():
         "store_point_lookup", "store_read_changes",
         "store_read_changes_hardlink", "incremental_view_maintenance",
         "decontaminate_clean",
-        "dedup_incremental_batch",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "binary_payload_meta",
         "minhash_estimate_quality", "quantized_ann_int8_topk",

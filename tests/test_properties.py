@@ -387,3 +387,57 @@ def test_hyperplane_weight_expression_matches_python_twin(spark):
     ).collect()
     for r in rows:
         assert r.w == hyperplane_weight_py(r.h, r.d), (r.h, r.d)
+
+
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_pnm_roundtrip_property(w, h, seed):
+    """decode(encode(raster)) is the identity for every raster shape,
+    and nearest-neighbor resize maps each output pixel to its exact
+    integer source index."""
+    import random as _random
+
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        decode_pnm,
+        encode_pgm,
+        nn_resize,
+    )
+
+    rng = _random.Random(seed)
+    gray = bytes(rng.randrange(256) for _ in range(w * h))
+    assert decode_pnm(encode_pgm(w, h, gray)) == (w, h, gray)
+
+    ow, oh = rng.randint(1, 8), rng.randint(1, 8)
+    out = nn_resize(gray, w, h, ow, oh)
+    assert len(out) == ow * oh
+    for y in range(oh):
+        for x in range(ow):
+            assert out[y * ow + x] == gray[(y * h // oh) * w + (x * w // ow)]
+
+
+@given(
+    n_exp=st.integers(0, 6),
+    n2_exp=st.integers(0, 6),
+    keys=st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_project_buckets_preserves_key_membership(n_exp, n2_exp, keys):
+    """The rebucket-feed projection math: for divisible counts, a key
+    whose bucket under n is in the projected-FROM set always lands in
+    the projected-TO set under n2 — the invariant that makes the
+    cross-evolution change feed unable to lose a candidate key.
+    (Hashes stand in via raw ints: pmod distributes over any int64,
+    xxhash64 included.)"""
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    n, n2 = 2**n_exp, 2**n2_exp
+    bs = {k % n for k in keys}
+    projected = SnapshotStore._project_buckets(bs, n, n2)
+    assert projected is not None  # powers of two are always divisible
+    for k in keys:
+        if k % n in bs:
+            assert k % n2 in projected
