@@ -48,7 +48,8 @@ from . import curation_pipeline  # noqa: E402,F401
 # rows (the CDF family — read_changes was rewritten onto the
 # version-path walk; the recall pair — shared checkpointed ground
 # truth; the curation composition — refactored into curate_stages for
-# the corpus-build CLI), then the r8 newcomers and the same family
+# the corpus-build CLI; dedup_simhash — the single-expr SimHash fold),
+# then the r8 newcomers and the same family
 # anchors as before, filling the 50. Displaced below the boundary:
 # per_domain_cap, quality_classifier_score, substring_dup_spans,
 # substring_dedup_clean, dedup_incremental_batch_manifest,
@@ -70,6 +71,7 @@ _PRIORITY = [
     "ann_neardup_recall_multiprobe",
     "curation_pipeline_e2e",
     "incremental_curation_cycle",
+    "dedup_simhash",
     # New in r8 — one driver round old
     "dedup_incremental_rebucket",
     "store_point_lookup",
@@ -83,7 +85,6 @@ _PRIORITY = [
     "dedup_connected_components",
     "similarity_lsh_ann_topk",
     "ann_recall_at_k",
-    "minhash_estimate_quality",
     "quantized_ann_int8_topk",
     "pagerank_neardup_graph",
     # Text analysis / profiling
@@ -123,6 +124,7 @@ _PRIORITY = [
     # and stays green under the local replica gate) ---
     "per_domain_cap",
     "quality_classifier_score",
+    "minhash_estimate_quality",
     "dedup_incremental_batch",
     "substring_dup_incremental",
     "substring_dup_spans",
@@ -162,7 +164,6 @@ _PRIORITY = [
     "boilerplate_repetition",
     "bpe_token_estimate",
     "binary_header_parse",
-    "dedup_simhash",
     "doc_fingerprints",
     "window_tumbling_10m",
     "ngram_jaccard_pairs",

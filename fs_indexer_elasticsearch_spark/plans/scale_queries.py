@@ -759,9 +759,9 @@ def incremental_view_minmax_chained(spark: SparkSession, sf_dir: str) -> DataFra
         path_prefix="cdfrbstore",
         rebucket_to=32,
     )
-    cycle1 = maintain_min_max(
-        store, 1, 2, ["o_orderstatus"], "price"
-    ).localCheckpoint(eager=False)
+    # No extra checkpoint: maintain_min_max lazily checkpoints its own
+    # internal join, and cycle1 is consumed once inside cycle2's.
+    cycle1 = maintain_min_max(store, 1, 2, ["o_orderstatus"], "price")
     view = maintain_min_max(
         store, 2, 3, ["o_orderstatus"], "price", old_view=cycle1
     )

@@ -957,7 +957,7 @@ def test_read_changes_spans_rebucket_with_pruned_reads(spark, tmp_path):
 
 _CLAIM_WORKER_SRC = """
 import os, sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[4])  # repo root, passed by the test
 from fs_indexer_elasticsearch_spark.sinks.snapshot import (
     ConcurrentWriteError, SnapshotStore,
 )
@@ -1005,10 +1005,13 @@ def test_claim_protocol_across_processes(tmp_path):
     with open(counter, "w") as f:
         f.write("0")
 
+    import fs_indexer_elasticsearch_spark as _pkg
+
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(_pkg.__file__)))
     outs = [str(tmp_path / f"wins{i}") for i in range(4)]
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _CLAIM_WORKER_SRC, path, counter, o]
+            [sys.executable, "-c", _CLAIM_WORKER_SRC, path, counter, o, repo_root]
         )
         for o in outs
     ]

@@ -165,7 +165,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "decontaminate_clean",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "binary_payload_meta",
-        "minhash_estimate_quality", "quantized_ann_int8_topk",
+        "dedup_simhash", "quantized_ann_int8_topk",
         "pagerank_neardup_graph",
         "incremental_agg_maintenance",
         "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
