@@ -308,3 +308,55 @@ def test_stale_tombstones_cannot_filter_a_fresh_corpus(spark, tmp_path, monkeypa
     )
     m3 = store.match_and_merge(probe, "doc_id", "text", batch_seq=2, merge=False)
     assert not any(r.corpus_id == 3 for r in m3.collect())
+
+
+def test_tombstone_first_add_race_falls_back_to_rebased_merge(spark, tmp_path):
+    """Two racing FIRST adders on a fresh tombstone log: the loser's
+    seed overwrite raises ConcurrentWriteError, and with max_retries
+    opted in it must rebase onto the winner's seed via merge — both
+    id sets end up in the log, nothing crashes, nothing is lost."""
+    from fs_indexer_elasticsearch_spark.operators.store_common import (
+        TombstoneStore,
+    )
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import (
+        ConcurrentWriteError,
+    )
+
+    ts = TombstoneStore(spark, str(tmp_path / "idx"), "doc_id", num_buckets=4)
+
+    # Simulate losing the seed race deterministically: the loser's
+    # overwrite first lets "the other writer" commit its seed through
+    # a separate handle, then raises — exactly the state a real loser
+    # observes (pointer moved underneath it).
+    winner = TombstoneStore(spark, str(tmp_path / "idx"), "doc_id", num_buckets=4)
+    real_overwrite = ts.store.overwrite
+    calls = {"n": 0}
+
+    def racing_overwrite(df, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            winner.add(spark.createDataFrame([("w1",), ("w2",)], "doc_id string"))
+            raise ConcurrentWriteError("simulated lost seed race")
+        return real_overwrite(df, **kw)
+
+    ts.store.overwrite = racing_overwrite
+    try:
+        ts.add(
+            spark.createDataFrame([("l1",), ("l2",)], "doc_id string"),
+            max_retries=5,
+        )
+    finally:
+        ts.store.overwrite = real_overwrite
+
+    ids = {r.doc_id for r in ts.ids().collect()}
+    assert ids == {"w1", "w2", "l1", "l2"}
+
+    # Without opting in, the same race stays fail-fast.
+    ts2 = TombstoneStore(spark, str(tmp_path / "idx2"), "doc_id", num_buckets=4)
+    def failing_overwrite(df, **kw):
+        raise ConcurrentWriteError("simulated")
+    ts2.store.overwrite = failing_overwrite
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriteError):
+        ts2.add(spark.createDataFrame([("x",)], "doc_id string"))
