@@ -13,22 +13,23 @@ splits the groups per cycle:
   from the delta alone — O(feed);
 - groups where a removal ties-or-beats the stored extremum are
   RECOMPUTED from the post-state base, restricted to exactly those
-  groups by an IN-predicate pushed into the parquet scan.
+  groups by a BROADCAST LEFT-SEMI JOIN of the affected-group frame
+  against the base — the affected set never leaves the executors and
+  never becomes a literal predicate, so a mass delete touching
+  millions of groups neither OOMs the driver nor inflates the plan.
 
 Cost honesty at 100 TB: the recompute's aggregation work is
-O(affected groups' rows), and the pushed predicate lets parquet
-row-group stats skip where the physical clustering supports it — but
-a base bucketed on the KEY (the store's layout) gives the group
-predicate no file-level pruning, so an extremum-departure cycle pays
-a stats-guided scan of the base. That is the standard engineering
-answer absent a per-group index (Materialize maintains hierarchical
+O(affected groups' rows), but a base bucketed on the KEY (the
+store's layout) gives the group semi-join no file-level pruning, so
+an extremum-departure cycle pays one scan of the base filtered by
+the broadcast hash set. That is the standard engineering answer
+absent a per-group index (Materialize maintains hierarchical
 min/max arrangements to avoid exactly this; Delta's OPTIMIZE ZORDER
 on the group column would restore skipping) — NOT pretending min/max
 are distributive over deletes, and still zero cost on the common
-cycles where no extremum departs. The affected-group list is
-collected to the driver: a maintained VIEW has bounded group
-cardinality by design (same bounded-metadata class as the store's
-touched-bucket listing).
+cycles where no extremum departs: the only driver round-trip is a
+LIMIT-1 existence probe on the (checkpointed) affected branch, and
+with AQE the empty-affected case short-circuits anyway.
 
 Reference parity: the reference recomputes its stats queries from
 scratch each scan (db_duckdb.py:342-356); this module is the
@@ -155,31 +156,27 @@ def maintain_min_max(
         F.least("_m0", "_ma").alias("min_v"),
         F.greatest("_x0", "_xa").alias("max_v"),
     )
-    affected = [
-        tuple(r[c] for c in g)
-        for r in j.filter(F.col("_recompute")).select(*g).collect()
-    ]
-    if not affected:
+    # Affected groups stay a DataFrame — no key list on the driver, no
+    # literal predicate in the plan. The eqNullSafe semi-join keeps an
+    # affected NULL group (plain == would drop it from the view).
+    affected = j.filter(F.col("_recompute")).select(
+        *[F.col(c).alias(f"_ag_{c}") for c in g]
+    )
+    # Bounded existence probe (LIMIT 1 over the checkpointed branch),
+    # not a key collect: skips planning the base read on the common
+    # no-extremum-departure cycle.
+    if affected.isEmpty():
         return kept
     cur = store.read(version=v_to)
-
-    # Null-safe membership: a NULL group value never matches isin/==,
-    # so an affected NULL group would silently vanish from the view.
-    def _match(vals: tuple) -> F.Column:
-        return reduce(
-            lambda x, y: x & y,
-            [
-                F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
-                for c, v in zip(g, vals)
-            ],
-        )
-
-    if len(g) == 1 and not any(a[0] is None for a in affected):
-        pred = F.col(g[0]).isin([a[0] for a in affected])
-    else:
-        pred = reduce(lambda a, b: a | b, [_match(a) for a in affected])
     recomputed = (
-        cur.filter(pred)
+        cur.join(
+            F.broadcast(affected),
+            reduce(
+                lambda a, b: a & b,
+                [F.col(c).eqNullSafe(F.col(f"_ag_{c}")) for c in g],
+            ),
+            "left_semi",
+        )
         .groupBy(*g)
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -773,6 +773,65 @@ def incremental_view_minmax_chained(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_VIEW_MINMAX_HICARD_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM delta
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(price) + 1e-7, 2) AS min_price,
+           round(max(price) + 1e-7, 2) AS max_price
+    FROM v2 GROUP BY o_custkey
+"""
+
+
+@query("incremental_view_minmax_hicard", oracle=_VIEW_MINMAX_HICARD_ORACLE)
+def incremental_view_minmax_hicard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX view maintenance under the MASS-DELETE regime: the view
+    is keyed on o_custkey (every customer is a group, ~1 group per 10
+    rows), and the demo window deletes 10% of orders and re-prices
+    another 20% — so a large fraction of ALL groups lose their stored
+    extremum in one cycle. This is exactly the shape where a
+    driver-collected affected-key list would melt (millions of groups
+    at 100 TB): maintain_min_max keeps the affected set as a DataFrame
+    and broadcast-left-semi-joins it against the post-state base, so
+    the cycle's cost is O(feed) + one semi-join-filtered scan, with
+    nothing group-proportional on the driver. Reuses the joined-view
+    demo store (o_custkey dim); the oracle recomputes every group from
+    scratch. Registered as a SCALE_STRESS probe (amplified orders
+    grow rows per group k-fold while the group count stays fixed —
+    alpha ~ 1 proves the recompute stays row-linear)."""
+    from ..operators.ivm import maintain_min_max
+
+    store = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
+    )
+    view = maintain_min_max(store, 1, 2, ["o_custkey"], "price")
+    return view.select(
+        "o_custkey",
+        F.col("n").alias("n_orders"),
+        stable_round(F.col("min_v"), 2).alias("min_price"),
+        stable_round(F.col("max_v"), 2).alias("max_price"),
+    )
+
+
 _VIEW_JOIN_ORACLE = """
     WITH base AS (
         SELECT o_orderkey, 1 AS v, o_custkey,

@@ -121,6 +121,12 @@ STRESSED = {
     # alpha ~ 1 means changed-bucket resolution + the classification
     # join stay delta-proportional, no full-table diff hiding inside.
     "store_read_changes": "orders",
+    # r10: min/max IVM in the mass-delete regime — the amplified
+    # window deletes/re-prices k-fold more rows while the o_custkey
+    # group count stays fixed, so alpha ~ 1 proves the broadcast
+    # semi-join recompute (operators/ivm.py) stays row-linear with no
+    # group-proportional driver term.
+    "incremental_view_minmax_hicard": "orders",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
     "similarity_lsh_ann_topk": "embeddings",
