@@ -5,7 +5,7 @@ Everything here is a pure Column expression built from
 No row-at-a-time Python UDFs.
 """
 
-from .hashing import entry_id, entry_id_sized, fingerprint_md5
+from .hashing import composite_id, entry_id, entry_id_sized, fingerprint_md5
 from .paths import (
     ancestors,
     basename,
@@ -26,6 +26,7 @@ from .timeparse import (
 __all__ = [
     "ancestors",
     "basename",
+    "composite_id",
     "entry_id",
     "entry_id_sized",
     "extension",

@@ -81,3 +81,29 @@ def md5_shard_sql(key_sql: str, n_shards: int) -> str:
         f"(('0x' || substr(md5(({key_sql})::VARCHAR), 1, 8))::BIGINT"
         f" % {n_shards})"
     )
+
+
+def composite_id(cols: list) -> Column:
+    """Injective colon-joined serialization of a composite key into
+    one string id (the ES ``_id`` for composite-key stores and the
+    streaming feed-store key).
+
+    A naive ``concat_ws(':')`` is NOT injective: an unescaped ':'
+    inside a component makes ('a:b','c') and ('a','b:c') collide, and
+    concat_ws silently DROPS null components so ('a', NULL) collides
+    with ('a',). Here each component is escaped ('\\' -> '\\\\',
+    ':' -> '\\:') and NULL is encoded as the bare token '\\N'
+    (unreachable by any escaped real value — a literal backslash
+    always doubles) BEFORE joining, so distinct key tuples always
+    produce distinct ids and both publish paths (batch CDC sync and
+    the streaming feed store) agree on one stable identity per key."""
+    out = []
+    for c in cols:
+        s = _c(c).cast("string")
+        esc = F.replace(
+            F.replace(s, F.lit("\\"), F.lit("\\\\")),
+            F.lit(":"),
+            F.lit("\\:"),
+        )
+        out.append(F.coalesce(esc, F.lit("\\N")))
+    return F.concat_ws(":", *out)

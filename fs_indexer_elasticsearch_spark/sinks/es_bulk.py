@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ..functions import format_size, iso_format
+from ..functions import composite_id, format_size, iso_format
 
 # §1.3 field set (elasticsearch_integration.py:43-96).
 ES_DOC_FIELDS = [
@@ -147,10 +147,10 @@ def sync_actions_from_changes(
     if composite:
         # Deterministic composite _id BEFORE format_docs runs, so the
         # projection can keep / drop the raw key columns freely as long
-        # as it preserves 'id'.
-        id_expr = F.concat_ws(
-            ":", *[F.col(k).cast("string") for k in keys]
-        )
+        # as it preserves 'id'. composite_id escapes the separator and
+        # encodes NULL explicitly — ('a:b','c') vs ('a','b:c') and
+        # ('a', NULL) vs ('a',) stay distinct documents in ES.
+        id_expr = composite_id(keys)
         if "id" in upserts.columns:
             raise ValueError(
                 f"composite store key {keys!r} must serialize into the "

@@ -244,14 +244,29 @@ class SnapshotStore:
         different count would otherwise hash probes into the wrong
         physical layout). New stores never hit this: every commit
         writes its own cfg."""
+        import fcntl
+
         v = self.current_version()
         if v is None or self._read_cfg(v) is not None:
             return
-        tmp = self._cfg_path(v) + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"num_buckets": self._default_buckets}, f)
-        os.replace(tmp, self._cfg_path(v))
-        self._cfg_cache = (v, self._default_buckets)
+        # Under the store's claim flock: two concurrent openers
+        # constructed with DIFFERENT num_buckets must not race the
+        # check-then-replace — whichever backfills first wins, and the
+        # loser adopts the on-disk truth (re-read after the write, so
+        # _cfg_cache can never disagree with the file).
+        with open(os.path.join(self.path, ".claims.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                cfg = self._read_cfg(v)
+                if cfg is None:
+                    tmp = self._cfg_path(v) + f".tmp.{os.getpid()}"
+                    with open(tmp, "w") as f:
+                        json.dump({"num_buckets": self._default_buckets}, f)
+                    os.replace(tmp, self._cfg_path(v))
+                    cfg = self._read_cfg(v)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+        self._cfg_cache = (v, cfg["num_buckets"])
 
     # -- pointer management -------------------------------------------------
     def _pointer_path(self) -> str:

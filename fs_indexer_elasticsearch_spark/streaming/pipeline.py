@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from ..functions import composite_id
 from ..sinks.snapshot import SnapshotStore
 
 
@@ -299,14 +300,14 @@ def streaming_changefeed_pipeline(
             # isEmpty guard exists to prevent.
             return
         if feed_store is not None:
+            # composite_id keeps the feed-store key id-compatible with
+            # the batch CDC sync's composite ES _id (same escaping /
+            # NULL encoding — sinks/es_bulk.py sync_actions_from_changes).
             feed_store.merge(
                 feed.withColumn(
                     feed_store.key,
-                    F.concat_ws(
-                        ":",
-                        *[F.col(k).cast("string") for k in keys],
-                        F.col("_change"),
-                        F.col("epoch").cast("string"),
+                    composite_id(
+                        [*keys, F.col("_change"), F.col("epoch")]
                     ),
                 )
             )
@@ -518,9 +519,7 @@ def _streaming_match_pipeline(
             matches_store.merge(
                 matches.withColumn(
                     matches_store.key,
-                    F.concat_ws(
-                        ":", *[F.col(c).cast("string") for c in key_cols]
-                    ),
+                    composite_id(list(key_cols)),
                 )
             )
             return

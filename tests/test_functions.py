@@ -240,3 +240,38 @@ def test_md5_shard_uses_32_bit_word(spark):
     assert max(shards) >= 256  # upper half actually reachable
     assert min(shards) >= 0 and max(shards) < 512
     assert len(shards) > 400  # densely populated
+
+
+def test_composite_id_injective(spark):
+    """composite_id must keep DISTINCT key tuples on distinct ids —
+    the naive concat_ws(':') collides ('a:b','c') with ('a','b:c')
+    and, because concat_ws drops NULLs, ('a', NULL) with ('a','') or
+    bare 'a'. Covers separator injection, backslash escapes, the NULL
+    token, and a real value that spells the NULL token."""
+    from fs_indexer_elasticsearch_spark.functions import composite_id
+
+    tuples = [
+        ("a:b", "c"),
+        ("a", "b:c"),
+        ("a", None),
+        (None, "a"),
+        ("a", ""),
+        ("", "a"),
+        ("a", "\\N"),
+        ("a", "N"),
+        ("a\\", ":b"),
+        ("a", "\\:b"),
+        ("a\\:b", ""),
+        ("p2", "d0"),
+    ]
+    df = spark.createDataFrame(tuples, "k1 string, k2 string")
+    ids = [
+        r.id
+        for r in df.select(
+            composite_id(["k1", "k2"]).alias("id")
+        ).collect()
+    ]
+    assert len(set(ids)) == len(tuples), sorted(ids)
+    # Clean values keep the historical readable encoding.
+    plain = dict(zip(tuples, ids))
+    assert plain[("p2", "d0")] == "p2:d0"

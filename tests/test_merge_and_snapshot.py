@@ -672,6 +672,41 @@ def test_legacy_cfgless_store_backfills_count_on_reopen(spark, tmp_path):
     assert {r.k for r in other.read_keys(["k3", "k7"]).collect()} == {"k3", "k7"}
 
 
+def test_legacy_backfill_race_adopts_one_disk_truth(spark, tmp_path):
+    """Concurrent openers of a legacy (cfg-less) store constructed
+    with DIFFERENT num_buckets race the backfill: the check+write now
+    runs under the store's claim flock and the winner's value is
+    RE-READ from disk, so every opener — winner or loser — ends with
+    a _cfg_cache identical to the one on-disk sidecar (the r9 advice:
+    the loser's cache could disagree with the file)."""
+    import json as _json
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "snap")
+    store = SnapshotStore(spark, path, key="k", version_col="v", num_buckets=4)
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(12)]))
+    _os.remove(store._cfg_path(1))
+
+    def opener(nb):
+        return SnapshotStore(
+            spark, path, key="k", version_col="v", num_buckets=nb
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        stores = list(ex.map(opener, [4, 16, 8, 32, 4, 16, 8, 32]))
+    with open(stores[0]._cfg_path(1)) as f:
+        disk = _json.load(f)["num_buckets"]
+    for s in stores:
+        assert s.num_buckets == disk
+        assert s._cfg_cache == (1, disk)
+    # Lookups hash into the adopted layout, whatever value won.
+    assert {r.k for r in stores[-1].read_keys(["k3", "k7"]).collect()} == {
+        "k3",
+        "k7",
+    }
+
+
 def test_store_identity_mismatch_raises(spark, tmp_path):
     path = str(tmp_path / "snap")
     store = SnapshotStore(spark, path, key="k", version_col="v", num_buckets=4)
