@@ -44,6 +44,14 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("asset_id", T.StringType()),
         T.StructField("frame_index", T.IntegerType()),
         T.StructField("frame_payload", T.BinaryType()),
+        # Decoded dimensions when the frame came from a real demux
+        # (concatenated-PGM container); NULL for byte-sliced frames.
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        # 'real' (container demux), 'bytes' (non-container payload,
+        # stride slicing), 'fallback' (container whose demux failed
+        # mid-stream — poison isolation, sliced instead).
+        T.StructField("frame_kind", T.StringType()),
     ]
 )
 
@@ -71,22 +79,19 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def decode_pnm(b: bytes) -> tuple[int, int, bytes]:
-    """Dependency-free decode of binary NetPBM rasters — P5 (grayscale
-    PGM) and P6 (RGB PPM) — to ``(width, height, grayscale_bytes)``.
-
-    This is the hermetic REAL-decode path: PIL is absent from the CI
-    image, so without this every "real" branch only ever ran against a
-    monkeypatched lookalike (r8 verdict #3). NetPBM is trivial enough
-    to decode exactly per spec in pure Python: ASCII header tokens
-    (magic, width, height, maxval; '#' comments to end-of-line),
-    exactly one whitespace byte, then the raw raster. P6 collapses to
-    grayscale with ITU-R 601 integer luma. Raises ValueError on
-    malformed/truncated payloads and maxval > 255 (2-byte samples) —
-    the kernels' poison-payload fallback contract handles those."""
-    if b[:2] not in (b"P5", b"P6"):
-        raise ValueError(f"not a binary PGM/PPM payload: {b[:2]!r}")
-    pos = 2
+def _pnm_header(b: bytes, pos: int) -> tuple[bytes, int, int, int, int]:
+    """Parse one binary-PNM header starting at ``pos`` inside ``b``:
+    magic, ASCII width/height/maxval tokens ('#' comments to
+    end-of-line), exactly ONE whitespace byte (spec), then the raw
+    raster. Returns ``(magic, width, height, raster_start,
+    raster_len)`` — shared by the single-image decoder (which also
+    demands the raster fill the payload exactly) and the
+    concatenated-frame demuxer (which walks ``raster_start +
+    raster_len`` to the next frame)."""
+    magic = b[pos : pos + 2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM payload: {magic!r}")
+    pos += 2
     tokens: list[int] = []
     while len(tokens) < 3:
         # Skip whitespace and comments.
@@ -102,12 +107,6 @@ def decode_pnm(b: bytes) -> tuple[int, int, bytes]:
         if pos == start:
             raise ValueError("truncated PNM header")
         tokens.append(int(b[start:pos]))
-    # Exactly ONE whitespace byte separates maxval from the raster
-    # (spec); verify it AND that the raster fills the remainder
-    # exactly — a CRLF-terminated header would otherwise shift every
-    # pixel by one byte and still pass a length-only check (a silently
-    # corrupt "real" decode instead of the ValueError/poison-fallback
-    # contract).
     if not b[pos : pos + 1].isspace():
         raise ValueError("PNM header not terminated by whitespace")
     pos += 1
@@ -116,12 +115,63 @@ def decode_pnm(b: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"bad PNM dimensions {w}x{h}")
     if not 0 < maxval < 256:
         raise ValueError(f"unsupported PNM maxval {maxval}")
-    n_raster = (w * h) if b[:2] == b"P5" else (3 * w * h)
+    n_raster = (w * h) if magic == b"P5" else (3 * w * h)
+    return magic, w, h, pos, n_raster
+
+
+def demux_pgm_video(b: bytes) -> list[tuple[int, int, bytes]]:
+    """REAL frame demux of the trivial video container: back-to-back
+    binary PGM (P5) frames, each self-describing via its own header —
+    the moving-picture analog of the hermetic ``decode_pnm`` path
+    (no codec library exists in this image, so the container is
+    defined simply enough to demux exactly per spec in pure Python).
+    Returns ``[(width, height, frame_bytes), ...]`` where
+    ``frame_bytes`` is the complete self-contained PGM frame (header +
+    raster, itself decodable by ``decode_pnm``). Raises ValueError on
+    a non-P5 head, a mid-stream truncation, or trailing garbage — the
+    kernel's poison-fallback contract handles those."""
+    frames: list[tuple[int, int, bytes]] = []
+    pos = 0
+    while pos < len(b):
+        magic, w, h, raster_start, n_raster = _pnm_header(b, pos)
+        if magic != b"P5":
+            raise ValueError("video container frames must be P5")
+        end = raster_start + n_raster
+        if end > len(b):
+            raise ValueError(
+                f"truncated frame {len(frames)}: raster needs "
+                f"{n_raster} bytes, {len(b) - raster_start} remain"
+            )
+        frames.append((w, h, b[pos:end]))
+        pos = end
+    if not frames:
+        raise ValueError("empty video container")
+    return frames
+
+
+def decode_pnm(b: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free decode of binary NetPBM rasters — P5 (grayscale
+    PGM) and P6 (RGB PPM) — to ``(width, height, grayscale_bytes)``.
+
+    This is the hermetic REAL-decode path: PIL is absent from the CI
+    image, so without this every "real" branch only ever ran against a
+    monkeypatched lookalike (r8 verdict #3). NetPBM is trivial enough
+    to decode exactly per spec in pure Python: ASCII header tokens
+    (magic, width, height, maxval; '#' comments to end-of-line),
+    exactly one whitespace byte, then the raw raster. P6 collapses to
+    grayscale with ITU-R 601 integer luma. Raises ValueError on
+    malformed/truncated payloads and maxval > 255 (2-byte samples) —
+    the kernels' poison-payload fallback contract handles those."""
+    magic, w, h, pos, n_raster = _pnm_header(b, 0)
+    # The raster must fill the remainder EXACTLY — a CRLF-terminated
+    # header would otherwise shift every pixel by one byte and still
+    # pass a length-only check (a silently corrupt "real" decode
+    # instead of the ValueError/poison-fallback contract).
     if len(b) - pos != n_raster:
         raise ValueError(
             f"PNM raster is {len(b) - pos} bytes, expected {n_raster}"
         )
-    if b[:2] == b"P5":
+    if magic == b"P5":
         return w, h, b[pos:]
     raster = b[pos:]
     gray = bytes(
@@ -350,28 +400,72 @@ def resize_images(
 
 
 def sample_frames(
-    assets: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+    assets: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    frame_stride: int = 1,
 ) -> DataFrame:
-    """Frame-sampling plumbing (video pattern): slice the payload into
-    pseudo-frames every ``every_n_bytes`` — a real implementation
-    would demux keyframes; the batch/explode shape is identical."""
+    """Frame sampling over binary media payloads (mapInPandas).
+
+    A payload that IS a video container (concatenated P5 frames,
+    ``demux_pgm_video``) gets a REAL demux: frame boundaries come from
+    each frame's own decoded header, every ``frame_stride``-th frame
+    is kept up to ``max_frames``, and each output row carries the
+    decoded width/height and the complete self-contained PGM frame
+    (``frame_kind='real'``; ``frame_index`` is the index in the
+    CONTAINER, so a stride-2 sample emits 0, 2, 4, ...). Any other
+    payload keeps the byte-slicing plumbing path (``every_n_bytes``
+    slices, ``frame_kind='bytes'``), and a container whose demux fails
+    mid-stream (truncated frame — poison payload) falls back to the
+    same slicing with ``frame_kind='fallback'`` instead of killing
+    the task."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        def slices(b: bytes, kind: str):
+            for i in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
+                yield (
+                    i,
+                    b[i * every_n_bytes : (i + 1) * every_n_bytes],
+                    None,
+                    None,
+                    kind,
+                )
+
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            rows = {k: [] for k in (
+                "asset_id", "frame_index", "frame_payload",
+                "width", "height", "frame_kind",
+            )}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 b = bytes(payload or b"")
-                for i in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
-                    ids.append(aid)
-                    idxs.append(i)
-                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+                if b[:2] == b"P5":
+                    try:
+                        demuxed = demux_pgm_video(b)
+                        out = [
+                            (i, fb, w, h, "real")
+                            for i, (w, h, fb) in enumerate(demuxed)
+                        ][::frame_stride][:max_frames]
+                    except ValueError:
+                        out = slices(b, "fallback")
+                else:
+                    out = slices(b, "bytes")
+                for i, fb, w, h, kind in out:
+                    rows["asset_id"].append(aid)
+                    rows["frame_index"].append(i)
+                    rows["frame_payload"].append(fb)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["frame_kind"].append(kind)
             yield pd.DataFrame(
                 {
-                    "asset_id": ids,
-                    "frame_index": pd.array(idxs, dtype="int32"),
-                    "frame_payload": frames,
+                    "asset_id": rows["asset_id"],
+                    "frame_index": pd.array(rows["frame_index"], dtype="int32"),
+                    "frame_payload": rows["frame_payload"],
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "frame_kind": rows["frame_kind"],
                 }
             )
 

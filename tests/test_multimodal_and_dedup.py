@@ -251,11 +251,62 @@ def test_frame_sampling_shape(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
     frames = sample_frames(attach_payload(docs, "text", "doc_id"), every_n_bytes=32).collect()
     assert all(len(bytes(r.frame_payload)) <= 32 for r in frames)
+    assert all(r.frame_kind == "bytes" and r.width is None for r in frames)
     per_asset = {}
     for r in frames:
         per_asset.setdefault(r.asset_id, []).append(r.frame_index)
     for idxs in per_asset.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense frame index
+
+
+def test_frame_sampling_real_demux(spark):
+    """A concatenated-PGM container demuxes REAL frames: boundaries
+    from each frame's own header (variable sizes — byte-slicing could
+    not find them), decoded dims per frame, stride sampling by
+    container index, and each emitted frame round-trips decode_pnm."""
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        decode_pnm,
+        demux_pgm_video,
+        encode_pgm,
+    )
+
+    dims = [(3, 2), (5, 1), (2, 4), (1, 1), (4, 3)]
+    video = b"".join(
+        encode_pgm(w, h, bytes((i * 37 + j) % 256 for j in range(w * h)))
+        for i, (w, h) in enumerate(dims)
+    )
+    assert [(w, h) for w, h, _ in demux_pgm_video(video)] == dims
+    assets = spark.createDataFrame(
+        [("a", "video", bytearray(video), "v/p")],
+        "asset_id string, media_type string, payload binary, mime string",
+    )
+    rows = sorted(
+        sample_frames(assets, frame_stride=2, max_frames=3).collect(),
+        key=lambda r: r.frame_index,
+    )
+    assert [(r.frame_index, r.width, r.height, r.frame_kind) for r in rows] == [
+        (0, 3, 2, "real"), (2, 2, 4, "real"), (4, 4, 3, "real"),
+    ]
+    for r in rows:
+        w, h, gray = decode_pnm(bytes(r.frame_payload))
+        assert (w, h) == (r.width, r.height)
+        assert len(gray) == w * h
+
+
+def test_frame_sampling_truncated_container_falls_back(spark):
+    """A container whose demux fails mid-stream (truncated second
+    frame) is poison-isolated: sliced with frame_kind='fallback'
+    instead of failing the task."""
+    from fs_indexer_elasticsearch_spark.operators.multimodal import encode_pgm
+
+    video = encode_pgm(4, 2, bytes(range(8))) + b"P5\n9 9\n255\nshort"
+    assets = spark.createDataFrame(
+        [("a", "video", bytearray(video), "v/p")],
+        "asset_id string, media_type string, payload binary, mime string",
+    )
+    rows = sample_frames(assets, every_n_bytes=16).collect()
+    assert rows and all(r.frame_kind == "fallback" for r in rows)
+    assert b"".join(bytes(r.frame_payload) for r in rows) == video[: 16 * len(rows)]
 
 
 def test_exact_duplicates_operator(spark):
