@@ -276,34 +276,35 @@ def scan_filesystem(
                 rows, columns=[f.name for f in _SCAN_SCHEMA.fields]
             )
 
-    def one_round(work: list[str]) -> DataFrame:
-        return (
-            spark.createDataFrame([(d,) for d in work], "dir string")
-            .repartition(min(n, max(len(work), 1)))
-            .mapInPandas(scan_partition, _SCAN_SCHEMA)
+    def one_round(work: DataFrame, n_items: int) -> DataFrame:
+        return work.repartition(min(n, max(n_items, 1))).mapInPandas(
+            scan_partition, _SCAN_SCHEMA
         )
+
+    def dirs_df() -> DataFrame:
+        return spark.createDataFrame([(d,) for d in dirs], "dir string")
 
     if not dirs:
         deep = spark.createDataFrame([], _SCAN_SCHEMA)
     elif max_entries_per_task is None:
-        deep = one_round(dirs)
+        deep = one_round(dirs_df(), len(dirs))
     else:
         # Iterative frontier rounds: each round's oversized subtrees
         # (or flat-directory slices) come back as _PENDING work items
-        # and fan out across the next round's tasks. The collect is
-        # O(pending items) — work-item metadata, never entries.
+        # and fan out across the next round's tasks. The frontier
+        # stays a DataFrame end to end — the next round maps over the
+        # persisted previous round's pending slice, so at extreme
+        # fan-out no path list ever lands on the driver; loop control
+        # collects ONLY the pending COUNT.
         parts: list[DataFrame] = []
         rounds: list[DataFrame] = []
-        work = dirs
-        while work:
-            scanned = one_round(work).persist()
+        work, n_work = dirs_df(), len(dirs)
+        while n_work:
+            scanned = one_round(work, n_work).persist()
             rounds.append(scanned)
-            work = [
-                r[0]
-                for r in scanned.filter(F.col("type") == _PENDING)
-                .select("filepath")
-                .collect()
-            ]
+            pending = scanned.filter(F.col("type") == _PENDING)
+            n_work = pending.count()
+            work = pending.select(F.col("filepath").alias("dir"))
             parts.append(scanned.filter(F.col("type") != _PENDING))
         deep = parts[0]
         for p in parts[1:]:
