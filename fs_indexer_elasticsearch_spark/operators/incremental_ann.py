@@ -267,17 +267,34 @@ class IvfIndexStore:
         )
         return self.seed(corpus, cdf, id_col, vec_col)
 
-    def add(self, batch: DataFrame, id_col: str, vec_col: str, *, seq: int) -> int:
+    def add(
+        self,
+        batch: DataFrame,
+        id_col: str,
+        vec_col: str,
+        *,
+        seq: int,
+        max_retries: int = 0,
+    ) -> int:
         """O(delta) index maintenance: assign the batch against the
         FIXED centroids and bucket-pruned-merge it in (the centroid
-        meta carries forward with the new version automatically)."""
+        meta carries forward with the new version automatically).
+
+        ``max_retries`` > 0 opts into the store's optimistic
+        rebase-and-retry: adds against the SAME centroid generation
+        commute (LWW upsert per vec id; cell assignment depends only
+        on the fixed centroids, not on the base state), so two racing
+        add jobs land the same final index in either order. Retrain/
+        seed keeps fail-fast — an overwrite's result depends on the
+        base."""
         if self.store.current_version() is None:
             raise ValueError("IVF index is empty — seed() it first")
-        return self.store.merge(
-            self._assigned(
-                batch, id_col, vec_col, seq, self.centroids(), self._dim()
-            )
+        rows = self._assigned(
+            batch, id_col, vec_col, seq, self.centroids(), self._dim()
         )
+        if max_retries > 0:
+            return self.store.merge_with_retry(rows, max_retries=max_retries)
+        return self.store.merge(rows)
 
     def remove_vecs(self, vec_ids: DataFrame, *, mode: str = "eager") -> int:
         """Drop every index row of the given vector ids (one-column

@@ -148,6 +148,7 @@ class MinHashBandStore:
         batch_seq: int,
         threshold: float = 0.5,
         merge: bool = True,
+        max_retries: int = 0,
     ) -> DataFrame:
         """Match a delta batch against the stored corpus index, then
         (optionally) merge the batch's bands in.
@@ -158,7 +159,17 @@ class MinHashBandStore:
         is computed against the store's CURRENT version; the merge
         commits a new version afterwards (old version files persist
         until vacuum, so the returned lazy DataFrame stays valid).
-        """
+
+        ``max_retries`` > 0 opts the index merge into the store's
+        optimistic rebase-and-retry: band merges COMMUTE (rows are
+        LWW-upserted on the unique doc:band key with batch_seq as the
+        version, so two racing batches land the same final index in
+        either order), and a rebase cannot change this batch's match
+        result — matching is pinned to strictly-earlier batch_seqs,
+        so a concurrent batch's rows are invisible to this probe by
+        construction. Default stays fail-fast (the single-writer
+        contract); seed() keeps fail-fast always, an overwrite's
+        result depends on the base state."""
         # Lazy localCheckpoint, not cache(): THREE consumers (touched-
         # bucket scan, match join, store merge) share one computation of
         # the batch's shingle/sign/band chain, and the returned lazy
@@ -224,7 +235,10 @@ class MinHashBandStore:
             # immutable and retained until vacuum, so the lazy result
             # keeps reading the pre-merge version's files. The merge
             # itself is a bucket-pruned upsert, O(batch bands).
-            self.store.merge(bands)
+            if max_retries > 0:
+                self.store.merge_with_retry(bands, max_retries=max_retries)
+            else:
+                self.store.merge(bands)
         return matches
 
     def remove_docs(self, doc_ids: DataFrame, *, mode: str = "eager") -> int:

@@ -149,6 +149,7 @@ class ShingleSpanStore:
         *,
         batch_seq: int,
         merge: bool = True,
+        max_retries: int = 0,
     ) -> DataFrame:
         """Find every MAXIMAL duplicated-against-the-corpus span in the
         batch, then (optionally) merge the batch's shingle rows in.
@@ -160,6 +161,12 @@ class ShingleSpanStore:
         against the store's CURRENT version; the merge commits a new
         version afterwards (old version files persist until vacuum, so
         the returned lazy DataFrame stays valid).
+
+        ``max_retries`` > 0 opts the index merge into the store's
+        optimistic rebase-and-retry — shingle-row merges commute for
+        the same reason band merges do (LWW upsert on the unique
+        sid:pos row key, matching pinned to strictly-earlier
+        batch_seqs); default stays fail-fast.
         """
         # Lazy localCheckpoint: THREE consumers (touched-bucket scan,
         # probe join, store merge) share one computation of the
@@ -204,7 +211,10 @@ class ShingleSpanStore:
         if merge:
             # Result stays valid across the merge: versions are
             # immutable and retained until vacuum.
-            self.store.merge(rows)
+            if max_retries > 0:
+                self.store.merge_with_retry(rows, max_retries=max_retries)
+            else:
+                self.store.merge(rows)
         return out
 
     def remove_docs(self, doc_ids: DataFrame, *, mode: str = "eager") -> int:

@@ -360,3 +360,75 @@ def test_tombstone_first_add_race_falls_back_to_rebased_merge(spark, tmp_path):
 
     with _pytest.raises(ConcurrentWriteError):
         ts2.add(spark.createDataFrame([("x",)], "doc_id string"))
+
+
+def test_two_writer_band_store_cycle_lands_both_batches_exactly_once(
+    spark, tmp_path
+):
+    """The steady-state index cycle under TWO writers: each thread has
+    its own MinHashBandStore handle (as two jobs would) and races
+    match_and_merge(max_retries=...) for several rounds. Every batch
+    must land exactly once — the claim-race loser rebases, never
+    double-applies, never drops — and the final index equals the
+    single-writer fold: seed + one version per merge, one row per
+    doc x band, correct LWW batch_seq per row."""
+    import threading
+
+    path = str(tmp_path / "bands")
+    MinHashBandStore(spark, path, num_buckets=8).seed(
+        _corpus(spark), "doc_id", "text"
+    )
+    N_ROUNDS = 4
+    programs = {
+        "A": [
+            (2 * j + 1, [(1000 + 10 * j, f"writer a round {j} " * 5)])
+            for j in range(N_ROUNDS)
+        ],
+        "B": [
+            (2 * j + 2, [(2000 + 10 * j, f"writer b round {j} " * 5)])
+            for j in range(N_ROUNDS)
+        ],
+    }
+    errors: list[Exception] = []
+
+    def run(writer: str) -> None:
+        try:
+            store = MinHashBandStore(spark, path, num_buckets=8)
+            for seq, rows in programs[writer]:
+                store.match_and_merge(
+                    _docs(spark, rows),
+                    "doc_id",
+                    "text",
+                    batch_seq=seq,
+                    max_retries=20,
+                ).collect()
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in ("A", "B")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+    store = MinHashBandStore(spark, path, num_buckets=8)
+    # Exactly once: seed + one committed version per merge.
+    assert store.store.current_version() == 1 + 2 * N_ROUNDS
+    rows = store.store.read().select("sid", "b", "batch_seq").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.sid, []).append((r.b, r.batch_seq))
+    expected_seq = {doc: seq
+                    for prog in programs.values()
+                    for seq, batch in prog
+                    for doc, _ in batch}
+    for doc, seq in expected_seq.items():
+        got = sorted(by_doc[doc])
+        assert got == [(b, seq) for b in range(BANDS)]
+    # Corpus rows untouched.
+    assert all(
+        all(s == 0 for _, s in v)
+        for d, v in by_doc.items()
+        if d not in expected_seq
+    )
