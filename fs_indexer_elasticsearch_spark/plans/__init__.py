@@ -38,32 +38,37 @@ from . import curation_pipeline  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r9 rotation: prefix = the 6 NEW r9 queries (a GENUINE multimodal
-# decode through the real kernel plus the frame-sample kernel, the
-# change feed spanning a rebucket boundary, and the non-distributive
-# view-maintenance forms — min/max with extremum-departure recompute,
-# its steady-state chained variant, and a fact-join-dim view
-# maintained from the fact feed alone; never driver-checked), then the
-# queries whose IMPLEMENTATION changed in r9 and need fresh driver
-# rows (the CDF family — read_changes was rewritten onto the
-# version-path walk; the recall pair — shared checkpointed ground
-# truth; the curation composition — refactored into curate_stages for
-# the corpus-build CLI; dedup_simhash — the single-expr SimHash fold),
-# then the r8 newcomers and the same family
-# anchors as before, filling the 50. Displaced below the boundary:
-# per_domain_cap, quality_classifier_score, substring_dup_spans,
-# substring_dedup_clean, dedup_incremental_batch_manifest,
-# ann_incremental_ivf_topk (driver-green r8, unchanged in r9) — all
-# remain covered by the local replica gate + pytest.
+# r10 rotation — now MECHANICAL, not a judgment call: the prefix must
+# contain every query whose normalized analyzed-plan fingerprint is
+# new or changed since the last driver round commit
+# (PLAN_FINGERPRINTS.json, diffed by tools/rotation_check.py, which
+# gate.py runs and fails on). This round that set is exactly: the 2
+# new r10 queries (changing-dim joined IVM, mass-delete hi-card
+# min/max IVM) and the 3 whose plans flipped (the min/max IVM pair —
+# extremum recompute became a broadcast semi-join — and
+# multimodal_frame_sample — real container demux with gated
+# width/height/kind columns). Runtime-only r10 changes (index-store
+# retry, backfill flock, walker frontier, composite-id escaping in
+# the sinks) leave plans untouched and are pytest-verified instead.
+# Displaced below the boundary: decontaminate_clean,
+# store_point_lookup (unchanged since r8, driver-green twice,
+# families still anchored in the prefix).
 _PRIORITY = [
-    # New in r9 — never driver-checked
-    "multimodal_ppm_decode",
-    "multimodal_frame_sample",
-    "store_read_changes_rebucket",
+    # New in r10 — never driver-checked (changing-dim joined IVM; the
+    # mass-delete high-cardinality min/max IVM / SCALE_STRESS probe)
+    "incremental_view_joined_dimchange",
+    "incremental_view_minmax_hicard",
+    # Changed in r10 — plan fingerprints flipped (PLAN_FINGERPRINTS
+    # diff vs the r9 base, tools/rotation_check.py): the min/max IVM
+    # recompute became a broadcast semi-join; frame sampling became a
+    # real container demux with new gated columns
     "incremental_view_minmax",
     "incremental_view_minmax_chained",
+    "multimodal_frame_sample",
+    # r9 prefix carried forward (one driver round old)
+    "multimodal_ppm_decode",
+    "store_read_changes_rebucket",
     "incremental_view_joined",
-    # Changed in r9 — need fresh driver rows
     "store_read_changes",
     "store_read_changes_hardlink",
     "incremental_view_maintenance",
@@ -72,10 +77,11 @@ _PRIORITY = [
     "curation_pipeline_e2e",
     "incremental_curation_cycle",
     "dedup_simhash",
-    # New in r8 — one driver round old
+    # New in r8 — two driver rounds old. Displaced below the boundary
+    # this round to make room for the two r10 newcomers:
+    # decontaminate_clean, store_point_lookup (both unchanged since
+    # r8, driver-green twice, families still anchored in the prefix).
     "dedup_incremental_rebucket",
-    "store_point_lookup",
-    "decontaminate_clean",
     "dedup_incremental_tombstone",
     "substring_incremental_tombstone",
     "ann_incremental_ivf_manifest",
@@ -119,9 +125,13 @@ _PRIORITY = [
     "snapshot_diff_changes",
     "rollup_directory_sizes",
     # --- 50-query prefix boundary (driver samples a prefix; everything
-    # above is new in r9, changed in r9, recent in r8, or anchors a §2
-    # family; everything below is driver-green from an earlier round
-    # and stays green under the local replica gate) ---
+    # above is new in r10, plan-changed in r10 (mechanically verified:
+    # tools/rotation_check.py diffs PLAN_FINGERPRINTS.json against the
+    # last driver round), recent, or anchors a §2 family; everything
+    # below is driver-green from an earlier round and stays green
+    # under the local replica gate) ---
+    "decontaminate_clean",
+    "store_point_lookup",
     "per_domain_cap",
     "quality_classifier_score",
     "minhash_estimate_quality",

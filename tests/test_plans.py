@@ -145,14 +145,15 @@ def test_registry_priority_prefix_covers_llm_layer():
     required = {
         "dedup_exact", "dedup_minhash_lsh", "dedup_connected_components",
         "similarity_lsh_ann_topk",
-        # The prefix holds EVERY never-driver-checked query (r9: the
-        # genuine multimodal decode, the rebucket-spanning change feed,
-        # the min/max and joined view-maintenance forms) and every
-        # query whose IMPLEMENTATION changed this round (the CDF
-        # family, the recall pair, the curation composition), plus one
-        # anchor per core family; multi-round driver-green queries
-        # rotate below — the driver's hard signal goes to the
-        # least-tested first.
+        # The prefix holds EVERY never-driver-checked query and every
+        # query whose plan fingerprint changed this round (r10: the
+        # changing-dim joined IVM and hi-card min/max IVM are new; the
+        # min/max IVM pair and the frame sampler flipped plans —
+        # enforced mechanically by tools/rotation_check.py in the
+        # gate), plus one anchor per core family; multi-round
+        # driver-green queries rotate below — the driver's hard signal
+        # goes to the least-tested first.
+        "incremental_view_joined_dimchange", "incremental_view_minmax_hicard",
         "multimodal_ppm_decode", "multimodal_frame_sample",
         "store_read_changes_rebucket", "incremental_view_minmax_chained",
         "incremental_view_minmax", "incremental_view_joined",
@@ -160,9 +161,8 @@ def test_registry_priority_prefix_covers_llm_layer():
         "curation_pipeline_e2e", "incremental_curation_cycle",
         "dedup_incremental_tombstone", "substring_incremental_tombstone",
         "ann_incremental_ivf_manifest", "dedup_incremental_rebucket",
-        "store_point_lookup", "store_read_changes",
+        "store_read_changes",
         "store_read_changes_hardlink", "incremental_view_maintenance",
-        "decontaminate_clean",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "binary_payload_meta",
         "dedup_simhash", "quantized_ann_int8_topk",

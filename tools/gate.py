@@ -10,7 +10,12 @@ Steps (each a subprocess with its own SparkSession lifecycle):
   1. tools/check_correctness.py over the FULL registry
        -> CORRECTNESS_LOCAL_r{NN}.json
   2. tools/plan_audit.py over the full registry -> PLAN_AUDIT.md
-  3. (--bench) bench.py -> stdout JSON line, appended to BENCH_DETAIL.json
+  3. tools/plan_fingerprints.py -> PLAN_FINGERPRINTS.json, then
+     tools/rotation_check.py fails the gate if any query whose
+     normalized plan changed since the last driver round sits below
+     the 50-query driver prefix (r9 verdict #6 — the rotation rule,
+     mechanized).
+  4. (--bench) bench.py -> stdout JSON line, appended to BENCH_DETAIL.json
      by bench's own machinery; the line is echoed for the round log.
 
 Exit status is nonzero if any step fails, and later steps still run
@@ -53,6 +58,24 @@ def main() -> int:
                 os.path.join(REPO, "tools", "plan_audit.py"),
                 "--out",
                 os.path.join(REPO, "PLAN_AUDIT.md"),
+            ],
+        ),
+        (
+            "fingerprints",
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "plan_fingerprints.py"),
+                "--sf-dir",
+                a.sf_dir,
+                "--out",
+                os.path.join(REPO, "PLAN_FINGERPRINTS.json"),
+            ],
+        ),
+        (
+            "rotation-check",
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "rotation_check.py"),
             ],
         ),
     ]
