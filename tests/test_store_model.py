@@ -225,3 +225,91 @@ def test_store_agrees_with_model_under_random_programs(
             assert feed == _model_diff(history[v_from], history[v_to]), (
                 f"step {step} feed v{v_from}->v{v_to}"
             )
+
+
+@pytest.mark.parametrize("layout,seed", [("hardlink", 3), ("manifest", 5)])
+def test_feed_survives_vacuumed_intermediate_versions(
+    spark, tmp_path, layout, seed
+):
+    """The degradation contract (r9 verdict #7): when an intermediate
+    version VANISHES mid-history — a crash-interrupted vacuum, an
+    externally truncated store — the version-path walk can no longer
+    prove transitions pure, and read_changes must degrade to a full
+    two-version diff that is still HASH-IDENTICAL to the true delta
+    (correct, just slower), for every retained endpoint pair.
+
+    The program builds a seeded random history with a REBUCKET in the
+    middle, then removes one random intermediate version's artifacts
+    per probe round (manifest file / version dir — exactly what a
+    partial vacuum leaves). Removing the rebucket commit itself severs
+    the provenance chain (counts differ across the gap, no
+    rebucket_from match -> the honest full-diff path); removing a
+    plain merge leaves a same-count gap the metadata diff still
+    resolves exactly. Both must agree with the model."""
+    import os
+    import shutil
+
+    rng = random.Random(seed)
+    store = SnapshotStore(
+        spark,
+        str(tmp_path / "snap"),
+        key="k",
+        version_col="v",
+        num_buckets=4,
+        layout=layout,
+    )
+    model: dict[str, tuple[int, str]] = {}
+    history: dict[int, dict] = {}
+
+    def commit_merge(step: int) -> None:
+        ks = rng.sample(KEYS, rng.randint(2, 6))
+        batch = [(k, step, f"p{rng.randrange(100)}") for k in ks]
+        removed = rng.sample(KEYS, rng.randint(0, 2))
+        v = store.merge(
+            _df(spark, batch),
+            removed=spark.createDataFrame([(k,) for k in removed], "k string")
+            if removed
+            else None,
+        )
+        _apply_merge(model, batch, removed)
+        history[v] = dict(model)
+
+    v = store.overwrite(_df(spark, [(k, 0, "seed") for k in KEYS[:12]]))
+    model = {k: (0, "seed") for k in KEYS[:12]}
+    history[v] = dict(model)
+    for step in range(1, 4):
+        commit_merge(step)
+    rb = store.rebucket(8)
+    history[rb] = dict(model)
+    for step in range(4, 7):
+        commit_merge(step)
+
+    def drop_version(victim: int) -> None:
+        if layout == "manifest":
+            os.remove(store._manifest_path(victim))
+        else:
+            shutil.rmtree(store._version_dir(victim))
+        history.pop(victim, None)
+
+    # Round 1: drop the REBUCKET commit itself — the provenance chain
+    # breaks and every window spanning the gap must take the full-diff
+    # path. Round 2: drop another random intermediate (same-count gap).
+    retained = store.versions()
+    drop_version(rb)
+    # The degradation branch must actually engage: across the gap the
+    # counts differ and no surviving cfg carries the provenance tag,
+    # so the walk returns None (-> full diff), not a pruned group set.
+    assert store._changed_bucket_groups(rb - 1, rb + 1) is None
+    for _ in range(2):
+        retained = store.versions()
+        assert sorted(history) == retained
+        for v_from in retained[:-1]:
+            for v_to in retained[retained.index(v_from) + 1 :]:
+                feed = {
+                    r.k: (r._change, (r.v, r.payload))
+                    for r in store.read_changes(v_from, v_to).collect()
+                }
+                assert feed == _model_diff(history[v_from], history[v_to]), (
+                    f"feed v{v_from}->v{v_to} after dropping intermediates"
+                )
+        drop_version(rng.choice(retained[1:-1]))
