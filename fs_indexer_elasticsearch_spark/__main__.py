@@ -40,6 +40,20 @@ def _index_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--out-dir", default="./out", help="bulk/delete output dir")
     ap.add_argument("--direct-links", action="store_true", help="enable enrichment")
+    ap.add_argument(
+        "--publish-mode",
+        choices=["full", "changed"],
+        help="ES publish scope per cycle: full republish (reference "
+        "parity) or only this cycle's change feed (O(changed))",
+    )
+    ap.add_argument(
+        "--merge-retries",
+        type=int,
+        default=None,
+        metavar="N",
+        help="optimistic rebase-and-retry budget for snapshot commits "
+        "(0 = fail-fast single-writer, the default)",
+    )
     ap.add_argument("--version", action="version", version="0.1.0")
     return ap
 
@@ -57,6 +71,10 @@ def _run_index(args, spark) -> int:
         cfg.mode = args.mode
     if args.direct_links:
         cfg.direct_links_enabled = True
+    if args.publish_mode:
+        cfg.publish_mode = args.publish_mode
+    if args.merge_retries is not None:
+        cfg.merge_retries = args.merge_retries
 
     result = run_pipeline(spark, cfg, out_dir=args.out_dir)
     summary = {

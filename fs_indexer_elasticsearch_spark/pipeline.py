@@ -129,10 +129,19 @@ def run_pipeline(
     # merged table — merge is additive and would mask removals), then
     # merge updates and delete the removed rows, reference parity with
     # ON CONFLICT upsert + DELETE..NOT IN (scanner.py:225-244,447-454).
+    # cfg.merge_retries > 0 opts the (commutable, newer-wins) snapshot
+    # commits into the store's optimistic rebase-and-retry.
+    def _commit(st, batch, removed=None):
+        if cfg.merge_retries > 0:
+            return st.merge_with_retry(
+                batch, removed, max_retries=cfg.merge_retries
+            )
+        return st.merge(batch, removed=removed)
+
     diff = None
     prev_version = store.current_version()  # publish_mode="changed" anchor
     if previous is None:
-        version = store.merge(entries)
+        version = _commit(store, entries)
         # First cycle: the store was written FROM `entries` (unique keys,
         # no removals), so the merged table IS the cached scan — reuse it
         # instead of re-reading the parquet we just wrote.
@@ -150,7 +159,7 @@ def run_pipeline(
         # (the O(table) overwrite was round 1's one genuine scale-killer).
         upsert_ids = diff.filter(F.col("change").isin("added", "changed")).select("id")
         delta = entries.join(upsert_ids, on="id", how="left_semi")
-        version = store.merge(delta, removed=removed_ids)
+        version = _commit(store, delta, removed_ids)
         current = store.read().drop("_bucket").cache()
         # The scan cache is dead past this point in the incremental
         # branch (stats/result use `current`; `diff` is cached
@@ -190,7 +199,7 @@ def run_pipeline(
         # merge() executes the fetch plan exactly once (the bucket
         # write); enrichment below reads the materialized store, so no
         # side-effecting call runs twice.
-        links_version = links_store.merge(fetched, removed=removed_links)
+        links_version = _commit(links_store, fetched, removed_links)
         links = links_store.read().drop("_bucket")
         enriched = enrich_with_links(current, links, broadcast_links=False)
     else:

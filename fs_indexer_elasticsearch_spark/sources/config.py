@@ -43,6 +43,12 @@ class PipelineConfig:
     # last_seen — the documented tradeoff that makes a nightly 100 TB
     # publish affordable).
     publish_mode: str = "full"
+    # Optimistic rebase-and-retry budget for the snapshot merges (fs
+    # entries + links): 0 keeps the fail-fast single-writer contract;
+    # > 0 routes commits through SnapshotStore.merge_with_retry —
+    # newer-wins merges commute, so a nightly job colliding with an
+    # ad-hoc backfill rebases instead of dying (sinks/snapshot.py).
+    merge_retries: int = 0
     raw: dict[str, Any] = field(default_factory=dict)
 
 
@@ -102,5 +108,6 @@ def load_config(path: str | None = None) -> PipelineConfig:
         ),
         snapshot_layout=data.get("database", {}).get("layout", "hardlink"),
         publish_mode=data.get("elasticsearch", {}).get("publish_mode", "full"),
+        merge_retries=int(data.get("database", {}).get("merge_retries", 0)),
         raw=data,
     )

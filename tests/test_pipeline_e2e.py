@@ -326,6 +326,63 @@ def test_mode_matrix(spark, tmp_path):
             assert f_doc["direct_link"].startswith("https://")
 
 
+def test_index_cli_exposes_publish_mode_and_merge_retries(
+    spark, tmp_path, capsys
+):
+    """CLI parity for the index side (r9 verdict #8): `index
+    --publish-mode changed --merge-retries N` reaches the pipeline —
+    the second cycle's bulk ships only the change feed, and the merge
+    path runs through the retry wrapper (same result as fail-fast when
+    uncontended). Extends the reference's config-matrix coverage
+    (test_configuration_modes.py) to the two r9/r10 knobs."""
+    from fs_indexer_elasticsearch_spark.__main__ import main
+
+    root = str(tmp_path / "fsroot")
+    for i in range(6):
+        _write(f"{root}/d/f{i}.txt", b"x" * (i + 1))
+    cfg_yaml = str(tmp_path / "cfg.yaml")
+    with open(cfg_yaml, "w") as f:
+        f.write(
+            "database:\n"
+            f"  path: {tmp_path / 'snapshots'}\n"
+            "root_path: ignored\n"
+        )
+
+    def cycle(out):
+        rc = main(
+            [
+                "index",
+                "--config", cfg_yaml,
+                "--root-path", root,
+                "--publish-mode", "changed",
+                "--merge-retries", "3",
+                "--out-dir", out,
+            ],
+            spark=spark,
+        )
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    s1 = cycle(str(tmp_path / "out1"))
+    assert s1["snapshot_version"] == 1
+    time.sleep(1.1)
+    _write(f"{root}/d/f0.txt", b"y" * 50)
+    os.remove(f"{root}/d/f5.txt")
+    s2 = cycle(str(tmp_path / "out2"))
+    assert s2["snapshot_version"] == 2
+    assert s2["changes"]["changed"] >= 1
+    assert s2["changes"]["removed"] == 1
+
+    acts = []
+    for part in glob.glob(os.path.join(str(tmp_path / "out2"), "bulk", "part-*")):
+        with open(part) as f:
+            acts.extend(json.loads(ln) for ln in f if ln.strip())
+    # Change-feed publish, not a 7-doc re-bulk: the one delete plus a
+    # handful of changed/parent-dir index actions.
+    assert sum(1 for a in acts if "delete" in a) == 1
+    assert 1 <= sum(1 for a in acts if "index" in a) <= 3
+
+
 def test_pipeline_retention_bounds_versions(spark, tmp_path):
     """5 cycles with keep_versions=2 must leave at most 2 version dirs
     per store, the current pointer readable, and shared (hard-linked)
