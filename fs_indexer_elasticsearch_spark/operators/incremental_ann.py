@@ -280,21 +280,53 @@ class IvfIndexStore:
         FIXED centroids and bucket-pruned-merge it in (the centroid
         meta carries forward with the new version automatically).
 
-        ``max_retries`` > 0 opts into the store's optimistic
-        rebase-and-retry: adds against the SAME centroid generation
-        commute (LWW upsert per vec id; cell assignment depends only
-        on the fixed centroids, not on the base state), so two racing
-        add jobs land the same final index in either order. Retrain/
-        seed keeps fail-fast — an overwrite's result depends on the
-        base."""
+        ``max_retries`` > 0 opts into an optimistic rebase-and-retry
+        that is GENERATION-PINNED: adds against the SAME centroid
+        generation commute (LWW upsert per vec id; cell assignment
+        depends only on the fixed centroids, not on the base state),
+        but a retry must never land rows whose cids were computed
+        against centroids a concurrent retrain/seed just replaced —
+        the vectors would silently mis-bucket in the new cell layout.
+        Each attempt therefore (1) re-reads the pointer, (2) verifies
+        the centroid generation it assigned against is STILL the one
+        at that version, and (3) commits with ``expected_base`` pinned
+        to it — the store's claim re-check makes the validation exact
+        (no validate-vs-claim window). A generation change aborts with
+        ConcurrentWriteError immediately: the caller must re-assign
+        against the new centroids, not retry. Retrain/seed themselves
+        keep fail-fast — an overwrite's result depends on the base."""
         if self.store.current_version() is None:
             raise ValueError("IVF index is empty — seed() it first")
         rows = self._assigned(
             batch, id_col, vec_col, seq, self.centroids(), self._dim()
         )
-        if max_retries > 0:
-            return self.store.merge_with_retry(rows, max_retries=max_retries)
-        return self.store.merge(rows)
+        if max_retries <= 0:
+            return self.store.merge(rows)
+        import os
+        import time
+
+        from ..sinks.snapshot import ConcurrentWriteError
+
+        gen0 = (self.store.read_meta() or {}).get("tombstone_gen", 0)
+        attempt = 0
+        while True:
+            v0 = self.store.current_version()
+            gen_v0 = (self.store.read_meta(v0) or {}).get("tombstone_gen", 0)
+            if gen_v0 != gen0:
+                raise ConcurrentWriteError(
+                    f"IVF centroid generation moved {gen0} -> {gen_v0} "
+                    "(concurrent retrain/seed) while this add was "
+                    "retrying; its cell assignments are stale — "
+                    "re-assign against the current centroids"
+                )
+            try:
+                return self.store.merge(rows, expected_base=v0)
+            except ConcurrentWriteError:
+                if attempt >= max_retries:
+                    raise
+                jitter = ((os.getpid() * 1103515245 + attempt) % 97) / 97.0
+                time.sleep(0.05 * (2**attempt) * (0.5 + jitter))
+                attempt += 1
 
     def remove_vecs(self, vec_ids: DataFrame, *, mode: str = "eager") -> int:
         """Drop every index row of the given vector ids (one-column

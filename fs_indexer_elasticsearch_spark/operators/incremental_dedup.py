@@ -235,10 +235,10 @@ class MinHashBandStore:
             # immutable and retained until vacuum, so the lazy result
             # keeps reading the pre-merge version's files. The merge
             # itself is a bucket-pruned upsert, O(batch bands).
-            if max_retries > 0:
-                self.store.merge_with_retry(bands, max_retries=max_retries)
-            else:
-                self.store.merge(bands)
+            # merge_with_retry(max_retries=0) IS the fail-fast merge
+            # (first ConcurrentWriteError re-raises), so one call
+            # covers both modes.
+            self.store.merge_with_retry(bands, max_retries=max_retries)
         return matches
 
     def remove_docs(self, doc_ids: DataFrame, *, mode: str = "eager") -> int:

@@ -211,10 +211,8 @@ class ShingleSpanStore:
         if merge:
             # Result stays valid across the merge: versions are
             # immutable and retained until vacuum.
-            if max_retries > 0:
-                self.store.merge_with_retry(rows, max_retries=max_retries)
-            else:
-                self.store.merge(rows)
+            # merge_with_retry(max_retries=0) IS the fail-fast merge.
+            self.store.merge_with_retry(rows, max_retries=max_retries)
         return out
 
     def remove_docs(self, doc_ids: DataFrame, *, mode: str = "eager") -> int:

@@ -13,10 +13,13 @@ splits the groups per cycle:
   from the delta alone — O(feed);
 - groups where a removal ties-or-beats the stored extremum are
   RECOMPUTED from the post-state base, restricted to exactly those
-  groups by a BROADCAST LEFT-SEMI JOIN of the affected-group frame
-  against the base — the affected set never leaves the executors and
-  never becomes a literal predicate, so a mass delete touching
-  millions of groups neither OOMs the driver nor inflates the plan.
+  groups by a LEFT-SEMI JOIN of the affected-group frame against the
+  base — the affected set never becomes a driver-side key list or a
+  literal predicate. The join strategy is left to AQE: the common
+  cycle's handful of affected groups broadcasts, while a mass delete
+  touching millions of groups falls back to a shuffled semi-join
+  (an explicit broadcast hint here would smuggle the
+  driver-proportional cost back in through the broadcast build).
 
 Cost honesty at 100 TB: the recompute's aggregation work is
 O(affected groups' rows), but a base bucketed on the KEY (the
@@ -158,7 +161,13 @@ def maintain_min_max(
     )
     # Affected groups stay a DataFrame — no key list on the driver, no
     # literal predicate in the plan. The eqNullSafe semi-join keeps an
-    # affected NULL group (plain == would drop it from the view).
+    # affected NULL group (plain == would drop it from the view). No
+    # explicit broadcast hint: the common cycle's affected set is tiny
+    # and AQE broadcasts it on its own, while a mass delete touching
+    # millions of groups must be FREE to fall back to a shuffled
+    # semi-join — a forced broadcast would rebuild exactly the
+    # driver-proportional failure (collect to driver + 8 GB broadcast
+    # cap) this path exists to avoid.
     affected = j.filter(F.col("_recompute")).select(
         *[F.col(c).alias(f"_ag_{c}") for c in g]
     )
@@ -170,7 +179,7 @@ def maintain_min_max(
     cur = store.read(version=v_to)
     recomputed = (
         cur.join(
-            F.broadcast(affected),
+            affected,
             reduce(
                 lambda a, b: a & b,
                 [F.col(c).eqNullSafe(F.col(f"_ag_{c}")) for c in g],

@@ -149,6 +149,18 @@ def demux_pgm_video(b: bytes) -> list[tuple[int, int, bytes]]:
     return frames
 
 
+def _first_frame_ok(b: bytes) -> bool:
+    """True when ``b`` opens with one COMPLETE well-formed P5 frame —
+    the discriminator between a real-but-truncated container
+    (poison, tag 'fallback') and arbitrary bytes that merely start
+    with the two characters 'P5' (not a container, tag 'bytes')."""
+    try:
+        magic, _w, _h, raster_start, n_raster = _pnm_header(b, 0)
+    except ValueError:
+        return False
+    return magic == b"P5" and raster_start + n_raster <= len(b)
+
+
 def decode_pnm(b: bytes) -> tuple[int, int, bytes]:
     """Dependency-free decode of binary NetPBM rasters — P5 (grayscale
     PGM) and P6 (RGB PPM) — to ``(width, height, grayscale_bytes)``.
@@ -418,7 +430,10 @@ def sample_frames(
     slices, ``frame_kind='bytes'``), and a container whose demux fails
     mid-stream (truncated frame — poison payload) falls back to the
     same slicing with ``frame_kind='fallback'`` instead of killing
-    the task."""
+    the task. Payloads that merely BEGIN with the bytes 'P5' but do
+    not open with one complete well-formed frame are not containers —
+    they slice under the honest 'bytes' tag, so 'fallback' stays a
+    true corruption signal."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -448,7 +463,18 @@ def sample_frames(
                             for i, (w, h, fb) in enumerate(demuxed)
                         ][::frame_stride][:max_frames]
                     except ValueError:
-                        out = slices(b, "fallback")
+                        # 'fallback' means a CONTAINER went bad
+                        # mid-stream (a complete first frame parsed,
+                        # later bytes truncated/garbled) — a genuine
+                        # poison signal. Arbitrary bytes that merely
+                        # START with 'P5' (e.g. text payloads) are not
+                        # containers at all and keep the honest
+                        # 'bytes' tag, or downstream corruption
+                        # monitors would alarm on ordinary data.
+                        out = slices(
+                            b,
+                            "fallback" if _first_frame_ok(b) else "bytes",
+                        )
                 else:
                     out = slices(b, "bytes")
                 for i, fb, w, h, kind in out:

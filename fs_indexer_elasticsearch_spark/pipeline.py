@@ -129,13 +129,27 @@ def run_pipeline(
     # merged table — merge is additive and would mask removals), then
     # merge updates and delete the removed rows, reference parity with
     # ON CONFLICT upsert + DELETE..NOT IN (scanner.py:225-244,447-454).
-    # cfg.merge_retries > 0 opts the (commutable, newer-wins) snapshot
-    # commits into the store's optimistic rebase-and-retry.
+    # cfg.merge_retries > 0 opts the snapshot commits into the store's
+    # optimistic rebase-and-retry — but ONLY the removal-free ones:
+    # newer-wins upserts commute, while a diff-derived removal is a
+    # statement about THIS scan's base state ("absent at scan time"),
+    # and a rebased retry would re-apply it over a concurrent writer's
+    # newer upsert of the same key (delete does not commute — see
+    # merge_with_retry's caveat). A removal-carrying cycle therefore
+    # stays fail-fast; its re-run re-derives the removal set against
+    # the fresh state.
     def _commit(st, batch, removed=None):
         if cfg.merge_retries > 0:
-            return st.merge_with_retry(
-                batch, removed, max_retries=cfg.merge_retries
-            )
+            # A no-deletion cycle usually passes an EMPTY removal frame
+            # (the diff found nothing removed) — probe it (cheap: the
+            # diff is cached) so the common append/update-only night
+            # still gets the retry path.
+            if removed is not None and removed.isEmpty():
+                removed = None
+            if removed is None:
+                return st.merge_with_retry(
+                    batch, max_retries=cfg.merge_retries
+                )
         return st.merge(batch, removed=removed)
 
     diff = None

@@ -806,9 +806,10 @@ def incremental_view_minmax_hicard(spark: SparkSession, sf_dir: str) -> DataFram
     extremum in one cycle. This is exactly the shape where a
     driver-collected affected-key list would melt (millions of groups
     at 100 TB): maintain_min_max keeps the affected set as a DataFrame
-    and broadcast-left-semi-joins it against the post-state base, so
-    the cycle's cost is O(feed) + one semi-join-filtered scan, with
-    nothing group-proportional on the driver. Reuses the joined-view
+    and left-semi-joins it against the post-state base (AQE picks
+    broadcast for small sets, shuffle for huge ones), so the cycle's
+    cost is O(feed) + one semi-join-filtered scan, with nothing
+    group-proportional on the driver. Reuses the joined-view
     demo store (o_custkey dim); the oracle recomputes every group from
     scratch. Registered as a SCALE_STRESS probe (amplified orders
     grow rows per group k-fold while the group count stays fixed —

@@ -1297,6 +1297,7 @@ class SnapshotStore:
         removed: DataFrame | None = None,
         *,
         meta: dict | None = None,
+        expected_base: int | None | type(...) = ...,
     ) -> int:
         """Newer-wins upsert of a batch into the current snapshot
         (the reference's ON CONFLICT ... WHERE excluded newer), plus
@@ -1330,6 +1331,20 @@ class SnapshotStore:
                 "Use an explicit full-pass removal for index stores."
             )
         cur_v = self.current_version()
+        # ``expected_base``: same optimistic-concurrency token as
+        # overwrite's — a caller whose BATCH depends on state it
+        # validated at a specific version (e.g. IVF assignment against
+        # that version's centroid meta) pins the commit to it; the
+        # _txn pointer re-check below then makes the validation exact
+        # (no window between validate and claim). merge's own data
+        # basis is always the pointer read here, so a mismatch aborts
+        # before any work.
+        if expected_base is not ... and cur_v != expected_base:
+            raise ConcurrentWriteError(
+                f"pointer of {self.path} is at {cur_v}, but this merge's "
+                f"batch was validated against {expected_base}; re-derive "
+                "and retry"
+            )
         batch = batch.drop("_bucket")
         if cur_v is None:
             if removed is not None:
@@ -1488,12 +1503,22 @@ class SnapshotStore:
         COMMUTES with other merges: whichever writer lands first, the
         final state per key is the row with the greatest version_col
         (ties keep the incumbent — the one order-dependent edge, same
-        as the reference's strictly-newer upsert predicate), and key
-        deletions route to their own buckets regardless of order. So
-        when two legitimate jobs collide (nightly merge vs ad-hoc
+        as the reference's strictly-newer upsert predicate). So when
+        two legitimate jobs collide (nightly merge vs ad-hoc
         backfill), the loser can simply REBASE: re-read the pointer —
         ``merge`` re-reads it on entry — and re-apply its delta on top
         of the winner's commit.
+
+        DELETIONS are the caveat: ``removed`` applies as an
+        unconditional anti-join, so a rebased retry re-applies a
+        possibly-STALE delete over a row a concurrent winner just
+        upserted newer — delete does not commute with a newer upsert
+        of the same key. Pass ``removed`` here only when the racing
+        writers' key sets are disjoint (e.g. each job owns a key
+        range) or delete-wins is the intended semantics; otherwise
+        keep removal-carrying commits on the fail-fast ``merge`` so
+        the loser re-derives its removal set against the fresh state
+        (what ``pipeline.run_pipeline`` does).
 
         Each attempt is all-or-nothing (the claim + pointer re-check
         happen before any data is written), so a retry can never

@@ -45,9 +45,12 @@ class PipelineConfig:
     publish_mode: str = "full"
     # Optimistic rebase-and-retry budget for the snapshot merges (fs
     # entries + links): 0 keeps the fail-fast single-writer contract;
-    # > 0 routes commits through SnapshotStore.merge_with_retry —
-    # newer-wins merges commute, so a nightly job colliding with an
-    # ad-hoc backfill rebases instead of dying (sinks/snapshot.py).
+    # > 0 routes REMOVAL-FREE commits through
+    # SnapshotStore.merge_with_retry — newer-wins upserts commute, so
+    # a nightly job colliding with an ad-hoc backfill rebases instead
+    # of dying. Cycles that delete keys stay fail-fast regardless: a
+    # diff-derived removal is relative to this scan's base state and
+    # must be re-derived, not rebased (sinks/snapshot.py).
     merge_retries: int = 0
     raw: dict[str, Any] = field(default_factory=dict)
 

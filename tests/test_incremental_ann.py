@@ -295,3 +295,52 @@ def test_retrain_refreshes_centroids_and_search_works(spark, tmp_path):
         full.filter(F.col("vec_id") == 1), "vec_id", "emb", k=3, nprobe=2
     ).collect()
     assert len(got) == 3 and all(r.cos_sim is not None for r in got)
+
+
+def test_add_retry_is_generation_pinned(spark, tmp_path):
+    """add(max_retries>0) must never rebase stale cell assignments
+    over a concurrent retrain: when the claim race is lost TO a
+    retrain (simulated: the first merge attempt performs a real
+    retrain and then raises ConcurrentWriteError, exactly what the
+    loser observes), the retry loop re-checks the centroid generation
+    and aborts with a generation error instead of committing cids
+    computed against the replaced centroids. Uncontended adds with
+    max_retries>0 still commit normally."""
+    import pytest as _pytest
+
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import (
+        ConcurrentWriteError,
+    )
+
+    full = _vecs(spark, range(40))
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(full.filter(F.col("vec_id") < 30),
+               full.filter(F.col("vec_id") < 4), "vec_id", "emb")
+
+    # Uncontended: the retry path commits like the plain path.
+    store.add(_vecs(spark, range(30, 35)), "vec_id", "emb", seq=1,
+              max_retries=3)
+    assert store.store.read().count() == 35
+
+    real_merge = store.store.merge
+    calls = {"n": 0}
+
+    def losing_merge(batch, removed=None, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # A retrain wins the claim this add was racing for...
+            store.retrain(full.filter(F.col("vec_id") < 35),
+                          "vec_id", "emb", k=6, iterations=1)
+            # ...and the loser sees exactly this:
+            raise ConcurrentWriteError("lost the claim to the retrain")
+        return real_merge(batch, removed=removed, **kw)
+
+    store.store.merge = losing_merge
+    try:
+        with _pytest.raises(ConcurrentWriteError, match="generation"):
+            store.add(_vecs(spark, range(35, 40)), "vec_id", "emb", seq=2,
+                      max_retries=5)
+    finally:
+        store.store.merge = real_merge
+    # Nothing from the aborted batch leaked into the index.
+    assert store.store.read().filter(F.col("vec_id") >= 35).count() == 0

@@ -635,3 +635,16 @@ def test_resize_real_branch_with_fake_pil():
                 sys.modules.pop(k, None)
             else:
                 sys.modules[k] = v
+
+
+def test_p5_prefixed_text_is_bytes_not_fallback(spark):
+    """Arbitrary bytes that merely START with 'P5' are not containers:
+    they must slice under the honest 'bytes' tag — 'fallback' is
+    reserved for a real container gone bad mid-stream, so corruption
+    monitors never alarm on ordinary text payloads."""
+    assets = spark.createDataFrame(
+        [("t", "video", bytearray(b"P5 hello world, just text " * 4), "v/p")],
+        "asset_id string, media_type string, payload binary, mime string",
+    )
+    rows = sample_frames(assets, every_n_bytes=16).collect()
+    assert rows and all(r.frame_kind == "bytes" for r in rows)
