@@ -127,6 +127,11 @@ STRESSED = {
     # semi-join recompute (operators/ivm.py) stays row-linear with no
     # group-proportional driver term.
     "incremental_view_minmax_hicard": "orders",
+    # r10: both-sides-changing joined-view IVM — fact feed and
+    # per-changed-customer aggregates grow k-fold against the fixed
+    # dim; alpha ~ 1 proves the two-term delta (dF joined to D1 +
+    # semi-join-restricted F2 joined to dD) stays feed-proportional.
+    "incremental_view_joined_dimchange": "orders",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
     "similarity_lsh_ann_topk": "embeddings",
