@@ -194,3 +194,128 @@ def maintain_min_max(
         )
     )
     return kept.unionByName(recomputed)
+
+
+def maintain_joined_agg(
+    fact_store,
+    dim_store,
+    v_from: int,
+    v_to: int,
+    *,
+    fact_key_col: str,
+    dim_key_col: str,
+    group_col: str,
+    cents_col: str = "price",
+    old_view: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain a fact ⋈ dim per-group (count, cents-sum) view across
+    one window in which BOTH stores changed, by the exact two-term
+    delta decomposition
+
+        V2 - V1 = ΔF ⋈ D1  +  F2 ⋈ ΔD
+
+    (first change the facts under yesterday's dim, then move whole
+    per-key fact aggregates between groups as the dim rows move).
+    Returns columns ``[group_col, n, s]`` (``s`` in integer cents)
+    equal to a from-scratch ``F(v_to) ⋈ D(v_to)`` aggregate.
+
+    - Term 1 joins the FACT feed to the pre-state dim (broadcast-
+      sized) with signed algebra: pre-images subtract, post-images
+      add.
+    - Term 2 signs the DIM feed (a re-grouped key subtracts its
+      entire post-state fact aggregate from the old group and adds it
+      to the new one; inserts/deletes are one-sided) against
+      per-key aggregates of F(v_to) RESTRICTED by a broadcast
+      semi-join to only the dim-changed keys — the fact table is
+      never rescanned; O(facts of changed keys).
+
+    ``old_view`` is the PREVIOUSLY MAINTAINED view (this function's
+    own output) — feed each cycle's result back in and the base is
+    never rescanned after the first derivation, exactly like
+    ``maintain_min_max``'s steady state. Omitted, V1 derives from the
+    two ``v_from`` snapshots (one O(v_from) join, the demo /
+    first-cycle path).
+
+    ``group_col`` is assumed NON-NULL (it is a dim attribute — the
+    view's grouping dimension): the three-way combine joins groups by
+    plain equality, so a NULL group would split across terms instead
+    of pairing (``maintain_min_max`` shows the eqNullSafe treatment
+    if a nullable group is ever needed)."""
+    cents = F.round(F.col(cents_col) * 100).cast("long")
+    d_prev = F.broadcast(
+        dim_store.read(version=v_from).select(dim_key_col, group_col)
+    )
+    if old_view is not None:
+        old = old_view.select(
+            group_col, F.col("n").alias("_n0"), F.col("s").alias("_s0")
+        )
+    else:
+        old = (
+            fact_store.read(version=v_from)
+            .join(d_prev, F.col(fact_key_col) == F.col(dim_key_col))
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_n0"), F.sum(cents).alias("_s0"))
+        )
+    sign_of = lambda col: F.when(  # noqa: E731
+        col.isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    ffeed = fact_store.read_changes(v_from, v_to, update_images="both").join(
+        d_prev, F.col(fact_key_col) == F.col(dim_key_col)
+    )
+    fsign = sign_of(F.col("_change"))
+    t1 = ffeed.groupBy(group_col).agg(
+        F.sum(fsign).alias("_n1"), F.sum(fsign * cents).alias("_s1")
+    )
+    # Two consumers (changed-key set + signed contributions) share one
+    # execution of the dim feed's classification join.
+    dfeed = (
+        dim_store.read_changes(v_from, v_to, update_images="both")
+        .select(
+            F.col(dim_key_col).alias("_dk"),
+            group_col,
+            sign_of(F.col("_change")).alias("_dsign"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
+    per_key = (
+        fact_store.read(version=v_to)
+        .join(
+            F.broadcast(changed_keys),
+            F.col(fact_key_col) == F.col("_ck"),
+            "left_semi",
+        )
+        .groupBy(fact_key_col)
+        .agg(F.count(F.lit(1)).alias("_kn"), F.sum(cents).alias("_ks"))
+    )
+    # Left join: a dim-changed key with no facts contributes zero.
+    t2 = (
+        dfeed.join(per_key, F.col("_dk") == F.col(fact_key_col), "left")
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col("_dsign") * F.coalesce("_kn", F.lit(0))).alias("_n2"),
+            F.sum(F.col("_dsign") * F.coalesce("_ks", F.lit(0))).alias("_s2"),
+        )
+    )
+    return (
+        old.join(t1, group_col, "full_outer")
+        .join(t2, group_col, "full_outer")
+        .select(
+            group_col,
+            (
+                F.coalesce("_n0", F.lit(0))
+                + F.coalesce("_n1", F.lit(0))
+                + F.coalesce("_n2", F.lit(0))
+            )
+            .cast("long")
+            .alias("n"),
+            (
+                F.coalesce("_s0", F.lit(0))
+                + F.coalesce("_s1", F.lit(0))
+                + F.coalesce("_s2", F.lit(0))
+            )
+            .cast("long")
+            .alias("s"),
+        )
+        .filter(F.col("n") > 0)
+    )

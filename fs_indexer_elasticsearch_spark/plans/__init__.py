@@ -42,21 +42,24 @@ from . import curation_pipeline  # noqa: E402,F401
 # contain every query whose normalized analyzed-plan fingerprint is
 # new or changed since the last driver round commit
 # (PLAN_FINGERPRINTS.json, diffed by tools/rotation_check.py, which
-# gate.py runs and fails on). This round that set is exactly: the 2
-# new r10 queries (changing-dim joined IVM, mass-delete hi-card
-# min/max IVM) and the 3 whose plans flipped (the min/max IVM pair —
+# gate.py runs and fails on). This round that set is exactly: the 3
+# new r10 queries (changing-dim joined IVM + its chained form,
+# mass-delete hi-card min/max IVM) and the 3 whose plans flipped (the min/max IVM pair —
 # extremum recompute became a broadcast semi-join — and
 # multimodal_frame_sample — real container demux with gated
 # width/height/kind columns). Runtime-only r10 changes (index-store
 # retry, backfill flock, walker frontier, composite-id escaping in
 # the sinks) leave plans untouched and are pytest-verified instead.
 # Displaced below the boundary: decontaminate_clean,
-# store_point_lookup (unchanged since r8, driver-green twice,
-# families still anchored in the prefix).
+# store_point_lookup, substring_incremental_tombstone (unchanged
+# since r8, driver-green twice, families still anchored in the
+# prefix).
 _PRIORITY = [
-    # New in r10 — never driver-checked (changing-dim joined IVM; the
-    # mass-delete high-cardinality min/max IVM / SCALE_STRESS probe)
+    # New in r10 — never driver-checked (changing-dim joined IVM +
+    # its chained steady-state form; the mass-delete high-cardinality
+    # min/max IVM / SCALE_STRESS probe)
     "incremental_view_joined_dimchange",
+    "incremental_view_joined_chained",
     "incremental_view_minmax_hicard",
     # Changed in r10 — plan fingerprints flipped (PLAN_FINGERPRINTS
     # diff vs the r9 base, tools/rotation_check.py): the min/max IVM
@@ -78,12 +81,12 @@ _PRIORITY = [
     "incremental_curation_cycle",
     "dedup_simhash",
     # New in r8 — two driver rounds old. Displaced below the boundary
-    # this round to make room for the two r10 newcomers:
-    # decontaminate_clean, store_point_lookup (both unchanged since
-    # r8, driver-green twice, families still anchored in the prefix).
+    # this round to make room for the r10 newcomers:
+    # decontaminate_clean, store_point_lookup,
+    # substring_incremental_tombstone (all unchanged since r8,
+    # driver-green twice, families still anchored in the prefix).
     "dedup_incremental_rebucket",
     "dedup_incremental_tombstone",
-    "substring_incremental_tombstone",
     "ann_incremental_ivf_manifest",
     # Dedup / similarity core + quality gates
     "dedup_exact",
@@ -132,6 +135,7 @@ _PRIORITY = [
     # under the local replica gate) ---
     "decontaminate_clean",
     "store_point_lookup",
+    "substring_incremental_tombstone",
     "per_domain_cap",
     "quality_classifier_score",
     "minhash_estimate_quality",

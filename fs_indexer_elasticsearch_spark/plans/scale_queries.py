@@ -1025,6 +1025,8 @@ def incremental_view_joined_dimchange(
     O(facts of dim-changed keys) + O(groups) — the enrichment-
     staleness shape the r9 CDC republish solved for links, closed on
     the view side."""
+    from ..operators.ivm import maintain_joined_agg
+
     fact = _cdf_store(
         spark,
         sf_dir,
@@ -1034,78 +1036,159 @@ def incremental_view_joined_dimchange(
         path_prefix="cdfjoinstore",
     )
     dim = _dim_cdf_store(spark, sf_dir)
-    cents = F.round(F.col("price") * 100).cast("long")
-    d1 = dim.read(version=1).select("c_custkey", "c_nationkey")
-    # V1 = F1 ⋈ D1 (demo re-derivation; steady state feeds the prior
-    # view back in, as incremental_view_minmax_chained shows).
-    old_agg = (
-        fact.read(version=1)
-        .join(F.broadcast(d1), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n0"), F.sum(cents).alias("s0"))
+    view = maintain_joined_agg(
+        fact,
+        dim,
+        1,
+        2,
+        fact_key_col="o_custkey",
+        dim_key_col="c_custkey",
+        group_col="c_nationkey",
     )
-    sign_of = lambda col: F.when(  # noqa: E731
-        col.isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    # Term 1: ΔF ⋈ D1.
-    ffeed = fact.read_changes(1, 2, update_images="both").join(
-        F.broadcast(d1), F.col("o_custkey") == F.col("c_custkey")
-    )
-    fsign = sign_of(F.col("_change"))
-    t1 = ffeed.groupBy("c_nationkey").agg(
-        F.sum(fsign).alias("n1"), F.sum(fsign * cents).alias("s1")
-    )
-    # Term 2: F2 ⋈ ΔD — per-customer post-state fact aggregates for
-    # ONLY the dim-changed keys (broadcast semi-join restriction),
-    # signed by the dim feed's pre/post images.
-    dfeed = dim.read_changes(1, 2, update_images="both").select(
-        F.col("c_custkey").alias("_dk"),
+    return view.select(
         "c_nationkey",
-        sign_of(F.col("_change")).alias("_dsign"),
-    ).localCheckpoint(eager=False)
-    changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
-    per_key = (
-        fact.read(version=2)
-        .join(
-            F.broadcast(changed_keys),
-            F.col("o_custkey") == F.col("_ck"),
-            "left_semi",
-        )
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("_kn"), F.sum(cents).alias("_ks"))
+        F.col("n").alias("n_orders"),
+        stable_round(F.col("s") / 100.0, 2).alias("total_price"),
     )
-    # Left join: a dim-changed key with no facts contributes zero.
-    t2 = (
-        dfeed.join(per_key, F.col("_dk") == F.col("o_custkey"), "left")
-        .groupBy("c_nationkey")
-        .agg(
-            F.sum(F.col("_dsign") * F.coalesce("_kn", F.lit(0))).alias("n2"),
-            F.sum(F.col("_dsign") * F.coalesce("_ks", F.lit(0))).alias("s2"),
-        )
+
+
+def _cdf3_stores(spark: SparkSession, sf_dir: str):
+    """THREE-version fact + dim CDC stores for the chained joined-view
+    demo — two consecutive windows in which BOTH sides change:
+
+    fact (orders): v1 = minus %10==3; v2 = merge (insert 3 / update 7,
+    price+1000; remove 5); v3 = merge (update 1, price+500; remove 9).
+    dim (customer): v1 = minus %13==2; v2 = merge (insert 2 /
+    re-nation 4 (+7 mod 25); remove 6); v3 = merge (re-nation 7
+    (+3 mod 25); remove 11)."""
+    import hashlib
+    import os
+
+    from ..sinks.snapshot import SnapshotStore
+
+    orders = load(spark, sf_dir, "orders")
+    fm = F.col("o_orderkey") % 10
+    f_base = orders.filter(fm != 3).select(
+        "o_orderkey", F.lit(1).alias("v"), "o_custkey",
+        stable_round(F.col("o_totalprice"), 2).alias("price"),
     )
-    return (
-        old_agg.join(t1, "c_nationkey", "full_outer")
-        .join(t2, "c_nationkey", "full_outer")
-        .select(
-            "c_nationkey",
-            (
-                F.coalesce("n0", F.lit(0))
-                + F.coalesce("n1", F.lit(0))
-                + F.coalesce("n2", F.lit(0))
+    f_d1 = orders.filter(fm.isin(3, 7)).select(
+        "o_orderkey", F.lit(2).alias("v"), "o_custkey",
+        stable_round(F.col("o_totalprice") + 1000, 2).alias("price"),
+    )
+    f_r1 = orders.filter(fm == 5).select("o_orderkey")
+    f_d2 = orders.filter(fm == 1).select(
+        "o_orderkey", F.lit(3).alias("v"), "o_custkey",
+        stable_round(F.col("o_totalprice") + 500, 2).alias("price"),
+    )
+    f_r2 = orders.filter(fm == 9).select("o_orderkey")
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    dm = F.col("c_custkey") % 13
+    d_base = cust.filter(dm != 2).select(
+        "c_custkey", F.lit(1).alias("v"), "c_nationkey"
+    )
+    d_d1 = cust.filter(dm.isin(2, 4)).select(
+        "c_custkey", F.lit(2).alias("v"),
+        F.when(dm == 4, (F.col("c_nationkey") + 7) % 25)
+        .otherwise(F.col("c_nationkey")).alias("c_nationkey"),
+    )
+    d_r1 = cust.filter(dm == 6).select("c_custkey")
+    d_d2 = cust.filter(dm == 7).select(
+        "c_custkey", F.lit(3).alias("v"),
+        ((F.col("c_nationkey") + 3) % 25).alias("c_nationkey"),
+    )
+    d_r2 = cust.filter(dm == 11).select("c_custkey")
+
+    fp = _dataset_fingerprint(sf_dir, "orders", "customer")
+    out = []
+    for name, key, vcol, nb, frames in (
+        ("cdf3fact", "o_orderkey", "v", 16,
+         [("seed", f_base, None), (1, f_d1, f_r1), (2, f_d2, f_r2)]),
+        ("cdf3dim", "c_custkey", "v", 8,
+         [("seed", d_base, None), (1, d_d1, d_r1), (2, d_d2, d_r2)]),
+    ):
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|{fp}|{name}|nb{nb}|manifest|v1".encode()
+        ).hexdigest()[:12]
+        path = f"/tmp/spark-graft-{name}-{tag}"
+        with _store_lock(path):
+            store = SnapshotStore(
+                spark, path, key=key, version_col=vcol,
+                num_buckets=nb, layout="manifest",
             )
-            .cast("long")
-            .alias("n_orders"),
-            stable_round(
-                (
-                    F.coalesce("s0", F.lit(0))
-                    + F.coalesce("s1", F.lit(0))
-                    + F.coalesce("s2", F.lit(0))
-                )
-                / 100.0,
-                2,
-            ).alias("total_price"),
-        )
-        .filter(F.col("n_orders") > 0)
+            for step, frame, removed in frames:
+                if step == "seed":
+                    if store.current_version() is None:
+                        store.overwrite(frame)
+                elif store.current_version() == step:
+                    store.merge(frame, removed=removed)
+        out.append(store)
+    return out
+
+
+_VIEW_JOIN_CHAINED_ORACLE = """
+    WITH f3 AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice
+                     + CASE WHEN o_orderkey % 10 IN (3, 7) THEN 1000
+                            WHEN o_orderkey % 10 = 1 THEN 500
+                            ELSE 0 END + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 NOT IN (5, 9)
+    ),
+    d3 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 4 THEN (c_nationkey + 7) % 25
+                    WHEN c_custkey % 13 = 7 THEN (c_nationkey + 3) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 13 NOT IN (6, 11)
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS total_price
+    FROM f3 JOIN d3 ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+"""
+
+
+@query("incremental_view_joined_chained", oracle=_VIEW_JOIN_CHAINED_ORACLE)
+def incremental_view_joined_chained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STEADY-STATE path for joined views with changing dims:
+    cycle 1 maintains over window (1 -> 2) of BOTH stores, cycle 2
+    feeds that output back in as ``old_view=`` and maintains over
+    (2 -> 3) — after the first derivation neither the fact table nor
+    the dim is ever reaggregated from scratch; each night costs
+    O(fact feed ⋈ dim) + O(facts of dim-changed keys) + O(groups).
+    Cycle 2's term-1 joins against the dim's INTERMEDIATE state
+    (v2 — yesterday's dim), which is exactly what the decomposition
+    requires; the oracle recomputes the final v3 ⋈ v3 state from
+    scratch, so the hash gate proves two chained applications of the
+    two-term algebra land bit-stably on the truth through fact
+    inserts/updates/deletes AND dim inserts/re-groupings/deletes in
+    BOTH windows (operators/ivm.maintain_joined_agg)."""
+    from ..operators.ivm import maintain_joined_agg
+
+    fact, dim = _cdf3_stores(spark, sf_dir)
+    c1 = maintain_joined_agg(
+        fact, dim, 1, 2,
+        fact_key_col="o_custkey",
+        dim_key_col="c_custkey",
+        group_col="c_nationkey",
+    ).localCheckpoint(eager=False)
+    view = maintain_joined_agg(
+        fact, dim, 2, 3,
+        fact_key_col="o_custkey",
+        dim_key_col="c_custkey",
+        group_col="c_nationkey",
+        old_view=c1,
+    )
+    return view.select(
+        "c_nationkey",
+        F.col("n").alias("n_orders"),
+        stable_round(F.col("s") / 100.0, 2).alias("total_price"),
     )
 
 

@@ -159,3 +159,81 @@ def test_minmax_max_departure_and_group_vanish(spark, tmp_path):
         removed=spark.createDataFrame([("a2",), ("b1",)], "k string"),
     )
     assert _maintained(store, 1, 2) == {"A": (1, 1, 1)}
+
+
+def test_maintain_joined_agg_chained_equals_scratch(spark, tmp_path):
+    """Joined-view maintenance with BOTH sides changing, chained over
+    two windows with old_view feedback: the two-term delta must land
+    exactly on the from-scratch F(v) join D(v) aggregate at every
+    step, through fact insert/update/delete, dim insert, dim group
+    migration, dim delete, a migrated key with no facts, and a key
+    whose facts all disappear."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_joined_agg,
+    )
+
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    fschema = "fk long, v int, cust long, price double"
+    dschema = "dk long, v int, grp string"
+    # v1: customers 1..4 in groups a/a/b/b; facts spread over 1..3
+    # (customer 4 has NO facts) + customer 5 absent from the dim.
+    dim.overwrite(spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "a"), (3, 1, "b"), (4, 1, "b")], dschema))
+    fact.overwrite(spark.createDataFrame(
+        [(10, 1, 1, 5.0), (11, 1, 1, 7.0), (12, 1, 2, 1.0),
+         (13, 1, 3, 2.0), (14, 1, 3, 4.0), (15, 1, 5, 9.0)], fschema))
+    # window 1->2: fact: update 11 (price 7->20), insert 16 (cust 2),
+    # delete 13; dim: migrate customer 2 a->b, insert customer 5
+    # (group c — has a pre-existing fact), delete customer 3.
+    fact.merge(
+        spark.createDataFrame([(11, 2, 1, 20.0), (16, 2, 2, 3.0)], fschema),
+        removed=spark.createDataFrame([(13,)], "fk long"),
+    )
+    dim.merge(
+        spark.createDataFrame([(2, 2, "b"), (5, 2, "c")], dschema),
+        removed=spark.createDataFrame([(3,)], "dk long"),
+    )
+    # window 2->3: fact: delete BOTH of customer 1's rows (group a
+    # empties), insert 17 for the fact-less customer 4; dim: migrate
+    # customer 4 b->c.
+    fact.merge(
+        spark.createDataFrame([(17, 3, 4, 6.0)], fschema),
+        removed=spark.createDataFrame([(10,), (11,)], "fk long"),
+    )
+    dim.merge(
+        spark.createDataFrame([(4, 3, "c")], dschema),
+        removed=spark.createDataFrame([], "dk long"),
+    )
+
+    def scratch(v):
+        return {
+            r.grp: (r.n, r.s)
+            for r in fact.read(version=v)
+            .join(dim.read(version=v).select("dk", "grp"),
+                  F.col("cust") == F.col("dk"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("price") * 100).cast("long")).alias("s"))
+            .collect()
+        }
+
+    def as_dict(df):
+        return {r.grp: (r.n, r.s) for r in df.collect()}
+
+    c1 = maintain_joined_agg(
+        fact, dim, 1, 2, fact_key_col="cust", dim_key_col="dk",
+        group_col="grp", cents_col="price",
+    ).localCheckpoint(eager=False)
+    assert as_dict(c1) == scratch(2)
+    c2 = maintain_joined_agg(
+        fact, dim, 2, 3, fact_key_col="cust", dim_key_col="dk",
+        group_col="grp", cents_col="price", old_view=c1,
+    )
+    assert as_dict(c2) == scratch(3)

@@ -153,13 +153,14 @@ def test_registry_priority_prefix_covers_llm_layer():
         # gate), plus one anchor per core family; multi-round
         # driver-green queries rotate below — the driver's hard signal
         # goes to the least-tested first.
-        "incremental_view_joined_dimchange", "incremental_view_minmax_hicard",
+        "incremental_view_joined_dimchange", "incremental_view_joined_chained",
+        "incremental_view_minmax_hicard",
         "multimodal_ppm_decode", "multimodal_frame_sample",
         "store_read_changes_rebucket", "incremental_view_minmax_chained",
         "incremental_view_minmax", "incremental_view_joined",
         "ann_neardup_recall_lsh", "ann_neardup_recall_multiprobe",
         "curation_pipeline_e2e", "incremental_curation_cycle",
-        "dedup_incremental_tombstone", "substring_incremental_tombstone",
+        "dedup_incremental_tombstone",
         "ann_incremental_ivf_manifest", "dedup_incremental_rebucket",
         "store_read_changes",
         "store_read_changes_hardlink", "incremental_view_maintenance",
