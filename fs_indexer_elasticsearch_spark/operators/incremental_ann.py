@@ -297,6 +297,14 @@ class IvfIndexStore:
         keep fail-fast — an overwrite's result depends on the base."""
         if self.store.current_version() is None:
             raise ValueError("IVF index is empty — seed() it first")
+        # Capture the generation BEFORE reading the centroids the
+        # assignment embeds: a retrain landing between the two reads
+        # then makes the first attempt's gen check fail (a safe,
+        # honest abort) instead of letting rows assigned against the
+        # NEW centroids masquerade under an OLD gen0 — or, with the
+        # capture order reversed, stale-centroid rows under a fresh
+        # gen0 (the silent mis-bucketing this pin exists to exclude).
+        gen0 = (self.store.read_meta() or {}).get("tombstone_gen", 0)
         rows = self._assigned(
             batch, id_col, vec_col, seq, self.centroids(), self._dim()
         )
@@ -307,7 +315,6 @@ class IvfIndexStore:
 
         from ..sinks.snapshot import ConcurrentWriteError
 
-        gen0 = (self.store.read_meta() or {}).get("tombstone_gen", 0)
         attempt = 0
         while True:
             v0 = self.store.current_version()

@@ -219,15 +219,20 @@ def maintain_joined_agg(
     Returns columns ``[group_col, n, s]`` (``s`` in integer cents)
     equal to a from-scratch ``F(v_to) ⋈ D(v_to)`` aggregate.
 
-    - Term 1 joins the FACT feed to the pre-state dim (broadcast-
-      sized) with signed algebra: pre-images subtract, post-images
-      add.
+    - Term 1 joins the FACT feed to the pre-state dim with signed
+      algebra: pre-images subtract, post-images add.
     - Term 2 signs the DIM feed (a re-grouped key subtracts its
       entire post-state fact aggregate from the old group and adds it
-      to the new one; inserts/deletes are one-sided) against
-      per-key aggregates of F(v_to) RESTRICTED by a broadcast
-      semi-join to only the dim-changed keys — the fact table is
-      never rescanned; O(facts of changed keys).
+      to the new one; inserts/deletes are one-sided) against per-key
+      aggregates of F(v_to) RESTRICTED by a semi-join to only the
+      dim-changed keys — the fact table is never rescanned; O(facts
+      of changed keys).
+
+    Join strategies are left to AQE (same reasoning as
+    ``maintain_min_max``'s affected-group join): the typically-small
+    dim and changed-key set broadcast at runtime, while a dim-wide
+    re-grouping touching millions of keys stays free to take a
+    shuffled join instead of hitting the driver-built broadcast cap.
 
     ``old_view`` is the PREVIOUSLY MAINTAINED view (this function's
     own output) — feed each cycle's result back in and the base is
@@ -242,9 +247,7 @@ def maintain_joined_agg(
     of pairing (``maintain_min_max`` shows the eqNullSafe treatment
     if a nullable group is ever needed)."""
     cents = F.round(F.col(cents_col) * 100).cast("long")
-    d_prev = F.broadcast(
-        dim_store.read(version=v_from).select(dim_key_col, group_col)
-    )
+    d_prev = dim_store.read(version=v_from).select(dim_key_col, group_col)
     if old_view is not None:
         old = old_view.select(
             group_col, F.col("n").alias("_n0"), F.col("s").alias("_s0")
@@ -281,7 +284,7 @@ def maintain_joined_agg(
     per_key = (
         fact_store.read(version=v_to)
         .join(
-            F.broadcast(changed_keys),
+            changed_keys,
             F.col(fact_key_col) == F.col("_ck"),
             "left_semi",
         )

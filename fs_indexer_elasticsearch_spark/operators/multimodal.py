@@ -149,16 +149,20 @@ def demux_pgm_video(b: bytes) -> list[tuple[int, int, bytes]]:
     return frames
 
 
-def _first_frame_ok(b: bytes) -> bool:
-    """True when ``b`` opens with one COMPLETE well-formed P5 frame —
-    the discriminator between a real-but-truncated container
-    (poison, tag 'fallback') and arbitrary bytes that merely start
-    with the two characters 'P5' (not a container, tag 'bytes')."""
+def _container_evidence(b: bytes) -> bool:
+    """True when ``b`` opens with a well-formed P5 HEADER — the
+    discriminator between a real-but-corrupt container (poison, tag
+    'fallback') and arbitrary bytes that merely start with the two
+    characters 'P5' (not a container, tag 'bytes'). A parsed header
+    counts as evidence even when the raster is short: a video upload
+    cut off inside its first frame is exactly the truncation the
+    corruption signal exists for, while text payloads fail the
+    integer width/height tokens and stay 'bytes'."""
     try:
-        magic, _w, _h, raster_start, n_raster = _pnm_header(b, 0)
+        magic, _w, _h, _raster_start, _n_raster = _pnm_header(b, 0)
     except ValueError:
         return False
-    return magic == b"P5" and raster_start + n_raster <= len(b)
+    return magic == b"P5"
 
 
 def decode_pnm(b: bytes) -> tuple[int, int, bytes]:
@@ -473,7 +477,7 @@ def sample_frames(
                         # monitors would alarm on ordinary data.
                         out = slices(
                             b,
-                            "fallback" if _first_frame_ok(b) else "bytes",
+                            "fallback" if _container_evidence(b) else "bytes",
                         )
                 else:
                     out = slices(b, "bytes")

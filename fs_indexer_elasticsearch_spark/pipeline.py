@@ -156,10 +156,20 @@ def run_pipeline(
     prev_version = store.current_version()  # publish_mode="changed" anchor
     if previous is None:
         version = _commit(store, entries)
-        # First cycle: the store was written FROM `entries` (unique keys,
-        # no removals), so the merged table IS the cached scan — reuse it
-        # instead of re-reading the parquet we just wrote.
-        current = entries
+        if cfg.merge_retries > 0:
+            # Under retries the "first" cycle may have REBASED over a
+            # concurrent writer's seed — the committed table is then
+            # winner ∪ entries, and deriving stats/rollup/publish from
+            # the scan alone would silently drop the winner's rows.
+            # Read back what actually committed.
+            current = store.read().drop("_bucket").cache()
+            entries.unpersist()
+        else:
+            # First cycle, fail-fast: the store was written FROM
+            # `entries` (unique keys, no removals), so the merged table
+            # IS the cached scan — reuse it instead of re-reading the
+            # parquet we just wrote.
+            current = entries
     else:
         from .operators.merge import snapshot_diff
 

@@ -911,19 +911,54 @@ def incremental_view_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _demo_store(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    name: str,
+    key: str,
+    num_buckets: int,
+    frames,
+    fp_tables: tuple[str, ...],
+):
+    """Shared scaffold for the CDC demo stores: fingerprint-tagged
+    /tmp path, flock around the build, idempotent seed-and-step-merge
+    replay (``frames`` = [("seed", df, None), (1, delta, removed),
+    ...] — step N merges only when the store sits at version N, so
+    reruns skip straight to the reads). ONE definition so the tag
+    scheme and replay guard cannot drift between store builders."""
+    import hashlib
+    import os
+
+    from ..sinks.snapshot import SnapshotStore
+
+    fp = _dataset_fingerprint(sf_dir, *fp_tables)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|{name}|nb{num_buckets}|manifest|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-{name}-{tag}"
+    with _store_lock(path):
+        store = SnapshotStore(
+            spark, path, key=key, version_col="v",
+            num_buckets=num_buckets, layout="manifest",
+        )
+        for step, frame, removed in frames:
+            if step == "seed":
+                if store.current_version() is None:
+                    store.overwrite(frame)
+            elif store.current_version() == step:
+                store.merge(frame, removed=removed)
+    return store
+
+
 def _dim_cdf_store(spark: SparkSession, sf_dir: str):
     """Seed-and-merge the DIM-side CDC demo store: v1 = customer
     minus the %13==2 keys; v2 inserts them back, re-nations the
     %13==4 keys (c_nationkey -> (c_nationkey+7) % 25) and deletes the
     %13==6 keys — one window exercising dim insert, dim update and
     dim delete against live fact contributions. Same persistence
-    contract as _cdf_store (fingerprint-tagged path, flock, replays
-    skip to the reads)."""
-    import hashlib
-    import os
-
-    from ..sinks.snapshot import SnapshotStore
-
+    contract as _cdf_store (_demo_store: fingerprint-tagged path,
+    flock, replays skip to the reads)."""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     m = F.col("c_custkey") % 13
     base = cust.filter(m != 2).select(
@@ -937,25 +972,12 @@ def _dim_cdf_store(spark: SparkSession, sf_dir: str):
         .alias("c_nationkey"),
     )
     removed = cust.filter(m == 6).select("c_custkey")
-    fp = _dataset_fingerprint(sf_dir, "customer")
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|customer-cdf|nb8|manifest|v1".encode()
-    ).hexdigest()[:12]
-    path = f"/tmp/spark-graft-dimcdfstore-{tag}"
-    with _store_lock(path):
-        store = SnapshotStore(
-            spark,
-            path,
-            key="c_custkey",
-            version_col="v",
-            num_buckets=8,
-            layout="manifest",
-        )
-        if store.current_version() is None:
-            store.overwrite(base)
-        if store.current_version() == 1:
-            store.merge(delta, removed=removed)
-    return store
+    return _demo_store(
+        spark, sf_dir, name="dimcdfstore",
+        key="c_custkey", num_buckets=8,
+        frames=[("seed", base, None), (1, delta, removed)],
+        fp_tables=("customer",),
+    )
 
 
 _VIEW_JOIN_DIMCHANGE_ORACLE = """
@@ -1012,8 +1034,9 @@ def incremental_view_joined_dimchange(
     - term 2: the DIM feed (pre-images subtract a customer's entire
       post-state aggregate from its old nation, post-images add it to
       the new one) joined to per-customer fact aggregates computed
-      from F2 RESTRICTED by a broadcast semi-join to only the
-      dim-changed keys — the fact table contributes O(rows of changed
+      from F2 RESTRICTED by a semi-join to only the dim-changed keys
+      (strategy left to AQE: small sets broadcast, a dim-wide change
+      shuffles) — the fact table contributes O(rows of changed
       customers), never a full rescan, and nothing is collected to
       the driver.
 
@@ -1061,11 +1084,6 @@ def _cdf3_stores(spark: SparkSession, sf_dir: str):
     dim (customer): v1 = minus %13==2; v2 = merge (insert 2 /
     re-nation 4 (+7 mod 25); remove 6); v3 = merge (re-nation 7
     (+3 mod 25); remove 11)."""
-    import hashlib
-    import os
-
-    from ..sinks.snapshot import SnapshotStore
-
     orders = load(spark, sf_dir, "orders")
     fm = F.col("o_orderkey") % 10
     f_base = orders.filter(fm != 3).select(
@@ -1100,31 +1118,22 @@ def _cdf3_stores(spark: SparkSession, sf_dir: str):
     )
     d_r2 = cust.filter(dm == 11).select("c_custkey")
 
-    fp = _dataset_fingerprint(sf_dir, "orders", "customer")
-    out = []
-    for name, key, vcol, nb, frames in (
-        ("cdf3fact", "o_orderkey", "v", 16,
-         [("seed", f_base, None), (1, f_d1, f_r1), (2, f_d2, f_r2)]),
-        ("cdf3dim", "c_custkey", "v", 8,
-         [("seed", d_base, None), (1, d_d1, d_r1), (2, d_d2, d_r2)]),
-    ):
-        tag = hashlib.md5(
-            f"{os.path.abspath(sf_dir)}|{fp}|{name}|nb{nb}|manifest|v1".encode()
-        ).hexdigest()[:12]
-        path = f"/tmp/spark-graft-{name}-{tag}"
-        with _store_lock(path):
-            store = SnapshotStore(
-                spark, path, key=key, version_col=vcol,
-                num_buckets=nb, layout="manifest",
-            )
-            for step, frame, removed in frames:
-                if step == "seed":
-                    if store.current_version() is None:
-                        store.overwrite(frame)
-                elif store.current_version() == step:
-                    store.merge(frame, removed=removed)
-        out.append(store)
-    return out
+    return [
+        _demo_store(
+            spark, sf_dir, name="cdf3fact", key="o_orderkey",
+            num_buckets=16,
+            frames=[("seed", f_base, None), (1, f_d1, f_r1),
+                    (2, f_d2, f_r2)],
+            fp_tables=("orders", "customer"),
+        ),
+        _demo_store(
+            spark, sf_dir, name="cdf3dim", key="c_custkey",
+            num_buckets=8,
+            frames=[("seed", d_base, None), (1, d_d1, d_r1),
+                    (2, d_d2, d_r2)],
+            fp_tables=("orders", "customer"),
+        ),
+    ]
 
 
 _VIEW_JOIN_CHAINED_ORACLE = """

@@ -648,3 +648,15 @@ def test_p5_prefixed_text_is_bytes_not_fallback(spark):
     )
     rows = sample_frames(assets, every_n_bytes=16).collect()
     assert rows and all(r.frame_kind == "bytes" for r in rows)
+
+
+def test_container_truncated_inside_first_frame_is_fallback(spark):
+    """A container cut off INSIDE frame 0 (well-formed header, short
+    raster) is container evidence, not arbitrary bytes: it must carry
+    the 'fallback' corruption tag."""
+    assets = spark.createDataFrame(
+        [("c", "video", bytearray(b"P5\n64 48\n255\n" + bytes(100)), "v/p")],
+        "asset_id string, media_type string, payload binary, mime string",
+    )
+    rows = sample_frames(assets, every_n_bytes=64).collect()
+    assert rows and all(r.frame_kind == "fallback" for r in rows)
