@@ -167,9 +167,8 @@ class TombstoneStore:
                 return self.store.merge_with_retry(
                     rows, max_retries=max_retries
                 )
-        if max_retries > 0:
-            return self.store.merge_with_retry(rows, max_retries=max_retries)
-        return self.store.merge(rows)
+        # merge_with_retry(max_retries=0) IS the fail-fast merge.
+        return self.store.merge_with_retry(rows, max_retries=max_retries)
 
     def ids(self) -> DataFrame | None:
         """Current-GENERATION tombstoned ids (None when the log is

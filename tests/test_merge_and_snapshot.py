@@ -707,6 +707,31 @@ def test_legacy_backfill_race_adopts_one_disk_truth(spark, tmp_path):
     }
 
 
+def test_merge_expected_base_pins_the_validated_state(spark, tmp_path):
+    """merge(expected_base=v) is the optimistic-concurrency token for
+    callers whose BATCH embeds state validated at v (the IVF add
+    retry's centroid generation): a pointer that moved since the
+    validation aborts with ConcurrentWriteError before any work, and
+    a matching pointer commits normally."""
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import (
+        ConcurrentWriteError,
+    )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4,
+    )
+    store.overwrite(_df(spark, [("a", 1, "p")]))
+    # Pinned to the current pointer: commits.
+    v = store.merge(_df(spark, [("b", 2, "q")]), expected_base=1)
+    assert v == 2
+    # Pinned to a stale pointer: aborts, nothing committed.
+    with pytest.raises(ConcurrentWriteError, match="validated against"):
+        store.merge(_df(spark, [("c", 3, "r")]), expected_base=1)
+    assert store.current_version() == 2
+    assert {r.k for r in store.read().collect()} == {"a", "b"}
+
+
 def test_store_identity_mismatch_raises(spark, tmp_path):
     path = str(tmp_path / "snap")
     store = SnapshotStore(spark, path, key="k", version_col="v", num_buckets=4)
