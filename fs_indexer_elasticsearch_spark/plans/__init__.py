@@ -219,6 +219,32 @@ _PRIORITY = [
     "project_derived_columns",
     "search_multi_match",
     "json_props_extract",
+    # Tail (r10 verdict #8): the remaining registered queries, listed
+    # EXPLICITLY so rotation position is intentional — before this,
+    # they appended in registration order and their place in the
+    # rotation prefix math was accidental. All driver-green from
+    # earlier rounds; TPC-H-derived and SQL-surface queries whose
+    # plans have been stable since r4-r6.
+    "q04_priority_exists",
+    "q10_returned_items",
+    "q14_promo_ratio",
+    "q17_small_quantity_avg",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "grouping_sets_rollup",
+    "cube_order_matrix",
+    "pivot_status_by_priority",
+    "q08_market_share",
+    "q13_order_count_distribution",
+    "q15_top_suppliers",
+    "json_struct_surface",
+    "q06_forecast_revenue",
+    "window_rank_functions",
+    "fuzzy_name_match",
+    "calendar_breakdown",
+    "q20_bulk_part_suppliers",
+    "q11_important_stock",
 ]
 
 
@@ -226,8 +252,15 @@ def _apply_priority_order() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     if missing:  # pragma: no cover - registration bug guard
         raise RuntimeError(f"priority list names unregistered queries: {missing}")
+    unlisted = [n for n in QUERIES if n not in set(_PRIORITY)]
+    if unlisted:  # pragma: no cover - registration bug guard
+        # Every registered query must hold an EXPLICIT rotation
+        # position (r10 verdict #8) — an implicit registration-order
+        # tail made prefix math accidental.
+        raise RuntimeError(
+            f"queries registered but not listed in _PRIORITY: {unlisted}"
+        )
     ordered = {n: QUERIES[n] for n in _PRIORITY}
-    ordered.update({n: fn for n, fn in QUERIES.items() if n not in ordered})
     QUERIES.clear()
     QUERIES.update(ordered)
     oracle_ordered = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -237,36 +237,144 @@ class SnapshotStore:
 
     def _backfill_cfg(self) -> None:
         """First reopen of a store written before _STORECFG sidecars
-        existed: pin the CURRENT version's bucket count on disk using
-        this opener's constructor value — the best available truth —
-        so every SUBSEQUENT open adopts the recorded count instead of
-        its own constructor default (a legacy store reopened with a
-        different count would otherwise hash probes into the wrong
-        physical layout). New stores never hit this: every commit
-        writes its own cfg."""
+        existed: pin the CURRENT version's bucket count on disk —
+        DERIVED FROM THE COMMITTED DATA, not from any opener's
+        constructor value — so every subsequent open adopts the
+        recorded count instead of its own constructor default. The
+        constructor value is only a hypothesis here: when openers with
+        different counts race this backfill, trusting whichever wins
+        the flock would (for a wrong winner) silently hash every
+        pruned read into a phantom layout — read_keys would prune to
+        bucket files the keys don't live in and return EMPTY, the
+        worst failure mode for a store. ``_derive_legacy_buckets``
+        recovers the true count from the data's own (key, bucket)
+        labels, so the pinned value is winner-independent. New stores
+        never hit this: every commit writes its own cfg."""
         import fcntl
 
         v = self.current_version()
         if v is None or self._read_cfg(v) is not None:
             return
-        # Under the store's claim flock: two concurrent openers
-        # constructed with DIFFERENT num_buckets must not race the
-        # check-then-replace — whichever backfills first wins, and the
-        # loser adopts the on-disk truth (re-read after the write, so
+        # Under the store's claim flock: concurrent openers must not
+        # race the check-then-replace — one derives and writes, the
+        # rest adopt the on-disk truth (re-read after the write, so
         # _cfg_cache can never disagree with the file).
         with open(os.path.join(self.path, ".claims.lock"), "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
             try:
                 cfg = self._read_cfg(v)
                 if cfg is None:
+                    n = self._derive_legacy_buckets(v)
                     tmp = self._cfg_path(v) + f".tmp.{os.getpid()}"
                     with open(tmp, "w") as f:
-                        json.dump({"num_buckets": self._default_buckets}, f)
+                        json.dump({"num_buckets": n}, f)
                     os.replace(tmp, self._cfg_path(v))
                     cfg = self._read_cfg(v)
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
         self._cfg_cache = (v, cfg["num_buckets"])
+
+    def _derive_legacy_buckets(self, v: int) -> int:
+        """Recover the bucket count a cfg-less legacy version was
+        PHYSICALLY written under, from the data itself. The on-disk
+        layout labels every row with its bucket (``_bucket=N``
+        partition dirs / manifest bucket->files map), and the writer
+        computed that label as ``pmod(xxhash64(bucket_key), n)`` — so
+        for every row, the true ``n`` divides ``xxhash64(key) −
+        bucket``. Sampling rows per occupied bucket (always including
+        the highest, which lower-bounds ``n``) and taking the gcd of
+        those differences pins ``n`` up to sampling ambiguity; the
+        constructor value is adopted only if the sample proves it
+        consistent, and an underivable layout raises loudly instead
+        of being guessed (a silent wrong guess empties pruned reads).
+
+        Cost: a one-time, flock-serialized read of ≤6 buckets × ≤64
+        rows at the first reopen of a pre-sidecar store — never on
+        the hot path."""
+        import math
+
+        from pyspark.sql.window import Window
+
+        if self.layout == "manifest":
+            files = self._read_manifest(v)
+            occupied = sorted(b for b, rels in files.items() if rels)
+            if not occupied:
+                return self._default_buckets
+            chosen = occupied[-1:] + occupied[:5]
+            parts = []
+            for b in dict.fromkeys(chosen):
+                paths = [os.path.join(self._data_dir(), r) for r in files[b]]
+                parts.append(
+                    self.spark.read.option("recursiveFileLookup", "true")
+                    .parquet(*paths)
+                    .select(
+                        F.xxhash64(F.col(self.bucket_key)).alias("h"),
+                        F.lit(b).alias("_bucket"),
+                    )
+                    .limit(64)
+                )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            pairs = [(r.h, r._bucket) for r in df.collect()]
+        else:
+            vdir = self._version_dir(v)
+            occupied = sorted(
+                int(e.split("=", 1)[1])
+                for e in (os.listdir(vdir) if os.path.isdir(vdir) else ())
+                if e.startswith("_bucket=")
+            )
+            if not occupied:
+                return self._default_buckets
+            chosen = list(dict.fromkeys(occupied[-1:] + occupied[:5]))
+            pairs = [
+                (r.h, r._bucket)
+                for r in (
+                    self.spark.read.parquet(vdir)
+                    .filter(F.col("_bucket").isin(chosen))
+                    .select(
+                        F.xxhash64(F.col(self.bucket_key)).alias("h"),
+                        "_bucket",
+                    )
+                    .withColumn(
+                        "_rn",
+                        F.row_number().over(
+                            Window.partitionBy("_bucket").orderBy("h")
+                        ),
+                    )
+                    .filter(F.col("_rn") <= 64)
+                    .collect()
+                )
+            ]
+        if not pairs:
+            return self._default_buckets
+        max_b = max(b for _, b in pairs)
+        g = 0
+        for h, b in pairs:
+            g = math.gcd(g, h - b)
+        d = self._default_buckets
+        # Constructor value first: when it's the true count (the
+        # common case — same code opened the store that wrote it), g
+        # may be a small multiple of it; the sample-consistency check
+        # keeps the familiar value instead of over-splitting.
+        if d > max_b and (g == 0 or g % d == 0):
+            return d
+        if g:
+            # Smallest divisor of g that can label every sampled
+            # bucket — with per-bucket coverage of the top bucket,
+            # that's the written count (wrong counts fail the mod).
+            for cand in range(max_b + 1, min(abs(g), 1 << 20) + 1):
+                if g % cand == 0:
+                    return cand
+        raise RuntimeError(
+            f"cannot derive the bucket layout of legacy store "
+            f"{self.path!r} v{v}: sampled {len(pairs)} rows are "
+            f"inconsistent with constructor num_buckets={d} and no "
+            f"count ≤ 2^20 fits (gcd={g}, max bucket={max_b}). "
+            "Refusing to guess — a wrong count silently empties "
+            "pruned reads. Reopen with the count the store was "
+            "written with, or rebucket after a full read()."
+        )
 
     # -- pointer management -------------------------------------------------
     def _pointer_path(self) -> str:

@@ -19,6 +19,20 @@ def test_entry_contract(spark):
     assert set(oracles) <= set(qs)
 
 
+def test_priority_list_names_every_registered_query():
+    """r10 verdict #8: every registered query holds an EXPLICIT
+    rotation position — _PRIORITY and the registry are the same set,
+    so tools/rotation_check.py's prefix math is fully intentional
+    (an implicit registration-order tail made 20 queries' positions
+    accidental). _apply_priority_order raises at import on any
+    drift; this asserts the invariant directly too."""
+    import fs_indexer_elasticsearch_spark.plans as P
+
+    assert len(P._PRIORITY) == len(P.QUERIES)
+    assert list(P.QUERIES) == P._PRIORITY
+    assert len(set(P._PRIORITY)) == len(P._PRIORITY)  # no duplicates
+
+
 def test_queries_run_at_smallest_sf(spark):
     qs = E.queries()
     # Spot-run a representative from each module family.

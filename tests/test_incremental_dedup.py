@@ -5,6 +5,7 @@ the lookup prunes to the batch's buckets."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from fs_indexer_elasticsearch_spark.operators.dedup import minhash_band_rows
 from fs_indexer_elasticsearch_spark.operators.incremental_dedup import (
@@ -310,6 +311,7 @@ def test_stale_tombstones_cannot_filter_a_fresh_corpus(spark, tmp_path, monkeypa
     assert not any(r.corpus_id == 3 for r in m3.collect())
 
 
+@pytest.mark.race
 def test_tombstone_first_add_race_falls_back_to_rebased_merge(spark, tmp_path):
     """Two racing FIRST adders on a fresh tombstone log: the loser's
     seed overwrite raises ConcurrentWriteError, and with max_retries
@@ -362,6 +364,7 @@ def test_tombstone_first_add_race_falls_back_to_rebased_merge(spark, tmp_path):
         ts2.add(spark.createDataFrame([("x",)], "doc_id string"))
 
 
+@pytest.mark.race
 def test_two_writer_band_store_cycle_lands_both_batches_exactly_once(
     spark, tmp_path
 ):

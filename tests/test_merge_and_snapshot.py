@@ -672,13 +672,15 @@ def test_legacy_cfgless_store_backfills_count_on_reopen(spark, tmp_path):
     assert {r.k for r in other.read_keys(["k3", "k7"]).collect()} == {"k3", "k7"}
 
 
+@pytest.mark.race
 def test_legacy_backfill_race_adopts_one_disk_truth(spark, tmp_path):
     """Concurrent openers of a legacy (cfg-less) store constructed
-    with DIFFERENT num_buckets race the backfill: the check+write now
-    runs under the store's claim flock and the winner's value is
-    RE-READ from disk, so every opener — winner or loser — ends with
-    a _cfg_cache identical to the one on-disk sidecar (the r9 advice:
-    the loser's cache could disagree with the file)."""
+    with DIFFERENT num_buckets race the backfill: the check+write
+    runs under the store's claim flock, and — the r10 verdict fix —
+    the pinned value is DERIVED FROM THE COMMITTED DATA, so it is the
+    written count (4) no matter which opener wins the flock. Every
+    opener ends with a _cfg_cache identical to the one on-disk
+    sidecar, and pruned lookups hash into the real layout."""
     import json as _json
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
@@ -694,17 +696,68 @@ def test_legacy_backfill_race_adopts_one_disk_truth(spark, tmp_path):
         )
 
     with ThreadPoolExecutor(max_workers=8) as ex:
-        stores = list(ex.map(opener, [4, 16, 8, 32, 4, 16, 8, 32]))
+        stores = list(ex.map(opener, [16, 8, 32, 16, 8, 32, 16, 8]))
     with open(stores[0]._cfg_path(1)) as f:
         disk = _json.load(f)["num_buckets"]
+    # Winner-independent: no opener was constructed with 4, yet the
+    # data-derived truth is pinned.
+    assert disk == 4
     for s in stores:
         assert s.num_buckets == disk
         assert s._cfg_cache == (1, disk)
-    # Lookups hash into the adopted layout, whatever value won.
+    # Lookups hash into the adopted layout, whatever opener won.
     assert {r.k for r in stores[-1].read_keys(["k3", "k7"]).collect()} == {
         "k3",
         "k7",
     }
+
+
+@pytest.mark.parametrize("layout", ["hardlink", "manifest"])
+def test_legacy_backfill_derives_count_from_data(spark, tmp_path, layout):
+    """DETERMINISTIC version of the race above (no flock lottery): a
+    single opener whose constructor value is WRONG (16 on a store
+    physically written with 4) must still pin 4 — the data's own
+    (key, bucket) labels prove the layout — and its pruned lookups
+    must find the keys. Both physical layouts."""
+    import os as _os
+
+    path = str(tmp_path / "snap")
+    store = SnapshotStore(
+        spark, path, key="k", version_col="v", num_buckets=4, layout=layout
+    )
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(24)]))
+    _os.remove(store._cfg_path(1))
+
+    other = SnapshotStore(
+        spark, path, key="k", version_col="v", num_buckets=16, layout=layout
+    )
+    assert other.num_buckets == 4
+    assert {r.k for r in other.read_keys(["k3", "k7"]).collect()} == {
+        "k3",
+        "k7",
+    }
+
+
+def test_legacy_backfill_underivable_raises_loudly(spark, tmp_path):
+    """A legacy store whose data contradicts every candidate count
+    (here: a bucket dir renamed to a label no pmod layout could have
+    produced) must RAISE at open instead of guessing — a silent wrong
+    adoption empties pruned reads, the worst store failure mode."""
+    import os as _os
+
+    path = str(tmp_path / "snap")
+    store = SnapshotStore(spark, path, key="k", version_col="v", num_buckets=4)
+    store.overwrite(_df(spark, [(f"k{i}", 1, "p") for i in range(24)]))
+    _os.remove(store._cfg_path(1))
+    vdir = store._version_dir(1)
+    # Mislabel one bucket: rows hashed for bucket 1 (mod 4) now claim
+    # bucket 5 — consistent with no n (n=4 can't label a bucket 5;
+    # anything > 5 fails the sampled rows' mod).
+    _os.rename(
+        _os.path.join(vdir, "_bucket=1"), _os.path.join(vdir, "_bucket=5")
+    )
+    with pytest.raises(RuntimeError, match="cannot derive the bucket layout"):
+        SnapshotStore(spark, path, key="k", version_col="v", num_buckets=4)
 
 
 def test_merge_expected_base_pins_the_validated_state(spark, tmp_path):
@@ -1044,6 +1097,7 @@ with open(out, "w") as f:
 """
 
 
+@pytest.mark.race
 def test_claim_protocol_across_processes(tmp_path):
     """The claim layer under real MULTI-PROCESS contention (the model
     test's threads share one pid, so the pid-liveness and flock paths
@@ -1107,6 +1161,7 @@ def test_claim_protocol_across_processes(tmp_path):
     store._release(99)
 
 
+@pytest.mark.race
 def test_concurrent_writer_fails_fast(spark, tmp_path):
     """A racing writer is refused BEFORE writing any data: a live
     claim on the next version raises ConcurrentWriteError; a crashed
@@ -1193,6 +1248,7 @@ def test_lost_update_guard_covers_derived_rewrites(spark, tmp_path):
         store.overwrite(_df(spark, [("c", 1, "r")]), expected_base=None)
 
 
+@pytest.mark.race
 def test_empty_claim_file_is_cleared_not_wedging(spark, tmp_path):
     """A zero-byte claim (a writer killed between creating and
     stamping it — impossible under the link protocol, but possible

@@ -60,6 +60,7 @@ def _model_diff(h_from: dict, h_to: dict) -> dict:
 
 
 @pytest.mark.parametrize("layout", ["hardlink", "manifest"])
+@pytest.mark.race
 def test_two_concurrent_writers_all_commits_land_exactly_once(
     spark, tmp_path, layout
 ):

@@ -37,6 +37,16 @@ def main() -> int:
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--bench", action="store_true", help="also run bench.py")
+    ap.add_argument(
+        "--repeat-races",
+        type=int,
+        default=0,
+        metavar="N",
+        help="rerun every @pytest.mark.race test N times in one pytest "
+        "session (r10 verdict #2: a nondeterministically-won race can "
+        "flake green into a committed gate; N≥10 makes the gate catch "
+        "it). 0 skips the step.",
+    )
     a = ap.parse_args()
 
     steps: list[tuple[str, list[str]]] = [
@@ -79,6 +89,23 @@ def main() -> int:
             ],
         ),
     ]
+    if a.repeat_races:
+        steps.append(
+            (
+                "repeat-races",
+                [
+                    sys.executable,
+                    "-m",
+                    "pytest",
+                    os.path.join(REPO, "tests"),
+                    "-m",
+                    "race",
+                    "--repeat-races",
+                    str(a.repeat_races),
+                    "-q",
+                ],
+            )
+        )
     if a.bench:
         steps.append(("bench", [sys.executable, os.path.join(REPO, "bench.py")]))
 
