@@ -241,11 +241,11 @@ def maintain_joined_agg(
     two ``v_from`` snapshots (one O(v_from) join, the demo /
     first-cycle path).
 
-    ``group_col`` is assumed NON-NULL (it is a dim attribute — the
-    view's grouping dimension): the three-way combine joins groups by
-    plain equality, so a NULL group would split across terms instead
-    of pairing (``maintain_min_max`` shows the eqNullSafe treatment
-    if a nullable group is ever needed)."""
+    A NULL ``group_col`` is a legitimate group (SQL GROUP BY treats
+    NULL as one group — a dim row with an unset attribute): the
+    three-way combine pairs terms with eqNullSafe joins, same as
+    ``maintain_min_max``'s old/feed join, so the NULL group's three
+    contributions land on one output row instead of splitting."""
     cents = F.round(F.col(cents_col) * 100).cast("long")
     d_prev = dim_store.read(version=v_from).select(dim_key_col, group_col)
     if old_view is not None:
@@ -300,9 +300,17 @@ def maintain_joined_agg(
             F.sum(F.col("_dsign") * F.coalesce("_ks", F.lit(0))).alias("_s2"),
         )
     )
+    # Null-safe combine: a plain USING full-outer would never pair the
+    # NULL group's rows across the three terms (NULL != NULL), so its
+    # old count, fact delta and dim moves would emerge as three
+    # separate rows. eqNullSafe pairs them; the group value coalesces
+    # from whichever side is present (still NULL for the NULL group —
+    # that IS its label).
+    m = _null_safe_outer(old, t1, group_col, ["_n0", "_s0"], ["_n1", "_s1"])
     return (
-        old.join(t1, group_col, "full_outer")
-        .join(t2, group_col, "full_outer")
+        _null_safe_outer(
+            m, t2, group_col, ["_n0", "_s0", "_n1", "_s1"], ["_n2", "_s2"]
+        )
         .select(
             group_col,
             (
@@ -322,3 +330,281 @@ def maintain_joined_agg(
         )
         .filter(F.col("n") > 0)
     )
+
+
+def _null_safe_outer(
+    left: DataFrame,
+    right: DataFrame,
+    group_col: str,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """Full-outer join of two per-group frames on ``group_col`` with
+    NULL-as-a-group semantics (eqNullSafe — SQL GROUP BY's one NULL
+    group must pair across terms, where plain equality would split
+    it), coalescing the group label from whichever side is present."""
+    l, r = left.alias("l"), right.alias("r")
+    return l.join(
+        r,
+        F.col(f"l.{group_col}").eqNullSafe(F.col(f"r.{group_col}")),
+        "full_outer",
+    ).select(
+        F.coalesce(f"l.{group_col}", f"r.{group_col}").alias(group_col),
+        *left_cols,
+        *right_cols,
+    )
+
+
+def maintain_joined_min_max(
+    fact_store,
+    dim_store,
+    v_from: int,
+    v_to: int,
+    *,
+    fact_key_col: str,
+    dim_key_col: str,
+    group_col: str,
+    cents_col: str = "price",
+    old_view: DataFrame | None = None,
+) -> DataFrame:
+    """Compose the two IVM algebras (r10 verdict #5): maintain a
+    fact ⋈ dim per-group ``(n, s, min_c, max_c)`` view — count,
+    integer-cents sum, AND extremum measures — across one window in
+    which BOTH stores changed. Returns
+    ``[group_col, n, s, min_c, max_c]`` equal to a from-scratch
+    ``F(v_to) ⋈ D(v_to)`` aggregate.
+
+    Why neither parent covers this: ``maintain_joined_agg`` is
+    count/sum only (distributive — pure signed algebra), and
+    ``maintain_min_max`` is single-table — a DIM MOVE can retire a
+    group's extremum without any fact delete (the extremum-holding
+    key re-groups away), which no fact-feed inspection can see.
+
+    n and s maintain by the exact two-term decomposition
+    ``V2 − V1 = ΔF ⋈ D1 + F2 ⋈ ΔD`` (same algebra as
+    ``maintain_joined_agg``). min/max are SEMI-incremental, split per
+    group exactly like ``maintain_min_max``:
+
+    - additions can only improve an extremum, so add-candidates come
+      from (a) fact-feed post-images assigned to their POST-state dim
+      group and (b) moved-in dim keys' post-state per-key extrema
+      (already aggregated for term 2 — one shared scan);
+    - a group is RECOMPUTED from the post-state join when an extremum
+      may have departed: a fact-feed removal under the PRE-state dim
+      ties-or-beats the stored extremum, OR any dim key genuinely
+      left the group (pre-group ≠ post-group null-safe, or deleted) —
+      the departed key's pre-state fact values are unknown without a
+      rescan, so departure is conservatively a threat. Attribute-only
+      dim updates (pre-group = post-group) threaten nothing and are
+      filtered out of the threat set (their term-2 rows still cancel
+      in the n/s algebra).
+
+    The recompute restricts BOTH sides before the join: D2 is
+    semi-joined to the affected groups first, so the fact scan is
+    pruned by the key join to only the threatened groups' facts —
+    never a full rescan. Affected groups stay a DataFrame end to end
+    (no driver key list); join strategies are left to AQE, same
+    reasoning as both parents. NULL groups pair via eqNullSafe
+    everywhere (a NULL dim attribute is one legitimate group)."""
+    cents = F.round(F.col(cents_col) * 100).cast("long")
+    d_prev = dim_store.read(version=v_from).select(dim_key_col, group_col)
+    d_cur = dim_store.read(version=v_to).select(
+        F.col(dim_key_col).alias("_dk2"), F.col(group_col).alias("_g2")
+    )
+    if old_view is not None:
+        old = old_view.select(
+            group_col,
+            F.col("n").alias("_n0"),
+            F.col("s").alias("_s0"),
+            F.col("min_c").alias("_m0"),
+            F.col("max_c").alias("_x0"),
+        )
+    else:
+        old = (
+            fact_store.read(version=v_from)
+            .join(d_prev, F.col(fact_key_col) == F.col(dim_key_col))
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("_n0"),
+                F.sum(cents).alias("_s0"),
+                F.min(cents).alias("_m0"),
+                F.max(cents).alias("_x0"),
+            )
+        )
+    sign_of = lambda col: F.when(  # noqa: E731
+        col.isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    feed = fact_store.read_changes(
+        v_from, v_to, update_images="both"
+    ).localCheckpoint(eager=False)
+    is_add = F.col("_change").isin("insert", "update_postimage")
+    # Term 1 (n/s algebra + removal threats): fact feed under the
+    # PRE-state dim — removals happened to rows grouped by D1.
+    ffeed = feed.join(d_prev, F.col(fact_key_col) == F.col(dim_key_col))
+    fsign = sign_of(F.col("_change"))
+    t1 = ffeed.groupBy(group_col).agg(
+        F.sum(fsign).alias("_n1"),
+        F.sum(fsign * cents).alias("_s1"),
+        F.min(F.when(~is_add, cents)).alias("_fr_min"),
+        F.max(F.when(~is_add, cents)).alias("_fr_max"),
+    )
+    # Add-candidates: fact-feed post-images land in their POST-state
+    # dim group (an added row is a v_to row — its group is D2's).
+    fadd = (
+        feed.filter(is_add)
+        .join(d_cur, F.col(fact_key_col) == F.col("_dk2"))
+        .groupBy(F.col("_g2").alias(group_col))
+        .agg(
+            F.min(cents).alias("_fa_min"),
+            F.max(cents).alias("_fa_max"),
+        )
+    )
+    # Dim feed, shared by the n/s term 2, the moved-in candidates and
+    # the departure threats (one classification join execution).
+    dfeed = (
+        dim_store.read_changes(v_from, v_to, update_images="both")
+        .select(
+            F.col(dim_key_col).alias("_dk"),
+            group_col,
+            sign_of(F.col("_change")).alias("_dsign"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
+    per_key = (
+        fact_store.read(version=v_to)
+        .join(changed_keys, F.col(fact_key_col) == F.col("_ck"), "left_semi")
+        .groupBy(fact_key_col)
+        .agg(
+            F.count(F.lit(1)).alias("_kn"),
+            F.sum(cents).alias("_ks"),
+            F.min(cents).alias("_kmin"),
+            F.max(cents).alias("_kmax"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dj = dfeed.join(per_key, F.col("_dk") == F.col(fact_key_col), "left")
+    t2 = dj.groupBy(group_col).agg(
+        F.sum(F.col("_dsign") * F.coalesce("_kn", F.lit(0))).alias("_n2"),
+        F.sum(F.col("_dsign") * F.coalesce("_ks", F.lit(0))).alias("_s2"),
+        # Moved-in (and attribute-updated) keys' post-state extrema:
+        # their F2 values are v_to members of this group, so they are
+        # valid min/max candidates; for a no-op move they're already
+        # in the group — least/greatest make the redundancy harmless.
+        F.min(F.when(F.col("_dsign") == 1, F.col("_kmin"))).alias("_da_min"),
+        F.max(F.when(F.col("_dsign") == 1, F.col("_kmax"))).alias("_da_max"),
+    )
+    # Departure threats: a key whose PRE-group differs (null-safe)
+    # from its POST-group — or that was deleted outright — may have
+    # held its old group's extremum; its pre-state fact values are
+    # unknown without a rescan, so its old group recomputes. The
+    # struct flag distinguishes "no pre row" from "pre row with a
+    # NULL group" (a NULL group is real and must be threatenable).
+    mv = dfeed.groupBy("_dk").agg(
+        F.max(
+            F.when(
+                F.col("_dsign") == -1,
+                F.struct(F.lit(1).alias("h"), F.col(group_col).alias("g")),
+            )
+        ).alias("_pre"),
+        F.max(
+            F.when(
+                F.col("_dsign") == 1,
+                F.struct(F.lit(1).alias("h"), F.col(group_col).alias("g")),
+            )
+        ).alias("_post"),
+    )
+    dthreat = (
+        mv.filter(
+            F.col("_pre").isNotNull()
+            & (
+                F.col("_post").isNull()
+                | ~F.col("_pre.g").eqNullSafe(F.col("_post.g"))
+            )
+        )
+        .select(F.col("_pre.g").alias(group_col))
+        .distinct()
+        .withColumn("_dthreat", F.lit(True))
+    )
+    j = (
+        _null_safe_outer(old, t1, group_col,
+                         ["_n0", "_s0", "_m0", "_x0"],
+                         ["_n1", "_s1", "_fr_min", "_fr_max"])
+        .transform(lambda df: _null_safe_outer(
+            df, t2, group_col,
+            ["_n0", "_s0", "_m0", "_x0", "_n1", "_s1", "_fr_min", "_fr_max"],
+            ["_n2", "_s2", "_da_min", "_da_max"]))
+        .transform(lambda df: _null_safe_outer(
+            df, fadd, group_col,
+            ["_n0", "_s0", "_m0", "_x0", "_n1", "_s1", "_fr_min", "_fr_max",
+             "_n2", "_s2", "_da_min", "_da_max"],
+            ["_fa_min", "_fa_max"]))
+        .transform(lambda df: _null_safe_outer(
+            df, dthreat, group_col,
+            ["_n0", "_s0", "_m0", "_x0", "_n1", "_s1", "_fr_min", "_fr_max",
+             "_n2", "_s2", "_da_min", "_da_max", "_fa_min", "_fa_max"],
+            ["_dthreat"]))
+        .withColumn(
+            "_n_new",
+            (
+                F.coalesce("_n0", F.lit(0))
+                + F.coalesce("_n1", F.lit(0))
+                + F.coalesce("_n2", F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "_s_new",
+            (
+                F.coalesce("_s0", F.lit(0))
+                + F.coalesce("_s1", F.lit(0))
+                + F.coalesce("_s2", F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "_recompute",
+            F.coalesce("_dthreat", F.lit(False))
+            | F.coalesce(
+                (
+                    F.col("_fr_min").isNotNull()
+                    & (
+                        F.col("_m0").isNull()
+                        | (F.col("_fr_min") <= F.col("_m0"))
+                        | (F.col("_fr_max") >= F.col("_x0"))
+                    )
+                ),
+                F.lit(False),
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept = j.filter(~F.col("_recompute") & (F.col("_n_new") > 0)).select(
+        group_col,
+        F.col("_n_new").alias("n"),
+        F.col("_s_new").alias("s"),
+        F.least("_m0", "_fa_min", "_da_min").alias("min_c"),
+        F.greatest("_x0", "_fa_max", "_da_max").alias("max_c"),
+    )
+    affected = j.filter(F.col("_recompute")).select(
+        F.col(group_col).alias("_ag")
+    )
+    if affected.isEmpty():
+        return kept
+    # Prune D2 to the threatened groups FIRST, so the key join prunes
+    # the fact scan to those groups' facts — the recompute never
+    # rescans the whole base (maintain_min_max's honesty note does
+    # not apply here: the dim key join IS the per-group index).
+    d_aff = d_cur.join(
+        affected, F.col("_g2").eqNullSafe(F.col("_ag")), "left_semi"
+    )
+    recomputed = (
+        fact_store.read(version=v_to)
+        .join(d_aff, F.col(fact_key_col) == F.col("_dk2"))
+        .groupBy(F.col("_g2").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s"),
+            F.min(cents).alias("min_c"),
+            F.max(cents).alias("max_c"),
+        )
+    )
+    return kept.unionByName(recomputed)

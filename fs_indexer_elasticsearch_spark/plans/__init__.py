@@ -55,7 +55,12 @@ from . import curation_pipeline  # noqa: E402,F401
 # since r8, driver-green twice, families still anchored in the
 # prefix).
 _PRIORITY = [
-    # New in r10 — never driver-checked (changing-dim joined IVM +
+    # New in r11 — never driver-checked: the composed IVM algebras
+    # (extremum measures over a joined view, both stores changing)
+    # and the NULL-group joined view (r10 verdict #4/#5)
+    "incremental_view_joined_minmax",
+    "incremental_view_joined_nullgroup",
+    # New in r10 — one driver round old (changing-dim joined IVM +
     # its chained steady-state form; the mass-delete high-cardinality
     # min/max IVM / SCALE_STRESS probe)
     "incremental_view_joined_dimchange",

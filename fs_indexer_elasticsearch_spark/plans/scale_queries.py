@@ -1075,6 +1075,210 @@ def incremental_view_joined_dimchange(
     )
 
 
+_VIEW_JOIN_MINMAX_ORACLE = """
+    WITH fbase AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    fdelta AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    f2 AS (
+        SELECT * FROM fbase WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM fdelta
+    ),
+    d2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 4
+                    THEN (c_nationkey + 7) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 13 <> 6
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS total_price,
+           round(min(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS min_price,
+           round(max(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS max_price
+    FROM f2 JOIN d2 ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+"""
+
+
+@query("incremental_view_joined_minmax", oracle=_VIEW_JOIN_MINMAX_ORACLE)
+def incremental_view_joined_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPOSED IVM algebras (r10 verdict #5): extremum measures
+    over a JOINED view with BOTH stores changing in the window —
+    (n, s, min, max) per nation over orders ⋈ customer. Neither
+    parent algebra covers it: maintain_joined_agg is count/sum only,
+    and maintain_min_max is single-table, but a RE-NATIONED customer
+    can retire its old nation's min/max without any fact delete
+    (the extremum rows re-group away with their key).
+
+    n/s ride the exact two-term decomposition; min/max split per
+    group: add-candidates (fact post-images under the POST dim +
+    moved-in keys' post-state per-key extrema) improve extrema
+    algebraically, while groups threatened by a fact removal that
+    ties-or-beats the stored extremum OR by a genuine dim departure
+    recompute from the post-state join — D2 semi-joined to the
+    affected groups first, so the key join prunes the fact scan to
+    the threatened groups' facts (never a rescan; no driver key
+    lists; AQE picks join strategies).
+
+    The oracle rejoins/reaggregates v2 from scratch, so the hash
+    gate proves the composition lands on exactly F2 ⋈ D2 through
+    fact inserts/updates/deletes AND dim inserts/re-nations/deletes
+    (operators/ivm.maintain_joined_min_max)."""
+    from ..operators.ivm import maintain_joined_min_max
+
+    fact = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
+    )
+    dim = _dim_cdf_store(spark, sf_dir)
+    view = maintain_joined_min_max(
+        fact,
+        dim,
+        1,
+        2,
+        fact_key_col="o_custkey",
+        dim_key_col="c_custkey",
+        group_col="c_nationkey",
+    )
+    return view.select(
+        "c_nationkey",
+        F.col("n").alias("n_orders"),
+        stable_round(F.col("s") / 100.0, 2).alias("total_price"),
+        stable_round(F.col("min_c") / 100.0, 2).alias("min_price"),
+        stable_round(F.col("max_c") / 100.0, 2).alias("max_price"),
+    )
+
+
+def _nullgroup_dim_store(spark: SparkSession, sf_dir: str):
+    """DIM CDC store whose grouping attribute contains NULLs — the
+    one-group-per-SQL semantics the r10 verdict #4 demands: base
+    (v1) groups customers by nation except the %7==1 keys, whose
+    group is NULL (an unset attribute); the v2 window inserts the
+    %13==2 keys, re-groups the %13==4 keys so that some move INTO
+    the NULL group (%7==2) and some move OUT of it (%7==1 gets a
+    real nation), and deletes the %13==6 keys."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    m = F.col("c_custkey") % 13
+    base_grp = F.when(F.col("c_custkey") % 7 == 1, F.lit(None)).otherwise(
+        F.col("c_nationkey")
+    )
+    moved_grp = F.when(F.col("c_custkey") % 7 == 2, F.lit(None)).otherwise(
+        (F.col("c_nationkey") + 7) % 25
+    )
+    base = cust.filter(m != 2).select(
+        "c_custkey", F.lit(1).alias("v"), base_grp.alias("grp")
+    )
+    delta = cust.filter(m.isin(2, 4)).select(
+        "c_custkey",
+        F.lit(2).alias("v"),
+        F.when(m == 4, moved_grp).otherwise(base_grp).alias("grp"),
+    )
+    removed = cust.filter(m == 6).select("c_custkey")
+    return _demo_store(
+        spark,
+        sf_dir,
+        name="nulldim",
+        key="c_custkey",
+        num_buckets=8,
+        frames=[("seed", base, None), (1, delta, removed)],
+        fp_tables=("customer",),
+    )
+
+
+_VIEW_JOIN_NULLGROUP_ORACLE = """
+    WITH fbase AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    fdelta AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    f2 AS (
+        SELECT * FROM fbase WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM fdelta
+    ),
+    d2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 4
+                    THEN CASE WHEN c_custkey % 7 = 2 THEN NULL
+                              ELSE (c_nationkey + 7) % 25 END
+                    ELSE CASE WHEN c_custkey % 7 = 1 THEN NULL
+                              ELSE c_nationkey END END AS grp
+        FROM customer WHERE c_custkey % 13 <> 6
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS total_price
+    FROM f2 JOIN d2 ON o_custkey = c_custkey
+    GROUP BY grp
+"""
+
+
+@query("incremental_view_joined_nullgroup", oracle=_VIEW_JOIN_NULLGROUP_ORACLE)
+def incremental_view_joined_nullgroup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOINED-view maintenance where the grouping attribute contains
+    NULL — SQL GROUP BY treats NULL as ONE group, and the r10 verdict
+    #4 named the hazard: maintain_joined_agg's three-way combine
+    previously joined groups by plain equality, so the NULL group's
+    old count, fact delta and dim moves would split into three
+    output rows instead of pairing. The combine now pairs terms with
+    eqNullSafe (the treatment maintain_min_max already used), and
+    this window moves dim keys INTO the NULL group, OUT of it, and
+    changes facts under keys that stay in it — the oracle recomputes
+    the post-state from scratch with DuckDB's one-NULL-group
+    semantics, so the hash gate proves all three NULL-group
+    contributions land on a single row."""
+    from ..operators.ivm import maintain_joined_agg
+
+    fact = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
+    )
+    dim = _nullgroup_dim_store(spark, sf_dir)
+    view = maintain_joined_agg(
+        fact,
+        dim,
+        1,
+        2,
+        fact_key_col="o_custkey",
+        dim_key_col="c_custkey",
+        group_col="grp",
+    )
+    return view.select(
+        "grp",
+        F.col("n").alias("n_orders"),
+        stable_round(F.col("s") / 100.0, 2).alias("total_price"),
+    )
+
+
 def _cdf3_stores(spark: SparkSession, sf_dir: str):
     """THREE-version fact + dim CDC stores for the chained joined-view
     demo — two consecutive windows in which BOTH sides change:

@@ -237,3 +237,153 @@ def test_maintain_joined_agg_chained_equals_scratch(spark, tmp_path):
         group_col="grp", cents_col="price", old_view=c1,
     )
     assert as_dict(c2) == scratch(3)
+
+
+def _joined_stores(spark, tmp_path):
+    """The joined-agg test's two-store scenario (see
+    test_maintain_joined_agg_chained_equals_scratch for the window
+    narrative) — shared by the min/max composition tests. Window
+    1->2's dim migration of customer 2 (a->b) retires group a's MIN
+    (its fact 12 holds val 1.0) with NO fact delete — the exact case
+    neither parent algebra covers alone."""
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    fschema = "fk long, v int, cust long, price double"
+    dschema = "dk long, v int, grp string"
+    dim.overwrite(spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "a"), (3, 1, "b"), (4, 1, "b")], dschema))
+    fact.overwrite(spark.createDataFrame(
+        [(10, 1, 1, 5.0), (11, 1, 1, 7.0), (12, 1, 2, 1.0),
+         (13, 1, 3, 2.0), (14, 1, 3, 4.0), (15, 1, 5, 9.0)], fschema))
+    fact.merge(
+        spark.createDataFrame([(11, 2, 1, 20.0), (16, 2, 2, 3.0)], fschema),
+        removed=spark.createDataFrame([(13,)], "fk long"),
+    )
+    dim.merge(
+        spark.createDataFrame([(2, 2, "b"), (5, 2, "c")], dschema),
+        removed=spark.createDataFrame([(3,)], "dk long"),
+    )
+    fact.merge(
+        spark.createDataFrame([(17, 3, 4, 6.0)], fschema),
+        removed=spark.createDataFrame([(10,), (11,)], "fk long"),
+    )
+    dim.merge(
+        spark.createDataFrame([(4, 3, "c")], dschema),
+        removed=spark.createDataFrame([], "dk long"),
+    )
+    return fact, dim
+
+
+def test_maintain_joined_min_max_chained_equals_scratch(spark, tmp_path):
+    """The composed algebras (r10 verdict #5): (n, s, min, max) over
+    a joined view with both stores changing, chained over two windows
+    with old_view feedback — every step must land on the from-scratch
+    F(v) join D(v) aggregate. Window 1->2 exercises the dim-move
+    extremum retirement (customer 2's migration takes group a's min
+    value 1.0 away with no fact delete) AND a fact-update extremum
+    improvement (11: 7->20 becomes a's new max); window 2->3 empties
+    group a entirely and moves a freshly-facted key b->c."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_joined_min_max,
+    )
+
+    fact, dim = _joined_stores(spark, tmp_path)
+
+    def scratch(v):
+        cents = F.round(F.col("price") * 100).cast("long")
+        return {
+            r.grp: (r.n, r.s, r.min_c, r.max_c)
+            for r in fact.read(version=v)
+            .join(dim.read(version=v).select("dk", "grp"),
+                  F.col("cust") == F.col("dk"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s"),
+                 F.min(cents).alias("min_c"), F.max(cents).alias("max_c"))
+            .collect()
+        }
+
+    def as_dict(df):
+        return {r.grp: (r.n, r.s, r.min_c, r.max_c) for r in df.collect()}
+
+    c1 = maintain_joined_min_max(
+        fact, dim, 1, 2, fact_key_col="cust", dim_key_col="dk",
+        group_col="grp", cents_col="price",
+    ).localCheckpoint(eager=False)
+    assert as_dict(c1) == scratch(2)
+    assert scratch(2) == {
+        # a: cust 1 only -> {5, 20}; the move retired min 1.0.
+        "a": (2, 2500, 500, 2000),
+        # b: cust 2 {1, 3} + cust 4 (factless).
+        "b": (2, 400, 100, 300),
+        # c: cust 5's pre-existing fact 15.
+        "c": (1, 900, 900, 900),
+    }
+    c2 = maintain_joined_min_max(
+        fact, dim, 2, 3, fact_key_col="cust", dim_key_col="dk",
+        group_col="grp", cents_col="price", old_view=c1,
+    )
+    assert as_dict(c2) == scratch(3)
+    # Full-window single application agrees too.
+    full = maintain_joined_min_max(
+        fact, dim, 1, 3, fact_key_col="cust", dim_key_col="dk",
+        group_col="grp", cents_col="price",
+    )
+    assert as_dict(full) == scratch(3)
+
+
+def test_maintain_joined_agg_null_group_pairs_terms(spark, tmp_path):
+    """r10 verdict #4: a NULL grouping attribute is ONE group. The
+    window moves a key INTO the NULL group, changes facts under a key
+    that STAYS in it, and the three-way combine must pair the NULL
+    group's old count, fact delta and dim move on a single output row
+    (plain equality would emit three)."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_joined_agg,
+        maintain_joined_min_max,
+    )
+
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    fschema = "fk long, v int, cust long, price double"
+    dschema = "dk long, v int, grp string"
+    # v1: customer 1 has NO group (NULL), 2 in "a", 3 in "b".
+    dim.overwrite(spark.createDataFrame(
+        [(1, 1, None), (2, 1, "a"), (3, 1, "b")], dschema))
+    fact.overwrite(spark.createDataFrame(
+        [(10, 1, 1, 5.0), (11, 1, 2, 7.0), (12, 1, 3, 2.0)], fschema))
+    # window: fact insert under the NULL-group key 1; dim moves key 3
+    # INTO the NULL group and key 2 stays put.
+    fact.merge(spark.createDataFrame([(13, 2, 1, 1.0)], fschema))
+    dim.merge(spark.createDataFrame([(3, 2, None)], dschema))
+
+    out = {
+        r.grp: (r.n, r.s)
+        for r in maintain_joined_agg(
+            fact, dim, 1, 2, fact_key_col="cust", dim_key_col="dk",
+            group_col="grp", cents_col="price",
+        ).collect()
+    }
+    # ONE row for the NULL group carrying all three contributions:
+    # old fact 10 (500) + inserted 13 (100) + moved-in key 3's 12 (200).
+    assert out == {None: (3, 800), "a": (1, 700)}
+
+    mm = {
+        r.grp: (r.n, r.s, r.min_c, r.max_c)
+        for r in maintain_joined_min_max(
+            fact, dim, 1, 2, fact_key_col="cust", dim_key_col="dk",
+            group_col="grp", cents_col="price",
+        ).collect()
+    }
+    assert mm == {None: (3, 800, 100, 500), "a": (1, 700, 700, 700)}
