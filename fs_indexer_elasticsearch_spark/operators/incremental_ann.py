@@ -119,6 +119,15 @@ class IvfIndexStore:
         """Vector width the index was seeded with."""
         return int(self._meta()["dim"])
 
+    @staticmethod
+    def _centroid_gen(meta: dict | None) -> int:
+        """The centroid-set generation of a meta payload. Falls back
+        to ``tombstone_gen`` for indexes seeded before the split op
+        separated the two (they always moved together then, so the
+        fallback is exact)."""
+        meta = meta or {}
+        return int(meta.get("centroid_gen", meta.get("tombstone_gen", 0)))
+
     def _norm(self, df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
         """Normalize caller columns to the index's canonical
         (vec_id, emb) names — the persisted centroids always carry
@@ -194,6 +203,7 @@ class IvfIndexStore:
                 f"IvfIndexStore.seed: centroids have mixed dims {dims}"
             )
         id_type = norm_c.schema["vec_id"].dataType.simpleString()
+        prev = self.store.read_meta() or {}
         meta = {
             "centroids": crows,
             "dim": dims[0],
@@ -201,10 +211,14 @@ class IvfIndexStore:
             # Bumped atomically with the fresh corpus: invalidates the
             # old generation's tombstones even if the clear below never
             # runs (crash window — store_common.TombstoneStore).
-            "tombstone_gen": (self.store.read_meta() or {}).get(
-                "tombstone_gen", 0
-            )
-            + 1,
+            "tombstone_gen": prev.get("tombstone_gen", 0) + 1,
+            # The CENTROID generation — what add()'s retry pin actually
+            # guards (stale cell assignments). Separate from
+            # tombstone_gen so split_hot_cells can retire a centroid
+            # without resurrecting tombstoned ids (r11; before the
+            # split op existed the two generations always moved
+            # together, so tombstone_gen doubled as both).
+            "centroid_gen": self._centroid_gen(prev) + 1,
         }
         cents = self.spark.createDataFrame(
             crows, f"vec_id {id_type}, emb array<double>"
@@ -304,7 +318,7 @@ class IvfIndexStore:
         # NEW centroids masquerade under an OLD gen0 — or, with the
         # capture order reversed, stale-centroid rows under a fresh
         # gen0 (the silent mis-bucketing this pin exists to exclude).
-        gen0 = (self.store.read_meta() or {}).get("tombstone_gen", 0)
+        gen0 = self._centroid_gen(self.store.read_meta())
         rows = self._assigned(
             batch, id_col, vec_col, seq, self.centroids(), self._dim()
         )
@@ -318,11 +332,11 @@ class IvfIndexStore:
         attempt = 0
         while True:
             v0 = self.store.current_version()
-            gen_v0 = (self.store.read_meta(v0) or {}).get("tombstone_gen", 0)
+            gen_v0 = self._centroid_gen(self.store.read_meta(v0))
             if gen_v0 != gen0:
                 raise ConcurrentWriteError(
                     f"IVF centroid generation moved {gen0} -> {gen_v0} "
-                    "(concurrent retrain/seed) while this add was "
+                    "(concurrent retrain/seed/split) while this add was "
                     "retrying; its cell assignments are stale — "
                     "re-assign against the current centroids"
                 )
@@ -334,6 +348,191 @@ class IvfIndexStore:
                 jitter = ((os.getpid() * 1103515245 + attempt) % 97) / 97.0
                 time.sleep(0.05 * (2**attempt) * (0.5 + jitter))
                 attempt += 1
+
+    def split_hot_cells(
+        self,
+        *,
+        threshold: int,
+        seq: int,
+        max_retries: int = 0,
+    ) -> int | None:
+        """Hot-cell maintenance (r10 verdict #7): incremental adds
+        skew cells over time — a cell absorbing 50% of the stream
+        makes every probe that touches it O(hot cell), and without a
+        rebalance path the only fix was a full retrain. This op
+        BINARY-SPLITS every cell whose row count exceeds
+        ``threshold``: a deterministic 2-means inside each hot cell
+        derives two child centroids (seed A = the cell's smallest
+        vec_id, seed B = the member least-cosine-similar to A, one
+        Lloyd step, stable-rounded means — the kmeans_fit
+        determinism rules), the parent centroid is RETIRED from the
+        committed centroid set, and only the hot cells' vectors are
+        re-assigned (against the FULL new centroid set, so a vector
+        whose true nearest cell was elsewhere migrates too). Rows of
+        cold cells are untouched — the op is O(hot rows) plus one
+        column-pruned cid count over the index, never a retrain.
+
+        Commit protocol: rows + the new centroid meta land in ONE
+        ``merge(meta=..., expected_base=v0)`` — centroids and
+        assignments publish atomically, and the pin aborts on any
+        concurrent commit (an add that landed rows in the parent
+        cell after our read would otherwise be orphaned under a
+        retired cid). ``max_retries`` re-runs the WHOLE derivation
+        (sizes, members, children) against the moved base — the
+        generation-pinned shape add() uses, except nothing here is
+        reusable across attempts. The commit bumps ``centroid_gen``
+        (failing concurrent add retries loudly — their assignments
+        are stale) but NOT ``tombstone_gen``: deleted ids stay
+        deleted across a split.
+
+        ``seq`` stamps the re-assigned rows and MUST be ≥ every
+        stored row's ivf_seq (the caller owns the sequence domain,
+        same as add): a child cid can hash into the parent's bucket,
+        where only a strictly-newer row wins the LWW upsert — a tie
+        would silently keep the row under the retired cid, invisible
+        to every future probe. Rows whose child cid hashes
+        elsewhere leave their old copy behind as dead weight (cid
+        retired → never probed; search's newest-seq dedup covers
+        hash collisions); the space is reclaimed by the next
+        eager removal / retrain / rebucket pass.
+
+        Scope: sized for SKEW repair — a few cells grown past the
+        threshold. The re-assign batch rides merge's delta contract
+        (per-partition hash map on the batch), so if the hot set has
+        grown to a large fraction of the whole index, that is
+        distribution shift, not skew: ``retrain`` (one O(corpus)
+        overwrite) is the right tool there.
+
+        Returns the new version, or None when no cell exceeds the
+        threshold."""
+        import os
+        import time
+
+        from ..sinks.snapshot import ConcurrentWriteError
+
+        attempt = 0
+        while True:
+            try:
+                return self._split_hot_cells_once(threshold, seq)
+            except ConcurrentWriteError:
+                if attempt >= max_retries:
+                    raise
+                jitter = ((os.getpid() * 1103515245 + attempt) % 97) / 97.0
+                time.sleep(0.05 * (2**attempt) * (0.5 + jitter))
+                attempt += 1
+
+    def _split_hot_cells_once(self, threshold: int, seq: int) -> int | None:
+        v0 = self.store.current_version()
+        if v0 is None:
+            raise ValueError("IVF index is empty — seed() it first")
+        meta = dict(self._meta())
+        id_type = meta["id_type"]
+        live_cids = [i for i, _e in meta["centroids"]]
+        # One column-pruned pass: only cid reaches the scan. LIVE
+        # cells only — a retired parent's leftover rows (the
+        # documented dead weight of a previous split) sit under a cid
+        # no centroid carries; counting them would re-flag the old
+        # parent forever.
+        hot_ids = [
+            r.cid
+            for r in self.store.read(version=v0)
+            .filter(F.col("cid").isin(live_cids))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > int(threshold))
+            .collect()  # bounded by the number of cells (k)
+        ]
+        if not hot_ids:
+            return None
+        probe = self.spark.createDataFrame(
+            [(c,) for c in hot_ids], f"cid {id_type}"
+        )
+        hot = (
+            read_pruned(
+                self.store, probe, empty_msg="IVF index is empty"
+            )
+            .filter(F.col("cid").isin(hot_ids))
+            .select("cid", "vec_id", "emb")
+        )
+        # Tombstoned ids must not shape child centroids or be
+        # re-assigned (they would resurface under a live cid; under
+        # the dead parent cid they are never probed again).
+        hot = self.tombstones.apply(hot, "vec_id").localCheckpoint(
+            eager=False
+        )
+        # Deterministic 2-means per hot cell.
+        wa = Window.partitionBy("cid").orderBy("vec_id")
+        seed_a = (
+            hot.withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+            .select("cid", F.col("emb").alias("_ea"))
+        )
+        ha = hot.join(F.broadcast(seed_a), "cid")
+        wb = Window.partitionBy("cid").orderBy(
+            F.asc(stable_round(cosine("emb", "_ea"), 6)), F.asc("vec_id")
+        )
+        seed_b = (
+            ha.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == 1)
+            .select("cid", F.col("emb").alias("_eb"))
+        )
+        assigned = (
+            ha.join(F.broadcast(seed_b), "cid")
+            .withColumn(
+                "_child",
+                F.when(
+                    stable_round(cosine("emb", "_ea"), 6)
+                    >= stable_round(cosine("emb", "_eb"), 6),
+                    F.lit(0),
+                ).otherwise(F.lit(1)),
+            )
+        )
+        means = (
+            assigned.select("cid", "_child", F.posexplode("emb").alias("_d", "_x"))
+            .groupBy("cid", "_child", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("cid", "_child")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_d", "_m"))),
+                    lambda s: stable_round(s["_m"], 6),
+                ).alias("_emb")
+            )
+            .collect()  # bounded: 2 x hot cells
+        )
+        # Children get fresh ids: numeric -> max+1.., string ->
+        # "<parent>~<i>" (collision-checked).
+        old_ids = {r[0] for r in meta["centroids"]}
+        numeric = id_type in ("tinyint", "smallint", "int", "bigint")
+        next_id = (max(old_ids) + 1) if numeric and old_ids else None
+        children: list[tuple] = []
+        for r in sorted(means, key=lambda r: (str(r.cid), r._child)):
+            if numeric:
+                cid = next_id
+                next_id += 1
+            else:
+                cid = f"{r.cid}~{r._child}"
+                if cid in old_ids:
+                    raise ValueError(
+                        f"split_hot_cells: child id {cid!r} collides with "
+                        "an existing centroid id"
+                    )
+            children.append((cid, [float(x) for x in r._emb]))
+        hot_set = set(hot_ids)
+        new_crows = [
+            (i, e) for i, e in meta["centroids"] if i not in hot_set
+        ] + children
+        meta["centroids"] = new_crows
+        meta["centroid_gen"] = self._centroid_gen(meta) + 1
+        cents = self.spark.createDataFrame(
+            new_crows, f"vec_id {id_type}, emb array<double>"
+        )
+        reassigned = self._assigned(
+            hot, "vec_id", "emb", seq, cents, int(meta["dim"])
+        )
+        v = self.store.merge(reassigned, meta=meta, expected_base=v0)
+        self._cent_cache = None
+        return v
 
     def remove_vecs(self, vec_ids: DataFrame, *, mode: str = "eager") -> int:
         """Drop every index row of the given vector ids (one-column

@@ -55,12 +55,17 @@ def maintain_min_max(
     value_col: str,
     *,
     old_view: DataFrame | None = None,
+    with_sum: bool = False,
 ) -> DataFrame:
     """Maintain a per-group (count, min, max) view across a feed
     window. Returns columns ``group_cols + [n, min_v, max_v]`` equal to
     a from-scratch ``groupBy(group).agg(count, min, max)`` over the
     ``v_to`` state. ``value_col`` is assumed non-null (the view's
-    measure).
+    measure). ``with_sum=True`` adds a distributive ``s`` column
+    (``sum(value_col)`` — adds add, removals subtract; the recompute
+    branch re-sums) for callers maintaining a combined sum+extremum
+    view (the streaming pipeline's declared view); the default leaves
+    the established three-measure plan untouched.
 
     ``old_view`` is the PREVIOUSLY MAINTAINED view (columns
     ``group_cols + [n, min_v, max_v]``, as this function returns) — in
@@ -72,12 +77,15 @@ def maintain_min_max(
     aggregate."""
     g = list(group_cols)
     val = F.col(value_col)
+    sum_old = [F.col("s").alias("_s0")] if with_sum else []
+    sum_old_agg = [F.sum(val).alias("_s0")] if with_sum else []
     if old_view is not None:
         old = old_view.select(
             *g,
             F.col("n").alias("_n0"),
             F.col("min_v").alias("_m0"),
             F.col("max_v").alias("_x0"),
+            *sum_old,
         )
     else:
         old = (
@@ -87,16 +95,23 @@ def maintain_min_max(
                 F.count(F.lit(1)).alias("_n0"),
                 F.min(val).alias("_m0"),
                 F.max(val).alias("_x0"),
+                *sum_old_agg,
             )
         )
     feed = store.read_changes(v_from, v_to, update_images="both")
     is_add = F.col("_change").isin("insert", "update_postimage")
+    sum_inc = (
+        [F.sum(F.when(is_add, val).otherwise(-val)).alias("_ds")]
+        if with_sum
+        else []
+    )
     inc = feed.groupBy(*g).agg(
         F.sum(F.when(is_add, 1).otherwise(-1)).alias("_dn"),
         F.min(F.when(is_add, val)).alias("_ma"),
         F.max(F.when(is_add, val)).alias("_xa"),
         F.min(F.when(~is_add, val)).alias("_mr"),
         F.max(F.when(~is_add, val)).alias("_xr"),
+        *sum_inc,
     )
     # Null-safe full outer: a NULL group value is a legitimate group
     # (SQL GROUP BY treats NULL as one group), but an equi-join on the
@@ -122,6 +137,7 @@ def maintain_min_max(
         "_xa",
         "_mr",
         "_xr",
+        *(["_s0", "_ds"] if with_sum else []),
     )
     # Two consumers (kept branch + affected-group collect) share one
     # execution of the old-view/feed join.
@@ -158,6 +174,15 @@ def maintain_min_max(
         # feed's extremum, an untouched group keeps the stored one.
         F.least("_m0", "_ma").alias("min_v"),
         F.greatest("_x0", "_xa").alias("max_v"),
+        *(
+            [
+                (
+                    F.coalesce("_s0", F.lit(0)) + F.coalesce("_ds", F.lit(0))
+                ).alias("s")
+            ]
+            if with_sum
+            else []
+        ),
     )
     # Affected groups stay a DataFrame — no key list on the driver, no
     # literal predicate in the plan. The eqNullSafe semi-join keeps an
@@ -191,6 +216,7 @@ def maintain_min_max(
             F.count(F.lit(1)).alias("n"),
             F.min(val).alias("min_v"),
             F.max(val).alias("max_v"),
+            *([F.sum(val).alias("s")] if with_sum else []),
         )
     )
     return kept.unionByName(recomputed)

@@ -73,6 +73,107 @@ def run_incremental_pipeline(
     )
 
 
+def streaming_maintained_view_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    store: SnapshotStore,
+    view_store: SnapshotStore,
+    checkpoint_dir: str,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """A DECLARED VIEW maintained incrementally inside the streaming
+    loop (r10 verdict #6): each micro-batch merges into the base
+    snapshot store, then the per-group ``(n, min_v, max_v, s)`` view
+    is advanced across exactly that merge's CDC window with
+    ``operators/ivm.maintain_min_max(with_sum=True)`` and published
+    to ``view_store`` — the foreachBatch twin of the
+    ``incremental_view_*`` registered queries, closing the gap where
+    the streaming layer still republished views by recompute.
+
+    Steady state: the PREVIOUS cycle's published view feeds back in
+    as ``old_view``, so after the first derivation (one base
+    aggregate when the base store seeds) every cycle costs O(feed)
+    plus the affected-group recompute — the base is NEVER rescanned
+    on insert-only or interior-delete cycles (adds can only improve
+    an extremum; the view store read is O(groups)). Epoch guard: a
+    replayed or no-change epoch whose merge produced an EMPTY feed
+    skips the view commit entirely (same no-op-version rule as the
+    changefeed pipeline), so the view store's version chain grows
+    only when the view can actually move.
+
+    Publication is ``overwrite`` (the view is O(groups), tiny next
+    to the base; a keyed merge would need removals for vanished
+    groups) with ``expected_base`` pinned to the view version the
+    old_view was read from — a concurrent publisher raises instead
+    of silently folding over the feedback loop."""
+    from ..operators.ivm import maintain_min_max
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(store.key).orderBy(F.desc(store.version_col))
+        deduped = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        v_before = store.current_version()
+        store.merge(deduped)
+        v_after = store.current_version()
+        if v_before is None:
+            # First derivation: the one and only base aggregate.
+            view = (
+                store.read(version=v_after)
+                .groupBy(*group_cols)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(value_col).alias("min_v"),
+                    F.max(value_col).alias("max_v"),
+                    F.sum(value_col).alias("s"),
+                )
+            )
+            view_store.overwrite(view.localCheckpoint(eager=False))
+            return
+        # Epoch guard: a replayed epoch (merge already committed this
+        # content) or an all-stale batch classifies to an empty feed —
+        # the view cannot move, so skip the commit.
+        if store.read_changes(v_before, v_after, update_images="both").isEmpty():
+            return
+        view_base = view_store.current_version()
+        old_view = view_store.read(version=view_base).drop("_bucket")
+        view = maintain_min_max(
+            store,
+            v_before,
+            v_after,
+            group_cols,
+            value_col,
+            old_view=old_view,
+            with_sum=True,
+        )
+        view_store.overwrite(
+            view.localCheckpoint(eager=False), expected_base=view_base
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

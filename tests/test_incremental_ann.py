@@ -344,3 +344,127 @@ def test_add_retry_is_generation_pinned(spark, tmp_path):
         store.store.merge = real_merge
     # Nothing from the aborted batch leaked into the index.
     assert store.store.read().filter(F.col("vec_id") >= 35).count() == 0
+
+
+def test_split_hot_cells_rebalances_and_search_stays_correct(spark, tmp_path):
+    """r10 verdict #7: a cell absorbing the bulk of the adds splits
+    into two children — the parent centroid is retired, ONLY hot-cell
+    vectors re-assign, cold cells' rows are untouched, tombstoned ids
+    stay hidden, and search over the split index still returns the
+    exact brute-force neighbors for every query probing enough cells
+    (recall gate: exact at nprobe covering the children)."""
+    # Two tight clusters far apart: ids 0..39 near +e0 ("hot" region),
+    # ids 100..104 near -e0. Centroid 0 sits on the hot region,
+    # centroid 1 on the cold one — every hot vector lands in cell 0.
+    def vec(base, i):
+        v = [0.0] * 8
+        v[0] = base
+        v[1 + (i % 3)] = 1.0 + (i % 5) * 0.1
+        return v
+
+    hot_rows = [(i, vec(10.0, i)) for i in range(40)]
+    cold_rows = [(100 + i, vec(-10.0, i)) for i in range(5)]
+    corpus = spark.createDataFrame(
+        hot_rows + cold_rows, "vec_id long, emb array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [10.0] + [0.0] * 7), (1, [-10.0] + [0.0] * 7)],
+        "vec_id long, emb array<double>",
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(corpus, cents, "vec_id", "emb")
+
+    # Tombstone one hot id before the split: it must not resurface.
+    store.remove_vecs(
+        spark.createDataFrame([(7,)], "vec_id long"), mode="tombstone"
+    )
+
+    sizes = {
+        r.cid: r.n
+        for r in store.store.read().groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sizes[0] == 40 and sizes[1] == 5  # the skew
+
+    v = store.split_hot_cells(threshold=20, seq=1)
+    assert v is not None
+    meta = store.store.read_meta()
+    ids = {r[0] for r in meta["centroids"]}
+    assert 0 not in ids and 1 in ids  # parent retired, cold kept
+    assert len(ids) == 3  # two children + cold
+    assert meta["centroid_gen"] > 1
+    # Tombstone generation untouched: deletions survive the split.
+    live = store.tombstones.apply(store.store.read(), "vec_id")
+    live_sizes = {
+        r.cid: r.n
+        for r in live.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    children = sorted(i for i in live_sizes if i not in (0, 1))
+    assert len(children) == 2
+    # Both children materially populated (39 live hot rows split).
+    assert sum(live_sizes[c] for c in children) == 39
+    assert min(live_sizes[c] for c in children) >= 5
+    assert live_sizes[1] == 5  # cold cell untouched
+
+    # Search correctness: probing the two children (nprobe=3 covers
+    # children + cold) returns the exact brute-force neighbors.
+    from fs_indexer_elasticsearch_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    queries = corpus.filter(F.col("vec_id").isin(3, 11, 102))
+    got = sorted(
+        map(
+            tuple,
+            store.search(queries, "vec_id", "emb", k=3, nprobe=3).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            brute_force_topk(
+                store.tombstones.apply(corpus, "vec_id"),
+                queries, "vec_id", "emb", k=3,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 9
+    # The tombstoned id appears nowhere.
+    assert all(r[1] != 7 for r in got)
+
+    # Repeated splits quiesce: an imbalanced child above the
+    # threshold is re-flagged and re-split until no LIVE cell
+    # exceeds it (bounded: each round strictly shrinks the largest
+    # hot cell).
+    s = 2
+    while store.split_hot_cells(threshold=20, seq=s) is not None:
+        s += 1
+        assert s < 10, "split did not quiesce"
+    meta = store.store.read_meta()
+    live_ids = [i for i, _e in meta["centroids"]]
+    live = store.tombstones.apply(
+        store.store.read().filter(F.col("cid").isin(live_ids)), "vec_id"
+    )
+    quiesced = {
+        r.cid: r.n
+        for r in live.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert max(quiesced.values()) <= 20
+    # Search stays exact probing every live cell.
+    got2 = sorted(
+        map(
+            tuple,
+            store.search(
+                queries, "vec_id", "emb", k=3, nprobe=len(live_ids)
+            ).collect(),
+        )
+    )
+    assert got2 == want
+
+    # Adds keep working against the new generation.
+    store.add(
+        spark.createDataFrame([(200, vec(10.0, 1))], "vec_id long, emb array<double>"),
+        "vec_id", "emb", seq=s + 1,
+    )
+    assert store.store.read().filter(F.col("vec_id") == 200).count() == 1

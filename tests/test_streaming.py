@@ -669,3 +669,136 @@ def test_streaming_changefeed_effectively_once(spark, tmp_path):
     }
     assert store.current_version() == n_store_versions
     assert feed_store.current_version() == n_feed_versions
+
+
+def test_streaming_maintained_view_zero_base_rescans(spark, tmp_path):
+    """r10 verdict #6: the declared (n, min_v, max_v, s) view is
+    maintained INSIDE the streaming loop from each cycle's feed with
+    old_view feedback — N cycles equal a from-scratch recompute every
+    cycle, and after the first derivation the base is read again ONLY
+    for an extremum-departure recompute. Scan accounting: versioned
+    ``store.read(version=...)`` calls are exactly the base-aggregate
+    reads (merge's needs_schema_update peeks read() with no version —
+    a lazy parquet-footer schema check, not a data scan), so the
+    counter must stay at 1 across the insert-only steady cycles and
+    reach exactly 2 after the max-retiring update."""
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_view_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.IntegerType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="k", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key="grp", version_col="n", num_buckets=2
+    )
+    versioned_reads = []
+    orig_read = store.read
+
+    def counting_read(version=None):
+        if version is not None:
+            versioned_reads.append(version)
+        return orig_read(version=version)
+
+    store.read = counting_read
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def view_now():
+        return {
+            r.grp: (r.n, r.min_v, r.max_v, r.s)
+            for r in view_store.read().collect()
+        }
+
+    def scratch():
+        return {
+            r.grp: (r.n, r.min_v, r.max_v, r.s)
+            for r in orig_read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("val").alias("min_v"),
+                F.max("val").alias("max_v"),
+                F.sum("val").alias("s"),
+            )
+            .collect()
+        }
+
+    drop("b1", [("a1", 1, "A", 5), ("b1", 1, "B", 10)])
+    q = streaming_maintained_view_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        store,
+        view_store,
+        str(tmp_path / "ckpt"),
+        group_cols=["grp"],
+        value_col="val",
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == scratch() == {
+            "A": (1, 5, 5, 5),
+            "B": (1, 10, 10, 10),
+        }
+        assert versioned_reads == [1]  # the one first derivation
+
+        # Insert-only cycles: adds can only improve extrema — the
+        # delta path alone carries them, zero base reads.
+        drop("b2", [("a2", 1, "A", 3), ("c1", 1, "C", 7)])
+        q.processAllAvailable()
+        assert view_now() == scratch()
+        drop("b3", [("d1", 1, "A", 6)])
+        q.processAllAvailable()
+        assert view_now() == scratch() == {
+            "A": (3, 3, 6, 14),
+            "B": (1, 10, 10, 10),
+            "C": (1, 7, 7, 7),
+        }
+        assert versioned_reads == [1]  # still only the derivation
+
+        # Interior update (a1: 5 -> 4 sits strictly inside A's
+        # (3, 6) extrema): still pure delta, still no base read.
+        drop("b4", [("a1", 2, "A", 4)])
+        q.processAllAvailable()
+        assert view_now() == scratch() == {
+            "A": (3, 3, 6, 13),
+            "B": (1, 10, 10, 10),
+            "C": (1, 7, 7, 7),
+        }
+        assert versioned_reads == [1]
+
+        # Update that RETIRES A's max (d1's 6 departs): the
+        # affected-group recompute is the one legitimate base read.
+        drop("b4x", [("d1", 2, "A", 5)])
+        q.processAllAvailable()
+        assert view_now() == scratch() == {
+            "A": (3, 3, 5, 12),
+            "B": (1, 10, 10, 10),
+            "C": (1, 7, 7, 7),
+        }
+        assert len(versioned_reads) == 2  # + exactly one recompute
+
+        # Replayed-content cycle (same rows again): the empty feed
+        # guard skips the view commit — version chain does not grow.
+        vv = view_store.current_version()
+        drop("b5", [("d1", 2, "A", 5)])
+        q.processAllAvailable()
+        assert view_store.current_version() == vv
+        assert view_now() == scratch()
+        assert len(versioned_reads) == 2
+    finally:
+        q.stop()

@@ -326,6 +326,108 @@ def ingest_stress(spark, ns: list[int]) -> dict:
     return entry
 
 
+def ivf_hot_split_stress(spark, ks: list[int]) -> dict:
+    """Weak-scaling of the IVF hot-cell SPLIT path (r10 verdict #7):
+    50% of every corpus lands in ONE cell by construction, the corpus
+    grows k-fold, and ``split_hot_cells`` runs with a FIXED absolute
+    threshold — so the split tree deepens with k and every live cell
+    stays bounded. Measured per k: post-split probe latency (min-of-2,
+    nprobe=2 — the number that must stay FLAT: without the split it
+    is O(hot cell) = O(k); with it, O(threshold)), the one-off split
+    cost (expected ~linear in hot rows — maintenance, not the probe
+    path), and recall@k of the post-split probe against brute force
+    (gate: >= 0.8). Synthetic, self-contained — no amplified tables."""
+    import math
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from fs_indexer_elasticsearch_spark.operators.incremental_ann import (
+        IvfIndexStore,
+    )
+    from fs_indexer_elasticsearch_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    N0, DIM, NCENT, THRESH, TOPK = 2000, 16, 16, 1500, 5
+
+    def vec(cluster: int, i: int) -> list[float]:
+        v = [0.0] * DIM
+        v[cluster % DIM] = 10.0
+        v[(cluster + 1 + i % 5) % DIM] = 1.0 + (i % 7) * 0.15
+        v[(cluster + 3 + i % 3) % DIM] = 0.5 + (i % 11) * 0.05
+        return v
+
+    probe_s: dict[str, float] = {}
+    split_s: dict[str, float] = {}
+    recalls: dict[str, float] = {}
+    for k in ks:
+        n = N0 * k
+        rows = [
+            # 50% into cluster 0 (the hot cell), the rest spread.
+            (i, vec(0 if i % 2 == 0 else 1 + (i % (NCENT - 1)), i))
+            for i in range(n)
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+        cents = spark.createDataFrame(
+            [(c, vec(c, 0)) for c in range(NCENT)],
+            "vec_id long, emb array<double>",
+        )
+        path = tempfile.mkdtemp(prefix=f"stress-ivfsplit-x{k}-")
+        shutil.rmtree(path)
+        store = IvfIndexStore(spark, path, num_buckets=32)
+        store.seed(corpus, cents, "vec_id", "emb")
+        t0 = time.perf_counter()
+        seq, rounds = 1, 0
+        while store.split_hot_cells(threshold=THRESH, seq=seq) is not None:
+            seq += 1
+            rounds += 1
+            if rounds > 12:
+                raise RuntimeError("ivf split did not quiesce")
+        split_s[f"x{k}"] = round(time.perf_counter() - t0, 3)
+        queries = corpus.filter(F.col("vec_id") % (n // 20) == 3)
+        best = None
+        got = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            got = store.search(
+                queries, "vec_id", "emb", k=TOPK, nprobe=2
+            ).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        probe_s[f"x{k}"] = round(best, 3)
+        want = brute_force_topk(
+            corpus, queries, "vec_id", "emb", k=TOPK
+        ).collect()
+        got_pairs = {(r.query_id, r.neighbor_id) for r in got}
+        want_pairs = {(r.query_id, r.neighbor_id) for r in want}
+        recalls[f"x{k}"] = round(
+            len(got_pairs & want_pairs) / max(1, len(want_pairs)), 3
+        )
+        shutil.rmtree(path, ignore_errors=True)
+    ka, kb = ks[-2], ks[-1]
+    alpha_tail = math.log(
+        max(probe_s[f"x{kb}"], 1e-3) / max(probe_s[f"x{ka}"], 1e-3)
+    ) / math.log(kb / ka)
+    entry = {
+        "probe_seconds": probe_s,
+        "split_seconds": split_s,
+        "recall_at_k": recalls,
+        "alpha_tail": round(alpha_tail, 3),
+        "superlinear": alpha_tail >= SUPERLINEAR_ALPHA,
+        "recall_gate_ok": min(recalls.values()) >= 0.8,
+    }
+    print(
+        "ivf_hot_split                    "
+        + "  ".join(f"x{k}={probe_s[f'x{k}']:.2f}s" for k in ks)
+        + f"  tail={alpha_tail:.2f}  recall_min={min(recalls.values()):.2f}"
+        + ("  ** SUPERLINEAR" if entry["superlinear"] else "")
+        + ("" if entry["recall_gate_ok"] else "  ** RECALL<0.8")
+    )
+    return entry
+
+
 def run(
     sf_dir: str,
     ks: list[int],
@@ -399,6 +501,12 @@ def run(
     if ingest and ingest["superlinear"]:
         flagged.append("ingest_pipeline")
 
+    ivf_split = None
+    if not only:  # full runs carry the synthetic probes
+        ivf_split = ivf_hot_split_stress(spark, ks)
+        if ivf_split["superlinear"] or not ivf_split["recall_gate_ok"]:
+            flagged.append("ivf_hot_split")
+
     if merge_into:
         # Extend an existing artifact in place: replace the re-run
         # entries (now carrying the longer ks column), recompute the
@@ -409,9 +517,23 @@ def run(
         artifact["results"].update(results)
         if ingest is not None:  # a re-run ingest pass replaces the old one
             artifact["ingest"] = ingest
+        if ivf_split is not None:
+            artifact["ivf_hot_split"] = ivf_split
         artifact["flagged"] = sorted(
             n for n, e in artifact["results"].items() if e["superlinear"]
-        ) + (["ingest_pipeline"] if (artifact.get("ingest") or {}).get("superlinear") else [])
+        ) + (
+            ["ingest_pipeline"]
+            if (artifact.get("ingest") or {}).get("superlinear")
+            else []
+        ) + (
+            ["ivf_hot_split"]
+            if (artifact.get("ivf_hot_split") or {}).get("superlinear")
+            or (
+                artifact.get("ivf_hot_split") is not None
+                and not artifact["ivf_hot_split"]["recall_gate_ok"]
+            )
+            else []
+        )
         ext = artifact.setdefault("ks_extended", {})
         for n in results:
             ext[n] = ks
@@ -423,6 +545,7 @@ def run(
             "superlinear_alpha": SUPERLINEAR_ALPHA,
             "results": results,
             "ingest": ingest,
+            "ivf_hot_split": ivf_split,
             "flagged": flagged,
             # Always recorded (not only when the variance-straddled flag
             # trips): the diagnosis belongs next to the number.
