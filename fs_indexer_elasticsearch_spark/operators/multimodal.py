@@ -438,6 +438,13 @@ def sample_frames(
     not open with one complete well-formed frame are not containers —
     they slice under the honest 'bytes' tag, so 'fallback' stays a
     true corruption signal."""
+    if frame_stride < 1:
+        # Validate at declaration, not inside the executor: stride 0
+        # would surface as an opaque 'slice step cannot be zero' task
+        # failure, and a negative stride silently reverses frame order.
+        raise ValueError(
+            f"frame_stride must be >= 1, got {frame_stride}"
+        )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

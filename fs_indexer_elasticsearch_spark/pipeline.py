@@ -212,7 +212,16 @@ def run_pipeline(
         known = known.drop("_bucket") if known is not None else None
         fetcher = link_fetcher or fake_link_fetcher(cfg.direct_links_version)
         work = discover_link_work(current, known)
-        fetched = fetch_direct_links(work, fetcher)
+        # Lazy localCheckpoint pins the SIDE-EFFECTING fetch plan to
+        # one execution: the first merge attempt materializes it, and
+        # a merge_with_retry rebase (cfg.merge_retries > 0) re-runs
+        # the upsert against the checkpointed rows instead of
+        # re-issuing every HTTP link fetch (r10 advice). Enrichment
+        # below reads the materialized store, so no consumer ever
+        # re-executes the fetch either.
+        fetched = fetch_direct_links(work, fetcher).localCheckpoint(
+            eager=False
+        )
         removed_links = (
             diff.filter(F.col("change") == "removed").select(
                 F.col("id").alias("file_id")
@@ -220,9 +229,6 @@ def run_pipeline(
             if diff is not None
             else None
         )
-        # merge() executes the fetch plan exactly once (the bucket
-        # write); enrichment below reads the materialized store, so no
-        # side-effecting call runs twice.
         links_version = _commit(links_store, fetched, removed_links)
         links = links_store.read().drop("_bucket")
         enriched = enrich_with_links(current, links, broadcast_links=False)

@@ -135,7 +135,25 @@ def sync_actions_from_changes(
     so a document keeps one stable ES identity across both the batch
     and streaming publish paths; the delete side mirrors it exactly
     (reference ``_id`` semantics: elasticsearch_integration.py:424-429,
-    one explicit _id per action)."""
+    one explicit _id per action).
+
+    MIGRATION (one-time, composite-key indexes published before the
+    escaped encoding): the r10 switch from plain ``concat_ws(':')``
+    to the injective ``composite_id`` changes the ``_id`` of every
+    key containing ':', a backslash, or a NULL component. Documents
+    already published under the OLD ids will never be matched by
+    future updates/deletes of the same logical key — they linger as
+    orphans while the new id accumulates the live state. Before the
+    first sync with this encoding against a pre-existing index,
+    either (a) reindex/recreate the target index and republish from a
+    full sync (the snapshot store is the source of truth — nothing is
+    lost), or (b) run a one-time cleanup deleting the legacy id form:
+    for each composite-key doc in the store, emit a delete action for
+    ``concat_ws(':', *keys)`` where that string differs from
+    ``composite_id(keys)`` (keys free of ':'/backslash/NULL encode
+    identically in both schemes, so the affected set is exactly the
+    keys the old encoding aliased). Indexes first published after r10
+    need nothing."""
     # The feed is consumed twice (upsert filter + delete filter); a
     # lazy localCheckpoint materializes the changed-bucket
     # classification join once instead of per consumer.

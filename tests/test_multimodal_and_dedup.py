@@ -293,6 +293,19 @@ def test_frame_sampling_real_demux(spark):
         assert len(gray) == w * h
 
 
+def test_sample_frames_rejects_bad_stride(spark):
+    """r10 advice: stride 0 used to surface as an opaque 'slice step
+    cannot be zero' executor task failure and a negative stride
+    silently reversed frame order — both now fail at declaration."""
+    assets = spark.createDataFrame(
+        [("a", "blob", bytearray(b"xyz" * 40), "b/p")],
+        "asset_id string, media_type string, payload binary, mime string",
+    )
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="frame_stride must be >= 1"):
+            sample_frames(assets, frame_stride=bad)
+
+
 def test_frame_sampling_truncated_container_falls_back(spark):
     """A container whose demux fails mid-stream (truncated second
     frame) is poison-isolated: sliced with frame_kind='fallback'

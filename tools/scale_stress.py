@@ -132,6 +132,12 @@ STRESSED = {
     # dim; alpha ~ 1 proves the two-term delta (dF joined to D1 +
     # semi-join-restricted F2 joined to dD) stays feed-proportional.
     "incremental_view_joined_dimchange": "orders",
+    # r11: the composed algebras — extremum measures over the joined
+    # view; alpha ~ 1 proves the add-candidate algebra plus the
+    # group-pruned recompute (D2 semi-joined to affected groups FIRST,
+    # fact scan pruned by the key join) stay feed-proportional as the
+    # fact side grows k-fold.
+    "incremental_view_joined_minmax": "orders",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
     "similarity_lsh_ann_topk": "embeddings",
@@ -435,6 +441,7 @@ def run(
     ingest_ns: list[int] | None = None,
     only: list[str] | None = None,
     merge_into: str | None = None,
+    with_ivf_split: bool = False,
 ) -> int:
     import math
 
@@ -502,7 +509,7 @@ def run(
         flagged.append("ingest_pipeline")
 
     ivf_split = None
-    if not only:  # full runs carry the synthetic probes
+    if not only or with_ivf_split:  # full runs carry the synthetic probes
         ivf_split = ivf_hot_split_stress(spark, ks)
         if ivf_split["superlinear"] or not ivf_split["recall_gate_ok"]:
             flagged.append("ivf_hot_split")
@@ -579,6 +586,12 @@ if __name__ == "__main__":
         default="",
         help="existing artifact to update in place with this run's entries",
     )
+    ap.add_argument(
+        "--with-ivf-split",
+        action="store_true",
+        help="run the synthetic IVF hot-cell split probe even in --only "
+        "subset mode",
+    )
     a = ap.parse_args()
     ns = [int(x) for x in a.ingest_ns.split(",") if x]
     sys.exit(
@@ -589,5 +602,6 @@ if __name__ == "__main__":
             ns,
             only=[x for x in a.only.split(",") if x] or None,
             merge_into=a.merge_into or None,
+            with_ivf_split=a.with_ivf_split,
         )
     )
