@@ -117,6 +117,16 @@ EXTRA = [
     "incremental_view_minmax",
     "incremental_view_minmax_chained",
     "incremental_view_joined",
+    # r10: both-sides-changing joined IVM (dim migration + chained)
+    "incremental_view_joined_dimchange",
+    "incremental_view_joined_chained",
+    # r11: composed algebras (joined min/max), NULL-group joined view,
+    # the streaming maintainer's combined sum+extremum view, and the
+    # IVF hot-cell split content gate
+    "incremental_view_joined_minmax",
+    "incremental_view_joined_nullgroup",
+    "incremental_view_summinmax",
+    "ann_ivf_split_topk",
 ]
 
 

@@ -56,10 +56,14 @@ from . import curation_pipeline  # noqa: E402,F401
 # prefix).
 _PRIORITY = [
     # New in r11 — never driver-checked: the composed IVM algebras
-    # (extremum measures over a joined view, both stores changing)
-    # and the NULL-group joined view (r10 verdict #4/#5)
+    # (extremum measures over a joined view, both stores changing),
+    # the NULL-group joined view (r10 verdict #4/#5), the combined
+    # sum+min/max view the streaming maintainer publishes, and the
+    # IVF hot-cell split content gate (r10 verdict #6/#7)
     "incremental_view_joined_minmax",
     "incremental_view_joined_nullgroup",
+    "incremental_view_summinmax",
+    "ann_ivf_split_topk",
     # New in r10 — one driver round old (changing-dim joined IVM +
     # its chained steady-state form; the mass-delete high-cardinality
     # min/max IVM / SCALE_STRESS probe)

@@ -1075,6 +1075,90 @@ def incremental_view_joined_dimchange(
     )
 
 
+class _CentsView:
+    """Thin read adapter giving ``maintain_min_max`` an exact integer
+    measure over a store that persists 2-decimal prices: ``read`` /
+    ``read_changes`` pass through with a derived ``cents`` column
+    (round(price*100) as long). Incremental float sums drift from a
+    from-scratch sum by accumulation order (non-associative doubles),
+    which would flake the hash gate near rounding boundaries; integer
+    cents make the distributive ``s`` algebra exact — the same
+    money-through-cents rule every oracle twin uses."""
+
+    def __init__(self, store):
+        self._store = store
+
+    def _with_cents(self, df):
+        return df.withColumn(
+            "cents", F.round(F.col("price") * 100).cast("long")
+        )
+
+    def read(self, version=None):
+        return self._with_cents(self._store.read(version=version))
+
+    def read_changes(self, v_from, v_to, update_images="both"):
+        return self._with_cents(
+            self._store.read_changes(v_from, v_to, update_images=update_images)
+        )
+
+
+_VIEW_SUMMINMAX_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM delta
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS min_price,
+           round(max(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS max_price,
+           round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS total_price
+    FROM v2 GROUP BY o_orderstatus
+"""
+
+
+@query("incremental_view_summinmax", oracle=_VIEW_SUMMINMAX_ORACLE)
+def incremental_view_summinmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMBINED view shape the streaming pipeline maintains
+    (streaming/pipeline.streaming_maintained_view_pipeline): count +
+    distributive SUM + semi-incremental MIN/MAX per group in ONE
+    maintenance pass — ``maintain_min_max(with_sum=True)``, the r11
+    extension. Sum rides the same signed delta algebra as
+    incremental_view_maintenance (adds add, removals subtract) while
+    min/max keep their kept/recompute split; measures flow through
+    integer cents (``_CentsView``) so the incremental sum is
+    bit-exact against the oracle's from-scratch recompute — float
+    accumulation order can never flake the gate. Same demo window as
+    incremental_view_minmax (mass %10==5 deletes exercise the
+    extremum-departure recompute alongside the sum algebra)."""
+    from ..operators.ivm import maintain_min_max
+
+    store = _cdf_store(spark, sf_dir, layout="manifest")
+    view = maintain_min_max(
+        _CentsView(store), 1, 2, ["o_orderstatus"], "cents", with_sum=True
+    )
+    return view.select(
+        "o_orderstatus",
+        F.col("n").alias("n_orders"),
+        stable_round(F.col("min_v") / 100.0, 2).alias("min_price"),
+        stable_round(F.col("max_v") / 100.0, 2).alias("max_price"),
+        stable_round(F.col("s") / 100.0, 2).alias("total_price"),
+    )
+
+
 _VIEW_JOIN_MINMAX_ORACLE = """
     WITH fbase AS (
         SELECT o_orderkey, o_custkey,
@@ -1702,6 +1786,68 @@ def _incremental_ivf_matches(
         matches = _pin(
             store.search(
                 emb.filter(F.col("vec_id") < 8), "vec_id", "emb", k=3, nprobe=2
+            )
+        )
+        store.store.vacuum(keep=2)
+    return matches
+
+
+@query("ann_ivf_split_topk", oracle=ORACLES["similarity_bruteforce_topk"])
+def ann_ivf_split_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-CELL SPLIT proven content-preserving under the driver gate
+    (operators/incremental_ann.IvfIndexStore.split_hot_cells, r11):
+    the index seeds with 16 centroids, every cell above the average
+    occupancy binary-splits (parent centroid retired, only its
+    vectors re-assigned — deterministic in-cell 2-means, committed
+    atomically with the new centroid meta), and the search then
+    probes EVERY live cell — which must return exactly the
+    brute-force cosine top-k. Probing all cells deliberately removes
+    the approximation so the hash gate checks the strongest possible
+    property: a split loses no vector, duplicates none, and leaves
+    none stranded under a retired cid (a stranded vector would be
+    missing from some query's top-k). The pruning/latency side —
+    fixed threshold, k-growing skewed corpus, flat probe time,
+    recall >= 0.8 at nprobe=2 — is measured by SCALE_STRESS's
+    ivf_hot_split probe."""
+    import hashlib
+    import os
+
+    from ..operators.incremental_ann import IvfIndexStore
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "emb"
+        ),
+    )
+    centroids = emb.filter(F.col("vec_id") < 16)
+    fp = _dataset_fingerprint(sf_dir, "embeddings")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|ivfsplit|c16|nb32|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-ivfsplitstore-{tag}"
+    with _store_lock(path):
+        store = IvfIndexStore(spark, path, num_buckets=32)
+        if store.store.current_version() is None:
+            store.seed(emb, centroids, "vec_id", "emb")
+        if store.store.current_version() == 1:
+            # Average occupancy as the threshold: any skewed cell
+            # splits. Bounded rounds — a degenerate all-identical
+            # cell cannot split below any threshold (docstring),
+            # and 4 halvings ≥ 16x reduction covers this corpus.
+            n = store.store.read(version=1).count()
+            thr = max(1, n // 16)
+            for s in range(1, 5):
+                if store.split_hot_cells(threshold=thr, seq=s) is None:
+                    break
+        live_cells = len(store.store.read_meta()["centroids"])
+        matches = _pin(
+            store.search(
+                emb.filter(F.col("vec_id") < 8),
+                "vec_id",
+                "emb",
+                k=3,
+                nprobe=live_cells,
             )
         )
         store.store.vacuum(keep=2)
