@@ -38,22 +38,21 @@ from . import curation_pipeline  # noqa: E402,F401
 # representative per SURVEY.md §2 family — register first. The remaining
 # TPC-H adaptations re-exercise join/agg machinery already covered above.
 #
-# r10 rotation — now MECHANICAL, not a judgment call: the prefix must
+# The rotation is MECHANICAL, not a judgment call: the prefix must
 # contain every query whose normalized analyzed-plan fingerprint is
 # new or changed since the last driver round commit
 # (PLAN_FINGERPRINTS.json, diffed by tools/rotation_check.py, which
-# gate.py runs and fails on). This round that set is exactly: the 3
-# new r10 queries (changing-dim joined IVM + its chained form,
-# mass-delete hi-card min/max IVM) and the 3 whose plans flipped (the min/max IVM pair —
-# extremum recompute became a broadcast semi-join — and
-# multimodal_frame_sample — real container demux with gated
-# width/height/kind columns). Runtime-only r10 changes (index-store
-# retry, backfill flock, walker frontier, composite-id escaping in
-# the sinks) leave plans untouched and are pytest-verified instead.
-# Displaced below the boundary: decontaminate_clean,
-# store_point_lookup, substring_incremental_tombstone (unchanged
-# since r8, driver-green twice, families still anchored in the
-# prefix).
+# gate.py runs and fails on). r11's set: the 4 new queries (joined
+# min/max IVM, NULL-group joined view, combined sum+min/max view,
+# IVF hot-cell split content gate) and the joined-IVM trio whose
+# combine went eqNullSafe (dimchange / chained — already in the
+# prefix as r10 newcomers). Runtime-only r11 changes (legacy-layout
+# derivation, link-fetch checkpoint, split/add generation pinning,
+# stride validation) leave plans untouched and are pytest-verified.
+# Displaced below the boundary this round: multimodal_ppm_decode,
+# store_read_changes_rebucket, ann_neardup_recall_lsh,
+# curation_pipeline_e2e (driver-green r9+r10, plans unchanged,
+# families still anchored in the prefix).
 _PRIORITY = [
     # New in r11 — never driver-checked: the composed IVM algebras
     # (extremum measures over a joined view, both stores changing),
@@ -78,15 +77,11 @@ _PRIORITY = [
     "incremental_view_minmax_chained",
     "multimodal_frame_sample",
     # r9 prefix carried forward (one driver round old)
-    "multimodal_ppm_decode",
-    "store_read_changes_rebucket",
     "incremental_view_joined",
     "store_read_changes",
     "store_read_changes_hardlink",
     "incremental_view_maintenance",
-    "ann_neardup_recall_lsh",
     "ann_neardup_recall_multiprobe",
-    "curation_pipeline_e2e",
     "incremental_curation_cycle",
     "dedup_simhash",
     # New in r8 — two driver rounds old. Displaced below the boundary
@@ -142,6 +137,15 @@ _PRIORITY = [
     # last driver round), recent, or anchors a §2 family; everything
     # below is driver-green from an earlier round and stays green
     # under the local replica gate) ---
+    # Rotated below in r11 (driver-green r9+r10, plans unchanged in
+    # r11, families still anchored above: frame_sample/ binary_payload
+    # for multimodal, store_read_changes+hardlink for the feed,
+    # recall_multiprobe+ann_recall_at_k for recall,
+    # incremental_curation_cycle for curation):
+    "multimodal_ppm_decode",
+    "store_read_changes_rebucket",
+    "ann_neardup_recall_lsh",
+    "curation_pipeline_e2e",
     "decontaminate_clean",
     "store_point_lookup",
     "substring_incremental_tombstone",

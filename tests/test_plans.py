@@ -146,20 +146,23 @@ def test_registry_priority_prefix_covers_llm_layer():
         "dedup_exact", "dedup_minhash_lsh", "dedup_connected_components",
         "similarity_lsh_ann_topk",
         # The prefix holds EVERY never-driver-checked query and every
-        # query whose plan fingerprint changed this round (r10: the
-        # changing-dim joined IVM and hi-card min/max IVM are new; the
-        # min/max IVM pair and the frame sampler flipped plans —
+        # query whose plan fingerprint changed this round (r11: the
+        # four new queries — joined min/max IVM, NULL-group joined
+        # view, combined sum+min/max view, IVF split content gate —
+        # plus the joined-IVM trio whose combine went eqNullSafe;
         # enforced mechanically by tools/rotation_check.py in the
         # gate), plus one anchor per core family; multi-round
         # driver-green queries rotate below — the driver's hard signal
         # goes to the least-tested first.
+        "incremental_view_joined_minmax", "incremental_view_joined_nullgroup",
+        "incremental_view_summinmax", "ann_ivf_split_topk",
         "incremental_view_joined_dimchange", "incremental_view_joined_chained",
         "incremental_view_minmax_hicard",
-        "multimodal_ppm_decode", "multimodal_frame_sample",
-        "store_read_changes_rebucket", "incremental_view_minmax_chained",
+        "multimodal_frame_sample",
+        "incremental_view_minmax_chained",
         "incremental_view_minmax", "incremental_view_joined",
-        "ann_neardup_recall_lsh", "ann_neardup_recall_multiprobe",
-        "curation_pipeline_e2e", "incremental_curation_cycle",
+        "ann_neardup_recall_multiprobe",
+        "incremental_curation_cycle",
         "dedup_incremental_tombstone",
         "ann_incremental_ivf_manifest", "dedup_incremental_rebucket",
         "store_read_changes",
