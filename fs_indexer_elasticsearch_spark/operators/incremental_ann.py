@@ -53,8 +53,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.rounding import stable_round
 from ..functions.vectors import cosine
+from ..sinks.snapshot import ConcurrentWriteError
 from .similarity import _ranked_topk, assign_cells
 from .store_common import TombstoneStore, read_pruned, remove_by_column
+
+
+class _StaleCentroids(ConcurrentWriteError):
+    """Terminal add-retry abort: the centroid generation moved under
+    a retrying add, so its cell assignments can never become valid —
+    surfaced to callers as ConcurrentWriteError (the public contract)
+    but routed past retry_concurrent's backoff via ``no_retry``."""
 
 
 class IvfIndexStore:
@@ -324,30 +332,26 @@ class IvfIndexStore:
         )
         if max_retries <= 0:
             return self.store.merge(rows)
-        import os
-        import time
+        from ..sinks.snapshot import retry_concurrent
 
-        from ..sinks.snapshot import ConcurrentWriteError
-
-        attempt = 0
-        while True:
+        def attempt() -> int:
             v0 = self.store.current_version()
             gen_v0 = self._centroid_gen(self.store.read_meta(v0))
             if gen_v0 != gen0:
-                raise ConcurrentWriteError(
+                raise _StaleCentroids(
                     f"IVF centroid generation moved {gen0} -> {gen_v0} "
                     "(concurrent retrain/seed/split) while this add was "
                     "retrying; its cell assignments are stale — "
                     "re-assign against the current centroids"
                 )
-            try:
-                return self.store.merge(rows, expected_base=v0)
-            except ConcurrentWriteError:
-                if attempt >= max_retries:
-                    raise
-                jitter = ((os.getpid() * 1103515245 + attempt) % 97) / 97.0
-                time.sleep(0.05 * (2**attempt) * (0.5 + jitter))
-                attempt += 1
+            return self.store.merge(rows, expected_base=v0)
+
+        # A generation move is TERMINAL (retrying can never succeed —
+        # the assignments are stale by construction): no_retry routes
+        # it past the backoff loop unchanged.
+        return retry_concurrent(
+            attempt, max_retries=max_retries, no_retry=(_StaleCentroids,)
+        )
 
     def split_hot_cells(
         self,
@@ -385,16 +389,18 @@ class IvfIndexStore:
         are stale) but NOT ``tombstone_gen``: deleted ids stay
         deleted across a split.
 
-        ``seq`` stamps the re-assigned rows and MUST be ≥ every
-        stored row's ivf_seq (the caller owns the sequence domain,
-        same as add): a child cid can hash into the parent's bucket,
-        where only a strictly-newer row wins the LWW upsert — a tie
-        would silently keep the row under the retired cid, invisible
-        to every future probe. Rows whose child cid hashes
-        elsewhere leave their old copy behind as dead weight (cid
-        retired → never probed; search's newest-seq dedup covers
-        hash collisions); the space is reclaimed by the next
-        eager removal / retrain / rebucket pass.
+        ``seq`` stamps the re-assigned rows and MUST be STRICTLY
+        GREATER than every hot row's ivf_seq (the caller owns the
+        sequence domain, same as add) — enforced with a loud raise: a
+        child cid can hash into the parent's bucket, where only a
+        strictly-newer row wins the LWW upsert (operators/merge.py's
+        strictly-newer predicate), so a TIE would silently keep the
+        row under the retired cid, invisible to every future probe.
+        Rows whose child cid hashes elsewhere leave their old copy
+        behind as dead weight (cid retired → never probed; search's
+        newest-seq dedup covers hash collisions); the space is
+        reclaimed by the next eager removal / retrain / rebucket
+        pass.
 
         Scope: sized for SKEW repair — a few cells grown past the
         threshold. The re-assign batch rides merge's delta contract
@@ -403,23 +409,23 @@ class IvfIndexStore:
         distribution shift, not skew: ``retrain`` (one O(corpus)
         overwrite) is the right tool there.
 
+        A cell whose 2-means DEGENERATES — every member ties into one
+        child (identical or cosine-indistinguishable vectors) — is
+        left alone (its parent centroid survives, its rows stay): a
+        one-child "split" would commit a same-size cell under a new
+        cid forever, so loop-until-None callers would livelock
+        re-flagging it. Such a cell is irreducible by splitting; if
+        its mass is a problem, dedup the vectors or retrain. When
+        every over-threshold cell is degenerate the op returns None.
+
         Returns the new version, or None when no cell exceeds the
-        threshold."""
-        import os
-        import time
+        threshold (or all that do are degenerate)."""
+        from ..sinks.snapshot import retry_concurrent
 
-        from ..sinks.snapshot import ConcurrentWriteError
-
-        attempt = 0
-        while True:
-            try:
-                return self._split_hot_cells_once(threshold, seq)
-            except ConcurrentWriteError:
-                if attempt >= max_retries:
-                    raise
-                jitter = ((os.getpid() * 1103515245 + attempt) % 97) / 97.0
-                time.sleep(0.05 * (2**attempt) * (0.5 + jitter))
-                attempt += 1
+        return retry_concurrent(
+            lambda: self._split_hot_cells_once(threshold, seq),
+            max_retries=max_retries,
+        )
 
     def _split_hot_cells_once(self, threshold: int, seq: int) -> int | None:
         v0 = self.store.current_version()
@@ -428,15 +434,24 @@ class IvfIndexStore:
         meta = dict(self._meta())
         id_type = meta["id_type"]
         live_cids = [i for i, _e in meta["centroids"]]
-        # One column-pruned pass: only cid reaches the scan. LIVE
-        # cells only — a retired parent's leftover rows (the
+        # One column-pruned pass: only cid/vec_id reach the scan.
+        # LIVE cells only — a retired parent's leftover rows (the
         # documented dead weight of a previous split) sit under a cid
         # no centroid carries; counting them would re-flag the old
-        # parent forever.
+        # parent forever. LIVE rows only (r11 review): tombstoned
+        # rows are already invisible to every probe, so counting
+        # them would split cells that aren't actually hot — and a
+        # 100%-tombstoned cell would have its centroid retired with
+        # zero children created, silently shrinking the centroid
+        # set on the strength of deleted data.
         hot_ids = [
             r.cid
-            for r in self.store.read(version=v0)
-            .filter(F.col("cid").isin(live_cids))
+            for r in self.tombstones.apply(
+                self.store.read(version=v0).filter(
+                    F.col("cid").isin(live_cids)
+                ),
+                "vec_id",
+            )
             .groupBy("cid")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > int(threshold))
@@ -452,7 +467,7 @@ class IvfIndexStore:
                 self.store, probe, empty_msg="IVF index is empty"
             )
             .filter(F.col("cid").isin(hot_ids))
-            .select("cid", "vec_id", "emb")
+            .select("cid", "vec_id", "emb", "ivf_seq")
         )
         # Tombstoned ids must not shape child centroids or be
         # re-assigned (they would resurface under a live cid; under
@@ -460,6 +475,19 @@ class IvfIndexStore:
         hot = self.tombstones.apply(hot, "vec_id").localCheckpoint(
             eager=False
         )
+        # The strictly-greater seq contract, enforced (r11 review: a
+        # TIE loses the LWW upsert when a child cid hashes into the
+        # parent's bucket — the row would stay under the retired cid,
+        # silently invisible to every future probe).
+        max_seq = hot.agg(F.max("ivf_seq")).first()[0]
+        if max_seq is not None and int(seq) <= int(max_seq):
+            raise ValueError(
+                f"split_hot_cells: seq={seq} must be strictly greater "
+                f"than every hot row's ivf_seq (max={max_seq}) — an "
+                "equal seq loses the strictly-newer LWW upsert and "
+                "strands the row under the retired cell id"
+            )
+        hot = hot.drop("ivf_seq")
         # Deterministic 2-means per hot cell.
         wa = Window.partitionBy("cid").orderBy("vec_id")
         seed_a = (
@@ -500,6 +528,17 @@ class IvfIndexStore:
             )
             .collect()  # bounded: 2 x hot cells
         )
+        # Degenerate cells — every member cosine-tied into one child
+        # (identical/duplicated vectors) — are SKIPPED: retiring the
+        # parent for a single same-size child makes no progress and
+        # would livelock loop-until-None callers (r11 review). The
+        # parent centroid and its rows stay untouched.
+        by_parent: dict = {}
+        for r in means:
+            by_parent.setdefault(r.cid, []).append(r)
+        split_parents = {c for c, rs in by_parent.items() if len(rs) == 2}
+        if not split_parents:
+            return None
         # Children get fresh ids: numeric -> max+1.., string ->
         # "<parent>~<i>" (collision-checked).
         old_ids = {r[0] for r in meta["centroids"]}
@@ -507,6 +546,8 @@ class IvfIndexStore:
         next_id = (max(old_ids) + 1) if numeric and old_ids else None
         children: list[tuple] = []
         for r in sorted(means, key=lambda r: (str(r.cid), r._child)):
+            if r.cid not in split_parents:
+                continue
             if numeric:
                 cid = next_id
                 next_id += 1
@@ -518,9 +559,8 @@ class IvfIndexStore:
                         "an existing centroid id"
                     )
             children.append((cid, [float(x) for x in r._emb]))
-        hot_set = set(hot_ids)
         new_crows = [
-            (i, e) for i, e in meta["centroids"] if i not in hot_set
+            (i, e) for i, e in meta["centroids"] if i not in split_parents
         ] + children
         meta["centroids"] = new_crows
         meta["centroid_gen"] = self._centroid_gen(meta) + 1
@@ -528,7 +568,12 @@ class IvfIndexStore:
             new_crows, f"vec_id {id_type}, emb array<double>"
         )
         reassigned = self._assigned(
-            hot, "vec_id", "emb", seq, cents, int(meta["dim"])
+            hot.filter(F.col("cid").isin(list(split_parents))),
+            "vec_id",
+            "emb",
+            seq,
+            cents,
+            int(meta["dim"]),
         )
         v = self.store.merge(reassigned, meta=meta, expected_base=v0)
         self._cent_cache = None

@@ -99,6 +99,41 @@ class ConcurrentWriteError(RuntimeError):
     loser writes any data."""
 
 
+def retry_concurrent(
+    fn,
+    *,
+    max_retries: int,
+    backoff_s: float = 0.05,
+    no_retry: tuple[type[BaseException], ...] = (),
+):
+    """THE bounded optimistic retry loop — one definition shared by
+    ``merge_with_retry``, the IVF add and the hot-cell split (r11
+    review: the backoff formula had been copied three times).
+    Re-runs ``fn`` on ConcurrentWriteError up to ``max_retries``
+    times with exponential backoff and deterministic per-attempt
+    jitter (hash of pid+attempt — no wall-clock randomness), so two
+    same-moment losers de-synchronize reproducibly. ``fn`` must
+    re-read whatever state it validates on every call (rebase, not
+    replay). ``no_retry`` lists exception types that re-raise
+    immediately even if they subclass ConcurrentWriteError — the
+    terminal-abort channel (e.g. a centroid-generation move, where
+    retrying can never succeed)."""
+    import time
+
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except no_retry:
+            raise
+        except ConcurrentWriteError:
+            if attempt >= max_retries:
+                raise
+            jitter = ((os.getpid() * 1103515245 + attempt) % 97) / 97.0
+            time.sleep(backoff_s * (2**attempt) * (0.5 + jitter))
+            attempt += 1
+
+
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
@@ -281,16 +316,21 @@ class SnapshotStore:
         partition dirs / manifest bucket->files map), and the writer
         computed that label as ``pmod(xxhash64(bucket_key), n)`` — so
         for every row, the true ``n`` divides ``xxhash64(key) −
-        bucket``. Sampling rows per occupied bucket (always including
-        the highest, which lower-bounds ``n``) and taking the gcd of
-        those differences pins ``n`` up to sampling ambiguity; the
-        constructor value is adopted only if the sample proves it
-        consistent, and an underivable layout raises loudly instead
-        of being guessed (a silent wrong guess empties pruned reads).
+        bucket``. Sampling ≤64 rows from EVERY occupied bucket and
+        taking the gcd of those differences pins ``n`` up to sampling
+        ambiguity; the constructor value is adopted only if the
+        sample proves it consistent, and an underivable layout raises
+        loudly instead of being guessed (a silent wrong guess empties
+        pruned reads). Full bucket coverage matters (r11 review): a
+        subset sample left a window where a spurious common factor
+        could nominate a wrong divisor that mislabels the unsampled
+        buckets' rows — a candidate now has to satisfy
+        ``pmod(h, cand) == b`` across every residue class the data
+        actually uses.
 
-        Cost: a one-time, flock-serialized read of ≤6 buckets × ≤64
-        rows at the first reopen of a pre-sidecar store — never on
-        the hot path."""
+        Cost: a one-time, flock-serialized read of ≤64 rows per
+        occupied bucket at the first reopen of a pre-sidecar store —
+        never on the hot path."""
         import math
 
         from pyspark.sql.window import Window
@@ -300,9 +340,8 @@ class SnapshotStore:
             occupied = sorted(b for b, rels in files.items() if rels)
             if not occupied:
                 return self._default_buckets
-            chosen = occupied[-1:] + occupied[:5]
             parts = []
-            for b in dict.fromkeys(chosen):
+            for b in occupied:
                 paths = [os.path.join(self._data_dir(), r) for r in files[b]]
                 parts.append(
                     self.spark.read.option("recursiveFileLookup", "true")
@@ -326,12 +365,10 @@ class SnapshotStore:
             )
             if not occupied:
                 return self._default_buckets
-            chosen = list(dict.fromkeys(occupied[-1:] + occupied[:5]))
             pairs = [
                 (r.h, r._bucket)
                 for r in (
                     self.spark.read.parquet(vdir)
-                    .filter(F.col("_bucket").isin(chosen))
                     .select(
                         F.xxhash64(F.col(self.bucket_key)).alias("h"),
                         "_bucket",
@@ -1636,20 +1673,11 @@ class SnapshotStore:
         ConcurrentWriteError after ``max_retries`` rebases — a
         persistent collision means the deployment needs a queue, not
         more retries."""
-        import time
-
-        attempt = 0
-        while True:
-            try:
-                return self.merge(batch, removed, meta=meta)
-            except ConcurrentWriteError:
-                if attempt >= max_retries:
-                    raise
-                # Deterministic jitter: spread two same-moment losers
-                # apart without Math.random-style nondeterminism.
-                jitter = ((os.getpid() * 1103515245 + attempt) % 97) / 97.0
-                time.sleep(backoff_s * (2**attempt) * (0.5 + jitter))
-                attempt += 1
+        return retry_concurrent(
+            lambda: self.merge(batch, removed, meta=meta),
+            max_retries=max_retries,
+            backoff_s=backoff_s,
+        )
 
     def rollback(self, version: int) -> int:
         """Point the store back at a retained ``version`` and drop the

@@ -96,20 +96,33 @@ def streaming_maintained_view_pipeline(
 
     Steady state: the PREVIOUS cycle's published view feeds back in
     as ``old_view``, so after the first derivation (one base
-    aggregate when the base store seeds) every cycle costs O(feed)
+    aggregate when the view store seeds) every cycle costs O(feed)
     plus the affected-group recompute — the base is NEVER rescanned
     on insert-only or interior-delete cycles (adds can only improve
-    an extremum; the view store read is O(groups)). Epoch guard: a
-    replayed or no-change epoch whose merge produced an EMPTY feed
-    skips the view commit entirely (same no-op-version rule as the
-    changefeed pipeline), so the view store's version chain grows
-    only when the view can actually move.
+    an extremum; the view store read is O(groups)).
 
-    Publication is ``overwrite`` (the view is O(groups), tiny next
-    to the base; a keyed merge would need removals for vanished
-    groups) with ``expected_base`` pinned to the view version the
-    old_view was read from — a concurrent publisher raises instead
-    of silently folding over the feedback loop."""
+    CRASH SAFETY (r11 review): foreachBatch is at-least-once, and a
+    crash can land BETWEEN the base merge and the view publish. The
+    view therefore records the base version it REFLECTS in its own
+    version meta (``base_version``) and every cycle maintains over
+    the window (reflected -> current base) — never (v_before ->
+    v_after) of this epoch's merge alone, which would skip the
+    crashed epoch's window forever (its replay classifies stale and
+    produces an empty feed). A multi-version window is exactly what
+    the feed API serves, so catch-up is one maintenance pass, not a
+    rescan. Corollary: the base store must retain versions back to
+    the view's reflected one (vacuum no deeper than the view lags).
+
+    Epoch guard: when the reflected->current feed is EMPTY (replayed
+    or no-change epoch) the view commit is skipped entirely — the
+    recorded base_version intentionally stays put, because a view
+    over an empty window is the same view (same no-op-version rule
+    as the changefeed pipeline). Publication is ``overwrite`` (the
+    view is O(groups), tiny next to the base; a keyed merge would
+    need removals for vanished groups) with ``expected_base`` pinned
+    to the view version the old_view was read from — a concurrent
+    publisher raises instead of silently folding over the feedback
+    loop."""
     from ..operators.ivm import maintain_min_max
 
     stream = (
@@ -129,11 +142,18 @@ def streaming_maintained_view_pipeline(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        v_before = store.current_version()
         store.merge(deduped)
         v_after = store.current_version()
-        if v_before is None:
-            # First derivation: the one and only base aggregate.
+        view_base = view_store.current_version()
+        reflected = (view_store.read_meta(view_base) or {}).get(
+            "base_version"
+        ) if view_base is not None else None
+        if reflected == v_after:
+            return  # replay after a completed publish: nothing to do
+        if reflected is None:
+            # First derivation (or a pre-meta view store): the one
+            # and only base aggregate, stamped with the base version
+            # it reflects.
             view = (
                 store.read(version=v_after)
                 .groupBy(*group_cols)
@@ -144,18 +164,27 @@ def streaming_maintained_view_pipeline(
                     F.sum(value_col).alias("s"),
                 )
             )
-            view_store.overwrite(view.localCheckpoint(eager=False))
+            view_store.overwrite(
+                view.localCheckpoint(eager=False),
+                meta={"base_version": v_after},
+                expected_base=view_base,
+            )
             return
-        # Epoch guard: a replayed epoch (merge already committed this
-        # content) or an all-stale batch classifies to an empty feed —
-        # the view cannot move, so skip the commit.
-        if store.read_changes(v_before, v_after, update_images="both").isEmpty():
+        # Maintain over (reflected -> v_after): if a previous epoch
+        # crashed between its merge and its publish, this window
+        # SPANS the missed commit and catches the view up in one
+        # pass. Epoch guard: an empty spanning feed (replayed /
+        # no-change epochs only) cannot move the view — skip the
+        # commit; base_version deliberately stays at `reflected`
+        # (the view over an empty window is the same view).
+        if store.read_changes(
+            reflected, v_after, update_images="both"
+        ).isEmpty():
             return
-        view_base = view_store.current_version()
         old_view = view_store.read(version=view_base).drop("_bucket")
         view = maintain_min_max(
             store,
-            v_before,
+            reflected,
             v_after,
             group_cols,
             value_col,
@@ -163,7 +192,9 @@ def streaming_maintained_view_pipeline(
             with_sum=True,
         )
         view_store.overwrite(
-            view.localCheckpoint(eager=False), expected_base=view_base
+            view.localCheckpoint(eager=False),
+            meta={"base_version": v_after},
+            expected_base=view_base,
         )
 
     return (

@@ -468,3 +468,46 @@ def test_split_hot_cells_rebalances_and_search_stays_correct(spark, tmp_path):
         "vec_id", "emb", seq=s + 1,
     )
     assert store.store.read().filter(F.col("vec_id") == 200).count() == 1
+
+
+def test_split_hot_cells_guards_and_degenerate_cases(spark, tmp_path):
+    """r11 review fixes: (a) seq must be STRICTLY greater than every
+    hot row's ivf_seq (a tie loses the LWW upsert when a child cid
+    hashes into the parent's bucket — silent stranding); (b) hot
+    detection counts LIVE rows only (a cell hot purely by tombstoned
+    rows must not split — in the extreme its centroid would be
+    retired with no children); (c) a cell of identical vectors
+    (degenerate 2-means: one child) is skipped, so loop-until-None
+    callers terminate."""
+    import pytest
+
+    # Cell 0: 30 IDENTICAL vectors (degenerate). Cell 1: 5 cold rows.
+    ident = [1.0] + [0.0] * 7
+    rows = [(i, ident) for i in range(30)] + [
+        (100 + i, [-1.0] + [0.0] * 6 + [0.1 * i]) for i in range(5)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cents = spark.createDataFrame(
+        [(0, ident), (1, [-1.0] + [0.0] * 7)], "vec_id long, emb array<double>"
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=8)
+    store.seed(corpus, cents, "vec_id", "emb")
+
+    # (a) tie seq rejected loudly (seeded rows carry ivf_seq=0).
+    with pytest.raises(ValueError, match="strictly greater"):
+        store.split_hot_cells(threshold=10, seq=0)
+
+    # (c) the identical cell is degenerate: skipped, no commit, and
+    # the centroid set is untouched — loop terminates immediately.
+    assert store.split_hot_cells(threshold=10, seq=1) is None
+    assert store.store.current_version() == 1
+    assert {r[0] for r in store.store.read_meta()["centroids"]} == {0, 1}
+
+    # (b) tombstone 25 of cell 0's rows: only 5 live — not hot at
+    # threshold 10 even though 30 physical rows sit in the cell.
+    store.remove_vecs(
+        spark.createDataFrame([(i,) for i in range(25)], "vec_id long"),
+        mode="tombstone",
+    )
+    assert store.split_hot_cells(threshold=10, seq=1) is None
+    assert store.store.current_version() == 1  # no version churn
