@@ -462,9 +462,21 @@ class IvfIndexStore:
         probe = self.spark.createDataFrame(
             [(c,) for c in hot_ids], f"cid {id_type}"
         )
+        # version=v0 (r11 advice): hot_ids/meta were computed at v0,
+        # so the hot-row read — and the max-seq validation below — are
+        # pinned to the SAME version. An unpinned read raced here: a
+        # concurrent add landing ivf_seq >= seq between the version
+        # capture and this scan tripped the seq guard's terminal
+        # ValueError, aborting a race retry_concurrent(max_retries>0)
+        # was configured to ride out. Pinned, every concurrent-commit
+        # interaction funnels through the one retryable channel — the
+        # merge's expected_base ConcurrentWriteError.
         hot = (
             read_pruned(
-                self.store, probe, empty_msg="IVF index is empty"
+                self.store,
+                probe,
+                empty_msg="IVF index is empty",
+                version=v0,
             )
             .filter(F.col("cid").isin(hot_ids))
             .select("cid", "vec_id", "emb", "ivf_seq")

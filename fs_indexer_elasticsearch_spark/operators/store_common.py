@@ -25,25 +25,45 @@ from pyspark.sql import DataFrame, SparkSession
 BROADCAST_REMOVAL_MAX = 1_000_000
 
 
-def touched_buckets(snapshot_store, rows: DataFrame) -> list[int]:
-    """Distinct physical buckets the given keyed rows hash into.
+def touched_buckets(
+    snapshot_store, rows: DataFrame, *, version: int | None = None
+) -> list[int]:
+    """Distinct physical buckets the given keyed rows hash into —
+    under the CURRENT layout, or (``version=``) the bucket count that
+    pinned version was written with, so a version-pinned pruned read
+    stays correct across a rebucket boundary.
 
     Bounded driver metadata: <= num_buckets ints — the one justified
     collect in the probe path (same class as SnapshotStore.merge's
     own touched-bucket listing)."""
+    n = None if version is None else snapshot_store._cfg_count(version)
     return sorted(
         r._bucket
-        for r in rows.withColumn("_bucket", snapshot_store._bucket_col())
+        for r in rows.withColumn("_bucket", snapshot_store._bucket_col(n))
         .select("_bucket")
         .distinct()
         .collect()
     )
 
 
-def read_pruned(snapshot_store, rows: DataFrame, *, empty_msg: str) -> DataFrame:
+def read_pruned(
+    snapshot_store,
+    rows: DataFrame,
+    *,
+    empty_msg: str,
+    version: int | None = None,
+) -> DataFrame:
     """The stored slice covering ``rows``'s buckets, or raise
-    ValueError(empty_msg) on an unseeded store."""
-    stored = snapshot_store.read_buckets(touched_buckets(snapshot_store, rows))
+    ValueError(empty_msg) on an unseeded store. ``version=`` pins the
+    read (bucket hashing AND data) to that retained version, so a
+    caller whose derivation is validated against a captured version
+    never sees rows a concurrent commit landed after the capture —
+    those races surface at commit time through ``expected_base``'s
+    retryable ConcurrentWriteError instead of here (r11 advice)."""
+    stored = snapshot_store.read_buckets(
+        touched_buckets(snapshot_store, rows, version=version),
+        version=version,
+    )
     if stored is None:
         raise ValueError(empty_msg)
     return stored

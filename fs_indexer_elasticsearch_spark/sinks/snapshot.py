@@ -316,24 +316,28 @@ class SnapshotStore:
         partition dirs / manifest bucket->files map), and the writer
         computed that label as ``pmod(xxhash64(bucket_key), n)`` — so
         for every row, the true ``n`` divides ``xxhash64(key) −
-        bucket``. Sampling ≤64 rows from EVERY occupied bucket and
-        taking the gcd of those differences pins ``n`` up to sampling
-        ambiguity; the constructor value is adopted only if the
-        sample proves it consistent, and an underivable layout raises
-        loudly instead of being guessed (a silent wrong guess empties
-        pruned reads). Full bucket coverage matters (r11 review): a
-        subset sample left a window where a spurious common factor
-        could nominate a wrong divisor that mislabels the unsampled
-        buckets' rows — a candidate now has to satisfy
-        ``pmod(h, cand) == b`` across every residue class the data
-        actually uses.
+        bucket``. The gcd of those differences is taken over EVERY
+        row of the version (r11 advice: a per-bucket sample cap left
+        a probabilistic window — with 1-2 rows per bucket a wrong
+        constructor value has a ~1/d chance per row of spuriously
+        passing the divisibility check, and the unsampled rows then
+        hash into phantom bucket files on every pruned read). With
+        full coverage the adopted count is PROVEN consistent with the
+        data: any ``n`` dividing the full-store gcd assigns every
+        stored row exactly its physical bucket label, so pruned
+        reads, keyed lookups, and partial merges all resolve to the
+        files the rows actually live in.
 
-        Cost: a one-time, flock-serialized read of ≤64 rows per
-        occupied bucket at the first reopen of a pre-sidecar store —
-        never on the hot path."""
+        The scan is distributed — each partition folds its own
+        ``gcd(h − b)`` in exact Python integers (no int64 wraparound:
+        ``|h − b|`` can exceed the long range) and the driver folds
+        one partial row per partition, never the data.
+
+        Cost: one flock-serialized, column-pruned pass over the
+        version at the first reopen of a pre-sidecar store — never on
+        the hot path; every commit since sidecars exist records its
+        own cfg."""
         import math
-
-        from pyspark.sql.window import Window
 
         if self.layout == "manifest":
             files = self._read_manifest(v)
@@ -350,12 +354,10 @@ class SnapshotStore:
                         F.xxhash64(F.col(self.bucket_key)).alias("h"),
                         F.lit(b).alias("_bucket"),
                     )
-                    .limit(64)
                 )
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
-            pairs = [(r.h, r._bucket) for r in df.collect()]
         else:
             vdir = self._version_dir(v)
             occupied = sorted(
@@ -365,47 +367,58 @@ class SnapshotStore:
             )
             if not occupied:
                 return self._default_buckets
-            pairs = [
-                (r.h, r._bucket)
-                for r in (
-                    self.spark.read.parquet(vdir)
-                    .select(
-                        F.xxhash64(F.col(self.bucket_key)).alias("h"),
-                        "_bucket",
-                    )
-                    .withColumn(
-                        "_rn",
-                        F.row_number().over(
-                            Window.partitionBy("_bucket").orderBy("h")
-                        ),
-                    )
-                    .filter(F.col("_rn") <= 64)
-                    .collect()
-                )
-            ]
-        if not pairs:
+            df = self.spark.read.parquet(vdir).select(
+                F.xxhash64(F.col(self.bucket_key)).alias("h"),
+                F.col("_bucket").cast("int").alias("_bucket"),
+            )
+
+        def _partial_gcd(batches):
+            import pandas as pd
+
+            g, mx, cnt = 0, -1, 0
+            for pdf in batches:
+                hs = pdf["h"].to_numpy()
+                bs = pdf["_bucket"].to_numpy()
+                cnt += len(hs)
+                if len(bs):
+                    mx = max(mx, int(bs.max()))
+                for h, b in zip(hs.tolist(), bs.tolist()):
+                    g = math.gcd(g, h - b)
+                    if g == 1:
+                        break
+                if g == 1:
+                    break
+            # g as string: a single-row partition's |h − b| can
+            # exceed int64, and gcd never grows past its inputs.
+            yield pd.DataFrame({"g": [str(g)], "mx": [mx], "cnt": [cnt]})
+
+        partials = df.mapInPandas(
+            _partial_gcd, "g string, mx int, cnt long"
+        ).collect()  # bounded: one row per scan partition
+        if not partials or sum(r.cnt for r in partials) == 0:
             return self._default_buckets
-        max_b = max(b for _, b in pairs)
+        max_b = max(r.mx for r in partials)
         g = 0
-        for h, b in pairs:
-            g = math.gcd(g, h - b)
+        for r in partials:
+            g = math.gcd(g, int(r.g))
         d = self._default_buckets
         # Constructor value first: when it's the true count (the
         # common case — same code opened the store that wrote it), g
-        # may be a small multiple of it; the sample-consistency check
-        # keeps the familiar value instead of over-splitting.
+        # may be a small multiple of it; with every row folded into g
+        # the divisibility check is a proof, not a sample — keep the
+        # familiar value instead of over-splitting.
         if d > max_b and (g == 0 or g % d == 0):
             return d
         if g:
-            # Smallest divisor of g that can label every sampled
-            # bucket — with per-bucket coverage of the top bucket,
-            # that's the written count (wrong counts fail the mod).
+            # Smallest divisor of g that can label every occupied
+            # bucket — with full-row coverage, that's the written
+            # count (wrong counts fail the mod on some row).
             for cand in range(max_b + 1, min(abs(g), 1 << 20) + 1):
                 if g % cand == 0:
                     return cand
         raise RuntimeError(
             f"cannot derive the bucket layout of legacy store "
-            f"{self.path!r} v{v}: sampled {len(pairs)} rows are "
+            f"{self.path!r} v{v}: the rows are "
             f"inconsistent with constructor num_buckets={d} and no "
             f"count ≤ 2^20 fits (gcd={g}, max bucket={max_b}). "
             "Refusing to guess — a wrong count silently empties "

@@ -30,6 +30,32 @@ from ..functions import composite_id
 from ..sinks.snapshot import SnapshotStore
 
 
+def _dedup_newest(batch: DataFrame, store: SnapshotStore) -> DataFrame:
+    """One row per store key from a micro-batch: the newest by the
+    store's version column, with a DETERMINISTIC tiebreak — ordering
+    by the version alone leaves equal-version duplicates to an
+    arbitrary row_number winner, making the merged base (and any view
+    maintained from it) nondeterministic across replays of the same
+    input (r11 advice). Every remaining column joins the sort (name
+    order), so identical inputs always elect the identical row."""
+    from pyspark.sql import Window
+
+    keys = [store.key] if isinstance(store.key, str) else list(store.key)
+    tiebreak = [
+        F.desc(c)
+        for c in sorted(batch.columns)
+        if c not in keys and c != store.version_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(store.version_col), *tiebreak
+    )
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def run_incremental_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -51,19 +77,9 @@ def run_incremental_pipeline(
         if batch.isEmpty():
             return
         # Within one micro-batch the same key may appear twice; keep
-        # the newest (same rule the merge applies across batches).
-        from pyspark.sql import Window
-
-        w = (
-            Window.partitionBy(store.key)
-            .orderBy(F.desc(store.version_col))
-        )
-        deduped = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        store.merge(deduped)
+        # the newest (same rule the merge applies across batches),
+        # with a deterministic tiebreak for equal versions.
+        store.merge(_dedup_newest(batch, store))
 
     return (
         stream.writeStream.foreachBatch(merge_batch)
@@ -134,15 +150,7 @@ def streaming_maintained_view_pipeline(
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(store.key).orderBy(F.desc(store.version_col))
-        deduped = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        store.merge(deduped)
+        store.merge(_dedup_newest(batch, store))
         v_after = store.current_version()
         view_base = view_store.current_version()
         reflected = (view_store.read_meta(view_base) or {}).get(
@@ -150,10 +158,12 @@ def streaming_maintained_view_pipeline(
         ) if view_base is not None else None
         if reflected == v_after:
             return  # replay after a completed publish: nothing to do
-        if reflected is None:
-            # First derivation (or a pre-meta view store): the one
-            # and only base aggregate, stamped with the base version
-            # it reflects.
+
+        def derive_full() -> None:
+            # From-scratch derivation: the one base aggregate, stamped
+            # with the base version it reflects. First cycle — and the
+            # SELF-HEAL path when the maintenance window is gone (see
+            # below).
             view = (
                 store.read(version=v_after)
                 .groupBy(*group_cols)
@@ -169,6 +179,9 @@ def streaming_maintained_view_pipeline(
                 meta={"base_version": v_after},
                 expected_base=view_base,
             )
+
+        if reflected is None:
+            derive_full()
             return
         # Maintain over (reflected -> v_after): if a previous epoch
         # crashed between its merge and its publish, this window
@@ -177,20 +190,36 @@ def streaming_maintained_view_pipeline(
         # no-change epochs only) cannot move the view — skip the
         # commit; base_version deliberately stays at `reflected`
         # (the view over an empty window is the same view).
-        if store.read_changes(
-            reflected, v_after, update_images="both"
-        ).isEmpty():
+        #
+        # SELF-HEAL (r11 advice): the catch-up window needs the base
+        # store to retain versions back to `reflected` — a vacuum
+        # deeper than the view's lag makes read_changes raise "not
+        # retained", and without a fallback that exception would fail
+        # EVERY subsequent micro-batch (the window never shrinks on
+        # its own), permanently wedging the query. A vanished window
+        # degrades — honestly, once — to the from-scratch derivation
+        # above, which re-stamps base_version at v_after and restores
+        # the incremental steady state from the next cycle on.
+        try:
+            if store.read_changes(
+                reflected, v_after, update_images="both"
+            ).isEmpty():
+                return
+            old_view = view_store.read(version=view_base).drop("_bucket")
+            view = maintain_min_max(
+                store,
+                reflected,
+                v_after,
+                group_cols,
+                value_col,
+                old_view=old_view,
+                with_sum=True,
+            )
+        except ValueError as e:
+            if "not retained" not in str(e):
+                raise
+            derive_full()
             return
-        old_view = view_store.read(version=view_base).drop("_bucket")
-        view = maintain_min_max(
-            store,
-            reflected,
-            v_after,
-            group_cols,
-            value_col,
-            old_view=old_view,
-            with_sum=True,
-        )
         view_store.overwrite(
             view.localCheckpoint(eager=False),
             meta={"base_version": v_after},

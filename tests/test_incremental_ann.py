@@ -511,3 +511,65 @@ def test_split_hot_cells_guards_and_degenerate_cases(spark, tmp_path):
     )
     assert store.split_hot_cells(threshold=10, seq=1) is None
     assert store.store.current_version() == 1  # no version churn
+
+
+def test_split_hot_cells_race_raises_retryable_not_terminal(spark, tmp_path):
+    """r11 advice: a concurrent add() landing a row with
+    ivf_seq >= seq BETWEEN the split's version capture and its
+    hot-row scan used to trip the strictly-greater seq guard's
+    TERMINAL ValueError — aborting a race retry_concurrent was
+    configured to ride out. The hot read and the max-seq validation
+    are now pinned to the captured v0, so the race surfaces only at
+    commit time as the retryable ConcurrentWriteError (expected_base
+    mismatch). Deterministic interleaving: the store reports the
+    stale v0 on the split's first current_version() call, with the
+    conflicting add already committed on disk."""
+    import pytest
+
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import (
+        ConcurrentWriteError,
+    )
+
+    def vec(base, i):
+        v = [0.0] * 8
+        v[0] = base
+        v[1 + (i % 3)] = 1.0 + (i % 5) * 0.1
+        return v
+
+    hot_rows = [(i, vec(10.0, i)) for i in range(40)]
+    cold_rows = [(100 + i, vec(-10.0, i)) for i in range(5)]
+    corpus = spark.createDataFrame(
+        hot_rows + cold_rows, "vec_id long, emb array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [10.0] + [0.0] * 7), (1, [-10.0] + [0.0] * 7)],
+        "vec_id long, emb array<double>",
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(corpus, cents, "vec_id", "emb")
+    v0 = store.store.current_version()
+
+    # The "concurrent" add: committed after v0, carrying ivf_seq == 5
+    # — equal to the seq the split will be called with, i.e. exactly
+    # the row that used to flip the guard to a terminal ValueError.
+    store.add(
+        spark.createDataFrame([(200, vec(10.0, 0))], "vec_id long, emb array<double>"),
+        "vec_id",
+        "emb",
+        seq=5,
+    )
+    assert store.store.current_version() > v0
+
+    real_cv = store.store.current_version
+    calls = {"n": 0}
+
+    def stale_first():
+        calls["n"] += 1
+        return v0 if calls["n"] == 1 else real_cv()
+
+    store.store.current_version = stale_first
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            store.split_hot_cells(threshold=20, seq=5)
+    finally:
+        del store.store.current_version

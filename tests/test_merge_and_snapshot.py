@@ -738,6 +738,62 @@ def test_legacy_backfill_derives_count_from_data(spark, tmp_path, layout):
     }
 
 
+def test_legacy_backfill_full_coverage_defeats_spurious_constructor(
+    spark, tmp_path
+):
+    """r11 advice: the old derivation sampled ≤64 rows per bucket, so
+    a wrong constructor value that is a spurious multiple of the true
+    count could pass the divisibility check on the sample while an
+    UNSAMPLED row contradicted it — and every pruned read of such a
+    row's key then hashed to a phantom bucket file and returned empty.
+    The derivation now folds EVERY row into the gcd, making adoption a
+    proof. This key set pins the exact hole: 64 bucket-0 keys whose
+    xxhash64 is ≡0 (mod 8) — consistent with the wrong constructor 8 —
+    plus one breaker (≡4 mod 8) that sorts LAST by hash, i.e. exactly
+    the row the old top-64-by-hash sample dropped."""
+    import os as _os
+
+    # Mined offline: all hash to bucket 0 under the true count 4 AND
+    # to 0 under the spurious constructor 8; the breaker s21462 also
+    # hashes to bucket 0 under 4 but to 4 under 8, with the LARGEST
+    # xxhash64 of the set (so a top-64-ascending sample excludes it).
+    consistent = [
+        "s53002", "s86539", "s170649", "s148165", "s158953", "s126756",
+        "s100960", "s65688", "s140920", "s181158", "s92174", "s116859",
+        "s30866", "s9094", "s120399", "s195483", "s163436", "s24254",
+        "s132458", "s137186", "s158687", "s173509", "s163442", "s179156",
+        "s150436", "s186581", "s14408", "s63649", "s185270", "s47434",
+        "s46835", "s151013", "s181852", "s158348", "s163438", "s97229",
+        "s27427", "s8581", "s162145", "s21149", "s86215", "s159897",
+        "s76634", "s164928", "s157977", "s188902", "s69134", "s102228",
+        "s130750", "s57843", "s22367", "s46912", "s12819", "s126475",
+        "s165162", "s96401", "s188096", "s195450", "s130147", "s116439",
+        "s122851", "s94323", "s170223", "s145420",
+    ]
+    breaker = "s21462"
+    # k1/k4/k2 occupy buckets 1/2/3 (mod 4), all 8-consistent — so the
+    # ONLY evidence against the constructor is the unsampled breaker.
+    fillers = ["k1", "k4", "k2"]
+    path = str(tmp_path / "snap")
+    store = SnapshotStore(spark, path, key="k", version_col="v", num_buckets=4)
+    store.overwrite(
+        _df(spark, [(k, 1, "p") for k in consistent + [breaker] + fillers])
+    )
+    _os.remove(store._cfg_path(1))
+
+    other = SnapshotStore(
+        spark, path, key="k", version_col="v", num_buckets=8
+    )
+    assert other.num_buckets == 4
+    # The breaker's key is exactly the one a wrong adoption would
+    # black-hole: under 8 it hashes to bucket 4, a file that does not
+    # exist in the 4-bucket layout.
+    assert {r.k for r in other.read_keys([breaker, "k1"]).collect()} == {
+        breaker,
+        "k1",
+    }
+
+
 def test_legacy_backfill_underivable_raises_loudly(spark, tmp_path):
     """A legacy store whose data contradicts every candidate count
     (here: a bucket dir renamed to a label no pmod layout could have

@@ -802,3 +802,153 @@ def test_streaming_maintained_view_zero_base_rescans(spark, tmp_path):
         assert len(versioned_reads) == 2
     finally:
         q.stop()
+
+
+def test_incremental_pipeline_equal_version_tiebreak_deterministic(
+    spark, tmp_path
+):
+    """r11 advice: two rows in ONE micro-batch with the same key and
+    EQUAL version values got an arbitrary row_number winner — the
+    merged base (and any view maintained from it) then differed
+    across replays of identical input. The dedup window now breaks
+    ties on every remaining column (name order, descending), so the
+    elected row is a pure function of the batch's content."""
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+
+    # Equal (k, v); payload is the only tiebreak column — descending,
+    # so "zz" must win over "aa" no matter the partition order the
+    # rows arrive in (the 8-way repartition scrambles it on purpose).
+    rows = [("k1", 1, "aa"), ("k1", 1, "zz"), ("k2", 1, "mm")]
+    spark.createDataFrame(rows, ENTRY_SCHEMA).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(str(inp / "b1"))
+
+    q = run_incremental_pipeline(
+        spark, str(inp) + "/*", ENTRY_SCHEMA, store, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r.k: r.payload for r in store.read().collect()}
+    assert out == {"k1": "zz", "k2": "mm"}
+
+
+def test_streaming_maintained_view_self_heals_after_deep_vacuum(
+    spark, tmp_path
+):
+    """r11 advice: the maintained view's catch-up window (reflected ->
+    current base) needs the base store to retain versions back to the
+    view's reflected one — a vacuum DEEPER than the view's lag made
+    read_changes raise 'version not retained' inside foreachBatch on
+    every subsequent micro-batch, permanently failing the query. The
+    not-retained error now degrades — once — to a from-scratch
+    derivation that re-stamps base_version, and the very next cycle
+    is incremental again (no extra versioned base reads)."""
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_view_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.IntegerType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="k", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key="grp", version_col="n", num_buckets=2
+    )
+    versioned_reads = []
+    orig_read = store.read
+
+    def counting_read(version=None):
+        if version is not None:
+            versioned_reads.append(version)
+        return orig_read(version=version)
+
+    store.read = counting_read
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def view_now():
+        return {
+            r.grp: (r.n, r.min_v, r.max_v, r.s)
+            for r in view_store.read().collect()
+        }
+
+    def scratch():
+        return {
+            r.grp: (r.n, r.min_v, r.max_v, r.s)
+            for r in orig_read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("val").alias("min_v"),
+                F.max("val").alias("max_v"),
+                F.sum("val").alias("s"),
+            )
+            .collect()
+        }
+
+    drop("b1", [("a1", 1, "A", 5), ("b1", 1, "B", 10)])
+    q = streaming_maintained_view_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        store,
+        view_store,
+        str(tmp_path / "ckpt"),
+        group_cols=["grp"],
+        value_col="val",
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == scratch()
+        assert versioned_reads == [1]  # the first derivation
+
+        # Widen the view's lag WITHOUT the stream seeing it: two
+        # direct base commits (an out-of-band writer), then a vacuum
+        # that drops the view's reflected version 1.
+        store.merge(
+            spark.createDataFrame([("c1", 1, "C", 7)], schema)
+        )  # v2
+        store.merge(
+            spark.createDataFrame([("a1", 2, "A", 4)], schema)
+        )  # v3
+        store.vacuum(keep=2)  # retains {2, 3}; reflected 1 is GONE
+        assert 1 not in store.versions()
+
+        # Next micro-batch: read_changes(1, 4) must raise internally;
+        # the pipeline self-heals with one full derivation at v4 and
+        # keeps serving (pre-fix: this processAllAvailable raises a
+        # StreamingQueryException wrapping the not-retained error).
+        drop("b2", [("d1", 1, "B", 2)])
+        q.processAllAvailable()
+        assert view_now() == scratch() == {
+            "A": (1, 4, 4, 4),
+            "B": (2, 2, 10, 12),
+            "C": (1, 7, 7, 7),
+        }
+        assert versioned_reads == [1, 4]  # exactly one heal, at v4
+
+        # Steady state restored: an insert-only cycle is pure delta.
+        drop("b3", [("e1", 1, "C", 9)])
+        q.processAllAvailable()
+        assert view_now() == scratch()
+        assert versioned_reads == [1, 4]
+    finally:
+        q.stop()
