@@ -54,7 +54,14 @@ from . import curation_pipeline  # noqa: E402,F401
 # curation_pipeline_e2e (driver-green r9+r10, plans unchanged,
 # families still anchored in the prefix).
 _PRIORITY = [
-    # New in r11 — never driver-checked: the composed IVM algebras
+    # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
+    # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
+    # per-(group, value) histogram — delete-capable where sketches
+    # are not) and its chained steady-state form across the bucket
+    # evolution store
+    "incremental_view_histogram",
+    "incremental_view_histogram_chained",
+    # New in r11 — one driver round old: the composed IVM algebras
     # (extremum measures over a joined view, both stores changing),
     # the NULL-group joined view (r10 verdict #4/#5), the combined
     # sum+min/max view the streaming maintainer publishes, and the
@@ -76,14 +83,12 @@ _PRIORITY = [
     "incremental_view_minmax",
     "incremental_view_minmax_chained",
     "multimodal_frame_sample",
-    # r9 prefix carried forward (one driver round old)
+    # r9 prefix carried forward
     "incremental_view_joined",
     "store_read_changes",
-    "store_read_changes_hardlink",
     "incremental_view_maintenance",
     "ann_neardup_recall_multiprobe",
     "incremental_curation_cycle",
-    "dedup_simhash",
     # New in r8 — two driver rounds old. Displaced below the boundary
     # this round to make room for the r10 newcomers:
     # decontaminate_clean, store_point_lookup,
@@ -137,6 +142,11 @@ _PRIORITY = [
     # last driver round), recent, or anchors a §2 family; everything
     # below is driver-green from an earlier round and stays green
     # under the local replica gate) ---
+    # Rotated below in r12 (driver-green r9-r11, plans unchanged in
+    # r12; families still anchored above: store_read_changes for the
+    # feed, dedup_exact/minhash/cc for dedup):
+    "store_read_changes_hardlink",
+    "dedup_simhash",
     # Rotated below in r11 (driver-green r9+r10, plans unchanged in
     # r11, families still anchored above: frame_sample/ binary_payload
     # for multimodal, store_read_changes+hardlink for the feed,

@@ -1159,6 +1159,145 @@ def incremental_view_summinmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _PKView:
+    """Read adapter deriving the bounded-domain measure the histogram
+    view maintains: ``pk = cents % 1000`` (round(price*100) as long,
+    mod 1000) — a 1000-bin value domain, the shape (status codes,
+    star ratings, size buckets) where an exact maintained histogram
+    beats both a rescan and a sketch. Same pass-through contract as
+    _CentsView."""
+
+    def __init__(self, store):
+        self._store = store
+
+    def _with_pk(self, df):
+        return df.withColumn(
+            "pk",
+            F.pmod(F.round(F.col("price") * 100).cast("long"), F.lit(1000)),
+        )
+
+    def read(self, version=None):
+        return self._with_pk(self._store.read(version=version))
+
+    def read_changes(self, v_from, v_to, update_images="both"):
+        return self._with_pk(
+            self._store.read_changes(v_from, v_to, update_images=update_images)
+        )
+
+
+_VIEW_HISTOGRAM_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM delta
+    ),
+    t AS (
+        SELECT o_orderstatus,
+               CAST(round(price * 100) AS BIGINT) % 1000 AS pk
+        FROM v2
+    ),
+    h AS (
+        SELECT o_orderstatus, pk, count(*) AS c
+        FROM t GROUP BY o_orderstatus, pk
+    ),
+    m AS (
+        SELECT o_orderstatus,
+               max(c) AS mc,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM h GROUP BY o_orderstatus
+    ),
+    mo AS (
+        SELECT h.o_orderstatus, min(h.pk) AS mode_v
+        FROM h JOIN m USING (o_orderstatus)
+        WHERE h.c = m.mc GROUP BY h.o_orderstatus
+    ),
+    md AS (
+        SELECT o_orderstatus, median(pk) AS median_v
+        FROM t GROUP BY o_orderstatus
+    )
+    SELECT m.o_orderstatus, m.n, m.n_distinct, mo.mode_v, md.median_v
+    FROM m
+    JOIN mo USING (o_orderstatus)
+    JOIN md USING (o_orderstatus)
+"""
+
+
+@query("incremental_view_histogram", oracle=_VIEW_HISTOGRAM_ORACLE)
+def incremental_view_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLISTIC aggregates — exact COUNT(DISTINCT), exact interpolated
+    MEDIAN, MODE — maintained incrementally through the per-(group,
+    value) multiplicity histogram (operators/ivm.maintain_value_counts
+    + histogram_stats). None of these is distributive, and the usual
+    escape hatches both fail here: a rescan is O(table) per cycle,
+    and mergeable sketches (HLL, KLL) cannot process DELETES — while
+    the histogram algebra is CLOSED under them (+1/−1 per feed row,
+    bins dropped at zero; the stats are pure functions of the bins).
+    The demo window exercises every branch on real data: %10==3
+    inserts open bins, %10==5 mass deletes retire bins (including
+    last-row-of-bin departures that shift medians and demote modes),
+    %10==7 updates move multiplicity between bins. The oracle
+    recomputes distinct/median/mode from scratch over the post state
+    — DuckDB's median is quantile_cont(0.5), exactly the weighted
+    interpolation histogram_stats serves from the cumulative bins;
+    MODE's engine-unspecified tiebreak is made deterministic
+    (smallest value) in BOTH engines.
+
+    At 100 TB: maintenance is O(feed) + O(touched bins) with state
+    O(groups × 1000 bins) — the nightly distinct/percentile dashboard
+    never rescans the base. Reference parity: the per-extension stats
+    rescans of db_duckdb.py:342-356, upgraded to exact-incremental."""
+    from ..operators.ivm import histogram_stats, maintain_value_counts
+
+    store = _cdf_store(spark, sf_dir, layout="manifest")
+    hist = maintain_value_counts(_PKView(store), 1, 2, ["o_orderstatus"], "pk")
+    return histogram_stats(hist, ["o_orderstatus"], "pk").select(
+        "o_orderstatus", "n", "n_distinct", "mode_v", "median_v"
+    )
+
+
+@query("incremental_view_histogram_chained", oracle=_VIEW_HISTOGRAM_ORACLE)
+def incremental_view_histogram_chained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The histogram's STEADY-STATE path, chained across the bucket
+    evolution store: cycle 1 maintains the bins over the pure-rebucket
+    window (1 -> 2: zero feed rows, bins carried), cycle 2 feeds that
+    histogram back in as ``old_hist=`` over the merge window (2 -> 3)
+    — the base is aggregated exactly once, at the first derivation,
+    and the final stats still hash-match the flat store's oracle:
+    bin-feedback and the evolved layout's feed compose without
+    drift."""
+    from ..operators.ivm import histogram_stats, maintain_value_counts
+
+    store = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        tag_body="orders-cdf-rb|nb16-32",
+        path_prefix="cdfrbstore",
+        rebucket_to=32,
+    )
+    pk = _PKView(store)
+    cycle1 = maintain_value_counts(pk, 1, 2, ["o_orderstatus"], "pk")
+    hist = maintain_value_counts(
+        pk, 2, 3, ["o_orderstatus"], "pk", old_hist=cycle1
+    )
+    return histogram_stats(hist, ["o_orderstatus"], "pk").select(
+        "o_orderstatus", "n", "n_distinct", "mode_v", "median_v"
+    )
+
+
 _VIEW_JOIN_MINMAX_ORACLE = """
     WITH fbase AS (
         SELECT o_orderkey, o_custkey,

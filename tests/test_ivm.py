@@ -387,3 +387,162 @@ def test_maintain_joined_agg_null_group_pairs_terms(spark, tmp_path):
         ).collect()
     }
     assert mm == {None: (3, 800, 100, 500), "a": (1, 700, 700, 700)}
+
+
+def _hist_scratch(store, version):
+    return {
+        (r.grp, r.val): r.c
+        for r in store.read(version=version)
+        .groupBy("grp", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+
+def test_value_counts_histogram_equals_scratch_all_branches(spark, tmp_path):
+    """The histogram algebra is CLOSED under deletes (unlike min/max):
+    inserts bump bins, deletes decrement them, a bin whose last row
+    departs vanishes, an update moves one multiplicity between bins —
+    all in one feed-sized pass, bit-equal to a from-scratch
+    groupBy(group, value).count() of the post state."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_value_counts,
+    )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(
+        _df(
+            spark,
+            [
+                # A: val 1 ×2, val 5 ×1   B: val 10 ×1   NULL group: 3
+                ("a1", 1, "A", 1), ("a2", 1, "A", 1), ("a3", 1, "A", 5),
+                ("b1", 1, "B", 10), ("n1", 1, None, 3),
+            ],
+        )
+    )
+    # v2: delete one of A's val-1 rows (bin survives at 1), delete
+    # A's val-5 row (bin vanishes), move b1 10 -> 11 (update shifts a
+    # multiplicity across bins), insert a NULL-group row (NULL group
+    # maintains like any other), insert a NULL VALUE bin.
+    store.merge(
+        _df(spark, [("b1", 2, "B", 11), ("n2", 2, None, 3), ("z1", 2, "A", None)]),
+        removed=spark.createDataFrame([("a2",), ("a3",)], "k string"),
+    )
+
+    hist = {
+        (r.grp, r.val): r.c
+        for r in maintain_value_counts(store, 1, 2, ["grp"], "val").collect()
+    }
+    assert hist == _hist_scratch(store, 2)
+    assert hist[("A", 1)] == 1 and ("A", 5) not in hist
+    assert ("B", 10) not in hist and hist[("B", 11)] == 1
+    assert hist[(None, 3)] == 2 and hist[("A", None)] == 1
+
+
+def test_value_counts_chained_feedback_never_rescans_base(spark, tmp_path):
+    """Steady state: cycle 2 maintains from cycle 1's output
+    (old_hist feedback) — the base is read only by the first
+    derivation, and the chained result still equals scratch."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_value_counts,
+    )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(
+        _df(spark, [("a1", 1, "A", 1), ("a2", 1, "A", 2), ("b1", 1, "B", 2)])
+    )
+    store.merge(_df(spark, [("a3", 2, "A", 2)]))  # v2
+    store.merge(  # v3: retire A's val-1 bin, add B val-9
+        _df(spark, [("b2", 3, "B", 9)]),
+        removed=spark.createDataFrame([("a1",)], "k string"),
+    )
+    versioned_reads = []
+    orig_read = store.read
+
+    def counting_read(version=None):
+        if version is not None:
+            versioned_reads.append(version)
+        return orig_read(version=version)
+
+    store.read = counting_read
+    try:
+        c1 = maintain_value_counts(store, 1, 2, ["grp"], "val")
+        c2 = maintain_value_counts(store, 2, 3, ["grp"], "val", old_hist=c1)
+        got = {(r.grp, r.val): r.c for r in c2.collect()}
+    finally:
+        del store.read
+    assert got == _hist_scratch(store, 3)
+    assert versioned_reads == [1]  # only cycle 1's first derivation
+
+
+def test_histogram_stats_median_mode_distinct(spark):
+    """histogram_stats serves the holistic aggregates exactly from the
+    bins: interpolated median (even AND odd totals), deterministic
+    smallest-value mode tiebreak, exact distinct count."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import histogram_stats
+
+    hist = spark.createDataFrame(
+        [
+            # A: values 1×2, 5×1, 9×1  -> n=4, median (1+5)/2=3.0,
+            #    mode tie (c=2 max once) -> 1; n_distinct=3
+            ("A", 1, 2), ("A", 5, 1), ("A", 9, 1),
+            # B: 10×1, 20×1, 30×3 -> n=5, median=30 (3rd of 5 is 30? cum:
+            #    10:1, 20:2, 30:5 -> lo=hi=3 -> 30.0), mode=30
+            ("B", 10, 1), ("B", 20, 1), ("B", 30, 3),
+            # C: tie on max count (2 and 7 both ×2): mode -> 2
+            ("C", 7, 2), ("C", 2, 2),
+        ],
+        "grp string, val int, c long",
+    )
+    got = {
+        r.grp: (r.n, r.n_distinct, r.mode_v, r.median_v)
+        for r in histogram_stats(hist, ["grp"], "val").collect()
+    }
+    assert got["A"] == (4, 3, 1, 3.0)
+    assert got["B"] == (5, 3, 30, 30.0)
+    assert got["C"] == (4, 2, 2, 4.5)  # median (2+7)/2
+
+
+def test_histogram_stats_quantiles_match_percentile_cont(spark):
+    """The weighted-bin quantile interpolation must equal Spark's own
+    exact percentile() over the EXPLODED rows (percentile_cont
+    definition) for every parity of n and awkward fraction."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import histogram_stats
+
+    rows = (
+        [("A", v) for v in [1, 1, 5, 9, 12, 12, 12, 40]]  # n=8
+        + [("B", v) for v in [3, 7, 7, 100, 101]]  # n=5
+        + [("C", v) for v in [6]]  # n=1
+    )
+    raw = spark.createDataFrame(rows, "grp string, val int")
+    hist = raw.groupBy("grp", "val").agg(F.count(F.lit(1)).alias("c"))
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    got = {
+        r.grp: {k: r[k] for k in qs}
+        for r in histogram_stats(hist, ["grp"], "val", quantiles=qs).collect()
+    }
+    want = {
+        r.grp: {f"p{int(q * 100)}": r[f"p{int(q * 100)}"] for q in qs.values()}
+        for r in raw.groupBy("grp")
+        .agg(
+            *[
+                F.percentile("val", F.lit(q)).alias(f"p{int(q * 100)}")
+                for q in qs.values()
+            ]
+        )
+        .collect()
+    }
+    for grp in want:
+        for k in qs:
+            assert abs(got[grp][k] - want[grp][k]) < 1e-9, (grp, k, got, want)
+    # p50 agrees with the built-in median column too.
+    med = {
+        r.grp: r.median_v
+        for r in histogram_stats(hist, ["grp"], "val").collect()
+    }
+    for grp in want:
+        assert abs(med[grp] - want[grp]["p50"]) < 1e-9

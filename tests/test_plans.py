@@ -146,14 +146,14 @@ def test_registry_priority_prefix_covers_llm_layer():
         "dedup_exact", "dedup_minhash_lsh", "dedup_connected_components",
         "similarity_lsh_ann_topk",
         # The prefix holds EVERY never-driver-checked query and every
-        # query whose plan fingerprint changed this round (r11: the
-        # four new queries — joined min/max IVM, NULL-group joined
-        # view, combined sum+min/max view, IVF split content gate —
-        # plus the joined-IVM trio whose combine went eqNullSafe;
-        # enforced mechanically by tools/rotation_check.py in the
-        # gate), plus one anchor per core family; multi-round
-        # driver-green queries rotate below — the driver's hard signal
-        # goes to the least-tested first.
+        # query whose plan fingerprint changed this round (r12: the
+        # two new histogram-IVM queries; enforced mechanically by
+        # tools/rotation_check.py in the gate), plus one anchor per
+        # core family; multi-round driver-green queries rotate below
+        # — the driver's hard signal goes to the least-tested first
+        # (r12 rotated store_read_changes_hardlink and dedup_simhash
+        # below the boundary).
+        "incremental_view_histogram", "incremental_view_histogram_chained",
         "incremental_view_joined_minmax", "incremental_view_joined_nullgroup",
         "incremental_view_summinmax", "ann_ivf_split_topk",
         "incremental_view_joined_dimchange", "incremental_view_joined_chained",
@@ -166,10 +166,10 @@ def test_registry_priority_prefix_covers_llm_layer():
         "dedup_incremental_tombstone",
         "ann_incremental_ivf_manifest", "dedup_incremental_rebucket",
         "store_read_changes",
-        "store_read_changes_hardlink", "incremental_view_maintenance",
+        "incremental_view_maintenance",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "binary_payload_meta",
-        "dedup_simhash", "quantized_ann_int8_topk",
+        "quantized_ann_int8_topk",
         "pagerank_neardup_graph",
         "incremental_agg_maintenance",
         "dedup_keep_best", "token_budget_mixture", "collocations_pmi",

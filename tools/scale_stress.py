@@ -138,6 +138,13 @@ STRESSED = {
     # fact scan pruned by the key join) stay feed-proportional as the
     # fact side grows k-fold.
     "incremental_view_joined_minmax": "orders",
+    # r12: holistic-aggregate IVM — the maintained per-(group, value)
+    # histogram's bin domain is FIXED (pk has <=1000 values per
+    # status) while the feed grows k-fold; alpha ~ 1 proves
+    # maintenance stays feed-proportional (one feed groupBy + one
+    # bin-sized outer join) with no row-proportional term hiding in
+    # the stats windows (they run over bins, not rows).
+    "incremental_view_histogram": "orders",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
     "similarity_lsh_ann_topk": "embeddings",
