@@ -591,6 +591,138 @@ class IvfIndexStore:
         self._cent_cache = None
         return v
 
+    def merge_cold_cells(
+        self,
+        threshold: int,
+        *,
+        seq: int,
+        max_retries: int = 0,
+    ) -> int | None:
+        """Cold-cell maintenance — the INVERSE of
+        :meth:`split_hot_cells`: deletions and churn leave cells with
+        few (or zero) live vectors, and every one of them still costs
+        a probe slot (``nprobe`` nearest CENTROIDS are probed, so a
+        near-empty cell crowds out a full one and recall decays) while
+        the centroid set — which rides the version meta and is
+        broadcast to every probe — grows without bound under a
+        split-only policy. This op RETIRES every live cell whose LIVE
+        row count falls below ``threshold`` and re-assigns its
+        surviving vectors to the nearest SURVIVING centroid; an empty
+        cold cell is a pure centroid-set shrink (nothing to
+        re-assign, the meta commit alone retires it).
+
+        Commit protocol mirrors the split: rows + the shrunk centroid
+        meta land in one ``merge(meta=..., expected_base=v0)`` with
+        the cold-row read and the max-seq validation PINNED to
+        the captured ``v0`` (the r11-advice rule: every
+        concurrent-commit interaction funnels through the retryable
+        expected_base ConcurrentWriteError; ``max_retries`` re-runs
+        the whole derivation). ``centroid_gen`` bumps,
+        ``tombstone_gen`` does not. ``seq`` must be strictly greater
+        than every cold row's ivf_seq — same LWW rationale as the
+        split (a re-assigned row whose new cid hashes into its old
+        bucket must supersede the old copy). Physical leftovers under
+        retired cids (re-assigned rows whose new cid hashes
+        elsewhere) are the same never-probed dead weight the split
+        documents, reclaimed by the next retrain/rebucket/eager pass.
+
+        When EVERY live cell is cold (mass deletion), the fullest one
+        (ties: smallest cid) survives as the merge target — an index
+        always keeps at least one centroid. A single-cell index
+        returns None (nothing to merge into). Scope: sized for
+        DELETION repair — a few cells decayed below the threshold; if
+        most of the index is cold, that is corpus shrinkage, and
+        ``retrain`` (one O(corpus) overwrite with a right-sized k) is
+        the honest tool.
+
+        Returns the new version, or None when no live cell is cold."""
+        from ..sinks.snapshot import retry_concurrent
+
+        return retry_concurrent(
+            lambda: self._merge_cold_cells_once(threshold, seq),
+            max_retries=max_retries,
+        )
+
+    def _merge_cold_cells_once(self, threshold: int, seq: int) -> int | None:
+        v0 = self.store.current_version()
+        if v0 is None:
+            raise ValueError("IVF index is empty — seed() it first")
+        meta = dict(self._meta())
+        id_type = meta["id_type"]
+        live_cids = [i for i, _e in meta["centroids"]]
+        if len(live_cids) <= 1:
+            return None
+        # LIVE rows of LIVE cells only, pinned to v0 — same counting
+        # rules as the split (tombstoned rows and retired-cid
+        # leftovers must not keep a dead cell "warm"); a live cell
+        # with NO rows at all is missing from the frame and counts 0.
+        sizes = {
+            r.cid: r._n
+            for r in self.tombstones.apply(
+                self.store.read(version=v0).filter(
+                    F.col("cid").isin(live_cids)
+                ),
+                "vec_id",
+            )
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()  # bounded by the number of cells (k)
+        }
+        cold = sorted(
+            (c for c in live_cids if sizes.get(c, 0) < int(threshold)),
+            key=str,
+        )
+        if not cold:
+            return None
+        if len(cold) == len(live_cids):
+            keep = sorted(cold, key=lambda c: (-sizes.get(c, 0), str(c)))[0]
+            cold = [c for c in cold if c != keep]
+        survivor_set = set(live_cids) - set(cold)
+        probe = self.spark.createDataFrame(
+            [(c,) for c in cold], f"cid {id_type}"
+        )
+        cold_rows = (
+            read_pruned(
+                self.store,
+                probe,
+                empty_msg="IVF index is empty",
+                version=v0,
+            )
+            .filter(F.col("cid").isin(cold))
+            .select("cid", "vec_id", "emb", "ivf_seq")
+        )
+        cold_rows = self.tombstones.apply(
+            cold_rows, "vec_id"
+        ).localCheckpoint(eager=False)
+        max_seq = cold_rows.agg(F.max("ivf_seq")).first()[0]
+        if max_seq is not None and int(seq) <= int(max_seq):
+            raise ValueError(
+                f"merge_cold_cells: seq={seq} must be strictly greater "
+                f"than every cold row's ivf_seq (max={max_seq}) — an "
+                "equal seq loses the strictly-newer LWW upsert and "
+                "strands the row under the retired cell id"
+            )
+        survivors = [
+            (i, e) for i, e in meta["centroids"] if i in survivor_set
+        ]
+        cents = self.spark.createDataFrame(
+            [(i, [float(x) for x in e]) for i, e in survivors],
+            f"vec_id {id_type}, emb array<double>",
+        )
+        reassigned = self._assigned(
+            cold_rows.select("vec_id", "emb"),
+            "vec_id",
+            "emb",
+            seq,
+            cents,
+            int(meta["dim"]),
+        )
+        meta["centroids"] = survivors
+        meta["centroid_gen"] = self._centroid_gen(meta) + 1
+        v = self.store.merge(reassigned, meta=meta, expected_base=v0)
+        self._cent_cache = None
+        return v
+
     def remove_vecs(self, vec_ids: DataFrame, *, mode: str = "eager") -> int:
         """Drop every index row of the given vector ids (one-column
         DataFrame) — the path that makes embedding MUTATION safe when

@@ -58,9 +58,11 @@ _PRIORITY = [
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches
     # are not) and its chained steady-state form across the bucket
-    # evolution store
+    # evolution store; plus the IVF cold-cell merge content gate
+    # (the split's inverse — bounded centroid state under churn)
     "incremental_view_histogram",
     "incremental_view_histogram_chained",
+    "ann_ivf_coldmerge_topk",
     # New in r11 — one driver round old: the composed IVM algebras
     # (extremum measures over a joined view, both stores changing),
     # the NULL-group joined view (r10 verdict #4/#5), the combined
@@ -87,7 +89,6 @@ _PRIORITY = [
     "incremental_view_joined",
     "store_read_changes",
     "incremental_view_maintenance",
-    "ann_neardup_recall_multiprobe",
     "incremental_curation_cycle",
     # New in r8 — two driver rounds old. Displaced below the boundary
     # this round to make room for the r10 newcomers:
@@ -144,9 +145,11 @@ _PRIORITY = [
     # under the local replica gate) ---
     # Rotated below in r12 (driver-green r9-r11, plans unchanged in
     # r12; families still anchored above: store_read_changes for the
-    # feed, dedup_exact/minhash/cc for dedup):
+    # feed, dedup_exact/minhash/cc for dedup, ann_recall_at_k +
+    # quantized_ann for recall):
     "store_read_changes_hardlink",
     "dedup_simhash",
+    "ann_neardup_recall_multiprobe",
     # Rotated below in r11 (driver-green r9+r10, plans unchanged in
     # r11, families still anchored above: frame_sample/ binary_payload
     # for multimodal, store_read_changes+hardlink for the feed,

@@ -1993,6 +1993,95 @@ def ann_ivf_split_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches
 
 
+def _coldmerge_oracle() -> str:
+    from .llm_queries import _COS_SQL
+
+    # Brute-force cosine top-3 over the LIVE corpus (vec_id % 7 == 2
+    # eagerly removed), queries = the live ids < 8 — the from-scratch
+    # twin of probing every live cell after the cold merge.
+    return f"""
+    WITH live AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 2
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM live WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM live),
+    scored AS (
+        SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim
+        FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """
+
+
+@query("ann_ivf_coldmerge_topk", oracle=_coldmerge_oracle())
+def ann_ivf_coldmerge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLD-CELL MERGE proven content-preserving under the driver
+    gate (operators/incremental_ann.IvfIndexStore.merge_cold_cells,
+    r12 — the split's inverse): the index seeds with 16 centroids,
+    an eager removal deletes every ``vec_id % 7 == 2`` (cells decay),
+    every cell below the post-removal average occupancy retires (its
+    survivors re-assign to the nearest surviving centroid, committed
+    atomically with the shrunk centroid meta), and the search then
+    probes EVERY live cell — which must return exactly the
+    brute-force cosine top-k over the live corpus. Probing all cells
+    removes the approximation so the hash gate checks the strongest
+    property: a merge loses no vector, resurrects no removed one,
+    and strands none under a retired cid. Why it matters at scale: a
+    split-only policy grows the centroid set (broadcast to every
+    probe) without bound under churn, and near-empty cells crowd
+    full ones out of the ``nprobe`` budget — recall decays with no
+    correctness signal; the merge is the bounded-state half of the
+    maintenance pair."""
+    import hashlib
+    import os
+
+    from ..operators.incremental_ann import IvfIndexStore
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "emb"
+        ),
+    )
+    centroids = emb.filter(F.col("vec_id") < 16)
+    fp = _dataset_fingerprint(sf_dir, "embeddings")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|ivfcold|c16|nb32|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-ivfcoldstore-{tag}"
+    with _store_lock(path):
+        store = IvfIndexStore(spark, path, num_buckets=32)
+        if store.store.current_version() is None:
+            store.seed(emb, centroids, "vec_id", "emb")
+        if store.store.current_version() == 1:
+            store.remove_vecs(
+                emb.filter(F.col("vec_id") % 7 == 2).select("vec_id"),
+                mode="eager",
+            )  # v2 (anti-join overwrite — cells genuinely shrink)
+        if store.store.current_version() == 2:
+            # Average post-removal occupancy: decayed cells retire.
+            n = store.store.read(version=2).count()
+            store.merge_cold_cells(threshold=max(1, n // 16), seq=1)
+        live_cells = len(store.store.read_meta()["centroids"])
+        matches = _pin(
+            store.search(
+                emb.filter(
+                    (F.col("vec_id") < 8) & (F.col("vec_id") % 7 != 2)
+                ),
+                "vec_id",
+                "emb",
+                k=3,
+                nprobe=live_cells,
+            )
+        )
+        store.store.vacuum(keep=2)
+    return matches
+
+
 @query(
     "substring_incremental_tombstone",
     oracle="""

@@ -89,6 +89,71 @@ def run_incremental_pipeline(
     )
 
 
+def _maintained_view_on_batch(store, view_store, derive, maintain):
+    """The crash-safe maintained-view foreachBatch skeleton, shared by
+    every streaming maintainer (min/max view, histogram view):
+
+    - merge the deduped batch into the base store;
+    - maintain over the window (reflected -> current base), where
+      ``reflected`` is the base version recorded in the view's own
+      commit meta — a crash between merge and publish is caught up in
+      one spanning pass on the next epoch (foreachBatch is
+      at-least-once);
+    - epoch guard: an empty spanning feed (replayed or no-change
+      epoch) skips the commit — the view over an empty window is the
+      same view;
+    - publish with ``expected_base`` pinned to the view version the
+      feedback was read from (a concurrent publisher raises instead
+      of silently folding over the loop);
+    - SELF-HEAL (r11 advice): a vacuum deeper than the view's lag
+      makes the window unreadable ("not retained") — degrade once to
+      ``derive(v_after)``, the from-scratch derivation, which
+      re-stamps ``base_version`` and restores the incremental steady
+      state from the next cycle on.
+
+    ``derive(v_after)`` returns the full view at a base version;
+    ``maintain(reflected, v_after, old_view)`` advances the fed-back
+    view across the window."""
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        store.merge(_dedup_newest(batch, store))
+        v_after = store.current_version()
+        view_base = view_store.current_version()
+        reflected = (view_store.read_meta(view_base) or {}).get(
+            "base_version"
+        ) if view_base is not None else None
+        if reflected == v_after:
+            return  # replay after a completed publish: nothing to do
+
+        def publish(view: DataFrame) -> None:
+            view_store.overwrite(
+                view.localCheckpoint(eager=False),
+                meta={"base_version": v_after},
+                expected_base=view_base,
+            )
+
+        if reflected is None:
+            publish(derive(v_after))
+            return
+        try:
+            if store.read_changes(
+                reflected, v_after, update_images="both"
+            ).isEmpty():
+                return
+            old_view = view_store.read(version=view_base).drop("_bucket")
+            view = maintain(reflected, v_after, old_view)
+        except ValueError as e:
+            if "not retained" not in str(e):
+                raise
+            publish(derive(v_after))
+            return
+        publish(view)
+
+    return on_batch
+
+
 def streaming_maintained_view_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -147,85 +212,93 @@ def streaming_maintained_view_pipeline(
         .parquet(input_dir)
     )
 
-    def on_batch(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        store.merge(_dedup_newest(batch, store))
-        v_after = store.current_version()
-        view_base = view_store.current_version()
-        reflected = (view_store.read_meta(view_base) or {}).get(
-            "base_version"
-        ) if view_base is not None else None
-        if reflected == v_after:
-            return  # replay after a completed publish: nothing to do
-
-        def derive_full() -> None:
-            # From-scratch derivation: the one base aggregate, stamped
-            # with the base version it reflects. First cycle — and the
-            # SELF-HEAL path when the maintenance window is gone (see
-            # below).
-            view = (
-                store.read(version=v_after)
-                .groupBy(*group_cols)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min(value_col).alias("min_v"),
-                    F.max(value_col).alias("max_v"),
-                    F.sum(value_col).alias("s"),
-                )
+    def derive(v_after: int) -> DataFrame:
+        return (
+            store.read(version=v_after)
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(value_col).alias("min_v"),
+                F.max(value_col).alias("max_v"),
+                F.sum(value_col).alias("s"),
             )
-            view_store.overwrite(
-                view.localCheckpoint(eager=False),
-                meta={"base_version": v_after},
-                expected_base=view_base,
-            )
-
-        if reflected is None:
-            derive_full()
-            return
-        # Maintain over (reflected -> v_after): if a previous epoch
-        # crashed between its merge and its publish, this window
-        # SPANS the missed commit and catches the view up in one
-        # pass. Epoch guard: an empty spanning feed (replayed /
-        # no-change epochs only) cannot move the view — skip the
-        # commit; base_version deliberately stays at `reflected`
-        # (the view over an empty window is the same view).
-        #
-        # SELF-HEAL (r11 advice): the catch-up window needs the base
-        # store to retain versions back to `reflected` — a vacuum
-        # deeper than the view's lag makes read_changes raise "not
-        # retained", and without a fallback that exception would fail
-        # EVERY subsequent micro-batch (the window never shrinks on
-        # its own), permanently wedging the query. A vanished window
-        # degrades — honestly, once — to the from-scratch derivation
-        # above, which re-stamps base_version at v_after and restores
-        # the incremental steady state from the next cycle on.
-        try:
-            if store.read_changes(
-                reflected, v_after, update_images="both"
-            ).isEmpty():
-                return
-            old_view = view_store.read(version=view_base).drop("_bucket")
-            view = maintain_min_max(
-                store,
-                reflected,
-                v_after,
-                group_cols,
-                value_col,
-                old_view=old_view,
-                with_sum=True,
-            )
-        except ValueError as e:
-            if "not retained" not in str(e):
-                raise
-            derive_full()
-            return
-        view_store.overwrite(
-            view.localCheckpoint(eager=False),
-            meta={"base_version": v_after},
-            expected_base=view_base,
         )
 
+    def maintain(reflected: int, v_after: int, old_view: DataFrame) -> DataFrame:
+        return maintain_min_max(
+            store,
+            reflected,
+            v_after,
+            group_cols,
+            value_col,
+            old_view=old_view,
+            with_sum=True,
+        )
+
+    on_batch = _maintained_view_on_batch(store, view_store, derive, maintain)
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def streaming_maintained_histogram_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    store: SnapshotStore,
+    hist_store: SnapshotStore,
+    checkpoint_dir: str,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """The HISTOGRAM twin of ``streaming_maintained_view_pipeline``:
+    each micro-batch merges into the base store, then the
+    per-(group, value) multiplicity view advances across exactly that
+    merge's CDC window (``operators/ivm.maintain_value_counts`` with
+    the previous cycle's published bins fed back as ``old_hist``) and
+    publishes to ``hist_store``. Downstream consumers serve the exact
+    holistic aggregates — COUNT(DISTINCT), MEDIAN/quantiles, MODE —
+    from the published bins with ``histogram_stats``, O(bins), no
+    base access.
+
+    Unlike the min/max maintainer, the histogram algebra is CLOSED
+    under deletes: there is NO recompute branch, so after the first
+    derivation the base store is never read again — not even on
+    delete-heavy cycles that retire bins (the scan-count test pins
+    this). Crash safety, epoch guard, expected_base pinning, and the
+    deep-vacuum self-heal all ride the shared skeleton
+    (``_maintained_view_on_batch``)."""
+    from ..operators.ivm import maintain_value_counts
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def derive(v_after: int) -> DataFrame:
+        return (
+            store.read(version=v_after)
+            .groupBy(*group_cols, value_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def maintain(reflected: int, v_after: int, old_hist: DataFrame) -> DataFrame:
+        return maintain_value_counts(
+            store,
+            reflected,
+            v_after,
+            group_cols,
+            value_col,
+            old_hist=old_hist,
+        )
+
+    on_batch = _maintained_view_on_batch(store, hist_store, derive, maintain)
     return (
         stream.writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", checkpoint_dir)

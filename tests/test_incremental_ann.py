@@ -573,3 +573,149 @@ def test_split_hot_cells_race_raises_retryable_not_terminal(spark, tmp_path):
             store.split_hot_cells(threshold=20, seq=5)
     finally:
         del store.store.current_version
+
+
+def test_merge_cold_cells_retires_and_search_stays_correct(spark, tmp_path):
+    """Cold-cell maintenance (the split's inverse): cells whose live
+    count decayed below the threshold are retired, their surviving
+    vectors re-assign to the nearest surviving centroid, full cells'
+    rows are untouched, tombstoned ids stay hidden, and search over
+    the merged index still returns the exact brute-force neighbors
+    when probing every live cell."""
+    def vec(base, i):
+        v = [0.0] * 8
+        v[0] = base
+        v[1 + (i % 3)] = 1.0 + (i % 5) * 0.1
+        return v
+
+    # Cell 0: 20 rows near +e0. Cell 1: 3 rows near -e0 (cold).
+    # Cell 2: 2 rows near +e4-ish (cold, and closer to cell 0's
+    # region than to cell 1's).
+    def vec2(i):
+        v = [0.0] * 8
+        v[0] = 8.0
+        v[4] = 3.0 + i
+        return v
+
+    rows = (
+        [(i, vec(10.0, i)) for i in range(20)]
+        + [(100 + i, vec(-10.0, i)) for i in range(3)]
+        + [(200 + i, vec2(i)) for i in range(2)]
+    )
+    corpus = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cents = spark.createDataFrame(
+        [
+            (0, [10.0] + [0.0] * 7),
+            (1, [-10.0] + [0.0] * 7),
+            (2, [8.0, 0.0, 0.0, 0.0, 4.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, emb array<double>",
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(corpus, cents, "vec_id", "emb")
+
+    # Tombstone one cold-cell id: it must NOT be re-assigned.
+    store.remove_vecs(
+        spark.createDataFrame([(101,)], "vec_id long"), mode="tombstone"
+    )
+
+    v = store.merge_cold_cells(threshold=5, seq=1)
+    assert v is not None
+    meta = store.store.read_meta()
+    ids = {r[0] for r in meta["centroids"]}
+    assert ids == {0}  # both cold cells retired, the full one kept
+    assert meta["centroid_gen"] > 0
+
+    live = store.tombstones.apply(store.store.read(), "vec_id")
+    # Every surviving cold vector now has a copy under cid 0 (the
+    # only live centroid); the tombstoned 101 was not re-assigned.
+    # (Old copies under the retired cids are the documented dead
+    # weight — never probed — so the assertion filters to LIVE cells,
+    # same as the split test.)
+    reassigned = {
+        r.vec_id
+        for r in live.filter(
+            (F.col("cid") == 0) & (F.col("vec_id") >= 100)
+        ).collect()
+    }
+    assert reassigned == {100, 102, 200, 201}
+
+    # Search (probing the one live cell) == brute force over live rows.
+    from fs_indexer_elasticsearch_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    queries = corpus.filter(F.col("vec_id").isin(3, 100, 200))
+    got = sorted(
+        map(
+            tuple,
+            store.search(queries, "vec_id", "emb", k=2, nprobe=1).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            brute_force_topk(
+                store.tombstones.apply(corpus, "vec_id"),
+                queries,
+                "vec_id",
+                "emb",
+                k=2,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 6
+    assert all(r[1] != 101 for r in got)  # tombstone hidden
+
+
+def test_merge_cold_cells_guards_and_degenerates(spark, tmp_path):
+    """(a) tie seq rejected loudly; (b) empty cold cell = pure
+    centroid retirement (meta-only commit); (c) all-cells-cold keeps
+    the fullest as survivor; (d) single-cell index is a no-op; (e) no
+    cold cells is a no-op."""
+    import pytest
+
+    def vec(base, i):
+        v = [0.0] * 8
+        v[0] = base
+        v[1 + (i % 3)] = 1.0 + (i % 5) * 0.1
+        return v
+
+    rows = [(i, vec(10.0, i)) for i in range(6)] + [
+        (100, vec(-10.0, 0))
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cents = spark.createDataFrame(
+        [
+            (0, [10.0] + [0.0] * 7),
+            (1, [-10.0] + [0.0] * 7),
+            (2, [0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # EMPTY cell
+        ],
+        "vec_id long, emb array<double>",
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=8)
+    store.seed(corpus, cents, "vec_id", "emb")
+
+    # (a) seeded rows carry ivf_seq=0 -> seq=0 ties and must raise.
+    with pytest.raises(ValueError, match="strictly greater"):
+        store.merge_cold_cells(threshold=2, seq=0)
+
+    # (b)+(c): threshold 100 makes EVERY cell cold; cell 0 (6 rows)
+    # survives, cell 1's row re-assigns, empty cell 2 just retires.
+    v = store.merge_cold_cells(threshold=100, seq=1)
+    assert v is not None
+    assert {r[0] for r in store.store.read_meta()["centroids"]} == {0}
+    assert store.store.read().filter("vec_id = 100").first().cid == 0
+
+    # (d) single-cell index: no-op, no version churn.
+    assert store.merge_cold_cells(threshold=100, seq=2) is None
+
+    # (e) fresh two-cell index with both cells warm: no-op.
+    store2 = IvfIndexStore(spark, str(tmp_path / "ivf2"), num_buckets=8)
+    store2.seed(
+        corpus,
+        cents.filter("vec_id < 2"),
+        "vec_id",
+        "emb",
+    )
+    assert store2.merge_cold_cells(threshold=1, seq=1) is None

@@ -154,6 +154,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         # (r12 rotated store_read_changes_hardlink and dedup_simhash
         # below the boundary).
         "incremental_view_histogram", "incremental_view_histogram_chained",
+        "ann_ivf_coldmerge_topk",
         "incremental_view_joined_minmax", "incremental_view_joined_nullgroup",
         "incremental_view_summinmax", "ann_ivf_split_topk",
         "incremental_view_joined_dimchange", "incremental_view_joined_chained",
@@ -161,7 +162,6 @@ def test_registry_priority_prefix_covers_llm_layer():
         "multimodal_frame_sample",
         "incremental_view_minmax_chained",
         "incremental_view_minmax", "incremental_view_joined",
-        "ann_neardup_recall_multiprobe",
         "incremental_curation_cycle",
         "dedup_incremental_tombstone",
         "ann_incremental_ivf_manifest", "dedup_incremental_rebucket",

@@ -952,3 +952,121 @@ def test_streaming_maintained_view_self_heals_after_deep_vacuum(
         assert versioned_reads == [1, 4]
     finally:
         q.stop()
+
+
+def test_streaming_maintained_histogram_zero_base_rescans(spark, tmp_path):
+    """The streaming histogram maintainer: N cycles of stream ->
+    maintained bins equal a from-scratch groupBy(group, value).count()
+    every cycle, the served holistic stats (distinct/median/mode)
+    match, and — the histogram algebra being closed under deletes —
+    the base is read at exactly ONE version ever (the first
+    derivation), even on the delete cycle that retires bins and
+    shifts the median (min/max would recompute here; the histogram
+    must not)."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import histogram_stats
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_histogram_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.IntegerType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="k", version_col="v", num_buckets=4
+    )
+    hist_store = SnapshotStore(
+        spark, str(tmp_path / "hist"), key="grp", version_col="c", num_buckets=2
+    )
+    versioned_reads = []
+    orig_read = store.read
+
+    def counting_read(version=None):
+        if version is not None:
+            versioned_reads.append(version)
+        return orig_read(version=version)
+
+    store.read = counting_read
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def bins_now():
+        return {
+            (r.grp, r.val): r.c for r in hist_store.read().collect()
+        }
+
+    def bins_scratch():
+        return {
+            (r.grp, r.val): r.c
+            for r in orig_read()
+            .groupBy("grp", "val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    drop("b1", [("a1", 1, "A", 1), ("a2", 1, "A", 1), ("b1", 1, "B", 10)])
+    q = streaming_maintained_histogram_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        store,
+        hist_store,
+        str(tmp_path / "ckpt"),
+        group_cols=["grp"],
+        value_col="val",
+    )
+    try:
+        q.processAllAvailable()
+        assert bins_now() == bins_scratch() == {
+            ("A", 1): 2,
+            ("B", 10): 1,
+        }
+        assert versioned_reads == [1]
+
+        # Insert cycle: new bins open, an existing bin bumps.
+        drop("b2", [("a3", 1, "A", 5), ("b2", 1, "B", 10), ("c1", 1, "C", 7)])
+        q.processAllAvailable()
+        assert bins_now() == bins_scratch()
+        assert versioned_reads == [1]
+
+        # Delete + update cycle: a2's departure decrements (A,1); the
+        # a3 update MOVES a multiplicity 5 -> 9 (bin retire + open);
+        # min/max IVM would hit its recompute branch on this shape —
+        # the histogram must stay pure-delta.
+        store.merge(
+            spark.createDataFrame([("a3", 2, "A", 9)], schema),
+            removed=spark.createDataFrame([("a2",)], "k string"),
+        )
+        drop("b3", [("d1", 1, "C", 7)])
+        q.processAllAvailable()
+        assert bins_now() == bins_scratch() == {
+            ("A", 1): 1,
+            ("A", 9): 1,
+            ("B", 10): 2,
+            ("C", 7): 2,
+        }
+        assert versioned_reads == [1]  # STILL only the derivation
+
+        # The published bins serve the exact holistic stats.
+        got = {
+            r.grp: (r.n, r.n_distinct, r.mode_v, r.median_v)
+            for r in histogram_stats(
+                hist_store.read().drop("_bucket"), ["grp"], "val"
+            ).collect()
+        }
+        assert got == {
+            "A": (2, 2, 1, 5.0),
+            "B": (2, 1, 10, 10.0),
+            "C": (2, 1, 7, 7.0),
+        }
+    finally:
+        q.stop()
