@@ -804,3 +804,189 @@ def histogram_stats(
             + frac * (F.col(f"_{name}_hi") - F.col(f"_{name}_lo")),
         ).drop(f"_{name}_lo", f"_{name}_hi")
     return agged
+
+
+def maintain_top_k(
+    store,
+    v_from: int,
+    v_to: int,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    *,
+    old_view: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain the per-group TOP-K view — the k-generalization of
+    ``maintain_min_max``'s max side (k=1 degenerates to it). Returns
+    ``group_cols + [n, topk]`` where ``topk`` is the k largest
+    ``value_col`` values sorted descending (fewer when the group has
+    fewer rows), equal to a from-scratch ranked top-k over the
+    ``v_to`` state. ``value_col`` is assumed non-null.
+
+    The same semi-incremental split as min/max, with the k-th stored
+    value as the HORIZON:
+
+    - inserts merge algebraically — the new top-k is the top-k of
+      (stored array ∪ feed adds' own top-k), O(k) per group;
+    - a removal strictly BELOW the horizon (the smallest stored
+      element) cannot touch the membership — pure delta, only ``n``
+      moves. This covers the n0 <= k case for free: there every
+      group value IS stored, so any genuine removal ties-or-beats
+      the horizon;
+    - a removal that ties-or-beats the horizon RECOMPUTES that group
+      from the post-state base via the same AQE-adaptive eqNullSafe
+      left-semi join (no driver key list, no forced broadcast — see
+      the module docstring's cost note).
+
+    Feed adds are pre-ranked per group (window row_number, keep
+    ``<= k``) BEFORE the array collect, so a mass-insert cycle never
+    materializes an unbounded collect_list — the maintenance state
+    stays O(groups × k) everywhere. The first derivation (no
+    ``old_view``) ranks the ``v_from`` snapshot the same way."""
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    val = F.col(value_col)
+
+    def ranked_topk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*g).orderBy(F.desc(value_col))
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .groupBy(*g)
+            .agg(
+                F.reverse(F.array_sort(F.collect_list(val))).alias("_tk")
+            )
+        )
+
+    def n_and_topk(df: DataFrame) -> DataFrame:
+        # ONE pass for (n, topk): collect_list skips the NULL the
+        # when() assigns past rank k, so the array stays O(k) while
+        # the count covers every row — and no group-key join is
+        # needed (a join on the group columns would drop the NULL
+        # group; GROUP BY keeps it).
+        w = Window.partitionBy(*g).orderBy(F.desc(value_col))
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .groupBy(*g)
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("_rk") <= k, val))
+                    )
+                ).alias("_tk"),
+            )
+        )
+
+    if old_view is not None:
+        old = old_view.select(
+            *g, F.col("n").alias("_n0"), F.col("topk").alias("_tk0")
+        )
+    else:
+        old = (
+            n_and_topk(store.read(version=v_from))
+            .withColumnRenamed("_n", "_n0")
+            .withColumnRenamed("_tk", "_tk0")
+        )
+    feed = store.read_changes(v_from, v_to, update_images="both")
+    is_add = F.col("_change").isin("insert", "update_postimage")
+    adds = ranked_topk(feed.filter(is_add)).withColumnRenamed("_tk", "_ta")
+    counts = feed.groupBy(*g).agg(
+        F.sum(F.when(is_add, 1).otherwise(-1)).alias("_dn"),
+        F.max(F.when(~is_add, val)).alias("_xr"),
+    )
+    inc = _multi_null_safe_outer(counts, adds, g).select(
+        *g, "_dn", "_xr", "_ta"
+    )
+    joined = _multi_null_safe_outer(old, inc, g)
+    j = (
+        joined.withColumn(
+            "_n_new",
+            (
+                F.coalesce("_n0", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            # Horizon = the smallest STORED top-k element; a removal
+            # that ties-or-beats it may retire a member (or, when the
+            # whole group is stored, must — a removed value always
+            # exists in the group).
+            "_recompute",
+            F.coalesce(
+                F.col("_xr").isNotNull()
+                & F.col("_tk0").isNotNull()
+                & (F.col("_xr") >= F.element_at("_tk0", -1)),
+                F.lit(False),
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # Typed empty fallbacks (slice-to-zero of the OTHER side) — a bare
+    # F.array() is array<void> and won't coerce to the value type. A
+    # row always has at least one side present, so the coalesce chain
+    # never needs both.
+    merged_tk = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.concat(
+                    F.coalesce("_tk0", F.slice("_ta", 1, 0)),
+                    F.coalesce("_ta", F.slice("_tk0", 1, 0)),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    kept = j.filter(~F.col("_recompute") & (F.col("_n_new") > 0)).select(
+        *g,
+        F.col("_n_new").alias("n"),
+        merged_tk.alias("topk"),
+    )
+    affected = j.filter(F.col("_recompute")).select(
+        *[F.col(c).alias(f"_ag_{c}") for c in g]
+    )
+    if affected.isEmpty():
+        return kept
+    cur = store.read(version=v_to)
+    scoped = cur.join(
+        affected,
+        reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.col(f"_ag_{c}")) for c in g],
+        ),
+        "left_semi",
+    )
+    recomputed = (
+        n_and_topk(scoped)
+        .withColumnRenamed("_n", "n")
+        .withColumnRenamed("_tk", "topk")
+    )
+    return kept.unionByName(recomputed)
+
+
+def _multi_null_safe_outer(
+    left: DataFrame, right: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Full-outer join on ALL group columns with NULL-as-a-group
+    pairing, group labels coalesced — the multi-column sibling of
+    ``_null_safe_outer``."""
+    l, r = left.alias("l"), right.alias("r")
+    return l.join(
+        r,
+        reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+                for c in group_cols
+            ],
+        ),
+        "full_outer",
+    ).select(
+        *[
+            F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c)
+            for c in group_cols
+        ],
+        *[F.col(f"l.{c}") for c in left.columns if c not in group_cols],
+        *[F.col(f"r.{c}") for c in right.columns if c not in group_cols],
+    )

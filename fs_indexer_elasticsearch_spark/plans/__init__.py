@@ -42,17 +42,17 @@ from . import curation_pipeline  # noqa: E402,F401
 # contain every query whose normalized analyzed-plan fingerprint is
 # new or changed since the last driver round commit
 # (PLAN_FINGERPRINTS.json, diffed by tools/rotation_check.py, which
-# gate.py runs and fails on). r11's set: the 4 new queries (joined
-# min/max IVM, NULL-group joined view, combined sum+min/max view,
-# IVF hot-cell split content gate) and the joined-IVM trio whose
-# combine went eqNullSafe (dimchange / chained — already in the
-# prefix as r10 newcomers). Runtime-only r11 changes (legacy-layout
-# derivation, link-fetch checkpoint, split/add generation pinning,
-# stride validation) leave plans untouched and are pytest-verified.
-# Displaced below the boundary this round: multimodal_ppm_decode,
-# store_read_changes_rebucket, ann_neardup_recall_lsh,
-# curation_pipeline_e2e (driver-green r9+r10, plans unchanged,
-# families still anchored in the prefix).
+# gate.py runs and fails on). r12's set: the 4 new queries — the
+# holistic-aggregate histogram IVM pair, the IVF cold-cell merge
+# content gate, and the top-k view IVM. Runtime-only r12 changes
+# (full-coverage legacy-layout gcd, v0-pinned hot-cell split reads,
+# streaming self-heal + deterministic batch dedup, the streaming
+# histogram maintainer) leave registered plans untouched and are
+# pytest-verified. Displaced below the boundary this round:
+# store_read_changes_hardlink, dedup_simhash,
+# ann_neardup_recall_multiprobe, dedup_incremental_rebucket
+# (driver-green r9-r11, plans unchanged, families still anchored in
+# the prefix).
 _PRIORITY = [
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
@@ -63,6 +63,7 @@ _PRIORITY = [
     "incremental_view_histogram",
     "incremental_view_histogram_chained",
     "ann_ivf_coldmerge_topk",
+    "incremental_view_topk",
     # New in r11 — one driver round old: the composed IVM algebras
     # (extremum measures over a joined view, both stores changing),
     # the NULL-group joined view (r10 verdict #4/#5), the combined
@@ -95,7 +96,6 @@ _PRIORITY = [
     # decontaminate_clean, store_point_lookup,
     # substring_incremental_tombstone (all unchanged since r8,
     # driver-green twice, families still anchored in the prefix).
-    "dedup_incremental_rebucket",
     "dedup_incremental_tombstone",
     "ann_incremental_ivf_manifest",
     # Dedup / similarity core + quality gates
@@ -150,6 +150,7 @@ _PRIORITY = [
     "store_read_changes_hardlink",
     "dedup_simhash",
     "ann_neardup_recall_multiprobe",
+    "dedup_incremental_rebucket",
     # Rotated below in r11 (driver-green r9+r10, plans unchanged in
     # r11, families still anchored above: frame_sample/ binary_payload
     # for multimodal, store_read_changes+hardlink for the feed,

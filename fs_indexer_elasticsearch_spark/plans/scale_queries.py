@@ -1298,6 +1298,68 @@ def incremental_view_histogram_chained(
     )
 
 
+_VIEW_TOPK_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM delta
+    ),
+    r AS (
+        SELECT o_orderstatus,
+               CAST(round(price * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY CAST(round(price * 100) AS BIGINT) DESC
+               ) AS rk
+        FROM v2
+    )
+    SELECT o_orderstatus, rk, round(cents / 100.0 + 1e-7, 2) AS price
+    FROM r WHERE rk <= 5
+"""
+
+
+@query("incremental_view_topk", oracle=_VIEW_TOPK_ORACLE)
+def incremental_view_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K view maintenance from the change feed
+    (operators/ivm.maintain_top_k) — the k-generalization of the
+    min/max views, the shape every "top 10 per dimension" dashboard
+    needs: inserts merge algebraically into the stored O(k) array, a
+    removal strictly below the k-th stored value moves only the
+    count, and a removal that ties-or-beats the horizon recomputes
+    THAT GROUP ONLY via the same AQE-adaptive semi-join as min/max.
+    The demo window's %10==5 mass deletes retire top prices in every
+    status, so the recompute branch runs on real data, while the
+    %10==3/7 adds exercise the O(k) merge; measures flow through
+    integer cents so the final /100.0 rounding is bit-stable. The
+    oracle ranks the post state from scratch — a hash match proves
+    the maintained membership, order, and count all land exactly.
+    At 100 TB: O(feed) + O(groups × k) state on the common cycle,
+    one group-pruned scan when a horizon member departs."""
+    from ..operators.ivm import maintain_top_k
+
+    store = _cdf_store(spark, sf_dir, layout="manifest")
+    view = maintain_top_k(
+        _CentsView(store), 1, 2, ["o_orderstatus"], "cents", 5
+    )
+    return view.select(
+        "o_orderstatus", F.posexplode("topk").alias("_pos", "cents")
+    ).select(
+        "o_orderstatus",
+        (F.col("_pos") + 1).cast("long").alias("rk"),
+        stable_round(F.col("cents") / 100.0, 2).alias("price"),
+    )
+
+
 _VIEW_JOIN_MINMAX_ORACLE = """
     WITH fbase AS (
         SELECT o_orderkey, o_custkey,

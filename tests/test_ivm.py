@@ -546,3 +546,118 @@ def test_histogram_stats_quantiles_match_percentile_cont(spark):
     }
     for grp in want:
         assert abs(med[grp] - want[grp]["p50"]) < 1e-9
+
+
+def _topk_scratch(store, version, k):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.desc("val"))
+    return {
+        r.grp: (r.n, tuple(r.topk))
+        for r in store.read(version=version)
+        .withColumn("_rk", F.row_number().over(w))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.reverse(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_rk") <= k, F.col("val")))
+                )
+            ).alias("topk"),
+        )
+        .collect()
+    }
+
+
+def test_top_k_all_branches_equal_scratch(spark, tmp_path):
+    """Top-k IVM across every branch: pure-add merge, below-horizon
+    removal (pure delta, only n moves), horizon-tying removal
+    (recompute), group smaller than k (any removal recomputes), new
+    group, vanished group, NULL group — all equal a from-scratch
+    ranked top-k of the post state."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import maintain_top_k
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(
+        _df(
+            spark,
+            [
+                # A: 1,3,5,7,9 (top-3 = 9,7,5; horizon 5)
+                ("a1", 1, "A", 1), ("a2", 1, "A", 3), ("a3", 1, "A", 5),
+                ("a4", 1, "A", 7), ("a5", 1, "A", 9),
+                # B: 10,20 (n < k: everything stored)
+                ("b1", 1, "B", 10), ("b2", 1, "B", 20),
+                # C: vanishes entirely
+                ("c1", 1, "C", 4),
+                # NULL group: 2,6
+                ("n1", 1, None, 2), ("n2", 1, None, 6),
+            ],
+        )
+    )
+    # v2: A gains 8 (pure add into top-3), loses a2=3 (below horizon
+    # 5 -> pure delta), B loses b1=10 (n<k -> recompute), C's only
+    # row departs (group vanishes), NULL group gains 11 (add) and a
+    # new group D appears.
+    store.merge(
+        _df(spark, [("a6", 2, "A", 8), ("n3", 2, None, 11), ("d1", 2, "D", 1)]),
+        removed=spark.createDataFrame([("a2",), ("b1",), ("c1",)], "k string"),
+    )
+    got = {
+        r.grp: (r.n, tuple(r.topk))
+        for r in maintain_top_k(store, 1, 2, ["grp"], "val", 3).collect()
+    }
+    assert got == _topk_scratch(store, 2, 3)
+    assert got["A"] == (5, (9, 8, 7))
+    assert got["B"] == (1, (20,))
+    assert "C" not in got
+    assert got[None] == (3, (11, 6, 2))
+    assert got["D"] == (1, (1,))
+
+    # v3: remove A's max 9 (horizon-beating -> recompute) and chain
+    # with old_view feedback: still equals scratch, zero base reads
+    # on the kept branch... the recompute branch reads v3 only.
+    store.merge(
+        _df(spark, [("b3", 3, "B", 15)]),
+        removed=spark.createDataFrame([("a5",)], "k string"),
+    )
+    c1 = maintain_top_k(store, 1, 2, ["grp"], "val", 3)
+    got3 = {
+        r.grp: (r.n, tuple(r.topk))
+        for r in maintain_top_k(
+            store, 2, 3, ["grp"], "val", 3, old_view=c1
+        ).collect()
+    }
+    assert got3 == _topk_scratch(store, 3, 3)
+    assert got3["A"] == (4, (8, 7, 5))
+    assert got3["B"] == (2, (20, 15))
+
+
+def test_top_k_k1_degenerates_to_max(spark, tmp_path):
+    """k=1 is the max view: same membership decisions as
+    maintain_min_max's max side on the same window."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_min_max,
+        maintain_top_k,
+    )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    store.overwrite(
+        _df(spark, [("a1", 1, "A", 1), ("a2", 1, "A", 9), ("b1", 1, "B", 5)])
+    )
+    store.merge(
+        _df(spark, [("b2", 2, "B", 7)]),
+        removed=spark.createDataFrame([("a2",)], "k string"),
+    )
+    tk = {
+        r.grp: (r.n, r.topk[0])
+        for r in maintain_top_k(store, 1, 2, ["grp"], "val", 1).collect()
+    }
+    mm = {
+        r.grp: (r.n, r.max_v)
+        for r in maintain_min_max(store, 1, 2, ["grp"], "val").collect()
+    }
+    assert tk == mm == {"A": (1, 1), "B": (2, 7)}

@@ -154,7 +154,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         # (r12 rotated store_read_changes_hardlink and dedup_simhash
         # below the boundary).
         "incremental_view_histogram", "incremental_view_histogram_chained",
-        "ann_ivf_coldmerge_topk",
+        "ann_ivf_coldmerge_topk", "incremental_view_topk",
         "incremental_view_joined_minmax", "incremental_view_joined_nullgroup",
         "incremental_view_summinmax", "ann_ivf_split_topk",
         "incremental_view_joined_dimchange", "incremental_view_joined_chained",
@@ -164,7 +164,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "incremental_view_minmax", "incremental_view_joined",
         "incremental_curation_cycle",
         "dedup_incremental_tombstone",
-        "ann_incremental_ivf_manifest", "dedup_incremental_rebucket",
+        "ann_incremental_ivf_manifest",
         "store_read_changes",
         "incremental_view_maintenance",
         "text_quality_stats", "robust_zscore_by_lang",

@@ -145,6 +145,11 @@ STRESSED = {
     # bin-sized outer join) with no row-proportional term hiding in
     # the stats windows (they run over bins, not rows).
     "incremental_view_histogram": "orders",
+    # r12: top-k view IVM — the k-deep extremum generalization; the
+    # amplified mass delete retires horizon members k-fold more often
+    # while the group count stays fixed, so alpha ~ 1 proves the O(k)
+    # array merge + group-pruned recompute stay feed-proportional.
+    "incremental_view_topk": "orders",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
     "similarity_lsh_ann_topk": "embeddings",
