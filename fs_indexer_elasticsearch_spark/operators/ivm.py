@@ -990,3 +990,84 @@ def _multi_null_safe_outer(
         *[F.col(f"l.{c}") for c in left.columns if c not in group_cols],
         *[F.col(f"r.{c}") for c in right.columns if c not in group_cols],
     )
+
+
+def maintain_moments(
+    store,
+    v_from: int,
+    v_to: int,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    old_view: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain the per-group MOMENT view ``(n, s, s2)`` — count, sum,
+    and sum of squares — the distributive state behind every
+    mean/variance/stddev dashboard. Like count/sum (and unlike
+    min/max), the algebra is CLOSED under deletes: adds add, removals
+    subtract, no recompute branch, one feed-sized pass.
+
+    The accumulators are ``decimal(38,0)``, not long, on purpose: a
+    100 TB fact table with cent-scale measures (~1e7) has per-row
+    squares ~1e14, and a long sum of squares overflows at ~1e5 such
+    rows — SILENTLY with ANSI off, the worst failure mode for a
+    metric nobody cross-checks. 38-digit decimals hold ~1e38: room
+    for 1e12 rows of 1e13-scale squares, and Spark's decimal sum
+    raises on genuine overflow instead of wrapping.
+
+    ``value_col`` must be integral (the exact-integer contract every
+    money measure in this library follows — see the cents rule in
+    plans/scale_queries.py); derived stats (mean, variance, stddev)
+    are for the CALLER to compute from the exact moments, fixing the
+    double-arithmetic shape on both sides of any oracle comparison.
+    ``old_view`` feeds back the previous cycle's output
+    (``group_cols + [n, s, s2]``); omitted, the first derivation
+    aggregates the ``v_from`` snapshot once."""
+    g = list(group_cols)
+    val = F.col(value_col).cast("decimal(19,0)")
+    sq = (val * val).cast("decimal(38,0)")
+    v1 = val.cast("decimal(38,0)")
+    if old_view is not None:
+        old = old_view.select(
+            *g,
+            F.col("n").alias("_n0"),
+            F.col("s").cast("decimal(38,0)").alias("_s0"),
+            F.col("s2").cast("decimal(38,0)").alias("_q0"),
+        )
+    else:
+        old = (
+            store.read(version=v_from)
+            .groupBy(*g)
+            .agg(
+                F.count(F.lit(1)).alias("_n0"),
+                F.sum(v1).cast("decimal(38,0)").alias("_s0"),
+                F.sum(sq).cast("decimal(38,0)").alias("_q0"),
+            )
+        )
+    feed = store.read_changes(v_from, v_to, update_images="both")
+    is_add = F.col("_change").isin("insert", "update_postimage")
+    sign = F.when(is_add, F.lit(1)).otherwise(F.lit(-1)).cast("decimal(19,0)")
+    inc = feed.groupBy(*g).agg(
+        F.sum(F.when(is_add, 1).otherwise(-1)).alias("_dn"),
+        F.sum((sign * val).cast("decimal(38,0)")).cast("decimal(38,0)").alias("_ds"),
+        F.sum((sign * sq).cast("decimal(38,0)")).cast("decimal(38,0)").alias("_dq"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (
+        _multi_null_safe_outer(old, inc, g)
+        .select(
+            *g,
+            (
+                F.coalesce("_n0", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+            )
+            .cast("long")
+            .alias("n"),
+            (F.coalesce("_s0", zero) + F.coalesce("_ds", zero))
+            .cast("decimal(38,0)")
+            .alias("s"),
+            (F.coalesce("_q0", zero) + F.coalesce("_dq", zero))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+        .filter(F.col("n") > 0)
+    )

@@ -42,28 +42,34 @@ from . import curation_pipeline  # noqa: E402,F401
 # contain every query whose normalized analyzed-plan fingerprint is
 # new or changed since the last driver round commit
 # (PLAN_FINGERPRINTS.json, diffed by tools/rotation_check.py, which
-# gate.py runs and fails on). r12's set: the 4 new queries — the
+# gate.py runs and fails on). r12's set: the 5 new queries — the
 # holistic-aggregate histogram IVM pair, the IVF cold-cell merge
-# content gate, and the top-k view IVM. Runtime-only r12 changes
+# content gate, the top-k view IVM, and the overflow-safe moment
+# (mean/variance) view. Runtime-only r12 changes
 # (full-coverage legacy-layout gcd, v0-pinned hot-cell split reads,
 # streaming self-heal + deterministic batch dedup, the streaming
 # histogram maintainer) leave registered plans untouched and are
 # pytest-verified. Displaced below the boundary this round:
 # store_read_changes_hardlink, dedup_simhash,
-# ann_neardup_recall_multiprobe, dedup_incremental_rebucket
-# (driver-green r9-r11, plans unchanged, families still anchored in
-# the prefix).
+# ann_neardup_recall_multiprobe, dedup_incremental_rebucket,
+# ann_incremental_ivf_manifest (driver-green r9-r11, plans unchanged,
+# families still anchored in the prefix — the incremental-IVF store is
+# exercised harder by the split/coldmerge content gates above).
 _PRIORITY = [
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches
     # are not) and its chained steady-state form across the bucket
-    # evolution store; plus the IVF cold-cell merge content gate
-    # (the split's inverse — bounded centroid state under churn)
+    # evolution store; the IVF cold-cell merge content gate (the
+    # split's inverse — bounded centroid state under churn); the
+    # top-k view (horizon-ruled k-deep extrema); and the moment view
+    # (mean/variance over decimal(38,0) accumulators — a long sum of
+    # squares wraps silently at scale)
     "incremental_view_histogram",
     "incremental_view_histogram_chained",
     "ann_ivf_coldmerge_topk",
     "incremental_view_topk",
+    "incremental_view_moments",
     # New in r11 — one driver round old: the composed IVM algebras
     # (extremum measures over a joined view, both stores changing),
     # the NULL-group joined view (r10 verdict #4/#5), the combined
@@ -97,7 +103,6 @@ _PRIORITY = [
     # substring_incremental_tombstone (all unchanged since r8,
     # driver-green twice, families still anchored in the prefix).
     "dedup_incremental_tombstone",
-    "ann_incremental_ivf_manifest",
     # Dedup / similarity core + quality gates
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -151,6 +156,7 @@ _PRIORITY = [
     "dedup_simhash",
     "ann_neardup_recall_multiprobe",
     "dedup_incremental_rebucket",
+    "ann_incremental_ivf_manifest",
     # Rotated below in r11 (driver-green r9+r10, plans unchanged in
     # r11, families still anchored above: frame_sample/ binary_payload
     # for multimodal, store_read_changes+hardlink for the feed,

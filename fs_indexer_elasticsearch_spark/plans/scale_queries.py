@@ -1298,6 +1298,76 @@ def incremental_view_histogram_chained(
     )
 
 
+_VIEW_MOMENTS_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM delta
+    ),
+    t AS (
+        SELECT o_orderstatus, CAST(round(price * 100) AS BIGINT) AS cents
+        FROM v2
+    ),
+    m AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS DECIMAL(38,0)) AS s,
+               CAST(sum(CAST(cents AS DECIMAL(19,0))
+                        * CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                   AS s2
+        FROM t GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 + 1e-7, 2)
+               AS mean_price,
+           round((CAST(s2 AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 10000.0 + 1e-7, 2) AS var_price
+    FROM m
+"""
+
+
+@query("incremental_view_moments", oracle=_VIEW_MOMENTS_ORACLE)
+def incremental_view_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN/VARIANCE view maintenance (operators/ivm.maintain_moments):
+    the per-group (n, s, s2) moment state is fully distributive —
+    adds add, removals subtract, NO recompute branch even on mass
+    deletes — and the derived mean/population-variance are computed
+    from the exact integers only at presentation time. The 100 TB
+    teeth are in the ACCUMULATOR TYPE: sums of squares ride
+    decimal(38,0), because a long s2 of cent-scale measures wraps at
+    ~1e5 rows — silently with ANSI off, the worst failure mode for a
+    metric nobody cross-checks (the unit test pins a >2^63 s2 held
+    exactly). Both engines derive mean/variance from the same exact
+    decimals with the same double-arithmetic shape, so the rounded
+    outputs are bit-stable against the from-scratch oracle."""
+    from ..operators.ivm import maintain_moments
+
+    store = _cdf_store(spark, sf_dir, layout="manifest")
+    view = maintain_moments(_CentsView(store), 1, 2, ["o_orderstatus"], "cents")
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("s2").cast("double")
+    return view.select(
+        "o_orderstatus",
+        "n",
+        stable_round(sd / nd / 100.0, 2).alias("mean_price"),
+        stable_round((qd - sd * sd / nd) / nd / 10000.0, 2).alias(
+            "var_price"
+        ),
+    )
+
+
 _VIEW_TOPK_ORACLE = """
     WITH base AS (
         SELECT o_orderkey, o_orderstatus,

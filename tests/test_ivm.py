@@ -661,3 +661,99 @@ def test_top_k_k1_degenerates_to_max(spark, tmp_path):
         for r in maintain_min_max(store, 1, 2, ["grp"], "val").collect()
     }
     assert tk == mm == {"A": (1, 1), "B": (2, 7)}
+
+
+def test_moments_closed_under_deletes_and_overflow_safe(spark, tmp_path):
+    """(n, s, s2) maintenance equals scratch through adds, updates,
+    deletes, vanished and new and NULL groups — no recompute branch —
+    and the decimal(38,0) accumulators survive values whose LONG sum
+    of squares would wrap: 20 rows of 4e9 -> s2 = 3.2e20 > 2^63."""
+    from decimal import Decimal
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import maintain_moments
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4,
+    )
+    big = 4_000_000_000  # square = 1.6e19 > 2^63 on its own
+    df = spark.createDataFrame(
+        [(f"a{i}", 1, "A", big) for i in range(20)]
+        + [("b1", 1, "B", 10), ("b2", 1, "B", 20), ("c1", 1, "C", 5),
+           ("n1", 1, None, 7)],
+        "k string, v int, grp string, val long",
+    )
+    store.overwrite(df)
+    store.merge(
+        spark.createDataFrame(
+            [("a0", 2, "A", big - 1), ("d1", 2, "D", 3), ("n2", 2, None, 9)],
+            "k string, v int, grp string, val long",
+        ),
+        removed=spark.createDataFrame([("b1",), ("c1",)], "k string"),
+    )
+
+    got = {
+        r.grp: (r.n, r.s, r.s2)
+        for r in maintain_moments(store, 1, 2, ["grp"], "val").collect()
+    }
+    want = {
+        r.grp: (r.n, r.s, r.s2)
+        for r in store.read(version=2)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+            F.sum(
+                (F.col("val").cast("decimal(19,0)") * F.col("val").cast("decimal(19,0)")).cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("s2"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert "C" not in got
+    assert got["A"][0] == 20
+    # The headline: s2 beyond long range, held exactly.
+    assert got["A"][2] == Decimal(19 * big * big + (big - 1) ** 2)
+    assert got[None] == (2, Decimal(16), Decimal(49 + 81))
+
+    # Chained feedback equals scratch with zero base rescans.
+    store.merge(
+        spark.createDataFrame(
+            [("b3", 3, "B", 30)], "k string, v int, grp string, val long"
+        ),
+        removed=spark.createDataFrame([("a1",)], "k string"),
+    )
+    versioned_reads = []
+    orig_read = store.read
+
+    def counting_read(version=None):
+        if version is not None:
+            versioned_reads.append(version)
+        return orig_read(version=version)
+
+    store.read = counting_read
+    try:
+        c1 = maintain_moments(store, 1, 2, ["grp"], "val")
+        got3 = {
+            r.grp: (r.n, r.s, r.s2)
+            for r in maintain_moments(
+                store, 2, 3, ["grp"], "val", old_view=c1
+            ).collect()
+        }
+    finally:
+        del store.read
+    want3 = {
+        r.grp: (r.n, r.s, r.s2)
+        for r in orig_read(version=3)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+            F.sum(
+                (F.col("val").cast("decimal(19,0)") * F.col("val").cast("decimal(19,0)")).cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("s2"),
+        )
+        .collect()
+    }
+    assert got3 == want3
+    assert versioned_reads == [1]  # only cycle 1's derivation
