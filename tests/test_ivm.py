@@ -6,6 +6,7 @@ aggregate of the post state."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from fs_indexer_elasticsearch_spark.operators.ivm import maintain_min_max
 from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
@@ -757,3 +758,117 @@ def test_moments_closed_under_deletes_and_overflow_safe(spark, tmp_path):
     }
     assert got3 == want3
     assert versioned_reads == [1]  # only cycle 1's derivation
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_ivm_model_random_program_all_maintainers(spark, tmp_path, seed):
+    """Model-based IVM check (the store-model idiom applied to the
+    view algebra): a seeded random program of merges (upserts +
+    deletions over a small colliding key/group/value space) drives
+    FOUR maintained views — min/max, value-count histogram, top-3,
+    moments — each chained on its own previous output, and after
+    every cycle each view must equal the from-scratch aggregate of
+    the post state. The interleavings that break IVM (an update that
+    is simultaneously a horizon removal and a new-bin insert, a group
+    vanishing and reappearing within one window, NULL groups crossing
+    the combine) arise from the seed, not from hand-written cases."""
+    import random as _random
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_min_max,
+        maintain_moments,
+        maintain_top_k,
+        maintain_value_counts,
+    )
+
+    rng = _random.Random(seed)
+    keys = [f"k{i:02d}" for i in range(18)]
+    groups = ["A", "B", None]
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    live = {}
+
+    def batch_rows(ver):
+        rows = []
+        for k in rng.sample(keys, rng.randint(2, 8)):
+            rows.append((k, ver, rng.choice(groups), rng.randint(0, 9)))
+        return rows
+
+    rows0 = batch_rows(1)
+    store.overwrite(_df(spark, rows0))
+    for k, v, g_, val in rows0:
+        live[k] = (g_, val)
+
+    views = {"mm": None, "hist": None, "topk": None, "mom": None}
+    for cycle in range(2, 6):
+        rows = batch_rows(cycle)
+        removable = [k for k in live if k not in {r[0] for r in rows}]
+        removed = (
+            rng.sample(removable, min(len(removable), rng.randint(0, 4)))
+            if removable
+            else []
+        )
+        store.merge(
+            _df(spark, rows),
+            removed=spark.createDataFrame([(k,) for k in removed], "k string")
+            if removed
+            else None,
+        )
+        for k, v, g_, val in rows:
+            live[k] = (g_, val)
+        for k in removed:
+            live.pop(k, None)
+
+        vf, vt = cycle - 1, cycle
+        views["mm"] = maintain_min_max(
+            store, vf, vt, ["grp"], "val", old_view=views["mm"]
+        ).localCheckpoint(eager=False)
+        views["hist"] = maintain_value_counts(
+            store, vf, vt, ["grp"], "val", old_hist=views["hist"]
+        ).localCheckpoint(eager=False)
+        views["topk"] = maintain_top_k(
+            store, vf, vt, ["grp"], "val", 3, old_view=views["topk"]
+        ).localCheckpoint(eager=False)
+        views["mom"] = maintain_moments(
+            store, vf, vt, ["grp"], "val", old_view=views["mom"]
+        ).localCheckpoint(eager=False)
+
+        # Pure-python scratch model from `live`.
+        by_grp = {}
+        for k, (g_, val) in live.items():
+            by_grp.setdefault(g_, []).append(val)
+        got_mm = {
+            r.grp: (r.n, r.min_v, r.max_v) for r in views["mm"].collect()
+        }
+        want_mm = {
+            g_: (len(vs), min(vs), max(vs)) for g_, vs in by_grp.items()
+        }
+        assert got_mm == want_mm, f"min/max diverged at cycle {cycle}"
+
+        got_h = {
+            (r.grp, r.val): r.c for r in views["hist"].collect()
+        }
+        want_h = {}
+        for g_, vs in by_grp.items():
+            for v_ in vs:
+                want_h[(g_, v_)] = want_h.get((g_, v_), 0) + 1
+        assert got_h == want_h, f"histogram diverged at cycle {cycle}"
+
+        got_tk = {
+            r.grp: (r.n, tuple(r.topk)) for r in views["topk"].collect()
+        }
+        want_tk = {
+            g_: (len(vs), tuple(sorted(vs, reverse=True)[:3]))
+            for g_, vs in by_grp.items()
+        }
+        assert got_tk == want_tk, f"top-k diverged at cycle {cycle}"
+
+        got_mom = {
+            r.grp: (r.n, int(r.s), int(r.s2)) for r in views["mom"].collect()
+        }
+        want_mom = {
+            g_: (len(vs), sum(vs), sum(v_ * v_ for v_ in vs))
+            for g_, vs in by_grp.items()
+        }
+        assert got_mom == want_mom, f"moments diverged at cycle {cycle}"
