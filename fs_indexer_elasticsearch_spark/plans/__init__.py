@@ -42,7 +42,7 @@ from . import curation_pipeline  # noqa: E402,F401
 # contain every query whose normalized analyzed-plan fingerprint is
 # new or changed since the last driver round commit
 # (PLAN_FINGERPRINTS.json, diffed by tools/rotation_check.py, which
-# gate.py runs and fails on). r12's set: the 5 new queries — the
+# gate.py runs and fails on). r12's set: the 6 new queries — the
 # holistic-aggregate histogram IVM pair, the IVF cold-cell merge
 # content gate, the top-k view IVM, and the overflow-safe moment
 # (mean/variance) view. Runtime-only r12 changes
@@ -52,9 +52,11 @@ from . import curation_pipeline  # noqa: E402,F401
 # pytest-verified. Displaced below the boundary this round:
 # store_read_changes_hardlink, dedup_simhash,
 # ann_neardup_recall_multiprobe, dedup_incremental_rebucket,
-# ann_incremental_ivf_manifest (driver-green r9-r11, plans unchanged,
-# families still anchored in the prefix — the incremental-IVF store is
-# exercised harder by the split/coldmerge content gates above).
+# ann_incremental_ivf_manifest, incremental_view_maintenance
+# (driver-green r9-r11, plans unchanged, families still anchored in
+# the prefix — the incremental-IVF store is exercised harder by the
+# split/coldmerge content gates above, and the count/sum view algebra
+# by the twelve r10-r12 IVM queries above).
 _PRIORITY = [
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
@@ -64,12 +66,15 @@ _PRIORITY = [
     # split's inverse — bounded centroid state under churn); the
     # top-k view (horizon-ruled k-deep extrema); and the moment view
     # (mean/variance over decimal(38,0) accumulators — a long sum of
-    # squares wraps silently at scale)
+    # squares wraps silently at scale); and the joined histogram
+    # (holistic stats over fact⋈dim through BOTH feeds — bins compose
+    # with the two-term decomposition, no recompute branch)
     "incremental_view_histogram",
     "incremental_view_histogram_chained",
     "ann_ivf_coldmerge_topk",
     "incremental_view_topk",
     "incremental_view_moments",
+    "incremental_view_joined_histogram",
     # New in r11 — one driver round old: the composed IVM algebras
     # (extremum measures over a joined view, both stores changing),
     # the NULL-group joined view (r10 verdict #4/#5), the combined
@@ -95,7 +100,6 @@ _PRIORITY = [
     # r9 prefix carried forward
     "incremental_view_joined",
     "store_read_changes",
-    "incremental_view_maintenance",
     "incremental_curation_cycle",
     # New in r8 — two driver rounds old. Displaced below the boundary
     # this round to make room for the r10 newcomers:
@@ -157,6 +161,7 @@ _PRIORITY = [
     "ann_neardup_recall_multiprobe",
     "dedup_incremental_rebucket",
     "ann_incremental_ivf_manifest",
+    "incremental_view_maintenance",
     # Rotated below in r11 (driver-green r9+r10, plans unchanged in
     # r11, families still anchored above: frame_sample/ binary_payload
     # for multimodal, store_read_changes+hardlink for the feed,

@@ -2125,6 +2125,112 @@ def ann_ivf_split_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches
 
 
+_VIEW_JOIN_HISTOGRAM_ORACLE = """
+    WITH fbase AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    fdelta AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    f2 AS (
+        SELECT * FROM fbase WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM fdelta
+    ),
+    d2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 4
+                    THEN (c_nationkey + 7) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 13 <> 6
+    ),
+    t AS (
+        SELECT c_nationkey,
+               CAST(round(price * 100) AS BIGINT) % 1000 AS pk
+        FROM f2 JOIN d2 ON o_custkey = c_custkey
+    ),
+    h AS (
+        SELECT c_nationkey, pk, count(*) AS c
+        FROM t GROUP BY c_nationkey, pk
+    ),
+    m AS (
+        SELECT c_nationkey,
+               max(c) AS mc,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM h GROUP BY c_nationkey
+    ),
+    mo AS (
+        SELECT h.c_nationkey, min(h.pk) AS mode_v
+        FROM h JOIN m USING (c_nationkey)
+        WHERE h.c = m.mc GROUP BY h.c_nationkey
+    ),
+    md AS (
+        SELECT c_nationkey, median(pk) AS median_v
+        FROM t GROUP BY c_nationkey
+    )
+    SELECT m.c_nationkey, m.n, m.n_distinct, mo.mode_v, md.median_v
+    FROM m
+    JOIN mo USING (c_nationkey)
+    JOIN md USING (c_nationkey)
+"""
+
+
+@query(
+    "incremental_view_joined_histogram", oracle=_VIEW_JOIN_HISTOGRAM_ORACLE
+)
+def incremental_view_joined_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HOLISTIC aggregates over a JOIN, maintained through BOTH feeds
+    (operators/ivm.maintain_joined_value_counts + histogram_stats):
+    exact per-nation COUNT(DISTINCT) / MEDIAN / MODE of the order-
+    price measure, advanced across a window where orders churn
+    (%10==3 inserts, ==5 mass deletes, ==7 re-prices) AND customers
+    churn (%13==2 inserts surface dark facts, ==4 re-nations move
+    whole per-customer value multisets between nations, ==6 deletes
+    withdraw them). The bin algebra composes with the two-term
+    decomposition bins(V2) − bins(V1) = bins(ΔF⋈D1) + bins(F2⋈ΔD),
+    and because bins are closed under deletes there is NO recompute
+    branch — a dim departure that would force the joined min/max
+    view to rescan affected groups is pure delta here. The oracle
+    rejoins the post state from scratch and recomputes median
+    (quantile_cont parity) / deterministic-tiebreak mode / distinct,
+    so the hash gate proves the composed algebra lands on exactly
+    F2 ⋈ D2's holistic stats. At 100 TB: O(fact feed ⋈ dim) +
+    O(facts of dim-changed keys) + O(bins) per cycle — the
+    \"median order value per segment\" dashboard with neither a
+    rescan nor a delete-blind sketch."""
+    from ..operators.ivm import histogram_stats, maintain_joined_value_counts
+
+    fact = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
+    )
+    dim = _dim_cdf_store(spark, sf_dir)
+    bins = maintain_joined_value_counts(
+        _PKView(fact),
+        dim,
+        1,
+        2,
+        fact_key_col="o_custkey",
+        dim_key_col="c_custkey",
+        group_col="c_nationkey",
+        value_col="pk",
+    )
+    return histogram_stats(bins, ["c_nationkey"], "pk").select(
+        "c_nationkey", "n", "n_distinct", "mode_v", "median_v"
+    )
+
+
 def _coldmerge_oracle() -> str:
     from .llm_queries import _COS_SQL
 

@@ -872,3 +872,99 @@ def test_ivm_model_random_program_all_maintainers(spark, tmp_path, seed):
             for g_, vs in by_grp.items()
         }
         assert got_mom == want_mom, f"moments diverged at cycle {cycle}"
+
+
+def test_joined_value_counts_both_sides_change_equals_scratch(spark, tmp_path):
+    """Joined histogram through fact AND dim changes: fact adds/
+    removes move bins under yesterday's grouping, dim re-groupings
+    move whole per-key value multisets between groups, dim deletes
+    withdraw them, dim inserts surface facts that were dark — the
+    final bins must equal a from-scratch rejoin, and chaining on
+    old_hist feedback must too."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_joined_value_counts,
+    )
+
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4,
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=2,
+    )
+    FSCH = "fk string, v int, cust string, val int"
+    DSCH = "dk string, v int, seg string"
+    fact.overwrite(
+        spark.createDataFrame(
+            [
+                ("f1", 1, "c1", 5), ("f2", 1, "c1", 5), ("f3", 1, "c2", 7),
+                ("f4", 1, "c3", 9),  # c3 is dark at v1 (no dim row)
+                ("f5", 1, "c4", 2),
+            ],
+            FSCH,
+        )
+    )
+    dim.overwrite(
+        spark.createDataFrame(
+            [("c1", 1, "A"), ("c2", 1, "A"), ("c4", 1, "B")], DSCH
+        )
+    )
+    # Window: fact adds f6 (c2, 7) and removes f2; dim re-groups c2
+    # A -> B (its value multiset {7,7} moves), inserts c3 (f4's 9
+    # surfaces in B), deletes c4 (f5's 2 withdraws).
+    fact.merge(
+        spark.createDataFrame([("f6", 2, "c2", 7)], FSCH),
+        removed=spark.createDataFrame([("f2",)], "fk string"),
+    )
+    dim.merge(
+        spark.createDataFrame([("c2", 2, "B"), ("c3", 2, "B")], DSCH),
+        removed=spark.createDataFrame([("c4",)], "dk string"),
+    )
+
+    def scratch():
+        return {
+            (r.seg, r.val): r.c
+            for r in fact.read()
+            .join(dim.read(), F.col("cust") == F.col("dk"))
+            .groupBy("seg", "val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    got = {
+        (r.seg, r.val): r.c
+        for r in maintain_joined_value_counts(
+            fact, dim, 1, 2,
+            fact_key_col="cust", dim_key_col="dk",
+            group_col="seg", value_col="val",
+        ).collect()
+    }
+    assert got == scratch() == {
+        ("A", 5): 1,          # f2's 5 removed, f1 stays
+        ("B", 7): 2,          # c2's multiset moved A -> B (f3 + f6)
+        ("B", 9): 1,          # c3 surfaced
+    }
+
+    # Second window: fact removes f1 (A's last bin vanishes -> group
+    # gone), dim re-groups c1 back... chain on feedback.
+    fact.merge(
+        spark.createDataFrame([("f7", 3, "c3", 9)], FSCH),
+        removed=spark.createDataFrame([("f1",)], "fk string"),
+    )
+    dim.merge(spark.createDataFrame([("c1", 3, "B")], DSCH))
+    c1 = maintain_joined_value_counts(
+        fact, dim, 1, 2,
+        fact_key_col="cust", dim_key_col="dk",
+        group_col="seg", value_col="val",
+    )
+    got3 = {
+        (r.seg, r.val): r.c
+        for r in maintain_joined_value_counts(
+            fact, dim, 2, 3,
+            fact_key_col="cust", dim_key_col="dk",
+            group_col="seg", value_col="val",
+            old_hist=c1,
+        ).collect()
+    }
+    assert got3 == scratch() == {("B", 7): 2, ("B", 9): 2}

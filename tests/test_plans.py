@@ -155,7 +155,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         # below the boundary).
         "incremental_view_histogram", "incremental_view_histogram_chained",
         "ann_ivf_coldmerge_topk", "incremental_view_topk",
-        "incremental_view_moments",
+        "incremental_view_moments", "incremental_view_joined_histogram",
         "incremental_view_joined_minmax", "incremental_view_joined_nullgroup",
         "incremental_view_summinmax", "ann_ivf_split_topk",
         "incremental_view_joined_dimchange", "incremental_view_joined_chained",
@@ -166,7 +166,6 @@ def test_registry_priority_prefix_covers_llm_layer():
         "incremental_curation_cycle",
         "dedup_incremental_tombstone",
         "store_read_changes",
-        "incremental_view_maintenance",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "binary_payload_meta",
         "quantized_ann_int8_topk",
