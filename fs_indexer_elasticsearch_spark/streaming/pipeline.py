@@ -307,6 +307,43 @@ def streaming_maintained_histogram_pipeline(
     )
 
 
+def streaming_maintained_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    store: SnapshotStore,
+    view_store: SnapshotStore,
+    checkpoint_dir: str,
+    *,
+    derive,
+    maintain,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """The GENERAL maintained-view stream: plug ANY view algebra into
+    the crash-safe foreachBatch skeleton (`_maintained_view_on_batch`
+    — reflected-window catch-up, epoch guard, expected_base pinning,
+    deep-vacuum self-heal). ``derive(v_after) -> DataFrame`` returns
+    the full view at a base version; ``maintain(reflected, v_after,
+    old_view) -> DataFrame`` advances the fed-back view across the
+    window. The min/max (`streaming_maintained_view_pipeline`) and
+    histogram (`streaming_maintained_histogram_pipeline`) streams are
+    canned instances; pair this with `operators/ivm.maintain_top_k`
+    or `maintain_moments` (or any caller-defined algebra with the
+    same old-view contract) for the rest of the family."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    on_batch = _maintained_view_on_batch(store, view_store, derive, maintain)
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

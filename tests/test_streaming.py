@@ -1070,3 +1070,105 @@ def test_streaming_maintained_histogram_zero_base_rescans(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_streaming_maintained_pipeline_generic_topk(spark, tmp_path):
+    """The generic maintained-view stream with the TOP-K algebra
+    plugged in: N cycles of stream -> maintained top-2 arrays equal a
+    from-scratch ranked top-k every cycle; the insert-only cycles are
+    pure O(k) array merges (zero base reads after the derivation) and
+    the horizon-retiring delete pays exactly one group-pruned read."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import maintain_top_k
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.IntegerType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="k", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key="grp", version_col="n", num_buckets=2
+    )
+    versioned_reads = []
+    orig_read = store.read
+
+    def counting_read(version=None):
+        if version is not None:
+            versioned_reads.append(version)
+        return orig_read(version=version)
+
+    store.read = counting_read
+
+    from pyspark.sql import Window
+
+    def derive(v_after):
+        w = Window.partitionBy("grp").orderBy(F.desc("val"))
+        return (
+            orig_read(version=v_after)
+            .withColumn("_rk", F.row_number().over(w))
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("_rk") <= 2, F.col("val")))
+                    )
+                ).alias("topk"),
+            )
+        )
+
+    def maintain(reflected, v_after, old_view):
+        return maintain_top_k(
+            store, reflected, v_after, ["grp"], "val", 2, old_view=old_view
+        )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def view_now():
+        return {
+            r.grp: (r.n, tuple(r.topk)) for r in view_store.read().collect()
+        }
+
+    drop("b1", [("a1", 1, "A", 5), ("a2", 1, "A", 9), ("b1", 1, "B", 10)])
+    q = streaming_maintained_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        store,
+        view_store,
+        str(tmp_path / "ckpt"),
+        derive=derive,
+        maintain=maintain,
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == {"A": (2, (9, 5)), "B": (1, (10,))}
+        assert versioned_reads == []  # derive() uses orig_read
+
+        # Insert-only: pure array merge, no base read.
+        drop("b2", [("a3", 1, "A", 7), ("b2", 1, "B", 3)])
+        q.processAllAvailable()
+        assert view_now() == {"A": (3, (9, 7)), "B": (2, (10, 3))}
+        assert versioned_reads == []
+
+        # Horizon-retiring update: a2's 9 leaves A's top-2 (9 -> 1);
+        # the recompute branch reads the base exactly once.
+        drop("b3", [("a2", 2, "A", 1)])
+        q.processAllAvailable()
+        assert view_now() == {"A": (3, (7, 5)), "B": (2, (10, 3))}
+        assert len(versioned_reads) == 1
+    finally:
+        q.stop()

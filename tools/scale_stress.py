@@ -150,6 +150,15 @@ STRESSED = {
     # while the group count stays fixed, so alpha ~ 1 proves the O(k)
     # array merge + group-pruned recompute stay feed-proportional.
     "incremental_view_topk": "orders",
+    # r12: moment view — fully distributive decimal(38,0) algebra;
+    # alpha ~ 1 is near-tautological but guards the decimal sum path
+    # against a codegen fallback sneaking in a row-at-a-time term.
+    "incremental_view_moments": "orders",
+    # r12: joined histogram — fact feed and per-changed-customer value
+    # multisets grow k-fold against the fixed dim; alpha ~ 1 proves
+    # the composed bin algebra (ΔF⋈D1 + F2⋈ΔD at bin grain) stays
+    # feed-proportional with no recompute term.
+    "incremental_view_joined_histogram": "orders",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
     "similarity_lsh_ann_topk": "embeddings",
