@@ -1084,6 +1084,8 @@ def maintain_joined_value_counts(
     group_col: str,
     value_col: str,
     old_hist: DataFrame | None = None,
+    dim_v_from: int | None = None,
+    dim_v_to: int | None = None,
 ) -> DataFrame:
     """Maintain the fact ⋈ dim per-(group, value) multiplicity
     histogram across one window in which BOTH stores changed — the
@@ -1110,9 +1112,19 @@ def maintain_joined_value_counts(
     ``F(v_to) ⋈ D(v_to)`` bin count; ``old_hist`` feeds back the
     previous cycle's output for the never-rescan steady state. Join
     strategies are left to AQE throughout (same reasoning as
-    ``maintain_joined_agg``)."""
+    ``maintain_joined_agg``).
+
+    ``dim_v_from`` / ``dim_v_to`` (default: the fact window's numbers)
+    let the DIM side advance over its OWN version window — the
+    identity bins(V2) − bins(V1) = bins(ΔF⋈D1) + bins(F2⋈ΔD) never
+    required the two stores' version counters to align, only that V1
+    is (f_from, d_from) and V2 is (f_to, d_to). The streaming joined
+    maintainer records one reflected version PER STORE and passes
+    both windows here."""
     gv = [group_col, value_col]
-    d_prev = dim_store.read(version=v_from).select(dim_key_col, group_col)
+    d_from = v_from if dim_v_from is None else dim_v_from
+    d_to = v_to if dim_v_to is None else dim_v_to
+    d_prev = dim_store.read(version=d_from).select(dim_key_col, group_col)
     if old_hist is not None:
         old = old_hist.select(*gv, F.col("c").alias("_c0"))
     else:
@@ -1132,7 +1144,7 @@ def maintain_joined_value_counts(
         F.sum(sign_of(F.col("_change"))).alias("_c1")
     )
     dfeed = (
-        dim_store.read_changes(v_from, v_to, update_images="both")
+        dim_store.read_changes(d_from, d_to, update_images="both")
         .select(
             F.col(dim_key_col).alias("_dk"),
             group_col,

@@ -344,6 +344,126 @@ def streaming_maintained_pipeline(
     )
 
 
+def streaming_maintained_joined_histogram_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    fact_store: SnapshotStore,
+    dim_store: SnapshotStore,
+    hist_store: SnapshotStore,
+    checkpoint_dir: str,
+    *,
+    fact_key_col: str,
+    dim_key_col: str,
+    group_col: str,
+    value_col: str,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """The JOINED maintained view at streaming cadence, with the dim
+    evolving OUT OF BAND: fact micro-batches merge into
+    ``fact_store`` while any other writer commits to ``dim_store`` on
+    its own schedule, and every epoch advances the fact ⋈ dim
+    per-(group, value) bins across BOTH stores' windows —
+    ``maintain_joined_value_counts`` with one reflected version PER
+    STORE recorded in the view's commit meta (``fact_version`` /
+    ``dim_version``; the two-term identity never required the
+    counters to align). Downstream consumers serve exact per-group
+    COUNT(DISTINCT)/MEDIAN/MODE from the published bins with
+    ``histogram_stats``.
+
+    Same crash contract as the single-store skeleton, per store: a
+    crash between the fact merge and the publish is caught up by the
+    next epoch's spanning windows; an epoch whose BOTH feeds are
+    empty skips the commit; the publish pins ``expected_base``; a
+    vacuum (of either store) deeper than the view's lag self-heals
+    with one from-scratch rejoin. Dim-only changes are reflected on
+    the NEXT fact epoch — a quiet fact stream defers dim catch-up,
+    which is the honest batch-driven trade (a caller needing tighter
+    dim freshness drops a zero-row marker file to tick the stream)."""
+    from ..operators.ivm import maintain_joined_value_counts
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        fact_store.merge(_dedup_newest(batch, fact_store))
+        f_now = fact_store.current_version()
+        d_now = dim_store.current_version()
+        view_base = hist_store.current_version()
+        meta = (
+            hist_store.read_meta(view_base) or {}
+        ) if view_base is not None else {}
+        f_ref, d_ref = meta.get("fact_version"), meta.get("dim_version")
+        if f_ref == f_now and d_ref == d_now:
+            return  # replay after a completed publish
+
+        def publish(view: DataFrame) -> None:
+            hist_store.overwrite(
+                view.localCheckpoint(eager=False),
+                meta={"fact_version": f_now, "dim_version": d_now},
+                expected_base=view_base,
+            )
+
+        def derive() -> DataFrame:
+            return (
+                fact_store.read(version=f_now)
+                .join(
+                    dim_store.read(version=d_now).select(
+                        dim_key_col, group_col
+                    ),
+                    F.col(fact_key_col) == F.col(dim_key_col),
+                )
+                .groupBy(group_col, value_col)
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+
+        if f_ref is None or d_ref is None:
+            publish(derive())
+            return
+        try:
+            if (
+                fact_store.read_changes(
+                    f_ref, f_now, update_images="both"
+                ).isEmpty()
+                and dim_store.read_changes(
+                    d_ref, d_now, update_images="both"
+                ).isEmpty()
+            ):
+                return
+            old = hist_store.read(version=view_base).drop("_bucket")
+            view = maintain_joined_value_counts(
+                fact_store,
+                dim_store,
+                f_ref,
+                f_now,
+                fact_key_col=fact_key_col,
+                dim_key_col=dim_key_col,
+                group_col=group_col,
+                value_col=value_col,
+                old_hist=old,
+                dim_v_from=d_ref,
+                dim_v_to=d_now,
+            )
+        except ValueError as e:
+            if "not retained" not in str(e):
+                raise
+            publish(derive())
+            return
+        publish(view)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

@@ -1172,3 +1172,125 @@ def test_streaming_maintained_pipeline_generic_topk(spark, tmp_path):
         assert len(versioned_reads) == 1
     finally:
         q.stop()
+
+
+def test_streaming_joined_histogram_dim_out_of_band(spark, tmp_path):
+    """The joined maintained view at streaming cadence: fact
+    micro-batches flow through the stream while the dim store is
+    committed OUT OF BAND between epochs; the published bins must
+    equal a from-scratch rejoin after every cycle (per-store
+    reflected windows compose), and the base fact table is fully
+    re-derived only once."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import histogram_stats
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_joined_histogram_pipeline,
+    )
+
+    FSCH = T.StructType(
+        [
+            T.StructField("fk", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("cust", T.StringType()),
+            T.StructField("val", T.IntegerType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4,
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=2,
+    )
+    hist = SnapshotStore(
+        spark, str(tmp_path / "hist"), key="seg", version_col="c",
+        num_buckets=2,
+    )
+    dim.overwrite(
+        spark.createDataFrame(
+            [("c1", 1, "A"), ("c2", 1, "B")], "dk string, v int, seg string"
+        )
+    )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, FSCH).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def scratch():
+        return {
+            (r.seg, r.val): r.c
+            for r in fact.read()
+            .join(dim.read(), F.col("cust") == F.col("dk"))
+            .groupBy("seg", "val")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    def bins_now():
+        return {(r.seg, r.val): r.c for r in hist.read().collect()}
+
+    drop("b1", [("f1", 1, "c1", 5), ("f2", 1, "c1", 5), ("f3", 1, "c2", 7)])
+    q = streaming_maintained_joined_histogram_pipeline(
+        spark,
+        str(inp) + "/*",
+        FSCH,
+        fact,
+        dim,
+        hist,
+        str(tmp_path / "ckpt"),
+        fact_key_col="cust",
+        dim_key_col="dk",
+        group_col="seg",
+        value_col="val",
+    )
+    try:
+        q.processAllAvailable()
+        assert bins_now() == scratch() == {("A", 5): 2, ("B", 7): 1}
+        m1 = hist.read_meta()
+        assert (m1["fact_version"], m1["dim_version"]) == (1, 1)
+
+        # Out-of-band dim commit (c1 re-segments A -> B, c3 appears)
+        # BETWEEN fact epochs; the next fact batch carries both
+        # windows: c1's multiset {5,5} moves to B, f4 lands dark
+        # until... c3 exists now, so f4's 9 surfaces immediately.
+        dim.merge(
+            spark.createDataFrame(
+                [("c1", 2, "B"), ("c3", 2, "A")], "dk string, v int, seg string"
+            )
+        )
+        drop("b2", [("f4", 1, "c3", 9)])
+        q.processAllAvailable()
+        assert bins_now() == scratch() == {
+            ("B", 5): 2,
+            ("B", 7): 1,
+            ("A", 9): 1,
+        }
+        m2 = hist.read_meta()
+        assert (m2["fact_version"], m2["dim_version"]) == (2, 2)
+
+        # Fact-only epoch with a removal: pure bin algebra.
+        fact.merge(
+            spark.createDataFrame([], FSCH),
+            removed=spark.createDataFrame([("f2",)], "fk string"),
+        )
+        drop("b3", [("f5", 1, "c2", 7)])
+        q.processAllAvailable()
+        assert bins_now() == scratch() == {
+            ("B", 5): 1,
+            ("B", 7): 2,
+            ("A", 9): 1,
+        }
+
+        # Served stats from the published bins.
+        got = {
+            r.seg: (r.n, r.n_distinct, r.mode_v, r.median_v)
+            for r in histogram_stats(
+                hist.read().drop("_bucket"), ["seg"], "val"
+            ).collect()
+        }
+        assert got == {"A": (1, 1, 9, 9.0), "B": (3, 2, 7, 7.0)}
+    finally:
+        q.stop()
