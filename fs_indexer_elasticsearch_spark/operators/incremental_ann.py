@@ -723,6 +723,56 @@ class IvfIndexStore:
         self._cent_cache = None
         return v
 
+    def maintain_cells(
+        self,
+        *,
+        split_threshold: int,
+        merge_threshold: int,
+        seq: int,
+        max_rounds: int = 8,
+        max_retries: int = 0,
+    ) -> list[int]:
+        """The MAINTENANCE POLICY composing the pair: split hot cells
+        until none exceeds ``split_threshold`` (each round strictly
+        shrinks the largest hot cell; degenerate cells are skipped by
+        the split itself), then merge cold cells below
+        ``merge_threshold`` once. Hysteresis is ENFORCED, not advised:
+        ``merge_threshold <= split_threshold // 4`` — a merged cell's
+        upper bound is (survivor rows + all merged cold rows), so a
+        merge band too close to the split band would re-flag freshly
+        merged cells and oscillate split↔merge forever; a 4x gap
+        leaves a merged cell at most at half the split threshold even
+        when several near-threshold cold cells land on one survivor.
+        ``seq`` seeds a strictly-increasing sequence (one value per
+        committed op, the caller owns the domain); ``max_rounds``
+        bounds the split loop the way the gate query does. Returns
+        the list of committed versions (empty = index already within
+        both bands — the steady-state no-op)."""
+        if merge_threshold > split_threshold // 4:
+            raise ValueError(
+                f"maintain_cells: merge_threshold={merge_threshold} must "
+                f"be <= split_threshold//4={split_threshold // 4} — a "
+                "narrower gap lets a freshly merged cell re-enter the "
+                "split band and the policy oscillates instead of "
+                "quiescing"
+            )
+        committed: list[int] = []
+        s = int(seq)
+        for _ in range(max_rounds):
+            v = self.split_hot_cells(
+                threshold=split_threshold, seq=s, max_retries=max_retries
+            )
+            if v is None:
+                break
+            committed.append(v)
+            s += 1
+        v = self.merge_cold_cells(
+            threshold=merge_threshold, seq=s, max_retries=max_retries
+        )
+        if v is not None:
+            committed.append(v)
+        return committed
+
     def remove_vecs(self, vec_ids: DataFrame, *, mode: str = "eager") -> int:
         """Drop every index row of the given vector ids (one-column
         DataFrame) — the path that makes embedding MUTATION safe when

@@ -719,3 +719,78 @@ def test_merge_cold_cells_guards_and_degenerates(spark, tmp_path):
         "emb",
     )
     assert store2.merge_cold_cells(threshold=1, seq=1) is None
+
+
+def test_maintain_cells_policy_quiesces_and_search_exact(spark, tmp_path):
+    """The split+merge policy: a skewed index (one bloated cell, one
+    near-empty cell) quiesces within the round bound — every live
+    cell lands inside (merge_threshold, split_threshold] up to
+    degenerate-cell honesty — search stays exactly brute force, a
+    second invocation is a no-op, and the hysteresis guard rejects an
+    oscillation-prone band pair loudly."""
+    import pytest
+
+    def vec(base, i):
+        v = [0.0] * 8
+        v[0] = base
+        v[1 + (i % 3)] = 1.0 + (i % 5) * 0.1
+        return v
+
+    rows = (
+        [(i, vec(10.0, i)) for i in range(40)]      # hot cell 0
+        + [(100 + i, vec(-10.0, i)) for i in range(2)]  # cold cell 1
+    )
+    corpus = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cents = spark.createDataFrame(
+        [(0, [10.0] + [0.0] * 7), (1, [-10.0] + [0.0] * 7)],
+        "vec_id long, emb array<double>",
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(corpus, cents, "vec_id", "emb")
+
+    with pytest.raises(ValueError, match="oscillates"):
+        store.maintain_cells(split_threshold=20, merge_threshold=6, seq=1)
+
+    committed = store.maintain_cells(
+        split_threshold=20, merge_threshold=4, seq=1
+    )
+    assert committed  # at least one split (40 > 20) and the merge
+    live_ids = [r[0] for r in store.store.read_meta()["centroids"]]
+    sizes = {
+        r.cid: r.n
+        for r in store.tombstones.apply(
+            store.store.read().filter(F.col("cid").isin(live_ids)), "vec_id"
+        )
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert max(sizes.values()) <= 20
+    # The 2-row cold cell merged away (its rows live on elsewhere).
+    assert min(sizes.values()) > 4 or len(sizes) == 1
+
+    from fs_indexer_elasticsearch_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    queries = corpus.filter(F.col("vec_id").isin(3, 100))
+    got = sorted(
+        map(
+            tuple,
+            store.search(
+                queries, "vec_id", "emb", k=3, nprobe=len(live_ids)
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            brute_force_topk(corpus, queries, "vec_id", "emb", k=3).collect(),
+        )
+    )
+    assert got == want
+
+    # Steady state: the policy is idempotent.
+    assert store.maintain_cells(
+        split_threshold=20, merge_threshold=4, seq=100
+    ) == []
