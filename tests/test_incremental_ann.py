@@ -794,3 +794,59 @@ def test_maintain_cells_policy_quiesces_and_search_exact(spark, tmp_path):
     assert store.maintain_cells(
         split_threshold=20, merge_threshold=4, seq=100
     ) == []
+
+
+def test_merge_cold_cells_race_raises_retryable_not_terminal(spark, tmp_path):
+    """Same r11-advice contract as the split, on the merge side: a
+    concurrent add() landing ivf_seq == seq between the version
+    capture and the cold-row scan must surface as the retryable
+    expected_base ConcurrentWriteError, never the terminal seq
+    ValueError — the cold read and the max-seq validation are pinned
+    to the captured v0."""
+    import pytest
+
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import (
+        ConcurrentWriteError,
+    )
+
+    def vec(base, i):
+        v = [0.0] * 8
+        v[0] = base
+        v[1 + (i % 3)] = 1.0 + (i % 5) * 0.1
+        return v
+
+    rows = [(i, vec(10.0, i)) for i in range(20)] + [
+        (100, vec(-10.0, 0)), (101, vec(-10.0, 1))
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cents = spark.createDataFrame(
+        [(0, [10.0] + [0.0] * 7), (1, [-10.0] + [0.0] * 7)],
+        "vec_id long, emb array<double>",
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=16)
+    store.seed(corpus, cents, "vec_id", "emb")
+    v0 = store.store.current_version()
+
+    # Concurrent add into the COLD cell with ivf_seq == the seq the
+    # merge will use — the row an unpinned read would trip over.
+    store.add(
+        spark.createDataFrame(
+            [(200, vec(-10.0, 2))], "vec_id long, emb array<double>"
+        ),
+        "vec_id",
+        "emb",
+        seq=3,
+    )
+    real_cv = store.store.current_version
+    calls = {"n": 0}
+
+    def stale_first():
+        calls["n"] += 1
+        return v0 if calls["n"] == 1 else real_cv()
+
+    store.store.current_version = stale_first
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            store.merge_cold_cells(threshold=5, seq=3)
+    finally:
+        del store.store.current_version
