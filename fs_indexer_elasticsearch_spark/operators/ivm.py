@@ -1189,3 +1189,62 @@ def maintain_joined_value_counts(
         )
         .filter(F.col("c") > 0)
     )
+
+
+def maintain_hll_distinct(
+    store,
+    v_from: int,
+    v_to: int,
+    group_cols: list[str],
+    key_col: str,
+    *,
+    old_sketches: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain per-group HLL DISTINCT-COUNT sketches across an
+    INSERT-ONLY window — the sketch dual of
+    :func:`maintain_value_counts`: where the exact histogram carries
+    O(distinct values) state and survives deletes, the HLL sketch
+    carries O(2^lgK) bytes per group regardless of cardinality — the
+    right tool when the measure is near-unique (doc ids, user ids,
+    URLs) and the feed only ever adds. Union-of-sketches is EXACT
+    with respect to the sketch algorithm (register-wise max), so the
+    maintained estimate is bit-identical to a from-scratch
+    ``hll_sketch_agg`` over the post state — maintenance loses
+    nothing beyond the sketch's own approximation.
+
+    DELETES ARE REFUSED LOUDLY: an HLL register cannot forget, so a
+    feed containing removals would silently over-count forever — the
+    one failure mode a sketch consumer cannot detect downstream. A
+    window with any delete/update_preimage row raises; route such
+    workloads to the exact histogram instead.
+
+    Returns ``group_cols + [sk]`` (binary sketch — feed it back as
+    ``old_sketches`` next cycle); estimate with
+    ``F.hll_sketch_estimate``."""
+    g = list(group_cols)
+    feed = store.read_changes(v_from, v_to, update_images="both")
+    is_add = F.col("_change").isin("insert", "update_postimage")
+    if not feed.filter(~is_add).isEmpty():
+        raise ValueError(
+            "maintain_hll_distinct: the window contains removals — an "
+            "HLL register cannot forget, so maintaining through a "
+            "delete silently over-counts forever. Use the exact "
+            "histogram view (maintain_value_counts) for delete-bearing "
+            "feeds."
+        )
+    if old_sketches is not None:
+        old = old_sketches.select(*g, F.col("sk").alias("_sk0"))
+    else:
+        old = (
+            store.read(version=v_from)
+            .groupBy(*g)
+            .agg(F.hll_sketch_agg(key_col).alias("_sk0"))
+        )
+    inc = feed.groupBy(*g).agg(F.hll_sketch_agg(key_col).alias("_ska"))
+    return _multi_null_safe_outer(old, inc, g).select(
+        *g,
+        F.when(F.col("_sk0").isNull(), F.col("_ska"))
+        .when(F.col("_ska").isNull(), F.col("_sk0"))
+        .otherwise(F.hll_union("_sk0", "_ska"))
+        .alias("sk"),
+    )

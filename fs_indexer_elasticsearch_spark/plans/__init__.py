@@ -42,7 +42,7 @@ from . import curation_pipeline  # noqa: E402,F401
 # contain every query whose normalized analyzed-plan fingerprint is
 # new or changed since the last driver round commit
 # (PLAN_FINGERPRINTS.json, diffed by tools/rotation_check.py, which
-# gate.py runs and fails on). r12's set: the 6 new queries — the
+# gate.py runs and fails on). r12's set: the 7 new queries — the
 # holistic-aggregate histogram IVM pair, the IVF cold-cell merge
 # content gate, the top-k view IVM, and the overflow-safe moment
 # (mean/variance) view. Runtime-only r12 changes
@@ -52,7 +52,8 @@ from . import curation_pipeline  # noqa: E402,F401
 # pytest-verified. Displaced below the boundary this round:
 # store_read_changes_hardlink, dedup_simhash,
 # ann_neardup_recall_multiprobe, dedup_incremental_rebucket,
-# ann_incremental_ivf_manifest, incremental_view_maintenance
+# ann_incremental_ivf_manifest, incremental_view_maintenance,
+# bm25_search_topk
 # (driver-green r9-r11, plans unchanged, families still anchored in
 # the prefix — the incremental-IVF store is exercised harder by the
 # split/coldmerge content gates above, and the count/sum view algebra
@@ -68,13 +69,16 @@ _PRIORITY = [
     # (mean/variance over decimal(38,0) accumulators — a long sum of
     # squares wraps silently at scale); and the joined histogram
     # (holistic stats over fact⋈dim through BOTH feeds — bins compose
-    # with the two-term decomposition, no recompute branch)
+    # with the two-term decomposition, no recompute branch); and the
+    # HLL sketch dual for insert-only near-unique distinct counts
+    # (union == from-scratch; delete-bearing windows refused loudly)
     "incremental_view_histogram",
     "incremental_view_histogram_chained",
     "ann_ivf_coldmerge_topk",
     "incremental_view_topk",
     "incremental_view_moments",
     "incremental_view_joined_histogram",
+    "incremental_view_hll_distinct",
     # New in r11 — one driver round old: the composed IVM algebras
     # (extremum measures over a joined view, both stores changing),
     # the NULL-group joined view (r10 verdict #4/#5), the combined
@@ -119,7 +123,6 @@ _PRIORITY = [
     "text_quality_stats",
     "robust_zscore_by_lang",
     "binary_payload_meta",
-    "bm25_search_topk",
     # Corpus curation / analytics layer (r5; first driver rows)
     "dedup_keep_best",
     "length_percentile_band",
@@ -162,6 +165,7 @@ _PRIORITY = [
     "dedup_incremental_rebucket",
     "ann_incremental_ivf_manifest",
     "incremental_view_maintenance",
+    "bm25_search_topk",
     # Rotated below in r11 (driver-green r9+r10, plans unchanged in
     # r11, families still anchored above: frame_sample/ binary_payload
     # for multimodal, store_read_changes+hardlink for the feed,

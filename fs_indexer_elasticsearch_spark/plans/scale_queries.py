@@ -2125,6 +2125,73 @@ def ann_ivf_split_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches
 
 
+_VIEW_HLL_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("incremental_view_hll_distinct", oracle=_VIEW_HLL_ORACLE)
+def incremental_view_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH path for maintained distinct counts
+    (operators/ivm.maintain_hll_distinct) — the documented dual of
+    the exact histogram: a near-unique measure (order keys per
+    status) makes O(distinct values) histogram state pointless, and
+    an INSERT-ONLY feed makes the HLL's one weakness (registers
+    cannot forget — the operator REFUSES delete-bearing windows
+    loudly) irrelevant. Union-of-sketches is register-wise max, so
+    the maintained sketch is bit-identical to a from-scratch
+    ``hll_sketch_agg`` over the post state — maintenance adds zero
+    error on top of the sketch's own. The gate shape follows
+    approx_distinct_tolerance: the query emits the EXACT post-state
+    distinct count alongside a within-5% verdict on the maintained
+    estimate (HLL lgK=12 ≈ 1.6% typical error), and the oracle
+    asserts the exact counts and an all-TRUE verdict column — a hash
+    match proves the maintained estimate lands inside the band for
+    every group. At 100 TB: per-group state is KBs regardless of
+    cardinality, the cycle is O(feed), and the estimate is mergeable
+    across shards/sites by construction."""
+    from ..operators.ivm import maintain_hll_distinct
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey", F.lit(1).alias("v"), "o_orderstatus"
+    )
+    delta = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", F.lit(2).alias("v"), "o_orderstatus"
+    )
+    store = _demo_store(
+        spark,
+        sf_dir,
+        name="cdfinsstore",
+        key="o_orderkey",
+        num_buckets=16,
+        frames=[("seed", base, None), (1, delta, None)],
+        fp_tables=("orders",),
+    )
+    sketches = maintain_hll_distinct(
+        store, 1, 2, ["o_orderstatus"], "o_orderkey"
+    )
+    est = sketches.select(
+        "o_orderstatus", F.hll_sketch_estimate("sk").alias("_est")
+    )
+    exact = (
+        store.read(version=2)
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_orderkey").alias("n_exact"))
+    )
+    return est.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        "n_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )
+
+
 _VIEW_JOIN_HISTOGRAM_ORACLE = """
     WITH fbase AS (
         SELECT o_orderkey, o_custkey,

@@ -968,3 +968,68 @@ def test_joined_value_counts_both_sides_change_equals_scratch(spark, tmp_path):
         ).collect()
     }
     assert got3 == scratch() == {("B", 7): 2, ("B", 9): 2}
+
+
+def test_hll_distinct_union_equals_scratch_and_refuses_deletes(
+    spark, tmp_path
+):
+    """The maintained HLL sketch's estimate is bit-identical to a
+    from-scratch sketch of the post state on insert-only windows
+    (union is register-wise max), chains on feedback, and a window
+    containing ANY removal raises loudly (registers cannot forget —
+    silent over-count is the one sketch failure a consumer cannot
+    detect)."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_hll_distinct,
+    )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v",
+        num_buckets=4,
+    )
+    rows1 = [(f"k{i}", 1, "A" if i % 2 else "B", i) for i in range(200)]
+    store.overwrite(_df(spark, rows1))
+    rows2 = [(f"n{i}", 2, "A", i) for i in range(50)]
+    store.merge(_df(spark, rows2))  # v2: insert-only
+    c1 = maintain_hll_distinct(store, 1, 2, ["grp"], "k")
+    got = {
+        r.grp: r.est
+        for r in c1.select(
+            "grp", F.hll_sketch_estimate("sk").alias("est")
+        ).collect()
+    }
+    want = {
+        r.grp: r.est
+        for r in store.read(version=2)
+        .groupBy("grp")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("est"))
+        .collect()
+    }
+    assert got == want  # bit-identical estimates, not merely close
+
+    # Chained feedback across a second insert-only window.
+    store.merge(_df(spark, [(f"m{i}", 3, "C", i) for i in range(20)]))
+    got3 = {
+        r.grp: r.est
+        for r in maintain_hll_distinct(
+            store, 2, 3, ["grp"], "k", old_sketches=c1
+        )
+        .select("grp", F.hll_sketch_estimate("sk").alias("est"))
+        .collect()
+    }
+    want3 = {
+        r.grp: r.est
+        for r in store.read(version=3)
+        .groupBy("grp")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("est"))
+        .collect()
+    }
+    assert got3 == want3 and "C" in got3
+
+    # A delete-bearing window is refused loudly.
+    store.merge(
+        _df(spark, [("z1", 4, "A", 1)]),
+        removed=spark.createDataFrame([("k0",)], "k string"),
+    )
+    with pytest.raises(ValueError, match="cannot forget"):
+        maintain_hll_distinct(store, 3, 4, ["grp"], "k")

@@ -156,6 +156,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "incremental_view_histogram", "incremental_view_histogram_chained",
         "ann_ivf_coldmerge_topk", "incremental_view_topk",
         "incremental_view_moments", "incremental_view_joined_histogram",
+        "incremental_view_hll_distinct",
         "incremental_view_joined_minmax", "incremental_view_joined_nullgroup",
         "incremental_view_summinmax", "ann_ivf_split_topk",
         "incremental_view_joined_dimchange", "incremental_view_joined_chained",
