@@ -1248,3 +1248,114 @@ def maintain_hll_distinct(
         .otherwise(F.hll_union("_sk0", "_ska"))
         .alias("sk"),
     )
+
+
+def maintain_join_membership(
+    fact_store,
+    dim_store,
+    v_from: int,
+    v_to: int,
+    *,
+    fact_key_col: str,
+    dim_key_col: str,
+    old_view: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain the SEMI/ANTI-JOIN PARTITION of the fact table by dim
+    membership across one window in which BOTH stores changed: every
+    fact post-state row, tagged ``matched`` = does its ``fact_key_col``
+    currently exist in the dim store. ``matched=false`` rows ARE the
+    maintained anti-join (orphans / referential-integrity violations);
+    ``matched=true`` rows are the semi-join. The two partitions always
+    tile the fact exactly — maintaining the pair is what makes dim-key
+    transitions O(feed): a key that appears in the dim RETIRES orphans
+    by flipping their flag in place, and a key that vanishes CREATES
+    orphans from rows the view already holds — neither direction ever
+    rescans the fact store.
+
+    Per cycle the inputs are: both change feeds, plus ONE
+    column-pruned scan of the dim post-state KEY column (to classify
+    brand-new fact keys the previous view has never seen — the one
+    question neither feed can answer; dim ≪ fact at scale, the scan
+    reads a single parquet column, and AQE broadcasts the typically
+    small fact-add side). Dim 'update' rows change attributes, never
+    key existence (the dim store is keyed on ``dim_key_col``), so only
+    its insert/delete rows drive flips. A NULL fact key never matches
+    any dim key (SQL join semantics) and therefore stays
+    ``matched=false`` through every cycle without special casing.
+
+    ``old_view`` is this function's own previous output (fact columns
+    + ``matched``); omitted, the first derivation joins the two
+    ``v_from`` snapshots once. Returns the fact ``v_to`` rows +
+    ``matched`` — feed it back next cycle.
+
+    Reference parity: the reference's orphan checks are full NOT-IN
+    rescans per scan cycle (scanner.py:447-454, db_duckdb.py:296-312);
+    this is the scale path those rescans become."""
+    fact_pk = fact_store.key
+    pks = [fact_pk] if isinstance(fact_pk, str) else list(fact_pk)
+    dim_mark = lambda df: df.select(  # noqa: E731
+        F.col(dim_key_col).alias("_dk"), F.lit(True).alias("_m")
+    )
+    if old_view is None:
+        base = fact_store.read(version=v_from).drop("_bucket")
+        old_view = (
+            base.join(
+                dim_mark(dim_store.read(version=v_from)),
+                F.col(fact_key_col) == F.col("_dk"),
+                "left",
+            )
+            .withColumn("matched", F.coalesce("_m", F.lit(False)))
+            .drop("_dk", "_m")
+        )
+    out_cols = old_view.columns
+
+    # Fact feed: an update is remove-pre-image + add-post-image; the
+    # collapsed feed already carries post-images for insert/update and
+    # pre-images for delete, so pks(update|delete) drop and rows
+    # (insert|update) re-enter through the add path.
+    ffeed = fact_store.read_changes(v_from, v_to).localCheckpoint(eager=False)
+    gone_pks = ffeed.filter(F.col("_change").isin("update", "delete")).select(
+        *pks
+    )
+    adds = ffeed.filter(F.col("_change").isin("insert", "update")).drop(
+        "_change"
+    )
+
+    # Dim feed: only insert/delete change key existence. A collapsed
+    # 'update' has the key present on both sides of the window.
+    dfeed = dim_store.read_changes(v_from, v_to).localCheckpoint(eager=False)
+    appeared = (
+        dfeed.filter(F.col("_change") == "insert")
+        .select(F.col(dim_key_col).alias("_ak"), F.lit(True).alias("_ap"))
+    )
+    vanished = (
+        dfeed.filter(F.col("_change") == "delete")
+        .select(F.col(dim_key_col).alias("_vk"), F.lit(True).alias("_va"))
+    )
+
+    survivors = old_view.join(gone_pks, pks, "left_anti")
+    flipped = (
+        survivors.join(appeared, F.col(fact_key_col) == F.col("_ak"), "left")
+        .join(vanished, F.col(fact_key_col) == F.col("_vk"), "left")
+        .withColumn(
+            "matched",
+            F.when(F.col("_ap"), F.lit(True))
+            .when(F.col("_va"), F.lit(False))
+            .otherwise(F.col("matched")),
+        )
+        .select(*out_cols)
+    )
+
+    # Brand-new fact rows classify against the dim POST-state key
+    # column — the cycle's one dim scan (column-pruned; adds side
+    # broadcasts under AQE when small).
+    classified_adds = (
+        adds.join(
+            dim_mark(dim_store.read(version=v_to)),
+            F.col(fact_key_col) == F.col("_dk"),
+            "left",
+        )
+        .withColumn("matched", F.coalesce("_m", F.lit(False)))
+        .select(*out_cols)
+    )
+    return flipped.unionByName(classified_adds)

@@ -59,6 +59,15 @@ from . import curation_pipeline  # noqa: E402,F401
 # split/coldmerge content gates above, and the count/sum view algebra
 # by the twelve r10-r12 IVM queries above).
 _PRIORITY = [
+    # New in r12 (late additions) — the join-membership (semi/anti
+    # partition) maintenance pair: every fact row tagged with live dim
+    # membership, dim-key appearance/disappearance flipping flags on
+    # rows the view already owns (zero fact rescans), and the chained
+    # form where window 2 consumes window 1's output across dedicated
+    # three-version fact/dim stores (delete-then-reinsert keys on both
+    # sides make the feedback loop unfakeable).
+    "incremental_view_join_membership",
+    "incremental_view_join_membership_chained",
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches

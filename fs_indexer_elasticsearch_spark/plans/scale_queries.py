@@ -2543,3 +2543,197 @@ def substring_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _pin(store.match_and_merge(batch, "doc_id", "text", batch_seq=1))
         store.store.vacuum(keep=2)
     return out
+
+
+# --------------------------------------------------------------------------
+# Join-membership (semi/anti partition) maintenance
+# --------------------------------------------------------------------------
+
+_VIEW_JOIN_MEMBERSHIP_ORACLE = """
+    WITH fbase AS (
+        SELECT o_orderkey, 1 AS v, o_custkey,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    fdelta AS (
+        SELECT o_orderkey, 2 AS v, o_custkey,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    f2 AS (
+        SELECT * FROM fbase WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM fdelta
+    ),
+    d2 AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 6
+    )
+    SELECT o_orderkey, v, o_custkey, price,
+           CASE WHEN o_custkey IN (SELECT c_custkey FROM d2)
+                THEN 1 ELSE 0 END AS matched
+    FROM f2
+"""
+
+
+@query("incremental_view_join_membership", oracle=_VIEW_JOIN_MEMBERSHIP_ORACLE)
+def incremental_view_join_membership(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMI/ANTI-JOIN PARTITION maintenance
+    (operators/ivm.maintain_join_membership): every fact post-state
+    row tagged with whether its customer key currently exists in the
+    dim store, maintained through a window where BOTH stores changed.
+    The matched=0 rows ARE the maintained anti-join — the orphan /
+    referential-integrity view the reference recomputes with a full
+    NOT-IN rescan every cycle (scanner.py:447-454) — and because the
+    view holds BOTH partitions, a dim key's appearance or
+    disappearance flips flags on rows the view already owns: zero
+    fact rescans in either direction. The cycle's only non-feed input
+    is one column-pruned scan of the dim post-state key column (to
+    classify brand-new fact keys). The oracle recomputes the
+    partition from scratch over the post states, so the hash gate
+    proves row-level membership — both partitions, not just counts —
+    through fact inserts/updates/deletes AND dim inserts/deletes."""
+    from ..operators.ivm import maintain_join_membership
+
+    fact = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
+    )
+    dim = _dim_cdf_store(spark, sf_dir)
+    view = maintain_join_membership(
+        fact, dim, 1, 2, fact_key_col="o_custkey", dim_key_col="c_custkey"
+    )
+    return view.select(
+        "o_orderkey",
+        "v",
+        "o_custkey",
+        "price",
+        F.col("matched").cast("int").alias("matched"),
+    )
+
+
+def _jm_fact_store(spark: SparkSession, sf_dir: str):
+    """Three-version fact store for the CHAINED membership demo: the
+    %7 residues partition orders into per-window roles so every code
+    path fires across both windows — v2 inserts %7==1 (+111), updates
+    %7==2 (+222), deletes %7==3; v3 re-inserts %7==3 (+333, a key the
+    view once dropped), updates %7==4 (+444), deletes %7==5."""
+    orders = load(spark, sf_dir, "orders")
+    r = F.col("o_orderkey") % 7
+    row = lambda v, bump: orders.select(  # noqa: E731
+        "o_orderkey",
+        F.lit(v).alias("v"),
+        "o_custkey",
+        stable_round(F.col("o_totalprice") + bump, 2).alias("price"),
+    )
+    base = row(1, 0).filter(r != 1)
+    d2 = row(2, 111).filter(r == 1).unionByName(row(2, 222).filter(r == 2))
+    rm2 = orders.filter(r == 3).select("o_orderkey")
+    d3 = row(3, 333).filter(r == 3).unionByName(row(3, 444).filter(r == 4))
+    rm3 = orders.filter(r == 5).select("o_orderkey")
+    return _demo_store(
+        spark,
+        sf_dir,
+        name="jmfact",
+        key="o_orderkey",
+        num_buckets=16,
+        frames=[("seed", base, None), (1, d2, rm2), (2, d3, rm3)],
+        fp_tables=("orders",),
+    )
+
+
+def _jm_dim_store(spark: SparkSession, sf_dir: str):
+    """Three-version dim store for the chained membership demo: key
+    existence churns both ways across both windows — v2 inserts the
+    %5==1 keys and deletes %5==2; v3 re-inserts %5==2 (keys whose
+    orphans the view created in window 1 must flip back) and deletes
+    %5==3."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    m = F.col("c_custkey") % 5
+    tag = lambda v, pred: cust.filter(pred).select(  # noqa: E731
+        "c_custkey", F.lit(v).alias("v")
+    )
+    return _demo_store(
+        spark,
+        sf_dir,
+        name="jmdim",
+        key="c_custkey",
+        num_buckets=8,
+        frames=[
+            ("seed", tag(1, m != 1), None),
+            (1, tag(2, m == 1), cust.filter(m == 2).select("c_custkey")),
+            (2, tag(3, m == 2), cust.filter(m == 3).select("c_custkey")),
+        ],
+        fp_tables=("customer",),
+    )
+
+
+_VIEW_JM_CHAINED_ORACLE = """
+    WITH f3 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 IN (0, 6) THEN 1
+                    WHEN o_orderkey % 7 IN (1, 2) THEN 2
+                    ELSE 3 END AS v,
+               o_custkey,
+               round(o_totalprice
+                     + CASE o_orderkey % 7
+                           WHEN 1 THEN 111 WHEN 2 THEN 222
+                           WHEN 3 THEN 333 WHEN 4 THEN 444
+                           ELSE 0 END + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 7 <> 5
+    ),
+    d3 AS (SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 3)
+    SELECT o_orderkey, v, o_custkey, price,
+           CASE WHEN o_custkey IN (SELECT c_custkey FROM d3)
+                THEN 1 ELSE 0 END AS matched
+    FROM f3
+"""
+
+
+@query(
+    "incremental_view_join_membership_chained",
+    oracle=_VIEW_JM_CHAINED_ORACLE,
+)
+def incremental_view_join_membership_chained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEADY-STATE join-membership maintenance: two consecutive
+    windows against dedicated three-version fact/dim stores, window 2
+    consuming window 1's OUTPUT as ``old_view`` — after the first
+    derivation the fact base is never read again; each cycle touches
+    the two feeds plus the dim key column. The residue design makes
+    the chain unfakeable: %5==2 customers vanish in window 1 (their
+    orders become orphans inside the maintained view) and return in
+    window 2 (those same rows must flip back), while %7==3 orders are
+    deleted then RE-INSERTED with a new price — a row the view once
+    dropped re-entering through the add path. The oracle recomputes
+    the v3 partition from scratch; the hash gate proves two chained
+    maintenance cycles land bit-exactly on the rejoin."""
+    from ..operators.ivm import maintain_join_membership
+
+    fact = _jm_fact_store(spark, sf_dir)
+    dim = _jm_dim_store(spark, sf_dir)
+    w1 = maintain_join_membership(
+        fact, dim, 1, 2, fact_key_col="o_custkey", dim_key_col="c_custkey"
+    )
+    w2 = maintain_join_membership(
+        fact,
+        dim,
+        2,
+        3,
+        fact_key_col="o_custkey",
+        dim_key_col="c_custkey",
+        old_view=w1,
+    )
+    return w2.select(
+        "o_orderkey",
+        "v",
+        "o_custkey",
+        "price",
+        F.col("matched").cast("int").alias("matched"),
+    )

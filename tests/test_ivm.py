@@ -1033,3 +1033,95 @@ def test_hll_distinct_union_equals_scratch_and_refuses_deletes(
     )
     with pytest.raises(ValueError, match="cannot forget"):
         maintain_hll_distinct(store, 3, 4, ["grp"], "k")
+
+
+def test_join_membership_all_transitions_equal_scratch(spark, tmp_path):
+    """Semi/anti partition maintenance (maintain_join_membership):
+    every transition direction in one chained program — dim-key
+    disappearance ORPHANS rows the view holds, reappearance flips
+    them back, fact updates re-enter through the add path, a NULL
+    fact key stays unmatched forever, and a brand-new fact key
+    classifies against the dim post state. Window 2 consumes window
+    1's output (old_view feedback); both windows must equal the
+    from-scratch left-join partition of the post state."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_join_membership,
+    )
+
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    fschema = "fk long, v int, cust long, price double"
+    dschema = "dk long, v int, attr string"
+    # v1: dim has customers 1,2,3; facts reference 1,2,4 (4 = orphan)
+    # plus one NULL-key fact (never matches anything).
+    dim.overwrite(spark.createDataFrame(
+        [(1, 1, "x"), (2, 1, "x"), (3, 1, "x")], dschema))
+    fact.overwrite(spark.createDataFrame(
+        [(10, 1, 1, 5.0), (11, 1, 2, 7.0), (12, 1, 4, 1.0),
+         (13, 1, None, 2.0)], fschema))
+    # window 1->2: dim: DELETE 2 (fact 11 becomes an orphan in place),
+    # INSERT 4 (orphan 12 flips back), update 3's attr (no membership
+    # change); fact: update 10 (re-enters via add path), insert 14
+    # with brand-new key 9 (unmatched — classifies against dim post
+    # state), delete 13's sibling? keep 13 (NULL key persists).
+    dim.merge(
+        spark.createDataFrame([(4, 2, "y"), (3, 2, "z")], dschema),
+        removed=spark.createDataFrame([(2,)], "dk long"),
+    )
+    fact.merge(
+        spark.createDataFrame([(10, 2, 1, 6.0), (14, 2, 9, 3.0)], fschema),
+        removed=spark.createDataFrame([], "fk long"),
+    )
+    # window 2->3: dim: re-insert 2 (11 un-orphans), delete 1; fact:
+    # delete 12, re-insert 13's NULL row sibling as key-bearing row
+    # 15 (cust 1 — newly orphaned key), update 14 -> cust 4 (an
+    # UPDATE that changes the join key: old flag must not leak).
+    dim.merge(
+        spark.createDataFrame([(2, 3, "w")], dschema),
+        removed=spark.createDataFrame([(1,)], "dk long"),
+    )
+    fact.merge(
+        spark.createDataFrame([(15, 3, 1, 8.0), (14, 3, 4, 3.5)], fschema),
+        removed=spark.createDataFrame([(12,)], "fk long"),
+    )
+
+    def scratch(v):
+        f = fact.read(version=v).drop("_bucket")
+        d = dim.read(version=v).select(F.col("dk"), F.lit(True).alias("m"))
+        return {
+            r.fk: (r.cust, r.price, r.matched)
+            for r in f.join(d, F.col("cust") == F.col("dk"), "left")
+            .withColumn("matched", F.coalesce("m", F.lit(False)))
+            .collect()
+        }
+
+    def as_dict(df):
+        return {r.fk: (r.cust, r.price, r.matched) for r in df.collect()}
+
+    w1 = maintain_join_membership(
+        fact, dim, 1, 2, fact_key_col="cust", dim_key_col="dk"
+    ).localCheckpoint()
+    got1 = as_dict(w1)
+    assert got1 == scratch(2)
+    # spot-check the interesting flips
+    assert got1[11][2] is False  # dim delete orphaned it in place
+    assert got1[12][2] is True   # dim insert retired the orphan
+    assert got1[13][2] is False  # NULL key never matches
+    assert got1[14][2] is False  # new key 9 absent from dim post state
+
+    w2 = maintain_join_membership(
+        fact, dim, 2, 3, fact_key_col="cust", dim_key_col="dk",
+        old_view=w1,
+    )
+    got2 = as_dict(w2)
+    assert got2 == scratch(3)
+    assert got2[11][2] is True   # re-inserted dim key flipped it back
+    assert got2[10][2] is False  # dim delete of key 1
+    assert got2[14][2] is True   # key-changing update classified fresh
+    assert 12 not in got2        # fact delete left the view
