@@ -1359,3 +1359,113 @@ def maintain_join_membership(
         .select(*out_cols)
     )
     return flipped.unionByName(classified_adds)
+
+
+def _merge_count_sum(
+    old: DataFrame | None, delta: DataFrame, group_col: str
+) -> DataFrame:
+    """Merge a signed (dn, ds) delta frame into a (n, s) view frame on
+    ``group_col`` (null-safe outer — NULL is one group), dropping
+    groups whose count reaches zero. The distributive half every
+    cascade level shares."""
+    if old is None:
+        merged = delta.select(
+            group_col,
+            F.col("_dn").cast("long").alias("n"),
+            F.col("_ds").cast("long").alias("s"),
+        )
+    else:
+        merged = _null_safe_outer(
+            old.select(
+                group_col, F.col("n").alias("_n0"), F.col("s").alias("_s0")
+            ),
+            delta,
+            group_col,
+            ["_n0", "_s0"],
+            ["_dn", "_ds"],
+        ).select(
+            group_col,
+            (F.coalesce("_n0", F.lit(0)) + F.coalesce("_dn", F.lit(0)))
+            .cast("long")
+            .alias("n"),
+            (F.coalesce("_s0", F.lit(0)) + F.coalesce("_ds", F.lit(0)))
+            .cast("long")
+            .alias("s"),
+        )
+    return merged.filter(F.col("n") > 0)
+
+
+def maintain_rollup_cascade(
+    store,
+    v_from: int,
+    v_to: int,
+    *,
+    fine_col: str,
+    coarse_col: str,
+    coarse_of,
+    value_col: str,
+    old_fine: DataFrame | None = None,
+    old_coarse: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain a TWO-LEVEL ROLLUP HIERARCHY (fine grain → coarse
+    grain, e.g. day → month) of per-group (count, sum) views from one
+    change feed, where the COARSE level is maintained from the FINE
+    LEVEL'S DELTA — never from the feed, never from the base:
+
+        ΔV_day   = Σ feed rows, grouped by day          (O(feed))
+        V_day'   = V_day ⊕ ΔV_day                       (O(changed days))
+        ΔV_month = ΔV_day regrouped by month(day)       (O(changed days))
+        V_month' = V_month ⊕ ΔV_month                   (O(changed months))
+
+    This is the composition law that makes N-level rollup trees
+    (hour→day→month→year dashboards) affordable at 100 TB: each level
+    consumes only the level below's delta, so a feed touching one
+    day's partition costs O(feed) once plus O(1) per coarser level —
+    not one rescan per level. Correct because count/sum are
+    distributive and the coarse grouping is a FUNCTION of the fine
+    grain (every fine group maps to exactly one coarse group), so
+    regrouping the delta commutes with aggregation.
+
+    ``coarse_of`` maps a fine-grain Column to its coarse value (e.g.
+    ``lambda d: F.trunc(d, "month")``). ``old_fine``/``old_coarse``
+    are this function's previous outputs (feed them back — steady
+    state never rescans); omitted, both derive from the ``v_from``
+    snapshot with one scan. Values flow as integers (cents-style) —
+    callers pre-scale floats so the sums are exact. Returns
+    ``(fine_view, coarse_view)``, each ``[grain_col, n, s]``.
+
+    Reference parity: the reference's directory rollup recomputes
+    every ancestor total per scan (directory_size.py:39-60); this is
+    the maintained form of the same size-tree idea."""
+    val = F.col(value_col)
+    feed = store.read_changes(v_from, v_to, update_images="both")
+    is_add = F.col("_change").isin("insert", "update_postimage")
+    sign = F.when(is_add, F.lit(1)).otherwise(F.lit(-1))
+    # ONE aggregation of the feed produces the fine delta; both levels
+    # consume it (localCheckpoint shares the execution).
+    d_fine = (
+        feed.groupBy(F.col(fine_col))
+        .agg(
+            F.sum(sign).alias("_dn"),
+            F.sum(sign * val).alias("_ds"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    if old_fine is None and old_coarse is None:
+        base = store.read(version=v_from)
+        old_fine = base.groupBy(fine_col).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(val).cast("long").alias("s")
+        ).localCheckpoint(eager=False)
+        old_coarse = old_fine.groupBy(
+            coarse_of(F.col(fine_col)).alias(coarse_col)
+        ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    elif old_fine is None or old_coarse is None:
+        raise ValueError(
+            "maintain_rollup_cascade: feed back both views or neither"
+        )
+    fine = _merge_count_sum(old_fine, d_fine, fine_col)
+    d_coarse = d_fine.groupBy(
+        coarse_of(F.col(fine_col)).alias(coarse_col)
+    ).agg(F.sum("_dn").alias("_dn"), F.sum("_ds").alias("_ds"))
+    coarse = _merge_count_sum(old_coarse, d_coarse, coarse_col)
+    return fine, coarse

@@ -68,6 +68,11 @@ _PRIORITY = [
     # sides make the feedback loop unfakeable).
     "incremental_view_join_membership",
     "incremental_view_join_membership_chained",
+    # ... and the day->month rollup cascade: the coarse level is
+    # maintained from the fine level's delta (feed aggregated once,
+    # O(changed days) per coarser level, zero base rescans) — the
+    # composition law N-level rollup trees need at 100 TB.
+    "incremental_view_rollup_cascade",
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches

@@ -2737,3 +2737,110 @@ def incremental_view_join_membership_chained(
         "price",
         F.col("matched").cast("int").alias("matched"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchical rollup cascade (day -> month) maintenance
+# --------------------------------------------------------------------------
+
+def _cascade_store(spark: SparkSession, sf_dir: str):
+    """CDF demo store carrying a DATE grain column: the standard
+    demo window (base = orders minus %10==3; v2 inserts %10==3 and
+    updates %10==7 with the price bumped, deletes %10==5) with each
+    row's ``day`` = CAST(o_orderdate AS DATE) and the price in
+    integer cents (exact sums through the cascade)."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    row = lambda v, bump: orders.select(  # noqa: E731
+        "o_orderkey",
+        F.lit(v).alias("v"),
+        F.to_date("o_orderdate").alias("day"),
+        (cents + F.lit(bump)).alias("cents"),
+    )
+    base = row(1, 0).filter(F.col("o_orderkey") % 10 != 3)
+    delta = row(2, 100000).filter((F.col("o_orderkey") % 10).isin(3, 7))
+    removed = orders.filter(F.col("o_orderkey") % 10 == 5).select("o_orderkey")
+    return _demo_store(
+        spark,
+        sf_dir,
+        name="cascstore",
+        key="o_orderkey",
+        num_buckets=16,
+        frames=[("seed", base, None), (1, delta, removed)],
+        fp_tables=("orders",),
+    )
+
+
+_VIEW_CASCADE_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    delta AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) + 100000 AS cents
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    v2 AS (
+        SELECT * FROM base WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM delta
+    ),
+    byday AS (
+        SELECT day AS grain, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS s_cents
+        FROM v2 GROUP BY day
+    )
+    SELECT 'day' AS level, grain, n_rows,
+           round(s_cents / 100.0 + 1e-7, 2) AS total_price
+    FROM byday
+    UNION ALL
+    SELECT 'month' AS level, CAST(date_trunc('month', grain) AS DATE),
+           CAST(sum(n_rows) AS BIGINT),
+           round(sum(s_cents) / 100.0 + 1e-7, 2)
+    FROM byday GROUP BY date_trunc('month', grain)
+"""
+
+
+@query("incremental_view_rollup_cascade", oracle=_VIEW_CASCADE_ORACLE)
+def incremental_view_rollup_cascade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIERARCHICAL rollup maintenance
+    (operators/ivm.maintain_rollup_cascade): per-day AND per-month
+    (count, revenue) views maintained from one change feed, where the
+    month level consumes the DAY LEVEL'S DELTA — the feed is
+    aggregated exactly once, each coarser level costs O(changed
+    groups at the level below), and neither level ever rescans the
+    base. This is the composition law behind every
+    hour→day→month→year dashboard tree at 100 TB: a merge touching
+    one day's rows costs O(feed) once plus O(1) per coarser level,
+    not one rescan per level (the reference recomputes its whole
+    directory-size tree per scan — directory_size.py:39-60).
+
+    The oracle recomputes both grains from the post state from
+    scratch; the hash gate proves the cascaded deltas land bit-exactly
+    on both levels — counts and cent-exact sums — through inserts,
+    updates and deletes."""
+    from ..operators.ivm import maintain_rollup_cascade
+
+    store = _cascade_store(spark, sf_dir)
+    fine, coarse = maintain_rollup_cascade(
+        store,
+        1,
+        2,
+        fine_col="day",
+        coarse_col="month",
+        coarse_of=lambda d: F.trunc(d, "month"),
+        value_col="cents",
+    )
+    out = lambda df, lvl, grain: df.select(  # noqa: E731
+        F.lit(lvl).alias("level"),
+        F.col(grain).alias("grain"),
+        F.col("n").alias("n_rows"),
+        stable_round(F.col("s") / 100.0, 2).alias("total_price"),
+    )
+    return out(fine, "day", "day").unionByName(
+        out(coarse, "month", "month")
+    )

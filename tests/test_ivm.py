@@ -1125,3 +1125,74 @@ def test_join_membership_all_transitions_equal_scratch(spark, tmp_path):
     assert got2[10][2] is False  # dim delete of key 1
     assert got2[14][2] is True   # key-changing update classified fresh
     assert 12 not in got2        # fact delete left the view
+
+
+def test_rollup_cascade_chained_equals_scratch(spark, tmp_path):
+    """Day→month cascade (maintain_rollup_cascade): two chained
+    windows with both views fed back; at each step both grains must
+    equal a from-scratch post-state aggregate, through inserts that
+    create a new day inside an existing month, a brand-new month, an
+    update that moves value between rows within a day, and deletes
+    that empty a day (the day row must vanish while its month
+    shrinks but survives)."""
+    import datetime as dt
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_rollup_cascade,
+    )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "casc"), key="k", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    sch = "k long, v int, day date, cents long"
+    d = lambda s: dt.date.fromisoformat(s)  # noqa: E731
+    store.overwrite(spark.createDataFrame(
+        [(1, 1, d("2024-01-05"), 100), (2, 1, d("2024-01-05"), 40),
+         (3, 1, d("2024-01-20"), 7), (4, 1, d("2024-02-10"), 55)], sch))
+    # w1: insert new day in Jan (k5), brand-new month Mar (k6),
+    # update k2 (40->90), delete k3 (day 01-20 empties, Jan shrinks).
+    store.merge(
+        spark.createDataFrame(
+            [(5, 2, d("2024-01-09"), 11), (6, 2, d("2024-03-01"), 13),
+             (2, 2, d("2024-01-05"), 90)], sch),
+        removed=spark.createDataFrame([(3,)], "k long"),
+    )
+    # w2: delete BOTH 01-05 rows and k5 (January empties entirely),
+    # insert another Feb day.
+    store.merge(
+        spark.createDataFrame([(7, 3, d("2024-02-28"), 2)], sch),
+        removed=spark.createDataFrame([(1,), (2,), (5,)], "k long"),
+    )
+
+    def scratch(v, grain_expr, name):
+        return {
+            r[name]: (r.n, r.s)
+            for r in store.read(version=v)
+            .groupBy(grain_expr.alias(name))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").cast("long").alias("s"))
+            .collect()
+        }
+
+    month_of = lambda c: F.trunc(c, "month")  # noqa: E731
+    as_d = lambda df, g: {r[g]: (r.n, r.s) for r in df.collect()}  # noqa: E731
+
+    f1, c1 = maintain_rollup_cascade(
+        store, 1, 2, fine_col="day", coarse_col="month",
+        coarse_of=month_of, value_col="cents",
+    )
+    f1, c1 = f1.localCheckpoint(), c1.localCheckpoint()
+    assert as_d(f1, "day") == scratch(2, F.col("day"), "day")
+    assert as_d(c1, "month") == scratch(2, month_of(F.col("day")), "month")
+    assert d("2024-01-20") not in as_d(f1, "day")  # emptied day dropped
+
+    f2, c2 = maintain_rollup_cascade(
+        store, 2, 3, fine_col="day", coarse_col="month",
+        coarse_of=month_of, value_col="cents",
+        old_fine=f1, old_coarse=c1,
+    )
+    got_f2, got_c2 = as_d(f2, "day"), as_d(c2, "month")
+    assert got_f2 == scratch(3, F.col("day"), "day")
+    assert got_c2 == scratch(3, month_of(F.col("day")), "month")
+    assert d("2024-01-01") not in got_c2  # month emptied by day deletes
