@@ -73,6 +73,11 @@ _PRIORITY = [
     # O(changed days) per coarser level, zero base rescans) — the
     # composition law N-level rollup trees need at 100 TB.
     "incremental_view_rollup_cascade",
+    # ... and the broadcast-bloom decontamination pre-filter: eval
+    # vocabulary -> 512 KiB bitmap broadcast, train shingles screened
+    # map-side before the exact confirm join (result exact; the
+    # petabyte-shuffle killer for train >> eval).
+    "decontaminate_bloom",
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches

@@ -42,6 +42,7 @@ DuckDB oracle twin for the hash-compare gate.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -52,7 +53,7 @@ from ..functions.text import (
     word_shingles,
 )
 from ..functions.vectors import hyperplane_weight
-from ..tables import load
+from ..tables import load, spread_small
 from .llm_pipeline2 import _SPLIT_CASE_SQL
 from .registry import query, stable_round
 
@@ -1123,4 +1124,145 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_keep"),
         stable_round(F.min("score"), 4).alias("min_score"),
         stable_round(F.max("score"), 4).alias("max_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast-bloom decontamination pre-filter (the scale path the
+# vocabulary join upgrades to when train is petabytes and eval is
+# megabytes)
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 22  # bits (512 KiB bitmap — broadcast-sized)
+_BLOOM_K = 5  # hashes per key
+
+
+def _bloom_positions(col) -> "F.Column":
+    """The K bit positions a value sets/tests in the bloom bitmap:
+    xxhash64(value, seed_i) mod M, seeds 0..K-1 — computed JVM-side
+    (whole-stage codegen) on BOTH the build and probe sides, so the
+    two can never hash differently."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(_BLOOM_M))
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SPLIT_CASE_SQL} AS split, {_TOKS_SQL} AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, split,
+               CASE WHEN len(tk) >= 3
+                    THEN list_distinct(list_transform(
+                             range(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                    ELSE [array_to_string(tk, ' ')] END AS shingles
+        FROM toks
+    ),
+    train_ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh WHERE split = 'train'
+    ),
+    eval_vocab AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE split <> 'train'
+    )
+    SELECT t.doc_id,
+           count(*) AS n_shingles,
+           count(e.s) AS n_hits,
+           round(count(e.s)::DOUBLE / count(*) + 1e-7, 4) AS contamination,
+           CASE WHEN count(e.s) > 0 THEN 1 ELSE 0 END AS flagged
+    FROM train_ex t LEFT JOIN eval_vocab e ON t.s = e.s
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination DETECTION with a BROADCAST-BLOOM pre-filter:
+    per train document, how many of its distinct 3-gram shingles
+    occur in the eval-split vocabulary — the same exact answer as a
+    plain vocabulary join (the oracle IS that join), but the train
+    side's shingles are first screened against a bloom bitmap of the
+    eval vocabulary, so at scale the shuffle join only ever sees the
+    candidates. Why this is THE shape at 100 TB: train is petabytes
+    of shingles, eval benchmarks are megabytes — a 512 KiB bitmap
+    (m=2^22 bits, k=5 — ~1e-4 false-positive rate at a million-entry
+    vocabulary) broadcast to every executor kills ~all clean shingles
+    map-side, before any exchange, turning a petabyte shuffle into a
+    megabyte one. False positives cost nothing but a wasted probe:
+    survivors still confirm against the exact vocabulary, so the
+    result is EXACT — the hash gate proves it.
+
+    Mechanics: bit positions are computed JVM-side (xxhash64 ×
+    k seeds, codegen) on both sides; the build collects the eval
+    vocabulary's DISTINCT positions (bounded by m — never by corpus
+    size) into a driver bitmap broadcast once; the probe tests them
+    in an Arrow-batched pandas UDF over the position array. Per-doc
+    totals (`n_shingles`) aggregate BEFORE the filter, so the
+    pre-filter is invisible in the output."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .llm_pipeline2 import _split_col
+
+    d = spread_small(load(spark, sf_dir, "documents")).select(
+        "doc_id", _split_col().alias("split"), tokens(F.col("text")).alias("tk")
+    )
+    sh = d.select(
+        "doc_id", "split", word_shingles(F.col("tk"), 3).alias("shingles")
+    ).localCheckpoint(eager=False)
+    eval_vocab = (
+        sh.filter(F.col("split") != "train")
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)  # two consumers: bitmap + confirm join
+    )
+    # Build: distinct positions, bounded by m bits regardless of how
+    # big the eval set grows (the driver collect can never exceed
+    # m rows — it is a BITMAP build, not a key collect).
+    bits = (
+        eval_vocab.select(F.explode(_bloom_positions(F.col("s"))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bitmap = bytearray(_BLOOM_M // 8)
+    for r in bits:
+        p = r.p
+        bitmap[p >> 3] |= 1 << (p & 7)
+    bc = spark.sparkContext.broadcast(bytes(bitmap))
+
+    @pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        b = bc.value
+        return pos.map(
+            lambda arr: all(b[p >> 3] & (1 << (p & 7)) for p in arr)
+        )
+
+    train = sh.filter(F.col("split") == "train").select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).localCheckpoint(eager=False)  # two consumers: totals + probe
+    totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    survivors = train.filter(
+        might_contain(_bloom_positions(F.col("s")))
+    )
+    hits = (
+        survivors.join(eval_vocab, "s")  # exact confirm — kills bloom FPs
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        stable_round(
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_shingles"),
+            4,
+        ).alias("contamination"),
+        F.when(F.coalesce("n_hits", F.lit(0)) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("flagged"),
     )

@@ -168,3 +168,62 @@ def test_quality_classifier_score_bounds_and_determinism(spark):
     # deterministic weights: a second run is bit-identical
     again = QUERIES["quality_classifier_score"](spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bloom_prefilter_prunes_and_never_lies(spark):
+    """The broadcast-bloom pre-filter must (a) keep EVERY shingle the
+    exact vocabulary contains — a false negative would silently
+    un-count real contamination, the one bloom property correctness
+    rests on — and (b) actually prune: clean shingles surviving at
+    ~the configured false-positive rate, not passing wholesale. The
+    oracle gate already proves end-to-end equality; this pins the
+    filter's two sides directly."""
+    import pyspark.sql.functions as F
+
+    from fs_indexer_elasticsearch_spark.plans.llm_pipeline2 import _split_col
+    from fs_indexer_elasticsearch_spark.plans.llm_pipeline5 import (
+        _BLOOM_M,
+        _bloom_positions,
+    )
+    from fs_indexer_elasticsearch_spark.functions.text import (
+        tokens,
+        word_shingles,
+    )
+    from fs_indexer_elasticsearch_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", _split_col().alias("split"),
+        word_shingles(tokens(F.col("text")), 3).alias("shingles"),
+    ).localCheckpoint()
+    eval_vocab = (
+        docs.filter(F.col("split") != "train")
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    bitmap = bytearray(_BLOOM_M // 8)
+    for r in eval_vocab.select(
+        F.explode(_bloom_positions(F.col("s"))).alias("p")
+    ).distinct().collect():
+        bitmap[r.p >> 3] |= 1 << (r.p & 7)
+
+    def might(arr):
+        return all(bitmap[p >> 3] & (1 << (p & 7)) for p in arr)
+
+    train_sh = (
+        docs.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("pos", _bloom_positions(F.col("s")))
+        .join(eval_vocab.withColumn("hit", F.lit(1)), "s", "left")
+        .collect()
+    )
+    n_total = len(train_sh)
+    n_real = sum(1 for r in train_sh if r.hit)
+    n_pass = sum(1 for r in train_sh if might(r.pos))
+    # (a) no false negatives: every real hit passes the filter
+    assert all(might(r.pos) for r in train_sh if r.hit)
+    # (b) real pruning: clean shingles mostly die at the bitmap
+    n_clean = n_total - n_real
+    n_fp = n_pass - n_real
+    assert n_clean > 0 and n_fp < max(10, n_clean * 0.01)
