@@ -1294,3 +1294,147 @@ def test_streaming_joined_histogram_dim_out_of_band(spark, tmp_path):
         assert got == {"A": (1, 1, 9, 9.0), "B": (3, 2, 7, 7.0)}
     finally:
         q.stop()
+
+
+def test_streaming_maintained_pipeline_cascade_zero_base_reads(
+    spark, tmp_path
+):
+    """The generic maintained-view stream with the ROLLUP-CASCADE
+    algebra plugged in: day and month (count, sum) views ride ONE
+    published snapshot (level-tagged), the month level fed by the day
+    level's delta. Unlike top-k/min-max there is NO recompute branch
+    — count/sum are distributive — so the base must never be read
+    again after the first derivation, even through deletes that empty
+    a day and a month; every cycle's view must equal a from-scratch
+    two-grain aggregate."""
+    import datetime as dt
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_rollup_cascade,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("day", T.DateType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="k", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark,
+        str(tmp_path / "view"),
+        key=["level", "grain"],
+        version_col="n",
+        num_buckets=2,
+        bucket_key="grain",
+    )
+    versioned_reads = []
+    orig_read = store.read
+
+    def counting_read(version=None):
+        if version is not None:
+            versioned_reads.append(version)
+        return orig_read(version=version)
+
+    store.read = counting_read
+    month_of = lambda c: F.trunc(c, "month")  # noqa: E731
+
+    def two_grain(df):
+        fine = df.groupBy(F.col("day").alias("grain")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").cast("long").alias("s")
+        )
+        coarse = fine.groupBy(month_of("grain").alias("grain")).agg(
+            F.sum("n").alias("n"), F.sum("s").alias("s")
+        )
+        return fine.select(F.lit("day").alias("level"), "grain", "n", "s") \
+            .unionByName(
+                coarse.select(F.lit("month").alias("level"), "grain", "n", "s")
+            )
+
+    def derive(v_after):
+        return two_grain(orig_read(version=v_after))
+
+    def maintain(reflected, v_after, old_view):
+        old_fine = old_view.filter(F.col("level") == "day").select(
+            F.col("grain").alias("day"), "n", "s"
+        )
+        old_coarse = old_view.filter(F.col("level") == "month").select(
+            F.col("grain").alias("month"), "n", "s"
+        )
+        fine, coarse = maintain_rollup_cascade(
+            store, reflected, v_after,
+            fine_col="day", coarse_col="month",
+            coarse_of=month_of, value_col="cents",
+            old_fine=old_fine, old_coarse=old_coarse,
+        )
+        return fine.select(
+            F.lit("day").alias("level"), F.col("day").alias("grain"), "n", "s"
+        ).unionByName(
+            coarse.select(
+                F.lit("month").alias("level"),
+                F.col("month").alias("grain"), "n", "s",
+            )
+        )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def view_now():
+        return {
+            (r.level, r.grain): (r.n, r.s)
+            for r in view_store.read().collect()
+        }
+
+    def scratch():
+        return {
+            (r.level, r.grain): (r.n, r.s)
+            for r in two_grain(orig_read()).collect()
+        }
+
+    d = dt.date.fromisoformat
+    drop("b1", [(1, 1, d("2024-01-05"), 100), (2, 1, d("2024-01-20"), 7),
+                (3, 1, d("2024-02-10"), 55)])
+    q = streaming_maintained_pipeline(
+        spark, str(inp) + "/*", schema, store, view_store,
+        str(tmp_path / "ckpt"), derive=derive, maintain=maintain,
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == scratch()
+        assert versioned_reads == []  # derive() used orig_read
+
+        # new day + new month + intra-day update
+        drop("b2", [(4, 1, d("2024-01-09"), 11), (5, 1, d("2024-03-01"), 13),
+                    (1, 2, d("2024-01-05"), 90)])
+        q.processAllAvailable()
+        assert view_now() == scratch()
+
+        # delete-bearing cycle: k2 leaves (day 01-20 empties). The
+        # store's merge takes removals out of band of the stream;
+        # drive it through a tombstone batch instead: merge directly,
+        # then tick the stream with an unrelated row so the window
+        # (reflected -> current) spans the out-of-band delete too.
+        store.merge(
+            spark.createDataFrame([], schema),
+            removed=spark.createDataFrame([(2,)], "k long"),
+        )
+        drop("b3", [(6, 1, d("2024-02-28"), 2)])
+        q.processAllAvailable()
+        got = view_now()
+        assert got == scratch()
+        assert ("day", d("2024-01-20")) not in got
+        # Distributive algebra: NO base reads ever, deletes included.
+        assert versioned_reads == []
+    finally:
+        q.stop()
