@@ -159,6 +159,22 @@ STRESSED = {
     # the composed bin algebra (ΔF⋈D1 + F2⋈ΔD at bin grain) stays
     # feed-proportional with no recompute term.
     "incremental_view_joined_histogram": "orders",
+    # r12 (late): join-membership partition maintenance — the fact
+    # feed and the orphan/matched partitions grow k-fold against the
+    # fixed dim; alpha ~ 1 proves the flag-flip joins and the one
+    # column-pruned dim key probe stay feed-proportional with no
+    # fact-rescan term in either flip direction.
+    "incremental_view_join_membership": "orders",
+    # r12 (late): rollup cascade — both grains' deltas grow with the
+    # feed; alpha ~ 1 proves the coarse level really is fed by the
+    # fine DELTA (a hidden feed re-aggregation or base rescan at the
+    # month level would bend the curve).
+    "incremental_view_rollup_cascade": "orders",
+    # r12 (late): broadcast-bloom decontamination — the train side
+    # grows k-fold while the eval vocabulary (and so the bitmap build)
+    # replicates too; alpha ~ 1 proves the map-side screen + confirm
+    # join stay shingle-linear with no vocabulary-squared term.
+    "decontaminate_bloom": "documents",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
     "similarity_lsh_ann_topk": "embeddings",
