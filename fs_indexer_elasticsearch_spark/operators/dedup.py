@@ -459,3 +459,128 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def maintain_connected_components(
+    edge_store,
+    v_from: int,
+    v_to: int,
+    *,
+    src: str,
+    dst: str,
+    nodes: DataFrame,
+    old_labels: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain a CONNECTED-COMPONENTS labeling (node -> min-id
+    cluster) across one change window of an EDGE STORE — the
+    incremental form of :func:`connected_components`, which is the
+    transitive-closure step of near-dup clustering: at 100 TB the
+    similarity graph is maintained, not rebuilt, as batches add LSH
+    edges and retention deletes retire them.
+
+    The two directions are asymmetric, and the algebra respects that:
+
+    - EDGE ADDS only MERGE components, and merging is resolvable at
+      CLUSTER grain: map the added edges' endpoints through the old
+      labels, contract the resulting cluster-id graph (O(feed) nodes
+      — clusters, not members), and apply the mapping to the label
+      view with one broadcast-sized join. No member-grain graph work.
+    - EDGE DELETES can SPLIT a component, and no label algebra can
+      answer "is it still connected" without looking at the
+      component again: every (post-merge) cluster containing a
+      deleted edge's endpoint is RECOMPUTED from the post-state edges
+      of exactly those clusters — a semi-join-pruned subgraph, the
+      same affected-set recompute contract as maintain_min_max's
+      extremum departures, never a full graph pass.
+
+    ``nodes`` is the label universe (one column ``node``): isolated
+    nodes are legitimate singleton clusters (every document is its
+    own cluster until merged), so the view never drops a node whose
+    last edge disappears. ``old_labels`` is this function's previous
+    output ``(node, cluster)`` — feed it back; omitted, the first
+    derivation runs one full CC over the ``v_from`` edges. Returns
+    ``(node, cluster)`` over exactly ``nodes``."""
+    feed = edge_store.read_changes(v_from, v_to).localCheckpoint(eager=False)
+    adds = feed.filter(F.col("_change").isin("insert", "update")).select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    )
+    dels = feed.filter(F.col("_change") == "delete").select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    )
+    if old_labels is None:
+        base_edges = edge_store.read(version=v_from).select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        )
+        cc0 = connected_components(base_edges, "u", "v")
+        old_labels = (
+            nodes.join(cc0, nodes["node"] == cc0["node"], "left")
+            .select(
+                nodes["node"],
+                F.coalesce(cc0["cluster"], nodes["node"]).alias("cluster"),
+            )
+        )
+    old_labels = old_labels.localCheckpoint(eager=False)
+
+    # -- Phase 1: adds merge at CLUSTER grain ------------------------------
+    lbl = old_labels.select(
+        F.col("node").alias("_ln"), F.col("cluster").alias("_lc")
+    )
+    cluster_edges = (
+        adds.join(lbl, F.col("u") == F.col("_ln"), "left")
+        .select(F.coalesce("_lc", "u").alias("cu"), "v")
+        .join(lbl, F.col("v") == F.col("_ln"), "left")
+        .select("cu", F.coalesce("_lc", "v").alias("cv"))
+    )
+    # The cluster-id graph is O(feed); its CC gives old-cluster ->
+    # merged-root (roots are min cluster ids == min member ids).
+    mapping = connected_components(cluster_edges, "cu", "cv").select(
+        F.col("node").alias("_mc"), F.col("cluster").alias("_mroot")
+    )
+    labels1 = (
+        old_labels.join(mapping, F.col("cluster") == F.col("_mc"), "left")
+        .select(
+            "node", F.coalesce("_mroot", "cluster").alias("cluster")
+        )
+        .localCheckpoint(eager=False)
+    )
+    if dels.isEmpty():
+        return labels1
+
+    # -- Phase 2: deletes recompute their (post-merge) clusters ------------
+    del_nodes = (
+        dels.select(F.col("u").alias("_dn"))
+        .union(dels.select(F.col("v").alias("_dn")))
+        .distinct()
+    )
+    affected = (
+        labels1.join(del_nodes, F.col("node") == F.col("_dn"), "left_semi")
+        .select(F.col("cluster").alias("_ac"))
+        .distinct()
+    )
+    sub_nodes = labels1.join(
+        affected, F.col("cluster") == F.col("_ac"), "left_semi"
+    ).select("node")
+    # Components are label-closed, so pruning on ONE endpoint suffices
+    # (the other endpoint's cluster is the same).
+    post_edges = edge_store.read(version=v_to).select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    )
+    sub_edges = post_edges.join(
+        sub_nodes.select(F.col("node").alias("_sn")),
+        F.col("u") == F.col("_sn"),
+        "left_semi",
+    )
+    # Self-edges keep now-isolated nodes in the recomputed universe.
+    fresh = connected_components(
+        sub_edges.unionByName(
+            sub_nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+        ),
+        "u",
+        "v",
+    )
+    untouched = labels1.join(
+        sub_nodes.select(F.col("node").alias("_sn")),
+        F.col("node") == F.col("_sn"),
+        "left_anti",
+    )
+    return untouched.unionByName(fresh.select("node", "cluster"))

@@ -78,6 +78,11 @@ _PRIORITY = [
     # map-side before the exact confirm join (result exact; the
     # petabyte-shuffle killer for train >> eval).
     "decontaminate_bloom",
+    # ... and incremental connected components: the near-dup cluster
+    # labeling maintained through edge adds (cluster-grain merge
+    # contraction, O(feed)) and edge deletes (affected-component
+    # subgraph recompute) — the graph is maintained, not rebuilt.
+    "dedup_incremental_cc",
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches

@@ -2844,3 +2844,117 @@ def incremental_view_rollup_cascade(
     return out(fine, "day", "day").unionByName(
         out(coarse, "month", "month")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental connected components over a maintained edge store
+# --------------------------------------------------------------------------
+
+def _cc_chain_frames(spark: SparkSession, sf_dir: str):
+    """Deterministic chain graph over the orders row sequence: node i
+    = row_number by o_orderkey, edge i = (i, i+1). v1 drops the
+    century edges (i%100==0 — permanent component boundaries) and the
+    %10==3 edges (healable holes); the v2 window RE-ADDS the %10==3
+    edges (merging fragments) and DELETES the %50==17 edges (new
+    splits) — both maintenance directions in one window. The driver
+    count() is a bounded scalar (the chain needs its own length)."""
+    from pyspark.sql import Window
+
+    nodes = load(spark, sf_dir, "orders").select(
+        F.row_number()
+        .over(Window.orderBy("o_orderkey"))
+        .cast("long")
+        .alias("node")
+    )
+    cnt = nodes.count()
+    rn = F.col("node")
+    e = nodes.filter(rn < cnt).select(
+        rn.alias("eid"), rn.alias("u"), (rn + 1).alias("vtx")
+    )
+    tag = lambda df, v: df.select(  # noqa: E731
+        "eid", F.lit(v).alias("v"), "u", "vtx"
+    )
+    base = tag(
+        e.filter((F.col("eid") % 100 != 0) & (F.col("eid") % 10 != 3)), 1
+    )
+    adds = tag(
+        e.filter((F.col("eid") % 10 == 3) & (F.col("eid") % 100 != 0)), 2
+    )
+    removed = e.filter(
+        (F.col("eid") % 50 == 17) & (F.col("eid") % 100 != 0)
+    ).select("eid")
+    return nodes, base, adds, removed
+
+
+def _cc_edge_store(spark: SparkSession, sf_dir: str):
+    _, base, adds, removed = _cc_chain_frames(spark, sf_dir)
+    return _demo_store(
+        spark,
+        sf_dir,
+        name="ccedges",
+        key="eid",
+        num_buckets=16,
+        frames=[("seed", base, None), (1, adds, removed)],
+        fp_tables=("orders",),
+    )
+
+
+_INCREMENTAL_CC_ORACLE = """
+    WITH RECURSIVE nodes AS (
+        SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+        FROM orders
+    ),
+    mx AS (SELECT max(rn) AS m FROM nodes),
+    edges0 AS (
+        SELECT rn AS u, rn + 1 AS v FROM nodes, mx
+        WHERE rn < m AND rn % 100 <> 0 AND rn % 50 <> 17
+    ),
+    sym AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+    reach(node, label) AS (
+        SELECT rn, rn FROM nodes
+        UNION
+        SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+    SELECT node, cluster,
+           count(*) OVER (PARTITION BY cluster) AS cluster_size
+    FROM cc
+"""
+
+
+@query("dedup_incremental_cc", oracle=_INCREMENTAL_CC_ORACLE)
+def dedup_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components
+    (operators/dedup.maintain_connected_components): the near-dup
+    cluster labeling maintained across one edge-store window that
+    both ADDS edges (the %10==3 holes heal — fragments merge at
+    CLUSTER grain, an O(feed) contraction over cluster ids) and
+    DELETES edges (the %50==17 cuts — every post-merge cluster
+    containing a cut recomputes from its own post-state edges via a
+    semi-join-pruned subgraph CC, the affected-set contract of the
+    other IVM recompute branches; splits are the direction no label
+    algebra can answer locally). Isolated nodes remain singleton
+    clusters — a document is its own cluster until merged.
+
+    At 100 TB the similarity graph is maintained, not rebuilt: LSH
+    batches append edges (merge-only — the cheap direction), and
+    retention/tombstones delete them (paying only the affected
+    components). The oracle recomputes the labeling from the
+    post-state edge set with a recursive min-label-reachability CTE,
+    so the hash gate proves merge relabels, split relabels, sizes and
+    untouched clusters all land exactly."""
+    from ..operators.dedup import maintain_connected_components
+    from pyspark.sql import Window
+
+    store = _cc_edge_store(spark, sf_dir)
+    nodes, _, _, _ = _cc_chain_frames(spark, sf_dir)
+    labels = maintain_connected_components(
+        store, 1, 2, src="u", dst="vtx", nodes=nodes
+    )
+    return labels.select(
+        "node",
+        "cluster",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster"))
+        .alias("cluster_size"),
+    )

@@ -673,3 +673,76 @@ def test_container_truncated_inside_first_frame_is_fallback(spark):
     )
     rows = sample_frames(assets, every_n_bytes=64).collect()
     assert rows and all(r.frame_kind == "fallback" for r in rows)
+
+
+def test_maintain_cc_merge_split_chained_equals_scratch(spark, tmp_path):
+    """Incremental connected components: two chained windows with
+    old_labels feedback, each mixing MERGES (edge adds, resolved at
+    cluster grain) with SPLITS (edge deletes, affected-component
+    recompute) — including the interacting case where a window first
+    merges two clusters and then cuts the merged result elsewhere.
+    Every window must equal a from-scratch CC over the post-state
+    edges; isolated nodes must survive as singletons throughout."""
+    from fs_indexer_elasticsearch_spark.operators.dedup import (
+        connected_components,
+        maintain_connected_components,
+    )
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "edges"), key="eid", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    sch = "eid long, v int, u long, vtx long"
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "node long"
+    ).localCheckpoint()
+    # v1: {1,2,3}, {5,6}, {7,8}; 4, 9, 10 isolated.
+    store.overwrite(spark.createDataFrame(
+        [(1, 1, 1, 2), (2, 1, 2, 3), (5, 1, 5, 6), (7, 1, 7, 8)], sch))
+    # w1: add 3-5 (merges {1,2,3}+{5,6}) and 9-10; delete 2-3 —
+    # cutting the JUST-MERGED cluster into {1,2} and {3,5,6}.
+    store.merge(
+        spark.createDataFrame([(3, 2, 3, 5), (9, 2, 9, 10)], sch),
+        removed=spark.createDataFrame([(2,)], "eid long"),
+    )
+    # w2: delete 7-8 (both endpoints become singletons); add 4-1.
+    store.merge(
+        spark.createDataFrame([(4, 3, 4, 1)], sch),
+        removed=spark.createDataFrame([(7,)], "eid long"),
+    )
+
+    def scratch(v):
+        cc = connected_components(
+            store.read(version=v).select(
+                F.col("u"), F.col("vtx").alias("v")
+            ),
+            "u",
+            "v",
+        )
+        return {
+            r.node: r.cluster
+            for r in nodes.join(cc, "node", "left")
+            .select(
+                "node", F.coalesce("cluster", "node").alias("cluster")
+            )
+            .collect()
+        }
+
+    as_d = lambda df: {r.node: r.cluster for r in df.collect()}  # noqa: E731
+
+    w1 = maintain_connected_components(
+        store, 1, 2, src="u", dst="vtx", nodes=nodes
+    ).localCheckpoint()
+    got1 = as_d(w1)
+    assert got1 == scratch(2)
+    assert got1[6] == 3 and got1[2] == 1  # split of the merged cluster
+    assert got1[4] == 4  # isolated singleton survives
+
+    w2 = maintain_connected_components(
+        store, 2, 3, src="u", dst="vtx", nodes=nodes, old_labels=w1
+    )
+    got2 = as_d(w2)
+    assert got2 == scratch(3)
+    assert got2[7] == 7 and got2[8] == 8  # delete made two singletons
+    assert got2[4] == 1  # add pulled the singleton into {1,2}
