@@ -1469,3 +1469,79 @@ def maintain_rollup_cascade(
     ).agg(F.sum("_dn").alias("_dn"), F.sum("_ds").alias("_ds"))
     coarse = _merge_count_sum(old_coarse, d_coarse, coarse_col)
     return fine, coarse
+
+
+def cms_bucket(d_col, key_col, width: int):
+    """Count-min bucket for hash row ``d``: md5('cms' || d || ':' ||
+    key) first-8-hex-digits mod width — md5-derived like the LSH
+    planes (deterministic, no RNG, no stored state), so a DuckDB
+    oracle rebuilds the identical sketch."""
+    key = F.concat(
+        F.lit("cms"), d_col.cast("string"), F.lit(":"), key_col.cast("string")
+    )
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % F.lit(width)
+    )
+
+
+def maintain_cms(
+    store,
+    v_from: int,
+    v_to: int,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    old_cells: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain a COUNT-MIN SKETCH of a key column's occurrence counts
+    across a feed window — the DELETE-CAPABLE sketch complement to
+    :func:`maintain_hll_distinct`: CMS is a turnstile-model linear
+    sketch (cells are plain sums), so removals subtract exactly where
+    HLL registers cannot forget. Per cycle the maintenance is one
+    O(feed × depth) delta aggregation merged into the O(depth × width)
+    cell frame — the sketch never grows with the key space, which is
+    the point: approximate per-key counts (heavy hitters, frequency
+    caps) over a billion-key domain in a few KB of maintained state,
+    with the one-sided guarantee (estimate >= true count) preserved
+    by maintenance because the merged cells equal the from-scratch
+    cells EXACTLY (the gate proves bit-equality, not just bounds).
+
+    Returns ``(d, bucket, cnt)`` cells (feed back as ``old_cells``);
+    read a key's estimate as min over d of its hashed cells."""
+    depths = F.array(*[F.lit(d).cast("long") for d in range(depth)])
+    key = F.col(key_col)
+    if old_cells is not None:
+        old = old_cells.select(
+            "d", "bucket", F.col("cnt").alias("_c0")
+        )
+    else:
+        old = (
+            store.read(version=v_from)
+            .select(key.alias("_k"), F.explode(depths).alias("d"))
+            .select("d", cms_bucket(F.col("d"), F.col("_k"), width).alias("bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c0"))
+        )
+    feed = store.read_changes(v_from, v_to, update_images="both")
+    sign = F.when(
+        F.col("_change").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        feed.select(key.alias("_k"), sign.alias("_s"), F.explode(depths).alias("d"))
+        .select("d", cms_bucket(F.col("d"), F.col("_k"), width).alias("bucket"), "_s")
+        .groupBy("d", "bucket")
+        .agg(F.sum("_s").alias("_dc"))
+    )
+    return (
+        old.join(delta, ["d", "bucket"], "full_outer")
+        .select(
+            "d",
+            "bucket",
+            (F.coalesce("_c0", F.lit(0)) + F.coalesce("_dc", F.lit(0)))
+            .cast("long")
+            .alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )

@@ -83,6 +83,11 @@ _PRIORITY = [
     # contraction, O(feed)) and edge deletes (affected-component
     # subgraph recompute) — the graph is maintained, not rebuilt.
     "dedup_incremental_cc",
+    # ... and the maintained count-min sketch: the turnstile
+    # (delete-capable) sketch dual of the HLL view — O(depth x width)
+    # state, removals subtract exactly, maintained cells bit-equal a
+    # from-scratch rebuild.
+    "incremental_view_cms_topk",
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches

@@ -2958,3 +2958,116 @@ def dedup_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("cluster"))
         .alias("cluster_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# Maintained count-min sketch (turnstile — the delete-capable sketch)
+# --------------------------------------------------------------------------
+
+_VIEW_CMS_DEPTH = 4
+_VIEW_CMS_WIDTH = 256
+_VIEW_CMS_TOPK = 10
+
+
+def _view_cms_bucket_sql(d: str, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5('cms' || {d}::VARCHAR || ':' || {key}::VARCHAR),"
+        f" 1, 8))::BIGINT % {_VIEW_CMS_WIDTH})"
+    )
+
+
+_VIEW_CMS_ORACLE = f"""
+    WITH fbase AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    fdelta AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    f2 AS (
+        SELECT * FROM fbase WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM fdelta
+    ),
+    cells AS (
+        SELECT d, {_view_cms_bucket_sql("d", "o_custkey")} AS bucket,
+               count(*) AS cnt
+        FROM f2, range({_VIEW_CMS_DEPTH}) r(d)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT o_custkey, count(*) AS exact_cnt FROM f2 GROUP BY o_custkey
+        ORDER BY exact_cnt DESC, o_custkey LIMIT {_VIEW_CMS_TOPK}
+    ),
+    probe AS (
+        SELECT o_custkey, exact_cnt, d,
+               {_view_cms_bucket_sql("d", "o_custkey")} AS bucket
+        FROM exact, range({_VIEW_CMS_DEPTH}) r(d)
+    )
+    SELECT p.o_custkey AS custkey,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS est_cnt,
+           min(c.cnt) >= p.exact_cnt AS overestimate_ok
+    FROM probe p JOIN cells c USING (d, bucket)
+    GROUP BY p.o_custkey, p.exact_cnt
+"""
+
+
+@query("incremental_view_cms_topk", oracle=_VIEW_CMS_ORACLE)
+def incremental_view_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED count-min sketch (operators/ivm.maintain_cms), read
+    back at the post-state top-{_VIEW_CMS_TOPK} customers: per-key
+    order counts estimated from a {_VIEW_CMS_DEPTH}x{_VIEW_CMS_WIDTH}
+    cell frame maintained through the CDF window's inserts, updates
+    AND deletes — CMS is a turnstile linear sketch (cells are sums),
+    so removals subtract exactly where the HLL view
+    (incremental_view_hll_distinct) must refuse them. The oracle
+    rebuilds the sketch from the post state from scratch: a hash
+    match proves maintained cells equal rebuilt cells BIT-EXACTLY, so
+    maintenance costs the sketch nothing beyond its own approximation,
+    and the one-sided guarantee (est >= exact, pinned as a column)
+    survives maintenance. The exact top-k exists only to grade the
+    sketch (the ann_recall_at_k discipline); state is O(depth x
+    width) KB regardless of key-space size — the 100 TB heavy-hitter
+    shape."""
+    from ..operators.ivm import cms_bucket, maintain_cms
+
+    store = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
+    )
+    cells = maintain_cms(
+        store, 1, 2, "o_custkey",
+        depth=_VIEW_CMS_DEPTH, width=_VIEW_CMS_WIDTH,
+    )
+    depths = F.array(
+        *[F.lit(d).cast("long") for d in range(_VIEW_CMS_DEPTH)]
+    )
+    exact = (
+        store.read(version=2)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("o_custkey"))
+        .limit(_VIEW_CMS_TOPK)
+    )
+    probe = exact.select(
+        "o_custkey", "exact_cnt", F.explode(depths).alias("d")
+    ).withColumn(
+        "bucket", cms_bucket(F.col("d"), F.col("o_custkey"), _VIEW_CMS_WIDTH)
+    )
+    return (
+        F.broadcast(probe)
+        .join(cells, ["d", "bucket"])
+        .groupBy("o_custkey", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("overestimate_ok"),
+        )
+    )

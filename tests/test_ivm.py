@@ -1196,3 +1196,74 @@ def test_rollup_cascade_chained_equals_scratch(spark, tmp_path):
     assert got_f2 == scratch(3, F.col("day"), "day")
     assert got_c2 == scratch(3, month_of(F.col("day")), "month")
     assert d("2024-01-01") not in got_c2  # month emptied by day deletes
+
+
+def test_maintain_cms_turnstile_equals_scratch(spark, tmp_path):
+    """Maintained count-min sketch: two chained windows with cell
+    feedback; the maintained cells must BIT-EQUAL a from-scratch
+    sketch of the post state at each step — through inserts, an
+    update that leaves the key unchanged (net-zero cell delta), an
+    update that MOVES a key, and deletes (the turnstile property HLL
+    lacks). Estimates read from the maintained cells must keep the
+    one-sided guarantee."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        cms_bucket,
+        maintain_cms,
+    )
+
+    W, D = 16, 3  # tiny width forces real collisions
+    store = SnapshotStore(
+        spark, str(tmp_path / "cms"), key="k", version_col="v", num_buckets=4
+    )
+    sch = "k long, v int, cust long"
+    store.overwrite(spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 100), (3, 1, 200), (4, 1, 300)], sch))
+    # w1: insert two more 100s, move k3 200->300, delete k4 (a 300).
+    store.merge(
+        spark.createDataFrame([(5, 2, 100), (6, 2, 100), (3, 2, 300)], sch),
+        removed=spark.createDataFrame([(4,)], "k long"),
+    )
+    # w2: delete two 100s, update k5 in place (100->100, net zero).
+    store.merge(
+        spark.createDataFrame([(5, 3, 100)], sch),
+        removed=spark.createDataFrame([(1,), (2,)], "k long"),
+    )
+
+    def scratch(v):
+        depths = F.array(*[F.lit(d).cast("long") for d in range(D)])
+        return {
+            (r.d, r.bucket): r.cnt
+            for r in store.read(version=v)
+            .select(F.col("cust").alias("_k"), F.explode(depths).alias("d"))
+            .select("d", cms_bucket(F.col("d"), F.col("_k"), W).alias("bucket"))
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect()
+        }
+
+    as_d = lambda df: {  # noqa: E731
+        (r.d, r.bucket): r.cnt for r in df.collect()
+    }
+
+    c1 = maintain_cms(store, 1, 2, "cust", depth=D, width=W).localCheckpoint()
+    assert as_d(c1) == scratch(2)
+    c2 = maintain_cms(
+        store, 2, 3, "cust", depth=D, width=W, old_cells=c1
+    ).localCheckpoint()
+    got = as_d(c2)
+    assert got == scratch(3)
+
+    # One-sided estimate from the maintained cells: est(100) >= 2
+    # (post state holds k5, k6) and est(300) >= 1 (k3), never under.
+    import hashlib
+
+    def est(key):
+        vals = []
+        for d in range(D):
+            h = hashlib.md5(f"cms{d}:{key}".encode()).hexdigest()[:8]
+            b = int(h, 16) % W
+            vals.append(got.get((d, b), 0))
+        return min(vals)
+
+    assert est(100) >= 2
+    assert est(300) >= 1

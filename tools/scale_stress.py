@@ -170,6 +170,14 @@ STRESSED = {
     # fine DELTA (a hidden feed re-aggregation or base rescan at the
     # month level would bend the curve).
     "incremental_view_rollup_cascade": "orders",
+    # r12 (late): incremental connected components — the chain graph's
+    # component count and both feed directions (heals + cuts) grow
+    # k-fold while components stay <=100 nodes; alpha ~ 1 proves the
+    # cluster-grain merge contraction and the affected-component
+    # recompute stay feed/affected-proportional with no full-graph
+    # pass (CC rounds are log-bounded and the affected subgraph is a
+    # fixed fraction of the chain).
+    "dedup_incremental_cc": "orders",
     # r12 (late): broadcast-bloom decontamination — the train side
     # grows k-fold while the eval vocabulary (and so the bitmap build)
     # replicates too; alpha ~ 1 proves the map-side screen + confirm
