@@ -1267,3 +1267,103 @@ def test_maintain_cms_turnstile_equals_scratch(spark, tmp_path):
 
     assert est(100) >= 2
     assert est(300) >= 1
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_join_membership_model_random_program(spark, tmp_path, seed):
+    """Model-based check for the semi/anti partition maintainer: a
+    seeded random program drives BOTH stores — fact upserts that move
+    keys (including to/from NULL) and fact deletes, dim inserts and
+    dim deletes, all in the same windows — with the view chained on
+    its own previous output; after every cycle the partition must
+    equal a pure-python model of the post state. Key churn
+    (delete-then-reinsert on either side, a dim key flapping within
+    consecutive windows, NULL fact keys) arises from the seed."""
+    import random as _random
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_join_membership,
+    )
+
+    rng = _random.Random(seed)
+    fks = list(range(18))
+    custs = [0, 1, 2, 3, 4, 5, 6, None]
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    fschema = "fk long, v int, cust long"
+    live_f: dict[int, int | None] = {}
+    live_d: set[int] = set()
+
+    def fact_rows(ver):
+        return [
+            (k, ver, rng.choice(custs))
+            for k in rng.sample(fks, rng.randint(2, 7))
+        ]
+
+    rows0 = fact_rows(1)
+    d0 = rng.sample(custs[:-1], 4)
+    fact.overwrite(spark.createDataFrame(rows0, fschema))
+    dim.overwrite(spark.createDataFrame([(d, 1) for d in d0], "dk long, v int"))
+    live_f.update({k: c for k, _, c in rows0})
+    live_d.update(d0)
+
+    view = None
+    for cycle in range(2, 6):
+        frows = fact_rows(cycle)
+        f_removable = [k for k in live_f if k not in {r[0] for r in frows}]
+        f_removed = rng.sample(
+            f_removable, min(len(f_removable), rng.randint(0, 3))
+        ) if f_removable else []
+        fact.merge(
+            spark.createDataFrame(frows, fschema),
+            removed=spark.createDataFrame([(k,) for k in f_removed], "fk long")
+            if f_removed
+            else None,
+        )
+        d_new = [
+            d for d in rng.sample(custs[:-1], rng.randint(0, 3))
+            if d not in live_d
+        ]
+        d_removable = [d for d in live_d if d not in d_new]
+        d_removed = rng.sample(
+            d_removable, min(len(d_removable), rng.randint(0, 2))
+        ) if d_removable else []
+        if d_new or d_removed:
+            dim.merge(
+                spark.createDataFrame(
+                    [(d, cycle) for d in d_new], "dk long, v int"
+                ),
+                removed=spark.createDataFrame(
+                    [(d,) for d in d_removed], "dk long"
+                )
+                if d_removed
+                else None,
+            )
+        else:
+            # Keep the version counters aligned: an empty window is a
+            # no-op merge (commits a version with no changes).
+            dim.merge(
+                spark.createDataFrame([], "dk long, v int"), removed=None
+            )
+        live_f.update({k: c for k, _, c in frows})
+        for k in f_removed:
+            live_f.pop(k, None)
+        live_d.update(d_new)
+        live_d.difference_update(d_removed)
+
+        view = maintain_join_membership(
+            fact, dim, cycle - 1, cycle,
+            fact_key_col="cust", dim_key_col="dk", old_view=view,
+        ).localCheckpoint(eager=False)
+        got = {r.fk: (r.cust, r.matched) for r in view.collect()}
+        want = {
+            k: (c, c is not None and c in live_d)
+            for k, c in live_f.items()
+        }
+        assert got == want, f"membership diverged at cycle {cycle} ({seed=})"
