@@ -1545,3 +1545,81 @@ def maintain_cms(
         )
         .filter(F.col("cnt") > 0)
     )
+
+
+def join_membership_delta(
+    fact_store,
+    dim_store,
+    v_from: int,
+    v_to: int,
+    *,
+    fact_key_col: str,
+    dim_key_col: str,
+    view_df: DataFrame,
+    dim_v_from: int | None = None,
+    dim_v_to: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The DELTA form of :func:`maintain_join_membership`, for a view
+    that is PUBLISHED AS A KEYED STORE rather than rewritten whole:
+    the full partition view is O(|fact|), so a streaming publisher
+    that overwrote it per epoch would pay a fact-sized write for a
+    feed-sized change. This returns exactly what changed —
+
+    - ``upserts``: fact adds (insert/update post-images) classified
+      against the dim post-state key column, PLUS rows of the current
+      view whose flag actually flips under the window's dim-key
+      appearances/disappearances (rows whose flag already agrees are
+      not re-emitted);
+    - ``removed``: the fact pks deleted in the window (updates re-enter
+      through upserts — a keyed merge replaces them in place).
+
+    Merging these into the view store costs O(feed + flips), never
+    O(|fact|). ``view_df`` is the current published view (fact columns
+    + ``matched``); the caller reads it from the view store, so the
+    store IS the feedback loop. ``dim_v_from``/``dim_v_to`` let the
+    dim window differ from the fact window (an out-of-band dim writer
+    has its own version counter); they default to the fact window."""
+    dvf = v_from if dim_v_from is None else dim_v_from
+    dvt = v_to if dim_v_to is None else dim_v_to
+    dim_mark = lambda df: df.select(  # noqa: E731
+        F.col(dim_key_col).alias("_dk"), F.lit(True).alias("_m")
+    )
+    out_cols = [c for c in view_df.columns if c != "_bucket"]
+    view_df = view_df.drop("_bucket")
+    fact_pk = fact_store.key
+    pks = [fact_pk] if isinstance(fact_pk, str) else list(fact_pk)
+
+    ffeed = fact_store.read_changes(v_from, v_to).localCheckpoint(eager=False)
+    removed = ffeed.filter(F.col("_change") == "delete").select(*pks)
+    adds = ffeed.filter(F.col("_change").isin("insert", "update")).drop(
+        "_change"
+    )
+    classified_adds = (
+        adds.join(
+            dim_mark(dim_store.read(version=dvt)),
+            F.col(fact_key_col) == F.col("_dk"),
+            "left",
+        )
+        .withColumn("matched", F.coalesce("_m", F.lit(False)))
+        .select(*out_cols)
+    )
+
+    dfeed = dim_store.read_changes(dvf, dvt)
+    appeared = dfeed.filter(F.col("_change") == "insert").select(
+        F.col(dim_key_col).alias("_tk"), F.lit(True).alias("_to")
+    )
+    vanished = dfeed.filter(F.col("_change") == "delete").select(
+        F.col(dim_key_col).alias("_tk"), F.lit(False).alias("_to")
+    )
+    transitions = appeared.unionByName(vanished)
+    # Rows re-entering through adds are classified fresh there; exclude
+    # them from the flip path so one upsert per pk reaches the merge.
+    flips = (
+        view_df.join(adds.select(*pks), pks, "left_anti")
+        .join(removed, pks, "left_anti")
+        .join(transitions, F.col(fact_key_col) == F.col("_tk"))
+        .filter(F.col("matched") != F.col("_to"))
+        .withColumn("matched", F.col("_to"))
+        .select(*out_cols)
+    )
+    return classified_adds.unionByName(flips), removed

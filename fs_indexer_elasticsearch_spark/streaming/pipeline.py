@@ -995,3 +995,124 @@ def sessionized_event_stats(
             "user_id", F.col("w.start").alias("session_start"), "n_events", "total_value"
         )
     )
+
+
+def streaming_maintained_partition_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    fact_store: SnapshotStore,
+    dim_store: SnapshotStore,
+    view_store: SnapshotStore,
+    checkpoint_dir: str,
+    *,
+    fact_key_col: str,
+    dim_key_col: str,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """The join-membership (semi/anti) partition at streaming cadence
+    with DELTA PUBLICATION: fact micro-batches merge into
+    ``fact_store`` while a dim writer commits out of band, and every
+    epoch advances the membership-tagged fact view by MERGING only
+    what changed into ``view_store`` (``operators/ivm.
+    join_membership_delta``) — the view is O(|fact|), so overwriting
+    it per epoch would pay a fact-sized write for a feed-sized
+    change; here the store IS the feedback loop (no old-view frame is
+    ever rebuilt) and publication costs O(feed + flips). The rows are
+    stamped with a maintenance version column ``_vm`` = the fact
+    version they reflect, so replayed merges resolve newer-wins.
+
+    Crash contract (per store, like the joined-histogram stream): the
+    view's commit meta records the fact and dim versions it reflects;
+    a crash between the fact merge and the publish is caught up by
+    the next epoch's spanning windows; an epoch with both feeds empty
+    skips; a vacuum deeper than the lag self-heals with one
+    from-scratch classify (overwrite). Dim-only changes ride the next
+    fact epoch (drop a zero-row marker file for tighter dim
+    freshness). Reference parity: this is the standing form of the
+    reference's per-scan orphan NOT-IN rescan (scanner.py:447-454)."""
+    from ..operators.ivm import join_membership_delta
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        fact_store.merge(_dedup_newest(batch, fact_store))
+        f_now = fact_store.current_version()
+        d_now = dim_store.current_version()
+        view_base = view_store.current_version()
+        meta = (
+            view_store.read_meta(view_base) or {}
+        ) if view_base is not None else {}
+        f_ref, d_ref = meta.get("fact_version"), meta.get("dim_version")
+        if f_ref == f_now and d_ref == d_now:
+            return  # replay after a completed publish
+
+        vmeta = {"fact_version": f_now, "dim_version": d_now}
+
+        def derive() -> DataFrame:
+            dim_keys = dim_store.read(version=d_now).select(
+                F.col(dim_key_col).alias("_dk"), F.lit(True).alias("_m")
+            )
+            return (
+                fact_store.read(version=f_now)
+                .drop("_bucket")
+                .join(dim_keys, F.col(fact_key_col) == F.col("_dk"), "left")
+                .withColumn("matched", F.coalesce("_m", F.lit(False)))
+                .drop("_dk", "_m")
+                .withColumn("_vm", F.lit(f_now))
+            )
+
+        if f_ref is None or d_ref is None:
+            view_store.overwrite(
+                derive(), meta=vmeta, expected_base=view_base
+            )
+            return
+        try:
+            if (
+                fact_store.read_changes(
+                    f_ref, f_now, update_images="both"
+                ).isEmpty()
+                and dim_store.read_changes(
+                    d_ref, d_now, update_images="both"
+                ).isEmpty()
+            ):
+                return
+            upserts, removed = join_membership_delta(
+                fact_store,
+                dim_store,
+                f_ref,
+                f_now,
+                fact_key_col=fact_key_col,
+                dim_key_col=dim_key_col,
+                view_df=view_store.read(version=view_base).drop("_vm"),
+                dim_v_from=d_ref,
+                dim_v_to=d_now,
+            )
+        except ValueError as e:
+            if "not retained" not in str(e):
+                raise
+            view_store.overwrite(
+                derive(), meta=vmeta, expected_base=view_base
+            )
+            return
+        view_store.merge(
+            upserts.withColumn("_vm", F.lit(f_now)).localCheckpoint(
+                eager=False
+            ),
+            removed=removed,
+            meta=vmeta,
+            expected_base=view_base,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

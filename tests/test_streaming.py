@@ -1438,3 +1438,107 @@ def test_streaming_maintained_pipeline_cascade_zero_base_reads(
         assert versioned_reads == []
     finally:
         q.stop()
+
+
+def test_streaming_partition_delta_publication(spark, tmp_path):
+    """Join-membership partition at streaming cadence: the view store
+    is advanced by MERGING only the delta (adds + actual flips,
+    removals by key) — the fact store is never rescanned after the
+    first derivation (asserted by counting versioned fact reads), the
+    dim evolves out of band between epochs, and after every epoch the
+    published view equals a from-scratch classification of the two
+    post states."""
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_partition_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("cust", T.LongType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="k", version_col="v", num_buckets=4
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v", num_buckets=2
+    )
+    view = SnapshotStore(
+        spark, str(tmp_path / "view"), key="k", version_col="_vm",
+        num_buckets=4,
+    )
+    dim.overwrite(spark.createDataFrame([(1, 1), (2, 1)], "dk long, v int"))
+
+    fact_reads = []
+    orig_read = fact.read
+
+    def counting_read(version=None):
+        if version is not None:
+            fact_reads.append(version)
+        return orig_read(version=version)
+
+    fact.read = counting_read
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def view_now():
+        return {
+            r.k: (r.cust, r.matched)
+            for r in view.read().select("k", "cust", "matched").collect()
+        }
+
+    def scratch():
+        dk = dim.read().select(F.col("dk"), F.lit(True).alias("m"))
+        return {
+            r.k: (r.cust, r.matched)
+            for r in orig_read()
+            .join(dk, F.col("cust") == F.col("dk"), "left")
+            .withColumn("matched", F.coalesce("m", F.lit(False)))
+            .collect()
+        }
+
+    drop("b1", [(10, 1, 1), (11, 1, 2), (12, 1, 9), (13, 1, None)])
+    q = streaming_maintained_partition_pipeline(
+        spark, str(inp) + "/*", schema, fact, dim, view,
+        str(tmp_path / "ckpt"), fact_key_col="cust", dim_key_col="dk",
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == scratch()
+        derivation_reads = len(fact_reads)
+        assert derivation_reads >= 1  # the first derivation
+
+        # Out-of-band dim churn: retire key 2 (11 orphans), add key 9
+        # (12 un-orphans); stream a new fact row and an update.
+        dim.merge(
+            spark.createDataFrame([(9, 2)], "dk long, v int"),
+            removed=spark.createDataFrame([(2,)], "dk long"),
+        )
+        drop("b2", [(14, 1, 2), (10, 2, 9)])
+        q.processAllAvailable()
+        got = view_now()
+        assert got == scratch()
+        assert got[11] == (2, False) and got[12] == (9, True)
+        assert got[14] == (2, False) and got[10] == (9, True)
+        assert len(fact_reads) == derivation_reads  # no fact rescan
+
+        # Out-of-band fact delete spans into the next epoch's window.
+        fact.merge(
+            spark.createDataFrame([], schema),
+            removed=spark.createDataFrame([(13,)], "k long"),
+        )
+        drop("b3", [(15, 1, 1)])
+        q.processAllAvailable()
+        got = view_now()
+        assert got == scratch()
+        assert 13 not in got and got[15] == (1, True)
+        assert len(fact_reads) == derivation_reads
+    finally:
+        q.stop()
