@@ -127,6 +127,25 @@ EXTRA = [
     "incremental_view_joined_nullgroup",
     "incremental_view_summinmax",
     "ann_ivf_split_topk",
+    # r12: holistic/top-k/moment/joined-histogram/HLL view maintenance
+    # and the IVF cold-cell merge content gate
+    "incremental_view_histogram",
+    "incremental_view_histogram_chained",
+    "incremental_view_topk",
+    "incremental_view_moments",
+    "incremental_view_joined_histogram",
+    "incremental_view_hll_distinct",
+    "ann_ivf_coldmerge_topk",
+    # r12 (late): join-membership partition (+ chained feedback),
+    # rollup cascade, incremental connected components, maintained
+    # CMS, maintained stratified sample, bloom decontamination
+    "incremental_view_join_membership",
+    "incremental_view_join_membership_chained",
+    "incremental_view_rollup_cascade",
+    "dedup_incremental_cc",
+    "incremental_view_cms_topk",
+    "incremental_view_sample",
+    "decontaminate_bloom",
 ]
 
 

@@ -88,6 +88,10 @@ _PRIORITY = [
     # state, removals subtract exactly, maintained cells bit-equal a
     # from-scratch rebuild.
     "incremental_view_cms_topk",
+    # ... and the maintained deterministic stratified sample: top-k
+    # per stratum by md5 rank through churn — the stable held-out
+    # subset a training pipeline pins, O(feed) per cycle.
+    "incremental_view_sample",
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches

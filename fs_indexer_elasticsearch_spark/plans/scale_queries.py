@@ -3071,3 +3071,100 @@ def incremental_view_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_cnt") >= F.col("exact_cnt")).alias("overestimate_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Maintained deterministic stratified sample (top-k over md5 rank)
+# --------------------------------------------------------------------------
+
+_SAMPLE_K = 20
+
+
+def _sample_store(spark: SparkSession, sf_dir: str):
+    """CDF demo store carrying a deterministic RANK KEY: rkey =
+    md5('smp:' || key) || ':' || key — md5-uniform order with the key
+    recoverable from the value (fixed-width hex prefix, key tiebreak
+    exact). Standard demo window: %10==3 inserts, %10==7 updates
+    (same rkey — an in-place update of a sample member lands exactly
+    ON the horizon and exercises the recompute branch), %10==5
+    deletes."""
+    orders = load(spark, sf_dir, "orders")
+    rkey = F.concat(
+        F.md5(F.concat(F.lit("smp:"), F.col("o_orderkey").cast("string"))),
+        F.lit(":"),
+        F.col("o_orderkey").cast("string"),
+    )
+    row = lambda v: orders.select(  # noqa: E731
+        "o_orderkey",
+        F.lit(v).alias("v"),
+        "o_orderstatus",
+        rkey.alias("rkey"),
+    )
+    base = row(1).filter(F.col("o_orderkey") % 10 != 3)
+    delta = row(2).filter((F.col("o_orderkey") % 10).isin(3, 7))
+    removed = orders.filter(F.col("o_orderkey") % 10 == 5).select("o_orderkey")
+    return _demo_store(
+        spark,
+        sf_dir,
+        name="smpstore",
+        key="o_orderkey",
+        num_buckets=16,
+        frames=[("seed", base, None), (1, delta, removed)],
+        fp_tables=("orders",),
+    )
+
+
+_VIEW_SAMPLE_ORACLE = f"""
+    WITH v2 AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey % 10 <> 5
+    ),
+    r AS (
+        SELECT o_orderstatus,
+               md5('smp:' || o_orderkey::VARCHAR)
+                   || ':' || o_orderkey::VARCHAR AS sv,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY md5('smp:' || o_orderkey::VARCHAR)
+                            || ':' || o_orderkey::VARCHAR DESC
+               ) AS rk
+        FROM v2
+    )
+    SELECT o_orderstatus, rk,
+           CAST(split_part(sv, ':', 2) AS BIGINT) AS o_orderkey
+    FROM r WHERE rk <= {_SAMPLE_K}
+"""
+
+
+@query("incremental_view_sample", oracle=_VIEW_SAMPLE_ORACLE)
+def incremental_view_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED deterministic stratified sample: the top-{_SAMPLE_K}
+    rows per o_orderstatus by md5 hash rank, maintained through the
+    CDF window's inserts, updates and deletes — maintain_top_k
+    composed over a hash rank key instead of a price. This is the
+    stable-held-out-subset shape a training pipeline needs: the
+    sample is reproducible across engines (md5 hex order is byte
+    order), UNIFORM per stratum, and under corpus churn it updates in
+    O(feed) — an insert whose hash beats the horizon enters the
+    sample algebraically, a departing member triggers exactly one
+    group-pruned recompute, and untouched strata never move (unlike
+    rerunning TABLESAMPLE, which reshuffles the whole selection every
+    cycle). The rank value carries the key itself (fixed-width hex
+    prefix + ':' + key) so membership is recoverable without a
+    second join; the oracle re-ranks the post state from scratch.
+    Note v2 = base minus %10==5: the %10==3 'inserts' and %10==7
+    'updates' carry the same rkey as the raw table (rkey is a pure
+    key function), so the post-state sample equals the raw rank over
+    the surviving keys — which is exactly what makes in-place updates
+    land ON the horizon and exercise the tie-recompute path."""
+    from ..operators.ivm import maintain_top_k
+
+    store = _sample_store(spark, sf_dir)
+    view = maintain_top_k(store, 1, 2, ["o_orderstatus"], "rkey", _SAMPLE_K)
+    return view.select(
+        "o_orderstatus", F.posexplode("topk").alias("_pos", "sv")
+    ).select(
+        "o_orderstatus",
+        (F.col("_pos") + 1).cast("long").alias("rk"),
+        F.split(F.col("sv"), ":").getItem(1).cast("long").alias("o_orderkey"),
+    )
