@@ -42,22 +42,25 @@ from . import curation_pipeline  # noqa: E402,F401
 # contain every query whose normalized analyzed-plan fingerprint is
 # new or changed since the last driver round commit
 # (PLAN_FINGERPRINTS.json, diffed by tools/rotation_check.py, which
-# gate.py runs and fails on). r12's set: the 7 new queries — the
-# holistic-aggregate histogram IVM pair, the IVF cold-cell merge
-# content gate, the top-k view IVM, and the overflow-safe moment
-# (mean/variance) view. Runtime-only r12 changes
+# gate.py runs and fails on). r12's set: 14 new queries — the early
+# seven (holistic-histogram IVM pair, IVF cold-cell merge gate, top-k
+# view, moment view, joined histogram, HLL dual) and the late seven
+# (join-membership partition pair, rollup cascade, bloom
+# decontamination, incremental connected components, maintained CMS,
+# maintained stratified sample). Runtime-only r12 changes
 # (full-coverage legacy-layout gcd, v0-pinned hot-cell split reads,
 # streaming self-heal + deterministic batch dedup, the streaming
-# histogram maintainer) leave registered plans untouched and are
-# pytest-verified. Displaced below the boundary this round:
+# histogram/partition maintainers) leave registered plans untouched
+# and are pytest-verified. Displaced below the boundary this round:
 # store_read_changes_hardlink, dedup_simhash,
 # ann_neardup_recall_multiprobe, dedup_incremental_rebucket,
 # ann_incremental_ivf_manifest, incremental_view_maintenance,
-# bm25_search_topk
-# (driver-green r9-r11, plans unchanged, families still anchored in
-# the prefix — the incremental-IVF store is exercised harder by the
-# split/coldmerge content gates above, and the count/sum view algebra
-# by the twelve r10-r12 IVM queries above).
+# bm25_search_topk, and (late) window_rank_lag_gap,
+# range_join_error_after_purchase, pagerank_neardup_graph,
+# incremental_agg_maintenance, quantized_ann_int8_topk,
+# char_bigram_nll, curriculum_quality_deciles
+# (all driver-green for multiple rounds, plans unchanged, families
+# still anchored in the prefix).
 _PRIORITY = [
     # New in r12 (late additions) — the join-membership (semi/anti
     # partition) maintenance pair: every fact row tagged with live dim
@@ -150,8 +153,6 @@ _PRIORITY = [
     "dedup_connected_components",
     "similarity_lsh_ann_topk",
     "ann_recall_at_k",
-    "quantized_ann_int8_topk",
-    "pagerank_neardup_graph",
     # Text analysis / profiling
     "text_quality_stats",
     "robust_zscore_by_lang",
@@ -160,34 +161,45 @@ _PRIORITY = [
     "dedup_keep_best",
     "length_percentile_band",
     "vocab_concentration",
-    "char_bigram_nll",
     "token_budget_mixture",
     "collocations_pmi",
     # Training-export layer (r6): packing, sharding, curriculum,
     # context sizing, sampling
     "sequence_packing_stats",
     "shard_balance_audit",
-    "curriculum_quality_deciles",
-    # Incremental maintenance + skew demonstration (r6)
-    "incremental_agg_maintenance",
+    # Skew demonstration (r6)
     "skew_salted_hot_join",
     # Event-time windows and temporal joins (+ r6 range-frame MA)
     "window_moving_avg_7d",
     "window_session_30m",
-    "window_rank_lag_gap",
     "asof_click_before_purchase",
-    "range_join_error_after_purchase",
     # Flagship merge / diff / rollup — must stay inside any first-50
     # prefix sample.
     "merge_upsert_newer_wins",
     "snapshot_diff_changes",
     "rollup_directory_sizes",
     # --- 50-query prefix boundary (driver samples a prefix; everything
-    # above is new in r10, plan-changed in r10 (mechanically verified:
+    # above is new/changed in r12 (mechanically verified:
     # tools/rotation_check.py diffs PLAN_FINGERPRINTS.json against the
     # last driver round), recent, or anchors a §2 family; everything
     # below is driver-green from an earlier round and stays green
     # under the local replica gate) ---
+    # Rotated below late in r12 to make room for the 8 late-r12
+    # newcomers (all driver-green multiple rounds, plans unchanged;
+    # families still anchored above: window_session_30m + window_moving_avg_7d for windows,
+    # asof_click_before_purchase for temporal joins, the 15-query IVM
+    # block for maintenance, dedup_incremental_cc + dedup_exact/
+    # minhash/cc for graph dedup, ann_recall_at_k + the split/
+    # coldmerge content gates for ANN, text_quality_stats +
+    # vocab_concentration + collocations_pmi for text,
+    # sequence_packing_stats + shard_balance_audit for export):
+    "window_rank_lag_gap",
+    "range_join_error_after_purchase",
+    "pagerank_neardup_graph",
+    "incremental_agg_maintenance",
+    "quantized_ann_int8_topk",
+    "char_bigram_nll",
+    "curriculum_quality_deciles",
     # Rotated below in r12 (driver-green r9-r11, plans unchanged in
     # r12; families still anchored above: store_read_changes for the
     # feed, dedup_exact/minhash/cc for dedup, ann_recall_at_k +

@@ -146,13 +146,21 @@ def test_registry_priority_prefix_covers_llm_layer():
         "dedup_exact", "dedup_minhash_lsh", "dedup_connected_components",
         "similarity_lsh_ann_topk",
         # The prefix holds EVERY never-driver-checked query and every
-        # query whose plan fingerprint changed this round (r12: the
-        # two new histogram-IVM queries; enforced mechanically by
-        # tools/rotation_check.py in the gate), plus one anchor per
-        # core family; multi-round driver-green queries rotate below
-        # — the driver's hard signal goes to the least-tested first
-        # (r12 rotated store_read_changes_hardlink and dedup_simhash
-        # below the boundary).
+        # query whose plan fingerprint changed this round (enforced
+        # mechanically by tools/rotation_check.py in the gate), plus
+        # one anchor per core family; multi-round driver-green
+        # queries rotate below — the driver's hard signal goes to the
+        # least-tested first (late r12 rotated window_rank_lag_gap,
+        # range_join, pagerank, incremental_agg_maintenance,
+        # quantized_ann, char_bigram_nll, curriculum_deciles below
+        # the boundary to admit the seven late-r12 newcomers).
+        "incremental_view_join_membership",
+        "incremental_view_join_membership_chained",
+        "incremental_view_rollup_cascade",
+        "decontaminate_bloom",
+        "dedup_incremental_cc",
+        "incremental_view_cms_topk",
+        "incremental_view_sample",
         "incremental_view_histogram", "incremental_view_histogram_chained",
         "ann_ivf_coldmerge_topk", "incremental_view_topk",
         "incremental_view_moments", "incremental_view_joined_histogram",
@@ -169,14 +177,11 @@ def test_registry_priority_prefix_covers_llm_layer():
         "store_read_changes",
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "binary_payload_meta",
-        "quantized_ann_int8_topk",
-        "pagerank_neardup_graph",
-        "incremental_agg_maintenance",
         "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
         "sequence_packing_stats", "shard_balance_audit",
-        "curriculum_quality_deciles", "skew_salted_hot_join",
-        "window_session_30m", "window_rank_lag_gap",
-        "asof_click_before_purchase", "range_join_error_after_purchase",
+        "skew_salted_hot_join",
+        "window_moving_avg_7d", "window_session_30m",
+        "asof_click_before_purchase",
         "merge_upsert_newer_wins", "snapshot_diff_changes",
         "rollup_directory_sizes",
     }
