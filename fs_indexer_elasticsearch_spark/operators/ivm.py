@@ -1623,3 +1623,170 @@ def join_membership_delta(
         .select(*out_cols)
     )
     return classified_adds.unionByName(flips), removed
+
+
+def maintain_joined3_agg(
+    fact_store,
+    dim1_store,
+    dim2_store,
+    v_from: int,
+    v_to: int,
+    *,
+    fact_key_col: str,
+    dim1_key_col: str,
+    dim1_attr_col: str,
+    dim2_key_col: str,
+    group_col: str,
+    cents_col: str = "price",
+    old_view: DataFrame | None = None,
+    dim1_window: tuple[int, int] | None = None,
+    dim2_window: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Maintain a THREE-TABLE joined per-group (count, cents-sum) view
+    — fact ⋈ dim1 ⋈ dim2 (a snowflake arm: orders ⋈ customer ⋈
+    nation) — across one window in which ALL THREE stores changed, by
+    the telescoping three-term decomposition
+
+        V2 − V1 = ΔF ⋈ C1 ⋈ N1  +  F2 ⋈ ΔC ⋈ N1  +  F2 ⋈ C2 ⋈ ΔN
+
+    (joins are multilinear over signed multisets, so the exact
+    identity follows from telescoping F2⋈C2⋈N2 − F1⋈C1⋈N1 one factor
+    at a time). Each term is delta-bound:
+
+    - Term 1 joins the FACT feed (signed images) to the two PRE-state
+      dims — O(feed).
+    - Term 2 signs the DIM1 feed; each image carries its whole
+      per-key fact aggregate (F2 restricted by a semi-join to the
+      dim1-changed keys — the fact is never rescanned) and re-groups
+      through the PRE-state dim2.
+    - Term 3 signs the DIM2 feed; each image carries the per-dim2-key
+      aggregate of F2 ⋈ C2 restricted to the dim2-changed keys — the
+      POST dim1 is filtered to those keys FIRST, so the fact join is
+      pruned to exactly the affected snowflake slice.
+
+    The n-table generalization is the same ladder (pre-state factors
+    to the left of the changed one, post-state to the right), each
+    term pruned by its own changed-key semi-join; Spark's AQE picks
+    broadcast vs shuffle per term at runtime. ``old_view`` feeds back
+    this function's own output; ``dim1_window``/``dim2_window`` let
+    out-of-band dim writers advance on their own version counters
+    (default: the fact window). Returns ``[group_col, n, s]``.
+
+    Reference parity: the reference's 3-way files × direct_links ×
+    directory_sizes join (direct_links.py:194-260) is recomputed per
+    scan; this is its maintained form."""
+    cents = F.round(F.col(cents_col) * 100).cast("long")
+    d1vf, d1vt = dim1_window or (v_from, v_to)
+    d2vf, d2vt = dim2_window or (v_from, v_to)
+    c1 = dim1_store.read(version=d1vf).select(dim1_key_col, dim1_attr_col)
+    n1 = dim2_store.read(version=d2vf).select(dim2_key_col, group_col)
+    sign_of = lambda col: F.when(  # noqa: E731
+        col.isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+
+    if old_view is not None:
+        old = old_view.select(
+            group_col, F.col("n").alias("_n0"), F.col("s").alias("_s0")
+        )
+    else:
+        old = (
+            fact_store.read(version=v_from)
+            .join(c1, F.col(fact_key_col) == F.col(dim1_key_col))
+            .join(n1, F.col(dim1_attr_col) == F.col(dim2_key_col))
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_n0"), F.sum(cents).alias("_s0"))
+        )
+
+    # Term 1: ΔF ⋈ C1 ⋈ N1
+    ffeed = fact_store.read_changes(v_from, v_to, update_images="both")
+    t1 = (
+        ffeed.withColumn("_sg", sign_of(F.col("_change")))
+        .join(c1, F.col(fact_key_col) == F.col(dim1_key_col))
+        .join(n1, F.col(dim1_attr_col) == F.col(dim2_key_col))
+        .groupBy(group_col)
+        .agg(
+            F.sum("_sg").alias("_n1"),
+            F.sum(F.col("_sg") * cents).alias("_s1"),
+        )
+    )
+
+    # Term 2: F2 ⋈ ΔC ⋈ N1 — per-key fact aggregates move whole.
+    d1feed = (
+        dim1_store.read_changes(d1vf, d1vt, update_images="both")
+        .select(
+            F.col(dim1_key_col).alias("_d1k"),
+            F.col(dim1_attr_col).alias("_d1a"),
+            sign_of(F.col("_change")).alias("_d1s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    changed_cks = d1feed.select(F.col("_d1k").alias("_ck")).distinct()
+    per_key = (
+        fact_store.read(version=v_to)
+        .join(changed_cks, F.col(fact_key_col) == F.col("_ck"), "left_semi")
+        .groupBy(fact_key_col)
+        .agg(F.count(F.lit(1)).alias("_kn"), F.sum(cents).alias("_ks"))
+    )
+    t2 = (
+        d1feed.join(per_key, F.col("_d1k") == F.col(fact_key_col), "left")
+        .join(n1, F.col("_d1a") == F.col(dim2_key_col))
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col("_d1s") * F.coalesce("_kn", F.lit(0))).alias("_n2"),
+            F.sum(F.col("_d1s") * F.coalesce("_ks", F.lit(0))).alias("_s2"),
+        )
+    )
+
+    # Term 3: F2 ⋈ C2 ⋈ ΔN — post dim1 filtered to the changed dim2
+    # keys FIRST, so the fact join sees only the affected slice.
+    d2feed = (
+        dim2_store.read_changes(d2vf, d2vt, update_images="both")
+        .select(
+            F.col(dim2_key_col).alias("_d2k"),
+            group_col,
+            sign_of(F.col("_change")).alias("_d2s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    changed_nks = d2feed.select(F.col("_d2k").alias("_nk")).distinct()
+    c2_changed = (
+        dim1_store.read(version=d1vt)
+        .select(dim1_key_col, dim1_attr_col)
+        .join(changed_nks, F.col(dim1_attr_col) == F.col("_nk"), "left_semi")
+    )
+    per_nation = (
+        fact_store.read(version=v_to)
+        .join(c2_changed, F.col(fact_key_col) == F.col(dim1_key_col))
+        .groupBy(dim1_attr_col)
+        .agg(F.count(F.lit(1)).alias("_gn"), F.sum(cents).alias("_gs"))
+    )
+    t3 = (
+        d2feed.join(
+            per_nation, F.col("_d2k") == F.col(dim1_attr_col), "left"
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col("_d2s") * F.coalesce("_gn", F.lit(0))).alias("_n3"),
+            F.sum(F.col("_d2s") * F.coalesce("_gs", F.lit(0))).alias("_s3"),
+        )
+    )
+
+    m = _null_safe_outer(old, t1, group_col, ["_n0", "_s0"], ["_n1", "_s1"])
+    m = _null_safe_outer(
+        m, t2, group_col, ["_n0", "_s0", "_n1", "_s1"], ["_n2", "_s2"]
+    )
+    m = _null_safe_outer(
+        m,
+        t3,
+        group_col,
+        ["_n0", "_s0", "_n1", "_s1", "_n2", "_s2"],
+        ["_n3", "_s3"],
+    )
+    zsum = lambda cols: reduce(  # noqa: E731
+        lambda a, b: a + b, [F.coalesce(c, F.lit(0)) for c in cols]
+    )
+    return m.select(
+        group_col,
+        zsum(["_n0", "_n1", "_n2", "_n3"]).cast("long").alias("n"),
+        zsum(["_s0", "_s1", "_s2", "_s3"]).cast("long").alias("s"),
+    ).filter(F.col("n") > 0)

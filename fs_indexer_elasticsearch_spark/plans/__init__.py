@@ -58,7 +58,7 @@ from . import curation_pipeline  # noqa: E402,F401
 # bm25_search_topk, and (late) window_rank_lag_gap,
 # range_join_error_after_purchase, pagerank_neardup_graph,
 # incremental_agg_maintenance, quantized_ann_int8_topk,
-# char_bigram_nll, curriculum_quality_deciles
+# char_bigram_nll, curriculum_quality_deciles, length_percentile_band
 # (all driver-green for multiple rounds, plans unchanged, families
 # still anchored in the prefix).
 _PRIORITY = [
@@ -95,6 +95,11 @@ _PRIORITY = [
     # per stratum by md5 rank through churn — the stable held-out
     # subset a training pipeline pins, O(feed) per cycle.
     "incremental_view_sample",
+    # ... and the three-table joined view: orders x customer x nation
+    # maintained through ALL THREE feeds by the telescoping
+    # decomposition dF*C1*N1 + F2*dC*N1 + F2*C2*dN, every term
+    # changed-key-pruned — the n-table snowflake ladder.
+    "incremental_view_joined3",
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches
@@ -159,7 +164,6 @@ _PRIORITY = [
     "binary_payload_meta",
     # Corpus curation / analytics layer (r5; first driver rows)
     "dedup_keep_best",
-    "length_percentile_band",
     "vocab_concentration",
     "token_budget_mixture",
     "collocations_pmi",
@@ -195,6 +199,7 @@ _PRIORITY = [
     # sequence_packing_stats + shard_balance_audit for export):
     "window_rank_lag_gap",
     "range_join_error_after_purchase",
+    "length_percentile_band",
     "pagerank_neardup_graph",
     "incremental_agg_maintenance",
     "quantized_ann_int8_topk",

@@ -3168,3 +3168,130 @@ def incremental_view_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_pos") + 1).cast("long").alias("rk"),
         F.split(F.col("sv"), ":").getItem(1).cast("long").alias("o_orderkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# Three-table joined IVM (snowflake arm, all three stores changing)
+# --------------------------------------------------------------------------
+
+def _nation_cdf_store(spark: SparkSession, sf_dir: str):
+    """Second-dim CDC store over ``nation``: v1 = nation minus the
+    %7==2 keys (region as generated); the v2 window RE-INSERTS the
+    %7==2 keys, RE-REGIONS the %5==3 keys (region -> (region+2)%5 —
+    a key that is both re-enters already moved) and DELETES the
+    %7==4-and-not-%5==3 keys (the exclusion keeps one key from being
+    both re-regioned and removed in one window)."""
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_regionkey")
+    )
+    k = F.col("n_nationkey")
+    moved = F.when(
+        k % 5 == 3, (F.col("n_regionkey") + 2) % 5
+    ).otherwise(F.col("n_regionkey"))
+    base = nat.filter(k % 7 != 2).select(
+        "n_nationkey", F.lit(1).alias("v"), F.col("n_regionkey").alias("region")
+    )
+    delta = nat.filter((k % 7 == 2) | (k % 5 == 3)).select(
+        "n_nationkey", F.lit(2).alias("v"), moved.alias("region")
+    )
+    removed = nat.filter((k % 7 == 4) & (k % 5 != 3)).select("n_nationkey")
+    return _demo_store(
+        spark,
+        sf_dir,
+        name="nationcdf",
+        key="n_nationkey",
+        num_buckets=4,
+        frames=[("seed", base, None), (1, delta, removed)],
+        fp_tables=("nation",),
+    )
+
+
+_VIEW_JOINED3_ORACLE = """
+    WITH fbase AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    fdelta AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    f2 AS (
+        SELECT * FROM fbase WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM fdelta
+    ),
+    d2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 4
+                    THEN (c_nationkey + 7) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 13 <> 6
+    ),
+    n2 AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 5 = 3
+                    THEN (n_regionkey + 2) % 5
+                    ELSE n_regionkey END AS region
+        FROM nation
+        WHERE NOT (n_nationkey % 7 = 4 AND n_nationkey % 5 <> 3)
+    )
+    SELECT region,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(CAST(round(price * 100) AS BIGINT)) / 100.0 + 1e-7, 2)
+               AS total_price
+    FROM f2
+    JOIN d2 ON o_custkey = c_custkey
+    JOIN n2 ON c_nationkey = n_nationkey
+    GROUP BY region
+"""
+
+
+@query("incremental_view_joined3", oracle=_VIEW_JOINED3_ORACLE)
+def incremental_view_joined3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-TABLE joined-view maintenance
+    (operators/ivm.maintain_joined3_agg): per-region (count, revenue)
+    over orders ⋈ customer ⋈ nation with ALL THREE stores changing in
+    the window — fact inserts/updates/deletes, customers inserted/
+    re-nationed/deleted, nations inserted/re-regioned/deleted — by
+    the telescoping decomposition ΔF⋈C1⋈N1 + F2⋈ΔC⋈N1 + F2⋈C2⋈ΔN.
+    Every term is delta-bound: the fact is read only under semi-joins
+    of each dim's changed keys, the dim2 term filters the post-state
+    customer side to the changed nations FIRST, and the n-table
+    generalization is the same ladder (pre-state factors left of the
+    changed one, post-state right). The oracle rejoins the three post
+    states from scratch — a hash match proves the three-term algebra
+    lands exactly through every churn direction at once. Reference
+    parity: the maintained form of the reference's 3-way
+    files × direct_links × directory_sizes join
+    (direct_links.py:194-260, recomputed per scan there)."""
+    from ..operators.ivm import maintain_joined3_agg
+
+    fact = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
+    )
+    dim1 = _dim_cdf_store(spark, sf_dir)
+    dim2 = _nation_cdf_store(spark, sf_dir)
+    view = maintain_joined3_agg(
+        fact,
+        dim1,
+        dim2,
+        1,
+        2,
+        fact_key_col="o_custkey",
+        dim1_key_col="c_custkey",
+        dim1_attr_col="c_nationkey",
+        dim2_key_col="n_nationkey",
+        group_col="region",
+    )
+    return view.select(
+        "region",
+        F.col("n").alias("n_orders"),
+        stable_round(F.col("s") / 100.0, 2).alias("total_price"),
+    )

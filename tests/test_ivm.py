@@ -1367,3 +1367,100 @@ def test_join_membership_model_random_program(spark, tmp_path, seed):
             for k, c in live_f.items()
         }
         assert got == want, f"membership diverged at cycle {cycle} ({seed=})"
+
+
+def test_maintain_joined3_chained_equals_scratch(spark, tmp_path):
+    """Three-table joined maintenance chained over two windows with
+    old_view feedback, all three stores changing in both windows:
+    fact insert/update/delete, customer insert/re-nation/delete,
+    nation insert/re-region/delete — each window must land exactly on
+    a from-scratch three-way rejoin of the post states, including a
+    customer pointing at a deleted nation (drops from the view) and a
+    nation re-region that moves a whole country's revenue between
+    groups without any fact or customer change."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_joined3_agg,
+    )
+
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    cust = SnapshotStore(
+        spark, str(tmp_path / "cust"), key="ck", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    nat = SnapshotStore(
+        spark, str(tmp_path / "nat"), key="nk", version_col="v",
+        num_buckets=2, layout="manifest",
+    )
+    fsch = "fk long, v int, cust long, price double"
+    csch = "ck long, v int, nation long"
+    nsch = "nk long, v int, grp string"
+    # v1: nations 1(a) 2(a) 3(b); customers 1..4 over nations 1,1,2,3;
+    # facts over customers 1,2,3 + an orphan customer 9.
+    nat.overwrite(spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "a"), (3, 1, "b")], nsch))
+    cust.overwrite(spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 1), (3, 1, 2), (4, 1, 3)], csch))
+    fact.overwrite(spark.createDataFrame(
+        [(10, 1, 1, 5.0), (11, 1, 2, 7.0), (12, 1, 3, 1.0),
+         (13, 1, 4, 2.0), (14, 1, 9, 9.0)], fsch))
+    # w1: fact update 10 (5->20) + insert 15 (cust 3) + delete 13;
+    # cust: re-nation 2 (1->2), insert 9 (nation 3 — the orphan fact
+    # materializes), delete 3 (fact 12 drops); nation: re-region 2
+    # (a->c), insert 4 (c), delete 3 (customer 4 now dangles).
+    fact.merge(
+        spark.createDataFrame([(10, 2, 1, 20.0), (15, 2, 3, 3.0)], fsch),
+        removed=spark.createDataFrame([(13,)], "fk long"),
+    )
+    cust.merge(
+        spark.createDataFrame([(2, 2, 2), (9, 2, 3)], csch),
+        removed=spark.createDataFrame([(3,)], "ck long"),
+    )
+    nat.merge(
+        spark.createDataFrame([(2, 2, "c"), (4, 2, "c")], nsch),
+        removed=spark.createDataFrame([(3,)], "nk long"),
+    )
+    # w2: fact delete 14 (cust 9's only fact); cust: re-nation 9
+    # (3->1)... nation 3 is deleted, so aim at 1 instead; nation:
+    # re-region 1 (a->b) moves customers 1's remaining revenue.
+    fact.merge(
+        spark.createDataFrame([], fsch),
+        removed=spark.createDataFrame([(14,)], "fk long"),
+    )
+    cust.merge(
+        spark.createDataFrame([(9, 3, 1)], csch),
+        removed=spark.createDataFrame([], "ck long"),
+    )
+    nat.merge(
+        spark.createDataFrame([(1, 3, "b")], nsch),
+        removed=spark.createDataFrame([], "nk long"),
+    )
+
+    def scratch(v):
+        return {
+            r.grp: (r.n, r.s)
+            for r in fact.read(version=v)
+            .join(cust.read(version=v).select("ck", "nation"),
+                  F.col("cust") == F.col("ck"))
+            .join(nat.read(version=v).select("nk", "grp"),
+                  F.col("nation") == F.col("nk"))
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("price") * 100).cast("long")).alias("s"),
+            )
+            .collect()
+        }
+
+    kw = dict(
+        fact_key_col="cust", dim1_key_col="ck", dim1_attr_col="nation",
+        dim2_key_col="nk", group_col="grp",
+    )
+    as_d = lambda df: {r.grp: (r.n, r.s) for r in df.collect()}  # noqa: E731
+
+    w1 = maintain_joined3_agg(fact, cust, nat, 1, 2, **kw).localCheckpoint()
+    assert as_d(w1) == scratch(2)
+    w2 = maintain_joined3_agg(fact, cust, nat, 2, 3, **kw, old_view=w1)
+    assert as_d(w2) == scratch(3)

@@ -161,6 +161,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "dedup_incremental_cc",
         "incremental_view_cms_topk",
         "incremental_view_sample",
+        "incremental_view_joined3",
         "incremental_view_histogram", "incremental_view_histogram_chained",
         "ann_ivf_coldmerge_topk", "incremental_view_topk",
         "incremental_view_moments", "incremental_view_joined_histogram",
@@ -178,6 +179,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "text_quality_stats", "robust_zscore_by_lang",
         "ann_recall_at_k", "binary_payload_meta",
         "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
+        "vocab_concentration",
         "sequence_packing_stats", "shard_balance_audit",
         "skew_salted_hot_join",
         "window_moving_avg_7d", "window_session_30m",
