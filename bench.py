@@ -145,6 +145,7 @@ EXTRA = [
     "dedup_incremental_cc",
     "incremental_view_cms_topk",
     "incremental_view_sample",
+    "incremental_view_joined3",
     "decontaminate_bloom",
 ]
 

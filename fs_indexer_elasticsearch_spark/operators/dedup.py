@@ -496,30 +496,70 @@ def maintain_connected_components(
     ``nodes`` is the label universe (one column ``node``): isolated
     nodes are legitimate singleton clusters (every document is its
     own cluster until merged), so the view never drops a node whose
-    last edge disappears. ``old_labels`` is this function's previous
-    output ``(node, cluster)`` — feed it back; omitted, the first
-    derivation runs one full CC over the ``v_from`` edges. Returns
+    last edge disappears, and a fed-back view is RE-BASED onto the
+    current universe — nodes that joined since last cycle enter as
+    singletons before the feed applies (a growing corpus's new docs),
+    nodes no longer listed leave the view. Shrinking the universe is
+    only sound when the departed node's edges are deleted in the same
+    window (the dedup case: a retired doc's LSH edges are tombstoned
+    with it) — a departed node with live edges would leave dangling
+    endpoint labels. ``old_labels`` is this function's previous
+    output ``(node, cluster)``; omitted, the first derivation runs
+    one full CC over the ``v_from`` edges. An edge UPDATE that
+    rewires endpoints is handled as delete(pre-pair) + add(post-pair)
+    — both directions fire; an update that keeps its endpoints is
+    structurally a no-op and triggers neither. Returns
     ``(node, cluster)`` over exactly ``nodes``."""
-    feed = edge_store.read_changes(v_from, v_to).localCheckpoint(eager=False)
-    adds = feed.filter(F.col("_change").isin("insert", "update")).select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
+    ekey = edge_store.key
+    ekeys = [ekey] if isinstance(ekey, str) else list(ekey)
+    feed = edge_store.read_changes(
+        v_from, v_to, update_images="both"
     )
-    dels = feed.filter(F.col("_change") == "delete").select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
+    is_post = F.col("_change").isin("insert", "update_postimage")
+    pair = F.struct(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Per edge key: pre/post endpoint pairs. A rewiring update is
+    # delete(pre) + add(post); an endpoint-preserving update (payload
+    # columns changed, structure didn't) is filtered out entirely —
+    # feeding it through as an add-only would leave the pre-pair's
+    # stale merge in place forever (review finding).
+    pairs = (
+        feed.groupBy(*ekeys)
+        .agg(
+            F.max(F.when(~is_post, pair)).alias("_pre"),
+            F.max(F.when(is_post, pair)).alias("_post"),
+        )
+        .filter(~F.col("_pre").eqNullSafe(F.col("_post")))
+        .localCheckpoint(eager=False)
+    )
+    adds = pairs.filter(F.col("_post").isNotNull()).select(
+        F.col("_post.u").alias("u"), F.col("_post.v").alias("v")
+    )
+    dels = pairs.filter(F.col("_pre").isNotNull()).select(
+        F.col("_pre.u").alias("u"), F.col("_pre.v").alias("v")
     )
     if old_labels is None:
         base_edges = edge_store.read(version=v_from).select(
             F.col(src).alias("u"), F.col(dst).alias("v")
         )
         cc0 = connected_components(base_edges, "u", "v")
-        old_labels = (
-            nodes.join(cc0, nodes["node"] == cc0["node"], "left")
-            .select(
-                nodes["node"],
-                F.coalesce(cc0["cluster"], nodes["node"]).alias("cluster"),
-            )
+        prior = cc0.select(
+            F.col("node").alias("_on"), F.col("cluster").alias("_oc")
         )
-    old_labels = old_labels.localCheckpoint(eager=False)
+    else:
+        prior = old_labels.select(
+            F.col("node").alias("_on"), F.col("cluster").alias("_oc")
+        )
+    # Re-base onto the CURRENT universe: new nodes enter as singletons
+    # (a fed-back view has never seen them — review finding), departed
+    # nodes drop.
+    old_labels = (
+        nodes.join(prior, nodes["node"] == F.col("_on"), "left")
+        .select(
+            nodes["node"],
+            F.coalesce(F.col("_oc"), nodes["node"]).alias("cluster"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
     # -- Phase 1: adds merge at CLUSTER grain ------------------------------
     lbl = old_labels.select(

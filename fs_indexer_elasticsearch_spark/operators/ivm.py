@@ -1250,6 +1250,30 @@ def maintain_hll_distinct(
     )
 
 
+def classify_membership(
+    rows: DataFrame,
+    dim_store,
+    dim_version: int,
+    *,
+    fact_key_col: str,
+    dim_key_col: str,
+) -> DataFrame:
+    """Tag fact rows with dim-key existence at ``dim_version``: one
+    column-pruned read of the dim key column, left join, ``matched``
+    coalesced to False (a NULL fact key never matches — SQL join
+    semantics). The ONE definition shared by the batch maintainer,
+    the delta form and the streaming pipeline's first derivation, so
+    the classification rule cannot drift between paths."""
+    dim_keys = dim_store.read(version=dim_version).select(
+        F.col(dim_key_col).alias("_dk"), F.lit(True).alias("_m")
+    )
+    return (
+        rows.join(dim_keys, F.col(fact_key_col) == F.col("_dk"), "left")
+        .withColumn("matched", F.coalesce("_m", F.lit(False)))
+        .drop("_dk", "_m")
+    )
+
+
 def maintain_join_membership(
     fact_store,
     dim_store,
@@ -1293,19 +1317,13 @@ def maintain_join_membership(
     this is the scale path those rescans become."""
     fact_pk = fact_store.key
     pks = [fact_pk] if isinstance(fact_pk, str) else list(fact_pk)
-    dim_mark = lambda df: df.select(  # noqa: E731
-        F.col(dim_key_col).alias("_dk"), F.lit(True).alias("_m")
-    )
     if old_view is None:
-        base = fact_store.read(version=v_from).drop("_bucket")
-        old_view = (
-            base.join(
-                dim_mark(dim_store.read(version=v_from)),
-                F.col(fact_key_col) == F.col("_dk"),
-                "left",
-            )
-            .withColumn("matched", F.coalesce("_m", F.lit(False)))
-            .drop("_dk", "_m")
+        old_view = classify_membership(
+            fact_store.read(version=v_from).drop("_bucket"),
+            dim_store,
+            v_from,
+            fact_key_col=fact_key_col,
+            dim_key_col=dim_key_col,
         )
     out_cols = old_view.columns
 
@@ -1349,33 +1367,23 @@ def maintain_join_membership(
     # Brand-new fact rows classify against the dim POST-state key
     # column — the cycle's one dim scan (column-pruned; adds side
     # broadcasts under AQE when small).
-    classified_adds = (
-        adds.join(
-            dim_mark(dim_store.read(version=v_to)),
-            F.col(fact_key_col) == F.col("_dk"),
-            "left",
-        )
-        .withColumn("matched", F.coalesce("_m", F.lit(False)))
-        .select(*out_cols)
-    )
+    classified_adds = classify_membership(
+        adds, dim_store, v_to,
+        fact_key_col=fact_key_col, dim_key_col=dim_key_col,
+    ).select(*out_cols)
     return flipped.unionByName(classified_adds)
 
 
 def _merge_count_sum(
-    old: DataFrame | None, delta: DataFrame, group_col: str
+    old: DataFrame, delta: DataFrame, group_col: str
 ) -> DataFrame:
     """Merge a signed (dn, ds) delta frame into a (n, s) view frame on
     ``group_col`` (null-safe outer — NULL is one group), dropping
     groups whose count reaches zero. The distributive half every
-    cascade level shares."""
-    if old is None:
-        merged = delta.select(
-            group_col,
-            F.col("_dn").cast("long").alias("n"),
-            F.col("_ds").cast("long").alias("s"),
-        )
-    else:
-        merged = _null_safe_outer(
+    cascade level shares; callers always supply a view frame (the
+    cascade derives both levels when no feedback is given)."""
+    return (
+        _null_safe_outer(
             old.select(
                 group_col, F.col("n").alias("_n0"), F.col("s").alias("_s0")
             ),
@@ -1383,7 +1391,8 @@ def _merge_count_sum(
             group_col,
             ["_n0", "_s0"],
             ["_dn", "_ds"],
-        ).select(
+        )
+        .select(
             group_col,
             (F.coalesce("_n0", F.lit(0)) + F.coalesce("_dn", F.lit(0)))
             .cast("long")
@@ -1392,7 +1401,8 @@ def _merge_count_sum(
             .cast("long")
             .alias("s"),
         )
-    return merged.filter(F.col("n") > 0)
+        .filter(F.col("n") > 0)
+    )
 
 
 def maintain_rollup_cascade(
@@ -1581,9 +1591,6 @@ def join_membership_delta(
     has its own version counter); they default to the fact window."""
     dvf = v_from if dim_v_from is None else dim_v_from
     dvt = v_to if dim_v_to is None else dim_v_to
-    dim_mark = lambda df: df.select(  # noqa: E731
-        F.col(dim_key_col).alias("_dk"), F.lit(True).alias("_m")
-    )
     out_cols = [c for c in view_df.columns if c != "_bucket"]
     view_df = view_df.drop("_bucket")
     fact_pk = fact_store.key
@@ -1594,15 +1601,10 @@ def join_membership_delta(
     adds = ffeed.filter(F.col("_change").isin("insert", "update")).drop(
         "_change"
     )
-    classified_adds = (
-        adds.join(
-            dim_mark(dim_store.read(version=dvt)),
-            F.col(fact_key_col) == F.col("_dk"),
-            "left",
-        )
-        .withColumn("matched", F.coalesce("_m", F.lit(False)))
-        .select(*out_cols)
-    )
+    classified_adds = classify_membership(
+        adds, dim_store, dvt,
+        fact_key_col=fact_key_col, dim_key_col=dim_key_col,
+    ).select(*out_cols)
 
     dfeed = dim_store.read_changes(dvf, dvt)
     appeared = dfeed.filter(F.col("_change") == "insert").select(
@@ -1710,7 +1712,15 @@ def maintain_joined3_agg(
         )
     )
 
-    # Term 2: F2 ⋈ ΔC ⋈ N1 — per-key fact aggregates move whole.
+    # Terms 2 and 3 both need post-state fact slices. The fact store
+    # is bucketed on its own pk, so a changed-key semi-join prunes
+    # shuffle volume but not storage I/O — paying that scan TWICE
+    # (once per term) would double the heaviest read of the cycle
+    # (review finding). Instead, ONE scan restricted to the union of
+    # both changed-key slices is shared: it is delta-sized (facts of
+    # dim1-changed customers plus facts of dim2-changed nations'
+    # customers), so the lazy checkpoint materializes O(affected), not
+    # O(fact).
     d1feed = (
         dim1_store.read_changes(d1vf, d1vt, update_images="both")
         .select(
@@ -1720,10 +1730,39 @@ def maintain_joined3_agg(
         )
         .localCheckpoint(eager=False)
     )
+    d2feed = (
+        dim2_store.read_changes(d2vf, d2vt, update_images="both")
+        .select(
+            F.col(dim2_key_col).alias("_d2k"),
+            group_col,
+            sign_of(F.col("_change")).alias("_d2s"),
+        )
+        .localCheckpoint(eager=False)
+    )
     changed_cks = d1feed.select(F.col("_d1k").alias("_ck")).distinct()
-    per_key = (
+    changed_nks = d2feed.select(F.col("_d2k").alias("_nk")).distinct()
+    # Post dim1 filtered to the changed dim2 keys FIRST, so the fact
+    # join sees only the affected snowflake slice.
+    c2_changed = (
+        dim1_store.read(version=d1vt)
+        .select(dim1_key_col, dim1_attr_col)
+        .join(changed_nks, F.col(dim1_attr_col) == F.col("_nk"), "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    combined_keys = changed_cks.unionByName(
+        c2_changed.select(F.col(dim1_key_col).alias("_ck"))
+    ).distinct()
+    f_slice = (
         fact_store.read(version=v_to)
-        .join(changed_cks, F.col(fact_key_col) == F.col("_ck"), "left_semi")
+        .join(combined_keys, F.col(fact_key_col) == F.col("_ck"), "left_semi")
+        .localCheckpoint(eager=False)
+    )
+
+    # Term 2: F2 ⋈ ΔC ⋈ N1 — per-key fact aggregates move whole.
+    per_key = (
+        f_slice.join(
+            changed_cks, F.col(fact_key_col) == F.col("_ck"), "left_semi"
+        )
         .groupBy(fact_key_col)
         .agg(F.count(F.lit(1)).alias("_kn"), F.sum(cents).alias("_ks"))
     )
@@ -1737,26 +1776,9 @@ def maintain_joined3_agg(
         )
     )
 
-    # Term 3: F2 ⋈ C2 ⋈ ΔN — post dim1 filtered to the changed dim2
-    # keys FIRST, so the fact join sees only the affected slice.
-    d2feed = (
-        dim2_store.read_changes(d2vf, d2vt, update_images="both")
-        .select(
-            F.col(dim2_key_col).alias("_d2k"),
-            group_col,
-            sign_of(F.col("_change")).alias("_d2s"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    changed_nks = d2feed.select(F.col("_d2k").alias("_nk")).distinct()
-    c2_changed = (
-        dim1_store.read(version=d1vt)
-        .select(dim1_key_col, dim1_attr_col)
-        .join(changed_nks, F.col(dim1_attr_col) == F.col("_nk"), "left_semi")
-    )
+    # Term 3: F2 ⋈ C2 ⋈ ΔN over the shared slice.
     per_nation = (
-        fact_store.read(version=v_to)
-        .join(c2_changed, F.col(fact_key_col) == F.col(dim1_key_col))
+        f_slice.join(c2_changed, F.col(fact_key_col) == F.col(dim1_key_col))
         .groupBy(dim1_attr_col)
         .agg(F.count(F.lit(1)).alias("_gn"), F.sum(cents).alias("_gs"))
     )

@@ -3016,8 +3016,8 @@ _VIEW_CMS_ORACLE = f"""
 @query("incremental_view_cms_topk", oracle=_VIEW_CMS_ORACLE)
 def incremental_view_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAINTAINED count-min sketch (operators/ivm.maintain_cms), read
-    back at the post-state top-{_VIEW_CMS_TOPK} customers: per-key
-    order counts estimated from a {_VIEW_CMS_DEPTH}x{_VIEW_CMS_WIDTH}
+    back at the post-state top-10 customers: per-key
+    order counts estimated from a 4x256
     cell frame maintained through the CDF window's inserts, updates
     AND deletes — CMS is a turnstile linear sketch (cells are sums),
     so removals subtract exactly where the HLL view
@@ -3138,7 +3138,7 @@ _VIEW_SAMPLE_ORACLE = f"""
 
 @query("incremental_view_sample", oracle=_VIEW_SAMPLE_ORACLE)
 def incremental_view_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAINTAINED deterministic stratified sample: the top-{_SAMPLE_K}
+    """MAINTAINED deterministic stratified sample: the top-20
     rows per o_orderstatus by md5 hash rank, maintained through the
     CDF window's inserts, updates and deletes — maintain_top_k
     composed over a hash rank key instead of a price. This is the

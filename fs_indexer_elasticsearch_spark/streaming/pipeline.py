@@ -1031,7 +1031,7 @@ def streaming_maintained_partition_pipeline(
     fact epoch (drop a zero-row marker file for tighter dim
     freshness). Reference parity: this is the standing form of the
     reference's per-scan orphan NOT-IN rescan (scanner.py:447-454)."""
-    from ..operators.ivm import join_membership_delta
+    from ..operators.ivm import classify_membership, join_membership_delta
 
     stream = (
         spark.readStream.schema(schema)
@@ -1056,17 +1056,13 @@ def streaming_maintained_partition_pipeline(
         vmeta = {"fact_version": f_now, "dim_version": d_now}
 
         def derive() -> DataFrame:
-            dim_keys = dim_store.read(version=d_now).select(
-                F.col(dim_key_col).alias("_dk"), F.lit(True).alias("_m")
-            )
-            return (
-                fact_store.read(version=f_now)
-                .drop("_bucket")
-                .join(dim_keys, F.col(fact_key_col) == F.col("_dk"), "left")
-                .withColumn("matched", F.coalesce("_m", F.lit(False)))
-                .drop("_dk", "_m")
-                .withColumn("_vm", F.lit(f_now))
-            )
+            return classify_membership(
+                fact_store.read(version=f_now).drop("_bucket"),
+                dim_store,
+                d_now,
+                fact_key_col=fact_key_col,
+                dim_key_col=dim_key_col,
+            ).withColumn("_vm", F.lit(f_now))
 
         if f_ref is None or d_ref is None:
             view_store.overwrite(

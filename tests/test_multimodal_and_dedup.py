@@ -746,3 +746,78 @@ def test_maintain_cc_merge_split_chained_equals_scratch(spark, tmp_path):
     assert got2 == scratch(3)
     assert got2[7] == 7 and got2[8] == 8  # delete made two singletons
     assert got2[4] == 1  # add pulled the singleton into {1,2}
+
+
+def test_maintain_cc_rewiring_update_and_universe_growth(spark, tmp_path):
+    """The two review findings, pinned: (a) an edge UPDATE that
+    rewires endpoints must act as delete(pre-pair) + add(post-pair) —
+    the stale merge must split and the new link must form; (b) a
+    fed-back view must re-base onto the CURRENT universe, so nodes
+    that joined since last cycle appear (as singletons or via their
+    new edges) even though the old view never saw them — including a
+    new node with the smallest id becoming the merged cluster's
+    root. Also: an endpoint-preserving update is structurally a
+    no-op."""
+    from fs_indexer_elasticsearch_spark.operators.dedup import (
+        connected_components,
+        maintain_connected_components,
+    )
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "edges"), key="eid", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    sch = "eid long, v int, u long, vtx long, w long"
+    nodes_v2 = spark.createDataFrame(
+        [(i,) for i in range(1, 6)], "node long"
+    )
+    # universe grows at w2: node 0 (smaller than every existing id)
+    nodes_v3 = spark.createDataFrame(
+        [(i,) for i in range(0, 6)], "node long"
+    )
+    # v1: edges 1-2 (eid 1), 4-5 (eid 4); node 3 isolated.
+    store.overwrite(spark.createDataFrame(
+        [(1, 1, 1, 2, 10), (4, 1, 4, 5, 10)], sch))
+    # w1: REWIRE eid 1 from (1,2) to (2,3) — 1 must split away, 3 must
+    # join 2 — and touch eid 4's payload without moving its endpoints.
+    store.merge(
+        spark.createDataFrame([(1, 2, 2, 3, 10), (4, 2, 4, 5, 99)], sch),
+        removed=spark.createDataFrame([], "eid long"),
+    )
+    # w2: universe gains node 0; new edge 0-5 (eid 7) — the NEW node
+    # is the smallest id, so it must become cluster root of {0,4,5}.
+    store.merge(
+        spark.createDataFrame([(7, 3, 0, 5, 10)], sch),
+        removed=spark.createDataFrame([], "eid long"),
+    )
+
+    def scratch(v, universe):
+        cc = connected_components(
+            store.read(version=v).select("u", F.col("vtx").alias("v")),
+            "u", "v",
+        )
+        return {
+            r.node: r.cluster
+            for r in universe.join(cc, "node", "left")
+            .select("node", F.coalesce("cluster", "node").alias("cluster"))
+            .collect()
+        }
+
+    as_d = lambda df: {r.node: r.cluster for r in df.collect()}  # noqa: E731
+
+    w1 = maintain_connected_components(
+        store, 1, 2, src="u", dst="vtx", nodes=nodes_v2
+    ).localCheckpoint()
+    got1 = as_d(w1)
+    assert got1 == scratch(2, nodes_v2)
+    assert got1[1] == 1          # split away from the rewired edge
+    assert got1[2] == got1[3] == 2  # the post-pair merged
+    assert got1[4] == got1[5] == 4  # payload-only update: untouched
+
+    w2 = maintain_connected_components(
+        store, 2, 3, src="u", dst="vtx", nodes=nodes_v3, old_labels=w1
+    )
+    got2 = as_d(w2)
+    assert got2 == scratch(3, nodes_v3)
+    assert got2[0] == got2[4] == got2[5] == 0  # new smallest-id root

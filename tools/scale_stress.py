@@ -170,6 +170,11 @@ STRESSED = {
     # fine DELTA (a hidden feed re-aggregation or base rescan at the
     # month level would bend the curve).
     "incremental_view_rollup_cascade": "orders",
+    # r12 (late): three-table joined IVM — the fact feed and both
+    # per-changed-key aggregates grow k-fold against the fixed dims;
+    # alpha ~ 1 proves all three telescoping terms stay
+    # feed/changed-slice-proportional with no rescan term.
+    "incremental_view_joined3": "orders",
     # r12 (late): incremental connected components — the chain graph's
     # component count and both feed directions (heals + cuts) grow
     # k-fold while components stay <=100 nodes; alpha ~ 1 proves the
