@@ -146,6 +146,7 @@ EXTRA = [
     "incremental_view_cms_topk",
     "incremental_view_sample",
     "incremental_view_joined3",
+    "multimodal_wav_stats",
     "decontaminate_bloom",
 ]
 

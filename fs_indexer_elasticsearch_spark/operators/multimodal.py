@@ -507,3 +507,119 @@ def sample_frames(
             )
 
     return assets.mapInPandas(run, FRAME_SCHEMA)
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak_dev", T.IntegerType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("pcm_md5", T.StringType()),
+        T.StructField("decode_kind", T.StringType()),
+    ]
+)
+
+
+def decode_wav(b: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a RIFF/WAVE PCM container hermetically (pure Python, no
+    audio library — the WAV sibling of :func:`decode_pnm`): walk the
+    chunk list (word-aligned per the RIFF spec), require a PCM
+    ``fmt `` chunk and a ``data`` chunk, and return
+    ``(sample_rate, n_channels, bits_per_sample, pcm_bytes)``.
+    Raises ValueError on anything malformed — truncation, missing
+    chunks, non-PCM encodings — so callers can fault-isolate poison
+    payloads per row instead of dying mid-batch."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    if audio_fmt != 1:
+        raise ValueError(f"not PCM (format tag {audio_fmt})")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if bits not in (8, 16) or n_channels < 1 or sample_rate < 1:
+        raise ValueError(f"unsupported PCM shape ({n_channels}ch/{bits}bit)")
+    return sample_rate, n_channels, bits, data
+
+
+def _wav_stats_row(b: bytes) -> dict:
+    rate, ch, bits, pcm = decode_wav(b)
+    width = bits // 8
+    n_samples = len(pcm) // (ch * width)
+    if bits == 8:
+        vals = list(pcm)
+        peak = max((abs(v - 128) for v in vals), default=0)
+    else:
+        vals = [
+            int.from_bytes(pcm[i : i + 2], "little", signed=True)
+            for i in range(0, len(pcm) - 1, 2)
+        ]
+        peak = max((abs(v) for v in vals), default=0)
+    import hashlib
+
+    return {
+        "sample_rate": rate,
+        "n_channels": ch,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+        "peak_dev": peak,
+        "sample_sum": sum(vals),
+        "pcm_md5": hashlib.md5(pcm.hex().upper().encode()).hexdigest()[:8],
+        "decode_kind": "real",
+    }
+
+
+def audio_stats(assets: DataFrame) -> DataFrame:
+    """Audio decode + per-asset stats (Arrow-batched mapInPandas) —
+    the AUDIO member of the multimodal kernel family: a genuine
+    RIFF/PCM parse (``decode_wav``, hermetic — no audio library in
+    this image and none needed), emitting sample rate / channel /
+    width metadata, sample count and duration, peak deviation, the
+    exact sample sum, and an md5 of the raw PCM bytes so a gate
+    oracle can prove the byte-exact extraction. Poison payloads
+    fault-isolate per row as ``decode_kind='invalid'`` with NULL
+    stats — a corrupt asset costs its own row, never the batch
+    (same contract as the resize/feature kernels)."""
+    import pandas as pd
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    row = _wav_stats_row(bytes(payload or b""))
+                except ValueError:
+                    row = {
+                        k.name: None
+                        for k in WAV_STATS_SCHEMA
+                        if k.name != "asset_id"
+                    }
+                    row["decode_kind"] = "invalid"
+                row["asset_id"] = asset_id
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_STATS_SCHEMA]
+            )
+
+    return assets.mapInPandas(run, WAV_STATS_SCHEMA)

@@ -58,7 +58,8 @@ from . import curation_pipeline  # noqa: E402,F401
 # bm25_search_topk, and (late) window_rank_lag_gap,
 # range_join_error_after_purchase, pagerank_neardup_graph,
 # incremental_agg_maintenance, quantized_ann_int8_topk,
-# char_bigram_nll, curriculum_quality_deciles, length_percentile_band
+# char_bigram_nll, curriculum_quality_deciles, length_percentile_band,
+# binary_payload_meta (multimodal anchored by frame_sample + wav_stats)
 # (all driver-green for multiple rounds, plans unchanged, families
 # still anchored in the prefix).
 _PRIORITY = [
@@ -100,6 +101,11 @@ _PRIORITY = [
     # decomposition dF*C1*N1 + F2*dC*N1 + F2*C2*dN, every term
     # changed-key-pruned — the n-table snowflake ladder.
     "incremental_view_joined3",
+    # ... and the audio arm of the multimodal family: a genuine
+    # hermetic RIFF/PCM parse (decode_wav) under the oracle gate —
+    # sample sum / peak / duration / raw-PCM md5 reproduced from the
+    # closed-form sample function.
+    "multimodal_wav_stats",
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches
@@ -161,7 +167,6 @@ _PRIORITY = [
     # Text analysis / profiling
     "text_quality_stats",
     "robust_zscore_by_lang",
-    "binary_payload_meta",
     # Corpus curation / analytics layer (r5; first driver rows)
     "dedup_keep_best",
     "vocab_concentration",
@@ -200,6 +205,7 @@ _PRIORITY = [
     "window_rank_lag_gap",
     "range_join_error_after_purchase",
     "length_percentile_band",
+    "binary_payload_meta",
     "pagerank_neardup_graph",
     "incremental_agg_maintenance",
     "quantized_ann_int8_topk",

@@ -768,3 +768,64 @@ def boilerplate_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# RIFF/WAVE header for the 24-sample 8 kHz mono 8-bit PCM demo clips:
+# 'RIFF' len=60 'WAVE' 'fmt '(16, PCM, 1ch, 8000 Hz, 8000 B/s, align 1,
+# 8 bit) 'data' len=24 — constant, so only the sample bytes vary.
+_WAV_HEADER_HEX = (
+    "524946463C00000057415645666D7420100000000100010040"
+    "1F0000401F0000010008006461746118000000"
+)
+
+
+@query(
+    "multimodal_wav_stats",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           8000 AS sample_rate, 1 AS n_channels, 8 AS bits,
+           CAST(24 AS BIGINT) AS n_samples,
+           CAST(3 AS BIGINT) AS duration_ms,
+           CAST((SELECT MAX(abs((doc_id * 29 + i * 13) % 256 - 128))
+                 FROM range(24) t(i)) AS INTEGER) AS peak_dev,
+           CAST((SELECT SUM((doc_id * 29 + i * 13) % 256)
+                 FROM range(24) t(i)) AS BIGINT) AS sample_sum,
+           substr(md5((SELECT string_agg(
+                           lpad(hex((doc_id * 29 + i * 13) % 256), 2, '0'),
+                           '' ORDER BY i)
+                       FROM range(24) t(i))), 1, 8) AS pcm_md5,
+           'real' AS decode_kind
+    FROM documents WHERE doc_id % 43 = 0
+    """,
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GENUINE audio decode in the oracle gate — the WAV sibling of
+    ``multimodal_ppm_decode``: deterministic 8 kHz mono 8-bit PCM
+    clips (sample i = (doc_id*29 + i*13) mod 256) are built as real
+    RIFF/WAVE bytes and pushed through the REAL container parse
+    (operators/multimodal.decode_wav — chunk walk, PCM fmt check,
+    word alignment), and the kernel's sample sum, peak deviation,
+    duration and raw-PCM md5 are reproduced by the oracle from the
+    closed-form sample function. ``decode_kind`` rides along, so a
+    payload that silently failed to parse (kind='invalid')
+    hash-mismatches — the gate proves the real parse executed on
+    every row. This is the audio arm of the multimodal pipeline:
+    metadata + loudness stats are the pruning pass a speech corpus
+    runs before expensive feature extraction."""
+    from ..operators.multimodal import audio_stats
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 43 == 0)
+    hexpcm = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda i: F.lpad(
+                F.hex((F.col("doc_id") * 29 + i * 13) % 256), 2, "0"
+            ),
+        ),
+        "",
+    )
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.unhex(F.concat(F.lit(_WAV_HEADER_HEX), hexpcm)).alias("payload"),
+    )
+    return audio_stats(assets)

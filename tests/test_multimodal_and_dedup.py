@@ -821,3 +821,78 @@ def test_maintain_cc_rewiring_update_and_universe_growth(spark, tmp_path):
     got2 = as_d(w2)
     assert got2 == scratch(3, nodes_v3)
     assert got2[0] == got2[4] == got2[5] == 0  # new smallest-id root
+
+
+def test_decode_wav_roundtrip_and_errors():
+    """The hermetic RIFF/PCM parser: 8-bit and 16-bit roundtrips
+    (including an extra chunk before data and odd-size word
+    alignment), and loud ValueErrors on truncation, non-PCM format
+    tags, and missing chunks."""
+    import struct
+
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    def wav(rate, ch, bits, pcm, *, fmt_tag=1, extra=b""):
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, ch, rate,
+            rate * ch * bits // 8, ch * bits // 8, bits,
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra:
+            chunks += b"LIST" + struct.pack("<I", len(extra)) + extra
+            if len(extra) & 1:
+                chunks += b"\0"  # word alignment pad
+        chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rate, ch, bits, pcm = decode_wav(wav(8000, 1, 8, bytes(range(24))))
+    assert (rate, ch, bits) == (8000, 1, 8) and pcm == bytes(range(24))
+    # extra chunk with odd size exercises the alignment pad
+    rate, ch, bits, pcm = decode_wav(
+        wav(16000, 2, 16, struct.pack("<4h", -5, 5, -300, 300), extra=b"xyz")
+    )
+    assert (rate, ch, bits) == (16000, 2, 16) and len(pcm) == 8
+
+    import pytest as _pytest
+
+    for bad in (
+        b"",  # empty
+        b"RIFX" + bytes(40),  # wrong magic
+        wav(8000, 1, 8, bytes(4))[:-2],  # truncated data chunk
+        wav(8000, 1, 8, bytes(4), fmt_tag=3),  # IEEE float, not PCM
+        b"RIFF" + struct.pack("<I", 4) + b"WAVE",  # no chunks at all
+    ):
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_audio_stats_poison_payload_isolated(spark):
+    """A corrupt WAV costs its own row (decode_kind='invalid', NULL
+    stats) — never the batch; valid rows in the same batch decode
+    for real with byte-exact stats."""
+    import struct
+
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        audio_stats,
+    )
+
+    pcm = bytes([128, 138, 118, 128])  # dev 0, +10, -10, 0
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 1000, 1, 8)
+    good = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    df = spark.createDataFrame(
+        [("ok", bytearray(good)), ("bad", bytearray(b"not audio"))],
+        "asset_id string, payload binary",
+    )
+    rows = {r.asset_id: r for r in audio_stats(df).collect()}
+    ok = rows["ok"]
+    assert ok.decode_kind == "real"
+    assert (ok.sample_rate, ok.n_samples, ok.duration_ms) == (1000, 4, 4)
+    assert ok.peak_dev == 10 and ok.sample_sum == 512
+    bad = rows["bad"]
+    assert bad.decode_kind == "invalid" and bad.n_samples is None
