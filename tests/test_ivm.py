@@ -1464,3 +1464,157 @@ def test_maintain_joined3_chained_equals_scratch(spark, tmp_path):
     assert as_d(w1) == scratch(2)
     w2 = maintain_joined3_agg(fact, cust, nat, 2, 3, **kw, old_view=w1)
     assert as_d(w2) == scratch(3)
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_joined_ivm_model_random_program(spark, tmp_path, seed):
+    """Model-based check for the JOINED maintainers: one seeded random
+    program drives a fact store, a dim store and a second (snowflake)
+    dim store through three chained windows — fact upserts/deletes,
+    customer inserts/re-nations/deletes, nation inserts/re-groups/
+    deletes all in the same windows — and after every cycle
+    maintain_joined_agg, maintain_joined_min_max and
+    maintain_joined3_agg (each chained on its own previous output)
+    must equal a from-scratch rejoin of the post states. The
+    interleavings that break joined IVM (a re-nationed customer whose
+    facts all died the same window, a nation vanishing under live
+    customers, an extremum departing via a dim move) arise from the
+    seed."""
+    import random as _random
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_joined3_agg,
+        maintain_joined_agg,
+        maintain_joined_min_max,
+    )
+
+    rng = _random.Random(seed)
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    cust = SnapshotStore(
+        spark, str(tmp_path / "cust"), key="ck", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    nat = SnapshotStore(
+        spark, str(tmp_path / "nat"), key="nk", version_col="v",
+        num_buckets=2, layout="manifest",
+    )
+    fsch = "fk long, v int, cust long, price double"
+    csch = "ck long, v int, nation long"
+    nsch = "nk long, v int, grp string"
+    FKS, CKS, NKS = list(range(20)), list(range(6)), list(range(4))
+    GRPS = ["a", "b", None]
+    live_f: dict[int, tuple[int, float]] = {}
+    live_c: dict[int, int] = {}
+    live_n: dict[int, str | None] = {}
+
+    def pick(pool, k):
+        return rng.sample(pool, min(k, len(pool)))
+
+    def step(ver):
+        frows = [
+            (k, ver, rng.choice(CKS), float(rng.randint(1, 99)))
+            for k in rng.sample(FKS, rng.randint(2, 7))
+        ]
+        f_rm = pick(
+            [k for k in live_f if k not in {r[0] for r in frows}],
+            rng.randint(0, 3),
+        )
+        crows = [
+            (k, ver, rng.choice(NKS))
+            for k in rng.sample(CKS, rng.randint(0, 3))
+        ]
+        c_rm = pick(
+            [k for k in live_c if k not in {r[0] for r in crows}],
+            rng.randint(0, 1),
+        )
+        nrows = [
+            (k, ver, rng.choice(GRPS))
+            for k in rng.sample(NKS, rng.randint(0, 2))
+        ]
+        n_rm = pick(
+            [k for k in live_n if k not in {r[0] for r in nrows}],
+            rng.randint(0, 1),
+        )
+        return frows, f_rm, crows, c_rm, nrows, n_rm
+
+    def apply(store, rows, removed, sch, keysch):
+        store.merge(
+            spark.createDataFrame(rows, sch),
+            removed=spark.createDataFrame([(k,) for k in removed], keysch)
+            if removed
+            else None,
+        )
+
+    # v1 seeds
+    frows, _, crows, _, nrows, _ = step(1)
+    if not crows:
+        crows = [(0, 1, 0)]
+    if not nrows:
+        nrows = [(0, 1, "a")]
+    fact.overwrite(spark.createDataFrame(frows, fsch))
+    cust.overwrite(spark.createDataFrame(crows, csch))
+    nat.overwrite(spark.createDataFrame(nrows, nsch))
+    live_f.update({k: (c, p) for k, _, c, p in frows})
+    live_c.update({k: n for k, _, n in crows})
+    live_n.update({k: g for k, _, g in nrows})
+
+    views = {"agg": None, "mm": None, "j3": None}
+    for cycle in range(2, 5):
+        frows, f_rm, crows, c_rm, nrows, n_rm = step(cycle)
+        apply(fact, frows, f_rm, fsch, "fk long")
+        apply(cust, crows, c_rm, csch, "ck long")
+        apply(nat, nrows, n_rm, nsch, "nk long")
+        live_f.update({k: (c, p) for k, _, c, p in frows})
+        for k in f_rm:
+            live_f.pop(k, None)
+        live_c.update({k: n for k, _, n in crows})
+        for k in c_rm:
+            live_c.pop(k, None)
+        live_n.update({k: g for k, _, g in nrows})
+        for k in n_rm:
+            live_n.pop(k, None)
+
+        vf, vt = cycle - 1, cycle
+        views["agg"] = maintain_joined_agg(
+            fact, cust, vf, vt, fact_key_col="cust", dim_key_col="ck",
+            group_col="nation", old_view=views["agg"],
+        ).localCheckpoint(eager=False)
+        views["mm"] = maintain_joined_min_max(
+            fact, cust, vf, vt, fact_key_col="cust", dim_key_col="ck",
+            group_col="nation", old_view=views["mm"],
+        ).localCheckpoint(eager=False)
+        views["j3"] = maintain_joined3_agg(
+            fact, cust, nat, vf, vt,
+            fact_key_col="cust", dim1_key_col="ck", dim1_attr_col="nation",
+            dim2_key_col="nk", group_col="grp", old_view=views["j3"],
+        ).localCheckpoint(eager=False)
+
+        # Pure-python models from the live dicts.
+        cents = lambda p: int(round(p * 100))  # noqa: E731
+        by_nation: dict[int, list[int]] = {}
+        by_grp: dict[str | None, list[int]] = {}
+        for _, (c, p) in live_f.items():
+            if c in live_c:
+                n = live_c[c]
+                by_nation.setdefault(n, []).append(cents(p))
+                if n in live_n:
+                    by_grp.setdefault(live_n[n], []).append(cents(p))
+        got_agg = {r.nation: (r.n, r.s) for r in views["agg"].collect()}
+        assert got_agg == {
+            n: (len(v), sum(v)) for n, v in by_nation.items()
+        }, f"joined agg diverged at cycle {cycle} ({seed=})"
+        got_mm = {
+            r.nation: (r.n, r.s, r.min_c, r.max_c)
+            for r in views["mm"].collect()
+        }
+        assert got_mm == {
+            n: (len(v), sum(v), min(v), max(v))
+            for n, v in by_nation.items()
+        }, f"joined min/max diverged at cycle {cycle} ({seed=})"
+        got_j3 = {r.grp: (r.n, r.s) for r in views["j3"].collect()}
+        assert got_j3 == {
+            g: (len(v), sum(v)) for g, v in by_grp.items()
+        }, f"joined3 diverged at cycle {cycle} ({seed=})"
