@@ -1812,3 +1812,265 @@ def maintain_joined3_agg(
         zsum(["_n0", "_n1", "_n2", "_n3"]).cast("long").alias("n"),
         zsum(["_s0", "_s1", "_s2", "_s3"]).cast("long").alias("s"),
     ).filter(F.col("n") > 0)
+
+
+def maintain_joined_top_k(
+    fact_store,
+    dim_store,
+    v_from: int,
+    v_to: int,
+    *,
+    fact_key_col: str,
+    dim_key_col: str,
+    group_col: str,
+    k: int,
+    cents_col: str = "price",
+    old_view: DataFrame | None = None,
+) -> DataFrame:
+    """The last cell of the composition matrix: per-group TOP-K over a
+    JOINED view with BOTH stores changing — count/sum ride the exact
+    two-term decomposition (``maintain_joined_agg``), the k-deep
+    extremum rides the horizon rule (``maintain_top_k``), and the dim
+    feed contributes both directions exactly as in
+    ``maintain_joined_min_max``: a moved-IN key's post-state fact
+    values are candidates that can only improve the stored array, a
+    moved-OUT (or deleted) key may have held any of its old group's
+    top-k and forces that group's recompute. Returns
+    ``[group_col, n, s, topk]`` (``topk`` = k largest cents,
+    descending) equal to a from-scratch ranked top-k over
+    ``F(v_to) ⋈ D(v_to)``.
+
+    Per cycle: O(feed) candidate ranking (pre-ranked per group before
+    any array collect, so state stays O(groups × k)), plus ONE
+    group-pruned post-state join for the threatened groups — D2 is
+    semi-joined to the affected set first, so the fact scan is pruned
+    by the key join (never a rescan); all join strategies left to
+    AQE. NULL groups pair null-safely end to end."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(cents_col) * 100).cast("long")
+    d_prev = dim_store.read(version=v_from).select(dim_key_col, group_col)
+    d_cur = dim_store.read(version=v_to).select(
+        F.col(dim_key_col).alias("_dk2"), F.col(group_col).alias("_g2")
+    )
+
+    def ranked(df: DataFrame, val_col: str) -> DataFrame:
+        w = Window.partitionBy(group_col).orderBy(F.desc(val_col))
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .groupBy(group_col)
+            .agg(
+                F.reverse(
+                    F.array_sort(F.collect_list(F.col(val_col)))
+                ).alias("_cand")
+            )
+        )
+
+    if old_view is not None:
+        old = old_view.select(
+            group_col,
+            F.col("n").alias("_n0"),
+            F.col("s").alias("_s0"),
+            F.col("topk").alias("_tk0"),
+        )
+    else:
+        base = (
+            fact_store.read(version=v_from)
+            .join(d_prev, F.col(fact_key_col) == F.col(dim_key_col))
+            .select(group_col, cents.alias("_c"))
+            .localCheckpoint(eager=False)
+        )
+        w = Window.partitionBy(group_col).orderBy(F.desc("_c"))
+        old = (
+            base.withColumn("_rk", F.row_number().over(w))
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("_n0"),
+                F.sum("_c").alias("_s0"),
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("_rk") <= k, F.col("_c")))
+                    )
+                ).alias("_tk0"),
+            )
+        )
+    sign_of = lambda col: F.when(  # noqa: E731
+        col.isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    feed = fact_store.read_changes(
+        v_from, v_to, update_images="both"
+    ).localCheckpoint(eager=False)
+    is_add = F.col("_change").isin("insert", "update_postimage")
+    # n/s algebra + removal threats under the PRE-state dim.
+    ffeed = feed.join(d_prev, F.col(fact_key_col) == F.col(dim_key_col))
+    fsign = sign_of(F.col("_change"))
+    t1 = ffeed.groupBy(group_col).agg(
+        F.sum(fsign).alias("_n1"),
+        F.sum(fsign * cents).alias("_s1"),
+        F.max(F.when(~is_add, cents)).alias("_xr"),
+    )
+    # Dim feed: term-2 n/s + moved-in candidates + departure threats.
+    dfeed = (
+        dim_store.read_changes(v_from, v_to, update_images="both")
+        .select(
+            F.col(dim_key_col).alias("_dk"),
+            group_col,
+            sign_of(F.col("_change")).alias("_dsign"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
+    f_slice = (
+        fact_store.read(version=v_to)
+        .join(changed_keys, F.col(fact_key_col) == F.col("_ck"), "left_semi")
+        .select(F.col(fact_key_col).alias("_fk"), cents.alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    per_key = f_slice.groupBy("_fk").agg(
+        F.count(F.lit(1)).alias("_kn"), F.sum("_c").alias("_ks")
+    )
+    t2 = (
+        dfeed.join(per_key, F.col("_dk") == F.col("_fk"), "left")
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col("_dsign") * F.coalesce("_kn", F.lit(0))).alias("_n2"),
+            F.sum(F.col("_dsign") * F.coalesce("_ks", F.lit(0))).alias("_s2"),
+        )
+    )
+    # Candidates: fact post-images under the POST dim, plus moved-in
+    # keys' post-state fact values (their group is the feed's +1 row's
+    # group) — ranked per group BEFORE any collect, O(groups x k).
+    fadd_rows = (
+        feed.filter(is_add)
+        .join(d_cur, F.col(fact_key_col) == F.col("_dk2"))
+        .select(F.col("_g2").alias(group_col), cents.alias("_v"))
+    )
+    din_rows = (
+        dfeed.filter(F.col("_dsign") == 1)
+        .join(f_slice, F.col("_dk") == F.col("_fk"))
+        .select(group_col, F.col("_c").alias("_v"))
+    )
+    cands = ranked(fadd_rows.unionByName(din_rows), "_v")
+    # Departure threats: pre-group differs null-safely from post-group,
+    # or the key was deleted (same struct trick as joined min/max).
+    mv = dfeed.groupBy("_dk").agg(
+        F.max(
+            F.when(
+                F.col("_dsign") == -1,
+                F.struct(F.lit(1).alias("h"), F.col(group_col).alias("g")),
+            )
+        ).alias("_pre"),
+        F.max(
+            F.when(
+                F.col("_dsign") == 1,
+                F.struct(F.lit(1).alias("h"), F.col(group_col).alias("g")),
+            )
+        ).alias("_post"),
+    )
+    dthreat = (
+        mv.filter(
+            F.col("_pre").isNotNull()
+            & (
+                F.col("_post").isNull()
+                | ~F.col("_pre.g").eqNullSafe(F.col("_post.g"))
+            )
+        )
+        .select(F.col("_pre.g").alias(group_col))
+        .distinct()
+        .withColumn("_dthreat", F.lit(True))
+    )
+    j = (
+        _null_safe_outer(old, t1, group_col,
+                         ["_n0", "_s0", "_tk0"], ["_n1", "_s1", "_xr"])
+        .transform(lambda df: _null_safe_outer(
+            df, t2, group_col,
+            ["_n0", "_s0", "_tk0", "_n1", "_s1", "_xr"], ["_n2", "_s2"]))
+        .transform(lambda df: _null_safe_outer(
+            df, cands, group_col,
+            ["_n0", "_s0", "_tk0", "_n1", "_s1", "_xr", "_n2", "_s2"],
+            ["_cand"]))
+        .transform(lambda df: _null_safe_outer(
+            df, dthreat, group_col,
+            ["_n0", "_s0", "_tk0", "_n1", "_s1", "_xr", "_n2", "_s2",
+             "_cand"],
+            ["_dthreat"]))
+        .withColumn(
+            "_n_new",
+            (
+                F.coalesce("_n0", F.lit(0))
+                + F.coalesce("_n1", F.lit(0))
+                + F.coalesce("_n2", F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "_s_new",
+            (
+                F.coalesce("_s0", F.lit(0))
+                + F.coalesce("_s1", F.lit(0))
+                + F.coalesce("_s2", F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            # Horizon rule: a removal ties-or-beats the k-th stored
+            # value (or the group was never fully stored — _tk0 null),
+            # or a dim key departed the group.
+            "_recompute",
+            F.coalesce("_dthreat", F.lit(False))
+            | F.coalesce(
+                F.col("_xr").isNotNull()
+                & (
+                    F.col("_tk0").isNull()
+                    | (F.col("_xr") >= F.element_at("_tk0", -1))
+                ),
+                F.lit(False),
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    empty_arr = F.slice(F.coalesce("_cand", "_tk0"), 1, 0)
+    kept = j.filter(~F.col("_recompute") & (F.col("_n_new") > 0)).select(
+        group_col,
+        F.col("_n_new").alias("n"),
+        F.col("_s_new").alias("s"),
+        F.slice(
+            F.reverse(
+                F.array_sort(
+                    F.concat(
+                        F.coalesce("_tk0", empty_arr),
+                        F.coalesce("_cand", empty_arr),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("topk"),
+    )
+    affected = j.filter(F.col("_recompute")).select(
+        F.col(group_col).alias("_ag")
+    )
+    if affected.isEmpty():
+        return kept
+    d_aff = d_cur.join(
+        affected, F.col("_g2").eqNullSafe(F.col("_ag")), "left_semi"
+    )
+    rebase = (
+        fact_store.read(version=v_to)
+        .join(d_aff, F.col(fact_key_col) == F.col("_dk2"))
+        .select(F.col("_g2").alias(group_col), cents.alias("_c"))
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.desc("_c"))
+    recomputed = (
+        rebase.withColumn("_rk", F.row_number().over(w2))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_c").alias("s"),
+            F.reverse(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_rk") <= k, F.col("_c")))
+                )
+            ).alias("topk"),
+        )
+    )
+    return kept.unionByName(recomputed)
