@@ -147,6 +147,7 @@ EXTRA = [
     "incremental_view_sample",
     "incremental_view_joined3",
     "multimodal_wav_stats",
+    "incremental_view_joined_topk",
     "decontaminate_bloom",
 ]
 

@@ -1921,10 +1921,12 @@ def maintain_joined_top_k(
         .localCheckpoint(eager=False)
     )
     changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
+    fact_pk = fact_store.key
+    pks = [fact_pk] if isinstance(fact_pk, str) else list(fact_pk)
     f_slice = (
         fact_store.read(version=v_to)
         .join(changed_keys, F.col(fact_key_col) == F.col("_ck"), "left_semi")
-        .select(F.col(fact_key_col).alias("_fk"), cents.alias("_c"))
+        .select(*pks, F.col(fact_key_col).alias("_fk"), cents.alias("_c"))
         .localCheckpoint(eager=False)
     )
     per_key = f_slice.groupBy("_fk").agg(
@@ -1946,9 +1948,16 @@ def maintain_joined_top_k(
         .join(d_cur, F.col(fact_key_col) == F.col("_dk2"))
         .select(F.col("_g2").alias(group_col), cents.alias("_v"))
     )
+    # Moved-in keys' post-state rows, MINUS rows already contributed
+    # by the fact feed's post-images (a row that is both a feed add
+    # and a moved-in key's row must enter the candidate multiset
+    # exactly once — arrays, unlike min/max, are not idempotent).
     din_rows = (
         dfeed.filter(F.col("_dsign") == 1)
-        .join(f_slice, F.col("_dk") == F.col("_fk"))
+        .join(
+            f_slice.join(feed.filter(is_add).select(*pks), pks, "left_anti"),
+            F.col("_dk") == F.col("_fk"),
+        )
         .select(group_col, F.col("_c").alias("_v"))
     )
     cands = ranked(fadd_rows.unionByName(din_rows), "_v")

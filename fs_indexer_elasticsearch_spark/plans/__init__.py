@@ -106,6 +106,10 @@ _PRIORITY = [
     # sample sum / peak / duration / raw-PCM md5 reproduced from the
     # closed-form sample function.
     "multimodal_wav_stats",
+    # ... and the last composition-matrix cell: joined TOP-K — the
+    # k-deep extremum over fact⋈dim through both feeds (horizon rule
+    # + dim-move candidates, deduped against the feed's own images).
+    "incremental_view_joined_topk",
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches
@@ -166,7 +170,6 @@ _PRIORITY = [
     "ann_recall_at_k",
     # Text analysis / profiling
     "text_quality_stats",
-    "robust_zscore_by_lang",
     # Corpus curation / analytics layer (r5; first driver rows)
     "dedup_keep_best",
     "vocab_concentration",
@@ -206,6 +209,7 @@ _PRIORITY = [
     "range_join_error_after_purchase",
     "length_percentile_band",
     "binary_payload_meta",
+    "robust_zscore_by_lang",
     "pagerank_neardup_graph",
     "incremental_agg_maintenance",
     "quantized_ann_int8_topk",

@@ -3295,3 +3295,86 @@ def incremental_view_joined3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_orders"),
         stable_round(F.col("s") / 100.0, 2).alias("total_price"),
     )
+
+
+_VIEW_JOINED_TOPK_ORACLE = """
+    WITH fbase AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    fdelta AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    f2 AS (
+        SELECT * FROM fbase WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT * FROM fdelta
+    ),
+    d2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 13 = 4
+                    THEN (c_nationkey + 7) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 13 <> 6
+    ),
+    r AS (
+        SELECT c_nationkey,
+               CAST(round(price * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY CAST(round(price * 100) AS BIGINT) DESC
+               ) AS rk
+        FROM f2 JOIN d2 ON o_custkey = c_custkey
+    )
+    SELECT c_nationkey, rk, round(cents / 100.0 + 1e-7, 2) AS price
+    FROM r WHERE rk <= 5
+"""
+
+
+@query("incremental_view_joined_topk", oracle=_VIEW_JOINED_TOPK_ORACLE)
+def incremental_view_joined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST cell of the composition matrix
+    (operators/ivm.maintain_joined_top_k): per-nation TOP-5 order
+    prices over orders ⋈ customer with BOTH stores changing — count/
+    sum ride the two-term decomposition, the k-deep extremum rides
+    the horizon rule, and dim moves carry candidates IN (a re-nationed
+    customer's post-state values enter the destination array, deduped
+    against the fact feed's own post-images — arrays, unlike min/max,
+    are not idempotent) and force recomputes OUT (a departed key may
+    have held any of its old group's top-k). The demo window retires
+    top prices via %10==5 mass deletes, beats horizons via the
+    %10==3/7 price bumps, and re-nations the %13==4 customers, so
+    every branch runs on real data; the oracle re-ranks the
+    post-state join from scratch — membership, order and counts land
+    exactly."""
+    from ..operators.ivm import maintain_joined_top_k
+
+    fact = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
+    )
+    dim = _dim_cdf_store(spark, sf_dir)
+    view = maintain_joined_top_k(
+        fact,
+        dim,
+        1,
+        2,
+        fact_key_col="o_custkey",
+        dim_key_col="c_custkey",
+        group_col="c_nationkey",
+        k=5,
+    )
+    return view.select(
+        "c_nationkey", F.posexplode("topk").alias("_pos", "cents")
+    ).select(
+        "c_nationkey",
+        (F.col("_pos") + 1).cast("long").alias("rk"),
+        stable_round(F.col("cents") / 100.0, 2).alias("price"),
+    )

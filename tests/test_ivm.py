@@ -1486,6 +1486,7 @@ def test_joined_ivm_model_random_program(spark, tmp_path, seed):
         maintain_joined3_agg,
         maintain_joined_agg,
         maintain_joined_min_max,
+        maintain_joined_top_k,
     )
 
     rng = _random.Random(seed)
@@ -1561,7 +1562,7 @@ def test_joined_ivm_model_random_program(spark, tmp_path, seed):
     live_c.update({k: n for k, _, n in crows})
     live_n.update({k: g for k, _, g in nrows})
 
-    views = {"agg": None, "mm": None, "j3": None}
+    views = {"agg": None, "mm": None, "j3": None, "tk": None}
     for cycle in range(2, 5):
         frows, f_rm, crows, c_rm, nrows, n_rm = step(cycle)
         apply(fact, frows, f_rm, fsch, "fk long")
@@ -1591,6 +1592,10 @@ def test_joined_ivm_model_random_program(spark, tmp_path, seed):
             fact_key_col="cust", dim1_key_col="ck", dim1_attr_col="nation",
             dim2_key_col="nk", group_col="grp", old_view=views["j3"],
         ).localCheckpoint(eager=False)
+        views["tk"] = maintain_joined_top_k(
+            fact, cust, vf, vt, fact_key_col="cust", dim_key_col="ck",
+            group_col="nation", k=3, old_view=views["tk"],
+        ).localCheckpoint(eager=False)
 
         # Pure-python models from the live dicts.
         cents = lambda p: int(round(p * 100))  # noqa: E731
@@ -1618,3 +1623,101 @@ def test_joined_ivm_model_random_program(spark, tmp_path, seed):
         assert got_j3 == {
             g: (len(v), sum(v)) for g, v in by_grp.items()
         }, f"joined3 diverged at cycle {cycle} ({seed=})"
+        got_tk = {
+            r.nation: (r.n, r.s, tuple(r.topk))
+            for r in views["tk"].collect()
+        }
+        assert got_tk == {
+            n: (len(v), sum(v), tuple(sorted(v, reverse=True)[:3]))
+            for n, v in by_nation.items()
+        }, f"joined top-k diverged at cycle {cycle} ({seed=})"
+
+
+def test_maintain_joined_top_k_all_branches(spark, tmp_path):
+    """Joined top-k across two chained windows with both stores
+    changing: pure-merge cycles (adds below/above the horizon),
+    a horizon-retiring fact delete, a dim move that carries a top-k
+    member between groups (no fact change), and a moved-in key whose
+    values enter the destination's array — each window checked
+    against a from-scratch ranked rejoin."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        maintain_joined_top_k,
+    )
+
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="ck", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    fsch = "fk long, v int, cust long, price double"
+    dsch = "ck long, v int, grp string"
+    dim.overwrite(spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "a"), (3, 1, "b")], dsch))
+    # group a: cust1 {9, 5}, cust2 {7}; group b: cust3 {4, 2}
+    fact.overwrite(spark.createDataFrame(
+        [(10, 1, 1, 0.09), (11, 1, 1, 0.05), (12, 1, 2, 0.07),
+         (13, 1, 3, 0.04), (14, 1, 3, 0.02)], fsch))
+    # w1: insert 3 into a (below horizon for k=2), delete 10 (a's max
+    # — horizon retire), move cust3 b->a (carries {4,2} in).
+    fact.merge(
+        spark.createDataFrame([(15, 2, 2, 0.03)], fsch),
+        removed=spark.createDataFrame([(10,)], "fk long"),
+    )
+    dim.merge(
+        spark.createDataFrame([(3, 2, "a")], dsch),
+        removed=spark.createDataFrame([], "ck long"),
+    )
+    # w2: pure adds (one beats a's max, one below), new dim key with
+    # facts arriving the same window (cust 4 -> new group c).
+    fact.merge(
+        spark.createDataFrame(
+            [(16, 3, 1, 0.99), (17, 3, 2, 0.01), (18, 3, 4, 0.06)], fsch),
+        removed=spark.createDataFrame([], "fk long"),
+    )
+    dim.merge(
+        spark.createDataFrame([(4, 3, "c")], dsch),
+        removed=spark.createDataFrame([], "ck long"),
+    )
+
+    def scratch(v):
+        from pyspark.sql import Window
+
+        cents = F.round(F.col("price") * 100).cast("long")
+        base = (
+            fact.read(version=v)
+            .join(dim.read(version=v).select("ck", "grp"),
+                  F.col("cust") == F.col("ck"))
+            .select("grp", cents.alias("c"))
+        )
+        w = Window.partitionBy("grp").orderBy(F.desc("c"))
+        return {
+            r.grp: (r.n, r.s, tuple(r.topk))
+            for r in base.withColumn("_rk", F.row_number().over(w))
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("c").alias("s"),
+                F.reverse(F.array_sort(
+                    F.collect_list(F.when(F.col("_rk") <= 2, F.col("c")))
+                )).alias("topk"),
+            )
+            .collect()
+        }
+
+    kw = dict(fact_key_col="cust", dim_key_col="ck", group_col="grp", k=2)
+    as_d = lambda df: {  # noqa: E731
+        r.grp: (r.n, r.s, tuple(r.topk)) for r in df.collect()
+    }
+    w1 = maintain_joined_top_k(fact, dim, 1, 2, **kw).localCheckpoint()
+    got1 = as_d(w1)
+    assert got1 == scratch(2)
+    assert got1["a"][2] == (7, 5)  # 9 retired, moved-in 4 below
+    assert "b" not in got1  # its only customer moved away
+    w2 = maintain_joined_top_k(fact, dim, 2, 3, **kw, old_view=w1)
+    got2 = as_d(w2)
+    assert got2 == scratch(3)
+    assert got2["a"][2] == (99, 7)  # add beat the stored max
+    assert got2["c"][2] == (6,)  # new key + new group same window

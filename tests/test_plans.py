@@ -163,6 +163,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "incremental_view_sample",
         "incremental_view_joined3",
         "multimodal_wav_stats",
+        "incremental_view_joined_topk",
         "incremental_view_histogram", "incremental_view_histogram_chained",
         "ann_ivf_coldmerge_topk", "incremental_view_topk",
         "incremental_view_moments", "incremental_view_joined_histogram",
@@ -177,7 +178,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "incremental_curation_cycle",
         "dedup_incremental_tombstone",
         "store_read_changes",
-        "text_quality_stats", "robust_zscore_by_lang",
+        "text_quality_stats",
         "ann_recall_at_k",
         "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
         "vocab_concentration",

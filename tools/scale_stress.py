@@ -170,6 +170,12 @@ STRESSED = {
     # fine DELTA (a hidden feed re-aggregation or base rescan at the
     # month level would bend the curve).
     "incremental_view_rollup_cascade": "orders",
+    # r12 (late): joined top-k — the k-deep extremum over the joined
+    # view; the amplified mass delete retires horizon members and the
+    # re-nations carry candidates k-fold more often against the fixed
+    # dim, so alpha ~ 1 proves the candidate ranking + group-pruned
+    # recompute stay feed-proportional.
+    "incremental_view_joined_topk": "orders",
     # r12 (late): three-table joined IVM — the fact feed and both
     # per-changed-key aggregates grow k-fold against the fixed dims;
     # alpha ~ 1 proves all three telescoping terms stay
