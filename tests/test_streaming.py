@@ -1542,3 +1542,101 @@ def test_streaming_partition_delta_publication(spark, tmp_path):
         assert len(fact_reads) == derivation_reads
     finally:
         q.stop()
+
+
+def test_streaming_maintained_pipeline_cms_zero_base_reads(spark, tmp_path):
+    """The generic maintained-view stream with the COUNT-MIN SKETCH
+    algebra plugged in: the maintained cells must bit-equal a
+    from-scratch sketch of the base after every epoch (including an
+    out-of-band delete window — CMS is a turnstile sketch, removals
+    subtract), and because the algebra is fully distributive the base
+    store is NEVER read after the first derivation."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        cms_bucket,
+        maintain_cms,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_pipeline,
+    )
+
+    W, D = 16, 3
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("cust", T.LongType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="k", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key=["d", "bucket"],
+        version_col="cnt", num_buckets=2, bucket_key="bucket",
+    )
+    versioned_reads = []
+    orig_read = store.read
+
+    def counting_read(version=None):
+        if version is not None:
+            versioned_reads.append(version)
+        return orig_read(version=version)
+
+    store.read = counting_read
+
+    def sketch_of(df):
+        depths = F.array(*[F.lit(d).cast("long") for d in range(D)])
+        return (
+            df.select(F.col("cust").alias("_k"), F.explode(depths).alias("d"))
+            .select(
+                "d", cms_bucket(F.col("d"), F.col("_k"), W).alias("bucket")
+            )
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    def derive(v_after):
+        return sketch_of(orig_read(version=v_after))
+
+    def maintain(reflected, v_after, old_view):
+        return maintain_cms(
+            store, reflected, v_after, "cust",
+            depth=D, width=W, old_cells=old_view,
+        )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    as_d = lambda df: {  # noqa: E731
+        (r.d, r.bucket): r.cnt for r in df.collect()
+    }
+
+    drop("b1", [(1, 1, 100), (2, 1, 100), (3, 1, 200)])
+    q = streaming_maintained_pipeline(
+        spark, str(inp) + "/*", schema, store, view_store,
+        str(tmp_path / "ckpt"), derive=derive, maintain=maintain,
+    )
+    try:
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(sketch_of(orig_read()))
+        assert versioned_reads == []  # derive() used orig_read
+
+        drop("b2", [(4, 1, 300), (1, 2, 200)])  # add + key move
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(sketch_of(orig_read()))
+
+        # out-of-band delete window spans into the next epoch
+        store.merge(
+            spark.createDataFrame([], schema),
+            removed=spark.createDataFrame([(2,)], "k long"),
+        )
+        drop("b3", [(5, 1, 100)])
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(sketch_of(orig_read()))
+        assert versioned_reads == []  # turnstile: no recompute branch
+    finally:
+        q.stop()
