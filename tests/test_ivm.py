@@ -1721,3 +1721,76 @@ def test_maintain_joined_top_k_all_branches(spark, tmp_path):
     assert got2 == scratch(3)
     assert got2["a"][2] == (99, 7)  # add beat the stored max
     assert got2["c"][2] == (6,)  # new key + new group same window
+
+
+def test_join_membership_delta_replay_idempotent(spark, tmp_path):
+    """The delta publication's at-least-once claim, pinned at operator
+    level: applying join_membership_delta's (upserts, removed) to the
+    view store TWICE — a crashed epoch replayed after a completed
+    publish — leaves the view byte-identical to applying it once, and
+    both equal the full maintained partition."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        join_membership_delta,
+        maintain_join_membership,
+    )
+
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4, layout="manifest",
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=2, layout="manifest",
+    )
+    fsch = "fk long, v int, cust long"
+    dim.overwrite(spark.createDataFrame([(1, 1), (2, 1)], "dk long, v int"))
+    fact.overwrite(spark.createDataFrame(
+        [(10, 1, 1), (11, 1, 2), (12, 1, 9)], fsch))
+    fact.merge(
+        spark.createDataFrame([(13, 2, 9), (10, 2, 2)], fsch),
+        removed=spark.createDataFrame([(11,)], "fk long"),
+    )
+    dim.merge(
+        spark.createDataFrame([(9, 2)], "dk long, v int"),
+        removed=spark.createDataFrame([(2,)], "dk long"),
+    )
+
+    def fresh_view_store(name):
+        vs = SnapshotStore(
+            spark, str(tmp_path / name), key="fk", version_col="_vm",
+            num_buckets=4,
+        )
+        vs.overwrite(
+            maintain_join_membership(
+                fact, dim, 1, 1, fact_key_col="cust", dim_key_col="dk"
+            ).withColumn("_vm", F.lit(1))
+        )
+        return vs
+
+    def apply_delta(vs):
+        up, rm = join_membership_delta(
+            fact, dim, 1, 2, fact_key_col="cust", dim_key_col="dk",
+            view_df=vs.read().drop("_vm"),
+        )
+        vs.merge(
+            up.withColumn("_vm", F.lit(2)).localCheckpoint(), removed=rm
+        )
+
+    def content(vs):
+        return {
+            r.fk: (r.cust, r.matched)
+            for r in vs.read().select("fk", "cust", "matched").collect()
+        }
+
+    once, twice = fresh_view_store("v1"), fresh_view_store("v2")
+    apply_delta(once)
+    apply_delta(twice)
+    apply_delta(twice)  # the replay
+    want = {
+        r.fk: (r.cust, r.matched)
+        for r in maintain_join_membership(
+            fact, dim, 1, 2, fact_key_col="cust", dim_key_col="dk"
+        ).collect()
+    }
+    assert content(once) == want
+    assert content(twice) == want
