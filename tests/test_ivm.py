@@ -1794,3 +1794,45 @@ def test_join_membership_delta_replay_idempotent(spark, tmp_path):
     }
     assert content(once) == want
     assert content(twice) == want
+
+
+def test_classify_membership_dim_scan_is_column_pruned(spark, tmp_path):
+    """The membership cycle's one non-feed input is claimed to be a
+    COLUMN-PRUNED scan of the dim key column. Pin it mechanically:
+    give the dim store a fat payload column and assert the executed
+    plan's dim-side ReadSchema contains only the key (the payload
+    never leaves parquet)."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        classify_membership,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 5), (2, 9)], "fk long, cust long"
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=2, layout="manifest",
+    )
+    dim.overwrite(
+        spark.createDataFrame(
+            [(5, 1, "x" * 1000, 1.0), (6, 1, "y" * 1000, 2.0)],
+            "dk long, v int, fat string, score double",
+        )
+    )
+    out = classify_membership(
+        fact, dim, 1, fact_key_col="cust", dim_key_col="dk"
+    )
+    rows = {r.fk: r.matched for r in out.collect()}
+    assert rows == {1: True, 2: False}
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    dim_scans = [
+        m for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "dk" in m
+    ]
+    assert dim_scans, plan
+    for schema in dim_scans:
+        assert "fat" not in schema and "score" not in schema, schema
