@@ -639,8 +639,6 @@ def streaming_changefeed_pipeline(
     deliberate trade: deriving pre-commit is what buys replay
     determinism, and both passes are O(touched buckets), so the
     cadence stays delta-bound (2x a small number, never O(table))."""
-    from pyspark.sql import Window
-
     from ..operators.merge import upsert_newer_wins
     from ..sinks.snapshot import classify_changes
 
@@ -653,12 +651,11 @@ def streaming_changefeed_pipeline(
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        w = Window.partitionBy(store.key).orderBy(F.desc(store.version_col))
-        deduped = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        # _dedup_newest, NOT an inline version-only window: this is
+        # the one pipeline whose contract is replay-deterministic
+        # delta publication, so an equal-version duplicate key must
+        # elect the same winner on the original run and its replay.
+        deduped = _dedup_newest(batch, store)
         keys = [store.key] if isinstance(store.key, str) else list(store.key)
         if store.current_version() is None:
             feed = deduped.withColumn("_change", F.lit("insert"))

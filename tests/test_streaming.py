@@ -1640,3 +1640,92 @@ def test_streaming_maintained_pipeline_cms_zero_base_reads(spark, tmp_path):
         assert versioned_reads == []  # turnstile: no recompute branch
     finally:
         q.stop()
+
+
+def test_changefeed_equal_version_tiebreak_replay_stable(spark, tmp_path):
+    """r12 verdict: the changefeed pipeline's inline dedup had NO
+    equal-version tiebreak — the ONE pipeline whose contract is
+    replay-deterministic delta publication could elect a different
+    winner on replay and publish divergent deltas. It now routes
+    through _dedup_newest: two equal-(k, v) rows in one micro-batch
+    elect the content-determined winner (descending full-column
+    tiebreak), and a worst-case full replay from a fresh checkpoint
+    re-derives the identical classification and publishes NOTHING."""
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_changefeed_pipeline,
+    )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "snap"), key="k", version_col="v", num_buckets=4
+    )
+    feed_store = SnapshotStore(
+        spark, str(tmp_path / "feed"), key="fk", version_col="epoch",
+        num_buckets=4,
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # Equal (k1, v=1) duplicates; the 8-way repartition scrambles the
+    # arrival order so only the tiebreak can make the winner stable.
+    rows = [("k1", 1, "aa"), ("k1", 1, "zz"), ("k2", 1, "mm")]
+    spark.createDataFrame(rows, ENTRY_SCHEMA).repartition(8).write.parquet(
+        str(inp / "b1")
+    )
+
+    def run_once(ckpt):
+        q = streaming_changefeed_pipeline(
+            spark,
+            str(inp) + "/*",
+            ENTRY_SCHEMA,
+            store,
+            str(tmp_path / "feed-parquet"),
+            ckpt,
+            feed_store=feed_store,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once(str(tmp_path / "ckpt1"))
+    feed = sorted(
+        (r.k, r._change, r.payload) for r in feed_store.read().collect()
+    )
+    # Deterministic winner: descending tiebreak elects "zz", never "aa".
+    assert feed == [("k1", "insert", "zz"), ("k2", "insert", "mm")]
+    assert {r.k: r.payload for r in store.read().collect()} == {
+        "k1": "zz", "k2": "mm"
+    }
+
+    # Forced replay of the SAME batch (fresh checkpoint): the dedup
+    # must elect "zz" again, classify everything identical against
+    # the post-merge store, and publish zero new deltas — with the
+    # old version-only dedup, electing "aa" here published a spurious
+    # update delta AND rewrote the base.
+    v_store, v_feed = store.current_version(), feed_store.current_version()
+    run_once(str(tmp_path / "ckpt2"))
+    replayed = sorted(
+        (r.k, r._change, r.payload) for r in feed_store.read().collect()
+    )
+    assert replayed == feed  # byte-stable published feed
+    assert store.current_version() == v_store
+    assert feed_store.current_version() == v_feed
+    assert {r.k: r.payload for r in store.read().collect()} == {
+        "k1": "zz", "k2": "mm"
+    }
+
+
+def test_streaming_module_has_single_dedup_implementation():
+    """Guard against the r12 regression class: NO foreachBatch path
+    may build its own per-key dedup window again — _dedup_newest is
+    the module's one and only row_number dedup."""
+    import inspect
+
+    import fs_indexer_elasticsearch_spark.streaming.pipeline as pl
+
+    src = inspect.getsource(pl)
+    assert src.count("F.row_number()") == 1, (
+        "streaming/pipeline.py must contain exactly one row_number "
+        "dedup (inside _dedup_newest); route new paths through it"
+    )
+    dedup_src = inspect.getsource(pl._dedup_newest)
+    assert "F.row_number()" in dedup_src
