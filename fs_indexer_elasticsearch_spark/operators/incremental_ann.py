@@ -86,6 +86,14 @@ class IvfIndexStore:
             num_buckets=num_buckets,
             layout=layout,
             bucket_key="cid",
+            # Maintenance re-buckets rows (split/merge move vecs
+            # between cells), so a touched slice can hold a vec's
+            # superseded old copy next to its live one — the merge
+            # must collapse to newest-per-key instead of assuming
+            # key-uniqueness, or every matching batch row fans out
+            # into exact duplicates (and hot-cell counts inflate
+            # geometrically under repeated maintenance).
+            dedup_current=True,
         )
         self.tombstones = TombstoneStore(
             spark,
@@ -136,7 +144,14 @@ class IvfIndexStore:
         meta = meta or {}
         return int(meta.get("centroid_gen", meta.get("tombstone_gen", 0)))
 
-    def _norm(self, df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    def _norm(
+        self,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        dim: int,
+        keep: tuple[str, ...] = (),
+    ) -> DataFrame:
         """Normalize caller columns to the index's canonical
         (vec_id, emb) names — the persisted centroids always carry
         those names, so assignment must too (r7 review finding: any
@@ -163,6 +178,7 @@ class IvfIndexStore:
         return df.select(
             F.col(id_col).alias("vec_id"),
             guarded_vec.alias("emb"),
+            *[F.col(c) for c in keep],
         )
 
     def _assigned(
@@ -173,13 +189,28 @@ class IvfIndexStore:
         seq: int,
         cents: DataFrame,
         dim: int,
+        *,
+        vis_col: str | None = None,
     ):
+        keep = (vis_col,) if vis_col else ()
         cells = assign_cells(
-            self._norm(df, id_col, vec_col, dim),
-            cents, "vec_id", "emb", "vec_id", "emb", 1,
+            self._norm(df, id_col, vec_col, dim, keep=keep),
+            cents, "vec_id", "emb", "vec_id", "emb", 1, keep=keep,
         )
+        # ivf_seq is the LWW version (a re-stamp must win the bucket
+        # upsert); ivf_vis is the row's VISIBILITY seq — the seq of the
+        # add that introduced the vector, carried UNCHANGED across
+        # maintenance re-assignments (``vis_col`` threads it through
+        # the projection, no join), so search's max_seq cut answers
+        # "was this row added before epoch boundary X" exactly even
+        # after cells were rebalanced.
+        vis = F.col(vis_col) if vis_col else F.lit(seq)
         return cells.select(
-            "vec_id", "cid", "emb", F.lit(seq).cast("long").alias("ivf_seq")
+            "vec_id",
+            "cid",
+            "emb",
+            F.lit(seq).cast("long").alias("ivf_seq"),
+            vis.cast("long").alias("ivf_vis"),
         )
 
     # -- lifecycle -----------------------------------------------------------
@@ -479,7 +510,7 @@ class IvfIndexStore:
                 version=v0,
             )
             .filter(F.col("cid").isin(hot_ids))
-            .select("cid", "vec_id", "emb", "ivf_seq")
+            .select("cid", "vec_id", "emb", "ivf_seq", "ivf_vis")
         )
         # Tombstoned ids must not shape child centroids or be
         # re-assigned (they would resurface under a live cid; under
@@ -579,6 +610,10 @@ class IvfIndexStore:
         cents = self.spark.createDataFrame(
             new_crows, f"vec_id {id_type}, emb array<double>"
         )
+        # Re-stamp ivf_seq (the LWW version — must supersede the old
+        # copy) but carry each row's ORIGINAL ivf_vis forward: a
+        # rebalance moves rows between cells, it does not re-add them,
+        # so their visibility under search's max_seq cut is unchanged.
         reassigned = self._assigned(
             hot.filter(F.col("cid").isin(list(split_parents))),
             "vec_id",
@@ -586,6 +621,7 @@ class IvfIndexStore:
             seq,
             cents,
             int(meta["dim"]),
+            vis_col="ivf_vis",
         )
         v = self.store.merge(reassigned, meta=meta, expected_base=v0)
         self._cent_cache = None
@@ -689,7 +725,7 @@ class IvfIndexStore:
                 version=v0,
             )
             .filter(F.col("cid").isin(cold))
-            .select("cid", "vec_id", "emb", "ivf_seq")
+            .select("cid", "vec_id", "emb", "ivf_seq", "ivf_vis")
         )
         cold_rows = self.tombstones.apply(
             cold_rows, "vec_id"
@@ -709,13 +745,16 @@ class IvfIndexStore:
             [(i, [float(x) for x in e]) for i, e in survivors],
             f"vec_id {id_type}, emb array<double>",
         )
+        # Same visibility contract as the split: new ivf_seq wins the
+        # LWW upsert, ivf_vis rides through unchanged.
         reassigned = self._assigned(
-            cold_rows.select("vec_id", "emb"),
+            cold_rows.select("vec_id", "emb", "ivf_vis"),
             "vec_id",
             "emb",
             seq,
             cents,
             int(meta["dim"]),
+            vis_col="ivf_vis",
         )
         meta["centroids"] = survivors
         meta["centroid_gen"] = self._centroid_gen(meta) + 1
@@ -826,13 +865,20 @@ class IvfIndexStore:
         exactly and ranked. Semantics identical to ``ivf_ann_topk`` on
         the same corpus/centroids — same assignment, same tiebreaks.
 
-        ``max_seq`` restricts candidates to rows with ``ivf_seq <
+        ``max_seq`` restricts candidates to rows with ``ivf_vis <
         max_seq`` — the replay-purity hook for the streaming cadence
         (streaming/pipeline.py streaming_ivf_pipeline): a replayed
         epoch that already add()-ed its batch at seq N searches with
         ``max_seq=N`` and recomputes the original answer instead of
         matching its own rows (same contract as
-        ``MinHashBandStore.match_and_merge``).
+        ``MinHashBandStore.match_and_merge``). The cut is on the
+        VISIBILITY seq, not the LWW ``ivf_seq``: cell maintenance
+        (split/merge) re-stamps ``ivf_seq`` to win the bucket upsert
+        but carries ``ivf_vis`` through unchanged, so a rebalance
+        never hides pre-existing vectors from a bounded search — the
+        filter stays an exact "added before boundary N" predicate
+        across any number of maintenance commits. (Stores committed
+        before ivf_vis existed fall back to the old ivf_seq cut.)
         """
         if self.store.current_version() is None:
             raise ValueError("IVF index is empty — seed() it first")
@@ -851,7 +897,8 @@ class IvfIndexStore:
             self.store, probed, empty_msg="IVF index is empty — seed() it first"
         )
         if max_seq is not None:
-            stored = stored.filter(F.col("ivf_seq") < F.lit(int(max_seq)))
+            vis = "ivf_vis" if "ivf_vis" in stored.columns else "ivf_seq"
+            stored = stored.filter(F.col(vis) < F.lit(int(max_seq)))
         stored = self.tombstones.apply(stored, "vec_id")
         # Bucket pruning is hash-coarse; the cid equi-join below is the
         # exact cell filter (and the shuffle key).

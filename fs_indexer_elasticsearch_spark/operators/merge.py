@@ -33,6 +33,7 @@ def upsert_newer_wins(
     version_col: str,
     *,
     delta_batch: bool = True,
+    dedup_current: bool = False,
 ) -> DataFrame:
     """Insert new keys; update existing keys only when the incoming row
     is strictly newer (P8 staleness predicate, scanner.py:243).
@@ -69,6 +70,34 @@ def upsert_newer_wins(
             f"schema mismatch: current={sorted(cols)} batch={sorted(batch.columns)}"
         )
     keys = [key] if isinstance(key, str) else list(key)
+    if dedup_current:
+        # PRECONDITION RELAXATION: the join below assumes the current
+        # side is key-unique — a duplicated key fans every matching
+        # batch row out into one output row PER duplicate (exact
+        # duplicate rows after the pick). Stores whose layout can
+        # legitimately hold superseded copies of a key in the touched
+        # slice (e.g. an index bucketed on a DERIVED column, where a
+        # re-assigned row's old copy survives in its old bucket — the
+        # IVF store's documented dead weight) opt into collapsing the
+        # current slice to its newest row per key first, with the
+        # same deterministic full-column tiebreak the streaming dedup
+        # uses. Side effect: rewritten buckets shed their superseded
+        # copies — the slice self-heals as it is touched.
+        from pyspark.sql import Window
+
+        tiebreak = [
+            F.desc(c)
+            for c in sorted(cols)
+            if c not in keys and c != version_col
+        ]
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc(version_col), *tiebreak
+        )
+        current = (
+            current.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     cur = current.alias("cur")
     new = (batch.hint("shuffle_hash") if delta_batch else batch).alias("new")
     # Key columns are non-null by contract, so one component's nullity

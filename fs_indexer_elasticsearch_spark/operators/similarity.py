@@ -68,6 +68,7 @@ def assign_cells(
     out_id: str,
     out_vec: str,
     n_keep: int,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector to its ``n_keep`` nearest-centroid cells:
     one 1-row array of (cid, cvec) — the broadcast cross join hands
@@ -96,11 +97,23 @@ def assign_cells(
             ),
         )
     )
+    # ``keep``: extra input columns carried through the projection
+    # unchanged (e.g. a visibility seq a maintenance re-assignment
+    # must preserve) — a pass-through, NOT a join, so the stage stays
+    # narrow.
+    ex = [F.col(c) for c in keep]
     return (
-        df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+        df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec), *ex
+        )
         .join(F.broadcast(c_arr))
-        .select(out_id, out_vec, F.explode(F.slice(ranked, 1, n_keep)).alias("_b"))
-        .select(out_id, out_vec, F.col("_b.cid").alias("cid"))
+        .select(
+            out_id,
+            out_vec,
+            *keep,
+            F.explode(F.slice(ranked, 1, n_keep)).alias("_b"),
+        )
+        .select(out_id, out_vec, *keep, F.col("_b.cid").alias("cid"))
     )
 
 

@@ -233,6 +233,7 @@ class SnapshotStore:
         num_buckets: int = 32,
         layout: str = "hardlink",
         bucket_key: str | None = None,
+        dedup_current: bool = False,
     ):
         """``bucket_key`` (default: ``key``) is the column the physical
         bucket layout hashes on. Separating it from the merge key lets
@@ -241,7 +242,14 @@ class SnapshotStore:
         hash ``h`` (so a batch's band lookups and merges prune to the
         buckets its bands hash into) but upserts by the unique
         ``doc:band`` row key (many docs share a band hash; keying the
-        upsert on ``h`` would collapse them)."""
+        upsert on ``h`` would collapse them).
+
+        ``dedup_current``: opt-in for stores whose bucket layout can
+        hold SUPERSEDED copies of a key (bucket_key != key, rows
+        re-bucketed over time — e.g. the IVF index's dead weight under
+        retired cell ids). Merges then collapse the touched current
+        slice to its newest row per key before joining, instead of
+        assuming key-uniqueness (see upsert_newer_wins)."""
         if layout not in ("hardlink", "manifest"):
             raise ValueError(f"unknown layout {layout!r}")
         if not isinstance(key, str) and bucket_key is None:
@@ -253,6 +261,7 @@ class SnapshotStore:
         self.path = path
         self.key = key
         self.version_col = version_col
+        self.dedup_current = dedup_current
         # Seed value only: once the store has a committed version the
         # EFFECTIVE count is the one recorded with that version (the
         # _STORECFG sidecar — see the ``num_buckets`` property), so
@@ -1521,7 +1530,13 @@ class SnapshotStore:
             # union schema (rare; mirrors the reference's
             # copy-into-new-table), then normal pruned merges resume.
             current, batch = self._migrate(self.read().drop("_bucket"), batch)
-            merged = upsert_newer_wins(current, batch, self.key, self.version_col)
+            merged = upsert_newer_wins(
+                current,
+                batch,
+                self.key,
+                self.version_col,
+                dedup_current=self.dedup_current,
+            )
             if removed is not None:
                 merged = merged.join(
                     removed.select(F.col(removed.columns[0]).alias(self.key)),
@@ -1578,7 +1593,11 @@ class SnapshotStore:
                     else self._empty_df().drop("_bucket")
                 )
                 merged = upsert_newer_wins(
-                    cur_touched, batch.drop("_bucket"), self.key, self.version_col
+                    cur_touched,
+                    batch.drop("_bucket"),
+                    self.key,
+                    self.version_col,
+                    dedup_current=self.dedup_current,
                 )
                 if removed is not None:
                     merged = merged.join(
@@ -1614,7 +1633,11 @@ class SnapshotStore:
                 .drop("_bucket")
             )
             merged = upsert_newer_wins(
-                cur_touched, batch.drop("_bucket"), self.key, self.version_col
+                cur_touched,
+                batch.drop("_bucket"),
+                self.key,
+                self.version_col,
+                dedup_current=self.dedup_current,
             )
             if removed is not None:
                 merged = merged.join(

@@ -809,6 +809,12 @@ def streaming_curation_pipeline(
     )
 
 
+# Per-epoch seq block width for the streaming IVF pipeline: the add
+# takes slot 0 of the epoch's block, maintenance commits take slots
+# 1.. — the domains are separated by construction (r12 verdict #2).
+_IVF_SEQ_STRIDE = 64
+
+
 def streaming_ivf_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -823,6 +829,10 @@ def streaming_ivf_pipeline(
     nprobe: int = 2,
     max_files_per_trigger: int = 10,
     matches_store=None,
+    split_threshold: int | None = None,
+    merge_threshold: int = 0,
+    maintain_every: int = 4,
+    maintenance_rounds: int = 8,
 ) -> StreamingQuery:
     """Streaming ANN maintenance: every micro-batch of embeddings is
     SEARCHED against the persisted IVF index, then ADDED to it — the
@@ -832,23 +842,74 @@ def streaming_ivf_pipeline(
     indexes are actually fed: an embedding stream arrives, each batch
     is first answered against the corpus-so-far, then becomes corpus.
 
-    Replay purity: the search passes ``max_seq = epoch + 1`` so a
-    replayed epoch (index add committed, matches sink did not) never
-    matches its own already-committed rows — it recomputes the
-    original answer, exactly the band/shingle contract. The add is
-    idempotent under replay (LWW upsert on the vector id). Matches
-    sink semantics as in :func:`streaming_neardup_pipeline`
-    (at-least-once parquet, or effectively-once via a ``matches_store``
-    keyed on the (query_id, neighbor_id) pair)."""
+    CELL MAINTENANCE (r12 verdict #2): a skewed stream degrades probe
+    cost monotonically — 50% of adds landing in one cell makes every
+    probe touching it O(hot cell) — so the epoch loop invokes the
+    store's split/merge policy (``IvfIndexStore.maintain_cells``,
+    enforced anti-oscillation hysteresis) every ``maintain_every``-th
+    epoch when ``split_threshold`` is set. The cadence amortizes the
+    policy's per-invocation O(live cells) count pass; the policy
+    itself is O(hot/cold rows). Maintenance is replay-idempotent: a
+    re-run epoch finds every cell already within both bands and
+    commits nothing.
+
+    SEQ DOMAINS: each epoch owns the block
+    ``[(epoch+1)*_IVF_SEQ_STRIDE, (epoch+2)*_IVF_SEQ_STRIDE)`` — the
+    add takes slot 0, maintenance commits take slots 1.. (one per
+    committed split round / merge), so the two sequences can never
+    collide and maintenance seqs always exceed every row they
+    re-stamp. Seed() owns block 0.
+
+    Replay purity: the search passes ``max_seq =`` the epoch's add
+    seq, and the store cuts on the VISIBILITY seq (``ivf_vis``, which
+    maintenance carries through unchanged), so a replayed epoch
+    (index add committed, matches sink did not) never matches its own
+    already-committed rows and sees exactly the pre-epoch corpus even
+    after rebalances. The add is idempotent under replay (LWW upsert
+    on the vector id). One documented approximation: a split/merge
+    that committed before the crash refines the CELL LAYOUT, so a
+    replayed probe may explore slightly different cells than the
+    original run did — the answer is a valid IVF answer over the
+    identical visible corpus (IVF is approximate by contract); the
+    keyed ``matches_store`` keeps the sink effectively-once either
+    way. Matches sink semantics as in
+    :func:`streaming_neardup_pipeline` (at-least-once parquet, or
+    effectively-once via a ``matches_store`` keyed on the
+    (query_id, neighbor_id) pair)."""
+    if split_threshold is not None:
+        if maintenance_rounds + 2 > _IVF_SEQ_STRIDE:
+            raise ValueError(
+                f"streaming_ivf_pipeline: maintenance_rounds="
+                f"{maintenance_rounds} needs {maintenance_rounds + 2} seq "
+                f"slots per epoch but the stride is {_IVF_SEQ_STRIDE}"
+            )
+        if maintain_every < 1:
+            raise ValueError("maintain_every must be >= 1")
 
     def match_fn(batch: DataFrame, epoch_id: int) -> DataFrame:
-        seq = epoch_id + 1  # seed() owns ivf_seq 0
+        seq = (epoch_id + 1) * _IVF_SEQ_STRIDE  # seed() owns block 0
         matches = ivf_store.search(
             batch, id_col, vec_col, k=k, nprobe=nprobe, max_seq=seq
         )
-        # Lazy matches stay valid across the add: versions are
-        # immutable and retained until vacuum (store contract).
+        # Lazy matches stay valid across the add AND the maintenance
+        # below: versions are immutable and retained until vacuum
+        # (store contract), and the max_seq cut is on ivf_vis, which
+        # maintenance never changes.
         ivf_store.add(batch, id_col, vec_col, seq=seq)
+        if (
+            split_threshold is not None
+            and (epoch_id + 1) % maintain_every == 0
+        ):
+            # max_retries > 0: a concurrent writer funnels into the
+            # retryable expected_base channel; the policy re-derives
+            # against the moved base instead of failing the epoch.
+            ivf_store.maintain_cells(
+                split_threshold=split_threshold,
+                merge_threshold=merge_threshold,
+                seq=seq + 1,
+                max_rounds=maintenance_rounds,
+                max_retries=2,
+            )
         return matches
 
     return _streaming_match_pipeline(

@@ -109,18 +109,47 @@ def test_bench_headline_stays_inside_driver_tail_capture():
             "incremental_vs_full": 1.234,
         },
         errors={"_ingest": "x" * 500},
-        canary_sec=0.475,
+        canary_samples=[0.475, 0.470, 0.480, 0.475, 0.474],
     )
     line = json.dumps(headline)
     assert len(line) <= 1500, f"headline line is {len(line)} chars"
     parsed = json.loads(line)
     assert parsed["metric"] == "suite_seconds"
     assert parsed["value"] == round(123.456 * len(bench.HEADLINE), 3)
-    # r8: the normalized suite total rides the artifact itself.
+    # r8: the normalized suite total rides the artifact itself;
+    # r13: normalized by the MEDIAN of the interleaved samples.
+    assert parsed["cpu_canary_sec"] == 0.475
     assert parsed["canary_norm_suite"] == round(
         parsed["value"] * bench.CANARY_REF_SEC / 0.475, 3
     )
+    assert parsed["canary_samples"] == [0.475, 0.470, 0.480, 0.475, 0.474]
+    assert parsed["canary_spread"] == round((0.480 - 0.470) / 0.475, 3)
+    assert parsed["box_drifted"] is False
     for m in parsed["ann_recall"].values():
         assert "regime" in m and "value" in m
     # Detail carries what the headline dropped.
     assert detail["rows"] and detail["cold"] and detail["errors"]
+
+
+def test_bench_canary_drift_flag():
+    """spread > 10% across the interleaved samples marks the round
+    box-drifted: the normalized suite number is unreliable and the
+    round-over-round comparison must use raw seconds (r12 verdict #3,
+    where a 31% canary drift flipped the sign of the normalized
+    comparison while every raw number improved)."""
+    import bench
+
+    headline, _ = bench.build_payloads(
+        sf=0.1,
+        timings={"q": 1.0},
+        cold={"q": 1.0},
+        rows={"q": 1},
+        extra={},
+        ann_recall={},
+        ingest={},
+        errors={},
+        canary_samples=[0.43, 0.44, 0.57, 0.43, 0.44],
+    )
+    assert headline["cpu_canary_sec"] == 0.44
+    assert headline["canary_spread"] == round((0.57 - 0.43) / 0.44, 3)
+    assert headline["box_drifted"] is True

@@ -850,3 +850,86 @@ def test_merge_cold_cells_race_raises_retryable_not_terminal(spark, tmp_path):
             store.merge_cold_cells(threshold=5, seq=3)
     finally:
         del store.store.current_version
+
+
+def test_repeated_maintenance_never_duplicates_rows(spark, tmp_path):
+    """r13 regression: repeated split/merge maintenance compounded
+    EXACT duplicate rows geometrically — a moved vec's batch row
+    full-outer-joined BOTH its live copy and a dead-weight copy
+    sitting in another touched bucket (upsert assumes a key-unique
+    current side; the IVF layout violates that by design). With
+    dedup_current=True on the index store, N maintenance cycles keep
+    at most one row per (vec_id, cid, ivf_seq), live-cell counts stay
+    exact, and ivf_vis survives every re-stamp unchanged."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from fs_indexer_elasticsearch_spark.operators.incremental_ann import (
+        IvfIndexStore,
+    )
+
+    DIM = 8
+
+    def vec(i):
+        if i % 2 == 0:  # hot half: one region with substructure
+            v = [10.0] + [0.0] * (DIM - 1)
+            v[1 + (i % 4)] = 2.0
+        else:
+            v = [0.0] * DIM
+            v[2 + (i % 6)] = 10.0
+        for d in range(DIM):
+            v[d] += ((i * 13 + d * 5) % 11) * 0.02
+        return v
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=8)
+    store.seed(
+        spark.createDataFrame([(i, vec(i)) for i in range(10)], schema),
+        spark.createDataFrame([(0, vec(0)), (1, vec(1))], schema),
+        "vec_id",
+        "emb",
+    )
+    for e in range(5):
+        ids = range(100 + e * 10, 110 + e * 10)
+        store.add(
+            spark.createDataFrame([(i, vec(i)) for i in ids], schema),
+            "vec_id",
+            "emb",
+            seq=(e + 1) * 64,
+        )
+        store.maintain_cells(
+            split_threshold=8, merge_threshold=2, seq=(e + 1) * 64 + 1
+        )
+        df = store.store.read()
+        # No exact duplicates anywhere in the store.
+        assert (
+            df.groupBy("vec_id", "cid", "ivf_seq")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter("c > 1")
+            .count()
+            == 0
+        )
+        live = [i for i, _e in store.store.read_meta()["centroids"]]
+        live_rows = df.filter(F.col("cid").isin(live))
+        # Live cells hold each vec at most once (counts are exact).
+        assert (
+            live_rows.groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter("c > 1")
+            .count()
+            == 0
+        )
+    # Visibility survived every re-stamp: each vec's newest row still
+    # carries the seq of the add that introduced it.
+    newest = {}
+    for r in store.store.read().collect():
+        if r.vec_id not in newest or r.ivf_seq > newest[r.vec_id][0]:
+            newest[r.vec_id] = (r.ivf_seq, r.ivf_vis)
+    for vid, (_s, vis) in newest.items():
+        expected = 0 if vid < 100 else ((vid - 100) // 10 + 1) * 64
+        assert vis == expected, (vid, vis, expected)

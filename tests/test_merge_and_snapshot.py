@@ -1418,3 +1418,39 @@ def test_history_and_age_based_vacuum(spark, tmp_path, layout):
     _json.dump(cfg2, open(store._cfg_path(3), "w"))
     store.merge(_df(spark, [("d", 1, "s")]))
     assert store.vacuum(keep=5, max_age_s=0) == []
+
+
+def test_upsert_dedup_current_collapses_superseded_copies(spark):
+    """r13: upsert_newer_wins assumes a key-unique current side — a
+    duplicated key fans every matching batch row out into one output
+    row per duplicate. Stores whose layout legitimately holds
+    superseded copies (IVF dead weight: bucket_key != key, rows
+    re-bucketed by maintenance) opt into dedup_current=True, which
+    collapses the current side to its newest row per key (full-column
+    deterministic tiebreak) before the join."""
+    cur = spark.createDataFrame(
+        # k=a twice: superseded copy (v=1) + live copy (v=5).
+        [("a", 1, "old"), ("a", 5, "live"), ("b", 2, "keep")],
+        "k string, v int, payload string",
+    )
+    batch = spark.createDataFrame(
+        [("a", 7, "newer")], "k string, v int, payload string"
+    )
+    # Without the flag: the duplicate current key fans out.
+    naive = upsert_newer_wins(cur, batch, "k", "v").collect()
+    assert len([r for r in naive if r.k == "a"]) == 2  # the defect shape
+    # With it: exactly one newest row per key.
+    out = sorted(
+        map(tuple, upsert_newer_wins(cur, batch, "k", "v", dedup_current=True).collect())
+    )
+    assert out == [("a", 7, "newer"), ("b", 2, "keep")]
+    # Equal-version duplicates collapse deterministically (descending
+    # full-column tiebreak): "zz" beats "aa" regardless of order.
+    cur2 = spark.createDataFrame(
+        [("a", 5, "aa"), ("a", 5, "zz")], "k string, v int, payload string"
+    ).repartition(4)
+    batch2 = spark.createDataFrame([("c", 1, "x")], "k string, v int, payload string")
+    out2 = sorted(
+        map(tuple, upsert_newer_wins(cur2, batch2, "k", "v", dedup_current=True).collect())
+    )
+    assert out2 == [("a", 5, "zz"), ("c", 1, "x")]

@@ -1729,3 +1729,202 @@ def test_streaming_module_has_single_dedup_implementation():
     )
     dedup_src = inspect.getsource(pl._dedup_newest)
     assert "F.row_number()" in dedup_src
+
+
+def test_streaming_ivf_maintenance_keeps_hot_cell_bounded(spark, tmp_path):
+    """r12 verdict #2: the streaming IVF feed never invoked the cell
+    maintenance policy — a skewed stream degraded probe cost
+    monotonically until someone ran batch maintenance by hand. With
+    ``split_threshold`` set the epoch loop now invokes
+    ``maintain_cells`` every ``maintain_every``-th epoch: 50% of adds
+    landing in one region keeps every live cell at or below the split
+    threshold after each maintenance pass (the structural proxy for
+    flat probe latency — probe cost is O(probed cell rows)), recall
+    stays >= 0.8 against brute force, and a forced replay of a
+    maintenance epoch is idempotent (no maintenance commits, identical
+    index content, identical published matches)."""
+    from fs_indexer_elasticsearch_spark.operators.incremental_ann import (
+        IvfIndexStore,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_ivf_pipeline,
+    )
+
+    DIM = 8
+
+    def hot_vec(i):
+        # One hot region (50% of the stream) with genuine
+        # substructure: 4 subclusters around axis-0, plus continuous
+        # per-vector noise so a 2-means split never degenerates.
+        v = [10.0] + [0.0] * (DIM - 1)
+        v[1 + (i % 4)] = 2.0
+        for d in range(DIM):
+            v[d] += ((i * 13 + d * 5) % 11) * 0.02
+        return v
+
+    def cold_vec(i):
+        v = [0.0] * DIM
+        v[2 + (i % 6)] = 10.0
+        v[0] = ((i * 3 + 1) % 7) * 0.1
+        for d in range(DIM):
+            v[d] += ((i * 17 + d * 3) % 11) * 0.02
+        return v
+
+    def vec(i):
+        return hot_vec(i) if i % 2 == 0 else cold_vec(i)
+
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=8)
+    seed_ids = list(range(10))
+    cents = [(0, hot_vec(0)), (1, cold_vec(1))]
+    store.seed(
+        spark.createDataFrame([(i, vec(i)) for i in seed_ids], vec_schema),
+        spark.createDataFrame(cents, vec_schema),
+        "vec_id",
+        "emb",
+    )
+    matches_store = SnapshotStore(
+        spark,
+        str(tmp_path / "matches-store"),
+        key="pair",
+        version_col="epoch",
+        num_buckets=8,
+    )
+    inp = tmp_path / "vecs-in"
+    inp.mkdir()
+    # merge_threshold=0 keeps the policy pure-split so the bound below
+    # is exact: a cold-merge may transiently deposit a survivor one or
+    # two rows above the split threshold until the NEXT pass splits it
+    # (the enforced hysteresis makes that bounded, not oscillating) —
+    # the batch-cadence gate queries cover the merge arm.
+    SPLIT, MERGE = 8, 0
+
+    def run(ckpt):
+        return streaming_ivf_pipeline(
+            spark,
+            str(inp) + "/*",
+            vec_schema,
+            store,
+            str(tmp_path / "matches"),
+            ckpt,
+            k=3,
+            nprobe=3,
+            max_files_per_trigger=1,
+            matches_store=matches_store,
+            split_threshold=SPLIT,
+            merge_threshold=MERGE,
+            maintain_every=1,
+        )
+
+    def live_cell_sizes():
+        meta = store.store.read_meta()
+        live = [i for i, _e in meta["centroids"]]
+        rows = (
+            store.store.read()
+            .filter(F.col("cid").isin(live))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {r.cid: r.n for r in rows}
+
+    q = run(str(tmp_path / "ckpt"))
+    max_per_epoch = []
+    try:
+        for e in range(6):
+            ids = range(100 + e * 10, 110 + e * 10)
+            spark.createDataFrame(
+                [(i, vec(i)) for i in ids], vec_schema
+            ).coalesce(1).write.parquet(str(inp / f"b{e}"))
+            q.processAllAvailable()
+            max_per_epoch.append(max(live_cell_sizes().values()))
+    finally:
+        q.stop()
+
+    # Flat probe cost: after EVERY maintenance pass no live cell
+    # exceeds the split threshold, across 6 epochs of 50%-skewed adds
+    # (unmaintained, the hot cell alone would hold 35 of 70 rows).
+    assert all(m <= SPLIT for m in max_per_epoch), max_per_epoch
+    meta = store.store.read_meta()
+    assert len(meta["centroids"]) > 2  # splits actually happened
+
+    # Recall against brute force over the full indexed corpus.
+    import math
+
+    corpus = {i: vec(i) for i in list(seed_ids) + list(range(100, 160))}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    queries = [(900 + j, vec(2 * j + 100)) for j in range(8)]
+    got = store.search(
+        spark.createDataFrame(queries, vec_schema),
+        "vec_id",
+        "emb",
+        k=3,
+        nprobe=3,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for qid, qv in queries:
+        truth = sorted(
+            corpus, key=lambda i: (-cos(corpus[i], qv), i)
+        )[:3]
+        total += 3
+        hits += len(by_q.get(qid, set()) & set(truth))
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+    # Forced replay of the LAST epoch (which ran maintenance):
+    # maintenance finds every cell within bands and commits nothing,
+    # the add LWW-collapses, and the published matches are unchanged.
+    import os
+
+    gen_before = store.store.read_meta()["centroid_gen"]
+
+    def logical_index():
+        # Newest row per vec_id — the store's LOGICAL content (raw
+        # rows may differ: a replayed merge legitimately sheds
+        # superseded dead-weight copies from the buckets it touches,
+        # the dedup_current self-heal).
+        rows = store.store.read().collect()
+        newest = {}
+        for r in rows:
+            cur = newest.get(r.vec_id)
+            if cur is None or r.ivf_seq > cur[1]:
+                newest[r.vec_id] = (r.cid, r.ivf_seq, r.ivf_vis)
+        return sorted((k, *v) for k, v in newest.items())
+
+    idx_before = logical_index()
+    m_before = sorted(map(tuple, matches_store.read().drop("_bucket").collect()))
+    commits = sorted(
+        c
+        for c in os.listdir(tmp_path / "ckpt" / "commits")
+        if not c.startswith(".")
+    )
+    os.remove(tmp_path / "ckpt" / "commits" / commits[-1])
+    crc = tmp_path / "ckpt" / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():
+        os.remove(crc)
+    q2 = run(str(tmp_path / "ckpt"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # No maintenance re-commits on replay: every cell already within
+    # bands, so the policy was a no-op and the generation is stable.
+    assert store.store.read_meta()["centroid_gen"] == gen_before
+    m_after = sorted(map(tuple, matches_store.read().drop("_bucket").collect()))
+    assert m_after == m_before
+    # The replayed add LWW-collapses onto the same keys: the logical
+    # index (newest row per vec) is identical.
+    assert logical_index() == idx_before
