@@ -149,6 +149,10 @@ EXTRA = [
     "multimodal_wav_stats",
     "incremental_view_joined_topk",
     "decontaminate_bloom",
+    # r13: windowed PCM features over the decoded audio stream and
+    # the 16-bit stereo decode gate
+    "multimodal_pcm_windows",
+    "multimodal_wav_stats16",
 ]
 
 

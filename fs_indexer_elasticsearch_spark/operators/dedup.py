@@ -470,6 +470,7 @@ def maintain_connected_components(
     dst: str,
     nodes: DataFrame,
     old_labels: DataFrame | None = None,
+    debug: bool = False,
 ) -> DataFrame:
     """Maintain a CONNECTED-COMPONENTS labeling (node -> min-id
     cluster) across one change window of an EDGE STORE — the
@@ -509,7 +510,36 @@ def maintain_connected_components(
     rewires endpoints is handled as delete(pre-pair) + add(post-pair)
     — both directions fire; an update that keeps its endpoints is
     structurally a no-op and triggers neither. Returns
-    ``(node, cluster)`` over exactly ``nodes``."""
+    ``(node, cluster)`` over exactly ``nodes``.
+
+    ``debug=True`` VERIFIES the universe contract instead of trusting
+    it (r12 advice: a violation — an added edge with an endpoint
+    outside ``nodes``, or a departed node whose edges were NOT
+    deleted in the same window — silently yields dangling or
+    out-of-universe cluster ids): one anti-join of the post-state
+    edge endpoints against ``nodes``, raising with sample offenders
+    on non-empty. O(edges) — a debug gate, off on the hot path."""
+    if debug:
+        _post = edge_store.read(version=v_to).select(
+            F.col(src).alias("_ep")
+        ).union(edge_store.read(version=v_to).select(F.col(dst).alias("_ep")))
+        orphans = [
+            r._ep
+            for r in _post.join(
+                nodes.select(F.col("node").alias("_ep")), "_ep", "left_anti"
+            )
+            .limit(5)
+            .collect()
+        ]
+        if orphans:
+            raise ValueError(
+                "maintain_connected_components: post-state edges at "
+                f"version {v_to} have endpoints outside the node "
+                f"universe (sample: {orphans}) — either an added edge "
+                "references a node not in `nodes`, or a node departed "
+                "the universe without its edges being deleted in the "
+                "same window; the labeling would dangle"
+            )
     ekey = edge_store.key
     ekeys = [ekey] if isinstance(ekey, str) else list(ekey)
     feed = edge_store.read_changes(

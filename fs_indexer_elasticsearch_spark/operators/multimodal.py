@@ -563,20 +563,35 @@ def decode_wav(b: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _wav_stats_row(b: bytes) -> dict:
+    """Per-clip stats off a decoded PCM buffer.
+
+    SEMANTICS (schema contract): ``n_samples`` counts FRAMES (one
+    frame = one sample per channel — what duration is made of), while
+    ``peak_dev`` and ``sample_sum`` span ALL INTERLEAVED channel
+    samples (ch × frames values): peak is the loudest deviation on
+    ANY channel (the clipping question), and the sum is over every
+    sample (so for stereo it is the sum of both channels, not a
+    per-channel or downmixed figure). 8-bit PCM is unsigned
+    (deviation from the 128 midpoint); 16-bit is signed
+    little-endian. Summation/peak are numpy-vectorized over the raw
+    buffer — no per-sample Python objects (r12 advice), int64
+    accumulator (a 16-bit sample sum overflows int32 past ~65k
+    samples at full scale)."""
+    import hashlib
+
+    import numpy as np
+
     rate, ch, bits, pcm = decode_wav(b)
     width = bits // 8
     n_samples = len(pcm) // (ch * width)
     if bits == 8:
-        vals = list(pcm)
-        peak = max((abs(v - 128) for v in vals), default=0)
+        arr = np.frombuffer(pcm, dtype=np.uint8)
+        peak = int(np.abs(arr.astype(np.int16) - 128).max()) if arr.size else 0
+        total = int(arr.sum(dtype=np.int64))
     else:
-        vals = [
-            int.from_bytes(pcm[i : i + 2], "little", signed=True)
-            for i in range(0, len(pcm) - 1, 2)
-        ]
-        peak = max((abs(v) for v in vals), default=0)
-    import hashlib
-
+        arr = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
+        peak = int(np.abs(arr.astype(np.int32)).max()) if arr.size else 0
+        total = int(arr.sum(dtype=np.int64))
     return {
         "sample_rate": rate,
         "n_channels": ch,
@@ -584,7 +599,7 @@ def _wav_stats_row(b: bytes) -> dict:
         "n_samples": n_samples,
         "duration_ms": n_samples * 1000 // rate,
         "peak_dev": peak,
-        "sample_sum": sum(vals),
+        "sample_sum": total,
         "pcm_md5": hashlib.md5(pcm.hex().upper().encode()).hexdigest()[:8],
         "decode_kind": "real",
     }
@@ -623,3 +638,65 @@ def audio_stats(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+PCM_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("i", T.LongType()),       # interleaved sample index
+        T.StructField("value", T.IntegerType()),  # raw sample (u8 / s16le)
+    ]
+)
+
+
+def audio_samples(assets: DataFrame) -> DataFrame:
+    """Decode each WAV payload and EXPLODE its PCM stream to one row
+    per interleaved sample — the binary-column → relational-rows
+    bridge the windowed audio features ride on (explode + window-agg
+    over binary-derived rows, the multimodal pipeline's feature-
+    extraction shape). ``i`` is the interleaved sample index (frame
+    f, channel c → i = f*n_channels + c); ``value`` is the raw sample
+    (8-bit: unsigned 0..255; 16-bit: signed little-endian), numpy-
+    vectorized per clip — no per-sample Python loop. Poison payloads
+    fault-isolate by emitting ZERO rows for the asset (a decode
+    failure has no samples; pair with ``audio_stats`` when the
+    invalid set itself must be listed)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            frames = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _rate, _ch, bits, pcm = decode_wav(bytes(payload or b""))
+                except ValueError:
+                    continue
+                if bits == 8:
+                    vals = np.frombuffer(pcm, dtype=np.uint8).astype(np.int32)
+                else:
+                    vals = np.frombuffer(
+                        pcm[: len(pcm) // 2 * 2], dtype="<i2"
+                    ).astype(np.int32)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "asset_id": asset_id,
+                            "i": np.arange(len(vals), dtype=np.int64),
+                            "value": vals,
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "asset_id": pd.array([], dtype="str"),
+                        "i": pd.array([], dtype="int64"),
+                        "value": pd.array([], dtype="int32"),
+                    }
+                )
+            )
+
+    return assets.mapInPandas(run, PCM_SAMPLE_SCHEMA)

@@ -63,6 +63,16 @@ from . import curation_pipeline  # noqa: E402,F401
 # (all driver-green for multiple rounds, plans unchanged, families
 # still anchored in the prefix).
 _PRIORITY = [
+    # New in r13 — the windowed-PCM feature extraction over the
+    # DECODED audio stream (real RIFF parse -> per-sample explode ->
+    # per-window energy/RMS/zero-crossings; the frame-the-waveform
+    # shape of a speech pipeline, oracle-reproduced from the
+    # closed-form sample function over exploded windows) and the
+    # 16-bit STEREO decode gate (signed little-endian samples,
+    # frame-vs-interleaved-sample accounting, channel interleave
+    # proven byte-exact by the raw-PCM md5).
+    "multimodal_pcm_windows",
+    "multimodal_wav_stats16",
     # New in r12 (late additions) — the join-membership (semi/anti
     # partition) maintenance pair: every fact row tagged with live dim
     # membership, dim-key appearance/disappearance flipping flags on

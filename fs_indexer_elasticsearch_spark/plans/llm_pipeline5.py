@@ -42,7 +42,6 @@ DuckDB oracle twin for the hash-compare gate.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1198,12 +1197,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is EXACT — the hash gate proves it.
 
     Mechanics: bit positions are computed JVM-side (xxhash64 ×
-    k seeds, codegen) on both sides; the build collects the eval
-    vocabulary's DISTINCT positions (bounded by m — never by corpus
-    size) into a driver bitmap broadcast once; the probe tests them
-    in an Arrow-batched pandas UDF over the position array. Per-doc
-    totals (`n_shingles`) aggregate BEFORE the filter, so the
-    pre-filter is invisible in the output."""
+    k seeds, codegen) on both sides; the build PACKS positions into
+    64-bit words EXECUTOR-side (groupBy p>>6, bit_or of the set bits
+    — r12 advice: collecting raw positions was a driver collect of up
+    to m Row objects; packed, the collect is at most m/64 rows =
+    65,536 at full width) before the driver assembles the bitmap and
+    broadcasts it once; the probe tests positions in an Arrow-batched
+    pandas UDF over the position array. Per-doc totals
+    (`n_shingles`) aggregate BEFORE the filter, so the pre-filter is
+    invisible in the output."""
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from .llm_pipeline2 import _split_col
@@ -1220,26 +1223,37 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)  # two consumers: bitmap + confirm join
     )
-    # Build: distinct positions, bounded by m bits regardless of how
-    # big the eval set grows (the driver collect can never exceed
-    # m rows — it is a BITMAP build, not a key collect).
-    bits = (
+    # Build: positions packed into 64-bit words executor-side — the
+    # driver collect is bounded by m/64 WORD rows (65,536 at m=2^22),
+    # never by corpus size and never by m raw positions. Word w holds
+    # bits [64w, 64w+64); little-endian bytes keep the byte/bit
+    # addressing identical to the probe's p>>3 / p&7 arithmetic.
+    words = (
         eval_vocab.select(F.explode(_bloom_positions(F.col("s"))).alias("p"))
-        .distinct()
+        .groupBy(F.shiftright("p", 6).alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, p & 63)")).alias("bits"))
         .collect()
     )
     bitmap = bytearray(_BLOOM_M // 8)
-    for r in bits:
-        p = r.p
-        bitmap[p >> 3] |= 1 << (p & 7)
+    for r in words:
+        bitmap[r.w * 8 : r.w * 8 + 8] = (r.bits & 0xFFFFFFFFFFFFFFFF).to_bytes(
+            8, "little"
+        )
     bc = spark.sparkContext.broadcast(bytes(bitmap))
 
-    @pandas_udf("boolean")
-    def might_contain(pos: pd.Series) -> pd.Series:
+    # pandas imported function-locally (repo convention: pandas stays
+    # out of plan-registry import time), so the Series type hints are
+    # attached as CLASS OBJECTS — the decorator resolves annotations
+    # against the function's globals, where `pd` does not exist under
+    # `from __future__ import annotations`.
+    def _might_contain(pos):
         b = bc.value
         return pos.map(
             lambda arr: all(b[p >> 3] & (1 << (p & 7)) for p in arr)
         )
+
+    _might_contain.__annotations__ = {"pos": pd.Series, "return": pd.Series}
+    might_contain = pandas_udf("boolean")(_might_contain)
 
     train = sh.filter(F.col("split") == "train").select(
         "doc_id", F.explode("shingles").alias("s")

@@ -896,3 +896,80 @@ def test_audio_stats_poison_payload_isolated(spark):
     assert ok.peak_dev == 10 and ok.sample_sum == 512
     bad = rows["bad"]
     assert bad.decode_kind == "invalid" and bad.n_samples is None
+
+
+def test_maintain_cc_debug_raises_on_universe_violation(spark, tmp_path):
+    """r12 advice: the universe contracts (added-edge endpoints within
+    `nodes`; departed nodes' edges deleted in the same window) were
+    trusted silently — a violation produced dangling cluster ids, not
+    an error. debug=True anti-joins the post-state endpoints against
+    the universe and raises loudly, naming offenders; a compliant
+    window under debug=True is unchanged."""
+    import pytest
+
+    from fs_indexer_elasticsearch_spark.operators.dedup import (
+        maintain_connected_components,
+    )
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "edges"), key="eid", version_col="v",
+        num_buckets=4,
+    )
+    sch = "eid long, v int, u long, vtx long"
+    store.overwrite(spark.createDataFrame([(1, 1, 1, 2)], sch))
+    # v2 adds an edge to node 99 — OUTSIDE the universe below.
+    store.merge(spark.createDataFrame([(2, 2, 2, 99)], sch))
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3)], "node long")
+
+    with pytest.raises(ValueError, match="outside the node universe"):
+        maintain_connected_components(
+            store, 1, 2, src="u", dst="vtx", nodes=nodes, debug=True
+        )
+    # Compliant universe: debug on == debug off, byte-identical.
+    nodes_ok = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 99)], "node long"
+    )
+    as_d = lambda df: {r.node: r.cluster for r in df.collect()}  # noqa: E731
+    assert as_d(
+        maintain_connected_components(
+            store, 1, 2, src="u", dst="vtx", nodes=nodes_ok, debug=True
+        )
+    ) == as_d(
+        maintain_connected_components(
+            store, 1, 2, src="u", dst="vtx", nodes=nodes_ok
+        )
+    ) == {1: 1, 2: 1, 3: 3, 99: 1}
+
+
+def test_audio_samples_explode_and_poison_isolation(spark):
+    """audio_samples bridges binary WAV payloads to one row per
+    interleaved sample (16-bit: signed little-endian; 8-bit:
+    unsigned), and a poison payload emits ZERO rows instead of
+    killing the batch."""
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        audio_samples,
+    )
+
+    # 2 frames x 2ch 16-bit: samples 100, -3, 32767, -32768.
+    hdr16 = bytes.fromhex(
+        "524946462C00000057415645666D7420100000000100020040"
+        "1F0000007D0000040010006461746108000000"
+    )
+    pcm16 = (
+        (100).to_bytes(2, "little")
+        + (-3 % 65536).to_bytes(2, "little")
+        + (32767).to_bytes(2, "little")
+        + (32768).to_bytes(2, "little")  # -32768 two's complement
+    )
+    rows = [("s16", hdr16 + pcm16), ("bad", b"not a wav at all")]
+    out = audio_samples(
+        spark.createDataFrame(rows, "asset_id string, payload binary")
+    ).collect()
+    got = sorted((r.asset_id, r.i, r.value) for r in out)
+    assert got == [
+        ("s16", 0, 100),
+        ("s16", 1, -3),
+        ("s16", 2, 32767),
+        ("s16", 3, -32768),
+    ]

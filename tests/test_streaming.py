@@ -1928,3 +1928,130 @@ def test_streaming_ivf_maintenance_keeps_hot_cell_bounded(spark, tmp_path):
     # The replayed add LWW-collapses onto the same keys: the logical
     # index (newest row per vec) is identical.
     assert logical_index() == idx_before
+
+
+def test_streaming_pcm_window_features_maintained(spark, tmp_path):
+    """r12 verdict #8, streaming arm: per-window PCM features (sample
+    count + energy per 8-sample window index) maintained over a
+    stream of WAV assets on the GENERIC crash-safe skeleton — each
+    micro-batch's changed assets are decoded (real RIFF parse ->
+    per-sample explode), their window contributions added for post
+    images and SUBTRACTED for pre images/deletes, and every cycle the
+    maintained view equals a from-scratch decode-and-aggregate of the
+    whole store."""
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        audio_samples,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_pipeline,
+    )
+
+    # 24-sample 8 kHz mono 8-bit clips; sample i = (seed*29+i*13)%256
+    # (the multimodal_wav_stats fixture form, bytes built in Python).
+    HDR = bytes.fromhex(
+        "524946463C00000057415645666D7420100000000100010040"
+        "1F0000401F0000010008006461746118000000"
+    )
+
+    def wav(seed):
+        return HDR + bytes((seed * 29 + i * 13) % 256 for i in range(24))
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "assets"), key="asset_id", version_col="v",
+        num_buckets=4,
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key="win", version_col="n",
+        num_buckets=2,
+    )
+
+    def win_agg(samples):
+        dev = F.col("value") - 128
+        return samples.groupBy(
+            F.floor(F.col("i") / 8).alias("win")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dev * dev).cast("long").alias("energy_sum"),
+        )
+
+    def derive(v_after):
+        return win_agg(
+            audio_samples(
+                store.read(version=v_after).select("asset_id", "payload")
+            )
+        )
+
+    def maintain(reflected, v_after, old_view):
+        feed = store.read_changes(reflected, v_after, update_images="both")
+        is_post = F.col("_change").isin("insert", "update_postimage")
+        signed = lambda df, sgn: win_agg(  # noqa: E731
+            audio_samples(df.select("asset_id", "payload"))
+        ).select(
+            "win",
+            (F.col("n") * sgn).alias("n"),
+            (F.col("energy_sum") * sgn).alias("energy_sum"),
+        )
+        delta = (
+            signed(feed.filter(is_post), 1)
+            .unionByName(signed(feed.filter(~is_post), -1))
+            .groupBy("win")
+            .agg(
+                F.sum("n").alias("_dn"),
+                F.sum("energy_sum").alias("_de"),
+            )
+        )
+        return (
+            old_view.join(delta, "win", "full_outer")
+            .select(
+                "win",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("_dn", F.lit(0)))
+                .alias("n"),
+                (
+                    F.coalesce("energy_sum", F.lit(0))
+                    + F.coalesce("_de", F.lit(0))
+                ).alias("energy_sum"),
+            )
+            .filter(F.col("n") > 0)
+        )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(inp / name)
+        )
+
+    def as_d(df):
+        return {r.win: (r.n, r.energy_sum) for r in df.collect()}
+
+    q = streaming_maintained_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        store,
+        view_store,
+        str(tmp_path / "ckpt"),
+        derive=derive,
+        maintain=maintain,
+        max_files_per_trigger=1,
+    )
+    try:
+        drop("b1", [("a1", 1, wav(1)), ("a2", 1, wav(2))])
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(derive(store.current_version()))
+        # Insert + a payload UPDATE (a2's clip re-recorded) — the pre
+        # image's windows subtract, the post image's add.
+        drop("b2", [("a3", 1, wav(7)), ("a2", 2, wav(9))])
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(derive(store.current_version()))
+        # Every window has 8 samples per live asset: 3 assets -> 24.
+        assert {n for n, _e in as_d(view_store.read()).values()} == {24}
+    finally:
+        q.stop()
