@@ -326,31 +326,6 @@ def _symmetrize(e: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def _large_star(sym: DataFrame) -> DataFrame:
-    """For every node u: connect each strictly-larger neighbor v to
-    m = min({u} ∪ Γ(u)). Emitted as directed (v, m); min is a partial
-    aggregate, so a super-node costs one hash-agg key, not an array."""
-    mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
-        "u", F.least("u", "mv").alias("m")
-    )
-    return (
-        sym.filter(F.col("v") > F.col("u"))
-        .join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-    )
-
-
-def _small_star(sym: DataFrame) -> DataFrame:
-    """For every node u with smaller neighbors: connect u and each
-    smaller neighbor to m = min(Γ⁻(u)) (≤ all of them, < u)."""
-    smaller = sym.filter(F.col("v") < F.col("u"))
-    mins = smaller.groupBy("u").agg(F.min("v").alias("m"))
-    children = smaller.join(mins, "u").select(
-        F.col("v").alias("u"), F.col("m").alias("v")
-    )
-    return children.union(mins.select("u", F.col("m").alias("v")))
-
-
 def connected_components(
     edges: DataFrame,
     src: str,
@@ -362,18 +337,30 @@ def connected_components(
     component, labeled by the component's MINIMUM node id. Returns
     (node, cluster).
 
-    Alternating large-star / small-star (Kiveris et al. 2014)
-    converges in O(log n) rounds — each round is two groupBy-min
-    aggregations and two equi-joins, nothing quadratic, no per-node
-    neighbor arrays. Per round the frontier is localCheckpoint-ed:
+    POINTER-DOUBLED min-label propagation (r12 verdict #7 — the
+    previous alternating large-star/small-star needed roughly twice
+    the rounds on chain-shaped components, and chains are near-dup
+    CC's worst case): per round every node takes the min of (a) its
+    current label, (b) its LABEL'S label — the pointer-doubling
+    shortcut, which makes label reach double each round instead of
+    advancing one hop — and (c) its neighbors' labels. Each round is
+    three equi-joins + one groupBy-min, nothing quadratic, no
+    per-node neighbor arrays; the fixpoint is provably the min-id
+    labeling (labels only decrease, only component-member ids ever
+    propagate, and at fixpoint both the neighbor and shortcut
+    inequalities force one constant per component, which the
+    component minimum m pins to m since l(m) <= m from
+    initialization). Per round the frontier is localCheckpoint-ed:
     the convergence test is an action anyway, and truncating lineage
     there keeps round k's plan O(1) instead of O(k) (the same
     iterative-algorithm hygiene GraphX applies internally).
 
     This is the transitive-closure step of near-dedup at 100 TB: LSH
     emits pairwise edges; clusters (not pairs) are what you keep one
-    representative of. Duplicate clusters are shallow, so rounds ~2-4
-    in practice; a pathological 10^8-node path still needs only ~27.
+    representative of. Duplicate clusters are shallow, so rounds ~2-3
+    in practice; a pathological 10^8-node path needs ~log2(10^8)=27
+    doubling rounds where the star alternation paid roughly two jobs
+    per halving.
     """
     # Lazy checkpoint: round 1's fixpoint action materializes it (an
     # eager one would spend a dedicated job on the caller's upstream
@@ -393,36 +380,59 @@ def connected_components(
         .distinct()
     )
     sym = _symmetrize(e).localCheckpoint(eager=False)
+    # l0(u) = min({u} ∪ Γ(u)); nodes without non-loop edges are
+    # absent here and re-enter as singletons in the final join.
+    lab = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("l"))
+        .localCheckpoint(eager=False)
+    )
     prev: tuple | None = None
     for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                lab.select(F.col("u").alias("v"), F.col("l").alias("_nl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("_nl").alias("_nl"))
+        )
+        hop = lab.select(F.col("l").alias("_h"), F.col("u").alias("_hu"))
         # Lazy checkpoint: the signature action below is the round's
         # ONE job — it materializes the checkpoint as a side effect
         # (eager=True would spend a second job per round on the same
         # materialization).
-        sym = _symmetrize(_small_star(_large_star(sym))).localCheckpoint(
-            eager=False
-        )
-        # Fixpoint signature: one tiny action over the canonical
-        # (u < v) half — count + order-independent xor of row hashes
-        # (xor, not sum: overflow-free under ANSI mode; rows are
-        # distinct so no pair cancels its twin).
-        sig = tuple(
-            sym.filter(F.col("u") < F.col("v"))
-            .agg(
-                F.count(F.lit(1)),
-                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))),
+        lab = (
+            lab.join(hop, lab.l == hop._hu, "left")
+            .join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("l"),
+                    F.coalesce(F.col("_h"), F.col("l")),
+                    F.coalesce(F.col("_nl"), F.col("l")),
+                ).alias("l"),
             )
-            .first()
+            .localCheckpoint(eager=False)
+        )
+        # Fixpoint signature: count + order-independent xor of row
+        # hashes (xor, not sum: overflow-free under ANSI mode; rows
+        # are distinct so no pair cancels its twin).
+        sig = tuple(
+            lab.agg(
+                F.count(F.lit(1)),
+                F.bit_xor(F.xxhash64(F.col("u"), F.col("l"))),
+            ).first()
         )
         if sig == prev:
             break
         prev = sig
-    labels = sym.groupBy("u").agg(F.min("v").alias("mv"))
     return (
-        nodes.join(labels, nodes.node == labels.u, "left")
+        nodes.join(lab, nodes.node == lab.u, "left")
         .select(
             F.col("node"),
-            F.least(F.col("node"), F.coalesce(F.col("mv"), F.col("node"))).alias(
+            F.least(F.col("node"), F.coalesce(F.col("l"), F.col("node"))).alias(
                 "cluster"
             ),
         )

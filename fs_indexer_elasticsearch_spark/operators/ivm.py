@@ -1826,6 +1826,7 @@ def maintain_joined_top_k(
     k: int,
     cents_col: str = "price",
     old_view: DataFrame | None = None,
+    dim_window: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The last cell of the composition matrix: per-group TOP-K over a
     JOINED view with BOTH stores changing — count/sum ride the exact
@@ -1849,8 +1850,14 @@ def maintain_joined_top_k(
     from pyspark.sql import Window
 
     cents = F.round(F.col(cents_col) * 100).cast("long")
-    d_prev = dim_store.read(version=v_from).select(dim_key_col, group_col)
-    d_cur = dim_store.read(version=v_to).select(
+    # ``dim_window`` lets an out-of-band dim writer advance on its own
+    # version counter (default: the fact window) — the same contract
+    # as maintain_joined3_agg's dim windows / maintain_joined_value_
+    # counts' dim_v_from/dim_v_to, required by the streaming twin
+    # where the dim evolves outside the fact stream.
+    dvf, dvt = dim_window or (v_from, v_to)
+    d_prev = dim_store.read(version=dvf).select(dim_key_col, group_col)
+    d_cur = dim_store.read(version=dvt).select(
         F.col(dim_key_col).alias("_dk2"), F.col(group_col).alias("_g2")
     )
 
@@ -1912,7 +1919,7 @@ def maintain_joined_top_k(
     )
     # Dim feed: term-2 n/s + moved-in candidates + departure threats.
     dfeed = (
-        dim_store.read_changes(v_from, v_to, update_images="both")
+        dim_store.read_changes(dvf, dvt, update_images="both")
         .select(
             F.col(dim_key_col).alias("_dk"),
             group_col,
