@@ -149,10 +149,11 @@ EXTRA = [
     "multimodal_wav_stats",
     "incremental_view_joined_topk",
     "decontaminate_bloom",
-    # r13: windowed PCM features over the decoded audio stream and
-    # the 16-bit stereo decode gate
+    # r13: windowed PCM features over the decoded audio stream, the
+    # 16-bit stereo decode gate, and the dyadic count-min rank sketch
     "multimodal_pcm_windows",
     "multimodal_wav_stats16",
+    "incremental_view_quantile_sketch",
 ]
 
 

@@ -2090,3 +2090,116 @@ def maintain_joined_top_k(
         )
     )
     return kept.unionByName(recomputed)
+
+
+def dyadic_bucket(lvl_col, d_col, node_col, width: int):
+    """Count-min bucket for dyadic node ``node`` at level ``lvl``,
+    hash row ``d``: md5('dcms' || lvl || ':' || d || ':' || node)
+    first-8-hex-digits mod width — the md5-derived no-RNG scheme of
+    :func:`cms_bucket`, extended with the level so the per-level
+    sketches are independent (a DuckDB oracle rebuilds identically)."""
+    key = F.concat(
+        F.lit("dcms"),
+        lvl_col.cast("string"),
+        F.lit(":"),
+        d_col.cast("string"),
+        F.lit(":"),
+        node_col.cast("string"),
+    )
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % F.lit(width)
+    )
+
+
+def maintain_dyadic_cms(
+    store,
+    v_from: int,
+    v_to: int,
+    value,
+    *,
+    levels: int = 12,
+    depth: int = 3,
+    width: int = 128,
+    old_cells: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain a DYADIC count-min sketch of an integer value column —
+    the turnstile RANK/QUANTILE sketch (Cormode-Muthukrishnan): one
+    CMS per dyadic level ℓ counts the level's nodes (``value div
+    2^ℓ``), so the rank of any x — count of values < x — is the sum
+    of at most ``levels`` node estimates along x's dyadic
+    decomposition of [0, x), each a min-over-depth CMS read. That
+    closes the gap between the maintained exact histogram (exact
+    quantiles, O(distinct) state) and the flat CMS (per-key counts,
+    no order): approximate ranks/quantiles over a value domain of
+    2^levels in O(levels × depth × width) cells, with DELETES
+    subtracting exactly (cells are plain sums — the same turnstile
+    property the flat CMS has and HLL lacks), and the one-sided
+    guarantee (estimated rank >= true rank) preserved because every
+    node estimate is one-sided.
+
+    ``value`` is a Column expression (the caller owns the integer
+    encoding; values MUST lie in [0, 2^levels)). Per cycle the
+    maintenance is one O(feed × levels × depth) signed delta
+    aggregation merged into the cell frame — never a base rescan.
+    Returns ``(lvl, d, bucket, cnt)`` cells (feed back as
+    ``old_cells``); serve rank estimates by decomposing [0, x) into
+    its ≤``levels`` dyadic nodes and summing min-over-d cell reads
+    (absent cells read 0). Rank probes must also lie in
+    [0, 2^levels): x = 2^levels would need the level-``levels`` root
+    node, which is deliberately not maintained (total count is the
+    trivial n-view's job, not a sketch read)."""
+    lvls = F.array(*[F.lit(v).cast("long") for v in range(levels)])
+    ds = F.array(*[F.lit(d).cast("long") for d in range(depth)])
+
+    def cells_of(df, sign_col):
+        return (
+            df.select(
+                value.cast("long").alias("_v"),
+                sign_col.alias("_s"),
+            )
+            .select("_v", "_s", F.explode(lvls).alias("lvl"))
+            .select(
+                "lvl",
+                "_s",
+                F.floor(
+                    F.col("_v") / F.pow(F.lit(2), F.col("lvl"))
+                ).cast("long").alias("_node"),
+            )
+            .select("lvl", "_s", "_node", F.explode(ds).alias("d"))
+            .select(
+                "lvl",
+                "d",
+                dyadic_bucket(F.col("lvl"), F.col("d"), F.col("_node"), width)
+                .alias("bucket"),
+                "_s",
+            )
+            .groupBy("lvl", "d", "bucket")
+            .agg(F.sum("_s").alias("_dc"))
+        )
+
+    if old_cells is not None:
+        old = old_cells.select(
+            "lvl", "d", "bucket", F.col("cnt").alias("_c0")
+        )
+    else:
+        old = cells_of(
+            store.read(version=v_from), F.lit(1)
+        ).select("lvl", "d", "bucket", F.col("_dc").alias("_c0"))
+    feed = store.read_changes(v_from, v_to, update_images="both")
+    sign = F.when(
+        F.col("_change").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = cells_of(feed, sign)
+    return (
+        old.join(delta, ["lvl", "d", "bucket"], "full_outer")
+        .select(
+            "lvl",
+            "d",
+            "bucket",
+            (F.coalesce("_c0", F.lit(0)) + F.coalesce("_dc", F.lit(0)))
+            .cast("long")
+            .alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )

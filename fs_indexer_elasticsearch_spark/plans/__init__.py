@@ -73,6 +73,12 @@ _PRIORITY = [
     # proven byte-exact by the raw-PCM md5).
     "multimodal_pcm_windows",
     "multimodal_wav_stats16",
+    # ... and the maintained dyadic count-min RANK sketch: the
+    # turnstile quantile complement (one CMS per dyadic level;
+    # rank(x) = sum of min-over-depth reads along [0,x)'s <=levels
+    # nodes) — deletes subtract exactly, state O(levels*depth*width),
+    # the one-sided rank guarantee pinned as a gated column.
+    "incremental_view_quantile_sketch",
     # New in r12 (late additions) — the join-membership (semi/anti
     # partition) maintenance pair: every fact row tagged with live dim
     # membership, dim-key appearance/disappearance flipping flags on

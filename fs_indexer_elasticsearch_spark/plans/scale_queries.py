@@ -3410,3 +3410,189 @@ def incremental_view_joined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_pos") + 1).cast("long").alias("rk"),
         stable_round(F.col("cents") / 100.0, 2).alias("price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Maintained dyadic count-min rank sketch (turnstile quantiles)
+# --------------------------------------------------------------------------
+
+_DCMS_LEVELS = 12  # value domain [0, 4096)
+_DCMS_DEPTH = 3
+_DCMS_WIDTH = 128
+_DCMS_PROBES = (512, 1024, 2048, 3000)
+
+
+def _dcms_bucket_sql(lvl: str, d: str, node: str) -> str:
+    return (
+        f"(('0x' || substr(md5('dcms' || {lvl}::VARCHAR || ':' || "
+        f"{d}::VARCHAR || ':' || {node}::VARCHAR), 1, 8))::BIGINT "
+        f"% {_DCMS_WIDTH})"
+    )
+
+
+_VIEW_DCMS_ORACLE = f"""
+    WITH fbase AS (
+        SELECT o_orderkey, round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    fdelta AS (
+        SELECT o_orderkey, round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    f2 AS (
+        SELECT price FROM fbase WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT price FROM fdelta
+    ),
+    vals AS (
+        SELECT CAST(floor(price) AS BIGINT) % 4096 AS val FROM f2
+    ),
+    cells AS (
+        SELECT lvl, d,
+               {_dcms_bucket_sql("lvl", "d", "(val // (1 << lvl))")} AS bucket,
+               count(*) AS cnt
+        FROM vals, range({_DCMS_LEVELS}) l(lvl), range({_DCMS_DEPTH}) r(d)
+        GROUP BY 1, 2, 3
+    ),
+    probes AS (SELECT unnest([{", ".join(str(p) for p in _DCMS_PROBES)}]) AS x),
+    decomp AS (
+        SELECT p.x, b.b,
+               (p.x // (1 << (b.b + 1))) * 2 AS node,
+               r.d
+        FROM probes p, range({_DCMS_LEVELS}) b(b), range({_DCMS_DEPTH}) r(d)
+        WHERE (p.x // (1 << b.b)) % 2 = 1
+    ),
+    node_est AS (
+        SELECT dc.x, dc.b, dc.node,
+               min(coalesce(c.cnt, 0)) AS node_cnt
+        FROM decomp dc
+        LEFT JOIN cells c
+          ON c.lvl = dc.b AND c.d = dc.d
+         AND c.bucket = {_dcms_bucket_sql("dc.b", "dc.d", "dc.node")}
+        GROUP BY dc.x, dc.b, dc.node
+    ),
+    est AS (
+        SELECT x, CAST(sum(node_cnt) AS BIGINT) AS est_rank
+        FROM node_est GROUP BY x
+    ),
+    exact AS (
+        SELECT p.x,
+               CAST((SELECT count(*) FROM vals v WHERE v.val < p.x) AS BIGINT)
+                   AS exact_rank
+        FROM probes p
+    )
+    SELECT e.x AS probe, e.exact_rank, s.est_rank,
+           s.est_rank >= e.exact_rank AS overestimate_ok
+    FROM exact e JOIN est s USING (x)
+"""
+
+
+@query("incremental_view_quantile_sketch", oracle=_VIEW_DCMS_ORACLE)
+def incremental_view_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAINTAINED dyadic count-min RANK sketch
+    (operators/ivm.maintain_dyadic_cms) — the turnstile
+    quantile/rank complement closing the sketch family: the HLL view
+    counts distincts (insert-only), the flat CMS view counts per-key
+    frequencies, the exact histogram serves exact quantiles at
+    O(distinct) state — this serves approximate RANKS (and hence
+    quantiles, by binary search over the same reads) at O(levels ×
+    depth × width) state with DELETES subtracting exactly, per
+    Cormode-Muthukrishnan's dyadic decomposition: one CMS per level
+    of value//2^lvl nodes; rank(x) = sum of min-over-depth reads
+    along the ≤levels dyadic nodes of [0, x).
+
+    Maintained through the CDF window's inserts, updates AND deletes
+    (value = floor(price) mod 4096 — prices move by the window's
+    +1000 bump, so values genuinely migrate between dyadic nodes);
+    the oracle rebuilds the sketch from the post state from scratch
+    AND re-derives the same four rank probes, so the hash match
+    proves (a) maintained cells equal rebuilt cells through the
+    delta algebra and (b) the served ranks preserve the one-sided
+    guarantee (est >= exact, pinned as a column). Exact ranks are
+    computed as conditional aggregates (no join, no global window).
+    100 TB: state is KBs regardless of row count; maintenance is one
+    O(feed × levels × depth) signed aggregation per cycle."""
+    from ..operators.ivm import dyadic_bucket, maintain_dyadic_cms
+
+    store = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
+    )
+    val = (F.floor(F.col("price")).cast("long") % 4096).alias("_val")
+    cells = maintain_dyadic_cms(
+        store,
+        1,
+        2,
+        F.floor(F.col("price")).cast("long") % 4096,
+        levels=_DCMS_LEVELS,
+        depth=_DCMS_DEPTH,
+        width=_DCMS_WIDTH,
+    )
+    # Exact ranks via conditional aggregation — one row, no join.
+    post_vals = store.read(version=2).select(val)
+    exact_row = post_vals.agg(
+        *[
+            F.sum(F.when(F.col("_val") < p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_r{p}")
+            for p in _DCMS_PROBES
+        ]
+    )
+    stack_expr = ", ".join(f"{p}, _r{p}" for p in _DCMS_PROBES)
+    exact = exact_row.select(
+        F.expr(
+            f"stack({len(_DCMS_PROBES)}, {stack_expr}) AS (probe, exact_rank)"
+        )
+    ).select(F.col("probe").cast("long"), F.col("exact_rank").cast("long"))
+    # Dyadic decomposition of [0, x) per probe, served off the cells.
+    lvls = F.sequence(F.lit(0), F.lit(_DCMS_LEVELS - 1))
+    ds = F.array(*[F.lit(d).cast("long") for d in range(_DCMS_DEPTH)])
+    two_b = F.pow(F.lit(2.0), F.col("b"))
+    decomp = (
+        exact.select("probe")
+        .select("probe", F.explode(lvls).alias("b"))
+        .select("probe", F.col("b").cast("long").alias("b"))
+        .filter((F.floor(F.col("probe") / two_b) % 2) == 1)
+        .select(
+            "probe",
+            "b",
+            (F.floor(F.col("probe") / (two_b * 2)) * 2)
+            .cast("long")
+            .alias("node"),
+        )
+        .select("probe", "b", "node", F.explode(ds).alias("d"))
+        .withColumn(
+            "bucket",
+            dyadic_bucket(F.col("b"), F.col("d"), F.col("node"), _DCMS_WIDTH),
+        )
+    )
+    # Broadcast the CELLS (the right side of the left join — the
+    # outer side cannot be the build side): O(levels*depth*width)
+    # rows, KBs by construction.
+    node_est = (
+        decomp
+        .join(
+            F.broadcast(cells),
+            (F.col("lvl") == F.col("b"))
+            & (cells["d"] == decomp["d"])
+            & (cells["bucket"] == decomp["bucket"]),
+            "left",
+        )
+        .groupBy("probe", "b", "node")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("_nc"))
+    )
+    est = node_est.groupBy("probe").agg(
+        F.sum("_nc").cast("long").alias("est_rank")
+    )
+    return exact.join(est, "probe").select(
+        "probe",
+        "exact_rank",
+        "est_rank",
+        (F.col("est_rank") >= F.col("exact_rank")).alias("overestimate_ok"),
+    )

@@ -464,6 +464,259 @@ def streaming_maintained_joined_histogram_pipeline(
     )
 
 
+def streaming_maintained_nstore_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    fact_store: SnapshotStore,
+    dim_stores: list,
+    view_store: SnapshotStore,
+    checkpoint_dir: str,
+    *,
+    derive,
+    maintain,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """The N-STORE generalization of the joined maintained-view stream
+    (r12 verdict #6): fact micro-batches merge into ``fact_store``
+    while ANY NUMBER of dim stores evolve out of band on their own
+    version counters, and every epoch advances the joined view across
+    ALL stores' windows. The view's commit meta records one reflected
+    version PER STORE (``store_versions`` — index 0 the fact, then
+    the dims in order), so the telescoping decompositions (joined,
+    joined3, joined top-k, ...) never require the counters to align.
+
+    ``derive(versions) -> DataFrame`` rebuilds the view from scratch
+    at the given per-store versions; ``maintain(windows, old_view) ->
+    DataFrame`` advances the fed-back view across one ``(reflected,
+    current)`` window per store, same order.
+
+    Crash contract identical to the 2-store joined-histogram stream,
+    per store: a crash between the fact merge and the publish is
+    caught up by the next epoch's spanning windows; an epoch in which
+    EVERY store's window is empty skips the commit; the publish pins
+    ``expected_base``; a vacuum of ANY store deeper than the view's
+    lag self-heals with one from-scratch ``derive``. Dim-only changes
+    are reflected on the NEXT fact epoch — the batch-driven trade
+    (a caller needing tighter dim freshness drops a zero-row marker
+    file to tick the stream)."""
+    stores = [fact_store, *dim_stores]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        fact_store.merge(_dedup_newest(batch, fact_store))
+        nows = [s.current_version() for s in stores]
+        view_base = view_store.current_version()
+        meta = (
+            view_store.read_meta(view_base) or {}
+        ) if view_base is not None else {}
+        refs = meta.get("store_versions")
+        if refs is not None and list(refs) == nows:
+            return  # replay after a completed publish
+
+        def publish(view: DataFrame) -> None:
+            view_store.overwrite(
+                view.localCheckpoint(eager=False),
+                meta={"store_versions": nows},
+                expected_base=view_base,
+            )
+
+        if refs is None:
+            publish(derive(nows))
+            return
+        windows = list(zip(refs, nows))
+        try:
+            if all(
+                s.read_changes(vf, vt, update_images="both").isEmpty()
+                for s, (vf, vt) in zip(stores, windows)
+            ):
+                return
+            old = view_store.read(version=view_base).drop("_bucket")
+            view = maintain(windows, old)
+        except ValueError as e:
+            if "not retained" not in str(e):
+                raise
+            publish(derive(nows))
+            return
+        publish(view)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def streaming_maintained_joined3_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    fact_store: SnapshotStore,
+    dim1_store: SnapshotStore,
+    dim2_store: SnapshotStore,
+    view_store: SnapshotStore,
+    checkpoint_dir: str,
+    *,
+    fact_key_col: str,
+    dim1_key_col: str,
+    dim1_attr_col: str,
+    dim2_key_col: str,
+    group_col: str,
+    cents_col: str = "price",
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """The THREE-TABLE joined view (fact ⋈ dim1 ⋈ dim2 per-group
+    count/cents-sum — ``maintain_joined3_agg``'s telescoping
+    three-term decomposition) at streaming cadence on the N-store
+    skeleton: both dims evolve out of band, every term stays
+    delta-bound, and the fact is never rescanned outside the shared
+    changed-key slice."""
+    from ..operators.ivm import maintain_joined3_agg
+
+    def derive(versions):
+        fv, d1v, d2v = versions
+        cents = F.round(F.col(cents_col) * 100).cast("long")
+        return (
+            fact_store.read(version=fv)
+            .join(
+                dim1_store.read(version=d1v).select(
+                    dim1_key_col, dim1_attr_col
+                ),
+                F.col(fact_key_col) == F.col(dim1_key_col),
+            )
+            .join(
+                dim2_store.read(version=d2v).select(dim2_key_col, group_col),
+                F.col(dim1_attr_col) == F.col(dim2_key_col),
+            )
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(cents).cast("long").alias("s"),
+            )
+        )
+
+    def maintain(windows, old_view):
+        (fvf, fvt), d1w, d2w = windows
+        return maintain_joined3_agg(
+            fact_store,
+            dim1_store,
+            dim2_store,
+            fvf,
+            fvt,
+            fact_key_col=fact_key_col,
+            dim1_key_col=dim1_key_col,
+            dim1_attr_col=dim1_attr_col,
+            dim2_key_col=dim2_key_col,
+            group_col=group_col,
+            cents_col=cents_col,
+            old_view=old_view,
+            dim1_window=d1w,
+            dim2_window=d2w,
+        )
+
+    return streaming_maintained_nstore_pipeline(
+        spark,
+        input_dir,
+        schema,
+        fact_store,
+        [dim1_store, dim2_store],
+        view_store,
+        checkpoint_dir,
+        derive=derive,
+        maintain=maintain,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def streaming_maintained_joined_topk_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    fact_store: SnapshotStore,
+    dim_store: SnapshotStore,
+    view_store: SnapshotStore,
+    checkpoint_dir: str,
+    *,
+    fact_key_col: str,
+    dim_key_col: str,
+    group_col: str,
+    k: int,
+    cents_col: str = "price",
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """The JOINED TOP-K view (per-group count/sum + k largest cents
+    over fact ⋈ dim — ``maintain_joined_top_k``: two-term n/s algebra,
+    horizon-ruled candidate arrays, dim-departure threats) at
+    streaming cadence: the dim evolves out of band via its own
+    reflected version, insert-only cycles stay O(feed) array merges,
+    and only horizon-threatened groups pay the group-pruned rejoin."""
+    from pyspark.sql import Window
+
+    from ..operators.ivm import maintain_joined_top_k
+
+    def derive(versions):
+        fv, dv = versions
+        cents = F.round(F.col(cents_col) * 100).cast("long")
+        w = Window.partitionBy(group_col).orderBy(F.desc("_c"))
+        return (
+            fact_store.read(version=fv)
+            .join(
+                dim_store.read(version=dv).select(dim_key_col, group_col),
+                F.col(fact_key_col) == F.col(dim_key_col),
+            )
+            .select(group_col, cents.alias("_c"))
+            .withColumn("_rk", F.row_number().over(w))
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_c").cast("long").alias("s"),
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_rk") <= k, F.col("_c"))
+                        )
+                    )
+                ).alias("topk"),
+            )
+        )
+
+    def maintain(windows, old_view):
+        (fvf, fvt), dw = windows
+        return maintain_joined_top_k(
+            fact_store,
+            dim_store,
+            fvf,
+            fvt,
+            fact_key_col=fact_key_col,
+            dim_key_col=dim_key_col,
+            group_col=group_col,
+            k=k,
+            cents_col=cents_col,
+            old_view=old_view,
+            dim_window=dw,
+        )
+
+    return streaming_maintained_nstore_pipeline(
+        spark,
+        input_dir,
+        schema,
+        fact_store,
+        [dim_store],
+        view_store,
+        checkpoint_dir,
+        derive=derive,
+        maintain=maintain,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

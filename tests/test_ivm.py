@@ -1836,3 +1836,100 @@ def test_classify_membership_dim_scan_is_column_pruned(spark, tmp_path):
     assert dim_scans, plan
     for schema in dim_scans:
         assert "fat" not in schema and "score" not in schema, schema
+
+
+def test_maintain_dyadic_cms_rank_sketch_equals_scratch(spark, tmp_path):
+    """Maintained dyadic count-min RANK sketch: two chained windows
+    with cell feedback; per-level cells must BIT-EQUAL a from-scratch
+    dyadic sketch of the post state at each step (inserts, a value
+    MOVE across dyadic nodes, deletes — the turnstile property), and
+    rank estimates read along the dyadic decomposition keep the
+    one-sided guarantee (est >= exact) while being exact when no CMS
+    collision occurs."""
+    import hashlib
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        dyadic_bucket,
+        maintain_dyadic_cms,
+    )
+
+    L, D, W = 4, 2, 8  # domain [0, 16), tiny width forces collisions
+    store = SnapshotStore(
+        spark, str(tmp_path / "dcms"), key="k", version_col="v", num_buckets=4
+    )
+    sch = "k long, v int, val long"
+    store.overwrite(spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 5), (3, 1, 9), (4, 1, 15)], sch))
+    # w1: insert 7 and 0, MOVE k3 9->2 (crosses the top-level node),
+    # delete k4 (a 15).
+    store.merge(
+        spark.createDataFrame([(5, 2, 7), (6, 2, 0), (3, 2, 2)], sch),
+        removed=spark.createDataFrame([(4,)], "k long"),
+    )
+    # w2: delete the 0, re-stamp k5 in place (net-zero cell delta).
+    store.merge(
+        spark.createDataFrame([(5, 3, 7)], sch),
+        removed=spark.createDataFrame([(6,)], "k long"),
+    )
+
+    def scratch(v):
+        lvls = F.array(*[F.lit(x).cast("long") for x in range(L)])
+        ds = F.array(*[F.lit(d).cast("long") for d in range(D)])
+        return {
+            (r.lvl, r.d, r.bucket): r.cnt
+            for r in store.read(version=v)
+            .select("val", F.explode(lvls).alias("lvl"))
+            .select(
+                "lvl",
+                F.floor(F.col("val") / F.pow(F.lit(2), F.col("lvl")))
+                .cast("long")
+                .alias("_node"),
+            )
+            .select("lvl", "_node", F.explode(ds).alias("d"))
+            .select(
+                "lvl",
+                "d",
+                dyadic_bucket(
+                    F.col("lvl"), F.col("d"), F.col("_node"), W
+                ).alias("bucket"),
+            )
+            .groupBy("lvl", "d", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect()
+        }
+
+    as_d = lambda df: {  # noqa: E731
+        (r.lvl, r.d, r.bucket): r.cnt for r in df.collect()
+    }
+
+    c1 = maintain_dyadic_cms(
+        store, 1, 2, F.col("val"), levels=L, depth=D, width=W
+    ).localCheckpoint()
+    assert as_d(c1) == scratch(2)
+    c2 = maintain_dyadic_cms(
+        store, 2, 3, F.col("val"), levels=L, depth=D, width=W, old_cells=c1
+    ).localCheckpoint()
+    got = as_d(c2)
+    assert got == scratch(3)
+
+    # Rank reads off the maintained cells. Post state: {3,5,2,7}.
+    def est_rank(x):
+        total = 0
+        for b in range(L):
+            if (x >> b) & 1 == 0:
+                continue
+            node = (x >> (b + 1)) * 2
+            per_d = []
+            for d in range(D):
+                h = hashlib.md5(f"dcms{b}:{d}:{node}".encode()).hexdigest()[:8]
+                per_d.append(got.get((b, d, int(h, 16) % W), 0))
+            total += min(per_d)
+        return total
+
+    # Probes must lie in [0, 2^L) — the operator's documented domain
+    # (x = 2^L would need the level-L root, which is not maintained;
+    # [0, 2^L) is decomposable with levels 0..L-1 only).
+    post = [3, 5, 2, 7]
+    for x in (1, 4, 8, 15):
+        exact = sum(1 for v in post if v < x)
+        assert est_rank(x) >= exact, (x, est_rank(x), exact)

@@ -1723,12 +1723,15 @@ def test_streaming_module_has_single_dedup_implementation():
     import fs_indexer_elasticsearch_spark.streaming.pipeline as pl
 
     src = inspect.getsource(pl)
-    assert src.count("F.row_number()") == 1, (
+    # The dedup idiom is the row_number-over-version-window filter
+    # materialized as "_rn"; ranking windows (e.g. a top-k derive's
+    # "_rk") are fine — it is per-key DEDUP that must be single-homed.
+    assert src.count('withColumn("_rn"') == 1, (
         "streaming/pipeline.py must contain exactly one row_number "
         "dedup (inside _dedup_newest); route new paths through it"
     )
     dedup_src = inspect.getsource(pl._dedup_newest)
-    assert "F.row_number()" in dedup_src
+    assert 'withColumn("_rn"' in dedup_src
 
 
 def test_streaming_ivf_maintenance_keeps_hot_cell_bounded(spark, tmp_path):
@@ -2053,5 +2056,399 @@ def test_streaming_pcm_window_features_maintained(spark, tmp_path):
         assert as_d(view_store.read()) == as_d(derive(store.current_version()))
         # Every window has 8 samples per live asset: 3 assets -> 24.
         assert {n for n, _e in as_d(view_store.read()).values()} == {24}
+    finally:
+        q.stop()
+
+
+def test_streaming_joined3_dims_out_of_band(spark, tmp_path):
+    """r12 verdict #6: the THREE-table joined view at streaming
+    cadence on the N-store skeleton — fact micro-batches stream in
+    while BOTH dims commit out of band on their own version counters;
+    the published per-group (n, s) must equal a from-scratch three-way
+    rejoin after every cycle, the view meta reflects one version per
+    store, and a vacuum deeper than the view's lag self-heals with one
+    from-scratch derivation (inherited from the skeleton)."""
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_joined3_pipeline,
+    )
+
+    FSCH = T.StructType(
+        [
+            T.StructField("fk", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("cust", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4,
+    )
+    dim1 = SnapshotStore(
+        spark, str(tmp_path / "cust"), key="ck", version_col="v",
+        num_buckets=2,
+    )
+    dim2 = SnapshotStore(
+        spark, str(tmp_path / "nat"), key="nk", version_col="v",
+        num_buckets=2,
+    )
+    view = SnapshotStore(
+        spark, str(tmp_path / "view"), key="region", version_col="n",
+        num_buckets=2,
+    )
+    dim1.overwrite(
+        spark.createDataFrame(
+            [("c1", 1, "n1"), ("c2", 1, "n2")],
+            "ck string, v int, nat string",
+        )
+    )
+    dim2.overwrite(
+        spark.createDataFrame(
+            [("n1", 1, "EU"), ("n2", 1, "US")],
+            "nk string, v int, region string",
+        )
+    )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, FSCH).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def scratch():
+        return {
+            r.region: (r.n, r.s)
+            for r in fact.read()
+            .join(dim1.read(), F.col("cust") == F.col("ck"))
+            .join(dim2.read(), F.col("nat") == F.col("nk"))
+            .groupBy("region")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("price") * 100).cast("long"))
+                .cast("long")
+                .alias("s"),
+            )
+            .collect()
+        }
+
+    def view_now():
+        return {r.region: (r.n, r.s) for r in view.read().collect()}
+
+    drop("b1", [("f1", 1, "c1", 1.0), ("f2", 1, "c1", 2.0), ("f3", 1, "c2", 5.0)])
+    q = streaming_maintained_joined3_pipeline(
+        spark,
+        str(inp) + "/*",
+        FSCH,
+        fact,
+        dim1,
+        dim2,
+        view,
+        str(tmp_path / "ckpt"),
+        fact_key_col="cust",
+        dim1_key_col="ck",
+        dim1_attr_col="nat",
+        dim2_key_col="nk",
+        group_col="region",
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == scratch() == {"EU": (2, 300), "US": (1, 500)}
+        assert view.read_meta()["store_versions"] == [1, 1, 1]
+
+        # Out-of-band commits on BOTH dims between fact epochs: c1
+        # migrates to n2 (dim1 feed), n2 re-regions US -> APAC (dim2
+        # feed), and a new customer c3 in a new nation n3 appears.
+        dim1.merge(
+            spark.createDataFrame(
+                [("c1", 2, "n2"), ("c3", 2, "n3")],
+                "ck string, v int, nat string",
+            )
+        )
+        dim2.merge(
+            spark.createDataFrame(
+                [("n2", 2, "APAC"), ("n3", 2, "EU")],
+                "nk string, v int, region string",
+            )
+        )
+        drop("b2", [("f4", 1, "c3", 10.0)])
+        q.processAllAvailable()
+        assert view_now() == scratch() == {"APAC": (3, 800), "EU": (1, 1000)}
+        assert view.read_meta()["store_versions"] == [2, 2, 2]
+
+        # Fact removal + insert in one epoch: pure delta algebra.
+        fact.merge(
+            spark.createDataFrame([], FSCH),
+            removed=spark.createDataFrame([("f3",)], "fk string"),
+        )
+        drop("b3", [("f5", 1, "c1", 0.5)])
+        q.processAllAvailable()
+        assert view_now() == scratch() == {"APAC": (3, 350), "EU": (1, 1000)}
+
+        # Deep vacuum: two OUT-OF-BAND fact commits push the store two
+        # versions past the view's reflected one, then vacuum drops
+        # everything but the current version — the next epoch's
+        # spanning window starts at a vacuumed version, read_changes
+        # raises "not retained", and the skeleton must degrade to
+        # derive() (self-heal), then resume incrementally.
+        reflected = view.read_meta()["store_versions"][0]
+        fact.merge(
+            spark.createDataFrame([("x1", 1, "c2", 2.0)], FSCH)
+        )
+        fact.merge(
+            spark.createDataFrame([("x2", 1, "c2", 3.0)], FSCH)
+        )
+        fact.vacuum(keep=1)
+        assert reflected not in fact.versions()  # window IS unreadable
+        drop("b4", [("f6", 1, "c2", 1.0)])
+        q.processAllAvailable()
+        assert view_now() == scratch()
+        # ...and the steady state resumes: the next cycle maintains
+        # incrementally off the re-stamped reflected versions.
+        drop("b5", [("f7", 1, "c2", 1.0)])
+        q.processAllAvailable()
+        assert view_now() == scratch()
+    finally:
+        q.stop()
+
+
+def test_streaming_joined_topk_dim_out_of_band(spark, tmp_path):
+    """r12 verdict #6, second twin: per-group joined TOP-K at
+    streaming cadence — insert-only cycles are pure O(feed) array
+    merges (no recompute: the fact store is read once per cycle, the
+    changed-key slice), a dim departure threatens its old group and
+    pays exactly one group-pruned rejoin, and every cycle equals the
+    from-scratch ranked top-k."""
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_joined_topk_pipeline,
+    )
+    from pyspark.sql import Window
+
+    FSCH = T.StructType(
+        [
+            T.StructField("fk", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("cust", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4,
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=2,
+    )
+    view = SnapshotStore(
+        spark, str(tmp_path / "view"), key="seg", version_col="n",
+        num_buckets=2,
+    )
+    dim.overwrite(
+        spark.createDataFrame(
+            [("c1", 1, "A"), ("c2", 1, "B")], "dk string, v int, seg string"
+        )
+    )
+    fact_reads = []
+    orig_read = fact.read
+
+    def counting_read(version=None):
+        if version is not None:
+            fact_reads.append(version)
+        return orig_read(version=version)
+
+    fact.read = counting_read
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, FSCH).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def scratch():
+        cents = F.round(F.col("price") * 100).cast("long")
+        w = Window.partitionBy("seg").orderBy(F.desc("_c"))
+        return {
+            r.seg: (r.n, r.s, tuple(r.topk))
+            for r in orig_read()
+            .join(dim.read(), F.col("cust") == F.col("dk"))
+            .select("seg", cents.alias("_c"))
+            .withColumn("_rk", F.row_number().over(w))
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("_c").cast("long").alias("s"),
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("_rk") <= 2, F.col("_c")))
+                    )
+                ).alias("topk"),
+            )
+            .collect()
+        }
+
+    def view_now():
+        return {r.seg: (r.n, r.s, tuple(r.topk)) for r in view.read().collect()}
+
+    drop("b1", [("f1", 1, "c1", 9.0), ("f2", 1, "c1", 5.0), ("f3", 1, "c2", 7.0)])
+    q = streaming_maintained_joined_topk_pipeline(
+        spark,
+        str(inp) + "/*",
+        FSCH,
+        fact,
+        dim,
+        view,
+        str(tmp_path / "ckpt"),
+        fact_key_col="cust",
+        dim_key_col="dk",
+        group_col="seg",
+        k=2,
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == scratch() == {
+            "A": (2, 1400, (900, 500)),
+            "B": (1, 700, (700,)),
+        }
+        assert view.read_meta()["store_versions"] == [1, 1]
+
+        # Insert-only epoch: candidates merge into the stored arrays,
+        # the fact store is read exactly once (the changed-key slice —
+        # empty dim feed, so it prunes to nothing) and the recompute
+        # rejoin never fires.
+        n_reads = len(fact_reads)
+        drop("b2", [("f4", 1, "c1", 7.0), ("f5", 1, "c2", 8.0)])
+        q.processAllAvailable()
+        assert view_now() == scratch() == {
+            "A": (3, 2100, (900, 700)),
+            "B": (2, 1500, (800, 700)),
+        }
+        assert len(fact_reads) - n_reads == 1  # f_slice only, no rebase
+
+        # Out-of-band dim departure: c1 leaves A for B — A's whole
+        # contribution (incl. its stored top-2) withdraws, the horizon
+        # rule forces A's (and target B's values enter as candidates)
+        # group-pruned recompute; equality proves both directions.
+        dim.merge(
+            spark.createDataFrame(
+                [("c1", 2, "B")], "dk string, v int, seg string"
+            )
+        )
+        drop("b3", [("f6", 1, "c2", 1.0)])
+        q.processAllAvailable()
+        assert view_now() == scratch() == {
+            "B": (6, 3700, (900, 800)),
+        }
+    finally:
+        q.stop()
+
+
+def test_streaming_maintained_pipeline_dyadic_rank_sketch(spark, tmp_path):
+    """The generic maintained-view stream with the DYADIC rank-sketch
+    algebra plugged in (r13): maintained per-level cells bit-equal a
+    from-scratch dyadic sketch after every epoch — including an
+    out-of-band delete window (turnstile) — and the base store is
+    never read after the first derivation (fully distributive, like
+    the flat CMS twin)."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        dyadic_bucket,
+        maintain_dyadic_cms,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_pipeline,
+    )
+
+    L, D, W = 4, 2, 8
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="k", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key=["lvl", "d", "bucket"],
+        version_col="cnt", num_buckets=2, bucket_key="bucket",
+    )
+    versioned_reads = []
+    orig_read = store.read
+
+    def counting_read(version=None):
+        if version is not None:
+            versioned_reads.append(version)
+        return orig_read(version=version)
+
+    store.read = counting_read
+
+    def sketch_of(df):
+        lvls = F.array(*[F.lit(x).cast("long") for x in range(L)])
+        ds = F.array(*[F.lit(d).cast("long") for d in range(D)])
+        return (
+            df.select("val", F.explode(lvls).alias("lvl"))
+            .select(
+                "lvl",
+                F.floor(F.col("val") / F.pow(F.lit(2), F.col("lvl")))
+                .cast("long")
+                .alias("_node"),
+            )
+            .select("lvl", "_node", F.explode(ds).alias("d"))
+            .select(
+                "lvl",
+                "d",
+                dyadic_bucket(
+                    F.col("lvl"), F.col("d"), F.col("_node"), W
+                ).alias("bucket"),
+            )
+            .groupBy("lvl", "d", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    def derive(v_after):
+        return sketch_of(orig_read(version=v_after))
+
+    def maintain(reflected, v_after, old_view):
+        return maintain_dyadic_cms(
+            store, reflected, v_after, F.col("val"),
+            levels=L, depth=D, width=W, old_cells=old_view,
+        )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    as_d = lambda df: {  # noqa: E731
+        (r.lvl, r.d, r.bucket): r.cnt for r in df.collect()
+    }
+
+    drop("b1", [(1, 1, 3), (2, 1, 5), (3, 1, 9)])
+    q = streaming_maintained_pipeline(
+        spark, str(inp) + "/*", schema, store, view_store,
+        str(tmp_path / "ckpt"), derive=derive, maintain=maintain,
+    )
+    try:
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(sketch_of(orig_read()))
+        assert versioned_reads == []  # derive() used orig_read
+
+        drop("b2", [(4, 1, 15), (1, 2, 8)])  # add + node-crossing move
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(sketch_of(orig_read()))
+
+        # out-of-band delete window spans into the next epoch
+        store.merge(
+            spark.createDataFrame([], schema),
+            removed=spark.createDataFrame([(2,)], "k long"),
+        )
+        drop("b3", [(5, 1, 0)])
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(sketch_of(orig_read()))
+        assert versioned_reads == []  # turnstile: no recompute branch
     finally:
         q.stop()

@@ -189,6 +189,16 @@ STRESSED = {
     # pass (CC rounds are log-bounded and the affected subgraph is a
     # fixed fraction of the chain).
     "dedup_incremental_cc": "orders",
+    # r13: dyadic count-min rank sketch — the feed grows k-fold while
+    # the cell frame is FIXED (levels x depth x width); alpha ~ 1
+    # proves maintenance stays one feed-proportional signed
+    # aggregation (a cell-domain- or rank-probe-proportional term
+    # would bend the curve) and the serving reads stay O(probes).
+    "incremental_view_quantile_sketch": "orders",
+    # r13: windowed PCM features — clips, samples and windows all grow
+    # k-fold; alpha ~ 1 proves the decode-explode stays clip-local
+    # (per-asset lead windows, hash groupBy) with no cross-asset term.
+    "multimodal_pcm_windows": "documents",
     # r12 (late): broadcast-bloom decontamination — the train side
     # grows k-fold while the eval vocabulary (and so the bitmap build)
     # replicates too; alpha ~ 1 proves the map-side screen + confirm
