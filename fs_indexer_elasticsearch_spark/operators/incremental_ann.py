@@ -328,6 +328,7 @@ class IvfIndexStore:
         *,
         seq: int,
         max_retries: int = 0,
+        cell_counts: dict | None = None,
     ) -> int:
         """O(delta) index maintenance: assign the batch against the
         FIXED centroids and bucket-pruned-merge it in (the centroid
@@ -347,7 +348,20 @@ class IvfIndexStore:
         (no validate-vs-claim window). A generation change aborts with
         ConcurrentWriteError immediately: the caller must re-assign
         against the new centroids, not retry. Retrain/seed themselves
-        keep fail-fast — an overwrite's result depends on the base."""
+        keep fail-fast — an overwrite's result depends on the base.
+
+        ``cell_counts``: an optional caller-owned dict UPDATED in
+        place with this batch's per-cell row counts (one bounded
+        collect off the assignment the add computes anyway, a lazy
+        checkpoint keeping it one materialization). This is the
+        O(delta) MAINTENANCE TRIGGER hint: a streaming feeder
+        accumulates growth-per-cell across epochs and invokes
+        maintain_cells only when some cell plausibly crossed the
+        split band, instead of paying the policy's O(live cells)
+        count pass on every cold epoch. It is an UPPER BOUND on
+        growth (LWW re-adds and later deletes are not netted out) —
+        safe as a trigger (may fire early, never suppresses the
+        caller's cadence fallback)."""
         if self.store.current_version() is None:
             raise ValueError("IVF index is empty — seed() it first")
         # Capture the generation BEFORE reading the centroids the
@@ -361,6 +375,14 @@ class IvfIndexStore:
         rows = self._assigned(
             batch, id_col, vec_col, seq, self.centroids(), self._dim()
         )
+        if cell_counts is not None:
+            rows = rows.localCheckpoint(eager=False)
+            for r in (
+                rows.groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()  # bounded by the number of cells
+            ):
+                cell_counts[r.cid] = cell_counts.get(r.cid, 0) + r._n
         if max_retries <= 0:
             return self.store.merge(rows)
         from ..sinks.snapshot import retry_concurrent

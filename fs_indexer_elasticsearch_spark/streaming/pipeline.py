@@ -1099,12 +1099,27 @@ def streaming_ivf_pipeline(
     cost monotonically — 50% of adds landing in one cell makes every
     probe touching it O(hot cell) — so the epoch loop invokes the
     store's split/merge policy (``IvfIndexStore.maintain_cells``,
-    enforced anti-oscillation hysteresis) every ``maintain_every``-th
-    epoch when ``split_threshold`` is set. The cadence amortizes the
-    policy's per-invocation O(live cells) count pass; the policy
-    itself is O(hot/cold rows). Maintenance is replay-idempotent: a
-    re-run epoch finds every cell already within both bands and
-    commits nothing.
+    enforced anti-oscillation hysteresis) when ``split_threshold`` is
+    set, on EITHER trigger:
+
+    - the ``maintain_every``-th epoch (the unconditional cadence
+      fallback — it amortizes the policy's per-invocation O(live
+      cells) count pass; the policy itself is O(hot/cold rows)); or
+    - the O(delta) GROWTH HINT: the add path reports its per-cell
+      batch counts (one bounded collect off the assignment it
+      computes anyway), accumulated driver-side since the last
+      maintenance invocation — when any cell's accumulated adds
+      reach ``split_threshold // 2``, maintenance fires EARLY. Every
+      cell is at or below the split threshold right after
+      maintenance, so a cell stays below ~1.5x the threshold between
+      hint firings: fast-building skew is repaired within epochs,
+      not cadences, while cold stretches skip even the count pass.
+      The hint is an upper bound (LWW re-adds/deletes not netted;
+      replays re-count; a restart resets it to the cadence fallback)
+      — it can fire early, never suppresses the cadence.
+
+    Maintenance is replay-idempotent: a re-run epoch finds every cell
+    already within both bands and commits nothing.
 
     SEQ DOMAINS: each epoch owns the block
     ``[(epoch+1)*_IVF_SEQ_STRIDE, (epoch+2)*_IVF_SEQ_STRIDE)`` — the
@@ -1139,6 +1154,11 @@ def streaming_ivf_pipeline(
         if maintain_every < 1:
             raise ValueError("maintain_every must be >= 1")
 
+    # Growth since the last maintenance invocation, per cell — the
+    # O(delta) early trigger (driver-side, bounded by the cell count;
+    # a restart falls back to the cadence until it re-accumulates).
+    growth: dict = {}
+
     def match_fn(batch: DataFrame, epoch_id: int) -> DataFrame:
         seq = (epoch_id + 1) * _IVF_SEQ_STRIDE  # seed() owns block 0
         matches = ivf_store.search(
@@ -1148,21 +1168,31 @@ def streaming_ivf_pipeline(
         # below: versions are immutable and retained until vacuum
         # (store contract), and the max_seq cut is on ivf_vis, which
         # maintenance never changes.
-        ivf_store.add(batch, id_col, vec_col, seq=seq)
-        if (
-            split_threshold is not None
-            and (epoch_id + 1) % maintain_every == 0
-        ):
-            # max_retries > 0: a concurrent writer funnels into the
-            # retryable expected_base channel; the policy re-derives
-            # against the moved base instead of failing the epoch.
-            ivf_store.maintain_cells(
-                split_threshold=split_threshold,
-                merge_threshold=merge_threshold,
-                seq=seq + 1,
-                max_rounds=maintenance_rounds,
-                max_retries=2,
+        ivf_store.add(
+            batch,
+            id_col,
+            vec_col,
+            seq=seq,
+            cell_counts=growth if split_threshold is not None else None,
+        )
+        if split_threshold is not None:
+            due = (epoch_id + 1) % maintain_every == 0
+            hot_hint = growth and max(growth.values()) >= max(
+                1, split_threshold // 2
             )
+            if due or hot_hint:
+                # max_retries > 0: a concurrent writer funnels into
+                # the retryable expected_base channel; the policy
+                # re-derives against the moved base instead of
+                # failing the epoch.
+                ivf_store.maintain_cells(
+                    split_threshold=split_threshold,
+                    merge_threshold=merge_threshold,
+                    seq=seq + 1,
+                    max_rounds=maintenance_rounds,
+                    max_retries=2,
+                )
+                growth.clear()
         return matches
 
     return _streaming_match_pipeline(

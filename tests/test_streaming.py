@@ -2452,3 +2452,100 @@ def test_streaming_maintained_pipeline_dyadic_rank_sketch(spark, tmp_path):
         assert versioned_reads == []  # turnstile: no recompute branch
     finally:
         q.stop()
+
+
+def test_streaming_ivf_growth_hint_triggers_early_maintenance(
+    spark, tmp_path
+):
+    """The O(delta) maintenance trigger: with the cadence fallback
+    effectively disabled (maintain_every=1000), fast-building skew
+    must still be repaired — the add path's per-cell growth hint
+    fires maintain_cells as soon as some cell's accumulated adds
+    reach split_threshold // 2, keeping every live cell below ~1.5x
+    the split threshold with NO per-epoch O(live cells) count pass on
+    cold epochs."""
+    from fs_indexer_elasticsearch_spark.operators.incremental_ann import (
+        IvfIndexStore,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_ivf_pipeline,
+    )
+
+    DIM = 8
+
+    def hot_vec(i):
+        v = [10.0] + [0.0] * (DIM - 1)
+        v[1 + (i % 4)] = 2.0
+        for d in range(DIM):
+            v[d] += ((i * 13 + d * 5) % 11) * 0.02
+        return v
+
+    def cold_vec(i):
+        v = [0.0] * DIM
+        v[2 + (i % 6)] = 10.0
+        for d in range(DIM):
+            v[d] += ((i * 17 + d * 3) % 11) * 0.02
+        return v
+
+    def vec(i):
+        return hot_vec(i) if i % 2 == 0 else cold_vec(i)
+
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=8)
+    store.seed(
+        spark.createDataFrame([(i, vec(i)) for i in range(6)], vec_schema),
+        spark.createDataFrame(
+            [(0, hot_vec(0)), (1, cold_vec(1))], vec_schema
+        ),
+        "vec_id",
+        "emb",
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    SPLIT = 8
+    q = streaming_ivf_pipeline(
+        spark,
+        str(inp) + "/*",
+        vec_schema,
+        store,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        k=2,
+        nprobe=2,
+        max_files_per_trigger=1,
+        split_threshold=SPLIT,
+        merge_threshold=0,
+        maintain_every=1000,  # cadence effectively OFF: only the hint
+    )
+    try:
+        for e in range(5):
+            ids = range(100 + e * 10, 110 + e * 10)
+            spark.createDataFrame(
+                [(i, vec(i)) for i in ids], vec_schema
+            ).coalesce(1).write.parquet(str(inp / f"b{e}"))
+            q.processAllAvailable()
+            meta = store.store.read_meta()
+            live = [i for i, _e2 in meta["centroids"]]
+            sizes = (
+                store.store.read()
+                .filter(F.col("cid").isin(live))
+                .groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            # The hint keeps cells bounded by ~1.5x the split band
+            # even though the cadence never fires.
+            assert max(r.n for r in sizes) <= SPLIT + SPLIT // 2, (
+                e,
+                sorted(r.n for r in sizes),
+            )
+    finally:
+        q.stop()
+    # Maintenance genuinely ran (the hint fired): the centroid set
+    # grew past the 2 seeds.
+    assert len(store.store.read_meta()["centroids"]) > 2
