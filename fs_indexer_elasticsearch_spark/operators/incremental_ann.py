@@ -65,6 +65,21 @@ class _StaleCentroids(ConcurrentWriteError):
     but routed past retry_concurrent's backoff via ``no_retry``."""
 
 
+def _with_vis(df: DataFrame) -> DataFrame:
+    """Normalize the visibility column on a stored slice: rows
+    committed before ``ivf_vis`` existed (or widened to NULL by the
+    schema migration a newer add triggers) carried add-seq == LWW-seq,
+    so coalescing onto ``ivf_seq`` reproduces their original
+    visibility exactly — maintenance re-stamps then self-heal the
+    column as buckets are rewritten."""
+    vis = (
+        F.coalesce(F.col("ivf_vis"), F.col("ivf_seq"))
+        if "ivf_vis" in df.columns
+        else F.col("ivf_seq")
+    )
+    return df.withColumn("ivf_vis", vis.cast("long"))
+
+
 class IvfIndexStore:
     def __init__(
         self,
@@ -532,6 +547,7 @@ class IvfIndexStore:
                 version=v0,
             )
             .filter(F.col("cid").isin(hot_ids))
+            .transform(_with_vis)
             .select("cid", "vec_id", "emb", "ivf_seq", "ivf_vis")
         )
         # Tombstoned ids must not shape child centroids or be
@@ -747,6 +763,7 @@ class IvfIndexStore:
                 version=v0,
             )
             .filter(F.col("cid").isin(cold))
+            .transform(_with_vis)
             .select("cid", "vec_id", "emb", "ivf_seq", "ivf_vis")
         )
         cold_rows = self.tombstones.apply(
@@ -919,8 +936,16 @@ class IvfIndexStore:
             self.store, probed, empty_msg="IVF index is empty — seed() it first"
         )
         if max_seq is not None:
-            vis = "ivf_vis" if "ivf_vis" in stored.columns else "ivf_seq"
-            stored = stored.filter(F.col(vis) < F.lit(int(max_seq)))
+            # Per-row fallback to ivf_seq: rows committed before the
+            # visibility column existed (a migrated store widens them
+            # with NULL ivf_vis) carried add-seq == LWW-seq, so the
+            # coalesce reproduces the old cut exactly for them.
+            vis = (
+                F.coalesce(F.col("ivf_vis"), F.col("ivf_seq"))
+                if "ivf_vis" in stored.columns
+                else F.col("ivf_seq")
+            )
+            stored = stored.filter(vis < F.lit(int(max_seq)))
         stored = self.tombstones.apply(stored, "vec_id")
         # Bucket pruning is hash-coarse; the cid equi-join below is the
         # exact cell filter (and the shuffle key).
