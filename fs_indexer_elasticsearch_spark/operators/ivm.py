@@ -2152,10 +2152,29 @@ def maintain_dyadic_cms(
     lvls = F.array(*[F.lit(v).cast("long") for v in range(levels)])
     ds = F.array(*[F.lit(d).cast("long") for d in range(depth)])
 
+    # Loud domain guard: a value outside [0, 2^levels) would fold
+    # into nonsense nodes (negative floors, phantom high nodes) and
+    # silently corrupt every rank read that follows — raise with the
+    # offending value instead (the _norm dim-guard rule).
+    dom = F.lit(1 << levels).cast("long")
+    guarded = F.when(
+        (value.cast("long") >= 0) & (value.cast("long") < dom),
+        value.cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "maintain_dyadic_cms: value %s outside [0, "
+                + str(1 << levels)
+                + ") — the caller owns the integer encoding",
+                value.cast("string"),
+            )
+        )
+    )
+
     def cells_of(df, sign_col):
         return (
             df.select(
-                value.cast("long").alias("_v"),
+                guarded.alias("_v"),
                 sign_col.alias("_s"),
             )
             .select("_v", "_s", F.explode(lvls).alias("lvl"))

@@ -79,6 +79,11 @@ _PRIORITY = [
     # nodes) — deletes subtract exactly, state O(levels*depth*width),
     # the one-sided rank guarantee pinned as a gated column.
     "incremental_view_quantile_sketch",
+    # ... and the composed IVF maintenance policy (split-until-quiesce
+    # + hysteresis cold merge in ONE maintain_cells invocation — the
+    # call the streaming growth-hint/cadence triggers fire), proven
+    # content-preserving by an all-cells probe vs brute force.
+    "ann_ivf_maintain_topk",
     # New in r12 (late additions) — the join-membership (semi/anti
     # partition) maintenance pair: every fact row tagged with live dim
     # membership, dim-key appearance/disappearance flipping flags on

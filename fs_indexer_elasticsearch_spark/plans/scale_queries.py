@@ -3596,3 +3596,67 @@ def incremental_view_quantile_sketch(
         "est_rank",
         (F.col("est_rank") >= F.col("exact_rank")).alias("overestimate_ok"),
     )
+
+
+@query("ann_ivf_maintain_topk", oracle=ORACLES["similarity_bruteforce_topk"])
+def ann_ivf_maintain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED cell-maintenance POLICY proven content-preserving
+    under the driver gate (operators/incremental_ann.IvfIndexStore.
+    maintain_cells — r12 gated the split and the merge separately;
+    this gates their composition, the exact invocation the streaming
+    pipeline's growth-hint/cadence triggers fire): the index seeds
+    with 16 centroids minus a slice, add()s the slice as a delta,
+    then runs the full policy — split-until-quiesce at the average
+    occupancy plus one cold merge at the enforced hysteresis band
+    (merge = split//4) — and the search probes EVERY live cell, which
+    must return exactly the brute-force cosine top-k. Whatever
+    sequence of splits and merges the policy chose for this corpus,
+    no vector may be lost, duplicated, or stranded under a retired
+    cell id. Seq domains mirror the streaming feeder: seed owns 0,
+    the add owns 1, maintenance owns 2.. (one per committed op)."""
+    import hashlib
+    import os
+
+    from ..operators.incremental_ann import IvfIndexStore
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "emb"
+        ),
+    )
+    centroids = emb.filter(F.col("vec_id") < 16)
+    fp = _dataset_fingerprint(sf_dir, "embeddings")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|ivfmaint|c16|nb32|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-ivfmaintstore-{tag}"
+    with _store_lock(path):
+        store = IvfIndexStore(spark, path, num_buckets=32)
+        if store.store.current_version() is None:
+            store.seed(
+                emb.filter(F.col("vec_id") % 7 != 0), centroids,
+                "vec_id", "emb",
+            )
+        if store.store.current_version() == 1:
+            store.add(
+                emb.filter(F.col("vec_id") % 7 == 0), "vec_id", "emb", seq=1
+            )
+        if store.store.current_version() == 2:
+            n = store.store.read(version=2).count()
+            thr = max(4, n // 16)
+            store.maintain_cells(
+                split_threshold=thr, merge_threshold=thr // 4, seq=2
+            )
+        live_cells = len(store.store.read_meta()["centroids"])
+        matches = _pin(
+            store.search(
+                emb.filter(F.col("vec_id") < 8),
+                "vec_id",
+                "emb",
+                k=3,
+                nprobe=live_cells,
+            )
+        )
+        store.store.vacuum(keep=2)
+    return matches
