@@ -62,6 +62,20 @@ from . import curation_pipeline  # noqa: E402,F401
 # binary_payload_meta (multimodal anchored by frame_sample + wav_stats)
 # (all driver-green for multiple rounds, plans unchanged, families
 # still anchored in the prefix).
+#
+# r13's set: 4 new queries (windowed PCM features, 16-bit stereo WAV,
+# dyadic rank sketch, composed IVF maintenance policy) plus
+# q15_top_suppliers rotated back in (scalar-max plan changed per r12
+# verdict #5); the other r13 plan changes (pointer-doubled CC in
+# dedup_connected_components + dedup_incremental_cc, bloom word-
+# packing in decontaminate_bloom) sit inside the prefix already.
+# Displaced below the boundary: window_session_30m,
+# asof_click_before_purchase, merge_upsert_newer_wins,
+# snapshot_diff_changes, rollup_directory_sizes (all multi-round
+# driver-green, plans unchanged; their operator families stay
+# anchored by window_tumbling_10m/window_moving_avg_7d, the
+# range/as-of pair in timejoin tests, store_read_changes, and the
+# incremental-CC/merge machinery in the prefix).
 _PRIORITY = [
     # New in r13 — the windowed-PCM feature extraction over the
     # DECODED audio stream (real RIFF parse -> per-sample explode ->
@@ -84,6 +98,10 @@ _PRIORITY = [
     # call the streaming growth-hint/cadence triggers fire), proven
     # content-preserving by an all-cells probe vs brute force.
     "ann_ivf_maintain_topk",
+    # Rotated into the prefix for r13: q15's scalar max moved from an
+    # unpartitioned window to a 1-row aggregate + keyless broadcast
+    # join (r12 verdict #5) — plan changed, so the driver re-verifies.
+    "q15_top_suppliers",
     # New in r12 (late additions) — the join-membership (semi/anti
     # partition) maintenance pair: every fact row tagged with live dim
     # membership, dim-key appearance/disappearance flipping flags on
@@ -360,7 +378,6 @@ _PRIORITY = [
     "pivot_status_by_priority",
     "q08_market_share",
     "q13_order_count_distribution",
-    "q15_top_suppliers",
     "json_struct_surface",
     "q06_forecast_revenue",
     "window_rank_functions",
