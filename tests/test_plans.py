@@ -153,7 +153,16 @@ def test_registry_priority_prefix_covers_llm_layer():
         # least-tested first (late r12 rotated window_rank_lag_gap,
         # range_join, pagerank, incremental_agg_maintenance,
         # quantized_ann, char_bigram_nll, curriculum_deciles below
-        # the boundary to admit the seven late-r12 newcomers).
+        # the boundary to admit the seven late-r12 newcomers; r13
+        # rotated window_session_30m, asof_click_before_purchase,
+        # merge_upsert_newer_wins, snapshot_diff_changes,
+        # rollup_directory_sizes below to admit the four r13
+        # newcomers plus the plan-changed q15_top_suppliers).
+        "multimodal_pcm_windows",
+        "multimodal_wav_stats16",
+        "incremental_view_quantile_sketch",
+        "ann_ivf_maintain_topk",
+        "q15_top_suppliers",
         "incremental_view_join_membership",
         "incremental_view_join_membership_chained",
         "incremental_view_rollup_cascade",
@@ -184,10 +193,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "vocab_concentration",
         "sequence_packing_stats", "shard_balance_audit",
         "skew_salted_hot_join",
-        "window_moving_avg_7d", "window_session_30m",
-        "asof_click_before_purchase",
-        "merge_upsert_newer_wins", "snapshot_diff_changes",
-        "rollup_directory_sizes",
+        "window_moving_avg_7d",
     }
     assert required <= first50, sorted(required - first50)
     assert len(names) == len(set(names))
