@@ -2222,3 +2222,80 @@ def maintain_dyadic_cms(
         )
         .filter(F.col("cnt") > 0)
     )
+
+
+def dyadic_cells_dict(cells: DataFrame) -> dict:
+    """Collect a maintained dyadic-CMS cell frame into the serving
+    dict {(lvl, d, bucket): cnt}. The collect is BOUNDED BY DESIGN —
+    at most levels × depth × width rows (KBs), never by data size —
+    which is the point of the sketch: rank/quantile serving becomes
+    pure driver-side arithmetic over a broadcastable structure."""
+    return {(r.lvl, r.d, r.bucket): r.cnt for r in cells.collect()}
+
+
+def dyadic_rank(
+    cells: dict, x: int, *, levels: int, depth: int, width: int
+) -> int:
+    """Estimated rank of ``x`` — count of values < x — from a
+    collected cell dict: sum of min-over-depth CMS reads along the
+    dyadic decomposition of [0, x). One-sided (estimate >= true
+    rank). ``x`` must lie in [0, 2^levels]; x = 2^levels reads the
+    two level-(levels-1) children instead of the unmaintained root."""
+    import hashlib
+
+    if not 0 <= x <= (1 << levels):
+        raise ValueError(
+            f"dyadic_rank: x={x} outside [0, {1 << levels}]"
+        )
+
+    def node_read(lvl: int, node: int) -> int:
+        per_d = []
+        for d in range(depth):
+            h = hashlib.md5(
+                f"dcms{lvl}:{d}:{node}".encode()
+            ).hexdigest()[:8]
+            per_d.append(cells.get((lvl, d, int(h, 16) % width), 0))
+        return min(per_d)
+
+    if x == (1 << levels):
+        top = levels - 1
+        return node_read(top, 0) + node_read(top, 1)
+    total = 0
+    for b in range(levels):
+        if (x >> b) & 1:
+            total += node_read(b, (x >> (b + 1)) * 2)
+    return total
+
+
+def dyadic_quantile(
+    cells: dict, q: float, n: int, *, levels: int, depth: int, width: int
+) -> int:
+    """Estimated q-quantile from a collected cell dict: the smallest
+    value v in [0, 2^levels) whose estimated rank(v+1) reaches
+    ceil(q*n) — a binary search of ``levels`` steps, each an
+    O(levels × depth) rank read, all driver-side arithmetic. ``n`` is
+    the view's total row count (the trivial maintained n-view's job —
+    the sketch deliberately does not carry it). Because rank
+    estimates are one-sided (>= true), the returned value can only be
+    BIASED LOW relative to the exact quantile — the conservative
+    direction for length-cap / percentile-band curation cuts."""
+    if not 0 < q <= 1:
+        raise ValueError(f"dyadic_quantile: q={q} outside (0, 1]")
+    if n <= 0:
+        raise ValueError("dyadic_quantile: empty view (n <= 0)")
+    import math
+
+    target = math.ceil(q * n)
+    lo, hi = 0, (1 << levels) - 1  # answer in [lo, hi]
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if (
+            dyadic_rank(
+                cells, mid + 1, levels=levels, depth=depth, width=width
+            )
+            >= target
+        ):
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo

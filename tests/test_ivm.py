@@ -1933,3 +1933,55 @@ def test_maintain_dyadic_cms_rank_sketch_equals_scratch(spark, tmp_path):
     for x in (1, 4, 8, 15):
         exact = sum(1 for v in post if v < x)
         assert est_rank(x) >= exact, (x, est_rank(x), exact)
+
+
+def test_dyadic_quantile_serving_off_collected_cells(spark, tmp_path):
+    """Rank/quantile SERVING off the maintained dyadic sketch: the
+    cell frame collects to a bounded dict (levels x depth x width max)
+    and quantiles come from a driver-side binary search of one-sided
+    rank reads — with a wide sketch (no collisions) the estimates are
+    EXACT; the one-sided property makes the quantile biased low, never
+    high."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        dyadic_cells_dict,
+        dyadic_quantile,
+        dyadic_rank,
+        maintain_dyadic_cms,
+    )
+
+    L, D, W = 6, 3, 512  # wide: effectively collision-free here
+    store = SnapshotStore(
+        spark, str(tmp_path / "dq"), key="k", version_col="v", num_buckets=4
+    )
+    vals = [3, 5, 9, 15, 22, 22, 40, 63]
+    store.overwrite(
+        spark.createDataFrame(
+            [(i, 1, v) for i, v in enumerate(vals)], "k long, v int, val long"
+        )
+    )
+    # One delete window so the cells exercise the turnstile path.
+    store.merge(
+        spark.createDataFrame([(99, 2, 7)], "k long, v int, val long"),
+        removed=spark.createDataFrame([(0,)], "k long"),  # drops the 3
+    )
+    post = sorted(vals[1:] + [7])  # [5, 7, 9, 15, 22, 22, 40, 63]
+    cells = dyadic_cells_dict(
+        maintain_dyadic_cms(
+            store, 1, 2, F.col("val"), levels=L, depth=D, width=W
+        )
+    )
+    kw = dict(levels=L, depth=D, width=W)
+    # Exact ranks at a collision-free width, including the full-domain
+    # read (x = 2^L reads the two top children).
+    for x in (0, 5, 6, 23, 64):
+        assert dyadic_rank(cells, x, **kw) == sum(1 for v in post if v < x)
+    n = len(post)
+    # Exact quantiles: q=0.5 -> 4th smallest (15), q=0.25 -> 2nd (7),
+    # q=1.0 -> max (63).
+    assert dyadic_quantile(cells, 0.25, n, **kw) == 7
+    assert dyadic_quantile(cells, 0.5, n, **kw) == 15
+    assert dyadic_quantile(cells, 1.0, n, **kw) == 63
+    import pytest
+
+    with pytest.raises(ValueError, match="outside"):
+        dyadic_rank(cells, 65, **kw)
