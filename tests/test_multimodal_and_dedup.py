@@ -973,3 +973,21 @@ def test_audio_samples_explode_and_poison_isolation(spark):
         ("s16", 2, 32767),
         ("s16", 3, -32768),
     ]
+
+
+def test_audio_samples_poison_only_partition_yields_empty(spark):
+    """A partition whose every payload is poison exercises the empty
+    pandas-frame branch of audio_samples — it must Arrow-convert
+    cleanly to zero rows, not crash the task."""
+    from fs_indexer_elasticsearch_spark.operators.multimodal import (
+        audio_samples,
+    )
+
+    rows = [("bad1", b"nope"), ("bad2", b""), ("bad3", None)]
+    out = audio_samples(
+        spark.createDataFrame(
+            rows, "asset_id string, payload binary"
+        ).repartition(2)
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["asset_id", "i", "value"]

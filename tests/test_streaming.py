@@ -2549,3 +2549,87 @@ def test_streaming_ivf_growth_hint_triggers_early_maintenance(
     # Maintenance genuinely ran (the hint fired): the centroid set
     # grew past the 2 seeds.
     assert len(store.store.read_meta()["centroids"]) > 2
+
+
+def test_streaming_nstore_replay_is_idempotent(spark, tmp_path):
+    """Forced replay of the N-store skeleton's last epoch (checkpoint
+    commit deleted): the re-merged batch LWW-collapses, every store's
+    spanning window reads empty, and the epoch SKIPS the publish — the
+    view content, its reflected store_versions meta, and the view
+    version count are all byte-stable."""
+    import os
+
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_joined_topk_pipeline,
+    )
+
+    FSCH = T.StructType(
+        [
+            T.StructField("fk", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("cust", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    fact = SnapshotStore(
+        spark, str(tmp_path / "fact"), key="fk", version_col="v",
+        num_buckets=4,
+    )
+    dim = SnapshotStore(
+        spark, str(tmp_path / "dim"), key="dk", version_col="v",
+        num_buckets=2,
+    )
+    view = SnapshotStore(
+        spark, str(tmp_path / "view"), key="seg", version_col="n",
+        num_buckets=2,
+    )
+    dim.overwrite(
+        spark.createDataFrame(
+            [("c1", 1, "A"), ("c2", 1, "B")], "dk string, v int, seg string"
+        )
+    )
+
+    def run(ckpt):
+        q = streaming_maintained_joined_topk_pipeline(
+            spark, str(inp) + "/*", FSCH, fact, dim, view, ckpt,
+            fact_key_col="cust", dim_key_col="dk", group_col="seg", k=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    spark.createDataFrame(
+        [("f1", 1, "c1", 9.0), ("f2", 1, "c2", 7.0)], FSCH
+    ).coalesce(1).write.parquet(str(inp / "b1"))
+    run(str(tmp_path / "ckpt"))
+    spark.createDataFrame(
+        [("f3", 1, "c1", 4.0)], FSCH
+    ).coalesce(1).write.parquet(str(inp / "b2"))
+    run(str(tmp_path / "ckpt"))
+
+    before = sorted(
+        (r.seg, r.n, r.s, tuple(r.topk)) for r in view.read().collect()
+    )
+    meta_before = view.read_meta()["store_versions"]
+    vview = view.current_version()
+
+    commits = sorted(
+        c
+        for c in os.listdir(tmp_path / "ckpt" / "commits")
+        if not c.startswith(".")
+    )
+    os.remove(tmp_path / "ckpt" / "commits" / commits[-1])
+    crc = tmp_path / "ckpt" / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():
+        os.remove(crc)
+    run(str(tmp_path / "ckpt"))
+
+    after = sorted(
+        (r.seg, r.n, r.s, tuple(r.topk)) for r in view.read().collect()
+    )
+    assert after == before
+    assert view.current_version() == vview  # publish skipped
+    assert view.read_meta()["store_versions"] == meta_before
