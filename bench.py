@@ -154,6 +154,7 @@ EXTRA = [
     "multimodal_pcm_windows",
     "multimodal_wav_stats16",
     "incremental_view_quantile_sketch",
+    "incremental_view_quantile_sketch_grouped",
     "ann_ivf_maintain_topk",
 ]
 

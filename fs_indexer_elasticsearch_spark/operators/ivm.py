@@ -2122,6 +2122,7 @@ def maintain_dyadic_cms(
     depth: int = 3,
     width: int = 128,
     old_cells: DataFrame | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Maintain a DYADIC count-min sketch of an integer value column —
     the turnstile RANK/QUANTILE sketch (Cormode-Muthukrishnan): one
@@ -2143,7 +2144,11 @@ def maintain_dyadic_cms(
     maintenance is one O(feed × levels × depth) signed delta
     aggregation merged into the cell frame — never a base rescan.
     Returns ``(lvl, d, bucket, cnt)`` cells (feed back as
-    ``old_cells``); serve rank estimates by decomposing [0, x) into
+    ``old_cells``). ``group_cols`` maintains one INDEPENDENT sketch
+    per group (cells keyed group + (lvl, d, bucket)) — the
+    per-language length-quantile shape curation caps need; state is
+    O(groups × levels × depth × width), still corpus-size-free.
+    Serve rank estimates by decomposing [0, x) into
     its ≤``levels`` dyadic nodes and summing min-over-d cell reads
     (absent cells read 0). Rank probes must also lie in
     [0, 2^levels): x = 2^levels would need the level-``levels`` root
@@ -2171,51 +2176,53 @@ def maintain_dyadic_cms(
         )
     )
 
+    gcols = list(group_cols or [])
+
     def cells_of(df, sign_col):
         return (
             df.select(
+                *gcols,
                 guarded.alias("_v"),
                 sign_col.alias("_s"),
             )
-            .select("_v", "_s", F.explode(lvls).alias("lvl"))
+            .select(*gcols, "_v", "_s", F.explode(lvls).alias("lvl"))
             .select(
+                *gcols,
                 "lvl",
                 "_s",
                 F.floor(
                     F.col("_v") / F.pow(F.lit(2), F.col("lvl"))
                 ).cast("long").alias("_node"),
             )
-            .select("lvl", "_s", "_node", F.explode(ds).alias("d"))
+            .select(*gcols, "lvl", "_s", "_node", F.explode(ds).alias("d"))
             .select(
+                *gcols,
                 "lvl",
                 "d",
                 dyadic_bucket(F.col("lvl"), F.col("d"), F.col("_node"), width)
                 .alias("bucket"),
                 "_s",
             )
-            .groupBy("lvl", "d", "bucket")
+            .groupBy(*gcols, "lvl", "d", "bucket")
             .agg(F.sum("_s").alias("_dc"))
         )
 
+    keys = [*gcols, "lvl", "d", "bucket"]
     if old_cells is not None:
-        old = old_cells.select(
-            "lvl", "d", "bucket", F.col("cnt").alias("_c0")
-        )
+        old = old_cells.select(*keys, F.col("cnt").alias("_c0"))
     else:
         old = cells_of(
             store.read(version=v_from), F.lit(1)
-        ).select("lvl", "d", "bucket", F.col("_dc").alias("_c0"))
+        ).select(*keys, F.col("_dc").alias("_c0"))
     feed = store.read_changes(v_from, v_to, update_images="both")
     sign = F.when(
         F.col("_change").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
     delta = cells_of(feed, sign)
     return (
-        old.join(delta, ["lvl", "d", "bucket"], "full_outer")
+        old.join(delta, keys, "full_outer")
         .select(
-            "lvl",
-            "d",
-            "bucket",
+            *keys,
             (F.coalesce("_c0", F.lit(0)) + F.coalesce("_dc", F.lit(0)))
             .cast("long")
             .alias("cnt"),

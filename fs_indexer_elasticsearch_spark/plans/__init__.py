@@ -93,6 +93,10 @@ _PRIORITY = [
     # nodes) — deletes subtract exactly, state O(levels*depth*width),
     # the one-sided rank guarantee pinned as a gated column.
     "incremental_view_quantile_sketch",
+    # ... and its GROUPED form: one independent sketch per stratum
+    # (the per-language length-quantile shape curation caps need),
+    # maintained by the same single signed aggregation.
+    "incremental_view_quantile_sketch_grouped",
     # ... and the composed IVF maintenance policy (split-until-quiesce
     # + hysteresis cold merge in ONE maintain_cells invocation — the
     # call the streaming growth-hint/cadence triggers fire), proven
@@ -217,11 +221,15 @@ _PRIORITY = [
     # Training-export layer (r6): packing, sharding, curriculum,
     # context sizing, sampling
     "sequence_packing_stats",
-    "shard_balance_audit",
     # Skew demonstration (r6)
     "skew_salted_hot_join",
-    # Event-time windows and temporal joins (+ r6 range-frame MA)
+    # Event-time windows and temporal joins (+ r6 range-frame MA) —
+    # window_moving_avg_7d is the family's prefix anchor
     "window_moving_avg_7d",
+    # Displaced to the boundary by the r13 grouped-sketch newcomer:
+    # shard_balance_audit (packing family stays anchored by
+    # sequence_packing_stats + token_budget_mixture above).
+    "shard_balance_audit",
     "window_session_30m",
     "asof_click_before_purchase",
     # Flagship merge / diff / rollup — must stay inside any first-50

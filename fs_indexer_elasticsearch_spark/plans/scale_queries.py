@@ -3660,3 +3660,170 @@ def ann_ivf_maintain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         store.store.vacuum(keep=2)
     return matches
+
+
+_VIEW_DCMS_GROUPED_ORACLE = f"""
+    WITH fbase AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    fdelta AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    f2 AS (
+        SELECT o_orderstatus, price FROM fbase
+        WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT o_orderstatus, price FROM fdelta
+    ),
+    vals AS (
+        SELECT o_orderstatus,
+               CAST(floor(price) AS BIGINT) % 4096 AS val
+        FROM f2
+    ),
+    cells AS (
+        SELECT o_orderstatus, lvl, d,
+               {_dcms_bucket_sql("lvl", "d", "(val // (1 << lvl))")} AS bucket,
+               count(*) AS cnt
+        FROM vals, range({_DCMS_LEVELS}) l(lvl), range({_DCMS_DEPTH}) r(d)
+        GROUP BY 1, 2, 3, 4
+    ),
+    probes AS (
+        SELECT DISTINCT v.o_orderstatus, p.x
+        FROM vals v,
+             (SELECT unnest([{", ".join(str(p) for p in _DCMS_PROBES)}]) AS x) p
+    ),
+    decomp AS (
+        SELECT p.o_orderstatus, p.x, b.b,
+               (p.x // (1 << (b.b + 1))) * 2 AS node,
+               r.d
+        FROM probes p, range({_DCMS_LEVELS}) b(b), range({_DCMS_DEPTH}) r(d)
+        WHERE (p.x // (1 << b.b)) % 2 = 1
+    ),
+    node_est AS (
+        SELECT dc.o_orderstatus, dc.x, dc.b, dc.node,
+               min(coalesce(c.cnt, 0)) AS node_cnt
+        FROM decomp dc
+        LEFT JOIN cells c
+          ON c.o_orderstatus = dc.o_orderstatus
+         AND c.lvl = dc.b AND c.d = dc.d
+         AND c.bucket = {_dcms_bucket_sql("dc.b", "dc.d", "dc.node")}
+        GROUP BY dc.o_orderstatus, dc.x, dc.b, dc.node
+    ),
+    est AS (
+        SELECT o_orderstatus, x, CAST(sum(node_cnt) AS BIGINT) AS est_rank
+        FROM node_est GROUP BY o_orderstatus, x
+    ),
+    exact AS (
+        SELECT p.o_orderstatus, p.x,
+               CAST((SELECT count(*) FROM vals v
+                     WHERE v.o_orderstatus = p.o_orderstatus
+                       AND v.val < p.x) AS BIGINT) AS exact_rank
+        FROM probes p
+    )
+    SELECT e.o_orderstatus, e.x AS probe, e.exact_rank, s.est_rank,
+           s.est_rank >= e.exact_rank AS overestimate_ok
+    FROM exact e JOIN est s USING (o_orderstatus, x)
+"""
+
+
+@query(
+    "incremental_view_quantile_sketch_grouped",
+    oracle=_VIEW_DCMS_GROUPED_ORACLE,
+)
+def incremental_view_quantile_sketch_grouped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GROUPED dyadic rank sketch — one independent turnstile
+    quantile sketch PER STRATUM (``maintain_dyadic_cms(group_cols=
+    ...)``): the per-language length-quantile shape a curation
+    pipeline's banding caps need at 100 TB, maintained through the
+    CDF window's inserts, updates and deletes. State is
+    O(groups × levels × depth × width) — corpus-size-free per group —
+    and maintenance stays ONE signed aggregation (the group columns
+    ride the same explode, no extra pass). The oracle rebuilds every
+    group's cells from the post state and re-derives the same four
+    rank probes per group, pinning the one-sided guarantee
+    stratum-by-stratum."""
+    from ..operators.ivm import dyadic_bucket, maintain_dyadic_cms
+
+    store = _cdf_store(spark, sf_dir, layout="hardlink")
+    val = (F.floor(F.col("price")).cast("long") % 4096).alias("_val")
+    cells = maintain_dyadic_cms(
+        store,
+        1,
+        2,
+        F.floor(F.col("price")).cast("long") % 4096,
+        levels=_DCMS_LEVELS,
+        depth=_DCMS_DEPTH,
+        width=_DCMS_WIDTH,
+        group_cols=["o_orderstatus"],
+    )
+    post_vals = store.read(version=2).select("o_orderstatus", val)
+    exact_row = post_vals.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(F.when(F.col("_val") < p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_r{p}")
+            for p in _DCMS_PROBES
+        ]
+    )
+    stack_expr = ", ".join(f"{p}, _r{p}" for p in _DCMS_PROBES)
+    exact = exact_row.select(
+        "o_orderstatus",
+        F.expr(
+            f"stack({len(_DCMS_PROBES)}, {stack_expr}) AS (probe, exact_rank)"
+        ),
+    ).select(
+        "o_orderstatus",
+        F.col("probe").cast("long"),
+        F.col("exact_rank").cast("long"),
+    )
+    lvls = F.sequence(F.lit(0), F.lit(_DCMS_LEVELS - 1))
+    ds = F.array(*[F.lit(d).cast("long") for d in range(_DCMS_DEPTH)])
+    two_b = F.pow(F.lit(2.0), F.col("b"))
+    decomp = (
+        exact.select("o_orderstatus", "probe")
+        .select("o_orderstatus", "probe", F.explode(lvls).alias("b"))
+        .select("o_orderstatus", "probe", F.col("b").cast("long").alias("b"))
+        .filter((F.floor(F.col("probe") / two_b) % 2) == 1)
+        .select(
+            "o_orderstatus",
+            "probe",
+            "b",
+            (F.floor(F.col("probe") / (two_b * 2)) * 2)
+            .cast("long")
+            .alias("node"),
+        )
+        .select("o_orderstatus", "probe", "b", "node", F.explode(ds).alias("d"))
+        .withColumn(
+            "bucket",
+            dyadic_bucket(F.col("b"), F.col("d"), F.col("node"), _DCMS_WIDTH),
+        )
+    )
+    node_est = (
+        decomp
+        .join(
+            F.broadcast(cells),
+            (cells["o_orderstatus"] == decomp["o_orderstatus"])
+            & (F.col("lvl") == F.col("b"))
+            & (cells["d"] == decomp["d"])
+            & (cells["bucket"] == decomp["bucket"]),
+            "left",
+        )
+        .groupBy(decomp["o_orderstatus"], "probe", "b", "node")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("_nc"))
+    )
+    est = node_est.groupBy("o_orderstatus", "probe").agg(
+        F.sum("_nc").cast("long").alias("est_rank")
+    )
+    return exact.join(est, ["o_orderstatus", "probe"]).select(
+        "o_orderstatus",
+        "probe",
+        "exact_rank",
+        "est_rank",
+        (F.col("est_rank") >= F.col("exact_rank")).alias("overestimate_ok"),
+    )

@@ -161,6 +161,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "multimodal_pcm_windows",
         "multimodal_wav_stats16",
         "incremental_view_quantile_sketch",
+        "incremental_view_quantile_sketch_grouped",
         "ann_ivf_maintain_topk",
         "q15_top_suppliers",
         "incremental_view_join_membership",
@@ -191,7 +192,7 @@ def test_registry_priority_prefix_covers_llm_layer():
         "ann_recall_at_k",
         "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
         "vocab_concentration",
-        "sequence_packing_stats", "shard_balance_audit",
+        "sequence_packing_stats",
         "skew_salted_hot_join",
         "window_moving_avg_7d",
     }

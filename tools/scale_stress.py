@@ -195,6 +195,10 @@ STRESSED = {
     # aggregation (a cell-domain- or rank-probe-proportional term
     # would bend the curve) and the serving reads stay O(probes).
     "incremental_view_quantile_sketch": "orders",
+    # r13: grouped rank sketch — per-stratum cells are FIXED per group
+    # while the feed grows k-fold; alpha ~ 1 proves the group columns
+    # ride the same single signed aggregation with no per-group pass.
+    "incremental_view_quantile_sketch_grouped": "orders",
     # r13: windowed PCM features — clips, samples and windows all grow
     # k-fold; alpha ~ 1 proves the decode-explode stays clip-local
     # (per-asset lead windows, hash groupBy) with no cross-asset term.
