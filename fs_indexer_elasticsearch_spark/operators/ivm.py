@@ -2219,10 +2219,23 @@ def maintain_dyadic_cms(
         F.col("_change").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
     delta = cells_of(feed, sign)
+    # NULL-safe key pairing: a NULL stratum is one group (SQL GROUP
+    # BY semantics) — a plain list-key join would leave its old and
+    # delta cells UNMATCHED on both outer sides, splitting the
+    # stratum into partial-count duplicate rows (lvl/d/bucket are
+    # never null; only caller group columns can be).
+    o, dl = old.alias("o"), delta.alias("dl")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"dl.{k}")) for k in keys],
+    )
     return (
-        old.join(delta, keys, "full_outer")
+        o.join(dl, cond, "full_outer")
         .select(
-            *keys,
+            *[
+                F.coalesce(F.col(f"o.{k}"), F.col(f"dl.{k}")).alias(k)
+                for k in keys
+            ],
             (F.coalesce("_c0", F.lit(0)) + F.coalesce("_dc", F.lit(0)))
             .cast("long")
             .alias("cnt"),

@@ -1985,3 +1985,71 @@ def test_dyadic_quantile_serving_off_collected_cells(spark, tmp_path):
 
     with pytest.raises(ValueError, match="outside"):
         dyadic_rank(cells, 65, **kw)
+
+
+def test_dyadic_cms_grouped_null_stratum_merges(spark, tmp_path):
+    """Grouped dyadic sketch: a NULL stratum is ONE group (SQL GROUP
+    BY semantics) — its old and delta cells must pair null-safely in
+    the merge (a plain list-key join splits them into partial-count
+    duplicates), and the maintained grouped cells equal a from-scratch
+    grouped sketch per stratum including the NULL one."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        dyadic_bucket,
+        maintain_dyadic_cms,
+    )
+
+    L, D, W = 4, 2, 64
+    store = SnapshotStore(
+        spark, str(tmp_path / "gdq"), key="k", version_col="v", num_buckets=4
+    )
+    sch = "k long, v int, grp string, val long"
+    store.overwrite(spark.createDataFrame(
+        [(1, 1, "a", 3), (2, 1, None, 5), (3, 1, None, 9), (4, 1, "b", 15)],
+        sch,
+    ))
+    # Window touches the NULL stratum in BOTH directions: add one,
+    # delete one.
+    store.merge(
+        spark.createDataFrame([(5, 2, None, 7)], sch),
+        removed=spark.createDataFrame([(2,)], "k long"),
+    )
+
+    def scratch():
+        lvls = F.array(*[F.lit(x).cast("long") for x in range(L)])
+        ds = F.array(*[F.lit(d).cast("long") for d in range(D)])
+        return {
+            (r.grp, r.lvl, r.d, r.bucket): r.cnt
+            for r in store.read(version=2)
+            .select("grp", "val", F.explode(lvls).alias("lvl"))
+            .select(
+                "grp",
+                "lvl",
+                F.floor(F.col("val") / F.pow(F.lit(2), F.col("lvl")))
+                .cast("long")
+                .alias("_node"),
+            )
+            .select("grp", "lvl", "_node", F.explode(ds).alias("d"))
+            .select(
+                "grp",
+                "lvl",
+                "d",
+                dyadic_bucket(
+                    F.col("lvl"), F.col("d"), F.col("_node"), W
+                ).alias("bucket"),
+            )
+            .groupBy("grp", "lvl", "d", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect()
+        }
+
+    got = {
+        (r.grp, r.lvl, r.d, r.bucket): r.cnt
+        for r in maintain_dyadic_cms(
+            store, 1, 2, F.col("val"),
+            levels=L, depth=D, width=W, group_cols=["grp"],
+        ).collect()
+    }
+    assert got == scratch()
+    # The NULL stratum genuinely exists and merged into single rows.
+    null_cells = [k for k in got if k[0] is None]
+    assert null_cells and all(got[k] >= 1 for k in null_cells)
