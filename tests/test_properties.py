@@ -441,3 +441,91 @@ def test_project_buckets_preserves_key_membership(n_exp, n2_exp, keys):
     for k in keys:
         if k % n in bs:
             assert k % n2 in projected
+
+
+def test_dyadic_cms_random_turnstile_windows(spark, tmp_path):
+    """Dyadic rank-sketch invariants on randomized turnstile windows
+    (deterministic multi-seed matrix): maintained cells equal a
+    from-scratch sketch of the post state through random inserts,
+    value-moving updates and deletes; rank reads are one-sided at any
+    width and EXACT when the width removes collisions."""
+    import random
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        dyadic_bucket,
+        dyadic_cells_dict,
+        dyadic_rank,
+        maintain_dyadic_cms,
+    )
+    from fs_indexer_elasticsearch_spark.sinks.snapshot import SnapshotStore
+
+    L, D = 5, 2  # domain [0, 32)
+
+    def scratch(store, W):
+        lvls = F.array(*[F.lit(x).cast("long") for x in range(L)])
+        ds = F.array(*[F.lit(d).cast("long") for d in range(D)])
+        return {
+            (r.lvl, r.d, r.bucket): r.cnt
+            for r in store.read()
+            .select("val", F.explode(lvls).alias("lvl"))
+            .select(
+                "lvl",
+                F.floor(F.col("val") / F.pow(F.lit(2), F.col("lvl")))
+                .cast("long")
+                .alias("_node"),
+            )
+            .select("lvl", "_node", F.explode(ds).alias("d"))
+            .select(
+                "lvl",
+                "d",
+                dyadic_bucket(
+                    F.col("lvl"), F.col("d"), F.col("_node"), W
+                ).alias("bucket"),
+            )
+            .groupBy("lvl", "d", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect()
+        }
+
+    for seed, W in [(11, 8), (42, 8), (7, 1024)]:
+        rnd = random.Random(seed)
+        store = SnapshotStore(
+            spark,
+            str(tmp_path / f"dcms-{seed}-{W}"),
+            key="k",
+            version_col="v",
+            num_buckets=4,
+        )
+        base = {k: rnd.randrange(32) for k in range(12)}
+        store.overwrite(
+            spark.createDataFrame(
+                [(k, 1, v) for k, v in base.items()], "k long, v int, val long"
+            )
+        )
+        post = dict(base)
+        # Random window: some updates (value moves), some inserts,
+        # some deletes.
+        ups = [(k, 2, rnd.randrange(32)) for k in rnd.sample(range(12), 4)]
+        ins = [(k, 2, rnd.randrange(32)) for k in range(100, 104)]
+        dels = rnd.sample([k for k in range(12) if k not in {u[0] for u in ups}], 3)
+        for k, _v, val in ups + ins:
+            post[k] = val
+        for k in dels:
+            del post[k]
+        store.merge(
+            spark.createDataFrame(ups + ins, "k long, v int, val long"),
+            removed=spark.createDataFrame([(k,) for k in dels], "k long"),
+        )
+        cells = maintain_dyadic_cms(
+            store, 1, 2, F.col("val"), levels=L, depth=D, width=W
+        )
+        got = {(r.lvl, r.d, r.bucket): r.cnt for r in cells.collect()}
+        assert got == scratch(store, W), f"seed {seed} width {W}"
+        cdict = got
+        vals = sorted(post.values())
+        for x in (0, 1, 7, 16, 31, 32):
+            exact = sum(1 for v in vals if v < x)
+            est = dyadic_rank(cdict, x, levels=L, depth=D, width=W)
+            assert est >= exact, (seed, W, x, est, exact)
+            if W == 1024:  # collision-free: exact
+                assert est == exact, (seed, x, est, exact)
