@@ -2633,3 +2633,117 @@ def test_streaming_nstore_replay_is_idempotent(spark, tmp_path):
     assert after == before
     assert view.current_version() == vview  # publish skipped
     assert view.read_meta()["store_versions"] == meta_before
+
+
+def test_streaming_maintained_pipeline_grouped_rank_sketch(spark, tmp_path):
+    """The generic maintained-view stream with the GROUPED dyadic
+    rank-sketch algebra plugged in: per-stratum cells (including a
+    NULL stratum) bit-equal a from-scratch grouped sketch after every
+    epoch, deletes subtract, and the base store is never read after
+    the first derivation."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        dyadic_bucket,
+        maintain_dyadic_cms,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_pipeline,
+    )
+
+    L, D, W = 4, 2, 16
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="k", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key=["grp", "lvl", "d", "bucket"],
+        version_col="cnt", num_buckets=2, bucket_key="bucket",
+    )
+    versioned_reads = []
+    orig_read = store.read
+
+    def counting_read(version=None):
+        if version is not None:
+            versioned_reads.append(version)
+        return orig_read(version=version)
+
+    store.read = counting_read
+
+    def sketch_of(df):
+        lvls = F.array(*[F.lit(x).cast("long") for x in range(L)])
+        ds = F.array(*[F.lit(d).cast("long") for d in range(D)])
+        return (
+            df.select("grp", "val", F.explode(lvls).alias("lvl"))
+            .select(
+                "grp",
+                "lvl",
+                F.floor(F.col("val") / F.pow(F.lit(2), F.col("lvl")))
+                .cast("long")
+                .alias("_node"),
+            )
+            .select("grp", "lvl", "_node", F.explode(ds).alias("d"))
+            .select(
+                "grp",
+                "lvl",
+                "d",
+                dyadic_bucket(
+                    F.col("lvl"), F.col("d"), F.col("_node"), W
+                ).alias("bucket"),
+            )
+            .groupBy("grp", "lvl", "d", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    def derive(v_after):
+        return sketch_of(orig_read(version=v_after))
+
+    def maintain(reflected, v_after, old_view):
+        return maintain_dyadic_cms(
+            store, reflected, v_after, F.col("val"),
+            levels=L, depth=D, width=W, old_cells=old_view,
+            group_cols=["grp"],
+        )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    as_d = lambda df: {  # noqa: E731
+        (r.grp, r.lvl, r.d, r.bucket): r.cnt for r in df.collect()
+    }
+
+    drop("b1", [(1, 1, "en", 3), (2, 1, None, 5), (3, 1, "fr", 9)])
+    q = streaming_maintained_pipeline(
+        spark, str(inp) + "/*", schema, store, view_store,
+        str(tmp_path / "ckpt"), derive=derive, maintain=maintain,
+    )
+    try:
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(sketch_of(orig_read()))
+        assert versioned_reads == []
+
+        # add + a value move inside the NULL stratum
+        drop("b2", [(4, 1, "en", 15), (2, 2, None, 8)])
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(sketch_of(orig_read()))
+
+        # out-of-band delete of a whole stratum member
+        store.merge(
+            spark.createDataFrame([], schema),
+            removed=spark.createDataFrame([(3,)], "k long"),
+        )
+        drop("b3", [(5, 1, "fr", 1)])
+        q.processAllAvailable()
+        assert as_d(view_store.read()) == as_d(sketch_of(orig_read()))
+        assert versioned_reads == []  # turnstile: no recompute branch
+    finally:
+        q.stop()
