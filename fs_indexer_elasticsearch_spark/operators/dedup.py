@@ -331,7 +331,7 @@ def connected_components(
     src: str,
     dst: str,
     *,
-    max_iter: int = 25,
+    max_iter: int = 40,
 ) -> DataFrame:
     """Assign every node of an undirected edge list its connected
     component, labeled by the component's MINIMUM node id. Returns
@@ -360,7 +360,12 @@ def connected_components(
     representative of. Duplicate clusters are shallow, so rounds ~2-3
     in practice; a pathological 10^8-node path needs ~log2(10^8)=27
     doubling rounds where the star alternation paid roughly two jobs
-    per halving.
+    per halving. ``max_iter`` therefore defaults ABOVE that worst case
+    (r13 advice: the old default of 25 sat below the docstring's own
+    bound), and exhausting it without reaching the signature fixpoint
+    RAISES instead of returning partially-propagated labels — a wrong
+    labeling that silently under-merges duplicate clusters is strictly
+    worse than a loud retry-with-higher-budget.
     """
     # Lazy checkpoint: round 1's fixpoint action materializes it (an
     # eager one would spend a dedicated job on the caller's upstream
@@ -428,6 +433,13 @@ def connected_components(
         if sig == prev:
             break
         prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within max_iter={max_iter} "
+            "rounds — labels are only partially propagated (components "
+            "would be silently split). Pointer doubling converges in "
+            "~log2(longest path) rounds; raise max_iter."
+        )
     return (
         nodes.join(lab, nodes.node == lab.u, "left")
         .select(
@@ -530,9 +542,13 @@ def maintain_connected_components(
     edge endpoints against ``nodes``, raising with sample offenders
     on non-empty. O(edges) — a debug gate, off on the hot path."""
     if debug:
-        _post = edge_store.read(version=v_to).select(
-            F.col(src).alias("_ep")
-        ).union(edge_store.read(version=v_to).select(F.col(dst).alias("_ep")))
+        # One post-state read, both endpoints exploded from it (r13
+        # advice: reading the version once per endpoint doubled the
+        # debug path's scan).
+        _post = (
+            edge_store.read(version=v_to)
+            .select(F.explode(F.array(F.col(src), F.col(dst))).alias("_ep"))
+        )
         orphans = [
             r._ep
             for r in _post.join(

@@ -58,6 +58,19 @@ from .similarity import _ranked_topk, assign_cells
 from .store_common import TombstoneStore, read_pruned, remove_by_column
 
 
+# Seq-scheme constant shared with streaming/pipeline.py's IVF cadence:
+# each streaming epoch owns the seq block [(epoch+1)*STRIDE,
+# (epoch+2)*STRIDE). seed() stamps this into the index meta so a
+# FUTURE stride change cannot silently break replay purity (r13
+# advice): a stream checkpointed under one stamping that replays a
+# pre-upgrade epoch under another would compute max_seq in the new
+# domain and admit rows the original epoch never saw. The pipeline
+# refuses a store whose stamped stride mismatches; stores seeded
+# before the stamp existed are treated as this value (the only scheme
+# any persisted store in this codebase's history streamed under).
+IVF_SEQ_STRIDE = 64
+
+
 class _StaleCentroids(ConcurrentWriteError):
     """Terminal add-retry abort: the centroid generation moved under
     a retrying add, so its cell assignments can never become valid —
@@ -68,10 +81,15 @@ class _StaleCentroids(ConcurrentWriteError):
 def _with_vis(df: DataFrame) -> DataFrame:
     """Normalize the visibility column on a stored slice: rows
     committed before ``ivf_vis`` existed (or widened to NULL by the
-    schema migration a newer add triggers) carried add-seq == LWW-seq,
-    so coalescing onto ``ivf_seq`` reproduces their original
-    visibility exactly — maintenance re-stamps then self-heal the
-    column as buckets are rewritten."""
+    schema migration a newer add triggers) fall back to ``ivf_seq`` —
+    i.e. the LEGACY seq cut. For a row never re-stamped before the
+    migration, add-seq == LWW-seq and the fallback reproduces its
+    original visibility exactly; for a row a pre-``ivf_vis``
+    maintain_cells had already re-stamped, the original add seq is
+    lost and the fallback reproduces the old (maintenance-seq) cut
+    that store was already serving — no worse than before the column
+    existed, exact for everything committed after it. Maintenance
+    re-stamps self-heal the column as buckets are rewritten."""
     vis = (
         F.coalesce(F.col("ivf_vis"), F.col("ivf_seq"))
         if "ivf_vis" in df.columns
@@ -273,6 +291,11 @@ class IvfIndexStore:
             # split op existed the two generations always moved
             # together, so tombstone_gen doubled as both).
             "centroid_gen": self._centroid_gen(prev) + 1,
+            # Seq-scheme stamp: which per-epoch stride the streaming
+            # cadence may stamp rows of this index with (see
+            # IVF_SEQ_STRIDE). Carried forward by every merge/remove;
+            # streaming_ivf_pipeline refuses a mismatch.
+            "ivf_seq_stride": IVF_SEQ_STRIDE,
         }
         cents = self.spark.createDataFrame(
             crows, f"vec_id {id_type}, emb array<double>"

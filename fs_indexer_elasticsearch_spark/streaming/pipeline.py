@@ -1065,7 +1065,13 @@ def streaming_curation_pipeline(
 # Per-epoch seq block width for the streaming IVF pipeline: the add
 # takes slot 0 of the epoch's block, maintenance commits take slots
 # 1.. — the domains are separated by construction (r12 verdict #2).
-_IVF_SEQ_STRIDE = 64
+# The canonical value lives on the store side (incremental_ann) so
+# seed() can STAMP it into the index meta and this pipeline can
+# REFUSE a store stamped under a different scheme (r13 advice: a
+# stride change silently breaks replay purity across an upgrade —
+# a replayed pre-upgrade epoch N would search with the new scheme's
+# max_seq and admit rows old epochs stamped under the old one).
+from ..operators.incremental_ann import IVF_SEQ_STRIDE as _IVF_SEQ_STRIDE  # noqa: E402
 
 
 def streaming_ivf_pipeline(
@@ -1153,6 +1159,25 @@ def streaming_ivf_pipeline(
             )
         if maintain_every < 1:
             raise ValueError("maintain_every must be >= 1")
+    # Seq-scheme guard (r13 advice): the store's seed meta stamps the
+    # stride its rows' epoch seqs were computed under; a code-side
+    # stride change with an existing checkpoint would replay old
+    # epochs with the NEW scheme's max_seq and admit rows the original
+    # epoch never saw. Refuse up front — rebuilding the index (reseed)
+    # or the checkpoint is the migration. Stores seeded before the
+    # stamp existed default to the current value (the only scheme any
+    # persisted store in this codebase streamed under).
+    _meta = ivf_store.store.read_meta() or {}
+    _stamped = int(_meta.get("ivf_seq_stride", _IVF_SEQ_STRIDE))
+    if _stamped != _IVF_SEQ_STRIDE:
+        raise ValueError(
+            f"streaming_ivf_pipeline: index at {ivf_store.path} was "
+            f"seeded under seq stride {_stamped}, but this build stamps "
+            f"{_IVF_SEQ_STRIDE} — replaying its checkpoints would break "
+            "replay purity (old epochs' rows would leak into bounded "
+            "searches). Re-seed the index and rebuild the stream "
+            "checkpoint to migrate."
+        )
 
     # Growth since the last maintenance invocation, per cell — the
     # O(delta) early trigger (driver-side, bounded by the cell count;

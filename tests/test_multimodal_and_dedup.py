@@ -991,3 +991,23 @@ def test_audio_samples_poison_only_partition_yields_empty(spark):
     )
     assert out.count() == 0
     assert [f.name for f in out.schema] == ["asset_id", "i", "value"]
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    """r13 advice: exhausting max_iter before the signature fixpoint
+    must RAISE, not silently return partially-propagated labels — an
+    under-merged clustering is a wrong answer that nothing downstream
+    can detect."""
+    import pytest as _pytest
+
+    from fs_indexer_elasticsearch_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # A 24-node chain needs ~log2(24) ≈ 5 doubling rounds (+1 confirm);
+    # max_iter=1 cannot reach the fixpoint signature.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(23)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, "a", "b", max_iter=1)

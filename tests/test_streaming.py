@@ -2747,3 +2747,110 @@ def test_streaming_maintained_pipeline_grouped_rank_sketch(spark, tmp_path):
         assert versioned_reads == []  # turnstile: no recompute branch
     finally:
         q.stop()
+
+
+def test_no_inline_dedup_window_outside_dedup_newest():
+    """The one-dedup-implementation invariant (r13 verdict #7): every
+    foreachBatch path must dedup a micro-batch through _dedup_newest —
+    the r12 bug class was an INLINE version-only window (arbitrary
+    equal-version winner -> nondeterministic replays), and this pins
+    it out structurally: any function in streaming/pipeline.py other
+    than _dedup_newest that builds a Window.partitionBy in the same
+    statement chain as a reference to a store's ``version_col`` is a
+    re-introduced inline dedup and fails here."""
+    import ast
+    import inspect
+
+    import fs_indexer_elasticsearch_spark.streaming.pipeline as mod
+
+    tree = ast.parse(inspect.getsource(mod))
+
+    def has_partition_by(node) -> bool:
+        for n in ast.walk(node):
+            if (
+                isinstance(n, ast.Call)
+                and isinstance(n.func, ast.Attribute)
+                and n.func.attr == "partitionBy"
+                and isinstance(n.func.value, ast.Name)
+                and n.func.value.id == "Window"
+            ):
+                return True
+        return False
+
+    def references_version_col(node) -> bool:
+        return any(
+            isinstance(n, ast.Attribute) and n.attr == "version_col"
+            for n in ast.walk(node)
+        )
+
+    offenders = []
+    for fn in ast.walk(tree):
+        if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        if fn.name == "_dedup_newest":
+            continue
+        # Statement grain: a window built and ordered in one statement
+        # that also touches version_col is the inline-dedup shape.
+        for stmt in ast.walk(fn):
+            if not isinstance(stmt, (ast.Assign, ast.Expr, ast.Return)):
+                continue
+            if has_partition_by(stmt) and references_version_col(stmt):
+                offenders.append((fn.name, stmt.lineno))
+    assert not offenders, (
+        "inline version-ordered dedup window(s) outside _dedup_newest "
+        f"in streaming/pipeline.py: {offenders} — route micro-batch "
+        "dedup through _dedup_newest (deterministic full-column "
+        "tiebreak) instead"
+    )
+
+
+def test_streaming_ivf_refuses_mismatched_seq_stride(spark, tmp_path):
+    """Seq-scheme guard (r13 advice): a store seeded under a different
+    per-epoch seq stride must be refused up front — replaying its
+    checkpoints under the current stamping would admit rows from old
+    epochs into bounded searches. Also pins that seed() stamps the
+    stride into the meta at all."""
+    import pytest as _pytest
+
+    from fs_indexer_elasticsearch_spark.operators.incremental_ann import (
+        IVF_SEQ_STRIDE,
+        IvfIndexStore,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_ivf_pipeline,
+    )
+
+    def vec(i):
+        return [float(((i * 31 + d * 7) % 13) - 6) for d in range(8)]
+
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=4)
+    store.seed(
+        spark.createDataFrame([(i, vec(i)) for i in range(8)], vec_schema),
+        spark.createDataFrame([(i, vec(i)) for i in range(2)], vec_schema),
+        "vec_id",
+        "emb",
+    )
+    assert (store.store.read_meta() or {})["ivf_seq_stride"] == IVF_SEQ_STRIDE
+
+    # Doctor the stamped stride to simulate an index built by a code
+    # version with a different scheme.
+    orig = store.store.read_meta
+    store.store.read_meta = lambda *a, **kw: {
+        **(orig(*a, **kw) or {}),
+        "ivf_seq_stride": IVF_SEQ_STRIDE * 2,
+    }
+    with _pytest.raises(ValueError, match="seq stride"):
+        streaming_ivf_pipeline(
+            spark,
+            str(tmp_path / "vecs-in") + "/*",
+            vec_schema,
+            store,
+            str(tmp_path / "matches"),
+            str(tmp_path / "ckpt"),
+        )
