@@ -156,6 +156,9 @@ EXTRA = [
     "incremental_view_quantile_sketch",
     "incremental_view_quantile_sketch_grouped",
     "ann_ivf_maintain_topk",
+    # r14: distributed per-stratum quantile serving (~1,200 strata,
+    # wide-fan descent, nothing collected to the driver)
+    "incremental_view_sketch_quantiles_hc",
 ]
 
 

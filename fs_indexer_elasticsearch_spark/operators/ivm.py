@@ -2244,6 +2244,305 @@ def maintain_dyadic_cms(
     )
 
 
+def dyadic_rank_probe(
+    cells: DataFrame,
+    probes: DataFrame,
+    *,
+    levels: int,
+    depth: int,
+    width: int,
+    group_cols: list[str] | None = None,
+    probe_col: str = "x",
+    out_col: str = "est_rank",
+    broadcast_cells: bool = False,
+    _skip_restore: bool = False,
+) -> DataFrame:
+    """EXECUTOR-SIDE rank serving over a maintained dyadic-CMS cell
+    frame (r13 verdict #2): :func:`dyadic_cells_dict` +
+    :func:`dyadic_rank` collect the cells to a driver dict — right
+    for ONE sketch (KBs), wrong for the grouped form at
+    high-cardinality strata (10⁴ domains × levels × depth × width
+    rows). This serves any number of (group, probe) rank reads as a
+    DataFrame plan instead: decompose each probe x into the ≤levels
+    dyadic nodes of [0, x) (explode + bit test — no UDF), join the
+    node/depth/bucket triples against the cells frame (absent cell =
+    0 via left join), min over depth per node, sum per probe.
+
+    ``probes`` carries ``group_cols + [probe_col]`` plus any
+    pass-through columns; one output row per input probe row, with
+    ``out_col`` appended (0 for probes whose decomposition matches no
+    cells — including x = 0, whose decomposition is empty). Probes
+    must lie in [0, 2^levels); the level-``levels`` root is not
+    maintained (same contract as :func:`dyadic_rank` — but no raise
+    here: an out-of-domain probe reads 0, callers own the domain).
+    Group keys pair NULL-SAFELY (a NULL stratum is one SQL group,
+    same rule as the maintainer). 100 TB: the join shuffles
+    O(probes × levels × depth) rows against a corpus-size-free cell
+    frame — no driver materialization anywhere. ``broadcast_cells``
+    hints the cells onto the build side (the outer probe side cannot
+    be) — right for the single-sketch / few-strata regimes where
+    cells are KBs; leave False when strata count makes the cell
+    frame executor-memory-sized."""
+    gcols = list(group_cols or [])
+    lvls = F.sequence(F.lit(0), F.lit(levels - 1))
+    ds = F.array(*[F.lit(d).cast("long") for d in range(depth)])
+    two_b = F.pow(F.lit(2.0), F.col("_b"))
+    x = F.col(probe_col)
+    pcols = probes.columns
+    nodes = (
+        probes.select(*pcols, F.explode(lvls).alias("_b"))
+        .select(*pcols, F.col("_b").cast("long").alias("_b"))
+        .filter((F.floor(x / two_b) % 2) == 1)
+        .select(
+            *pcols,
+            "_b",
+            (F.floor(x / (two_b * 2)) * 2).cast("long").alias("_node"),
+        )
+    )
+    if broadcast_cells:
+        # Broadcast regime: the min-over-depth needs no shuffle — join
+        # the node frame (no depth explode) against each depth's cell
+        # slice as ``depth`` broadcast left joins and take least() of
+        # the per-depth reads row-locally. One shuffle per rank pass
+        # (the final sum) instead of two; the descent loop multiplies
+        # the saving by ``levels``.
+        reads = []
+        for dd in range(depth):
+            cd = F.broadcast(
+                cells.filter(F.col("d") == dd).select(
+                    *[F.col(g).alias(f"_cg{dd}_{g}") for g in gcols],
+                    F.col("lvl").alias(f"_cl{dd}"),
+                    F.col("bucket").alias(f"_cb{dd}"),
+                    F.col("cnt").alias(f"_cc{dd}"),
+                )
+            )
+            cond_d = (F.col("_b") == F.col(f"_cl{dd}")) & (
+                dyadic_bucket(
+                    F.col("_b"), F.lit(dd).cast("long"), F.col("_node"), width
+                )
+                == F.col(f"_cb{dd}")
+            )
+            for g in gcols:
+                cond_d = cond_d & F.col(g).eqNullSafe(F.col(f"_cg{dd}_{g}"))
+            nodes = nodes.join(cd, cond_d, "left")
+            reads.append(F.coalesce(F.col(f"_cc{dd}"), F.lit(0)))
+        est = (
+            nodes.withColumn("_nc", F.least(*reads))
+            .groupBy(*pcols)
+            .agg(F.sum("_nc").cast("long").alias(out_col))
+        )
+    else:
+        decomp = nodes.select(
+            *pcols, "_b", "_node", F.explode(ds).alias("_d")
+        ).withColumn(
+            "_bucket",
+            dyadic_bucket(F.col("_b"), F.col("_d"), F.col("_node"), width),
+        )
+        c = cells.select(
+            *[F.col(g).alias(f"_cg_{g}") for g in gcols],
+            F.col("lvl").alias("_cl"),
+            F.col("d").alias("_cd"),
+            F.col("bucket").alias("_cb"),
+            F.col("cnt").alias("_cc"),
+        )
+        cond = (
+            (F.col("_b") == F.col("_cl"))
+            & (F.col("_d") == F.col("_cd"))
+            & (F.col("_bucket") == F.col("_cb"))
+        )
+        for g in gcols:
+            cond = cond & F.col(g).eqNullSafe(F.col(f"_cg_{g}"))
+        node_est = (
+            decomp.join(c, cond, "left")
+            .groupBy(*pcols, "_b", "_node")
+            .agg(F.min(F.coalesce(F.col("_cc"), F.lit(0))).alias("_nc"))
+        )
+        est = node_est.groupBy(*pcols).agg(
+            F.sum("_nc").cast("long").alias(out_col)
+        )
+    # Fast path for loop callers (the quantile descent): when every
+    # probe is guaranteed in [1, 2^levels) its decomposition is
+    # non-empty and the left join above preserves it, so ``est``
+    # already has one row per probe — the restore join below is a
+    # per-round tax the descent runs ``levels`` times.
+    if _skip_restore:
+        return est
+    # Restore probes the decomposition dropped entirely (x = 0): one
+    # row per input probe row, rank 0.
+    back = reduce(
+        lambda a, b: a & b,
+        [F.col(f"p.{c_}").eqNullSafe(F.col(f"e.{c_}")) for c_ in pcols],
+    )
+    return (
+        probes.alias("p")
+        .join(est.alias("e"), back, "left")
+        .select(
+            *[F.col(f"p.{c_}").alias(c_) for c_ in pcols],
+            F.coalesce(F.col(f"e.{out_col}"), F.lit(0))
+            .cast("long")
+            .alias(out_col),
+        )
+    )
+
+
+def dyadic_quantile_serve(
+    cells: DataFrame,
+    totals: DataFrame,
+    q: float,
+    *,
+    levels: int,
+    depth: int,
+    width: int,
+    group_cols: list[str] | None = None,
+    n_col: str = "n",
+    out_col: str = "qhat",
+    broadcast_cells: bool = False,
+    arity: int = 2,
+) -> DataFrame:
+    """DISTRIBUTED per-group quantile serving (r13 verdict #2): the
+    binary search :func:`dyadic_quantile` runs driver-side per sketch
+    becomes ``levels`` chained DataFrame rounds over ALL groups at
+    once — each round serves every group's rank(mid+1) via ONE
+    :func:`dyadic_rank_probe` pass and halves every group's [lo, hi]
+    interval together, so 10⁴ strata cost the same round count as
+    one. Lineage is localCheckpoint-truncated per round (the
+    connected-components hygiene), keeping round k's plan O(1).
+
+    ``totals`` carries ``group_cols + [n_col]`` (the trivial
+    maintained n-view's job — the sketch deliberately does not carry
+    totals); groups with n <= 0 are dropped. Returns one row per
+    group: ``group_cols + [out_col]``, the estimated q-quantile.
+    Same one-sided semantics as :func:`dyadic_quantile`: rank
+    estimates are >= true, so ``out_col`` is biased LOW relative to
+    the exact quantile — the conservative direction for curation
+    cuts. A group converges when lo == hi; later rounds hold it
+    fixed (the guard also keeps the probe domain inside
+    [1, 2^levels), where the root read x = 2^levels would
+    misread 0).
+
+    ``arity``: the search branches ``arity``-ways per round —
+    ``arity - 1`` evenly-spaced probes split every open interval, so
+    round count drops from ``levels`` (binary) to
+    ``ceil(log_arity(2^levels))`` at the price of (arity - 1)× probe
+    rows per round. Probe rows are O(groups) and rounds are JOBS
+    (each pays scheduling + codegen + a checkpoint), so a wider fan
+    is the right trade when rounds dominate: arity=8 serves a 2^12
+    domain in 4 rounds. CAVEAT — the returned VALUE depends on the
+    probe path: CMS rank estimates are one-sided but NOT monotone in
+    x (per-node collision noise differs between decompositions), so
+    different arities can legitimately land on different — equally
+    valid — estimates. arity=2 reproduces :func:`dyadic_quantile`'s
+    binary probes byte-for-byte (the default, and what its oracle
+    twins pin); any arity preserves the ONE-SIDED guarantee, because
+    a probe at or above the exact quantile can never fail (true rank
+    is monotone and est >= true), so the final lo can never be
+    pushed above it."""
+    if not 0 < q <= 1:
+        raise ValueError(f"dyadic_quantile_serve: q={q} outside (0, 1]")
+    if arity < 2:
+        raise ValueError(f"dyadic_quantile_serve: arity={arity} < 2")
+    gcols = list(group_cols or [])
+    # The cells frame is typically a MAINTENANCE PLAN (full-outer
+    # delta merge over store reads); every descent round joins
+    # against it, so truncate its lineage once here — round 1's
+    # action materializes it and rounds 2..levels reuse the blocks
+    # instead of re-running the maintainer levels times.
+    cells = cells.localCheckpoint(eager=False)
+    state = totals.filter(F.col(n_col) > 0).select(
+        *gcols,
+        F.ceil(F.lit(float(q)) * F.col(n_col)).cast("long").alias("_t"),
+        F.lit(0).cast("long").alias("_lo"),
+        F.lit((1 << levels) - 1).cast("long").alias("_hi"),
+    )
+    # Rounds to certain convergence: interval length L shrinks to at
+    # most ceil(L / arity) per round — probes sit at
+    # lo - 1 + ceil(L*i/arity), the ceil-split that bounds EVERY
+    # surviving segment by ceil(L/arity) (the floor-split leaves a
+    # floor(L/arity)+1 first segment and needs an extra round; at
+    # arity=2 the ceil-split is exactly the classical
+    # mid=(lo+hi)//2... binary probe).
+    rounds, length = 0, 1 << levels
+    while length > 1:
+        length = -(-length // arity)
+        rounds += 1
+    cuts = F.array(*[F.lit(i).cast("long") for i in range(1, arity)])
+    for _ in range(rounds):
+        # arity-1 probes per open interval, each CLAMPED into
+        # [1, 2^levels - 1]: an open interval's probes satisfy that
+        # already; a CONVERGED group's ranks are ignored by the
+        # open-guard below — the clamp only keeps every probe's
+        # decomposition non-empty so the rank probe can skip its
+        # restore join without dropping the row (skip_restore).
+        probed = (
+            state.select(
+                *gcols, "_t", "_lo", "_hi", F.explode(cuts).alias("_i")
+            )
+            .withColumn("_len", F.col("_hi") - F.col("_lo") + 1)
+            .withColumn(
+                "_m",
+                F.least(
+                    F.col("_lo")
+                    - 1
+                    + F.floor(
+                        (F.col("_len") * F.col("_i") + F.lit(arity - 1))
+                        / arity
+                    ).cast("long"),
+                    F.col("_hi") - 1,
+                ),
+            )
+            .withColumn(
+                "_x",
+                F.greatest(
+                    F.least(F.col("_m") + 1, F.lit((1 << levels) - 1)),
+                    F.lit(1),
+                ),
+            )
+        )
+        ranked = dyadic_rank_probe(
+            cells,
+            probed,
+            levels=levels,
+            depth=depth,
+            width=width,
+            group_cols=gcols,
+            probe_col="_x",
+            out_col="_r",
+            broadcast_cells=broadcast_cells,
+            _skip_restore=True,
+        )
+        # Fold the probe verdicts back to one row per group: the
+        # answer (smallest v with rank(v+1) >= target) lies above
+        # every failing probe and at/below every succeeding one.
+        upd = ranked.groupBy(*gcols, "_t", "_lo", "_hi").agg(
+            F.max(
+                F.when(F.col("_r") < F.col("_t"), F.col("_m") + 1)
+            ).alias("_nlo"),
+            F.min(
+                F.when(F.col("_r") >= F.col("_t"), F.col("_m"))
+            ).alias("_nhi"),
+        )
+        open_ = F.col("_lo") < F.col("_hi")
+        state = upd.select(
+            *gcols,
+            "_t",
+            F.when(
+                open_,
+                F.greatest(
+                    F.col("_lo"), F.coalesce(F.col("_nlo"), F.col("_lo"))
+                ),
+            )
+            .otherwise(F.col("_lo"))
+            .alias("_lo"),
+            F.when(
+                open_,
+                F.least(F.col("_hi"), F.coalesce(F.col("_nhi"), F.col("_hi"))),
+            )
+            .otherwise(F.col("_hi"))
+            .alias("_hi"),
+        ).localCheckpoint(eager=False)
+    return state.select(*gcols, F.col("_lo").alias(out_col))
+
+
 def dyadic_cells_dict(cells: DataFrame) -> dict:
     """Collect a maintained dyadic-CMS cell frame into the serving
     dict {(lvl, d, bucket): cnt}. The collect is BOUNDED BY DESIGN —

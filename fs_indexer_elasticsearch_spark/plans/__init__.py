@@ -77,6 +77,12 @@ from . import curation_pipeline  # noqa: E402,F401
 # range/as-of pair in timejoin tests, store_read_changes, and the
 # incremental-CC/merge machinery in the prefix).
 _PRIORITY = [
+    # New in r14 — distributed per-stratum quantile serving off the
+    # grouped dyadic rank sketch (~1,200 strata; the binary-search
+    # descent runs as `levels` chained DataFrame rounds over all
+    # strata at once, nothing collected to the driver; the oracle
+    # unrolls the same twelve rounds as chained CTEs).
+    "incremental_view_sketch_quantiles_hc",
     # New in r13 — the windowed-PCM feature extraction over the
     # DECODED audio stream (real RIFF parse -> per-sample explode ->
     # per-window energy/RMS/zero-crossings; the frame-the-waveform

@@ -3514,7 +3514,7 @@ def incremental_view_quantile_sketch(
     computed as conditional aggregates (no join, no global window).
     100 TB: state is KBs regardless of row count; maintenance is one
     O(feed × levels × depth) signed aggregation per cycle."""
-    from ..operators.ivm import dyadic_bucket, maintain_dyadic_cms
+    from ..operators.ivm import dyadic_rank_probe, maintain_dyadic_cms
 
     store = _cdf_store(
         spark,
@@ -3550,47 +3550,19 @@ def incremental_view_quantile_sketch(
             f"stack({len(_DCMS_PROBES)}, {stack_expr}) AS (probe, exact_rank)"
         )
     ).select(F.col("probe").cast("long"), F.col("exact_rank").cast("long"))
-    # Dyadic decomposition of [0, x) per probe, served off the cells.
-    lvls = F.sequence(F.lit(0), F.lit(_DCMS_LEVELS - 1))
-    ds = F.array(*[F.lit(d).cast("long") for d in range(_DCMS_DEPTH)])
-    two_b = F.pow(F.lit(2.0), F.col("b"))
-    decomp = (
-        exact.select("probe")
-        .select("probe", F.explode(lvls).alias("b"))
-        .select("probe", F.col("b").cast("long").alias("b"))
-        .filter((F.floor(F.col("probe") / two_b) % 2) == 1)
-        .select(
-            "probe",
-            "b",
-            (F.floor(F.col("probe") / (two_b * 2)) * 2)
-            .cast("long")
-            .alias("node"),
-        )
-        .select("probe", "b", "node", F.explode(ds).alias("d"))
-        .withColumn(
-            "bucket",
-            dyadic_bucket(F.col("b"), F.col("d"), F.col("node"), _DCMS_WIDTH),
-        )
-    )
-    # Broadcast the CELLS (the right side of the left join — the
-    # outer side cannot be the build side): O(levels*depth*width)
-    # rows, KBs by construction.
-    node_est = (
-        decomp
-        .join(
-            F.broadcast(cells),
-            (F.col("lvl") == F.col("b"))
-            & (cells["d"] == decomp["d"])
-            & (cells["bucket"] == decomp["bucket"]),
-            "left",
-        )
-        .groupBy("probe", "b", "node")
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("_nc"))
-    )
-    est = node_est.groupBy("probe").agg(
-        F.sum("_nc").cast("long").alias("est_rank")
-    )
-    return exact.join(est, "probe").select(
+    # Executor-side rank serving (operators/ivm.dyadic_rank_probe —
+    # r14: the shared serve the grouped/high-cardinality twins use;
+    # cells broadcast because a single sketch is KBs by construction).
+    return dyadic_rank_probe(
+        cells,
+        exact,
+        levels=_DCMS_LEVELS,
+        depth=_DCMS_DEPTH,
+        width=_DCMS_WIDTH,
+        probe_col="probe",
+        out_col="est_rank",
+        broadcast_cells=True,
+    ).select(
         "probe",
         "exact_rank",
         "est_rank",
@@ -3748,7 +3720,7 @@ def incremental_view_quantile_sketch_grouped(
     group's cells from the post state and re-derives the same four
     rank probes per group, pinning the one-sided guarantee
     stratum-by-stratum."""
-    from ..operators.ivm import dyadic_bucket, maintain_dyadic_cms
+    from ..operators.ivm import dyadic_rank_probe, maintain_dyadic_cms
 
     store = _cdf_store(spark, sf_dir, layout="hardlink")
     val = (F.floor(F.col("price")).cast("long") % 4096).alias("_val")
@@ -3782,48 +3754,288 @@ def incremental_view_quantile_sketch_grouped(
         F.col("probe").cast("long"),
         F.col("exact_rank").cast("long"),
     )
-    lvls = F.sequence(F.lit(0), F.lit(_DCMS_LEVELS - 1))
-    ds = F.array(*[F.lit(d).cast("long") for d in range(_DCMS_DEPTH)])
-    two_b = F.pow(F.lit(2.0), F.col("b"))
-    decomp = (
-        exact.select("o_orderstatus", "probe")
-        .select("o_orderstatus", "probe", F.explode(lvls).alias("b"))
-        .select("o_orderstatus", "probe", F.col("b").cast("long").alias("b"))
-        .filter((F.floor(F.col("probe") / two_b) % 2) == 1)
-        .select(
-            "o_orderstatus",
-            "probe",
-            "b",
-            (F.floor(F.col("probe") / (two_b * 2)) * 2)
-            .cast("long")
-            .alias("node"),
-        )
-        .select("o_orderstatus", "probe", "b", "node", F.explode(ds).alias("d"))
-        .withColumn(
-            "bucket",
-            dyadic_bucket(F.col("b"), F.col("d"), F.col("node"), _DCMS_WIDTH),
-        )
-    )
-    node_est = (
-        decomp
-        .join(
-            F.broadcast(cells),
-            (cells["o_orderstatus"] == decomp["o_orderstatus"])
-            & (F.col("lvl") == F.col("b"))
-            & (cells["d"] == decomp["d"])
-            & (cells["bucket"] == decomp["bucket"]),
-            "left",
-        )
-        .groupBy(decomp["o_orderstatus"], "probe", "b", "node")
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("_nc"))
-    )
-    est = node_est.groupBy("o_orderstatus", "probe").agg(
-        F.sum("_nc").cast("long").alias("est_rank")
-    )
-    return exact.join(est, ["o_orderstatus", "probe"]).select(
+    # Executor-side rank serving (operators/ivm.dyadic_rank_probe —
+    # r14: one shared serve for the flat/grouped/high-cardinality
+    # forms; cells still broadcast at 3 strata).
+    return dyadic_rank_probe(
+        cells,
+        exact,
+        levels=_DCMS_LEVELS,
+        depth=_DCMS_DEPTH,
+        width=_DCMS_WIDTH,
+        group_cols=["o_orderstatus"],
+        probe_col="probe",
+        out_col="est_rank",
+        broadcast_cells=True,
+    ).select(
         "o_orderstatus",
         "probe",
         "exact_rank",
         "est_rank",
         (F.col("est_rank") >= F.col("exact_rank")).alias("overestimate_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# High-cardinality grouped sketch: DISTRIBUTED per-stratum quantile serving
+# --------------------------------------------------------------------------
+
+_HC_STRATA = 1201  # o_custkey % 1201 — ~1,200 live strata at sf0.01
+_HC_Q = 0.5
+_HC_ARITY = 8  # 2^12 domain in ceil(log8(4096)) = 4 descent rounds
+
+
+def _hc_rounds() -> int:
+    """Same convergence recurrence as dyadic_quantile_serve: interval
+    length shrinks to at most ceil(L / arity) per round."""
+    rounds, length = 0, 1 << _DCMS_LEVELS
+    while length > 1:
+        length = -(-length // _HC_ARITY)
+        rounds += 1
+    return rounds
+
+
+def _dcms_hc_quantile_oracle() -> str:
+    """Generate the DuckDB twin of ``dyadic_quantile_serve(arity=8)``:
+    the descent rounds UNROLLED as chained CTEs, each round
+    re-deriving every open stratum's arity-1 probe ranks from the
+    scratch-rebuilt cells via the same md5 bucket function and
+    folding them with the same max-failing/min-succeeding rule — so a
+    hash match proves maintained cells == rebuilt cells AND the
+    distributed wide-fan descent lands on the identical per-stratum
+    quantile. (The probe PATH is part of the served semantics: CMS
+    rank estimates are one-sided but not monotone in x, so the twin
+    must mirror the exact probes, not just 'a' binary search.)"""
+    a = _HC_ARITY
+    dmax = (1 << _DCMS_LEVELS) - 1
+    rounds = []
+    prev = "st0"
+    for k in range(1, _hc_rounds() + 1):
+        rounds.append(f"""
+    pr{k} AS MATERIALIZED (
+        SELECT stratum, t, lo, hi, m,
+               greatest(least(m + 1, {dmax}), 1) AS x
+        FROM (
+            SELECT s.stratum, s.t, s.lo, s.hi,
+                   least(s.lo - 1 +
+                         ((s.hi - s.lo + 1) * ii.i + {a - 1}) // {a},
+                         s.hi - 1) AS m
+            FROM {prev} s, range(1, {a}) ii(i)
+        )
+    ),
+    dc{k} AS MATERIALIZED (
+        SELECT p.stratum, p.m, p.x, b.b,
+               (p.x // (1 << (b.b + 1))) * 2 AS node, r.d
+        FROM pr{k} p, range({_DCMS_LEVELS}) b(b), range({_DCMS_DEPTH}) r(d)
+        WHERE (p.x // (1 << b.b)) % 2 = 1
+    ),
+    ne{k} AS MATERIALIZED (
+        SELECT dc.stratum, dc.m, dc.b, dc.node, min(coalesce(c.cnt, 0)) AS nc
+        FROM dc{k} dc
+        LEFT JOIN cells c
+          ON c.stratum = dc.stratum AND c.lvl = dc.b AND c.d = dc.d
+         AND c.bucket = {_dcms_bucket_sql("dc.b", "dc.d", "dc.node")}
+        GROUP BY dc.stratum, dc.m, dc.b, dc.node
+    ),
+    rk{k} AS MATERIALIZED (
+        SELECT stratum, m, CAST(sum(nc) AS BIGINT) AS r
+        FROM ne{k} GROUP BY stratum, m
+    ),
+    up{k} AS MATERIALIZED (
+        SELECT p.stratum, p.t, p.lo, p.hi,
+               max(CASE WHEN r.r < p.t THEN p.m + 1 END) AS nlo,
+               min(CASE WHEN r.r >= p.t THEN p.m END) AS nhi
+        FROM pr{k} p
+        JOIN rk{k} r ON r.stratum = p.stratum AND r.m = p.m
+        GROUP BY p.stratum, p.t, p.lo, p.hi
+    ),
+    st{k} AS MATERIALIZED (
+        SELECT stratum, t,
+               CASE WHEN lo < hi THEN greatest(lo, coalesce(nlo, lo))
+                    ELSE lo END AS lo,
+               CASE WHEN lo < hi THEN least(hi, coalesce(nhi, hi))
+                    ELSE hi END AS hi
+        FROM up{k}
+    )""")
+        prev = f"st{k}"
+    return f"""
+    WITH fbase AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    fdelta AS (
+        SELECT o_orderkey, o_custkey,
+               round(o_totalprice + 1000 + 1e-7, 2) AS price
+        FROM orders WHERE o_orderkey % 10 IN (3, 7)
+    ),
+    f2 AS (
+        SELECT o_custkey, price FROM fbase
+        WHERE o_orderkey % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT o_custkey, price FROM fdelta
+    ),
+    vals AS MATERIALIZED (
+        SELECT o_custkey % {_HC_STRATA} AS stratum,
+               CAST(floor(price) AS BIGINT) % 4096 AS val
+        FROM f2
+    ),
+    cells AS MATERIALIZED (
+        SELECT stratum, lvl, d,
+               {_dcms_bucket_sql("lvl", "d", "(val // (1 << lvl))")} AS bucket,
+               count(*) AS cnt
+        FROM vals, range({_DCMS_LEVELS}) l(lvl), range({_DCMS_DEPTH}) r(d)
+        GROUP BY 1, 2, 3, 4
+    ),
+    tot AS MATERIALIZED (
+        SELECT stratum, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1
+    ),
+    st0 AS (
+        SELECT stratum, CAST(ceil({_HC_Q} * n) AS BIGINT) AS t,
+               CAST(0 AS BIGINT) AS lo,
+               CAST({(1 << _DCMS_LEVELS) - 1} AS BIGINT) AS hi
+        FROM tot WHERE n > 0
+    ),{",".join(rounds)},
+    exactq AS (
+        SELECT stratum, val AS exact_q FROM (
+            SELECT stratum, val,
+                   row_number() OVER (PARTITION BY stratum ORDER BY val)
+                       AS rn,
+                   CAST(ceil({_HC_Q} * count(*)
+                        OVER (PARTITION BY stratum)) AS BIGINT) AS t2
+            FROM vals
+        ) WHERE rn = t2
+    )
+    SELECT s.stratum, tot.n, s.lo AS qhat, e.exact_q,
+           s.lo <= e.exact_q AS underestimate_ok
+    FROM st{_hc_rounds()} s
+    JOIN tot USING (stratum)
+    JOIN exactq e USING (stratum)
+"""
+
+
+class _StratifiedFeed:
+    """Thin store adapter adding a DERIVED stratum column to every
+    read/changes frame — lets ``maintain_dyadic_cms(group_cols=...)``
+    stratify on an expression without materializing it in the stored
+    schema (the store is the shared CDF fixture; the stratum is this
+    query's view concern, not the table's)."""
+
+    def __init__(self, store, col_fn):
+        self._store = store
+        self._col_fn = col_fn
+
+    def read(self, version=None):
+        return self._store.read(version=version).withColumn(
+            "stratum", self._col_fn()
+        )
+
+    def read_changes(self, v_from, v_to, update_images="both"):
+        return self._store.read_changes(
+            v_from, v_to, update_images=update_images
+        ).withColumn("stratum", self._col_fn())
+
+
+@query(
+    "incremental_view_sketch_quantiles_hc",
+    oracle=_dcms_hc_quantile_oracle(),
+)
+def incremental_view_sketch_quantiles_hc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIGH-CARDINALITY distributed quantile serving off the grouped
+    dyadic rank sketch (r13 verdict #2): ~1,200 strata
+    (o_custkey % 1201) each get an independent turnstile sketch
+    maintained through the CDF window's inserts/updates/deletes, and
+    the per-stratum MEDIAN is served ENTIRELY EXECUTOR-SIDE —
+    ``operators/ivm.dyadic_quantile_serve`` runs the binary-search
+    descent as ``levels`` chained DataFrame rounds over ALL strata at
+    once (each round one rank-probe join pass), collecting nothing to
+    the driver (the dict-based ``dyadic_cells_dict`` serve is the
+    one-sketch tool; at 10⁴+ strata the cells are a data frame, not
+    driver metadata). The oracle rebuilds every stratum's cells from
+    the post state and unrolls the SAME twelve descent rounds as
+    chained SQL CTEs, so the hash pins maintained-cells == rebuilt
+    AND the served quantile per stratum; ``underestimate_ok`` pins
+    the one-sided direction (rank est >= true → quantile biased low —
+    the conservative side for curation caps). 100 TB: state
+    O(strata × levels × depth × width), maintenance one signed
+    aggregation, serving O(strata × levels × depth) join rows per
+    round × levels rounds, driver O(0)."""
+    from pyspark.sql import Window
+
+    from ..operators.ivm import dyadic_quantile_serve, maintain_dyadic_cms
+
+    store = _cdf_store(
+        spark,
+        sf_dir,
+        layout="manifest",
+        dim_col="o_custkey",
+        tag_body="orders-cdf-join|nb16",
+        path_prefix="cdfjoinstore",
+    )
+    feed = _StratifiedFeed(
+        store, lambda: (F.col("o_custkey") % _HC_STRATA).cast("long")
+    )
+    cells = maintain_dyadic_cms(
+        feed,
+        1,
+        2,
+        F.floor(F.col("price")).cast("long") % 4096,
+        levels=_DCMS_LEVELS,
+        depth=_DCMS_DEPTH,
+        width=_DCMS_WIDTH,
+        group_cols=["stratum"],
+    )
+    vals = feed.read(version=2).select(
+        "stratum", (F.floor(F.col("price")).cast("long") % 4096).alias("_val")
+    )
+    totals = vals.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    served = dyadic_quantile_serve(
+        cells,
+        totals,
+        _HC_Q,
+        levels=_DCMS_LEVELS,
+        depth=_DCMS_DEPTH,
+        width=_DCMS_WIDTH,
+        group_cols=["stratum"],
+        # ~1,200 strata × ≤36 live cells each ≈ 0.5M rows / ~20 MB —
+        # comfortably broadcastable, and the hint removes BOTH
+        # shuffle sides of the per-round probe join (×rounds).
+        # At 10⁴+ strata leave this off: the serve's shuffle-join
+        # path is the scale route (cells are a data frame there).
+        broadcast_cells=True,
+        # Wide-fan descent: 7 probes per open stratum per round, 4
+        # rounds instead of 12 — rounds are JOBS (scheduling +
+        # codegen + a checkpoint each), probe rows are only
+        # O(strata). The oracle unrolls the identical probe path.
+        arity=_HC_ARITY,
+    )
+    w = Window.partitionBy("stratum").orderBy("_val")
+    exact = (
+        vals.select(
+            "stratum",
+            "_val",
+            F.row_number().over(w).alias("_rn"),
+            F.ceil(F.lit(_HC_Q) * F.count(F.lit(1)).over(
+                Window.partitionBy("stratum")
+            ))
+            .cast("long")
+            .alias("_t2"),
+        )
+        .filter(F.col("_rn") == F.col("_t2"))
+        .select("stratum", F.col("_val").alias("exact_q"))
+    )
+    return (
+        served.join(totals, "stratum")
+        .join(exact, "stratum")
+        .select(
+            "stratum",
+            "n",
+            "qhat",
+            "exact_q",
+            (F.col("qhat") <= F.col("exact_q")).alias("underestimate_ok"),
+        )
     )

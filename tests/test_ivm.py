@@ -2053,3 +2053,166 @@ def test_dyadic_cms_grouped_null_stratum_merges(spark, tmp_path):
     # The NULL stratum genuinely exists and merged into single rows.
     null_cells = [k for k in got if k[0] is None]
     assert null_cells and all(got[k] >= 1 for k in null_cells)
+
+
+def _dyadic_test_cells(spark, rows, levels, depth, width):
+    """Cells frame built directly from (group, value) rows — the
+    insert-only shape maintain_dyadic_cms emits."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import dyadic_bucket
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    lvls = F.sequence(F.lit(0), F.lit(levels - 1))
+    ds = F.array(*[F.lit(d).cast("long") for d in range(depth)])
+    return (
+        df.select("g", "v", F.explode(lvls).alias("lvl"))
+        .select("g", "v", F.col("lvl").cast("long").alias("lvl"))
+        .withColumn(
+            "_node",
+            F.floor(F.col("v") / F.pow(F.lit(2), F.col("lvl"))).cast("long"),
+        )
+        .select("g", "lvl", "_node", F.explode(ds).alias("d"))
+        .withColumn(
+            "bucket",
+            dyadic_bucket(F.col("lvl"), F.col("d"), F.col("_node"), width),
+        )
+        .groupBy("g", "lvl", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def test_dyadic_rank_probe_matches_driver_serve(spark):
+    """Executor-side rank serving (r13 verdict #2) == the driver-dict
+    serve for every (group, probe) pair, on BOTH join regimes
+    (shuffle and broadcast), including a NULL stratum and the empty
+    decomposition x = 0."""
+    import random
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        dyadic_cells_dict,
+        dyadic_rank,
+        dyadic_rank_probe,
+    )
+
+    LEV, DEP, WID = 8, 3, 32
+    rng = random.Random(7)
+    rows = [
+        (g, rng.randrange(0, 256)) for g in ["a", "b", None] for _ in range(50)
+    ]
+    cells = _dyadic_test_cells(spark, rows, LEV, DEP, WID)
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    xs = (0, 1, 77, 128, 255)
+    pdf = spark.createDataFrame(
+        [(g, x) for g in by_g for x in xs], "g string, x long"
+    )
+    for bc in (False, True):
+        served = {
+            (r.g, r.x): r.est_rank
+            for r in dyadic_rank_probe(
+                cells, pdf, levels=LEV, depth=DEP, width=WID,
+                group_cols=["g"], broadcast_cells=bc,
+            ).collect()
+        }
+        for g in by_g:
+            cd = dyadic_cells_dict(
+                cells.filter(F.col("g").eqNullSafe(F.lit(g))).select(
+                    "lvl", "d", "bucket", "cnt"
+                )
+            )
+            for x in xs:
+                assert served[(g, x)] == dyadic_rank(
+                    cd, x, levels=LEV, depth=DEP, width=WID
+                ), (bc, g, x)
+
+
+def test_dyadic_quantile_serve_binary_matches_driver(spark):
+    """dyadic_quantile_serve(arity=2) reproduces dyadic_quantile's
+    binary probe path byte-for-byte per group — the parity its
+    oracle-twinned callers rely on."""
+    import random
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        dyadic_cells_dict,
+        dyadic_quantile,
+        dyadic_quantile_serve,
+    )
+
+    LEV, DEP, WID = 8, 3, 32
+    rng = random.Random(11)
+    rows = [
+        (g, rng.randrange(0, 256))
+        for g in ["a", "b", None, "c"]
+        for _ in range(rng.randrange(1, 70))
+    ]
+    cells = _dyadic_test_cells(spark, rows, LEV, DEP, WID)
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    tot = spark.createDataFrame(
+        [(g, len(vs)) for g, vs in by_g.items()], "g string, n long"
+    )
+    for q in (0.01, 0.25, 0.5, 0.9, 1.0):
+        qs = {
+            r.g: r.qhat
+            for r in dyadic_quantile_serve(
+                cells, tot, q, levels=LEV, depth=DEP, width=WID,
+                group_cols=["g"], broadcast_cells=True, arity=2,
+            ).collect()
+        }
+        for g, vs in by_g.items():
+            cd = dyadic_cells_dict(
+                cells.filter(F.col("g").eqNullSafe(F.lit(g))).select(
+                    "lvl", "d", "bucket", "cnt"
+                )
+            )
+            assert qs[g] == dyadic_quantile(
+                cd, q, len(vs), levels=LEV, depth=DEP, width=WID
+            ), (q, g)
+
+
+def test_dyadic_quantile_serve_wide_fan_one_sided(spark):
+    """The wide-fan descent (arity=8): the probe PATH is part of the
+    served semantics (CMS rank estimates are one-sided but not
+    monotone in x), so arity=8 may legitimately differ from binary —
+    but the ONE-SIDED guarantee is path-independent: a probe at or
+    above the exact quantile can never fail, so qhat <= exact
+    q-quantile for EVERY group. Also pins determinism (two runs
+    byte-equal)."""
+    import math
+    import random
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        dyadic_quantile_serve,
+    )
+
+    LEV, DEP, WID = 8, 3, 16  # narrow width -> real collision noise
+    rng = random.Random(3)
+    rows = [
+        (f"g{i}", rng.randrange(0, 256))
+        for i in range(40)
+        for _ in range(rng.randrange(1, 30))
+    ]
+    cells = _dyadic_test_cells(spark, rows, LEV, DEP, WID)
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    tot = spark.createDataFrame(
+        [(g, len(vs)) for g, vs in by_g.items()], "g string, n long"
+    )
+    for q in (0.25, 0.5, 0.9):
+        runs = [
+            {
+                r.g: r.qhat
+                for r in dyadic_quantile_serve(
+                    cells, tot, q, levels=LEV, depth=DEP, width=WID,
+                    group_cols=["g"], broadcast_cells=True, arity=8,
+                ).collect()
+            }
+            for _ in range(2)
+        ]
+        assert runs[0] == runs[1]  # deterministic
+        for g, vs in by_g.items():
+            t = math.ceil(q * len(vs))
+            exact = sorted(vs)[t - 1]
+            assert runs[0][g] <= exact, (q, g, runs[0][g], exact)

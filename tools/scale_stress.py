@@ -199,6 +199,11 @@ STRESSED = {
     # while the feed grows k-fold; alpha ~ 1 proves the group columns
     # ride the same single signed aggregation with no per-group pass.
     "incremental_view_quantile_sketch_grouped": "orders",
+    # r14: distributed per-stratum quantile serving — strata count and
+    # per-stratum mass both grow with the corpus; rounds stay fixed
+    # (4 wide-fan descent jobs) and the serve is join-only, so the
+    # probe should amortize: alpha well below 1.
+    "incremental_view_sketch_quantiles_hc": "orders",
     # r13: windowed PCM features — clips, samples and windows all grow
     # k-fold; alpha ~ 1 proves the decode-explode stays clip-local
     # (per-asset lead windows, hash groupBy) with no cross-asset term.
