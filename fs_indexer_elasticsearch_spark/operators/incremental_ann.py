@@ -11,14 +11,28 @@ and maintained by deltas:
   ``nprobe`` cells reads only those cells' buckets (partition/manifest
   pruning — the on-disk analog of an inverted list) and an ``add``
   batch touches only the buckets its vectors' cells hash to.
-- Centroids are fixed at :meth:`seed` and committed IN the snapshot's
-  per-version META PAYLOAD (``SnapshotStore.read_meta`` — k tiny rows
-  of JSON written by the same write-file-then-swap-pointer protocol
-  as the data, r8: replaces the r7 POSIX-only ``centroids_v{n}``
-  directory sidecar whose listdir/rmtree resolution could not run on
-  an object store). Rows and centroids therefore publish ATOMICALLY
-  with every version: a crash mid-seed leaves the pointer on the old
-  version and the new meta file orphaned (never resolved — meta is
+- Centroids are fixed at :meth:`seed` and committed atomically with
+  the rows, in one of TWO REPRESENTATIONS decided by k at seed time
+  (r14, verdict #3):
+
+  - k <= ``CENTROID_META_MAX``: IN the snapshot's per-version META
+    PAYLOAD (``SnapshotStore.read_meta`` — k tiny rows of JSON
+    written by the same write-file-then-swap-pointer protocol as the
+    data, r8: replaces the r7 POSIX-only ``centroids_v{n}``
+    directory sidecar whose listdir/rmtree resolution could not run
+    on an object store).
+  - k > ``CENTROID_META_MAX``: meta carries a POINTER + COUNT only
+    (O(1) bytes at any k) and the rows live in a version-exact
+    parquet sidecar (``CENTROIDS_v{n}`` under the store path, written
+    BEFORE the pointer swap — a 100 TB corpus wants 10⁵-10⁶ cells,
+    where a JSON payload and its driver round-trip both bend). The
+    sidecar is resolved by exact version from the meta, never by
+    directory listing, so the crash story is unchanged; maintenance
+    collects O(k) cell IDS at most, never the vectors.
+
+  Rows and centroids therefore publish ATOMICALLY with every
+  version: a crash mid-seed leaves the pointer on the old version
+  and the new meta/sidecar files orphaned (never resolved — both are
   read by exact version number, not directory listing), and every
   merge/remove carries the centroid meta forward automatically.
   Assignment is a pure function of (vector, centroids) — the
@@ -69,6 +83,18 @@ from .store_common import TombstoneStore, read_pruned, remove_by_column
 # before the stamp existed are treated as this value (the only scheme
 # any persisted store in this codebase's history streamed under).
 IVF_SEQ_STRIDE = 64
+
+#: Centroid sets up to this size ride the version META PAYLOAD (tiny
+#: JSON rows, zero extra files — the r8 design). Beyond it the meta
+#: keeps a POINTER + COUNT and the rows live in a versioned parquet
+#: sidecar under the store path, read back as a (broadcastable)
+#: DataFrame — r13 verdict #3: a 100 TB corpus wants 10⁵-10⁶ cells,
+#: where a JSON meta payload and the driver round-trip through it
+#: both bend. The regime is fixed at seed() and sticky for the
+#: store's lifetime (splits/merges update whichever representation
+#: the seed chose), so every pre-existing small-k store keeps its
+#: byte-identical meta and gate hashes.
+CENTROID_META_MAX = 1024
 
 
 class _StaleCentroids(ConcurrentWriteError):
@@ -143,26 +169,106 @@ class IvfIndexStore:
     # -- centroids -----------------------------------------------------------
     def _meta(self) -> dict:
         meta = self.store.read_meta()
-        if meta is None or "centroids" not in meta:
+        if meta is None or (
+            "centroids" not in meta and "centroids_ref" not in meta
+        ):
             raise ValueError("IVF index is empty — seed() it first")
         return meta
 
+    def _sidecar_dir(self, version: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"CENTROIDS_v{version}")
+
+    def _write_centroid_sidecar(
+        self, cents: DataFrame, version: int
+    ) -> None:
+        """Write the large-regime centroid rows as a parquet sidecar
+        for ``version`` — BEFORE the version's pointer swap, same
+        crash story as data/meta files: the pointer never moves until
+        everything it references exists, and a crash in between
+        leaves an orphan directory no reader ever resolves (meta refs
+        are by exact version). Sidecars of vacuumed versions linger
+        as garbage until an external sweep — the same tradeoff the
+        orphan-data-file story already accepts."""
+        import shutil
+
+        out = self._sidecar_dir(version)
+        shutil.rmtree(out, ignore_errors=True)
+        cents.coalesce(8).write.mode("overwrite").parquet(out)
+
+    def _centroid_meta(
+        self,
+        cents: DataFrame,
+        k: int,
+        version: int,
+        base: dict,
+        *,
+        sticky_large: bool = False,
+    ) -> dict:
+        """Fill ``base`` with the centroid representation for a commit
+        at ``version``: rows inline when k <= CENTROID_META_MAX (the
+        small regime — byte-identical metas to the pre-spill design),
+        else a sidecar ref + count (meta stays O(1) at any k).
+        ``sticky_large`` pins the large regime regardless of k —
+        split/merge pass the store's CURRENT regime so a large index
+        that momentarily shrinks below the threshold never flip-flops
+        representations mid-life (only a re-seed re-decides)."""
+        meta = dict(base)
+        if k <= CENTROID_META_MAX and not sticky_large:
+            rows = cents.collect()  # bounded: k <= CENTROID_META_MAX
+            meta["centroids"] = [
+                (r[0], [float(x) for x in r[1]]) for r in rows
+            ]
+            meta.pop("centroids_ref", None)
+            meta.pop("centroid_count", None)
+        else:
+            self._write_centroid_sidecar(cents, version)
+            meta["centroids_ref"] = f"CENTROIDS_v{version}"
+            meta["centroid_count"] = int(k)
+            meta.pop("centroids", None)
+        return meta
+
+    def _is_large(self) -> bool:
+        return "centroids_ref" in (self.store.read_meta() or {})
+
     def centroids(self) -> DataFrame:
-        """The committed centroid set as a (vec_id, emb) DataFrame,
-        rebuilt from the current version's meta payload. k tiny rows —
-        a createDataFrame, no file scan, no directory listing; Python
-        floats JSON-round-trip exactly, so assignment is bit-identical
-        to the seeding pass."""
+        """The committed centroid set as a (vec_id, emb) DataFrame.
+        Small regime: rebuilt from the version's meta payload — k tiny
+        rows, a createDataFrame, no file scan, no directory listing;
+        Python floats JSON-round-trip exactly, so assignment is
+        bit-identical to the seeding pass. Large regime
+        (k > CENTROID_META_MAX): read from the version-exact parquet
+        sidecar the meta points at — parquet doubles are exact too,
+        and the frame is broadcast by its consumers, never collected
+        to the driver."""
+        import os
+
         v = self.store.current_version()
         if self._cent_cache is not None and self._cent_cache[0] == v:
             return self._cent_cache[1]
         meta = self._meta()
-        rows = [(r[0], [float(x) for x in r[1]]) for r in meta["centroids"]]
-        df = self.spark.createDataFrame(
-            rows, f"vec_id {meta['id_type']}, emb array<double>"
-        )
+        if "centroids" in meta:
+            rows = [
+                (r[0], [float(x) for x in r[1]]) for r in meta["centroids"]
+            ]
+            df = self.spark.createDataFrame(
+                rows, f"vec_id {meta['id_type']}, emb array<double>"
+            )
+        else:
+            df = self.spark.read.parquet(
+                os.path.join(self.path, meta["centroids_ref"])
+            ).select("vec_id", "emb")
         self._cent_cache = (v, df)
         return df
+
+    def centroid_count(self) -> int:
+        """Committed centroid-set size — from the meta count (large
+        regime) or the inline row list (small), never a table scan."""
+        meta = self._meta()
+        if "centroids" in meta:
+            return len(meta["centroids"])
+        return int(meta["centroid_count"])
 
     def _dim(self) -> int:
         """Vector width the index was seeded with."""
@@ -262,23 +368,14 @@ class IvfIndexStore:
         on the old version; the orphan meta/data files are never
         resolved and are GC-ed by vacuum."""
         norm_c = centroids.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("emb"),
         )
-        # k rows — bounded driver metadata (the centroid set is small
-        # by definition); collected once to ride the version meta.
-        crows = [
-            (r.vec_id, [float(x) for x in r.emb]) for r in norm_c.collect()
-        ]
-        dims = sorted({len(e) for _i, e in crows})
-        if len(dims) != 1:
-            raise ValueError(
-                f"IvfIndexStore.seed: centroids have mixed dims {dims}"
-            )
         id_type = norm_c.schema["vec_id"].dataType.simpleString()
+        base = self.store.current_version()
+        v_next = (base or 0) + 1
         prev = self.store.read_meta() or {}
-        meta = {
-            "centroids": crows,
-            "dim": dims[0],
+        meta_base = {
             "id_type": id_type,
             # Bumped atomically with the fresh corpus: invalidates the
             # old generation's tombstones even if the clear below never
@@ -297,11 +394,47 @@ class IvfIndexStore:
             # streaming_ivf_pipeline refuses a mismatch.
             "ivf_seq_stride": IVF_SEQ_STRIDE,
         }
-        cents = self.spark.createDataFrame(
-            crows, f"vec_id {id_type}, emb array<double>"
-        )
-        base = self.store.current_version()
-        v_next = (base or 0) + 1
+        # One bounded pass decides the regime and validates the dims —
+        # k+1 tiny rows, never the vectors themselves.
+        dim_counts = norm_c.groupBy(F.size("emb").alias("_d")).agg(
+            F.count(F.lit(1)).alias("_n")
+        ).collect()
+        dims = sorted(int(r._d) for r in dim_counts)
+        if len(dims) != 1:
+            raise ValueError(
+                f"IvfIndexStore.seed: centroids have mixed dims {dims}"
+            )
+        k = sum(int(r._n) for r in dim_counts)
+        meta_base["dim"] = dims[0]
+        if k <= CENTROID_META_MAX:
+            # Small regime: rows ride the meta (byte-identical to the
+            # pre-spill design) and the assignment frame is rebuilt
+            # FROM those rows, so assignment is bit-identical to every
+            # later meta read.
+            crows = [
+                (r.vec_id, [float(x) for x in r.emb])
+                for r in norm_c.collect()
+            ]
+            meta = dict(meta_base)
+            meta["centroids"] = crows
+            cents = self.spark.createDataFrame(
+                crows, f"vec_id {id_type}, emb array<double>"
+            )
+        else:
+            # Large regime: rows go to the v_next parquet sidecar
+            # BEFORE the commit (pointer never references missing
+            # files); meta carries ref + count only — O(1) at any k.
+            # Assignment reads the sidecar BACK so the seeding pass
+            # and every later search assign from literally the same
+            # bytes.
+            import os
+
+            meta = self._centroid_meta(
+                norm_c, k, v_next, meta_base, sticky_large=True
+            )
+            cents = self.spark.read.parquet(
+                os.path.join(self.path, meta["centroids_ref"])
+            ).select("vec_id", "emb")
         # expected_base pins the commit to the version this seed read:
         # a racing writer makes overwrite raise ConcurrentWriteError
         # BEFORE committing (snapshot.py _txn), so rows and centroids
@@ -524,7 +657,18 @@ class IvfIndexStore:
             raise ValueError("IVF index is empty — seed() it first")
         meta = dict(self._meta())
         id_type = meta["id_type"]
-        live_cids = [i for i, _e in meta["centroids"]]
+        large = "centroids_ref" in meta
+        cents_df = self.centroids()
+        # Driver state is O(k) IDS only (a list of cell ids — bytes
+        # per cell), NEVER the centroid vectors: the large regime
+        # keeps those in the parquet sidecar end to end. The id list
+        # is what the zero-row-cold-cell logic and the hot/cold set
+        # arithmetic below need.
+        live_cids = (
+            [r.vec_id for r in cents_df.select("vec_id").collect()]
+            if large
+            else [i for i, _e in meta["centroids"]]
+        )
         # One column-pruned pass: only cid/vec_id reach the scan.
         # LIVE cells only — a retired parent's leftover rows (the
         # documented dead weight of a previous split) sit under a cid
@@ -535,14 +679,23 @@ class IvfIndexStore:
         # 100%-tombstoned cell would have its centroid retired with
         # zero children created, silently shrinking the centroid
         # set on the strength of deleted data.
+        live_rows = (
+            # Large regime: a 10⁵-literal isin is a plan bomb — the
+            # live-cell restriction is a broadcast semi-join against
+            # the sidecar frame instead.
+            self.store.read(version=v0).join(
+                F.broadcast(cents_df.select(F.col("vec_id").alias("cid"))),
+                "cid",
+                "semi",
+            )
+            if large
+            else self.store.read(version=v0).filter(
+                F.col("cid").isin(live_cids)
+            )
+        )
         hot_ids = [
             r.cid
-            for r in self.tombstones.apply(
-                self.store.read(version=v0).filter(
-                    F.col("cid").isin(live_cids)
-                ),
-                "vec_id",
-            )
+            for r in self.tombstones.apply(live_rows, "vec_id")
             .groupBy("cid")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > int(threshold))
@@ -644,8 +797,9 @@ class IvfIndexStore:
         if not split_parents:
             return None
         # Children get fresh ids: numeric -> max+1.., string ->
-        # "<parent>~<i>" (collision-checked).
-        old_ids = {r[0] for r in meta["centroids"]}
+        # "<parent>~<i>" (collision-checked). Both derivable from the
+        # O(k) id list — vectors stay distributed in the large regime.
+        old_ids = set(live_cids)
         numeric = id_type in ("tinyint", "smallint", "int", "bigint")
         next_id = (max(old_ids) + 1) if numeric and old_ids else None
         children: list[tuple] = []
@@ -663,14 +817,42 @@ class IvfIndexStore:
                         "an existing centroid id"
                     )
             children.append((cid, [float(x) for x in r._emb]))
-        new_crows = [
-            (i, e) for i, e in meta["centroids"] if i not in split_parents
-        ] + children
-        meta["centroids"] = new_crows
         meta["centroid_gen"] = self._centroid_gen(meta) + 1
-        cents = self.spark.createDataFrame(
-            new_crows, f"vec_id {id_type}, emb array<double>"
-        )
+        if large:
+            import os
+
+            children_df = self.spark.createDataFrame(
+                children, f"vec_id {id_type}, emb array<double>"
+            )
+            parents_df = self.spark.createDataFrame(
+                [(c,) for c in sorted(split_parents, key=str)],
+                f"vec_id {id_type}",
+            )
+            new_cents = cents_df.join(
+                F.broadcast(parents_df), "vec_id", "anti"
+            ).unionByName(children_df)
+            k_new = len(old_ids) - len(split_parents) + len(children)
+            # Sidecar lands at the version the pinned merge will
+            # commit (v0+1 — a racing commit aborts the merge before
+            # its meta is ever read; single-writer contract, same as
+            # seed). Assignment reads the sidecar BACK so the split
+            # pass and every later search assign from the same bytes.
+            meta = self._centroid_meta(
+                new_cents, k_new, v0 + 1, meta, sticky_large=True
+            )
+            cents = self.spark.read.parquet(
+                os.path.join(self.path, meta["centroids_ref"])
+            ).select("vec_id", "emb")
+        else:
+            new_crows = [
+                (i, e)
+                for i, e in meta["centroids"]
+                if i not in split_parents
+            ] + children
+            meta["centroids"] = new_crows
+            cents = self.spark.createDataFrame(
+                new_crows, f"vec_id {id_type}, emb array<double>"
+            )
         # Re-stamp ivf_seq (the LWW version — must supersede the old
         # copy) but carry each row's ORIGINAL ivf_vis forward: a
         # rebalance moves rows between cells, it does not re-add them,
@@ -746,21 +928,36 @@ class IvfIndexStore:
             raise ValueError("IVF index is empty — seed() it first")
         meta = dict(self._meta())
         id_type = meta["id_type"]
-        live_cids = [i for i, _e in meta["centroids"]]
+        large = "centroids_ref" in meta
+        cents_df = self.centroids()
+        # O(k) IDS only on the driver (the zero-row cold-cell logic
+        # needs the full live id list); vectors stay distributed in
+        # the large regime.
+        live_cids = (
+            [r.vec_id for r in cents_df.select("vec_id").collect()]
+            if large
+            else [i for i, _e in meta["centroids"]]
+        )
         if len(live_cids) <= 1:
             return None
         # LIVE rows of LIVE cells only, pinned to v0 — same counting
         # rules as the split (tombstoned rows and retired-cid
         # leftovers must not keep a dead cell "warm"); a live cell
         # with NO rows at all is missing from the frame and counts 0.
+        live_rows = (
+            self.store.read(version=v0).join(
+                F.broadcast(cents_df.select(F.col("vec_id").alias("cid"))),
+                "cid",
+                "semi",
+            )
+            if large
+            else self.store.read(version=v0).filter(
+                F.col("cid").isin(live_cids)
+            )
+        )
         sizes = {
             r.cid: r._n
-            for r in self.tombstones.apply(
-                self.store.read(version=v0).filter(
-                    F.col("cid").isin(live_cids)
-                ),
-                "vec_id",
-            )
+            for r in self.tombstones.apply(live_rows, "vec_id")
             .groupBy("cid")
             .agg(F.count(F.lit(1)).alias("_n"))
             .collect()  # bounded by the number of cells (k)
@@ -800,13 +997,32 @@ class IvfIndexStore:
                 "equal seq loses the strictly-newer LWW upsert and "
                 "strands the row under the retired cell id"
             )
-        survivors = [
-            (i, e) for i, e in meta["centroids"] if i in survivor_set
-        ]
-        cents = self.spark.createDataFrame(
-            [(i, [float(x) for x in e]) for i, e in survivors],
-            f"vec_id {id_type}, emb array<double>",
-        )
+        meta["centroid_gen"] = self._centroid_gen(meta) + 1
+        if large:
+            import os
+
+            cold_df = self.spark.createDataFrame(
+                [(c,) for c in cold], f"vec_id {id_type}"
+            )
+            new_cents = cents_df.join(
+                F.broadcast(cold_df), "vec_id", "anti"
+            )
+            meta = self._centroid_meta(
+                new_cents, len(survivor_set), v0 + 1, meta,
+                sticky_large=True,
+            )
+            cents = self.spark.read.parquet(
+                os.path.join(self.path, meta["centroids_ref"])
+            ).select("vec_id", "emb")
+        else:
+            survivors = [
+                (i, e) for i, e in meta["centroids"] if i in survivor_set
+            ]
+            meta["centroids"] = survivors
+            cents = self.spark.createDataFrame(
+                [(i, [float(x) for x in e]) for i, e in survivors],
+                f"vec_id {id_type}, emb array<double>",
+            )
         # Same visibility contract as the split: new ivf_seq wins the
         # LWW upsert, ivf_vis rides through unchanged.
         reassigned = self._assigned(
@@ -818,8 +1034,6 @@ class IvfIndexStore:
             int(meta["dim"]),
             vis_col="ivf_vis",
         )
-        meta["centroids"] = survivors
-        meta["centroid_gen"] = self._centroid_gen(meta) + 1
         v = self.store.merge(reassigned, meta=meta, expected_base=v0)
         self._cent_cache = None
         return v

@@ -102,19 +102,35 @@ def assign_cells(
     # must preserve) — a pass-through, NOT a join, so the stage stays
     # narrow.
     ex = [F.col(c) for c in keep]
-    return (
-        df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec), *ex
+    base = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec), *ex
+    ).join(F.broadcast(c_arr))
+    if n_keep == 1:
+        # Argmin fast path (r14, for the 10⁵-cell regime): array_min
+        # of the (negsim, cid) structs is the sort's first element
+        # with IDENTICAL tie semantics (struct compare), at O(k) per
+        # row instead of the full O(k log k) sort — the path every
+        # seed/add/maintenance assignment takes.
+        arg = F.array_min(
+            F.transform(
+                F.col("_cs"),
+                lambda cc: F.struct(
+                    (
+                        -stable_round(cosine(F.col(out_vec), cc["cvec"]), 6)
+                    ).alias("negsim"),
+                    cc["cid"].alias("cid"),
+                ),
+            )
         )
-        .join(F.broadcast(c_arr))
-        .select(
-            out_id,
-            out_vec,
-            *keep,
-            F.explode(F.slice(ranked, 1, n_keep)).alias("_b"),
+        return base.select(
+            out_id, out_vec, *keep, arg["cid"].alias("cid")
         )
-        .select(out_id, out_vec, *keep, F.col("_b.cid").alias("cid"))
-    )
+    return base.select(
+        out_id,
+        out_vec,
+        *keep,
+        F.explode(F.slice(ranked, 1, n_keep)).alias("_b"),
+    ).select(out_id, out_vec, *keep, F.col("_b.cid").alias("cid"))
 
 
 def ivf_ann_topk(

@@ -2111,7 +2111,7 @@ def ann_ivf_split_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(1, 5):
                 if store.split_hot_cells(threshold=thr, seq=s) is None:
                     break
-        live_cells = len(store.store.read_meta()["centroids"])
+        live_cells = store.centroid_count()
         matches = _pin(
             store.search(
                 emb.filter(F.col("vec_id") < 8),
@@ -2371,7 +2371,7 @@ def ann_ivf_coldmerge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Average post-removal occupancy: decayed cells retire.
             n = store.store.read(version=2).count()
             store.merge_cold_cells(threshold=max(1, n // 16), seq=1)
-        live_cells = len(store.store.read_meta()["centroids"])
+        live_cells = store.centroid_count()
         matches = _pin(
             store.search(
                 emb.filter(
@@ -3620,7 +3620,7 @@ def ann_ivf_maintain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             store.maintain_cells(
                 split_threshold=thr, merge_threshold=thr // 4, seq=2
             )
-        live_cells = len(store.store.read_meta()["centroids"])
+        live_cells = store.centroid_count()
         matches = _pin(
             store.search(
                 emb.filter(F.col("vec_id") < 8),

@@ -933,3 +933,212 @@ def test_repeated_maintenance_never_duplicates_rows(spark, tmp_path):
     for vid, (_s, vis) in newest.items():
         expected = 0 if vid < 100 else ((vid - 100) // 10 + 1) * 64
         assert vis == expected, (vid, vis, expected)
+
+
+def test_large_centroid_regime_sidecar(spark, tmp_path):
+    """The 10⁵-centroid regime (r13 verdict #3): seeding past
+    CENTROID_META_MAX spills the centroid rows to a versioned parquet
+    sidecar — the meta stays a POINTER + COUNT (O(1) bytes at any k),
+    the driver never materializes the vectors, and seed / search /
+    add / maintain_cells all stay green. Search is verified against
+    an independent reference computed from the same assignment
+    function directly on the corpus frames (no store)."""
+    import json
+    import os
+
+    import pyspark.sql.types as T
+
+    from fs_indexer_elasticsearch_spark.operators.incremental_ann import (
+        IvfIndexStore,
+    )
+    from fs_indexer_elasticsearch_spark.operators.similarity import (
+        _ranked_topk,
+        assign_cells,
+    )
+    from fs_indexer_elasticsearch_spark.functions.rounding import stable_round
+    from fs_indexer_elasticsearch_spark.functions.vectors import cosine
+
+    K_CELLS = 100_000
+    DIM = 4
+
+    def emb_expr():
+        # Deterministic pseudo-embedding per id, dim 4, JVM-side.
+        return F.array(
+            *[
+                (
+                    F.pmod(F.col("vec_id") * (7 + d) + d * 13, F.lit(97))
+                    - 48.0
+                ).cast("double")
+                for d in range(DIM)
+            ]
+        )
+
+    cents = spark.range(K_CELLS).select(
+        F.col("id").alias("vec_id"), emb_expr().alias("emb")
+    )
+    corpus = spark.range(200_000, 200_200).select(
+        F.col("id").alias("vec_id"), emb_expr().alias("emb")
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "bigivf"), num_buckets=16)
+    v = store.seed(corpus, cents, "vec_id", "emb")
+    assert v == 1
+
+    # Meta is O(1): pointer + count, no inline rows; the raw JSON file
+    # stays tiny at k = 1e5.
+    meta = store.store.read_meta()
+    assert "centroids" not in meta
+    assert meta["centroid_count"] == K_CELLS
+    assert meta["centroids_ref"] == "CENTROIDS_v1"
+    raw = os.path.getsize(store.store._meta_path(1))
+    assert raw < 2048, f"meta file is {raw} bytes — not O(1)"
+    assert store.centroid_count() == K_CELLS
+    assert store.centroids().count() == K_CELLS
+
+    # Search == independent reference (assignment computed directly on
+    # the frames, bypassing the store entirely).
+    queries = spark.range(300_000, 300_005).select(
+        F.col("vec_id").alias("vec_id") if False else F.col("id").alias("vec_id"),
+        emb_expr().alias("emb"),
+    )
+
+    def reference(corp):
+        cc = assign_cells(corp, cents, "vec_id", "emb", "vec_id", "emb", 1)
+        qc = assign_cells(
+            queries, cents, "vec_id", "emb", "query_id", "qvec", 2
+        )
+        scored = (
+            cc.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("emb").alias("nvec"),
+                "cid",
+            )
+            .join(qc, "cid")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                stable_round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
+            )
+        )
+        return _ranked_topk(scored, 3)
+
+    got = sorted(
+        map(tuple, store.search(queries, "vec_id", "emb", k=3, nprobe=2).collect())
+    )
+    want = sorted(map(tuple, reference(corpus).collect()))
+    assert got == want
+
+    # add(): O(delta) maintenance in the large regime.
+    batch = spark.range(200_200, 200_260).select(
+        F.col("id").alias("vec_id"), emb_expr().alias("emb")
+    )
+    store.add(batch, "vec_id", "emb", seq=1)
+    got2 = sorted(
+        map(tuple, store.search(queries, "vec_id", "emb", k=3, nprobe=2).collect())
+    )
+    want2 = sorted(map(tuple, reference(corpus.unionByName(batch)).collect()))
+    assert got2 == want2
+
+    # maintain_cells in the large regime, COLD side: with a few
+    # hundred vectors over 100k cells nearly every cell is empty, so
+    # a threshold-1 cold merge is the mass-retire path — a pure
+    # centroid-set shrink (no cold cell has rows to move). Content
+    # trivially preserved; the sidecar and O(1) meta must follow.
+    live_before = {
+        r.vec_id for r in store.store.read().select("vec_id").collect()
+    }
+    v_m = store.merge_cold_cells(1, seq=2)
+    assert v_m is not None
+    meta2 = store.store.read_meta()
+    assert "centroids" not in meta2
+    # survivors = exactly the cells that held at least one row
+    assert 1 <= meta2["centroid_count"] <= 260 + 60
+    assert store.centroids().count() == meta2["centroid_count"]
+    raw2 = os.path.getsize(store.store._meta_path(store.store.current_version()))
+    assert raw2 < 2048
+    assert {
+        r.vec_id for r in store.store.read().select("vec_id").collect()
+    } == live_before
+    out = store.search(queries, "vec_id", "emb", k=3, nprobe=2)
+    assert len(out.collect()) > 0
+
+
+def test_large_regime_split_hot_cell(spark, tmp_path):
+    """A REAL hot-cell split in the large (sidecar) regime, with
+    controlled geometry: k = CENTROID_META_MAX + 1 tips the store
+    into the sidecar representation, centroid 0 owns an isolated
+    direction (positive first axis; all others negative-first-axis),
+    and 150 spread vectors land in its cell — the split must commit,
+    grow the centroid count, keep the meta O(1), and lose no row."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from fs_indexer_elasticsearch_spark.operators.incremental_ann import (
+        CENTROID_META_MAX,
+        IvfIndexStore,
+    )
+
+    DIM = 4
+    k = CENTROID_META_MAX + 1
+    # centroid 0: +first-axis; centroids 1..k: clustered negative-first.
+    cent_rows = [(0, [1000.0, 0.0, 0.0, 0.0])] + [
+        (
+            i,
+            [
+                -1000.0 - (i % 50),
+                float((i * 7) % 23),
+                float((i * 11) % 29),
+                float((i * 13) % 31),
+            ],
+        )
+        for i in range(1, k)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    cents = spark.createDataFrame(cent_rows, schema)
+    hot_rows = [
+        (
+            500_000 + i,
+            [
+                1000.0,
+                float((i * 3) % 17),
+                float((i * 5) % 19),
+                float((i * 7) % 13),
+            ],
+        )
+        for i in range(150)
+    ]
+    corpus = spark.createDataFrame(hot_rows, schema)
+    store = IvfIndexStore(spark, str(tmp_path / "splitivf"), num_buckets=8)
+    store.seed(corpus, cents, "vec_id", "emb")
+    meta = store.store.read_meta()
+    assert "centroids_ref" in meta and meta["centroid_count"] == k
+    # every hot row in cell 0
+    assert store.store.read().filter(F.col("cid") == 0).count() == 150
+
+    committed = store.maintain_cells(
+        split_threshold=100, merge_threshold=0, seq=1
+    )
+    assert committed, "expected a split commit"
+    meta2 = store.store.read_meta()
+    assert "centroids" not in meta2
+    assert meta2["centroid_count"] > k
+    assert store.centroids().count() == meta2["centroid_count"]
+    raw = os.path.getsize(store.store._meta_path(store.store.current_version()))
+    assert raw < 2048
+    live = store.tombstones.apply(
+        store.store.read().join(
+            F.broadcast(store.centroids().select(F.col("vec_id").alias("cid"))),
+            "cid",
+            "semi",
+        ),
+        "vec_id",
+    )
+    assert {r.vec_id for r in live.select("vec_id").collect()} == {
+        v for v, _ in hot_rows
+    }
