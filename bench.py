@@ -159,6 +159,8 @@ EXTRA = [
     # r14: distributed per-stratum quantile serving (~1,200 strata,
     # wide-fan descent, nothing collected to the driver)
     "incremental_view_sketch_quantiles_hc",
+    # r14: incremental BM25 (maintained postings + turnstile stats)
+    "incremental_view_bm25_topk",
 ]
 
 

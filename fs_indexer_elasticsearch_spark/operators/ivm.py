@@ -2618,3 +2618,147 @@ def dyadic_quantile(
         else:
             lo = mid + 1
     return lo
+
+
+def bm25_postings_of(
+    docs: DataFrame, id_col: str, text_col: str, terms: list[str]
+) -> DataFrame:
+    """Query-term postings of a document frame: one row per
+    (doc, query term) with its term frequency and the doc's token
+    length — the per-doc state BM25 scoring needs. Tokenization is
+    the engine tokenizer (functions.text.tokens), so batch and
+    maintained scoring agree by construction."""
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    ).select("doc_id", "tk", F.size("tk").alias("dl"))
+    return (
+        toks.select("doc_id", "dl", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def maintain_bm25(
+    store,
+    v_from: int,
+    v_to: int,
+    *,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    old_postings: DataFrame | None = None,
+    old_stats: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain the BM25 SERVING STATE of a document store across one
+    change window — the incremental twin of the batch
+    ``bm25_search_topk`` (r13 verdict #5: the one LLM-pipeline
+    operator family that had no maintained form). Two frames:
+
+    - ``postings`` (doc_id, dl, term, tf), QUERY TERMS ONLY — keyed
+      by doc: the feed's changed docs have their old postings dropped
+      (one anti-join on doc_id) and their post-image postings
+      re-derived; untouched docs are never re-tokenized. O(feed)
+      per cycle.
+    - ``stats`` — the 1-row (n_docs, sum_dl) corpus normalizer,
+      maintained as TURNSTILE SUMS (pre-images subtract, post-images
+      add — deletes are exact, the same algebra as the flat CMS).
+      It covers ALL docs, not just those containing query terms — a
+      delete of a term-free doc still moves the length norm, which
+      postings alone could never see.
+
+    Feed back both frames to chain windows. First derivation
+    (``old_* = None``) runs one full pass over ``v_from``.
+    Serve with :func:`bm25_topk` — df is derived from the postings
+    per serve (a groupBy over a |terms|-bounded frame), so it can
+    never drift from them. 100 TB: maintenance tokenizes only the
+    changed docs; state is O(docs containing query terms) + 1 row."""
+    from ..functions.text import tokens
+
+    if old_postings is None:
+        base = store.read(version=v_from)
+        old_postings = bm25_postings_of(base, id_col, text_col, terms)
+    if old_stats is None:
+        base = store.read(version=v_from)
+        old_stats = base.select(
+            tokens(F.col(text_col)).alias("tk")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size("tk")), F.lit(0))
+            .cast("long")
+            .alias("sum_dl"),
+        )
+    feed = store.read_changes(v_from, v_to, update_images="both")
+    is_post = F.col("_change").isin("insert", "update_postimage")
+    changed = feed.select(F.col(id_col).alias("doc_id")).distinct()
+    post_docs = feed.filter(is_post)
+    postings = old_postings.join(changed, "doc_id", "anti").unionByName(
+        bm25_postings_of(post_docs, id_col, text_col, terms)
+    )
+    sign = F.when(is_post, F.lit(1)).otherwise(F.lit(-1))
+    delta = feed.select(
+        sign.alias("_s"), F.size(tokens(F.col(text_col))).alias("_dl")
+    ).agg(
+        F.coalesce(F.sum("_s"), F.lit(0)).cast("long").alias("_dn"),
+        F.coalesce(F.sum(F.col("_s") * F.col("_dl")), F.lit(0))
+        .cast("long")
+        .alias("_ddl"),
+    )
+    stats = old_stats.crossJoin(F.broadcast(delta)).select(
+        (F.col("n_docs") + F.col("_dn")).cast("long").alias("n_docs"),
+        (F.col("sum_dl") + F.col("_ddl")).cast("long").alias("sum_dl"),
+    )
+    return postings, stats
+
+
+def bm25_topk(
+    postings: DataFrame,
+    stats: DataFrame,
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 scores served from maintained state — the same
+    expressions as the batch query (plans/llm_pipeline2.py
+    bm25_search_topk), with df derived from the postings (a groupBy
+    over a |query terms|-bounded frame, broadcast) so serving can
+    never drift from the state it reads. TakeOrdered on the rounded
+    (score, doc_id) total order — never a full sort."""
+    from ..functions.rounding import stable_round
+
+    df_tbl = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = postings.join(F.broadcast(df_tbl), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        1
+        + ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf").cast("double")
+        * (k1 + 1)
+        / (
+            F.col("tf").cast("double")
+            + k1
+            * (
+                1
+                - b
+                + b
+                * F.col("dl").cast("double")
+                * F.col("n_docs")
+                / F.col("sum_dl")
+            )
+        )
+    )
+    scored = j.groupBy("doc_id").agg(
+        F.sum(contrib).cast("double").alias("raw")
+    )
+    rounded = scored.select(
+        "doc_id", stable_round(F.col("raw"), 4).alias("bm25")
+    )
+    return rounded.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(k)

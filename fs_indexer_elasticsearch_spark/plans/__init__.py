@@ -83,6 +83,10 @@ _PRIORITY = [
     # strata at once, nothing collected to the driver; the oracle
     # unrolls the same twelve rounds as chained CTEs).
     "incremental_view_sketch_quantiles_hc",
+    # New in r14 — incremental BM25: maintained query-term postings +
+    # turnstile corpus normalizer, top-k served from state, oracle =
+    # from-scratch recompute over the post-state corpus.
+    "incremental_view_bm25_topk",
     # New in r13 — the windowed-PCM feature extraction over the
     # DECODED audio stream (real RIFF parse -> per-sample explode ->
     # per-window energy/RMS/zero-crossings; the frame-the-waveform

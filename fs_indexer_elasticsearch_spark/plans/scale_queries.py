@@ -4039,3 +4039,135 @@ def incremental_view_sketch_quantiles_hc(
             (F.col("qhat") <= F.col("exact_q")).alias("underestimate_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental BM25: maintained postings + turnstile corpus stats
+# --------------------------------------------------------------------------
+
+
+def _docs_cdf_store(spark: SparkSession, sf_dir: str):
+    """Documents change-window fixture (the _cdf_store shape over the
+    documents table): base = docs %10 != 3 at v1; v2 merges updates
+    (%10 == 7) and inserts (%10 == 3) whose text gains a query-term
+    suffix (so updates genuinely move BM25 scores and document
+    lengths), and removes %10 == 5. Persisted + flocked like every
+    CDF fixture; replays skip to the reads."""
+    import hashlib
+    import os
+
+    from ..sinks.snapshot import SnapshotStore
+
+    fp = _dataset_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|docs-cdf|nb16|hardlink|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-docscdfstore-{tag}"
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id", F.lit(1).alias("v"), "text"
+    )
+    delta = docs.filter((F.col("doc_id") % 10).isin(3, 7)).select(
+        "doc_id",
+        F.lit(2).alias("v"),
+        F.concat(F.col("text"), F.lit(" spark join window shift")).alias(
+            "text"
+        ),
+    )
+    removed = docs.filter(F.col("doc_id") % 10 == 5).select("doc_id")
+    with _store_lock(path):
+        store = SnapshotStore(
+            spark,
+            path,
+            key="doc_id",
+            version_col="v",
+            num_buckets=16,
+            layout="hardlink",
+        )
+        if store.current_version() is None:
+            store.overwrite(base)
+        if store.current_version() == 1:
+            store.merge(delta, removed=removed)
+    return store
+
+
+@query(
+    "incremental_view_bm25_topk",
+    oracle="""
+    WITH dbase AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+    ),
+    ddelta AS (
+        SELECT doc_id, text || ' spark join window shift' AS text
+        FROM documents WHERE doc_id % 10 IN (3, 7)
+    ),
+    d2 AS (
+        SELECT doc_id, text FROM dbase WHERE doc_id % 10 NOT IN (5, 7)
+        UNION ALL
+        SELECT doc_id, text FROM ddelta
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM d2
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS sum_dl
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, len(tk) AS dl, s.term, count(*) AS tf
+        FROM toks, unnest(tk) AS u(term)
+        JOIN (SELECT unnest(['spark', 'join', 'window']) AS term) s
+          USING (term)
+        GROUP BY doc_id, len(tk), s.term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(sum(
+                   ln(1 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+                   * tf::DOUBLE * (1.2 + 1)
+                   / (tf::DOUBLE + 1.2
+                      * (1 - 0.75
+                         + 0.75 * (dl::DOUBLE) * n_docs / sum_dl))
+               ) AS DOUBLE) AS raw
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    rounded AS (SELECT doc_id, round(raw + 1e-7, 4) AS bm25 FROM scored)
+    SELECT doc_id, bm25 FROM (
+        SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        FROM rounded
+    ) WHERE rn <= 20
+    """,
+)
+def incremental_view_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL BM25 (r13 verdict #5 — the one LLM-pipeline family
+    that had no maintained twin): the serving state — query-term
+    postings (doc_id, dl, term, tf) plus the 1-row turnstile
+    (n_docs, sum_dl) corpus normalizer — is MAINTAINED through the
+    documents change window (inserts %10==3, updates %10==7 whose
+    text gains query terms, deletes %10==5), never rebuilt: only
+    changed docs are re-tokenized (one anti-join + a delta
+    aggregation), and deletes subtract exactly from the stats. Top-20
+    is served from the maintained state (operators/ivm.maintain_bm25
+    + bm25_topk); the oracle recomputes BM25 from scratch over the
+    post-state corpus, so the hash proves the maintained state equals
+    the rebuild. 100 TB: maintenance cost is O(changed docs); state
+    is O(docs containing query terms) + 1 row; df derives from the
+    postings at serve time so it can never drift."""
+    from ..operators.ivm import bm25_topk, maintain_bm25
+    from .llm_pipeline2 import _BM25_TERMS
+
+    store = _docs_cdf_store(spark, sf_dir)
+    postings, stats = maintain_bm25(
+        store,
+        1,
+        2,
+        id_col="doc_id",
+        text_col="text",
+        terms=list(_BM25_TERMS),
+    )
+    return bm25_topk(postings, stats, k=20)

@@ -204,6 +204,10 @@ STRESSED = {
     # (4 wide-fan descent jobs) and the serve is join-only, so the
     # probe should amortize: alpha well below 1.
     "incremental_view_sketch_quantiles_hc": "orders",
+    # r14: incremental BM25 — the change window grows k-fold with the
+    # corpus; maintenance tokenizes only changed docs, so alpha tracks
+    # the feed, not the corpus.
+    "incremental_view_bm25_topk": "documents",
     # r13: windowed PCM features — clips, samples and windows all grow
     # k-fold; alpha ~ 1 proves the decode-explode stays clip-local
     # (per-asset lead windows, hash groupBy) with no cross-asset term.
