@@ -431,6 +431,45 @@ def main() -> None:
     canaries.append(_cpu_canary())  # sample 5: after everything
     io_canaries.append(_io_canary())
 
+    # sf1.0 evidence point (r13 verdict #6): the headline suite once
+    # at 10x the fact tables — documents/events/orders/lineitem/
+    # embeddings amplified with replica-disjoint mutations (the
+    # scale_stress generator; dims stay at the base SF), ~6M lineitem
+    # at sf0.1 base. One run per query (the cost question is "does the
+    # plan survive 10x data", not steady-state): `sf1_queries` in the
+    # detail, total + worst scaler in the headline, and any query
+    # whose sf0.1 -> sf1 ratio exceeds 12x (10x data + shuffle slack)
+    # is flagged. The amplified directory is cached in /tmp across
+    # rounds.
+    sf1_queries: dict[str, float | None] = {}
+    sf1_flagged: list[str] = []
+    sf1_worst = None
+    try:
+        from tools.scale_stress import amplify
+
+        sf1_dir = amplify(spark, sf_dir, "/tmp/bench-sf1", 10)
+        worst_ratio = 0.0
+        for name in HEADLINE:
+            try:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf1_dir).collect()
+                dt = round(time.perf_counter() - t0, 3)
+                sf1_queries[name] = dt
+                base_t = timings.get(name)
+                if base_t:
+                    ratio = dt / base_t
+                    if ratio > worst_ratio:
+                        worst_ratio, sf1_worst = ratio, (
+                            f"{name} x{ratio:.1f}"
+                        )
+                    if ratio > 12.0:
+                        sf1_flagged.append(name)
+            except Exception as e:  # noqa: BLE001
+                sf1_queries[name] = None
+                errors[f"sf1:{name}"] = repr(e)[:300]
+    except Exception as e:  # noqa: BLE001
+        errors["_sf1"] = repr(e)[:300]
+
     headline, detail = build_payloads(
         sf=sf,
         timings=timings,
@@ -442,6 +481,9 @@ def main() -> None:
         errors=errors,
         canary_samples=canaries,
         io_canary_samples=io_canaries,
+        sf1_queries=sf1_queries,
+        sf1_flagged=sf1_flagged,
+        sf1_worst=sf1_worst,
     )
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -487,6 +529,9 @@ def build_payloads(
     errors: dict,
     canary_samples: list[float],
     io_canary_samples: list[float] | None = None,
+    sf1_queries: dict | None = None,
+    sf1_flagged: list | None = None,
+    sf1_worst: str | None = None,
 ) -> tuple[dict, dict]:
     """Assemble (headline, detail). Pure function of the measurements
     so the compactness contract is unit-testable without Spark.
@@ -541,7 +586,6 @@ def build_payloads(
             for m, v in ann_recall.items()
         },
         "cpu_canary_sec": canary_sec,
-        "canary_samples": canary_samples,
         "canary_spread": canary_spread,
         "box_drifted": (canary_spread is not None and canary_spread > 0.10),
         # I/O-speed twin of the CPU canary (r14): the store-backed
@@ -550,6 +594,16 @@ def build_payloads(
         # io_drifted tells the judge which comparison basis to use for
         # the store-query families.
         "io_canary_sec": io_canary_sec,
+        # sf1.0 evidence point: headline total at 10x facts, the worst
+        # sf0.1->sf1 scaler, and any query past the 12x flag line
+        # (per-query seconds live in the detail payload).
+        "sf1_total": (
+            round(sum(t for t in sf1_queries.values() if t is not None), 3)
+            if sf1_queries
+            else None
+        ),
+        "sf1_worst": sf1_worst,
+        "sf1_flagged": sf1_flagged or [],
         "io_drifted": (io_canary_spread is not None and io_canary_spread > 0.25),
         **ingest,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
@@ -567,6 +621,10 @@ def build_payloads(
         # must stay inside the driver's tail-capture window.
         "io_canary_samples": io_canary_samples,
         "io_canary_spread": io_canary_spread,
+        # Raw interleaved CPU samples (headline keeps median+spread —
+        # the r14 sf1 fields needed the bytes back).
+        "canary_samples": canary_samples,
+        "sf1_queries": sf1_queries or {},
     }
     return headline, detail
 

@@ -76,6 +76,14 @@ from . import curation_pipeline  # noqa: E402,F401
 # anchored by window_tumbling_10m/window_moving_avg_7d, the
 # range/as-of pair in timejoin tests, store_read_changes, and the
 # incremental-CC/merge machinery in the prefix).
+#
+# r14's set: 2 new queries (distributed per-stratum quantile serving,
+# incremental BM25) + 3 plan-changed rotations (dedup_simhash's
+# single-int band key; similarity_ivf_topk / ann_recall_at_k riding
+# assign_cells' n_keep=1 argmin fast path); the sketch pair's shared
+# executor-side serve also changed plans but already sits in the
+# prefix. Five multi-round driver-green queries slide below the
+# boundary by order; every family keeps a prefix anchor.
 _PRIORITY = [
     # New in r14 — distributed per-stratum quantile serving off the
     # grouped dyadic rank sketch (~1,200 strata; the binary-search
@@ -87,6 +95,15 @@ _PRIORITY = [
     # turnstile corpus normalizer, top-k served from state, oracle =
     # from-scratch recompute over the post-state corpus.
     "incremental_view_bm25_topk",
+    # Rotated into the prefix for r14 (plans changed, mechanical rule):
+    # dedup_simhash — single-int band key (band<<16 | value) self-join;
+    # similarity_ivf_topk / ann_recall_at_k — assign_cells' n_keep=1
+    # argmin fast path (array_min instead of full-array sort) sits on
+    # their one-shot assignment path. (The sketch pair's serve refactor
+    # also changed plans; both already live in the prefix.)
+    "dedup_simhash",
+    "similarity_ivf_topk",
+    "ann_recall_at_k",
     # New in r13 — the windowed-PCM feature extraction over the
     # DECODED audio stream (real RIFF parse -> per-sample explode ->
     # per-window energy/RMS/zero-crossings; the frame-the-waveform
@@ -220,7 +237,6 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "similarity_lsh_ann_topk",
-    "ann_recall_at_k",
     # Text analysis / profiling
     "text_quality_stats",
     # Corpus curation / analytics layer (r5; first driver rows)
@@ -277,7 +293,6 @@ _PRIORITY = [
     # feed, dedup_exact/minhash/cc for dedup, ann_recall_at_k +
     # quantized_ann for recall):
     "store_read_changes_hardlink",
-    "dedup_simhash",
     "ann_neardup_recall_multiprobe",
     "dedup_incremental_rebucket",
     "ann_incremental_ivf_manifest",
@@ -328,7 +343,6 @@ _PRIORITY = [
     "mixture_temperature_weights",
     "dedup_embedding_cosine",
     "kmeans_cluster_profile",
-    "similarity_ivf_topk",
     "tfidf_top_terms",
     "dataset_split_summary",
     "stratified_sample_per_lang",

@@ -122,13 +122,14 @@ def test_bench_headline_stays_inside_driver_tail_capture():
     assert parsed["canary_norm_suite"] == round(
         parsed["value"] * bench.CANARY_REF_SEC / 0.475, 3
     )
-    assert parsed["canary_samples"] == [0.475, 0.470, 0.480, 0.475, 0.474]
     assert parsed["canary_spread"] == round((0.480 - 0.470) / 0.475, 3)
     assert parsed["box_drifted"] is False
     for m in parsed["ann_recall"].values():
         assert "regime" in m and "value" in m
-    # Detail carries what the headline dropped.
+    # Detail carries what the headline dropped (r14: the raw canary
+    # samples moved there to make room for the sf1 fields).
     assert detail["rows"] and detail["cold"] and detail["errors"]
+    assert detail["canary_samples"] == [0.475, 0.470, 0.480, 0.475, 0.474]
 
 
 def test_bench_canary_drift_flag():
