@@ -160,7 +160,9 @@ EXTRA = [
     # wide-fan descent, nothing collected to the driver)
     "incremental_view_sketch_quantiles_hc",
     # r14: incremental BM25 (maintained postings + turnstile stats)
+    # and its open-vocabulary dual (term-bucketed postings index)
     "incremental_view_bm25_topk",
+    "bm25_store_search_topk",
 ]
 
 

@@ -70,7 +70,12 @@ def read_pruned(
 
 
 def remove_by_column(
-    snapshot_store, ids: DataFrame, col: str, *, empty_msg: str
+    snapshot_store,
+    ids: DataFrame,
+    col: str,
+    *,
+    empty_msg: str,
+    meta: dict | None = None,
 ) -> int:
     """Anti-join overwrite dropping every row whose ``col`` is in the
     one-column ``ids`` DataFrame — the shared slow path that makes
@@ -96,7 +101,12 @@ def remove_by_column(
     # expected_base: a commit that landed since the read raises instead
     # of being silently deleted by this rewrite (lost-update guard,
     # same rule as merge's migration path / rebucket / IVF seed).
-    return snapshot_store.overwrite(kept, expected_base=base)
+    # ``meta``: callers whose sidecar state must move WITH the removal
+    # (e.g. the BM25 store's turnstile corpus stats) pass the adjusted
+    # payload so it publishes in the same pointer swap; None carries
+    # the current meta forward unchanged (the default every existing
+    # caller relies on).
+    return snapshot_store.overwrite(kept, meta=meta, expected_base=base)
 
 
 class TombstoneStore:

@@ -95,6 +95,11 @@ _PRIORITY = [
     # turnstile corpus normalizer, top-k served from state, oracle =
     # from-scratch recompute over the post-state corpus.
     "incremental_view_bm25_topk",
+    # ... and its OPEN-VOCABULARY dual: the persisted term-bucketed
+    # postings index (inverted-index shard layout; arbitrary queries
+    # read |terms| buckets; tombstone deletions adjust the turnstile
+    # normalizer via the doc-keyed length sidecar in O(removal)).
+    "bm25_store_search_topk",
     # Rotated into the prefix for r14 (plans changed, mechanical rule):
     # dedup_simhash — single-int band key (band<<16 | value) self-join;
     # similarity_ivf_topk / ann_recall_at_k — assign_cells' n_keep=1

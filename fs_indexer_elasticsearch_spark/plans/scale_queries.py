@@ -4171,3 +4171,70 @@ def incremental_view_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms=list(_BM25_TERMS),
     )
     return bm25_topk(postings, stats, k=20)
+
+
+@query(
+    "bm25_store_search_topk",
+    oracle=ORACLES["incremental_view_bm25_topk"],
+)
+def bm25_store_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPEN-VOCABULARY persisted BM25 index
+    (operators/incremental_bm25.Bm25IndexStore): postings for EVERY
+    term live in a term-bucketed SnapshotStore (the inverted-index
+    shard layout — an arbitrary query reads only its terms' buckets),
+    with a doc-keyed length sidecar for O(removal) deletion
+    accounting and the (n_docs, sum_dl) normalizer riding the version
+    meta as turnstile sums. This is the ES-replacement regime (the
+    reference delegates relevance to Elasticsearch's inverted index);
+    the maintained-view twin (incremental_view_bm25_topk) is the
+    known-query regime — both serve the SAME window through the SAME
+    oracle: seed = base docs, adds = the %10==3 inserts, updates =
+    eager remove + re-add of the %10==7 docs (the mutation contract —
+    old postings must physically leave buckets the new text won't
+    hash to), deletes = the %10==5 docs via the TOMBSTONE path
+    (O(removal): log + pruned sidecar lookup, stats subtract exactly,
+    physical GC deferred to compaction). 100 TB: adds are
+    bucket-pruned merges O(batch tokens); a query reads |terms|
+    buckets; state is O(corpus tokens) — the price of serving any
+    query, which is why both regimes exist."""
+    import hashlib
+    import os
+
+    from ..operators.incremental_bm25 import Bm25IndexStore
+    from .llm_pipeline2 import _BM25_TERMS
+
+    docs = load(spark, sf_dir, "documents")
+    fp = _dataset_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|bm25idx|nb16|hardlink|v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark-graft-bm25idx-{tag}"
+    base = docs.filter(
+        (F.col("doc_id") % 10 != 3) & (F.col("doc_id") % 10 != 7)
+    )
+    upd_pre = docs.filter(F.col("doc_id") % 10 == 7)
+    changed = docs.filter((F.col("doc_id") % 10).isin(3, 7)).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" spark join window shift")).alias(
+            "text"
+        ),
+    )
+    removed = docs.filter(F.col("doc_id") % 10 == 5).select("doc_id")
+    with _store_lock(path):
+        store = Bm25IndexStore(spark, path, num_buckets=16)
+        if store.store.current_version() is None:
+            # Seed INCLUDES the %10==7 docs' pre-images so the update
+            # path is a genuine remove + re-add, not a fresh insert.
+            store.seed(
+                base.select("doc_id", "text").unionByName(
+                    upd_pre.select("doc_id", "text")
+                ),
+                "doc_id",
+                "text",
+            )
+            store.remove_docs(
+                upd_pre.select("doc_id"), mode="eager"
+            )  # mutation contract
+            store.add(changed, "doc_id", "text", seq=1)
+            store.remove_docs(removed, mode="tombstone")
+    return store.search(list(_BM25_TERMS), k=20)

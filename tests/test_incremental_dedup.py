@@ -435,3 +435,80 @@ def test_two_writer_band_store_cycle_lands_both_batches_exactly_once(
         for d, v in by_doc.items()
         if d not in expected_seq
     )
+
+
+def test_bm25_index_store_lifecycle(spark, tmp_path):
+    """Open-vocabulary BM25 index store (r14): seed / pruned add /
+    replayed add (rows idempotent, turnstile stats untouched) / eager
+    removal (mutation path) / tombstone removal (O(removal) with the
+    doc-length sidecar adjusting the normalizer) / compaction — every
+    step's search equals a from-scratch score over the surviving
+    corpus, including a second, different query over the same index
+    (the open-vocabulary point)."""
+    import pyspark.sql.functions as F
+
+    from fs_indexer_elasticsearch_spark.functions.text import tokens
+    from fs_indexer_elasticsearch_spark.operators.incremental_bm25 import (
+        Bm25IndexStore,
+    )
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        bm25_postings_of,
+        bm25_topk,
+    )
+
+    docs = [
+        (1, "spark join spark window fast"),
+        (2, "window shuffle"),
+        (3, "no relevant terms here"),
+        (4, "join join join spark"),
+        (5, "spark window join window"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    st = Bm25IndexStore(spark, str(tmp_path / "bm25"), num_buckets=8)
+
+    def scratch(cur, terms):
+        postings = bm25_postings_of(cur, "doc_id", "text", terms)
+        stats = cur.select(tokens(F.col("text")).alias("tk")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size("tk")), F.lit(0))
+            .cast("long")
+            .alias("sum_dl"),
+        )
+        return [
+            (r.doc_id, r.bm25)
+            for r in bm25_topk(postings, stats, k=5).collect()
+        ]
+
+    def served(terms):
+        return [(r.doc_id, r.bm25) for r in st.search(terms, k=5).collect()]
+
+    Q = ["spark", "join", "window"]
+    st.seed(df.filter(F.col("doc_id") <= 3), "doc_id", "text")
+    st.add(df.filter(F.col("doc_id") == 4), "doc_id", "text", seq=1)
+    st.add(df.filter(F.col("doc_id") == 5), "doc_id", "text", seq=2)
+    assert served(Q) == scratch(df, Q)
+
+    # replayed add: rows LWW-idempotent, stats watermark holds
+    st.add(df.filter(F.col("doc_id") == 5), "doc_id", "text", seq=2)
+    assert served(Q) == scratch(df, Q)
+
+    st.remove_docs(spark.createDataFrame([(4,)], "doc_id long"), mode="eager")
+    cur = df.filter(F.col("doc_id") != 4)
+    assert served(Q) == scratch(cur, Q)
+
+    st.remove_docs(
+        spark.createDataFrame([(1,)], "doc_id long"), mode="tombstone"
+    )
+    cur = df.filter(~F.col("doc_id").isin(1, 4))
+    assert served(Q) == scratch(cur, Q)
+    # double-remove of a tombstoned id must not double-subtract stats
+    st.remove_docs(
+        spark.createDataFrame([(1,)], "doc_id long"), mode="tombstone"
+    )
+    assert served(Q) == scratch(cur, Q)
+
+    assert st.compact_tombstones() is not None
+    assert served(Q) == scratch(cur, Q)
+
+    # open vocabulary: a different query over the same persisted index
+    assert served(["shuffle", "fast"]) == scratch(cur, ["shuffle", "fast"])

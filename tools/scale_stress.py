@@ -208,6 +208,10 @@ STRESSED = {
     # corpus; maintenance tokenizes only changed docs, so alpha tracks
     # the feed, not the corpus.
     "incremental_view_bm25_topk": "documents",
+    # r14: open-vocabulary BM25 index — seed is O(corpus tokens) but
+    # the gate fixture replays to pruned reads; the serving read is
+    # |terms| buckets regardless of corpus size.
+    "bm25_store_search_topk": "documents",
     # r13: windowed PCM features — clips, samples and windows all grow
     # k-fold; alpha ~ 1 proves the decode-explode stays clip-local
     # (per-asset lead windows, hash groupBy) with no cross-asset term.
