@@ -1478,3 +1478,64 @@ def streaming_maintained_partition_pipeline(
         .outputMode("update")
         .start()
     )
+
+
+def streaming_bm25_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    bm25_store,
+    matches_dir: str,
+    checkpoint_dir: str,
+    *,
+    standing_queries: list[tuple[str, list[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    max_files_per_trigger: int = 10,
+    matches_store=None,
+) -> StreamingQuery:
+    """Streaming retrieval maintenance — the BM25 index's cadence in
+    the one-operator-two-cadences family (bands, shingles, cells, and
+    now postings): every micro-batch of documents is ADDED to the
+    persisted term-bucketed index (bucket-pruned merge, O(batch
+    tokens); the doc-length sidecar and turnstile stats advance with
+    it), then every STANDING QUERY is re-served top-k from the
+    post-epoch index — the continuous-monitoring shape ("alert when a
+    new document enters my query's top-k"), which is an ADD-THEN-SERVE
+    loop where the IVF stream is search-then-add (a query stream vs a
+    standing-query set).
+
+    Replay: adds are row-idempotent (LWW on (term, doc_id)) and the
+    stats fold is seq-watermarked (Bm25IndexStore.add), so a replayed
+    epoch re-lands identical content and re-serves identical scores;
+    with a ``matches_store`` the sink is effectively-once on
+    (query_id, doc_id, epoch). New docs only (the store's
+    append-mostly contract) — a mutating feed routes through
+    remove_docs out of band, exactly like the band store's stream."""
+    if not standing_queries:
+        raise ValueError(
+            "streaming_bm25_pipeline: standing_queries must be non-empty"
+        )
+
+    def match_fn(batch: DataFrame, epoch_id: int) -> DataFrame:
+        bm25_store.add(batch, id_col, text_col, seq=epoch_id + 1)
+        out = None
+        for qid, terms in standing_queries:
+            served = bm25_store.search(list(terms), k=k).select(
+                F.lit(qid).alias("query_id"), "doc_id", "bm25"
+            )
+            out = served if out is None else out.unionByName(served)
+        return out
+
+    return _streaming_match_pipeline(
+        spark,
+        input_dir,
+        schema,
+        matches_dir,
+        checkpoint_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        match_fn=match_fn,
+        key_cols=("query_id", "doc_id", "epoch"),
+        matches_store=matches_store,
+    )

@@ -2997,3 +2997,113 @@ def test_streaming_maintained_bm25(spark, tmp_path):
         assert served() == scratch()
     finally:
         q.stop()
+
+
+def test_streaming_bm25_standing_queries(spark, tmp_path):
+    """Streaming cadence of the open-vocabulary BM25 index (r14):
+    each micro-batch is ADDED to the term-bucketed postings store,
+    then every standing query is re-served top-k from the post-epoch
+    index — per epoch the served scores equal a from-scratch BM25
+    over the corpus-so-far, and the keyed matches sink holds exactly
+    one row per (query, doc, epoch)."""
+    from fs_indexer_elasticsearch_spark.functions.text import tokens
+    from fs_indexer_elasticsearch_spark.operators.incremental_bm25 import (
+        Bm25IndexStore,
+    )
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        bm25_postings_of,
+        bm25_topk,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_bm25_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    st = Bm25IndexStore(spark, str(tmp_path / "bm25"), num_buckets=8)
+    st.seed(
+        spark.createDataFrame(
+            [(1, "spark join spark window"), (2, "window shuffle")], schema
+        ),
+        "doc_id",
+        "text",
+    )
+    matches_store = SnapshotStore(
+        spark,
+        str(tmp_path / "matches"),
+        key="pair",
+        version_col="epoch",
+        num_buckets=4,
+    )
+    QUERIES = [("q_sj", ["spark", "join"]), ("q_w", ["window"])]
+    seen: list[tuple] = []
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def scratch(corpus_rows, terms):
+        cur = spark.createDataFrame(corpus_rows, schema)
+        postings = bm25_postings_of(cur, "doc_id", "text", terms)
+        stats = cur.select(tokens(F.col("text")).alias("tk")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size("tk")), F.lit(0))
+            .cast("long")
+            .alias("sum_dl"),
+        )
+        return {
+            (r.doc_id, r.bm25)
+            for r in bm25_topk(postings, stats, k=3).collect()
+        }
+
+    corpus = [(1, "spark join spark window"), (2, "window shuffle")]
+    drop("b1", [(3, "join join spark")])
+    q = streaming_bm25_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        st,
+        str(tmp_path / "m-parquet"),
+        str(tmp_path / "ckpt"),
+        standing_queries=QUERIES,
+        k=3,
+        matches_store=matches_store,
+    )
+    try:
+        q.processAllAvailable()
+        corpus += [(3, "join join spark")]
+        rows = matches_store.read().collect()
+        latest = max(r.epoch for r in rows)
+        for qid, terms in QUERIES:
+            got = {
+                (r.doc_id, r.bm25)
+                for r in rows
+                if r.query_id == qid and r.epoch == latest
+            }
+            assert got == scratch(corpus, terms), (qid, latest)
+
+        drop("b2", [(4, "window window window"), (5, "spark")])
+        q.processAllAvailable()
+        corpus += [(4, "window window window"), (5, "spark")]
+        rows = matches_store.read().collect()
+        latest = max(r.epoch for r in rows)
+        for qid, terms in QUERIES:
+            got = {
+                (r.doc_id, r.bm25)
+                for r in rows
+                if r.query_id == qid and r.epoch == latest
+            }
+            assert got == scratch(corpus, terms), (qid, latest)
+        # effectively-once: the keyed sink holds exactly one row per
+        # (query, doc, epoch)
+        keys = [(r.query_id, r.doc_id, r.epoch) for r in rows]
+        assert len(keys) == len(set(keys))
+    finally:
+        q.stop()
