@@ -1125,6 +1125,35 @@ class IvfIndexStore:
             empty_msg="IVF index is empty — nothing to remove",
         )
 
+    def vacuum(self, keep: int = 2, **kw) -> list[int]:
+        """Snapshot vacuum PLUS centroid-sidecar GC: the store's
+        vacuum knows nothing about the large regime's
+        ``CENTROIDS_v{n}`` directories, so without this sweep every
+        retired version's sidecar (and every crash orphan's) lingers
+        forever. A sidecar survives iff some RETAINED version's meta
+        still references it — resolved by exact ref, never by
+        guessing version numbers, so sharing (a merge/remove that
+        carried an older version's ref forward) keeps the shared
+        sidecar alive."""
+        import os
+        import re
+        import shutil
+
+        dropped = self.store.vacuum(keep, **kw)
+        live_refs = set()
+        for v in self.store.versions():
+            ref = (self.store.read_meta(v) or {}).get("centroids_ref")
+            if ref:
+                live_refs.add(ref)
+        try:
+            entries = os.listdir(self.path)
+        except OSError:
+            entries = []
+        for name in entries:
+            if re.fullmatch(r"CENTROIDS_v\d+", name) and name not in live_refs:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        return dropped
+
     def search(
         self,
         queries: DataFrame,

@@ -1142,3 +1142,63 @@ def test_large_regime_split_hot_cell(spark, tmp_path):
     assert {r.vec_id for r in live.select("vec_id").collect()} == {
         v for v, _ in hot_rows
     }
+
+
+def test_large_regime_vacuum_gcs_centroid_sidecars(spark, tmp_path):
+    """IvfIndexStore.vacuum sweeps sidecars no retained version's meta
+    references — and never one a retained meta still points at (a
+    merge carries the ref forward, so consecutive versions share one
+    sidecar)."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from fs_indexer_elasticsearch_spark.operators.incremental_ann import (
+        CENTROID_META_MAX,
+        IvfIndexStore,
+    )
+
+    k = CENTROID_META_MAX + 1
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def vec(i):
+        return [float((i * 3 + d) % 11) for d in range(4)]
+
+    cents = spark.createDataFrame([(i, vec(i)) for i in range(k)], schema)
+    corpus = spark.createDataFrame(
+        [(10_000 + i, vec(i)) for i in range(30)], schema
+    )
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=4)
+    store.seed(corpus, cents, "vec_id", "emb")  # v1 + CENTROIDS_v1
+    # re-seed: v2 + CENTROIDS_v2 (v1's sidecar becomes garbage once
+    # v1 is vacuumed)
+    store.seed(corpus, cents, "vec_id", "emb")
+    # two adds carry CENTROIDS_v2's ref forward (shared sidecar)
+    store.add(
+        spark.createDataFrame([(20_000, vec(1))], schema),
+        "vec_id", "emb", seq=1,
+    )
+    store.add(
+        spark.createDataFrame([(20_001, vec(2))], schema),
+        "vec_id", "emb", seq=2,
+    )
+    names = {
+        n for n in os.listdir(str(tmp_path / "ivf"))
+        if n.startswith("CENTROIDS_v")
+    }
+    assert names == {"CENTROIDS_v1", "CENTROIDS_v2"}
+
+    store.vacuum(keep=2)  # retains v3, v4 — both reference CENTROIDS_v2
+    names = {
+        n for n in os.listdir(str(tmp_path / "ivf"))
+        if n.startswith("CENTROIDS_v")
+    }
+    assert names == {"CENTROIDS_v2"}
+    # the shared sidecar still serves
+    assert store.centroids().count() == k
+    assert len(store.search(corpus.limit(3), "vec_id", "emb", k=2).collect()) > 0
