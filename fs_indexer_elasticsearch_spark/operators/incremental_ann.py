@@ -188,9 +188,9 @@ class IvfIndexStore:
         crash story as data/meta files: the pointer never moves until
         everything it references exists, and a crash in between
         leaves an orphan directory no reader ever resolves (meta refs
-        are by exact version). Sidecars of vacuumed versions linger
-        as garbage until an external sweep — the same tradeoff the
-        orphan-data-file story already accepts."""
+        are by exact version). Sidecars of vacuumed versions are
+        swept by :meth:`IvfIndexStore.vacuum`, which keeps any
+        sidecar a RETAINED version's meta still references."""
         import shutil
 
         out = self._sidecar_dir(version)
