@@ -2216,3 +2216,157 @@ def test_dyadic_quantile_serve_wide_fan_one_sided(spark):
             t = math.ceil(q * len(vs))
             exact = sorted(vs)[t - 1]
             assert runs[0][g] <= exact, (q, g, runs[0][g], exact)
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_bm25_model_random_program(spark, tmp_path, seed):
+    """Model-based check for BOTH BM25 regimes (r14): a seeded random
+    program of document upserts + deletions over a small colliding
+    vocabulary drives (a) the maintained-view pair
+    (maintain_bm25 chained on its own previous state) and (b) the
+    persisted term-bucketed Bm25IndexStore (updates as remove+re-add,
+    deletions alternating eager/tombstone), and after every cycle BOTH
+    must serve exactly the from-scratch top-k over the post state.
+    Doc-length churn, term-set churn (a doc losing a query term), and
+    re-inserting a previously deleted id arise from the seed."""
+    import random as _random
+
+    from fs_indexer_elasticsearch_spark.functions.text import tokens
+    from fs_indexer_elasticsearch_spark.operators.incremental_bm25 import (
+        Bm25IndexStore,
+    )
+    from fs_indexer_elasticsearch_spark.operators.ivm import (
+        bm25_postings_of,
+        bm25_topk,
+        maintain_bm25,
+    )
+
+    rng = _random.Random(seed)
+    VOCAB = ["spark", "join", "window", "fast", "slow", "shuffle", "plan"]
+    TERMS = ["spark", "join", "window"]
+    N_DOCS = 14
+
+    def text_of():
+        return " ".join(
+            rng.choice(VOCAB) for _ in range(rng.randint(1, 9))
+        )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "docs"), key="doc_id", version_col="v",
+        num_buckets=4,
+    )
+    idx = Bm25IndexStore(spark, str(tmp_path / "bm25"), num_buckets=4)
+    live: dict[int, str] = {
+        i: text_of() for i in rng.sample(range(N_DOCS), 8)
+    }
+    store.overwrite(
+        spark.createDataFrame(
+            [(i, 1, t) for i, t in live.items()],
+            "doc_id long, v long, text string",
+        )
+    )
+    idx.seed(
+        spark.createDataFrame(
+            list(live.items()), "doc_id long, text string"
+        ),
+        "doc_id",
+        "text",
+    )
+
+    def scratch():
+        cur = spark.createDataFrame(
+            list(live.items()) or [(None, None)],
+            "doc_id long, text string",
+        ).filter(F.col("doc_id").isNotNull())
+        postings = bm25_postings_of(cur, "doc_id", "text", TERMS)
+        stats = cur.select(tokens(F.col("text")).alias("tk")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.size("tk")), F.lit(0))
+            .cast("long")
+            .alias("sum_dl"),
+        )
+        return [
+            (r.doc_id, r.bm25)
+            for r in bm25_topk(postings, stats, k=6).collect()
+        ]
+
+    postings = stats = None
+    seq = 0
+    tombstoned: set[int] = set()
+    for cycle in range(2, 6):
+        # random churn: upserts (insert or mutate) + deletions
+        ups = {
+            i: text_of()
+            for i in rng.sample(range(N_DOCS), rng.randint(1, 4))
+        }
+        removable = [i for i in live if i not in ups]
+        dels = (
+            rng.sample(removable, min(len(removable), rng.randint(0, 2)))
+            if removable
+            else []
+        )
+        # feed the CDF store (maintained-view regime)
+        store.merge(
+            spark.createDataFrame(
+                [(i, cycle, t) for i, t in ups.items()],
+                "doc_id long, v long, text string",
+            ),
+            removed=spark.createDataFrame(
+                [(i,) for i in dels], "doc_id long"
+            )
+            if dels
+            else None,
+        )
+        # feed the index store: mutations remove first (the contract),
+        # deletions alternate modes
+        mutated = [i for i in ups if i in live]
+        if mutated:
+            idx.remove_docs(
+                spark.createDataFrame([(i,) for i in mutated], "doc_id long"),
+                mode="eager",
+            )
+        if dels:
+            use_tomb = bool(cycle % 2)
+            idx.remove_docs(
+                spark.createDataFrame([(i,) for i in dels], "doc_id long"),
+                mode="tombstone" if use_tomb else "eager",
+            )
+            if use_tomb:
+                tombstoned.update(dels)
+        # Re-inserting a tombstoned id: the documented caveat is that
+        # it stays hidden until compaction — so the model compacts
+        # first, exactly what a deployment does before re-ingesting
+        # purged ids.
+        if tombstoned & set(ups):
+            idx.compact_tombstones()
+            tombstoned.clear()
+        seq += 1
+        idx.add(
+            spark.createDataFrame(
+                list(ups.items()), "doc_id long, text string"
+            ),
+            "doc_id",
+            "text",
+            seq=seq,
+        )
+        live.update(ups)
+        for i in dels:
+            live.pop(i, None)
+
+        postings, stats = maintain_bm25(
+            store, cycle - 1, cycle,
+            id_col="doc_id", text_col="text", terms=TERMS,
+            old_postings=postings, old_stats=stats,
+        )
+        postings = postings.localCheckpoint(eager=False)
+        stats = stats.localCheckpoint(eager=False)
+        want = scratch()
+        got_view = [
+            (r.doc_id, r.bm25)
+            for r in bm25_topk(postings, stats, k=6).collect()
+        ]
+        got_store = [
+            (r.doc_id, r.bm25) for r in idx.search(TERMS, k=6).collect()
+        ]
+        assert got_view == want, f"view regime diverged at cycle {cycle}"
+        assert got_store == want, f"store regime diverged at cycle {cycle}"
