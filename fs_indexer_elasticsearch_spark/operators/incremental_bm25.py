@@ -22,19 +22,43 @@ State:
   doc_id — the O(removal) lookup that lets a DELETION adjust the
   corpus normalizer without touching the term-bucketed index (a
   doc-keyed read has no pruned path through a term-bucketed store).
-- corpus stats (n_docs, sum_dl) ride the postings store's version
-  META as TURNSTILE SUMS: adds add, removals subtract exactly. The
-  normalizer covers ALL docs — including docs none of whose terms are
-  ever queried — which per-query state could never maintain.
+- the postings store's version META carries, ATOMICALLY under one
+  pointer swap per commit: the (n_docs, sum_dl) normalizer as
+  TURNSTILE SUMS, the ``stats_seq`` replay watermark, and the
+  ``tombstoned`` id list — logical-removal VISIBILITY and its stats
+  effect publish in the SAME commit, so no crash can separate
+  "hidden from search" from "subtracted from the normalizer" (the
+  flaw a separate tombstone-log store cannot avoid: two stores, two
+  pointers, one window).
+
+Removal semantics: BOTH modes list the removed ids in the meta (the
+visibility + stats commit); ``eager`` additionally drops the postings
+rows physically in that same commit (the mutation path — old rows
+must leave buckets the new text won't hash to), while ``tombstone``
+defers the physical sweep to :meth:`compact_tombstones`. A removed id
+RE-ADDED by :meth:`add` is un-listed in the add's own commit — the
+re-add is immediately visible (no hidden-until-compaction caveat).
+The ``tombstoned`` list is bounded by deletions-since-compaction:
+mass-deletion workloads compact (or re-seed) afterwards, exactly like
+the band/IVF stores' amortized removal story.
+
+Honest residual window (documented, bounded, self-limiting): the dl
+SIDECAR is a second store, so its cleanup is a separate commit. Every
+ordering here is chosen so a crash between commits leaves ids LISTED
+in the meta — which excludes them from any future stats fold (the
+``present`` guard below) — so the normalizer can never double-count
+or double-subtract; the worst a crash leaves is orphan sidecar rows,
+swept by the next compaction.
 
 Contract mirrors the band store: APPEND-MOSTLY corpora take the fast
 path (add = bucket-pruned merge, O(batch)); a MUTATED document goes
-through :meth:`remove_docs` first (eager = deliberate O(index)
-anti-join, tombstone = O(removal) log + pruned dl lookup), then
-re-adds as a normal batch. ``batch_seq`` must be strictly increasing
-per committed add — the stats fold is guarded by a ``stats_seq``
-watermark in the meta so a REPLAYED add (at-least-once feeders)
-upserts its rows idempotently and leaves the stats untouched.
+through :meth:`remove_docs` first, then re-adds as a normal batch.
+``batch_seq`` must be strictly increasing per committed add — the
+stats fold is guarded by the ``stats_seq`` watermark, so a REPLAYED
+add (at-least-once feeders) upserts its rows idempotently and leaves
+the stats AND the tombstone list untouched (a delete that landed
+between the original add and its replay must not be un-hidden by the
+replay).
 
 Reference parity: the reference's Elasticsearch sink delegates
 relevance to ES's own BM25 inverted index
@@ -48,7 +72,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .store_common import TombstoneStore, read_pruned, remove_by_column
+from .store_common import read_pruned
 
 
 class Bm25IndexStore:
@@ -84,16 +108,6 @@ class Bm25IndexStore:
             version_col="batch_seq",
             num_buckets=num_buckets,
             layout=layout,
-        )
-        self.tombstones = TombstoneStore(
-            spark,
-            path,
-            "doc_id",
-            num_buckets=num_buckets,
-            layout=layout,
-            gen_of=lambda: (self.store.read_meta() or {}).get(
-                "tombstone_gen", 0
-            ),
         )
 
     # -- derivation -----------------------------------------------------------
@@ -133,6 +147,15 @@ class Bm25IndexStore:
             raise ValueError("BM25 index is empty — seed() it first")
         return meta
 
+    def _tombstoned_df(self, meta: dict) -> DataFrame | None:
+        ids = meta.get("tombstoned") or []
+        if not ids:
+            return None
+        id_type = meta.get("id_type", "bigint")
+        return self.spark.createDataFrame(
+            [(i,) for i in ids], f"doc_id {id_type}"
+        )
+
     def stats(self) -> DataFrame:
         """The 1-row (n_docs, sum_dl) normalizer from the committed
         meta — no scan."""
@@ -145,26 +168,25 @@ class Bm25IndexStore:
     # -- lifecycle -------------------------------------------------------------
     def seed(self, corpus: DataFrame, id_col: str, text_col: str) -> int:
         """One-time full-corpus build; later cycles are O(delta) adds.
-        The stats and the tombstone-generation bump commit atomically
-        with the rows (meta payload), same crash story as the band
-        store's seed."""
+        The stats commit atomically with the rows (meta payload)."""
         postings, doclens = self._rows(corpus, id_col, text_col, 0)
+        doclens = doclens.localCheckpoint(eager=False)  # agg + write
         agg = doclens.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
         ).first()
-        gen = (self.store.read_meta() or {}).get("tombstone_gen", 0) + 1
+        id_type = corpus.schema[id_col].dataType.simpleString()
         v = self.store.overwrite(
             postings,
             meta={
                 "n_docs": int(agg.n),
                 "sum_dl": int(agg.s),
                 "stats_seq": 0,
-                "tombstone_gen": gen,
+                "tombstoned": [],
+                "id_type": id_type,
             },
         )
         self.dl_store.overwrite(doclens)
-        self.tombstones.clear()  # pure GC; generation already moved on
         return v
 
     def add(
@@ -172,75 +194,86 @@ class Bm25IndexStore:
     ) -> int:
         """O(delta) maintenance: the batch's postings merge into the
         buckets its terms hash to; the doc-length sidecar and the
-        turnstile stats advance with it. NEW DOCS ONLY (append-mostly
-        contract — a mutated doc goes through remove_docs first, or
-        its old postings would strand in buckets the new text's terms
-        don't hash to, exactly the band-store hazard).
+        turnstile stats advance with it, and any batch id currently on
+        the tombstone list is UN-LISTED in the same commit (a re-added
+        doc is immediately visible — remove + add is the mutation
+        flow, not a compaction-gated state). NEW-OR-REMOVED DOCS ONLY
+        (append-mostly contract — a LIVE mutated doc goes through
+        remove_docs first, or its old postings would strand in buckets
+        the new text's terms don't hash to, exactly the band-store
+        hazard).
 
         Replay-idempotent: rows LWW-upsert on (term, doc_id); the
-        stats fold is guarded by the ``stats_seq`` watermark, so a
-        replayed seq re-lands identical rows and leaves
-        (n_docs, sum_dl) untouched."""
+        stats fold AND the tombstone un-listing are guarded by the
+        ``stats_seq`` watermark — a replayed seq re-lands identical
+        rows and must not resurrect an id a NEWER delete listed."""
         meta = dict(self._stats_meta())
         postings, doclens = self._rows(batch, id_col, text_col, seq)
         if int(seq) <= int(meta.get("stats_seq", 0)):
             # Replay of an already-folded batch: rows only.
             return self.store.merge(postings)
-        agg = doclens.localCheckpoint(eager=False).agg(
+        doclens = doclens.localCheckpoint(eager=False)  # agg + write
+        agg = doclens.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
         ).first()
         meta["n_docs"] = int(meta["n_docs"]) + int(agg.n)
         meta["sum_dl"] = int(meta["sum_dl"]) + int(agg.s)
         meta["stats_seq"] = int(seq)
+        listed = set(meta.get("tombstoned") or [])
+        if listed:
+            # Bounded: the batch's ids (collected only when something
+            # is listed at all), intersected driver-side.
+            batch_ids = {
+                r.doc_id for r in doclens.select("doc_id").collect()
+            }
+            if listed & batch_ids:
+                meta["tombstoned"] = sorted(listed - batch_ids, key=str)
         v = self.store.merge(postings, meta=meta)
         self.dl_store.merge(doclens)
         return v
 
     def remove_docs(self, doc_ids: DataFrame, *, mode: str = "eager") -> int:
-        """Drop documents from the index and SUBTRACT them from the
-        turnstile stats (their lengths come from the doc-keyed sidecar
-        — an O(removal) pruned read; the term-bucketed index cannot
-        answer a doc-keyed lookup).
+        """Remove documents: visibility (the meta tombstone list) and
+        the stats subtraction publish in ONE postings-store commit —
+        no crash can hide a doc without un-counting it or vice versa.
 
-        ``eager``: O(index) anti-join overwrite of the postings (the
-        mutation path — old rows must physically leave buckets the new
-        text won't hash to). ``tombstone``: O(removal) — ids land in
-        the removal log, :meth:`search` filters against it, and
-        :meth:`compact_tombstones` folds the log out physically later.
-        Either way the sidecar rows are removed by a pruned merge and
-        the stats adjust in the SAME postings-store commit as the
-        removal's logical effect. A tombstoned id re-added later stays
-        hidden until compaction (same caveat as the IVF store)."""
+        ``eager`` additionally drops the postings rows physically in
+        that same commit (O(index) anti-join — the mutation path).
+        ``tombstone`` is O(removal): the physical sweep is deferred to
+        :meth:`compact_tombstones`, and search filters via the list.
+
+        The removed ids are collected driver-side (bounded by the
+        removal batch — mass deletions should compact or re-seed
+        afterwards, which also caps the meta list's growth). Ids
+        already listed, or absent from the corpus, subtract nothing
+        (the ``present`` guard), so double-removal is a no-op."""
+        from .store_common import remove_by_column
+
         ids = doc_ids.select(
             F.col(doc_ids.columns[0]).alias("doc_id")
         ).localCheckpoint(eager=False)
         meta = dict(self._stats_meta())
+        listed = set(meta.get("tombstoned") or [])
         # O(removal): only the removed ids' buckets of the sidecar.
-        present = (
-            read_pruned(
-                self.dl_store, ids, empty_msg="BM25 index is empty"
-            )
-            .join(ids, "doc_id", "semi")
+        # ``present`` = ids that actually count toward the normalizer:
+        # have a dl row and are not already listed.
+        present = read_pruned(
+            self.dl_store, ids, empty_msg="BM25 index is empty"
+        ).join(ids, "doc_id", "semi")
+        present_rows = present.select("doc_id", "dl").collect()
+        present_rows = [r for r in present_rows if r.doc_id not in listed]
+        meta["n_docs"] = int(meta["n_docs"]) - len(present_rows)
+        meta["sum_dl"] = int(meta["sum_dl"]) - sum(
+            int(r.dl) for r in present_rows
         )
-        present = self.tombstones.apply(present, "doc_id")
-        agg = present.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
-        ).first()
-        meta["n_docs"] = int(meta["n_docs"]) - int(agg.n)
-        meta["sum_dl"] = int(meta["sum_dl"]) - int(agg.s)
+        all_ids = {r.doc_id for r in ids.collect()}
+        meta["tombstoned"] = sorted(listed | all_ids, key=str)
         if mode == "tombstone":
-            self.tombstones.add(ids)
-            # Stats adjustment still publishes through the postings
-            # store's meta (rows untouched — merge of an empty batch
-            # is not supported, so commit the meta via the sidecar
-            # removal + a meta-only carry on the postings store).
+            # Meta-only commit: rows untouched, visibility + stats
+            # move together under one pointer swap.
             v = self.store.merge(
-                self.store.read(version=self.store.current_version())
-                .limit(0)
-                .drop("_bucket"),
-                meta=meta,
+                self.store.read().limit(0).drop("_bucket"), meta=meta
             )
         else:
             v = remove_by_column(
@@ -250,19 +283,35 @@ class Bm25IndexStore:
                 empty_msg="BM25 index is empty — nothing to remove",
                 meta=meta,
             )
-        self.dl_store.merge(
-            self.dl_store.read().limit(0).drop("_bucket"), removed=ids
-        )
         return v
 
     def compact_tombstones(self) -> int | None:
-        """Fold the tombstone log into the postings physically (one
-        amortized O(index) pass), then clear it. Stats were already
-        adjusted at tombstone time — this is purely physical GC."""
-        return self.tombstones.compact_into(
+        """Physically sweep every listed id: sidecar rows first, then
+        postings rows + clear the list in one commit. Stats were
+        adjusted when the ids were listed — this is pure GC. Crash
+        between the two commits leaves the ids still LISTED (search
+        keeps filtering; a re-run re-sweeps idempotently). Returns the
+        new postings version, or None when the list is empty."""
+        from .store_common import remove_by_column
+
+        meta = dict(self._stats_meta())
+        listed = meta.get("tombstoned") or []
+        if not listed:
+            return None
+        id_type = meta.get("id_type", "bigint")
+        ids = self.spark.createDataFrame(
+            [(i,) for i in listed], f"doc_id {id_type}"
+        )
+        self.dl_store.merge(
+            self.dl_store.read().limit(0).drop("_bucket"), removed=ids
+        )
+        meta["tombstoned"] = []
+        return remove_by_column(
             self.store,
+            ids,
             "doc_id",
             empty_msg="BM25 index is empty — nothing to remove",
+            meta=meta,
         )
 
     # -- serving ---------------------------------------------------------------
@@ -277,24 +326,25 @@ class Bm25IndexStore:
         """Top-k BM25 over the persisted index for an ARBITRARY term
         list: read ONLY the buckets the query terms hash into
         (partition/manifest pruning — the inverted-list read), filter
-        to the exact terms, derive df from the pruned slice, score
-        with the shared expressions. Same scores as the batch
+        to the exact terms, drop tombstoned docs (anti-join against
+        the meta list, broadcast), derive df from the pruned slice,
+        score with the shared expressions. Same scores as the batch
         ``bm25_search_topk`` over the equivalent corpus, pinned by the
         oracle gate."""
         from .ivm import bm25_topk
 
+        meta = self._stats_meta()
         probe = self.spark.createDataFrame(
             [(t,) for t in terms], "term string"
         )
-        stored = (
-            read_pruned(
-                self.store,
-                probe,
-                empty_msg="BM25 index is empty — seed() it first",
-            )
-            .filter(F.col("term").isin(*terms))
-        )
-        stored = self.tombstones.apply(stored, "doc_id")
+        stored = read_pruned(
+            self.store,
+            probe,
+            empty_msg="BM25 index is empty — seed() it first",
+        ).filter(F.col("term").isin(*terms))
+        tomb = self._tombstoned_df(meta)
+        if tomb is not None:
+            stored = stored.join(F.broadcast(tomb), "doc_id", "anti")
         return bm25_topk(
             stored.select("doc_id", "dl", "term", "tf"),
             self.stats(),

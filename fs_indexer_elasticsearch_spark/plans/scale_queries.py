@@ -4206,7 +4206,7 @@ def bm25_store_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fp = _dataset_fingerprint(sf_dir, "documents")
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{fp}|bm25idx|nb16|hardlink|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{fp}|bm25idx|nb16|hardlink|v2".encode()
     ).hexdigest()[:12]
     path = f"/tmp/spark-graft-bm25idx-{tag}"
     base = docs.filter(
