@@ -42,6 +42,12 @@ ALLOW_NLJ = {
     "tfidf_top_terms",
     "q08_market_share",
     "q22_idle_customers",
+    # r14: both incremental BM25 regimes score through the same shape
+    # as the batch query — a keyless broadcast of the 1-row
+    # (n_docs, sum_dl) turnstile normalizer onto the postings frame
+    # (O(n·1), the scalar-aggregate NLJ class).
+    "incremental_view_bm25_topk",
+    "bm25_store_search_topk",
     # Brute-force / IVF ANN: the broadcast side is the tiny query-
     # vector set (documented O(n·|Q|) baseline), not a data relation.
     "similarity_bruteforce_topk",
