@@ -199,12 +199,10 @@ _PRIORITY = [
     # HLL sketch dual for insert-only near-unique distinct counts
     # (union == from-scratch; delete-bearing windows refused loudly)
     "incremental_view_histogram",
-    "incremental_view_histogram_chained",
     "ann_ivf_coldmerge_topk",
     "incremental_view_topk",
     "incremental_view_moments",
     "incremental_view_joined_histogram",
-    "incremental_view_hll_distinct",
     # New in r11 — one driver round old: the composed IVM algebras
     # (extremum measures over a joined view, both stores changing),
     # the NULL-group joined view (r10 verdict #4/#5), the combined
@@ -212,12 +210,10 @@ _PRIORITY = [
     # IVF hot-cell split content gate (r10 verdict #6/#7)
     "incremental_view_joined_minmax",
     "incremental_view_joined_nullgroup",
-    "incremental_view_summinmax",
     "ann_ivf_split_topk",
     # New in r10 — one driver round old (changing-dim joined IVM +
     # its chained steady-state form; the mass-delete high-cardinality
     # min/max IVM / SCALE_STRESS probe)
-    "incremental_view_joined_dimchange",
     "incremental_view_joined_chained",
     "incremental_view_minmax_hicard",
     # Changed in r10 — plan fingerprints flipped (PLAN_FINGERPRINTS
@@ -225,7 +221,6 @@ _PRIORITY = [
     # recompute became a broadcast semi-join; frame sampling became a
     # real container demux with new gated columns
     "incremental_view_minmax",
-    "incremental_view_minmax_chained",
     "multimodal_frame_sample",
     # r9 prefix carried forward
     "incremental_view_joined",
@@ -257,6 +252,17 @@ _PRIORITY = [
     # Event-time windows and temporal joins (+ r6 range-frame MA) —
     # window_moving_avg_7d is the family's prefix anchor
     "window_moving_avg_7d",
+    # Displaced below the boundary by the r14 rebalance (the six
+    # r14 prefix entries would otherwise have evicted the window /
+    # tokenization / packing / skew family anchors entirely): five
+    # multi-round driver-green IVM siblings whose families stay
+    # anchored by histogram / joined / minmax / joined_minmax /
+    # cms_topk in the prefix.
+    "incremental_view_histogram_chained",
+    "incremental_view_joined_dimchange",
+    "incremental_view_minmax_chained",
+    "incremental_view_summinmax",
+    "incremental_view_hll_distinct",
     # Displaced to the boundary by the r13 grouped-sketch newcomer:
     # shard_balance_audit (packing family stays anchored by
     # sequence_packing_stats + token_budget_mixture above).

@@ -157,7 +157,19 @@ def test_registry_priority_prefix_covers_llm_layer():
         # rotated window_session_30m, asof_click_before_purchase,
         # merge_upsert_newer_wins, snapshot_diff_changes,
         # rollup_directory_sizes below to admit the four r13
-        # newcomers plus the plan-changed q15_top_suppliers).
+        # newcomers plus the plan-changed q15_top_suppliers; r14
+        # admitted three newcomers + three plan-changed rotations and
+        # rebalanced five multi-round-green IVM siblings below the
+        # boundary — histogram_chained, joined_dimchange,
+        # minmax_chained, summinmax, hll_distinct — so the window /
+        # tokenization / packing / skew anchors stay in the prefix;
+        # their families remain anchored by histogram, joined, minmax,
+        # joined_minmax and cms_topk).
+        "incremental_view_sketch_quantiles_hc",
+        "incremental_view_bm25_topk",
+        "bm25_store_search_topk",
+        "dedup_simhash",
+        "similarity_ivf_topk",
         "multimodal_pcm_windows",
         "multimodal_wav_stats16",
         "incremental_view_quantile_sketch",
@@ -174,16 +186,14 @@ def test_registry_priority_prefix_covers_llm_layer():
         "incremental_view_joined3",
         "multimodal_wav_stats",
         "incremental_view_joined_topk",
-        "incremental_view_histogram", "incremental_view_histogram_chained",
+        "incremental_view_histogram",
         "ann_ivf_coldmerge_topk", "incremental_view_topk",
         "incremental_view_moments", "incremental_view_joined_histogram",
-        "incremental_view_hll_distinct",
         "incremental_view_joined_minmax", "incremental_view_joined_nullgroup",
-        "incremental_view_summinmax", "ann_ivf_split_topk",
-        "incremental_view_joined_dimchange", "incremental_view_joined_chained",
+        "ann_ivf_split_topk",
+        "incremental_view_joined_chained",
         "incremental_view_minmax_hicard",
         "multimodal_frame_sample",
-        "incremental_view_minmax_chained",
         "incremental_view_minmax", "incremental_view_joined",
         "incremental_curation_cycle",
         "dedup_incremental_tombstone",
