@@ -3107,3 +3107,133 @@ def test_streaming_bm25_standing_queries(spark, tmp_path):
         assert len(keys) == len(set(keys))
     finally:
         q.stop()
+
+
+def test_streaming_ivf_maintenance_large_regime_sidecar(spark, tmp_path):
+    """The streaming growth-hint maintenance against a LARGE-REGIME
+    (sidecar-backed) IVF store (r14): k > CENTROID_META_MAX tips the
+    index into the parquet-sidecar representation, and the streaming
+    feeder's hint-triggered maintain_cells must commit the split
+    through the DataFrame centroid-set path — sidecar + O(1) meta
+    updated under the same pinned merge, no vector lost, hot cell
+    bounded — with the cadence effectively off."""
+    import os
+
+    from fs_indexer_elasticsearch_spark.operators.incremental_ann import (
+        CENTROID_META_MAX,
+        IvfIndexStore,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_ivf_pipeline,
+    )
+
+    DIM = 4
+    k = CENTROID_META_MAX + 1
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    # centroid 0 owns the +first-axis direction; all others negative.
+    cents = spark.createDataFrame(
+        [(0, [1000.0, 0.0, 0.0, 0.0])]
+        + [
+            (
+                i,
+                [
+                    -1000.0 - (i % 50),
+                    float((i * 7) % 23),
+                    float((i * 11) % 29),
+                    float((i * 13) % 31),
+                ],
+            )
+            for i in range(1, k)
+        ],
+        vec_schema,
+    )
+
+    def hot_vec(i):
+        return [
+            1000.0,
+            float((i * 3) % 17),
+            float((i * 5) % 19),
+            float((i * 7) % 13),
+        ]
+
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), num_buckets=8)
+    store.seed(
+        spark.createDataFrame([(i, hot_vec(i)) for i in range(4)], vec_schema),
+        cents,
+        "vec_id",
+        "emb",
+    )
+    assert "centroids_ref" in store.store.read_meta()
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    SPLIT = 8
+    q = streaming_ivf_pipeline(
+        spark,
+        str(inp) + "/*",
+        vec_schema,
+        store,
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        k=2,
+        nprobe=2,
+        max_files_per_trigger=1,
+        split_threshold=SPLIT,
+        merge_threshold=0,
+        maintain_every=1000,  # cadence off: only the growth hint
+    )
+    fed = {i for i in range(4)}
+    try:
+        for e in range(3):
+            ids = list(range(100 + e * 10, 108 + e * 10))
+            spark.createDataFrame(
+                [(i, hot_vec(i)) for i in ids], vec_schema
+            ).coalesce(1).write.parquet(str(inp / f"b{e}"))
+            fed |= set(ids)
+            q.processAllAvailable()
+            meta = store.store.read_meta()
+            assert "centroids" not in meta  # regime sticky
+            # live-cell sizes via the sidecar frame (no meta rows)
+            live = F.broadcast(
+                store.centroids().select(F.col("vec_id").alias("cid"))
+            )
+            sizes = (
+                store.store.read()
+                .join(live, "cid", "semi")
+                .groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            assert max(r.n for r in sizes) <= SPLIT + SPLIT // 2, (
+                e,
+                sorted(r.n for r in sizes)[-5:],
+            )
+        # splits actually happened, sidecar followed, meta stayed O(1)
+        meta = store.store.read_meta()
+        assert meta["centroid_count"] > k
+        raw = os.path.getsize(
+            store.store._meta_path(store.store.current_version())
+        )
+        assert raw < 2048
+        # no vector lost across hint-triggered maintenance commits
+        live_ids = {
+            r.vec_id
+            for r in store.store.read()
+            .join(
+                F.broadcast(
+                    store.centroids().select(F.col("vec_id").alias("cid"))
+                ),
+                "cid",
+                "semi",
+            )
+            .select("vec_id")
+            .collect()
+        }
+        assert live_ids == fed
+    finally:
+        q.stop()
