@@ -27,6 +27,7 @@ from . import skew_queries  # noqa: E402,F401
 from . import arrow_surface  # noqa: E402,F401
 from . import domain_queries  # noqa: E402,F401
 from . import curation_pipeline  # noqa: E402,F401
+from . import graph_queries  # noqa: E402,F401
 
 # Assembled below: the 50-query driver prefix. Priority = never-driver-
 # checked first (the newest queries are the least battle-tested), then
@@ -85,6 +86,16 @@ from . import curation_pipeline  # noqa: E402,F401
 # prefix. Five multi-round driver-green queries slide below the
 # boundary by order; every family keeps a prefix anchor.
 _PRIORITY = [
+    # New in r14 (late) — exact per-node triangle participation over
+    # the near-dup graph (clique-vs-hub dedup signal; two keyed
+    # self-joins on the canonical low→high edge list, O(Σ deg²) wedge
+    # rows, nothing quadratic in |V|).
+    "graph_triangle_count",
+    # New in r14 (late) — product-quantization ANN (ADC serving):
+    # deterministic 8x16 codebooks, keyed encode/LUT/serve joins only
+    # (no broadcast-NLJ), recall gated in tests against the float
+    # brute-force ground truth.
+    "quantized_ann_pq_topk",
     # New in r14 — distributed per-stratum quantile serving off the
     # grouped dyadic rank sketch (~1,200 strata; the binary-search
     # descent runs as `levels` chained DataFrame rounds over all

@@ -408,6 +408,200 @@ def quantized_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the ADC serving path
+# ---------------------------------------------------------------------------
+
+# PQ geometry: 64-dim vectors split into m=16 subspaces of 4 dims;
+# each subspace quantized against k=16 codewords -> 16 nibbles
+# (8 bytes) per vector, a 32x compression over float32. Codebooks are
+# DETERMINISTIC (the subvectors of the 16 lowest-vec_id corpus
+# vectors — the "random sample" codebook baseline from the PQ
+# literature) so the whole pipeline is reproducible in ANSI SQL and
+# the driver gate hash-compares encode + shortlist + rerank end to
+# end; a production deployment swaps in k-means-refined codewords
+# without touching the serving algebra (kmeans_cluster_profile holds
+# that machinery).
+_PQ_M, _PQ_DSUB, _PQ_K = 16, 4, 16
+_PQ_SHORTLIST = 50
+
+# 4-dim squared L2 between a subvector and a codeword — sequential
+# left-fold in BOTH engines (list_sum over a fixed-order list /
+# F.aggregate), so the doubles are bit-identical and the argmin code
+# assignment cannot diverge across engines.
+_PQ_D2_SQL = """
+    list_sum(list_transform(range(1, 5),
+             i -> (d.sub[i] - c.cw[i]) * (d.sub[i] - c.cw[i])))
+"""
+
+
+@query(
+    "quantized_ann_pq_topk",
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, s, list_slice(e, {_PQ_DSUB} * s + 1, {_PQ_DSUB} * s + {_PQ_DSUB}) AS sub
+        FROM emb, (SELECT unnest(range(0, {_PQ_M})) AS s)
+    ),
+    cb AS (SELECT vec_id AS j, s, sub AS cw FROM sub WHERE vec_id < {_PQ_K}),
+    asg AS (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        FROM (SELECT d.vec_id, d.s, c.j, {_PQ_D2_SQL} AS d2
+              FROM sub d JOIN cb c ON c.s = d.s)
+    ),
+    codes AS (SELECT vec_id, s, j AS code FROM asg WHERE rn = 1),
+    lut AS (
+        SELECT d.vec_id AS query_id, c.s, c.j, {_PQ_D2_SQL} AS d2
+        FROM sub d JOIN cb c ON c.s = d.s WHERE d.vec_id < 8
+    ),
+    scored AS (
+        SELECT l.query_id, x.vec_id AS neighbor_id,
+               round(sum(l.d2) + 1e-7, 6) AS pq_d2
+        FROM codes x JOIN lut l ON l.s = x.s AND l.j = x.code
+        WHERE x.vec_id <> l.query_id
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY pq_d2, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_PQ_SHORTLIST}
+    ),
+    rerank AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> (q.e[i] - n.e[i]) * (q.e[i] - n.e[i]))) + 1e-7, 6) AS l2_d2
+        FROM short s
+        JOIN emb q ON q.vec_id = s.query_id
+        JOIN emb n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, l2_d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY l2_d2, neighbor_id) AS rn
+        FROM rerank
+    ) WHERE rn <= 3
+    """,
+)
+def quantized_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) and exact re-ranking — the Jégou et al. "Product Quantization
+    for Nearest Neighbor Search" serving shape and the memory-bound
+    scale path for 100 TB ANN: each 64-dim float vector compresses to
+    16 codes of 4 bits (32× smaller than float32), a query scores every
+    candidate by summing 16 PRECOMPUTED query-to-codeword distances
+    (never touching the original vectors), keeps a 50-deep shortlist,
+    and re-ranks ONLY the shortlist with exact float L2 — the standard
+    coarse-then-exact cascade, so the big scan is over 8-byte codes and
+    the float vectors are fetched for 50/N of the corpus.
+
+    Distributed shape — every step is a keyed equi-join, nothing
+    quadratic and no broadcast-NLJ: (1) encode = subvector frame
+    (N·m rows) equi-joined on subspace id against the broadcast
+    codebook (m·k = 256 rows), argmin per (vector, subspace);
+    (2) query LUT = the same join restricted to the 8 query vectors;
+    (3) ADC = codes equi-joined to the LUT on (subspace, code) + hash-
+    aggregate sum per (query, candidate); (4) rerank = the shortlist
+    equi-joined back to the vector table on the candidate id. Recall
+    is measured, not assumed: tests/test_llm_pipeline5.py gates
+    recall@3 against float brute-force ground truth (uniform-random
+    synthetic embeddings are PQ's worst case — no manifold structure,
+    concentrated distances — so the floor reflects that regime; real
+    embedding corpora sit far above it).
+
+    Engine stability: subspace distances are sequential left-folds in
+    both engines (bit-identical doubles), so code assignments cannot
+    diverge; the 16-term ADC sum is the only unordered float reduction
+    and stable_round flattens its ulp-level association drift before
+    the shortlist cut and the hash.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+        F.col("e"),
+    ).select(
+        "vec_id",
+        "s",
+        F.slice("e", F.col("s") * _PQ_DSUB + 1, _PQ_DSUB).alias("sub"),
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("j"), "s", F.col("sub").alias("cw")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # Encode: argmin codeword per (vector, subspace). min over
+    # struct(d2, j) = smallest distance, ties to the smallest code id —
+    # the same total order as the oracle's ORDER BY d2, j.
+    codes = (
+        sub.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", d2.alias("d2"), "j")
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "j")).alias("best"))
+        .select("vec_id", "s", F.col("best.j").alias("code"))
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < 8)
+        .join(F.broadcast(cb), "s")
+        .select(F.col("vec_id").alias("query_id"), "s", "j", d2.alias("d2"))
+    )
+    x = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("s").alias("xs"),
+        F.col("code"),
+    )
+    scored = (
+        x.join(
+            F.broadcast(lut),
+            (F.col("xs") == F.col("s")) & (F.col("code") == F.col("j")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(stable_round(F.sum("d2"), 6).alias("pq_d2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("pq_d2", "neighbor_id")
+    short = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    exact_d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ne"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rerank = (
+        short.join(
+            F.broadcast(
+                emb.filter(F.col("vec_id") < 8).select(
+                    F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+                )
+            ),
+            "query_id",
+        )
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("e").alias("ne")),
+              "neighbor_id")
+        .select("query_id", "neighbor_id", stable_round(exact_d2, 6).alias("l2_d2"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("l2_d2", "neighbor_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "l2_d2")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash estimator quality, token histogram, dedup cascade
 # ---------------------------------------------------------------------------
 
