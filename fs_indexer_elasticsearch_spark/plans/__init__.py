@@ -28,6 +28,7 @@ from . import arrow_surface  # noqa: E402,F401
 from . import domain_queries  # noqa: E402,F401
 from . import curation_pipeline  # noqa: E402,F401
 from . import graph_queries  # noqa: E402,F401
+from . import layout_queries  # noqa: E402,F401
 
 # Assembled below: the 50-query driver prefix. Priority = never-driver-
 # checked first (the newest queries are the least battle-tested), then
@@ -96,6 +97,11 @@ _PRIORITY = [
     # (no broadcast-NLJ), recall gated in tests against the float
     # brute-force ground truth.
     "quantized_ann_pq_topk",
+    # New in r14 (late) — Z-order clustered layout + zone-map pruned
+    # rectangle scan (the multi-dimensional range complement of the
+    # store's hash-bucket pruning; oracle scans the raw table, tests
+    # assert the pruning ratio and property-check soundness).
+    "zorder_pruned_scan",
     # New in r14 — distributed per-stratum quantile serving off the
     # grouped dyadic rank sketch (~1,200 strata; the binary-search
     # descent runs as `levels` chained DataFrame rounds over all

@@ -1,0 +1,118 @@
+"""Physical-layout queries: Z-order clustering + zone-map pruned scans.
+
+The snapshot store's hash buckets (sinks/snapshot.py) answer KEY
+lookups; ``sinks/zorder.py`` answers the multi-dimensional RANGE scan —
+this module registers the end-to-end proof: events clustered on the
+(time, value) Morton curve, a rectangle predicate served by opening
+only the zone-map-surviving cells, and the DuckDB oracle filtering the
+RAW table directly, so the hash gate proves the entire physical path
+(coordinate mapping → Morton cell write → measured zone map → pruned
+file list → residual filter) is value-invisible. The pruning RATIO
+(the point of the layout) is asserted in tests/test_zorder.py, which
+also property-checks soundness on random rectangles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sinks.zorder import read_zordered, write_zordered, zone_prune  # noqa: F401
+from ..tables import load
+from .registry import query, stable_round
+from .scale_queries import _dataset_fingerprint, _pin, _store_lock
+
+_TS_LO, _TS_HI = "2024-01-10 00:00:00", "2024-01-14 23:59:59.999999"
+_VAL_LO, _VAL_HI = 100.0, 150.0
+
+
+def zordered_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic cached layout per (dataset, layout config) —
+    the same /tmp tag idiom as the index stores: first call pays the
+    one-time clustered write, later calls (bench loops, plan audit,
+    repeated gates) exercise only the pruned read."""
+    fp = _dataset_fingerprint(sf_dir, "events")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fp}|events|zorder-ts-value|b10c64|v1".encode()
+    ).hexdigest()[:12]
+    return f"/tmp/spark-graft-zorder-{tag}"
+
+
+def _ensure_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
+    if os.path.exists(os.path.join(path, "_ZONES.json")):
+        return
+    ev = load(spark, sf_dir, "events")
+    # Cell coordinates: hours since the corpus epoch × unit value
+    # bands. Mapping quality affects only the pruning ratio — the zone
+    # map measures the RAW columns, so soundness is unconditional
+    # (sinks/zorder.py module docstring).
+    hours = (
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))) * 24
+        + F.hour("ts")
+    )
+    write_zordered(
+        ev,
+        path,
+        {"ts": hours, "value": F.floor("value")},
+        bits=10,
+        cells=64,
+    )
+
+
+@query(
+    "zorder_pruned_scan",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value) + 1e-7, 2) AS total_value,
+           min(event_id) AS min_event,
+           max(event_id) AS max_event
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_TS_LO}' AND TIMESTAMP '{_TS_HI}'
+      AND value BETWEEN {_VAL_LO} AND {_VAL_HI}
+    GROUP BY event_type
+    """,
+)
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-predicate scan served by the Z-ordered layout: events
+    clustered on the (hour, value) Morton curve at write time, the
+    (5-day × 50-value) rectangle answered by opening ONLY the cell
+    directories whose measured zone-map [min, max] can intersect it,
+    plus the exact residual filter. The oracle scans the raw table, so
+    a hash match proves pruning dropped no qualifying row and admitted
+    no phantom.
+
+    At 100 TB this is the scan-side complement of bucket pruning: a
+    1%-selectivity rectangle over a Z-clustered table touches O(sqrt)
+    of the curve's cells (measured: 4 of 26 populated cells at sf0.1,
+    4 of 20 at sf0.01; ratio asserted in tests/test_zorder.py)
+    instead of every file a single-column sort
+    would leave the second predicate smeared across; the zone map is
+    O(cells) driver-side JSON, exactly the file-stats skipping
+    contract Delta/Iceberg readers run on min/max manifests."""
+    path = zordered_events_path(spark, sf_dir)
+    with _store_lock(path):
+        _ensure_layout(spark, sf_dir, path)
+        df, _kept, _total = read_zordered(
+            spark,
+            path,
+            {"ts": (_TS_LO, _TS_HI), "value": (_VAL_LO, _VAL_HI)},
+        )
+        if df is None:
+            return spark.createDataFrame(
+                [],
+                "event_type string, n_events long, total_value double, "
+                "min_event long, max_event long",
+            )
+        out = _pin(
+            df.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                stable_round(F.sum("value"), 2).alias("total_value"),
+                F.min("event_id").alias("min_event"),
+                F.max("event_id").alias("max_event"),
+            )
+        )
+    return out

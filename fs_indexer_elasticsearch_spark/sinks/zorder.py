@@ -1,0 +1,186 @@
+"""Z-order clustered layout with zone-map pruned reads.
+
+Hash-bucketed stores (sinks/snapshot.py) serve KEY lookups; this module
+serves the other physical-design axis: MULTI-DIMENSIONAL RANGE scans
+("events between Jan 10 and Jan 15 with value in [100, 150]"). A table
+sorted on one column prunes only that column's predicates; interleaving
+the bits of two columns' cell coordinates (the Z-order / Morton curve —
+the same layout Delta Lake's OPTIMIZE ZORDER BY and many warehouse
+CLUSTER BY implementations use) keeps rows close in BOTH dimensions, so
+a rectangle predicate touches a small set of contiguous curve cells
+instead of every file.
+
+Layout contract:
+
+- ``write_zordered(df, path, dims)`` computes a Morton code from each
+  dimension's integer cell coordinate, derives a coarse cell id from
+  its top bits (``_zb``), writes ``partitionBy("_zb")``, and records a
+  ZONE MAP — per-cell min/max of each RAW dimension column, measured
+  from the data — in ``_ZONES.json`` next to the data.
+- ``read_zordered(spark, path, ranges)`` prunes cells whose recorded
+  [min, max] cannot intersect every range predicate, reads only the
+  surviving cell directories, and applies the exact residual filter.
+
+Soundness is UNCONDITIONAL on the placement function: pruning decisions
+use only the measured per-cell min/max of the raw columns, so a bad
+coordinate mapping (skew, clamping, even a constant) can only degrade
+pruning RATIO, never correctness — the same contract parquet row-group
+stats give inside each file. The Morton interleave is what makes the
+ratio good: at 100 TB with 4096 cells, a 1%-selectivity rectangle
+touches O(sqrt) of the curve instead of every file a 1-D sort would
+leave it smeared across.
+
+Scale notes: the zone map is O(cells) driver-side JSON (bounded by
+construction, like the snapshot store's version meta); the clustered
+write is one repartition-by-cell shuffle; stats ride the same job as
+an O(cells) aggregate. Readers never list non-surviving directories.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+_ZONES = "_ZONES.json"
+
+
+def morton_interleave(x: Column, y: Column, bits: int) -> Column:
+    """Bit-interleave two non-negative integer cell coordinates into a
+    Morton (Z-curve) code: x's bit i lands at 2i, y's at 2i+1. Pure
+    column expression (stays inside whole-stage codegen — no UDF).
+    Coordinates are clamped to [0, 2^bits) first; clamping affects
+    only placement, never pruning soundness (see module docstring)."""
+    cap = F.lit((1 << bits) - 1).cast("long")
+    one = F.lit(1).cast("long")
+    cx = F.least(F.greatest(x.cast("long"), F.lit(0).cast("long")), cap)
+    cy = F.least(F.greatest(y.cast("long"), F.lit(0).cast("long")), cap)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(cx, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(cy, i).bitwiseAND(one), 2 * i + 1))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dims: dict[str, Column],
+    *,
+    bits: int = 10,
+    cells: int = 64,
+) -> dict:
+    """Cluster ``df`` on the Z-curve of two dimensions and write it
+    with a zone map.
+
+    ``dims`` maps exactly two RAW column names to integer cell-
+    coordinate expressions (e.g. ``{"ts": hours_since_base, "value":
+    floor(value)}``). Rows are placed by the top ``log2(cells)`` bits
+    of the Morton code of those coordinates (null coordinates place in
+    cell 0 — their rows match no range predicate, so placement is
+    arbitrary); the zone map records per-cell min/max of the raw
+    columns. Returns the manifest dict."""
+    if len(dims) != 2:
+        raise ValueError("z-order layout takes exactly two dimensions")
+    if cells & (cells - 1):
+        raise ValueError("cells must be a power of two")
+    (cx, ex), (cy, ey) = dims.items()
+    shift = 2 * bits - (cells.bit_length() - 1)
+    zb = F.shiftright(
+        morton_interleave(F.coalesce(ex, F.lit(0)), F.coalesce(ey, F.lit(0)), bits),
+        shift,
+    ).cast("int")
+    clustered = df.withColumn("_zb", zb)
+    clustered.write.mode("overwrite").partitionBy("_zb").parquet(path)
+    # Zone map measured from what was WRITTEN (one O(cells) aggregate):
+    # re-read the committed files so the stats can never drift from the
+    # data under a speculative re-execution of the write job.
+    stats = (
+        df.sparkSession.read.parquet(path)
+        .groupBy("_zb")
+        .agg(
+            F.min(cx).alias("minx"),
+            F.max(cx).alias("maxx"),
+            F.min(cy).alias("miny"),
+            F.max(cy).alias("maxy"),
+        )
+        .collect()
+    )
+
+    def _js(v):
+        # Timestamps serialize with a SPACE separator so the zone map's
+        # lexical comparison lines up with "YYYY-MM-DD HH:MM:SS"
+        # predicate literals (isoformat's default 'T' would not).
+        return v.isoformat(sep=" ") if hasattr(v, "isoformat") else v
+
+    manifest = {
+        "dims": [cx, cy],
+        "cells": {
+            str(r["_zb"]): {
+                cx: [_js(r["minx"]), _js(r["maxx"])],
+                cy: [_js(r["miny"]), _js(r["maxy"])],
+            }
+            for r in stats
+        },
+    }
+    tmp = os.path.join(path, _ZONES + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, _ZONES))
+    return manifest
+
+
+def _lt(a, b) -> bool:
+    """Type-aware less-than for zone bounds: numeric when both sides
+    are numbers, lexical otherwise (timestamps are space-separated
+    zero-padded ISO strings, where lexical == chronological)."""
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return a < b
+    return str(a) < str(b)
+
+
+def zone_prune(manifest: dict, ranges: dict[str, tuple]) -> tuple[list[int], int]:
+    """Which cells can intersect every [lo, hi] predicate (closed
+    interval). Returns (surviving cell ids, total cells). Driver-side
+    over O(cells) JSON."""
+    for col in ranges:
+        if col not in manifest["dims"]:
+            raise KeyError(f"no zone-map dimension {col!r}")
+    keep = []
+    for cell, zones in manifest["cells"].items():
+        ok = True
+        for col, (lo, hi) in ranges.items():
+            mn, mx = zones[col]
+            if mn is None or mx is None:  # all-null cell: no row matches
+                ok = False
+                break
+            if _lt(hi, mn) or _lt(mx, lo):
+                ok = False
+                break
+        if ok:
+            keep.append(int(cell))
+    return sorted(keep), len(manifest["cells"])
+
+
+def read_zordered(
+    spark: SparkSession, path: str, ranges: dict[str, tuple]
+) -> tuple[DataFrame | None, int, int]:
+    """Pruned range read: open ONLY the cell directories the zone map
+    says can match, then apply the exact residual filter (cells are
+    coarse; stats skipping is a superset guarantee, exactly like
+    parquet row-group stats). Returns (df, cells_read, cells_total);
+    df is None when every cell prunes away."""
+    with open(os.path.join(path, _ZONES)) as f:
+        manifest = json.load(f)
+    keep, total = zone_prune(manifest, ranges)
+    if not keep:
+        return None, 0, total
+    paths = [os.path.join(path, f"_zb={c}") for c in keep]
+    df = spark.read.option("basePath", path).parquet(*paths)
+    cond = F.lit(True)
+    for col, (lo, hi) in ranges.items():
+        cond = cond & F.col(col).between(F.lit(lo), F.lit(hi))
+    return df.filter(cond), len(keep), total

@@ -1,0 +1,138 @@
+"""Z-order layout + zone-map pruning (sinks/zorder.py).
+
+The oracle gate proves the registered query's VALUES; this file covers
+what the hash can't see: that pruning actually happens (the point of
+the layout), that it is SOUND on arbitrary rectangles (pruned read ==
+full filter, property-checked), and the Morton code's bit mechanics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fs_indexer_elasticsearch_spark.sinks.zorder import (
+    morton_interleave,
+    read_zordered,
+    write_zordered,
+    zone_prune,
+)
+
+
+def _morton_ref(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_matches_reference(spark):
+    rows = [(x, y) for x in (0, 1, 5, 63) for y in (0, 2, 31, 63)]
+    df = spark.createDataFrame(rows, "x int, y int").select(
+        "x", "y", morton_interleave(F.col("x"), F.col("y"), 6).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == _morton_ref(r.x, r.y, 6), (r.x, r.y)
+
+
+def test_morton_clamps_out_of_range(spark):
+    df = spark.createDataFrame([(-5, 999999)], "x int, y int").select(
+        morton_interleave(F.col("x"), F.col("y"), 6).alias("z")
+    )
+    assert df.collect()[0].z == _morton_ref(0, 63, 6)
+
+
+@pytest.fixture()
+def grid_store(spark, tmp_path):
+    """64x64 integer grid clustered at 16 cells — every (x, y) exists
+    exactly once, so expected rectangle contents are closed-form."""
+    path = str(tmp_path / "zgrid")
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    write_zordered(df, path, {"x": F.col("x"), "y": F.col("y")}, bits=6, cells=16)
+    return path
+
+
+def test_rectangle_prunes_and_is_exact(spark, grid_store):
+    df, kept, total = read_zordered(
+        spark, grid_store, {"x": (8, 15), "y": (16, 23)}
+    )
+    assert total == 16
+    # an 8x8 rectangle = 1/64 of the area; at 16 cells it must fit in
+    # far fewer than all of them (Morton locality, not just stats luck)
+    assert kept <= 4
+    rows = {(r.x, r.y) for r in df.collect()}
+    assert rows == {(x, y) for x in range(8, 16) for y in range(16, 24)}
+
+
+def test_random_rectangles_sound(spark, grid_store):
+    """Soundness property: pruned read == full-scan filter for random
+    rectangles (deterministic seed)."""
+    import random
+
+    rng = random.Random(14)
+    full = spark.read.parquet(grid_store)
+    for _ in range(8):
+        x0, y0 = rng.randrange(64), rng.randrange(64)
+        x1, y1 = rng.randrange(x0, 64), rng.randrange(y0, 64)
+        df, kept, total = read_zordered(
+            spark, grid_store, {"x": (x0, x1), "y": (y0, y1)}
+        )
+        want = {
+            (r.x, r.y)
+            for r in full.filter(
+                F.col("x").between(x0, x1) & F.col("y").between(y0, y1)
+            ).collect()
+        }
+        got = set() if df is None else {(r.x, r.y) for r in df.collect()}
+        assert got == want, (x0, x1, y0, y1, kept, total)
+
+
+def test_empty_rectangle_prunes_everything(spark, grid_store):
+    df, kept, total = read_zordered(spark, grid_store, {"x": (100, 200)})
+    assert df is None and kept == 0 and total == 16
+
+
+def test_unknown_dimension_raises(spark, grid_store):
+    import json
+    import os
+
+    with open(os.path.join(grid_store, "_ZONES.json")) as f:
+        manifest = json.load(f)
+    with pytest.raises(KeyError):
+        zone_prune(manifest, {"nope": (0, 1)})
+
+
+def test_null_coordinates_place_and_never_match(spark, tmp_path):
+    path = str(tmp_path / "znull")
+    df = spark.createDataFrame(
+        [(1, 10, 10), (2, None, 5), (3, None, None)],
+        "payload int, x int, y int",
+    )
+    write_zordered(df, path, {"x": F.col("x"), "y": F.col("y")}, bits=4, cells=4)
+    out, _k, _t = read_zordered(spark, path, {"x": (0, 100), "y": (0, 100)})
+    assert [r.payload for r in out.collect()] == [1]
+
+
+def test_registered_query_prunes_events(spark):
+    """The driver-gated query's layout must actually skip cells at
+    sf0.001 — the ratio claim in its docstring, pinned."""
+    from fs_indexer_elasticsearch_spark.plans.layout_queries import (
+        _ensure_layout,
+        _TS_HI,
+        _TS_LO,
+        _VAL_HI,
+        _VAL_LO,
+        zordered_events_path,
+    )
+
+    path = zordered_events_path(spark, "/root/testdata/sf0.001")
+    _ensure_layout(spark, "/root/testdata/sf0.001", path)
+    df, kept, total = read_zordered(
+        spark, path, {"ts": (_TS_LO, _TS_HI), "value": (_VAL_LO, _VAL_HI)}
+    )
+    assert df is not None
+    assert kept < total / 2, (kept, total)
