@@ -102,6 +102,10 @@ _PRIORITY = [
     # store's hash-bucket pruning; oracle scans the raw table, tests
     # assert the pruning ratio and property-check soundness).
     "zorder_pruned_scan",
+    # ... and its MAINTAINED form: base write + idempotent appended
+    # delta with zone-map widening, same rectangle, oracle = raw-table
+    # recompute.
+    "zorder_incremental_scan",
     # New in r14 — distributed per-stratum quantile serving off the
     # grouped dyadic rank sketch (~1,200 strata; the binary-search
     # descent runs as `levels` chained DataFrame rounds over all

@@ -118,6 +118,9 @@ def write_zordered(
 
     manifest = {
         "dims": [cx, cy],
+        "bits": bits,
+        "cells_cfg": cells,
+        "epochs": [],
         "cells": {
             str(r["_zb"]): {
                 cx: [_js(r["minx"]), _js(r["maxx"])],
@@ -140,6 +143,107 @@ def _lt(a, b) -> bool:
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
         return a < b
     return str(a) < str(b)
+
+
+def append_zordered(
+    df: DataFrame,
+    path: str,
+    dims: dict[str, Column],
+    *,
+    bits: int = 10,
+    cells: int = 64,
+    epoch: str | None = None,
+) -> dict:
+    """Incremental maintenance of a Z-ordered layout: place a DELTA
+    batch on the same curve, append its files to the touched cell
+    directories, and WIDEN the zone map (min-of-mins / max-of-maxs per
+    cell) — the append-then-OPTIMIZE half of the Delta/Iceberg
+    lifecycle, O(batch) work with no rewrite of existing files.
+    Appending can only widen cell bounds, so every previously-sound
+    prune stays sound; the ratio degrades gradually as cells widen and
+    a periodic re-cluster (write_zordered over the union) restores it.
+
+    ``dims``/``bits``/``cells`` must match the layout the store was
+    written with (validated against the manifest). ``epoch`` makes the
+    append IDEMPOTENT for at-least-once callers: a batch id already
+    recorded in the manifest is skipped (same contract as the snapshot
+    store's replay-safe merges). Returns the updated manifest.
+
+    Durability contract (documented, not hidden): data files append
+    BEFORE the manifest swap, so a crash in between leaves a torn
+    batch readable in already-known cells and its epoch unrecorded —
+    a retry then duplicates those rows. Single-writer-under-flock
+    callers (the registered queries) never hit this; a multi-writer
+    deployment should wrap this layer in the snapshot store's
+    versioned-pointer commit (sinks/snapshot.py) instead of raw
+    directories."""
+    mpath = os.path.join(path, _ZONES)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if manifest.get("bits") != bits or manifest.get("cells_cfg") != cells:
+        raise ValueError(
+            f"layout mismatch: store written at bits={manifest.get('bits')} "
+            f"cells={manifest.get('cells_cfg')}, append asked for "
+            f"bits={bits} cells={cells}"
+        )
+    if list(manifest["dims"]) != list(dims):
+        raise ValueError(
+            f"dimension mismatch: store has {manifest['dims']}, "
+            f"append has {list(dims)}"
+        )
+    if epoch is not None and epoch in manifest.get("epochs", []):
+        return manifest
+    (cx, ex), (cy, ey) = dims.items()
+    shift = 2 * bits - (cells.bit_length() - 1)
+    zb = F.shiftright(
+        morton_interleave(F.coalesce(ex, F.lit(0)), F.coalesce(ey, F.lit(0)), bits),
+        shift,
+    ).cast("int")
+    batch = df.withColumn("_zb", zb)
+    stats = (
+        batch.groupBy("_zb")
+        .agg(
+            F.min(cx).alias("minx"),
+            F.max(cx).alias("maxx"),
+            F.min(cy).alias("miny"),
+            F.max(cy).alias("maxy"),
+        )
+        .collect()
+    )
+    batch.write.mode("append").partitionBy("_zb").parquet(path)
+
+    def _js(v):
+        return v.isoformat(sep=" ") if hasattr(v, "isoformat") else v
+
+    def _widen(old, new):
+        if old is None:
+            return new
+        if new is None:
+            return old
+        lo = new[0] if old[0] is None or (new[0] is not None and _lt(new[0], old[0])) else old[0]
+        hi = new[1] if old[1] is None or (new[1] is not None and _lt(old[1], new[1])) else old[1]
+        return [lo, hi]
+
+    for r in stats:
+        cell = str(r["_zb"])
+        fresh = {
+            manifest["dims"][0]: [_js(r["minx"]), _js(r["maxx"])],
+            manifest["dims"][1]: [_js(r["miny"]), _js(r["maxy"])],
+        }
+        if cell in manifest["cells"]:
+            for col in manifest["dims"]:
+                manifest["cells"][cell][col] = _widen(
+                    manifest["cells"][cell][col], fresh[col]
+                )
+        else:
+            manifest["cells"][cell] = fresh
+    if epoch is not None:
+        manifest.setdefault("epochs", []).append(epoch)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+    return manifest
 
 
 def zone_prune(manifest: dict, ranges: dict[str, tuple]) -> tuple[list[int], int]:

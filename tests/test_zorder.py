@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from fs_indexer_elasticsearch_spark.sinks.zorder import (
+    append_zordered,
     morton_interleave,
     read_zordered,
     write_zordered,
@@ -115,6 +116,43 @@ def test_null_coordinates_place_and_never_match(spark, tmp_path):
     write_zordered(df, path, {"x": F.col("x"), "y": F.col("y")}, bits=4, cells=4)
     out, _k, _t = read_zordered(spark, path, {"x": (0, 100), "y": (0, 100)})
     assert [r.payload for r in out.collect()] == [1]
+
+
+def test_append_widens_and_is_idempotent(spark, tmp_path):
+    """Append places new rows on the same curve, widens only the
+    touched cells' bounds, and replaying the same epoch is a no-op."""
+    path = str(tmp_path / "zappend")
+    base = spark.createDataFrame(
+        [(1, 10, 10), (2, 20, 20)], "payload int, x int, y int"
+    )
+    delta = spark.createDataFrame(
+        [(3, 11, 12), (4, 50, 50)], "payload int, x int, y int"
+    )
+    dims = {"x": F.col("x"), "y": F.col("y")}
+    write_zordered(base, path, dims, bits=6, cells=4)
+    m1 = append_zordered(delta, path, dims, bits=6, cells=4, epoch="e1")
+    assert "e1" in m1["epochs"]
+    # replay: same epoch -> no new rows, manifest unchanged
+    m2 = append_zordered(delta, path, dims, bits=6, cells=4, epoch="e1")
+    assert m2 == m1
+    df, _k, _t = read_zordered(spark, path, {"x": (0, 63), "y": (0, 63)})
+    assert sorted(r.payload for r in df.collect()) == [1, 2, 3, 4]
+    # widened bounds stay sound for a rectangle containing only delta rows
+    df2, _k2, _t2 = read_zordered(spark, path, {"x": (40, 60), "y": (40, 60)})
+    assert [r.payload for r in df2.collect()] == [4]
+
+
+def test_append_rejects_layout_mismatch(spark, tmp_path):
+    path = str(tmp_path / "zmismatch")
+    dims = {"x": F.col("x"), "y": F.col("y")}
+    df = spark.createDataFrame([(1, 1, 1)], "payload int, x int, y int")
+    write_zordered(df, path, dims, bits=6, cells=4)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        append_zordered(df, path, dims, bits=8, cells=4)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        append_zordered(
+            df, path, {"y": F.col("y"), "x": F.col("x")}, bits=6, cells=4
+        )
 
 
 def test_registered_query_prunes_events(spark):
