@@ -135,3 +135,51 @@ def range_join(
     if condition is not None:
         out = out.filter(condition)
     return out.drop("_lb", "_rb", "_probe", "_rkey")
+
+
+def maintain_asof_view(
+    old_view: DataFrame,
+    new_left: DataFrame,
+    new_right: DataFrame,
+    touched_keys: DataFrame,
+    *,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Delta-bound maintenance of a materialized AS-OF JOIN view.
+
+    An as-of join partitions BY KEY: a row's match depends only on
+    same-key rows of either side, so a change window invalidates
+    exactly the keys it touches. The maintained view is therefore:
+
+        view' = view ∖ touched  ∪  asof(left'⋉touched, right'⋉touched)
+
+    — untouched keys' rows carry forward VERBATIM (anti-join), touched
+    keys re-run the union-sort-fill as-of over the POST-state slices
+    (semi-joins). Cost is O(view ∖) + O(rows of touched keys), never a
+    full re-join: at 100 TB with a nightly feed touching 0.1% of users,
+    the as-of recompute reads 0.1% of both sides (bucket/partition
+    pruning on the key makes the semi-join a pruned scan when the
+    sides live in a key-bucketed store, sinks/snapshot.py).
+
+    ``touched_keys``: one column named ``by`` — every key present in
+    the change feed (inserts, deletes, and updates of either side;
+    both images for updates, since a moved right row invalidates its
+    OLD key's matches too). Deletes need no special algebra: the
+    touched key's slice is recomputed from post-state, so a vanished
+    right row simply stops matching and an earlier one fills in —
+    the re-match case that makes per-row incremental as-of hard is
+    handled by slice recomputation.
+    """
+    keep = old_view.join(touched_keys, [by], "left_anti")
+    redo = asof_join(
+        new_left.join(touched_keys, [by], "left_semi"),
+        new_right.join(touched_keys, [by], "left_semi"),
+        on=on,
+        by=by,
+        value_cols=value_cols,
+        direction=direction,
+    )
+    return keep.unionByName(redo)

@@ -106,6 +106,10 @@ _PRIORITY = [
     # delta with zone-map widening, same rectangle, oracle = raw-table
     # recompute.
     "zorder_incremental_scan",
+    # New in r14 (late) — maintained as-of join view (delta-bound key
+    # recompute incl. delete-induced re-matching; oracle = DuckDB
+    # native ASOF LEFT JOIN over the post state).
+    "incremental_view_asof",
     # New in r14 — distributed per-stratum quantile serving off the
     # grouped dyadic rank sketch (~1,200 strata; the binary-search
     # descent runs as `levels` chained DataFrame rounds over all

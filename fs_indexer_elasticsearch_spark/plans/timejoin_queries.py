@@ -8,9 +8,27 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.timejoin import asof_join, range_join
+from ..operators.timejoin import asof_join, maintain_asof_view, range_join
 from ..tables import load
 from .registry import query, stable_round
+
+
+def _asof_sides(ev: DataFrame):
+    """Shared shaping for the as-of pair: purchases as the left probe,
+    clicks pre-aggregated per (user, ts) so exact ties are unambiguous
+    in both engines."""
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_event"),
+            F.max("value").alias("click_value"),
+        )
+    )
+    return purchases, clicks
 
 
 @query(
@@ -35,17 +53,7 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF LEFT JOIN. Right side pre-aggregated per (user, ts) so exact
     ties are unambiguous in both engines."""
     ev = load(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(
-            F.max("event_id").alias("click_event"),
-            F.max("value").alias("click_value"),
-        )
-    )
+    purchases, clicks = _asof_sides(ev)
     out = asof_join(
         purchases,
         clicks,
@@ -54,6 +62,77 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["click_event", "click_value"],
     )
     return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("right_click_event").alias("click_event"),
+        stable_round(F.col("right_click_value"), 2).alias("click_value"),
+    )
+
+
+@query(
+    "incremental_view_asof",
+    oracle="""
+    WITH post AS (
+        SELECT * FROM events
+        WHERE event_id % 7 = 0 OR event_id % 11 <> 0
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM post WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, max(event_id) AS click_event, max(value) AS click_value
+        FROM post WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_event AS click_event,
+           round(c.click_value + 1e-7, 2) AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def incremental_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED as-of join view — the temporal-join member of the
+    incremental_view_* family. Yesterday's materialized view (as-of
+    over the base state, event_id % 7 != 0) is updated through one
+    change window carrying both INSERTS (the % 7 == 0 rows) and
+    DELETES (base rows with % 11 == 0) via maintain_asof_view: keys
+    absent from the feed carry forward verbatim (anti-join), touched
+    users' slices re-run the union-sort-fill as-of over post-state
+    semi-joined slices. The oracle recomputes the as-of from scratch
+    over the post state with DuckDB's NATIVE ASOF LEFT JOIN, so the
+    hash gate proves delta-bound maintenance — including the hard
+    case, delete-induced RE-MATCHING to an earlier click — equals the
+    full recompute.
+
+    Touched keys are restricted to feed rows of the two participating
+    event types: a changed 'view'/'error' row cannot alter this view,
+    and at 100 TB that type filter is the difference between
+    recomputing 0.1% of users and recomputing every user that did
+    anything."""
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    base = ev.filter(eid % 7 != 0)
+    inserts = ev.filter(eid % 7 == 0)
+    deletes = base.filter(eid % 11 == 0)
+    post = ev.filter((eid % 7 == 0) | (eid % 11 != 0))
+
+    old_p, old_c = _asof_sides(base)
+    old_view = asof_join(
+        old_p, old_c, on="ts", by="user_id",
+        value_cols=["click_event", "click_value"],
+    )
+    touched = (
+        inserts.unionByName(deletes)
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("user_id")
+        .distinct()
+    )
+    new_p, new_c = _asof_sides(post)
+    view2 = maintain_asof_view(
+        old_view, new_p, new_c, touched,
+        on="ts", by="user_id", value_cols=["click_event", "click_value"],
+    )
+    return view2.select(
         "event_id",
         "user_id",
         "ts",

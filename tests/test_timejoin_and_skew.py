@@ -173,3 +173,85 @@ def test_asof_join_carries_matched_row_atomically(spark):
         early, right, on="t", by="user", value_cols=["ev", "val"]
     ).collect()
     assert g2[0].right_ev is None and g2[0].right_val is None
+
+
+# ---------------------------------------------------------------------------
+# maintain_asof_view (the incremental_view_asof maintainer)
+# ---------------------------------------------------------------------------
+
+
+def _asof_from_scratch(spark, left, right):
+    from fs_indexer_elasticsearch_spark.operators.timejoin import asof_join
+
+    return asof_join(left, right, on="t", by="u", value_cols=["px"])
+
+
+def test_maintain_asof_delete_rematch(spark):
+    """The hard case: deleting the matched right row must RE-MATCH the
+    left row to the next-earlier right row (or NULL), which per-row
+    incremental algebra can't do — slice recomputation must."""
+    from fs_indexer_elasticsearch_spark.operators.timejoin import (
+        asof_join,
+        maintain_asof_view,
+    )
+
+    right0 = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 10, 900.0)], "u long, t long, px double"
+    )
+    left = spark.createDataFrame([(1, 25, "a"), (2, 25, "b")], "u long, t long, tag string")
+    view0 = asof_join(left, right0, on="t", by="u", value_cols=["px"])
+    assert {(r.u, r.right_px) for r in view0.collect()} == {(1, 200.0), (2, 900.0)}
+
+    # delete user 1's t=20 row -> its left row must fall back to t=10
+    right1 = right0.filter(~((F.col("u") == 1) & (F.col("t") == 20)))
+    touched = spark.createDataFrame([(1,)], "u long")
+    view1 = maintain_asof_view(
+        view0, left, right1, touched, on="t", by="u", value_cols=["px"]
+    )
+    got = {(r.u, r.right_px) for r in view1.collect()}
+    assert got == {(1, 100.0), (2, 900.0)}
+    # untouched user 2's row carried forward verbatim (not recomputed)
+    assert view1.filter(F.col("u") == 2).count() == 1
+
+
+def test_maintain_asof_equals_full_recompute_random_masks(spark):
+    """Property: for several insert/delete masks, maintained view ==
+    from-scratch as-of over the post state (row-level comparison)."""
+    import random
+
+    from fs_indexer_elasticsearch_spark.operators.timejoin import maintain_asof_view
+
+    rng = random.Random(7)
+    rows_l = [(rng.randrange(6), i, f"l{i}") for i in range(60)]
+    rows_r = [(rng.randrange(6), rng.randrange(100), float(i)) for i in range(80)]
+    left_all = spark.createDataFrame(rows_l, "u long, t long, tag string")
+    right_all = (
+        spark.createDataFrame(rows_r, "u long, t long, px double")
+        .groupBy("u", "t")
+        .agg(F.max("px").alias("px"))
+    )
+    for mod_ins, mod_del in [(3, 4), (5, 2), (2, 7)]:
+        lbase = left_all.filter(F.col("t") % mod_ins != 0)
+        rbase = right_all.filter(F.col("t") % mod_ins != 0)
+        lpost = left_all.filter((F.col("t") % mod_ins == 0) | (F.col("t") % mod_del != 0))
+        rpost = right_all.filter((F.col("t") % mod_ins == 0) | (F.col("t") % mod_del != 0))
+        view0 = _asof_from_scratch(spark, lbase, rbase)
+        # touched = every key in either side's symmetric difference
+        touched = (
+            lbase.select("u").subtract(lpost.select("u"))
+            .union(lpost.select("u"))
+            .union(rbase.select("u"))
+            .union(rpost.select("u"))
+            .distinct()
+        )
+        # (coarse over-approximation is always SOUND; tightness is a
+        # perf concern, exactness is what this asserts)
+        maintained = maintain_asof_view(
+            view0, lpost, rpost, touched, on="t", by="u", value_cols=["px"]
+        )
+        want = sorted(
+            (r.u, r.t, r.tag, r.right_px)
+            for r in _asof_from_scratch(spark, lpost, rpost).collect()
+        )
+        got = sorted((r.u, r.t, r.tag, r.right_px) for r in maintained.collect())
+        assert got == want, (mod_ins, mod_del)
