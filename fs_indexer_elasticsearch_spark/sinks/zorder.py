@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -65,6 +66,25 @@ def morton_interleave(x: Column, y: Column, bits: int) -> Column:
     return z
 
 
+def _curve_cluster(df: DataFrame, ex: Column, ey: Column, bits: int, cells: int):
+    """Shared writer shape: Morton code -> coarse cell id, ONE shuffle
+    that co-locates each cell's rows (so a cell writes one file, not
+    one per upstream task — the compaction property OPTIMIZE relies
+    on), and an intra-partition sort on the full code so parquet
+    row-group min/max stats skip WITHIN a cell too. ``cells`` caps the
+    write parallelism — size it to the cluster (the same knob as the
+    snapshot store's bucket count)."""
+    z = morton_interleave(F.coalesce(ex, F.lit(0)), F.coalesce(ey, F.lit(0)), bits)
+    shift = 2 * bits - (cells.bit_length() - 1)
+    return (
+        df.withColumn("_z", z)
+        .withColumn("_zb", F.shiftright(F.col("_z"), shift).cast("int"))
+        .repartition(cells, "_zb")
+        .sortWithinPartitions("_zb", "_z")
+        .drop("_z")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -88,12 +108,7 @@ def write_zordered(
     if cells & (cells - 1):
         raise ValueError("cells must be a power of two")
     (cx, ex), (cy, ey) = dims.items()
-    shift = 2 * bits - (cells.bit_length() - 1)
-    zb = F.shiftright(
-        morton_interleave(F.coalesce(ex, F.lit(0)), F.coalesce(ey, F.lit(0)), bits),
-        shift,
-    ).cast("int")
-    clustered = df.withColumn("_zb", zb)
+    clustered = _curve_cluster(df, ex, ey, bits, cells)
     clustered.write.mode("overwrite").partitionBy("_zb").parquet(path)
     # Zone map measured from what was WRITTEN (one O(cells) aggregate):
     # re-read the committed files so the stats can never drift from the
@@ -134,6 +149,55 @@ def write_zordered(
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(path, _ZONES))
     return manifest
+
+
+def optimize_zordered(
+    spark: SparkSession,
+    path: str,
+    dims: dict[str, Column],
+    *,
+    bits: int | None = None,
+    cells: int | None = None,
+) -> dict:
+    """Re-cluster the layout — the OPTIMIZE half of the
+    append/OPTIMIZE lifecycle. Because placement is curve-stable and
+    the zone map is cell-granular, in-range appends do NOT widen
+    bounds (only clamped outliers and null coordinates can, landing in
+    edge cells); what appends DO degrade is the physical file layout —
+    each batch leaves one more small file per touched cell, and the
+    cell count chosen for last year's table under-partitions this
+    year's. OPTIMIZE rewrites once to (a) compact each cell's file
+    pile and (b) optionally re-grid at a finer ``cells`` granularity
+    (the rebucket analog — finer cells = tighter bounds = better
+    pruning ratio), then resets the epoch ledger (appended batches are
+    now base). Layout config is read from the manifest unless
+    overridden.
+
+    O(table) rewrite by construction — run it at compaction cadence,
+    not per batch. The rewrite stages into ``<path>.compact`` and
+    atomically renames over the old directory, so readers holding the
+    old manifest keep a consistent (stale) view and a crash leaves
+    the original layout untouched."""
+    mpath = os.path.join(path, _ZONES)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if list(manifest["dims"]) != list(dims):
+        raise ValueError(
+            f"dimension mismatch: store has {manifest['dims']}, "
+            f"optimize has {list(dims)}"
+        )
+    bits = manifest["bits"] if bits is None else bits
+    cells = manifest["cells_cfg"] if cells is None else cells
+    df = spark.read.parquet(path).drop("_zb")
+    staging = path.rstrip("/") + ".compact"
+    new_manifest = write_zordered(df, staging, dims, bits=bits, cells=cells)
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return new_manifest
 
 
 def _lt(a, b) -> bool:
@@ -194,12 +258,7 @@ def append_zordered(
     if epoch is not None and epoch in manifest.get("epochs", []):
         return manifest
     (cx, ex), (cy, ey) = dims.items()
-    shift = 2 * bits - (cells.bit_length() - 1)
-    zb = F.shiftright(
-        morton_interleave(F.coalesce(ex, F.lit(0)), F.coalesce(ey, F.lit(0)), bits),
-        shift,
-    ).cast("int")
-    batch = df.withColumn("_zb", zb)
+    batch = _curve_cluster(df, ex, ey, bits, cells)
     stats = (
         batch.groupBy("_zb")
         .agg(

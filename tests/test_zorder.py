@@ -174,3 +174,47 @@ def test_registered_query_prunes_events(spark):
     )
     assert df is not None
     assert kept < total / 2, (kept, total)
+
+
+def test_optimize_compacts_and_regrids(spark, tmp_path):
+    """OPTIMIZE after appends: rows identical, epoch ledger reset,
+    finer cells improve the pruning ratio, per-cell file piles
+    compacted."""
+    import glob
+    import json
+    import os
+
+    from fs_indexer_elasticsearch_spark.sinks.zorder import optimize_zordered
+
+    path = str(tmp_path / "zopt")
+    dims = {"x": F.col("x"), "y": F.col("y")}
+    full = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    write_zordered(full.filter("payload % 3 = 0"), path, dims, bits=6, cells=4)
+    append_zordered(full.filter("payload % 3 = 1"), path, dims, bits=6, cells=4, epoch="e1")
+    append_zordered(full.filter("payload % 3 = 2"), path, dims, bits=6, cells=4, epoch="e2")
+    rect = {"x": (8, 15), "y": (16, 23)}
+    df0, kept0, total0 = read_zordered(spark, path, rect)
+    want = sorted(r.payload for r in df0.collect())
+    files_before = len(glob.glob(os.path.join(path, "_zb=*", "*.parquet")))
+
+    optimize_zordered(spark, path, dims, cells=16)
+
+    with open(os.path.join(path, "_ZONES.json")) as f:
+        m = json.load(f)
+    assert m["cells_cfg"] == 16 and m["epochs"] == []
+    df1, kept1, total1 = read_zordered(spark, path, rect)
+    assert sorted(r.payload for r in df1.collect()) == want
+    # finer grid -> strictly more total cells, and the rectangle's
+    # touched fraction must not grow
+    assert total1 > total0
+    assert kept1 / total1 <= kept0 / total0
+    # compaction: base + 2 appends leave ~3 files per cell; optimize
+    # leaves one (compare per-cell — the regrid changed the cell count)
+    files_after = len(glob.glob(os.path.join(path, "_zb=*", "*.parquet")))
+    cells_after = len(glob.glob(os.path.join(path, "_zb=*")))
+    assert files_before / total0 >= 3
+    assert files_after / cells_after == 1
