@@ -3237,3 +3237,126 @@ def test_streaming_ivf_maintenance_large_regime_sidecar(spark, tmp_path):
         assert live_ids == fed
     finally:
         q.stop()
+
+
+def test_streaming_maintained_pipeline_asof_view(spark, tmp_path):
+    """The AS-OF algebra on the generic maintained-view skeleton — the
+    streaming twin of incremental_view_asof: each micro-batch merges
+    into the base events store, then the materialized as-of view
+    (purchase -> most recent same-user click at-or-before) advances
+    via maintain_asof_view's touched-key slice recompute. Every cycle
+    must equal a from-scratch as-of over the post state, including the
+    re-match cycle where an UPDATE moves the matched click earlier in
+    time (pre- and post-image users both count as touched)."""
+    from fs_indexer_elasticsearch_spark.operators.timejoin import (
+        asof_join,
+        maintain_asof_view,
+    )
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("u", T.LongType()),
+            T.StructField("t", T.LongType()),
+            T.StructField("typ", T.StringType()),
+            T.StructField("px", T.DoubleType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="id", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key="id", version_col="t", num_buckets=2
+    )
+
+    def sides(state):
+        left = state.filter(F.col("typ") == "p").select("id", "u", "t")
+        right = (
+            state.filter(F.col("typ") == "c")
+            .groupBy("u", "t")
+            .agg(F.max("px").alias("px"))
+        )
+        return left, right
+
+    def derive(v_after):
+        left, right = sides(store.read(version=v_after))
+        return asof_join(left, right, on="t", by="u", value_cols=["px"])
+
+    def maintain(reflected, v_after, old_view):
+        feed = store.read_changes(reflected, v_after, update_images="both")
+        touched = feed.select("u").distinct()
+        left, right = sides(store.read(version=v_after))
+        return maintain_asof_view(
+            old_view, left, right, touched, on="t", by="u", value_cols=["px"]
+        )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def view_now():
+        return {r.id: r.right_px for r in view_store.read().collect()}
+
+    def scratch():
+        left, right = sides(store.read())
+        return {
+            r.id: r.right_px
+            for r in asof_join(
+                left, right, on="t", by="u", value_cols=["px"]
+            ).collect()
+        }
+
+    drop(
+        "b1",
+        [
+            ("p1", 1, 1, 25, "p", None),
+            ("c1", 1, 1, 10, "c", 100.0),
+            ("c2", 1, 1, 20, "c", 200.0),
+            ("p2", 1, 2, 25, "p", None),
+            ("c3", 1, 2, 10, "c", 900.0),
+        ],
+    )
+    q = streaming_maintained_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        store,
+        view_store,
+        str(tmp_path / "ckpt"),
+        derive=derive,
+        maintain=maintain,
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == {"p1": 200.0, "p2": 900.0}
+        assert view_now() == scratch()
+
+        # insert-only: a later click for u1 re-matches p1; p2 (user 2,
+        # untouched) carries forward through the anti-join verbatim
+        drop("b2", [("c4", 1, 1, 22, "c", 150.0)])
+        q.processAllAvailable()
+        assert view_now() == {"p1": 150.0, "p2": 900.0}
+        assert view_now() == scratch()
+
+        # re-match via UPDATE: c4 moves to t=5 (before c2), so p1 must
+        # fall BACK to c2's 200 — the delete/move re-match case slice
+        # recomputation handles and per-row algebra can't
+        drop("b3", [("c4", 2, 1, 5, "c", 150.0)])
+        q.processAllAvailable()
+        assert view_now() == {"p1": 200.0, "p2": 900.0}
+        assert view_now() == scratch()
+
+        # new purchase for a brand-new user with no clicks: NULL match
+        drop("b4", [("p3", 1, 3, 30, "p", None)])
+        q.processAllAvailable()
+        assert view_now() == {"p1": 200.0, "p2": 900.0, "p3": None}
+        assert view_now() == scratch()
+    finally:
+        q.stop()
