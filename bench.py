@@ -163,6 +163,15 @@ EXTRA = [
     # and its open-vocabulary dual (term-bucketed postings index)
     "incremental_view_bm25_topk",
     "bm25_store_search_topk",
+    # r14 (late): triangle counting on the near-dup graph, PQ ADC +
+    # rerank with its measured recall gate, Z-order layout scans
+    # (one-shot + appended), and the maintained as-of join view
+    "graph_triangle_count",
+    "quantized_ann_pq_topk",
+    "ann_pq_recall",
+    "zorder_pruned_scan",
+    "zorder_incremental_scan",
+    "incremental_view_asof",
 ]
 
 
@@ -423,6 +432,7 @@ def main() -> None:
                 "ann_recall_at_k",
                 "ann_neardup_recall_lsh",
                 "ann_neardup_recall_multiprobe",
+                "ann_pq_recall",
             ):
                 for r in res:
                     ann_recall[r["method"]] = r["recall_at_k"]
@@ -510,6 +520,7 @@ ANN_REGIMES = {
     "ivf": "exact-topk (design regime)",
     "lsh_neardup": "planted near-dup retrieval, 8x8 OR-construction (design regime; pytest floor 0.8)",
     "lsh_multiprobe": "planted near-dup retrieval, 4x10 + 1-bit probes, half the index (floor 0.8)",
+    "pq": "ADC shortlist-50 + exact rerank vs float-L2 truth; uniform-random vectors are PQ's worst case (floor 0.6)",
 }
 
 

@@ -97,6 +97,9 @@ _PRIORITY = [
     # (no broadcast-NLJ), recall gated in tests against the float
     # brute-force ground truth.
     "quantized_ann_pq_topk",
+    # ... and its measured-quality gate (recall@3 vs exact float-L2
+    # truth, the ann_recall_at_k discipline on the quantized path).
+    "ann_pq_recall",
     # New in r14 (late) — Z-order clustered layout + zone-map pruned
     # rectangle scan (the multi-dimensional range complement of the
     # store's hash-bucket pruning; oracle scans the raw table, tests

@@ -601,6 +601,84 @@ def quantized_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_recall_oracle() -> str:
+    """Compose the recall oracle from the PQ oracle ALREADY registered
+    (same string, so the approximate set is definitionally the one the
+    driver verifies) plus an exact float-L2 ground-truth CTE — L2, not
+    cosine, because that's the metric PQ approximates (a cosine truth
+    would confound metric mismatch with quantization loss)."""
+    from .registry import ORACLES
+
+    pq = ORACLES["quantized_ann_pq_topk"]
+    return f"""
+    WITH pq AS (SELECT query_id, neighbor_id FROM ({pq})),
+    emb2 AS (
+        SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+        FROM embeddings
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, 65),
+                            i -> (q.e[i] - n.e[i]) * (q.e[i] - n.e[i]))) AS d2,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform(range(1, 65),
+                                i -> (q.e[i] - n.e[i]) * (q.e[i] - n.e[i]))),
+                                n.vec_id) AS rn
+            FROM emb2 q JOIN emb2 n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        ) WHERE rn <= 3
+    ),
+    tot AS (
+        SELECT count(*) AS n_truth, count(DISTINCT query_id) AS n_queries
+        FROM truth
+    ),
+    h AS (
+        SELECT count(*) AS n_hits FROM truth JOIN pq USING (query_id, neighbor_id)
+    )
+    SELECT 'pq' AS method, CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits::DOUBLE / n_truth + 1e-7, 4) AS recall_at_k
+    FROM h, tot
+    """
+
+
+@query("ann_pq_recall", oracle=_pq_recall_oracle())
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval QUALITY of the PQ ADC + rerank cascade: recall@3
+    against exact float-L2 ground truth on the same 8 queries — the
+    ann_recall_at_k discipline applied to the quantized path, measured
+    in-engine, oracle-gated, and reported by bench.py under
+    `ann_recall`. Ground truth is L2 (the metric PQ approximates);
+    measured ~0.79 on uniform-random vectors — PQ's worst-case regime
+    (tests/test_llm_pipeline5.py gates the 0.6 floor)."""
+    from ..operators.similarity import recall_against
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    truth = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return recall_against(quantized_ann_pq_topk(spark, sf_dir), truth, "pq")
+
+
 # ---------------------------------------------------------------------------
 # MinHash estimator quality, token histogram, dedup cascade
 # ---------------------------------------------------------------------------

@@ -74,6 +74,10 @@ ALLOW_NLJ = {
     # similarity_bruteforce_topk — the broadcast side is the tiny
     # query-vector set (O(n·|Q|)), not a data relation.
     "quantized_ann_int8_topk",
+    # PQ recall gate: the exact-L2 ground truth is the documented
+    # O(n·|Q|) brute-force baseline (8-row broadcast query set); the
+    # PQ side under grade is pure equi-joins.
+    "ann_pq_recall",
     # Nightly incremental curation rollup: keyless joins of four
     # 1-row stage-count aggregates (n_batch/n_quality/n_matched/kept)
     # — O(1), same shape as the cascade summary below; the probe

@@ -221,6 +221,30 @@ STRESSED = {
     # replicates too; alpha ~ 1 proves the map-side screen + confirm
     # join stay shingle-linear with no vocabulary-squared term.
     "decontaminate_bloom": "documents",
+    # r14 (late): exact triangle counting — replica token sets are
+    # pairwise disjoint, so the near-dup graph (and its triangles)
+    # replicates exactly k times with no cross-replica wedges; alpha
+    # ~ 1 proves the two wedge joins stay O(sum deg^2) with per-node
+    # degrees FIXED by construction (a cross-replica candidate term
+    # would bend it).
+    "graph_triangle_count": "documents",
+    # r14 (late): PQ ADC + rerank — codebook (16 lowest vec_ids) and
+    # query set (8) stay FIXED while candidates grow k-fold; alpha ~ 1
+    # proves encode (N*m rows vs the broadcast codebook), the
+    # (subspace, code) ADC join and the 50-deep rerank all stay
+    # candidate-linear.
+    "quantized_ann_pq_topk": "embeddings",
+    # r14 (late): maintained as-of join — users (and so touched keys)
+    # replicate k-fold while per-user event counts stay fixed; alpha
+    # ~ 1 proves the anti/semi slice recompute stays
+    # touched-rows-proportional with no full re-join term.
+    "incremental_view_asof": "events",
+    # r14 (late): zone-map pruned rectangle scan — the layout build
+    # amortizes into iteration 1 (min-of-2 timing); the measured read
+    # grows with the rectangle's matching rows (timestamps replicate
+    # in place, so selectivity is k-invariant); alpha ~ 1 proves the
+    # pruned read stays matching-cells-proportional.
+    "zorder_pruned_scan": "events",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
     "similarity_lsh_ann_topk": "embeddings",
