@@ -92,6 +92,7 @@ def write_zordered(
     *,
     bits: int = 10,
     cells: int = 64,
+    epoch: str | None = None,
 ) -> dict:
     """Cluster ``df`` on the Z-curve of two dimensions and write it
     with a zone map.
@@ -102,7 +103,11 @@ def write_zordered(
     of the Morton code of those coordinates (null coordinates place in
     cell 0 — their rows match no range predicate, so placement is
     arbitrary); the zone map records per-cell min/max of the raw
-    columns. Returns the manifest dict."""
+    columns. ``epoch`` seeds the idempotency ledger — a streaming
+    writer whose FIRST batch seeds the layout records it so a replay
+    of that batch takes append_zordered's no-op path instead of
+    double-appending (the overwrite itself is replay-idempotent).
+    Returns the manifest dict."""
     if len(dims) != 2:
         raise ValueError("z-order layout takes exactly two dimensions")
     if cells & (cells - 1):
@@ -135,7 +140,7 @@ def write_zordered(
         "dims": [cx, cy],
         "bits": bits,
         "cells_cfg": cells,
-        "epochs": [],
+        "epochs": [] if epoch is None else [epoch],
         "cells": {
             str(r["_zb"]): {
                 cx: [_js(r["minx"]), _js(r["maxx"])],

@@ -1539,3 +1539,75 @@ def streaming_bm25_pipeline(
         key_cols=("query_id", "doc_id", "epoch"),
         matches_store=matches_store,
     )
+
+
+def streaming_zorder_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    layout_dir: str,
+    checkpoint_dir: str,
+    *,
+    dims_factory,
+    bits: int = 10,
+    cells: int = 64,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Streaming ingestion INTO the Z-ordered layout: every micro-batch
+    places on the curve and appends O(batch) files with
+    ``sinks/zorder.append_zordered`` (first batch seeds via
+    ``write_zordered``), keeping the zone map current so downstream
+    rectangle scans prune against data that is seconds old — the
+    streaming half of the write/append/OPTIMIZE lifecycle, with
+    OPTIMIZE still a batch-cadence compaction.
+
+    Replay purity rides the layout's OWN epoch ledger: the append is
+    stamped ``epoch=<foreachBatch epoch_id>``, so an at-least-once
+    replay of a committed epoch is a no-op inside append_zordered (the
+    same id-based idempotence contract as the index stores' LWW
+    merges). ``dims_factory()`` returns the dims mapping — a factory
+    because Column expressions are cheap to rebuild per batch and a
+    shared instance would be closure-captured across restarts."""
+    import os
+
+    from ..sinks.zorder import append_zordered, write_zordered
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if not os.path.exists(os.path.join(layout_dir, "_ZONES.json")):
+            # Seed records its own epoch: a replay of the seeding batch
+            # after the manifest committed must take the append path's
+            # no-op branch, not double-append. A crash BEFORE the
+            # manifest commit replays the seed itself (mode=overwrite,
+            # idempotent).
+            write_zordered(
+                batch,
+                layout_dir,
+                dims_factory(),
+                bits=bits,
+                cells=cells,
+                epoch=f"stream-{epoch_id}",
+            )
+            return
+        append_zordered(
+            batch,
+            layout_dir,
+            dims_factory(),
+            bits=bits,
+            cells=cells,
+            epoch=f"stream-{epoch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

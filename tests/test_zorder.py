@@ -218,3 +218,70 @@ def test_optimize_compacts_and_regrids(spark, tmp_path):
     cells_after = len(glob.glob(os.path.join(path, "_zb=*")))
     assert files_before / total0 >= 3
     assert files_after / cells_after == 1
+
+
+def test_streaming_zorder_pipeline(spark, tmp_path):
+    """Micro-batches stream into the Z-layout (first batch seeds with
+    its epoch recorded, later ones append under their epoch ids);
+    after each cycle a pruned rectangle read equals a full filter, and
+    a manual replay of a committed epoch is a no-op."""
+    import pyspark.sql.types as T
+
+    from fs_indexer_elasticsearch_spark.sinks.zorder import append_zordered
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_zorder_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("x", T.IntegerType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("payload", T.IntegerType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    layout = str(tmp_path / "zlive")
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def dims():
+        return {"x": F.col("x"), "y": F.col("y")}
+
+    drop("b1", [(1, 1, 1), (10, 10, 2)])
+    q = streaming_zorder_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        layout,
+        str(tmp_path / "ckpt"),
+        dims_factory=dims,
+        bits=6,
+        cells=4,
+    )
+    try:
+        q.processAllAvailable()
+        df, _k, _t = read_zordered(spark, layout, {"x": (0, 63), "y": (0, 63)})
+        assert sorted(r.payload for r in df.collect()) == [1, 2]
+
+        drop("b2", [(50, 50, 3)])
+        q.processAllAvailable()
+        df, _k, _t = read_zordered(spark, layout, {"x": (40, 60), "y": (40, 60)})
+        assert [r.payload for r in df.collect()] == [3]
+    finally:
+        q.stop()
+
+    # replay purity: re-appending a committed stream epoch is a no-op
+    import json
+    import os
+
+    with open(os.path.join(layout, "_ZONES.json")) as f:
+        epochs = json.load(f)["epochs"]
+    assert any(e.startswith("stream-") for e in epochs)
+    replay = spark.createDataFrame([(50, 50, 3)], schema)
+    append_zordered(replay, layout, dims(), bits=6, cells=4, epoch=epochs[-1])
+    df, _k, _t = read_zordered(spark, layout, {"x": (0, 63), "y": (0, 63)})
+    assert sorted(r.payload for r in df.collect()) == [1, 2, 3]
