@@ -2762,3 +2762,36 @@ def bm25_topk(
         "doc_id", stable_round(F.col("raw"), 4).alias("bm25")
     )
     return rounded.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Keyed-slice view maintenance (the general per-key-recompute combinator)
+# ---------------------------------------------------------------------------
+
+
+def maintain_keyed_slices(
+    old_view: DataFrame,
+    touched_keys: DataFrame,
+    by: str,
+    recompute,
+) -> DataFrame:
+    """THE combinator behind every view that is a pure per-key function
+    of the base state (as-of joins, sessionization, per-user funnels):
+
+        view' = view ∖ touched  ∪  recompute(touched)
+
+    Untouched keys' rows carry forward VERBATIM (anti-join — no
+    recompute, no rescan); touched keys' slices rebuild from post-state
+    via ``recompute(touched_keys) -> DataFrame`` (which should
+    semi-join the base sides down to the touched slice before its real
+    work). Correct for exactly the views where a key's rows depend only
+    on same-key base rows — which is also what makes the hard
+    incremental cases (delete-induced re-matching in as-of, gap-insert
+    session MERGES, delete-induced session SPLITS) fall out for free:
+    the slice is recomputed, not patched. Cost: O(view) anti-join +
+    O(touched rows) recompute; at 100 TB with feeds touching 0.1% of
+    keys, 0.1% of both sides is read (key-bucketed stores prune the
+    semi-join to touched buckets)."""
+    return old_view.join(touched_keys, [by], "left_anti").unionByName(
+        recompute(touched_keys)
+    )

@@ -172,14 +172,20 @@ def maintain_asof_view(
     right row simply stops matching and an earlier one fills in —
     the re-match case that makes per-row incremental as-of hard is
     handled by slice recomputation.
+
+    (An instance of ``operators/ivm.maintain_keyed_slices`` — the
+    general per-key-recompute combinator.)
     """
-    keep = old_view.join(touched_keys, [by], "left_anti")
-    redo = asof_join(
-        new_left.join(touched_keys, [by], "left_semi"),
-        new_right.join(touched_keys, [by], "left_semi"),
-        on=on,
-        by=by,
-        value_cols=value_cols,
-        direction=direction,
-    )
-    return keep.unionByName(redo)
+    from .ivm import maintain_keyed_slices
+
+    def recompute(touched: DataFrame) -> DataFrame:
+        return asof_join(
+            new_left.join(touched, [by], "left_semi"),
+            new_right.join(touched, [by], "left_semi"),
+            on=on,
+            by=by,
+            value_cols=value_cols,
+            direction=direction,
+        )
+
+    return maintain_keyed_slices(old_view, touched_keys, by, recompute)

@@ -113,6 +113,11 @@ _PRIORITY = [
     # recompute incl. delete-induced re-matching; oracle = DuckDB
     # native ASOF LEFT JOIN over the post state).
     "incremental_view_asof",
+    # New in r14 (late) — maintained sessionization on the same keyed-
+    # slice combinator (gap-insert session MERGES and delete SPLITS
+    # fall out of slice recomputation; oracle = from-scratch
+    # lag/cumsum sessionization over the post state).
+    "incremental_view_sessions",
     # New in r14 — distributed per-stratum quantile serving off the
     # grouped dyadic rank sketch (~1,200 strata; the binary-search
     # descent runs as `levels` chained DataFrame rounds over all

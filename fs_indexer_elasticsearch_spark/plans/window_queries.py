@@ -264,3 +264,80 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def _sessionize(ev: DataFrame) -> DataFrame:
+    """Shared session rollup (the window_session_30m shape)."""
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "incremental_view_sessions",
+    oracle="""
+    WITH post AS (
+        SELECT * FROM events
+        WHERE event_id % 7 = 0 OR event_id % 11 <> 0
+    ),
+    marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM post
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value) + 1e-7, 2) AS total_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def incremental_view_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED sessionization — the windowed-analytics member of the
+    incremental_view_* family, on the keyed-slice combinator
+    (operators/ivm.maintain_keyed_slices): sessions are a pure per-user
+    function of the user's events, so a change window invalidates
+    exactly the users it touches; their session sets rebuild from the
+    post state while every other user's sessions carry forward
+    verbatim. Slice recomputation gets the two genuinely hard session
+    mutations for free — an INSERT landing inside a >=30-minute gap
+    MERGES two sessions into one, and a DELETE opening a gap SPLITS a
+    session — which per-row patching of a session table cannot express.
+    The oracle recomputes sessionization from scratch over the post
+    state (the window_session_30m lag/cumsum formulation). At 100 TB:
+    O(view) anti-join + sessionizing only touched users' events."""
+    from ..operators.ivm import maintain_keyed_slices
+
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    base = ev.filter(eid % 7 != 0)
+    post = ev.filter((eid % 7 == 0) | (eid % 11 != 0))
+    inserts = ev.filter(eid % 7 == 0)
+    deletes = base.filter(eid % 11 == 0)
+
+    old_view = _sessionize(base)
+    touched = inserts.unionByName(deletes).select("user_id").distinct()
+    return maintain_keyed_slices(
+        old_view,
+        touched,
+        "user_id",
+        lambda t: _sessionize(post.join(t, ["user_id"], "left_semi")),
+    )

@@ -2370,3 +2370,62 @@ def test_bm25_model_random_program(spark, tmp_path, seed):
         ]
         assert got_view == want, f"view regime diverged at cycle {cycle}"
         assert got_store == want, f"store regime diverged at cycle {cycle}"
+
+
+# ---------------------------------------------------------------------------
+# maintain_keyed_slices (the general per-key-recompute combinator)
+# ---------------------------------------------------------------------------
+
+
+def _sess(df):
+    import pyspark.sql.functions as F
+
+    return (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("u", F.col("w.start").alias("start"), "n")
+    )
+
+
+def test_keyed_slices_session_merge_and_split(spark):
+    """The two session mutations per-row patching can't express:
+    an insert inside a gap MERGES two sessions; a delete that opens a
+    gap SPLITS one. Slice recomputation must produce exactly the
+    from-scratch session set, and untouched users must carry forward
+    without recompute."""
+    import pyspark.sql.functions as F
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import maintain_keyed_slices
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "u long, t long, id long").select(
+            "u", F.timestamp_seconds(F.col("t") * 60).alias("ts"), "id"
+        )
+
+    # user 1: events at minute 0 and 60 -> two sessions (gap 60m)
+    # user 2: one session at minute 0
+    base = ev([(1, 0, 1), (1, 60, 2), (2, 0, 3)])
+    v0 = _sess(base)
+    assert v0.filter("u = 1").count() == 2
+
+    # MERGE: insert at minute 30 bridges the gap -> ONE session
+    post1 = base.unionByName(ev([(1, 30, 4)]))
+    touched = spark.createDataFrame([(1,)], "u long")
+    v1 = maintain_keyed_slices(
+        v0, touched, "u", lambda t: _sess(post1.join(t, ["u"], "left_semi"))
+    )
+    got1 = {(r.u, r.n) for r in v1.collect()}
+    assert got1 == {(1, 3), (2, 1)}
+    scratch1 = {(r.u, r.n) for r in _sess(post1).collect()}
+    assert got1 == scratch1
+
+    # SPLIT: delete the bridge again -> back to two sessions
+    post2 = post1.filter("id <> 4")
+    v2 = maintain_keyed_slices(
+        v1, touched, "u", lambda t: _sess(post2.join(t, ["u"], "left_semi"))
+    )
+    got2 = {(r.u, r.n) for r in v2.collect()}
+    assert got2 == {(1, 1), (2, 1)} or got2 == {(1, 1), (1, 1), (2, 1)}
+    assert v2.filter("u = 1").count() == 2
+    scratch2 = {(r.u, r.start, r.n) for r in _sess(post2).collect()}
+    assert {(r.u, r.start, r.n) for r in v2.collect()} == scratch2
