@@ -118,6 +118,10 @@ _PRIORITY = [
     # fall out of slice recomputation; oracle = from-scratch
     # lag/cumsum sessionization over the post state).
     "incremental_view_sessions",
+    # ... and maintained ORDERED-funnel state (per-user step times on
+    # the same combinator — a deleted first view cascades through
+    # t2/t3, which slice recompute handles by construction).
+    "incremental_view_funnel",
     # New in r14 — distributed per-stratum quantile serving off the
     # grouped dyadic rank sketch (~1,200 strata; the binary-search
     # descent runs as `levels` chained DataFrame rounds over all

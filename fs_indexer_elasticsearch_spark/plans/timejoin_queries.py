@@ -242,3 +242,103 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion"),
         )
     )
+
+
+def _funnel_user_view(ev: DataFrame) -> DataFrame:
+    """Per-user funnel step times: t1 = first view, t2 = first click
+    after t1, t3 = first purchase after t2 (NULL when a step is never
+    reached). One row per user who viewed — the keyed state the global
+    funnel rolls up from."""
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t1", "t2", "t3")
+    )
+
+
+@query(
+    "incremental_view_funnel",
+    oracle="""
+    WITH post AS (
+        SELECT * FROM events
+        WHERE event_id % 7 = 0 OR event_id % 11 <> 0
+    ),
+    v AS (
+        SELECT user_id, min(ts) AS t1 FROM post
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM post e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM post e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked,
+           (SELECT count(*) FROM p) AS n_purchased,
+           round((SELECT count(*) FROM p)::DOUBLE
+                 / (SELECT count(*) FROM v) + 1e-7, 4) AS conversion
+    """,
+)
+def incremental_view_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED ordered-funnel state: the per-user (t1, t2, t3) step
+    table is a pure per-user function of the user's events, so it
+    maintains on the keyed-slice combinator — a changed user's whole
+    funnel row rebuilds from post state (ORDERED steps make per-row
+    patching genuinely wrong: a deleted first view can resurrect a
+    later view as t1 and invalidate t2/t3 downstream; slice recompute
+    handles the cascade by construction), untouched users carry
+    forward verbatim. The global rollup re-aggregates the maintained
+    per-user state — O(users who viewed), never O(events). Oracle =
+    from-scratch funnel over the post state."""
+    from ..operators.ivm import maintain_keyed_slices
+
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    base = ev.filter(eid % 7 != 0)
+    post = ev.filter((eid % 7 == 0) | (eid % 11 != 0))
+    inserts = ev.filter(eid % 7 == 0)
+    deletes = base.filter(eid % 11 == 0)
+
+    old_view = _funnel_user_view(base)
+    touched = (
+        inserts.unionByName(deletes)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id")
+        .distinct()
+    )
+    view2 = maintain_keyed_slices(
+        old_view,
+        touched,
+        "user_id",
+        lambda t: _funnel_user_view(post.join(t, ["user_id"], "left_semi")),
+    )
+    return view2.agg(
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked"),
+        F.count("t3").alias("n_purchased"),
+        stable_round(
+            F.count("t3").cast("double") / F.count("t1"), 4
+        ).alias("conversion"),
+    )
