@@ -92,6 +92,10 @@ _PRIORITY = [
     # self-joins on the canonical low→high edge list, O(Σ deg²) wedge
     # rows, nothing quadratic in |V|).
     "graph_triangle_count",
+    # ... and neighborhood-Jaccard link prediction (the LSH recall
+    # repair: unlinked pairs sharing most of their near-dup
+    # neighborhoods), on the same wedge frame.
+    "graph_link_prediction_jaccard",
     # New in r14 (late) — product-quantization ANN (ADC serving):
     # deterministic 8x16 codebooks, keyed encode/LUT/serve joins only
     # (no broadcast-NLJ), recall gated in tests against the float

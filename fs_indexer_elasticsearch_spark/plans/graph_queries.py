@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import minhash_lsh_pairs
 from .llm_queries import _aug_corpus
-from .registry import ORACLES, query
+from .registry import ORACLES, query, stable_round
 
 
 def _triangle_oracle() -> str:
@@ -70,6 +70,103 @@ def _triangle_oracle() -> str:
     ORDER BY t.n_triangles DESC, t.node
     LIMIT 10
     """
+
+
+def _jaccard_oracle() -> str:
+    pairs = ORACLES["dedup_minhash_lsh"]
+    return f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({pairs})),
+    e AS (
+        SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+        FROM pairs
+    ),
+    sym AS (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ),
+    deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+    common AS (
+        SELECT s1.u AS x, s2.u AS y, CAST(count(*) AS BIGINT) AS n_common
+        FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+        GROUP BY s1.u, s2.u
+    ),
+    direct AS (SELECT a AS x, b AS y, 1 AS linked FROM e)
+    SELECT x, y, n_common,
+           round(n_common::DOUBLE
+                 / (dx.deg + dy.deg - n_common) + 1e-7, 4) AS jaccard
+    FROM common
+    LEFT JOIN direct USING (x, y)
+    JOIN deg dx ON dx.u = x
+    JOIN deg dy ON dy.u = y
+    WHERE linked IS NULL
+    ORDER BY jaccard DESC, x, y
+    LIMIT 10
+    """
+
+
+@query("graph_link_prediction_jaccard", oracle=_jaccard_oracle())
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the near-dup graph: the top-10 UNLINKED
+    node pairs by neighborhood Jaccard (|N(u)∩N(v)| / |N(u)∪N(v)|) —
+    "these two documents share most of their near-duplicates but were
+    never emitted as a candidate pair themselves", the standard
+    second-pass recall repair for LSH's probabilistic misses (a pair
+    whose bands all collided elsewhere still surfaces through shared
+    neighbors).
+
+    Plan: common-neighbor counts are one self-equi-join of the
+    symmetrized edge list on the shared neighbor (the same O(Σ deg²)
+    wedge frame as triangle counting, grouped on the outer pair
+    instead of closed against a third edge), union sizes come from the
+    degree table via inclusion-exclusion, and already-linked pairs
+    drop with one anti-join against the canonical edges. Everything is
+    keyed; nothing is quadratic in |V|."""
+    pairs = minhash_lsh_pairs(
+        _aug_corpus(spark, sf_dir), "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+    )
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    s1 = sym.select(F.col("u").alias("x"), "v")
+    s2 = sym.select(F.col("u").alias("y"), "v")
+    common = (
+        s1.join(s2, "v")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    unlinked = common.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    dx = deg.select(F.col("u").alias("x"), F.col("deg").alias("_dx"))
+    dy = deg.select(F.col("u").alias("y"), F.col("deg").alias("_dy"))
+    return (
+        unlinked.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "n_common",
+            stable_round(
+                F.col("n_common").cast("double")
+                / (F.col("_dx") + F.col("_dy") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "x", "y")
+        .limit(10)
+    )
 
 
 @query("graph_triangle_count", oracle=_triangle_oracle())
