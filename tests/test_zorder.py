@@ -167,11 +167,14 @@ def test_registered_query_prunes_events(spark):
         zordered_events_path,
     )
 
+    from fs_indexer_elasticsearch_spark.plans.scale_queries import _store_lock
+
     path = zordered_events_path(spark, "/root/testdata/sf0.001")
-    _ensure_layout(spark, "/root/testdata/sf0.001", path)
-    df, kept, total = read_zordered(
-        spark, path, {"ts": (_TS_LO, _TS_HI), "value": (_VAL_LO, _VAL_HI)}
-    )
+    with _store_lock(path):
+        _ensure_layout(spark, "/root/testdata/sf0.001", path)
+        df, kept, total = read_zordered(
+            spark, path, {"ts": (_TS_LO, _TS_HI), "value": (_VAL_LO, _VAL_HI)}
+        )
     assert df is not None
     assert kept < total / 2, (kept, total)
 
