@@ -172,6 +172,11 @@ EXTRA = [
     "zorder_pruned_scan",
     "zorder_incremental_scan",
     "incremental_view_asof",
+    # r14 (late): maintained sessionization + ordered funnel on the
+    # keyed-slice combinator, neighborhood-Jaccard link prediction
+    "incremental_view_sessions",
+    "incremental_view_funnel",
+    "graph_link_prediction_jaccard",
 ]
 
 
