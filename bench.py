@@ -177,6 +177,9 @@ EXTRA = [
     "incremental_view_sessions",
     "incremental_view_funnel",
     "graph_link_prediction_jaccard",
+    # r14 (late): IVF-PQ (IVFADC) cascade + its measured recall gate
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
 ]
 
 

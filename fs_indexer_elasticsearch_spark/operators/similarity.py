@@ -309,3 +309,168 @@ def lsh_multiprobe_ann_topk(
         stable_round(cosine("qvec", "nvec"), 6).alias("cos_sim"),
     )
     return _ranked_topk(scored, k)
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook_src: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int = 64,
+    m: int = 16,
+    dsub: int = 4,
+    k: int = 3,
+    nprobe: int = 2,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al.): the composed memory-bound scale
+    path for 100 TB ANN — a coarse inverted-file quantizer prunes the
+    candidate set to ``nprobe`` cells, product quantization compresses
+    each candidate's RESIDUAL (vector − its cell centroid) to ``m``
+    4-bit codes, a query scores candidates by summing ``m`` precomputed
+    residual-LUT entries (asymmetric distance computation — the floats
+    are never touched during the scan), and only a ``shortlist``-deep
+    prefix is re-ranked with exact float L2. vs the flat-PQ serving
+    path (plans/llm_pipeline5.quantized_ann_pq_topk) this adds the two
+    IVFADC ingredients that matter at scale: the scan visits only
+    probed cells (nprobe/C of the corpus instead of all of it), and
+    quantizing residuals instead of raw vectors removes the coarse
+    cell's offset from what PQ must encode, so the same code budget
+    spends on finer detail.
+
+    Distributed shape — keyed equi-joins only, nothing quadratic:
+    coarse assignment is assign_cells' narrow broadcast-argmin pass;
+    residuals are a broadcast join on the centroid id + zip_with
+    projection; encode is the subvector frame equi-joined on subspace
+    id against the broadcast codebook (m·16 rows) with a hash-agg
+    argmin; the LUT is per (query, probed cell) — nprobe·m·16 rows per
+    query, broadcast; ADC is one equi-join on (cell, subspace, code)
+    + hash-agg sum; rerank fetches floats for shortlist/N of the
+    corpus by id. Codebooks here are deterministic (the residual
+    subvectors of the ``codebook_src`` rows — the random-sample
+    baseline from the PQ literature) so the full cascade is
+    reproducible in ANSI SQL for the driver gate; production swaps in
+    k-means-refined codewords without touching the serving algebra.
+
+    Engine stability: subspace distances are sequential folds (bit-
+    identical doubles in Spark and DuckDB), so code assignments cannot
+    diverge; the m-term ADC sum and the final L2 are flattened with
+    stable_round before every rank cut.
+    """
+    cv = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    corpus_cells = assign_cells(
+        corpus, centroids, id_col, vec_col, "neighbor_id", "nvec", 1
+    )
+    sub_d2 = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("cw"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def subframe(df: DataFrame, keep: list[str]) -> DataFrame:
+        # residual subvector frame: one row per (vector, subspace)
+        return df.select(
+            *keep,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col("r"),
+        ).select(*keep, "s", F.slice("r", F.col("s") * dsub + 1, dsub).alias("sub"))
+
+    res = corpus_cells.join(F.broadcast(cv), "cid").select(
+        "neighbor_id",
+        "cid",
+        F.zip_with("nvec", "cv", lambda a, b: a - b).alias("r"),
+    )
+    rsub = subframe(res, ["neighbor_id", "cid"])
+    # Deterministic shared residual codebook: the residual subvectors
+    # of the codebook_src ids, renumbered 0..15 by id rank (dense, so
+    # the code domain is exactly [0, 16) regardless of which ids the
+    # caller sampled).
+    src_ranked = (
+        codebook_src.select(F.col(id_col).alias("_sid"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("_sid")).alias("_ids"))
+        .select(F.posexplode("_ids").alias("j", "_sid"))
+    )
+    cb = (
+        rsub.join(
+            F.broadcast(src_ranked),
+            rsub["neighbor_id"] == src_ranked["_sid"],
+        )
+        .select("j", "s", F.col("sub").alias("cw"))
+    )
+    codes = (
+        rsub.join(F.broadcast(cb), "s")
+        .select("neighbor_id", "s", sub_d2.alias("d2"), "j")
+        .groupBy("neighbor_id", "s")
+        .agg(F.min(F.struct("d2", "j")).alias("best"))
+        .select("neighbor_id", "s", F.col("best.j").alias("code"))
+    )
+    query_cells = assign_cells(
+        queries, centroids, id_col, vec_col, "query_id", "qvec", nprobe
+    )
+    qres = query_cells.join(F.broadcast(cv), "cid").select(
+        "query_id",
+        "cid",
+        F.zip_with("qvec", "cv", lambda a, b: a - b).alias("r"),
+    )
+    lut = (
+        subframe(qres, ["query_id", "cid"])
+        .join(F.broadcast(cb), "s")
+        .select("query_id", "cid", "s", "j", sub_d2.alias("d2"))
+    )
+    lut_q = lut.select(
+        "query_id",
+        F.col("cid").alias("qcid"),
+        F.col("s").alias("qs"),
+        F.col("j").alias("qj"),
+        "d2",
+    )
+    scored = (
+        codes.join(corpus_cells.select("neighbor_id", "cid"), "neighbor_id")
+        .join(
+            F.broadcast(lut_q),
+            (F.col("cid") == F.col("qcid"))
+            & (F.col("s") == F.col("qs"))
+            & (F.col("code") == F.col("qj")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(stable_round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    short = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    exact_d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ne"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rerank = (
+        short.join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ne")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", stable_round(exact_d2, 6).alias("l2_d2"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("l2_d2", "neighbor_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "l2_d2")
+    )

@@ -87,6 +87,13 @@ from . import layout_queries  # noqa: E402,F401
 # prefix. Five multi-round driver-green queries slide below the
 # boundary by order; every family keeps a prefix anchor.
 _PRIORITY = [
+    # New in r14 (late) — IVF-PQ (IVFADC): coarse inverted-file pruning
+    # + product quantization on RESIDUALS + per-(query, probed-cell)
+    # ADC LUTs + exact float rerank — the composed cascade a 100 TB ANN
+    # deployment runs; and its measured recall gate vs exact float-L2
+    # truth (bounded above by the coarse quantizer, by design).
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
     # New in r14 (late) — exact per-node triangle participation over
     # the near-dup graph (clique-vs-hub dedup signal; two keyed
     # self-joins on the canonical low→high edge list, O(Σ deg²) wedge

@@ -680,6 +680,229 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC) — coarse inverted file + residual product quantization
+# ---------------------------------------------------------------------------
+
+# Same cosine text as llm_queries._COS_PAIR (kept in one place there —
+# imported, not re-derived, so the coarse assignment here and the
+# one in similarity_ivf_topk can never drift).
+from .llm_queries import _COS_PAIR  # noqa: E402
+
+_IVFPQ_COARSE, _IVFPQ_NPROBE, _IVFPQ_SHORT = 16, 2, 50
+_IVFPQ_D2_SQL = """
+    list_sum(list_transform(range(1, 5),
+             i -> (d.sub[i] - c2.cw[i]) * (d.sub[i] - c2.cw[i])))
+"""
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(range(1, 65), i -> embedding[i]::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, emb AS cv FROM v WHERE vec_id < {_IVFPQ_COARSE}),
+    assign_scored AS (
+        SELECT v.vec_id, c.cid,
+               {_COS_PAIR.format(a="v.emb", b="c.cv")} AS csim
+        FROM v, c
+    ),
+    corpus_cells AS (
+        SELECT vec_id AS nid, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS rn
+            FROM assign_scored
+        ) WHERE rn = 1
+    ),
+    query_cells AS (
+        SELECT vec_id AS query_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, cid) AS rn
+            FROM assign_scored WHERE vec_id < 8
+        ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    res AS (
+        SELECT cc.nid, cc.cid,
+               list_transform(range(1, 65), i -> v.emb[i] - c.cv[i]) AS r
+        FROM corpus_cells cc
+        JOIN v ON v.vec_id = cc.nid
+        JOIN c ON c.cid = cc.cid
+    ),
+    rsub AS (
+        SELECT nid, cid, s, list_slice(r, 4 * s + 1, 4 * s + 4) AS sub
+        FROM res, (SELECT unnest(range(0, 16)) AS s)
+    ),
+    cbsrc AS (
+        SELECT nid AS sid, row_number() OVER (ORDER BY nid) - 1 AS j
+        FROM (SELECT DISTINCT nid FROM res WHERE nid >= 16 AND nid < 32)
+    ),
+    cb AS (
+        SELECT cbsrc.j, rsub.s, rsub.sub AS cw
+        FROM rsub JOIN cbsrc ON rsub.nid = cbsrc.sid
+    ),
+    enc AS (
+        SELECT d.nid, d.s, c2.j, {_IVFPQ_D2_SQL} AS d2
+        FROM rsub d JOIN cb c2 ON c2.s = d.s
+    ),
+    codes AS (
+        SELECT nid, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY nid, s
+                                         ORDER BY d2, j) AS rn
+            FROM enc
+        ) WHERE rn = 1
+    ),
+    qres AS (
+        SELECT q.query_id, q.cid,
+               list_transform(range(1, 65), i -> v.emb[i] - c.cv[i]) AS r
+        FROM query_cells q
+        JOIN v ON v.vec_id = q.query_id
+        JOIN c ON c.cid = q.cid
+    ),
+    qsub AS (
+        SELECT query_id, cid, s, list_slice(r, 4 * s + 1, 4 * s + 4) AS sub
+        FROM qres, (SELECT unnest(range(0, 16)) AS s)
+    ),
+    lut AS (
+        SELECT d.query_id, d.cid, d.s, c2.j, {_IVFPQ_D2_SQL} AS d2
+        FROM qsub d JOIN cb c2 ON c2.s = d.s
+    ),
+    scored AS (
+        SELECT l.query_id, x.nid AS neighbor_id,
+               round(sum(l.d2) + 1e-7, 6) AS adc_d2
+        FROM codes x
+        JOIN corpus_cells cc ON cc.nid = x.nid
+        JOIN lut l ON l.cid = cc.cid AND l.s = x.s AND l.j = x.code
+        WHERE x.nid <> l.query_id
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc_d2, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_IVFPQ_SHORT}
+    ),
+    rerank AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> (q.emb[i] - n.emb[i]) * (q.emb[i] - n.emb[i])))
+                     + 1e-7, 6) AS l2_d2
+        FROM short s
+        JOIN v q ON q.vec_id = s.query_id
+        JOIN v n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, l2_d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY l2_d2, neighbor_id) AS rn
+        FROM rerank
+    ) WHERE rn <= 3
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the IVFADC cascade): coarse IVF cells prune the scan
+    to nprobe=2 of 16 cells, product quantization on RESIDUALS (vector
+    − cell centroid) compresses candidates to 16 codes, ADC scores
+    candidates against a per-(query, probed-cell) residual LUT, and a
+    50-deep shortlist is re-ranked with exact float L2 — the composed
+    scale path a 100 TB ANN deployment actually runs (flat PQ scans
+    every code; IVF alone fetches floats for whole cells). All keyed
+    equi-joins; see operators/similarity.ivfpq_ann_topk for the
+    distributed shape and determinism argument."""
+    from ..operators.similarity import ivfpq_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    return ivfpq_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        emb.filter(F.col("vec_id") < _IVFPQ_COARSE),
+        emb.filter(
+            (F.col("vec_id") >= _IVFPQ_COARSE) & (F.col("vec_id") < 2 * _IVFPQ_COARSE)
+        ),
+        "vec_id",
+        "e",
+        k=3,
+        nprobe=_IVFPQ_NPROBE,
+        shortlist=_IVFPQ_SHORT,
+    )
+
+
+def _ivfpq_recall_oracle() -> str:
+    """Same composition as _pq_recall_oracle: the registered IVF-PQ
+    oracle as the approximate set, exact float-L2 top-3 as truth."""
+    from .registry import ORACLES
+
+    ivfpq = ORACLES["ann_ivfpq_topk"]
+    return f"""
+    WITH ap AS (SELECT query_id, neighbor_id FROM ({ivfpq})),
+    emb2 AS (
+        SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS e
+        FROM embeddings
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform(range(1, 65),
+                                i -> (q.e[i] - n.e[i]) * (q.e[i] - n.e[i]))),
+                                n.vec_id) AS rn
+            FROM emb2 q JOIN emb2 n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        ) WHERE rn <= 3
+    ),
+    tot AS (
+        SELECT count(*) AS n_truth, count(DISTINCT query_id) AS n_queries
+        FROM truth
+    ),
+    h AS (
+        SELECT count(*) AS n_hits FROM truth JOIN ap USING (query_id, neighbor_id)
+    )
+    SELECT 'ivfpq' AS method, CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits::DOUBLE / n_truth + 1e-7, 4) AS recall_at_k
+    FROM h, tot
+    """
+
+
+@query("ann_ivfpq_recall", oracle=_ivfpq_recall_oracle())
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval QUALITY of the IVF-PQ cascade: recall@3 against exact
+    float-L2 ground truth on the same 8 queries. Recall here is bounded
+    above by the coarse quantizer (a true neighbor in an unprobed cell
+    is unreachable no matter how good PQ is) — exactly the tradeoff
+    IVFADC makes; the test floor reflects the uniform-random worst-case
+    regime, and bench reports it under `ann_recall`."""
+    from ..operators.similarity import recall_against
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    truth = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return recall_against(ann_ivfpq_topk(spark, sf_dir), truth, "ivfpq")
+
+
+# ---------------------------------------------------------------------------
 # MinHash estimator quality, token histogram, dedup cascade
 # ---------------------------------------------------------------------------
 

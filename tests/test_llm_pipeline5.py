@@ -136,6 +136,50 @@ def test_pq_ann_shape(spark):
         assert d2s == sorted(d2s)
 
 
+def test_ivfpq_ann_recall_floor(spark):
+    """IVF-PQ (IVFADC): recall@3 vs float L2 ground truth must clear
+    0.6. Recall is bounded above by the coarse quantizer (a true
+    neighbor in an unprobed cell is unreachable) AND degraded by the
+    residual PQ — measured 0.958 at 16 cells / nprobe 2 / m=16 / k=16
+    / shortlist 50 on the uniform-random worst-case corpus."""
+    truth = _exact_l2_top3(spark)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_ivfpq_topk"](spark, SF_DIR).collect()
+    }
+    assert truth
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF-PQ recall@3 {recall:.3f} below floor"
+
+
+def test_ivfpq_ann_shape(spark):
+    rows = QUERIES["ann_ivfpq_topk"](spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+        assert r.l2_d2 >= 0.0
+    assert len(by_q) == 8
+    for _q, members in by_q.items():
+        assert len(members) == 3
+        d2s = [m.l2_d2 for m in members]
+        assert d2s == sorted(d2s)
+
+
+def test_ivfpq_recall_metric_consistent(spark):
+    """The registered recall query must report exactly the set overlap
+    the floor test computes (same truth, same approximate set)."""
+    row = QUERIES["ann_ivfpq_recall"](spark, SF_DIR).collect()[0]
+    truth = _exact_l2_top3(spark)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_ivfpq_topk"](spark, SF_DIR).collect()
+    }
+    assert row.method == "ivfpq"
+    assert row.n_truth == len(truth)
+    assert row.n_hits == len(truth & got)
+
+
 def test_minhash_estimate_quality_regime(spark):
     """16-permutation estimator: average |est - exact| on candidate
     pairs sits in the expected ~0.1 regime, never past 0.6."""

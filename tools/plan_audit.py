@@ -78,6 +78,13 @@ ALLOW_NLJ = {
     # O(n·|Q|) brute-force baseline (8-row broadcast query set); the
     # PQ side under grade is pure equi-joins.
     "ann_pq_recall",
+    # IVF-PQ: assign_cells' keyless 1-row centroid-array broadcast
+    # (O(n·1) projection, same class as similarity_ivf_topk) plus the
+    # 1-row broadcast of the sorted codebook-id array (O(n·1)); every
+    # search-path join (encode, LUT, ADC, rerank) is keyed. The recall
+    # gate adds the documented O(n·|Q|) exact ground-truth baseline.
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
     # Nightly incremental curation rollup: keyless joins of four
     # 1-row stage-count aggregates (n_batch/n_quality/n_matched/kept)
     # — O(1), same shape as the cascade summary below; the probe
