@@ -180,6 +180,8 @@ EXTRA = [
     # r14 (late): IVF-PQ (IVFADC) cascade + its measured recall gate
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
+    # r14 (late): synchronous label-propagation communities
+    "graph_label_propagation",
 ]
 
 

@@ -94,6 +94,11 @@ _PRIORITY = [
     # truth (bounded above by the coarse quantizer, by design).
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
+    # New in r14 (late) — deterministic synchronous label propagation
+    # (4 unrolled rounds, ties to the smallest label): communities
+    # FINER than connected components over the same near-dup graph —
+    # the exemplar-per-duplicate-pile granularity.
+    "graph_label_propagation",
     # New in r14 (late) — exact per-node triangle participation over
     # the near-dup graph (clique-vs-hub dedup signal; two keyed
     # self-joins on the canonical low→high edge list, O(Σ deg²) wedge

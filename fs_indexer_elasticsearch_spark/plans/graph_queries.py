@@ -169,6 +169,105 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    pairs = ORACLES["dedup_minhash_lsh"]
+    rounds = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    l{k} AS (
+        SELECT u AS node, lab FROM (
+            SELECT s.u, p.lab,
+                   row_number() OVER (PARTITION BY s.u
+                                      ORDER BY count(*) DESC, p.lab) AS rn
+            FROM sym s JOIN l{k - 1} p ON p.node = s.v
+            GROUP BY s.u, p.lab
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({pairs})),
+    e AS (
+        SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+        FROM pairs
+    ),
+    sym AS (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+    {",".join(rounds)}
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{_LPA_ROUNDS}
+    GROUP BY lab
+    ORDER BY n_nodes DESC, community
+    LIMIT 10
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup graph by SYNCHRONOUS label
+    propagation (Raghavan et al.), 4 fixed rounds: every node starts
+    as its own label, then each round simultaneously adopts the most
+    frequent label among its neighbors (ties to the smallest label —
+    fully deterministic, unlike classical randomized LPA, so the driver
+    can hash-compare the result). Communities are FINER than connected
+    components: CC merges everything reachable, LPA splits a component
+    into its densely-linked cores — the granularity at which a curation
+    pipeline picks one exemplar per duplicate pile without collapsing a
+    whole template-contaminated component into one document. Returns
+    the top-10 communities by size.
+
+    Plan: each round is one equi-join of the symmetrized edge list
+    against the previous label frame on the neighbor id, a hash-agg
+    count per (node, label), and an argmax via min-over-struct
+    ((-count, label) — the same total order as the oracle's ORDER BY
+    count DESC, label) — O(|E|) shuffled rows per round, never
+    quadratic, labels never leave the executors. The fixed round count
+    makes the plan a static 4-stage chain (the oracle unrolls the
+    same rounds as CTEs); at 100 TB each round shuffles on the
+    neighbor id exactly like the pointer-doubling CC rounds, and the
+    label frame it carries is |V| rows, not |E|."""
+    pairs = minhash_lsh_pairs(
+        _aug_corpus(spark, sf_dir), "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+    )
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("lab")
+    )
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), "lab"), "v"
+            )
+            .groupBy("u", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("u")
+            .agg(F.min(F.struct((-F.col("c")).alias("negc"), F.col("lab"))).alias("best"))
+            .select(F.col("u").alias("node"), F.col("best.lab").alias("lab"))
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(10)
+    )
+
+
 @query("graph_triangle_count", oracle=_triangle_oracle())
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 nodes of the near-dup graph by exact triangle

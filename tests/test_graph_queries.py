@@ -1,0 +1,117 @@
+"""Graph analytics over the near-dup graph (plans.graph_queries).
+
+The DuckDB oracle gate hash-compares every query; this file pins the
+semantic invariants the hash can't express: triangle/degree bounds,
+link-prediction pairs being genuinely unlinked, and label-propagation
+communities being label-consistent with the underlying graph.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+from fs_indexer_elasticsearch_spark.operators.dedup import minhash_lsh_pairs
+from fs_indexer_elasticsearch_spark.plans import ORACLES, QUERIES
+from fs_indexer_elasticsearch_spark.plans.llm_queries import _aug_corpus
+
+NEW = [
+    "graph_triangle_count",
+    "graph_link_prediction_jaccard",
+    "graph_label_propagation",
+]
+
+
+def test_registered_with_oracles():
+    for name in NEW:
+        assert name in QUERIES and name in ORACLES
+
+
+def _edges(spark):
+    pairs = minhash_lsh_pairs(
+        _aug_corpus(spark, SF_DIR), "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
+    )
+    return {
+        (r.a, r.b)
+        for r in pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .distinct()
+        .collect()
+    }
+
+
+def test_triangle_count_bounds(spark):
+    """n_triangles(v) <= C(degree(v), 2) — a node can't participate in
+    more triangles than its neighbor pairs."""
+    rows = QUERIES["graph_triangle_count"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_triangles >= 1
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+
+
+def test_link_prediction_pairs_unlinked(spark):
+    """Every predicted pair must NOT be an existing edge, and jaccard
+    must sit in (0, 1]."""
+    edges = _edges(spark)
+    rows = QUERIES["graph_link_prediction_jaccard"](spark, SF_DIR).collect()
+    # sf0.001's near-dup graph is a handful of planted pairs — it can
+    # legitimately contain NO unlinked pair with a common neighbor.
+    # Non-emptiness at scale is covered by the sf0.01 oracle gate
+    # (CORRECTNESS_LOCAL: 1+ rows); here we pin the invariants on
+    # whatever the tiny graph yields.
+    for r in rows:
+        assert (min(r.x, r.y), max(r.x, r.y)) not in edges
+        assert 0.0 < r.jaccard <= 1.0 + 1e-9
+        assert r.n_common >= 1
+
+
+def test_label_propagation_partition(spark):
+    """Community sizes are positive, labels are real node ids, and the
+    total size never exceeds the node count of the graph."""
+    edges = _edges(spark)
+    nodes = {n for e in edges for n in e}
+    rows = QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    assert rows
+    sizes = [r.n_nodes for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    assert sum(sizes) <= len(nodes)
+    for r in rows:
+        assert r.community in nodes
+        assert r.n_nodes >= 1
+
+
+def test_label_propagation_refines_components(spark):
+    """Each node's final label must lie in the node's own connected
+    component (a label only ever travels along edges), so communities
+    are a refinement of CC — the finer-granularity claim in the
+    docstring, checked on the real graph."""
+    edges = _edges(spark)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    rows = QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    assert rows
+    # Spot-check via the community labels themselves: a community label
+    # is a node, and every member adopted it through edge paths, so
+    # label and members share a component. The query returns sizes per
+    # label; verify each returned label's component is at least as big
+    # as the community it names.
+    from collections import Counter
+
+    comp_sizes = Counter(find(n) for n in parent)
+    for r in rows:
+        assert comp_sizes[find(r.community)] >= r.n_nodes
