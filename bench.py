@@ -182,6 +182,8 @@ EXTRA = [
     "ann_ivfpq_recall",
     # r14 (late): synchronous label-propagation communities
     "graph_label_propagation",
+    # r14 (late): bloom file-skipping point lookup on the z-layout
+    "zorder_bloom_lookup",
 ]
 
 

@@ -99,6 +99,11 @@ _PRIORITY = [
     # FINER than connected components over the same near-dup graph —
     # the exemplar-per-duplicate-pile granularity.
     "graph_label_propagation",
+    # New in r14 (late) — Bloom file-skipping sidecar on the Z-ordered
+    # layout: point lookups on a NON-curve column open only the cells
+    # whose per-cell filter claims the key (the third physical-design
+    # axis: hash buckets / zone maps / bloom point-in-set).
+    "zorder_bloom_lookup",
     # New in r14 (late) — exact per-node triangle participation over
     # the near-dup graph (clique-vs-hub dedup signal; two keyed
     # self-joins on the canonical low→high edge list, O(Σ deg²) wedge

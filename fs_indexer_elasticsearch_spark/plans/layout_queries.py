@@ -181,3 +181,61 @@ def zorder_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     path = f"/tmp/spark-graft-zorder-{tag}"
     return _pruned_rectangle_agg(spark, path, sf_dir, _ensure_incremental_layout)
+
+
+_LOOKUP_IDS = [7, 123, 555, 999_999_937]  # last one absent at every SF
+
+
+@query(
+    "zorder_bloom_lookup",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, round(value + 1e-7, 2) AS value_r
+    FROM events
+    WHERE event_id IN ({", ".join(str(i) for i in _LOOKUP_IDS)})
+    """,
+)
+def zorder_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a NON-curve column served by the per-cell Bloom
+    sidecar (sinks/zorder.build_zorder_bloom): event_id is neither
+    Z-order dimension, so the zone map cannot prune it — the Bloom
+    index opens only the cells whose filter claims one of the keys
+    (~k/cells of the layout; the absent key matches nowhere and costs
+    nothing beyond its k probe rows). The probe itself runs IN the
+    engine — values expand to (word, mask) pairs with the same xxhash64
+    expressions the build used, join the parquet sidecar, and only
+    surviving cell ids reach the driver — so there is no driver-side
+    hash reimplementation to drift from the executor's. The oracle
+    scans the raw table with the same IN list; a hash match proves the
+    skipping admitted no phantom and — the Bloom guarantee — lost no
+    present key. Pruning ratio and the no-false-negative property are
+    asserted in tests/test_zorder.py.
+
+    At 100 TB this is the third physical-design axis registered here:
+    hash buckets (key equality), Z-order zone maps (multi-dim ranges),
+    Bloom sidecars (point-in-set on everything else) — the same trio
+    Delta/Iceberg deployments run."""
+    import os as _os
+
+    from ..sinks.zorder import build_zorder_bloom, read_zordered_bloom
+
+    path = zordered_events_path(spark, sf_dir)
+    with _store_lock(path):
+        _ensure_layout(spark, sf_dir, path)
+        if not _os.path.exists(_os.path.join(path, "_BLOOM_event_id.json")):
+            build_zorder_bloom(spark, path, "event_id")
+        df, _kept, _total = read_zordered_bloom(
+            spark, path, "event_id", _LOOKUP_IDS
+        )
+        if df is None:
+            return spark.createDataFrame(
+                [], "event_id long, user_id long, event_type string, value_r double"
+            )
+        out = _pin(
+            df.select(
+                "event_id",
+                "user_id",
+                "event_type",
+                stable_round(F.col("value"), 2).alias("value_r"),
+            )
+        )
+    return out

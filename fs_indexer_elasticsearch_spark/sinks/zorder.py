@@ -352,3 +352,157 @@ def read_zordered(
     for col, (lo, hi) in ranges.items():
         cond = cond & F.col(col).between(F.lit(lo), F.lit(hi))
     return df.filter(cond), len(keep), total
+
+
+# ---------------------------------------------------------------------------
+# Bloom file-skipping sidecar — point lookups on a NON-curve column
+# ---------------------------------------------------------------------------
+
+# The zone map prunes range predicates on the two CURVE dimensions; a
+# point lookup on any other column (find these event ids / user ids /
+# doc ids) would still open every cell. A per-cell Bloom filter over a
+# designated lookup column — the Delta Lake bloom-filter-index /
+# parquet bloom analog, kept at CELL granularity to match this layout's
+# pruning unit — lets the reader open only cells whose filter claims
+# the key. No false negatives by construction (soundness is
+# unconditional: a bit can only be SET by a row, never cleared), and
+# false positives only cost extra reads that the exact residual filter
+# then discards.
+
+
+def _bloom_paths(path: str, col: str) -> tuple[str, str]:
+    return (
+        os.path.join(path, f"_BLOOM_{col}.parquet"),
+        os.path.join(path, f"_BLOOM_{col}.json"),
+    )
+
+
+def build_zorder_bloom(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    *,
+    k: int = 3,
+    bits_per_row: int = 10,
+) -> dict:
+    """Build the per-cell Bloom sidecar for ``col`` over an existing
+    Z-ordered layout.
+
+    Fully executor-side: each row contributes ``k`` set bits at
+    positions xxhash64(col, seed) mod m; bits pack into 64-bit words
+    with one groupBy((cell, word)) + bit_or — the same word-packing
+    shape as decontaminate_bloom's bitmap (plans/llm_pipeline5.py), so
+    the sidecar job shuffles O(rows·k) small tuples and writes
+    O(cells · m/64) rows of (cell, word, bits) PARQUET (not JSON: at
+    100 TB with 10⁵ cells the bitmap is a table, and the probe wants to
+    JOIN it, not download it). ``m`` is sized from the widest cell
+    (next power of two of bits_per_row × max rows/cell → ~10 bits/row
+    ≈ 1% false positives at k=3) and recorded in a tiny JSON meta next
+    to the data; rebuild after OPTIMIZE or appends (appends do not
+    update the sidecar — the meta records the epoch ledger it was
+    built against, and the reader refuses a stale sidecar rather than
+    silently missing appended rows)."""
+    df = spark.read.parquet(path).select("_zb", F.col(col).alias("_key"))
+    widest = (
+        df.groupBy("_zb").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    m = 1 << max(12, int(widest * bits_per_row - 1).bit_length())
+    words = (
+        df.select(
+            "_zb",
+            "_key",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
+        )
+        .select(
+            "_zb",
+            F.pmod(F.xxhash64("_key", "seed"), F.lit(m)).alias("p"),
+        )
+        .groupBy("_zb", F.shiftright("p", 6).alias("word"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, p & 63)")).alias("bits"))
+    )
+    pq_path, meta_path = _bloom_paths(path, col)
+    words.write.mode("overwrite").parquet(pq_path)
+    with open(os.path.join(path, _ZONES)) as f:
+        layout = json.load(f)
+    meta = {"col": col, "k": k, "m": m, "built_epochs": layout.get("epochs", [])}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def bloom_prune(
+    spark: SparkSession, path: str, col: str, values: list
+) -> tuple[list[int], int]:
+    """Which cells can contain ANY of ``values`` according to the Bloom
+    sidecar. The probe runs IN the engine: the value list becomes a
+    tiny DataFrame, each value expands to its k (word, mask) probes
+    (same xxhash64 expressions as the build — hash parity by
+    construction, no driver-side hash reimplementation to drift), an
+    equi-join on (word) against the sidecar checks bits, and a cell
+    survives for a value iff all k probes hit. Only the surviving cell
+    ids (O(cells)) ever reach the driver. Returns (cells, total_cells
+    in the zone map)."""
+    pq_path, meta_path = _bloom_paths(path, col)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    with open(os.path.join(path, _ZONES)) as f:
+        layout = json.load(f)
+    if meta.get("built_epochs") != layout.get("epochs", []):
+        raise ValueError(
+            f"stale bloom sidecar for {col!r}: built at epochs "
+            f"{meta.get('built_epochs')}, layout now at "
+            f"{layout.get('epochs', [])} — rebuild with build_zorder_bloom"
+        )
+    k, m = meta["k"], meta["m"]
+    probes = (
+        spark.createDataFrame([(v,) for v in values], f"_key {_key_ddl(values)}")
+        .select(
+            "_key",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
+        )
+        .select(
+            "_key",
+            F.pmod(F.xxhash64("_key", "seed"), F.lit(m)).alias("p"),
+        )
+        .select(
+            "_key",
+            F.shiftright("p", 6).alias("word"),
+            F.expr("shiftleft(1L, p & 63)").alias("mask"),
+        )
+    )
+    sidecar = spark.read.parquet(pq_path)
+    hits = (
+        sidecar.join(F.broadcast(probes), "word")
+        .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        .groupBy("_zb", "_key")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == k)
+        .select("_zb")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["_zb"] for r in hits), len(layout["cells"])
+
+
+def _key_ddl(values: list) -> str:
+    return "string" if values and isinstance(values[0], str) else "long"
+
+
+def read_zordered_bloom(
+    spark: SparkSession, path: str, col: str, values: list
+) -> tuple[DataFrame | None, int, int]:
+    """Point lookup served by the Bloom sidecar: open ONLY the cell
+    directories whose filter claims one of the keys, then apply the
+    exact IN filter (false positives discard here; false negatives
+    cannot exist). Returns (df, cells_read, cells_total); df is None
+    when every cell prunes away."""
+    keep, total = bloom_prune(spark, path, col, values)
+    if not keep:
+        return None, 0, total
+    paths = [os.path.join(path, f"_zb={c}") for c in keep]
+    df = spark.read.option("basePath", path).parquet(*paths)
+    return df.filter(F.col(col).isin(values)), len(keep), total

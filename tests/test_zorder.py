@@ -288,3 +288,98 @@ def test_streaming_zorder_pipeline(spark, tmp_path):
     append_zordered(replay, layout, dims(), bits=6, cells=4, epoch=epochs[-1])
     df, _k, _t = read_zordered(spark, layout, {"x": (0, 63), "y": (0, 63)})
     assert sorted(r.payload for r in df.collect()) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Bloom file-skipping sidecar
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_lookup_no_false_negatives_and_prunes(spark, grid_store):
+    """Every present key must be found (Bloom soundness), reading
+    strictly fewer cells than the layout holds; an absent key must
+    prune everything."""
+    from fs_indexer_elasticsearch_spark.sinks.zorder import (
+        bloom_prune,
+        build_zorder_bloom,
+        read_zordered_bloom,
+    )
+
+    build_zorder_bloom(spark, grid_store, "payload")
+    # 8 deterministic present keys spread across the grid
+    keys = [0, 17, 511, 1024, 2049, 3000, 4004, 4095]
+    df, kept, total = read_zordered_bloom(spark, grid_store, "payload", keys)
+    assert df is not None
+    got = sorted(r.payload for r in df.collect())
+    assert got == sorted(keys)  # no false negative, exact residual
+    assert 0 < kept < total  # genuinely skipped files
+    # Absent key: with ~10 bits/row the 8 probes should miss almost
+    # everywhere; soundness only needs "no phantom row", which the
+    # exact IN filter guarantees even on a false-positive cell.
+    df2, kept2, _ = read_zordered_bloom(
+        spark, grid_store, "payload", [999_999_937]
+    )
+    assert df2 is None or df2.count() == 0
+    assert kept2 <= total
+    cells, _ = bloom_prune(spark, grid_store, "payload", keys)
+    assert cells == sorted(cells)
+
+
+def test_bloom_stale_after_append_refuses(spark, tmp_path):
+    """An append changes the epoch ledger; a sidecar built before it
+    must refuse to serve rather than silently miss appended rows."""
+    import pytest as _pytest
+
+    from fs_indexer_elasticsearch_spark.sinks.zorder import (
+        build_zorder_bloom,
+        read_zordered_bloom,
+    )
+
+    path = str(tmp_path / "zbloomstale")
+    df = spark.range(512).select(
+        (F.col("id") % 32).cast("int").alias("x"),
+        (F.col("id") / 32).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    write_zordered(
+        df, path, {"x": F.col("x"), "y": F.col("y")}, bits=5, cells=4, epoch="e0"
+    )
+    build_zorder_bloom(spark, path, "payload")
+    delta = spark.range(512, 600).select(
+        (F.col("id") % 32).cast("int").alias("x"),
+        (F.col("id") / 32).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    append_zordered(
+        delta, path, {"x": F.col("x"), "y": F.col("y")}, bits=5, cells=4,
+        epoch="e1",
+    )
+    with _pytest.raises(ValueError, match="stale bloom"):
+        read_zordered_bloom(spark, path, "payload", [5])
+    # Rebuild heals it and the appended key is now findable.
+    build_zorder_bloom(spark, path, "payload")
+    found, _, _ = read_zordered_bloom(spark, path, "payload", [555])
+    assert found is not None and found.count() == 1
+
+
+def test_bloom_string_keys(spark, tmp_path):
+    """String lookup columns probe through the same xxhash64 path."""
+    from fs_indexer_elasticsearch_spark.sinks.zorder import (
+        build_zorder_bloom,
+        read_zordered_bloom,
+    )
+
+    path = str(tmp_path / "zbloomstr")
+    df = spark.range(400).select(
+        (F.col("id") % 20).cast("int").alias("x"),
+        (F.col("id") / 20).cast("int").alias("y"),
+        F.concat(F.lit("k-"), F.col("id")).alias("name"),
+    )
+    write_zordered(df, path, {"x": F.col("x"), "y": F.col("y")}, bits=5, cells=4)
+    build_zorder_bloom(spark, path, "name")
+    found, kept, total = read_zordered_bloom(
+        spark, path, "name", ["k-7", "k-399", "k-nope"]
+    )
+    assert found is not None
+    assert sorted(r.name for r in found.collect()) == ["k-399", "k-7"]
+    assert kept <= total
