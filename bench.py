@@ -184,6 +184,8 @@ EXTRA = [
     "graph_label_propagation",
     # r14 (late): bloom file-skipping point lookup on the z-layout
     "zorder_bloom_lookup",
+    # r14 (late): maintained retention triangle on the keyed-slice IVM
+    "incremental_view_retention",
 ]
 
 

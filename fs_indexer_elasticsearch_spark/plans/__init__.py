@@ -139,6 +139,10 @@ _PRIORITY = [
     # fall out of slice recomputation; oracle = from-scratch
     # lag/cumsum sessionization over the post state).
     "incremental_view_sessions",
+    # ... and the maintained RETENTION triangle: per-user contribution
+    # frame on the keyed-slice combinator (a deleted first week retags
+    # the user's cohort via slice recompute), distributive re-agg on top.
+    "incremental_view_retention",
     # ... and maintained ORDERED-funnel state (per-user step times on
     # the same combinator — a deleted first view cascades through
     # t2/t3, which slice recompute handles by construction).

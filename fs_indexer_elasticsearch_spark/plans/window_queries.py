@@ -341,3 +341,78 @@ def incremental_view_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         lambda t: _sessionize(post.join(t, ["user_id"], "left_semi")),
     )
+
+
+def _retention_contrib(ev: DataFrame) -> DataFrame:
+    """Per-user retention contributions: the user's DISTINCT active
+    weeks tagged with their cohort (min week). A pure per-user function
+    of the user's own events — exactly the keyed-slice contract."""
+    wk = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).alias("wk")
+    w = ev.select("user_id", wk).distinct()
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return w.join(c, "user_id").select("user_id", "wk", "cohort")
+
+
+@query(
+    "incremental_view_retention",
+    oracle="""
+    WITH post AS (
+        SELECT * FROM events
+        WHERE event_id % 7 = 0 OR event_id % 11 <> 0
+    ),
+    w AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(date_diff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
+        FROM post
+    ), c AS (
+        SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1
+    )
+    SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+           CAST(w.wk - c.cohort AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM w JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def incremental_view_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED retention triangle — the cohort-analytics member of
+    the incremental_view_* family, via the two-level decomposition
+    every cross-key aggregate of a per-key function admits: the
+    per-user contribution frame (distinct active weeks + cohort tag)
+    is a pure per-user function of the user's own events, so it
+    maintains on the keyed-slice combinator (untouched users carry
+    forward verbatim; touched users' contributions rebuild from the
+    post state — a delete that removes a user's FIRST week retags the
+    user's whole cohort, which slice recomputation handles by
+    construction and per-row patching cannot); the public (cohort,
+    offset) matrix is then one distributive hash-agg over the
+    maintained frame. Same insert/delete window as the sessions twin;
+    the oracle recomputes the triangle from scratch over the post
+    state. At 100 TB: the maintained object is O(users·weeks) — far
+    smaller than events — and only touched users' event slices are
+    re-read."""
+    from ..operators.ivm import maintain_keyed_slices
+
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    base = ev.filter(eid % 7 != 0)
+    post = ev.filter((eid % 7 == 0) | (eid % 11 != 0))
+    inserts = ev.filter(eid % 7 == 0)
+    deletes = base.filter(eid % 11 == 0)
+
+    old_contrib = _retention_contrib(base)
+    touched = inserts.unionByName(deletes).select("user_id").distinct()
+    contrib = maintain_keyed_slices(
+        old_contrib,
+        touched,
+        "user_id",
+        lambda t: _retention_contrib(post.join(t, ["user_id"], "left_semi")),
+    )
+    return contrib.groupBy(
+        F.col("cohort").cast("long").alias("cohort_week"),
+        (F.col("wk") - F.col("cohort")).cast("long").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

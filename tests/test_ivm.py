@@ -2429,3 +2429,42 @@ def test_keyed_slices_session_merge_and_split(spark):
     assert v2.filter("u = 1").count() == 2
     scratch2 = {(r.u, r.start, r.n) for r in _sess(post2).collect()}
     assert {(r.u, r.start, r.n) for r in v2.collect()} == scratch2
+
+
+def test_keyed_slices_retention_cohort_retag(spark):
+    """The retention-specific hard case: deleting a user's FIRST active
+    week retags the user's whole cohort. Slice recomputation must match
+    the from-scratch triangle; untouched users carry forward."""
+    import pyspark.sql.functions as F
+
+    from fs_indexer_elasticsearch_spark.operators.ivm import maintain_keyed_slices
+
+    def contrib(df):
+        w = df.select("u", "wk").distinct()
+        c = w.groupBy("u").agg(F.min("wk").alias("cohort"))
+        return w.join(c, "u").select("u", "wk", "cohort")
+
+    def tri(frame):
+        return {
+            (r.cohort, r.off, r.n)
+            for r in frame.groupBy(
+                "cohort", (F.col("wk") - F.col("cohort")).alias("off")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    # user 1 active weeks {0, 2}; user 2 active {1}
+    base = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 1)], "u long, wk long"
+    )
+    v0 = contrib(base)
+    assert tri(v0) == {(0, 0, 1), (0, 2, 1), (1, 0, 1)}
+
+    # delete user 1's week-0 activity: cohort retags 0 -> 2
+    post = base.filter("NOT (u = 1 AND wk = 0)")
+    touched = spark.createDataFrame([(1,)], "u long")
+    v1 = maintain_keyed_slices(
+        v0, touched, "u", lambda t: contrib(post.join(t, ["u"], "left_semi"))
+    )
+    assert tri(v1) == tri(contrib(post)) == {(2, 0, 1), (1, 0, 1)}
