@@ -245,6 +245,28 @@ STRESSED = {
     # in place, so selectivity is k-invariant); alpha ~ 1 proves the
     # pruned read stays matching-cells-proportional.
     "zorder_pruned_scan": "events",
+    # r14 (late): IVF-PQ — coarse centroids (16), codebook (16) and
+    # query set (8) stay FIXED while the corpus grows k-fold; alpha
+    # ~ 1 proves assignment, residual encode, the (cell, subspace,
+    # code) ADC join and the shortlist rerank all stay corpus-linear
+    # (a probed-cell blowup or LUT fanout term would bend it).
+    "ann_ivfpq_topk": "embeddings",
+    # r14 (late): label propagation — replica components replicate
+    # k-fold with disjoint labels and FIXED per-node degrees; the
+    # round count is static (4), so alpha ~ 1 proves each round's
+    # edge join + argmax stays O(|E|) with no cross-replica term.
+    "graph_label_propagation": "documents",
+    # r14 (late): bloom point lookup — the key list is FIXED (4) while
+    # the layout grows k-fold; the sidecar build amortizes into
+    # iteration 1 (min-of-2 timing) and the probe is O(cells·k) rows,
+    # so the measured read should grow only with the claiming cells'
+    # file sizes: alpha well below 1.
+    "zorder_bloom_lookup": "events",
+    # r14 (late): maintained retention triangle — users (and touched
+    # keys) replicate k-fold with per-user week sets fixed; alpha ~ 1
+    # proves the contribution-frame slice recompute and the final
+    # (cohort, offset) agg stay touched/frame-proportional.
+    "incremental_view_retention": "events",
     "q01_pricing_summary": "lineitem",
     "q03_top_revenue_orders": "lineitem+orders",
     "similarity_lsh_ann_topk": "embeddings",
