@@ -208,12 +208,10 @@ _PRIORITY = [
     # three-version fact/dim stores (delete-then-reinsert keys on both
     # sides make the feedback loop unfakeable).
     "incremental_view_join_membership",
-    "incremental_view_join_membership_chained",
     # ... and the day->month rollup cascade: the coarse level is
     # maintained from the fine level's delta (feed aggregated once,
     # O(changed days) per coarser level, zero base rescans) — the
     # composition law N-level rollup trees need at 100 TB.
-    "incremental_view_rollup_cascade",
     # ... and the broadcast-bloom decontamination pre-filter: eval
     # vocabulary -> 512 KiB bitmap broadcast, train shingles screened
     # map-side before the exact confirm join (result exact; the
@@ -228,16 +226,13 @@ _PRIORITY = [
     # (delete-capable) sketch dual of the HLL view — O(depth x width)
     # state, removals subtract exactly, maintained cells bit-equal a
     # from-scratch rebuild.
-    "incremental_view_cms_topk",
     # ... and the maintained deterministic stratified sample: top-k
     # per stratum by md5 rank through churn — the stable held-out
     # subset a training pipeline pins, O(feed) per cycle.
-    "incremental_view_sample",
     # ... and the three-table joined view: orders x customer x nation
     # maintained through ALL THREE feeds by the telescoping
     # decomposition dF*C1*N1 + F2*dC*N1 + F2*C2*dN, every term
     # changed-key-pruned — the n-table snowflake ladder.
-    "incremental_view_joined3",
     # ... and the audio arm of the multimodal family: a genuine
     # hermetic RIFF/PCM parse (decode_wav) under the oracle gate —
     # sample sum / peak / duration / raw-PCM md5 reproduced from the
@@ -246,7 +241,6 @@ _PRIORITY = [
     # ... and the last composition-matrix cell: joined TOP-K — the
     # k-deep extremum over fact⋈dim through both feeds (horizon rule
     # + dim-move candidates, deduped against the feed's own images).
-    "incremental_view_joined_topk",
     # New in r12 — never driver-checked: the HOLISTIC-aggregate IVM
     # (exact COUNT(DISTINCT)/MEDIAN/MODE through the maintained
     # per-(group, value) histogram — delete-capable where sketches
@@ -261,23 +255,15 @@ _PRIORITY = [
     # HLL sketch dual for insert-only near-unique distinct counts
     # (union == from-scratch; delete-bearing windows refused loudly)
     "incremental_view_histogram",
-    "ann_ivf_coldmerge_topk",
     "incremental_view_topk",
-    "incremental_view_moments",
-    "incremental_view_joined_histogram",
     # New in r11 — one driver round old: the composed IVM algebras
     # (extremum measures over a joined view, both stores changing),
     # the NULL-group joined view (r10 verdict #4/#5), the combined
     # sum+min/max view the streaming maintainer publishes, and the
     # IVF hot-cell split content gate (r10 verdict #6/#7)
-    "incremental_view_joined_minmax",
-    "incremental_view_joined_nullgroup",
-    "ann_ivf_split_topk",
     # New in r10 — one driver round old (changing-dim joined IVM +
     # its chained steady-state form; the mass-delete high-cardinality
     # min/max IVM / SCALE_STRESS probe)
-    "incremental_view_joined_chained",
-    "incremental_view_minmax_hicard",
     # Changed in r10 — plan fingerprints flipped (PLAN_FINGERPRINTS
     # diff vs the r9 base, tools/rotation_check.py): the min/max IVM
     # recompute became a broadcast semi-join; frame sampling became a
@@ -314,6 +300,27 @@ _PRIORITY = [
     # Event-time windows and temporal joins (+ r6 range-frame MA) —
     # window_moving_avg_7d is the family's prefix anchor
     "window_moving_avg_7d",
+    # Rebalanced below the boundary for the r14-late admissions
+    # (IVF-PQ pair, label propagation, bloom lookup, retention +
+    # the earlier nine r14-late newcomers): fourteen multi-round
+    # driver-green IVM/IVF siblings slide below by order; their
+    # families stay anchored in the prefix by join_membership,
+    # histogram, topk, minmax, joined, ann_ivf_maintain_topk and
+    # the sketch pair.
+    "incremental_view_join_membership_chained",
+    "incremental_view_rollup_cascade",
+    "incremental_view_cms_topk",
+    "incremental_view_sample",
+    "incremental_view_joined3",
+    "incremental_view_joined_topk",
+    "ann_ivf_coldmerge_topk",
+    "incremental_view_moments",
+    "incremental_view_joined_histogram",
+    "incremental_view_joined_minmax",
+    "incremental_view_joined_nullgroup",
+    "ann_ivf_split_topk",
+    "incremental_view_joined_chained",
+    "incremental_view_minmax_hicard",
     # Displaced below the boundary by the r14 rebalance (the six
     # r14 prefix entries would otherwise have evicted the window /
     # tokenization / packing / skew family anchors entirely): five

@@ -165,6 +165,18 @@ def test_registry_priority_prefix_covers_llm_layer():
         # tokenization / packing / skew anchors stay in the prefix;
         # their families remain anchored by histogram, joined, minmax,
         # joined_minmax and cms_topk).
+        # r14 (late) newcomers — all never-driver-checked, so the
+        # mechanical rule pins them in the prefix; fourteen multi-round
+        # driver-green IVM/IVF siblings slid below (families stay
+        # anchored by join_membership, histogram, topk, minmax, joined,
+        # ann_ivf_maintain_topk and the sketch pair).
+        "ann_ivfpq_topk", "ann_ivfpq_recall",
+        "graph_label_propagation", "zorder_bloom_lookup",
+        "graph_triangle_count", "graph_link_prediction_jaccard",
+        "quantized_ann_pq_topk", "ann_pq_recall",
+        "zorder_pruned_scan", "zorder_incremental_scan",
+        "incremental_view_asof", "incremental_view_sessions",
+        "incremental_view_retention", "incremental_view_funnel",
         "incremental_view_sketch_quantiles_hc",
         "incremental_view_bm25_topk",
         "bm25_store_search_topk",
@@ -177,22 +189,11 @@ def test_registry_priority_prefix_covers_llm_layer():
         "ann_ivf_maintain_topk",
         "q15_top_suppliers",
         "incremental_view_join_membership",
-        "incremental_view_join_membership_chained",
-        "incremental_view_rollup_cascade",
         "decontaminate_bloom",
         "dedup_incremental_cc",
-        "incremental_view_cms_topk",
-        "incremental_view_sample",
-        "incremental_view_joined3",
         "multimodal_wav_stats",
-        "incremental_view_joined_topk",
         "incremental_view_histogram",
-        "ann_ivf_coldmerge_topk", "incremental_view_topk",
-        "incremental_view_moments", "incremental_view_joined_histogram",
-        "incremental_view_joined_minmax", "incremental_view_joined_nullgroup",
-        "ann_ivf_split_topk",
-        "incremental_view_joined_chained",
-        "incremental_view_minmax_hicard",
+        "incremental_view_topk",
         "multimodal_frame_sample",
         "incremental_view_minmax", "incremental_view_joined",
         "incremental_curation_cycle",
