@@ -3360,3 +3360,112 @@ def test_streaming_maintained_pipeline_asof_view(spark, tmp_path):
         assert view_now() == scratch()
     finally:
         q.stop()
+
+
+def test_streaming_maintained_pipeline_sessions_view(spark, tmp_path):
+    """The KEYED-SLICE algebra on the generic maintained-view skeleton
+    — the streaming twin of incremental_view_sessions: micro-batches
+    merge into the base store, then the materialized session view
+    advances via maintain_keyed_slices' touched-user slice recompute.
+    Exercises the two hard session mutations at streaming cadence: an
+    insert that MERGES two sessions, and an UPDATE that moves the
+    bridging event away, SPLITTING them back. Every cycle must equal
+    from-scratch sessionization over the post state."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import maintain_keyed_slices
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("u", T.LongType()),
+            T.StructField("t", T.LongType()),  # minutes
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="id", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key="sid", version_col="start",
+        num_buckets=2,
+    )
+
+    def sess(df):
+        ev = df.select("u", F.timestamp_seconds(F.col("t") * 60).alias("ts"))
+        return (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "u")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "u",
+                F.col("w.start").cast("long").alias("start"),
+                "n",
+            )
+            .withColumn("sid", F.concat_ws("#", "u", "start"))
+        )
+
+    def derive(v_after):
+        return sess(store.read(version=v_after))
+
+    def maintain(reflected, v_after, old_view):
+        feed = store.read_changes(reflected, v_after, update_images="both")
+        touched = feed.select("u").distinct()
+        post = store.read(version=v_after)
+        return maintain_keyed_slices(
+            old_view,
+            touched,
+            "u",
+            lambda tk: sess(post.join(tk, ["u"], "left_semi")),
+        )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def view_now():
+        return {(r.u, r.start, r.n) for r in view_store.read().collect()}
+
+    def scratch():
+        return {(r.u, r.start, r.n) for r in sess(store.read()).collect()}
+
+    # u1: events at minute 0 and 60 -> two sessions; u2: one session
+    drop("b1", [("e1", 1, 1, 0), ("e2", 1, 1, 60), ("e3", 1, 2, 0)])
+    q = streaming_maintained_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        store,
+        view_store,
+        str(tmp_path / "ckpt"),
+        derive=derive,
+        maintain=maintain,
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == {(1, 0, 1), (1, 3600, 1), (2, 0, 1)}
+        assert view_now() == scratch()
+
+        # MERGE: a bridge at minute 30 folds u1's two sessions into one
+        drop("b2", [("e4", 1, 1, 30)])
+        q.processAllAvailable()
+        assert view_now() == {(1, 0, 3), (2, 0, 1)}
+        assert view_now() == scratch()
+
+        # SPLIT: the bridge MOVES to minute 120 (same id, higher v) —
+        # u1 splits back into three sessions; u2 untouched carries
+        # forward verbatim
+        drop("b3", [("e4", 2, 1, 120)])
+        q.processAllAvailable()
+        assert view_now() == {
+            (1, 0, 1),
+            (1, 3600, 1),
+            (1, 7200, 1),
+            (2, 0, 1),
+        }
+        assert view_now() == scratch()
+    finally:
+        q.stop()
