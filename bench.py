@@ -447,6 +447,7 @@ def main() -> None:
                 "ann_neardup_recall_lsh",
                 "ann_neardup_recall_multiprobe",
                 "ann_pq_recall",
+                "ann_ivfpq_recall",
             ):
                 for r in res:
                     ann_recall[r["method"]] = r["recall_at_k"]
@@ -535,6 +536,7 @@ ANN_REGIMES = {
     "lsh_neardup": "planted near-dup retrieval, 8x8 OR-construction (design regime; pytest floor 0.8)",
     "lsh_multiprobe": "planted near-dup retrieval, 4x10 + 1-bit probes, half the index (floor 0.8)",
     "pq": "ADC shortlist-50 + exact rerank vs float-L2 truth; uniform-random vectors are PQ's worst case (floor 0.6)",
+    "ivfpq": "IVFADC: 16 cells / nprobe 2, residual PQ, ADC shortlist-50 + exact rerank vs float-L2 truth (floor 0.6; recall bounded above by the coarse quantizer)",
 }
 
 
