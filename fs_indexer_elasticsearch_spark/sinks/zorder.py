@@ -193,6 +193,19 @@ def optimize_zordered(
         )
     bits = manifest["bits"] if bits is None else bits
     cells = manifest["cells_cfg"] if cells is None else cells
+    # Bloom sidecars are layout-granular (per-cell bitmaps), so a
+    # re-cluster invalidates them wholesale. Collect their specs now
+    # and rebuild them against the NEW layout after the swap — without
+    # this, the first post-OPTIMIZE lookup dies on a missing sidecar
+    # the caller built in good faith.
+    bloom_specs = []
+    for fn in os.listdir(path):
+        if fn.startswith("_BLOOM_") and fn.endswith(".json"):
+            with open(os.path.join(path, fn)) as bf:
+                bm = json.load(bf)
+            bloom_specs.append(
+                (bm["col"], bm["k"], bm.get("bits_per_row", 10))
+            )
     df = spark.read.parquet(path).drop("_zb")
     staging = path.rstrip("/") + ".compact"
     new_manifest = write_zordered(df, staging, dims, bits=bits, cells=cells)
@@ -202,6 +215,8 @@ def optimize_zordered(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+    for col, k, bpr in bloom_specs:
+        build_zorder_bloom(spark, path, col, k=k, bits_per_row=bpr)
     return new_manifest
 
 
@@ -426,7 +441,13 @@ def build_zorder_bloom(
     words.write.mode("overwrite").parquet(pq_path)
     with open(os.path.join(path, _ZONES)) as f:
         layout = json.load(f)
-    meta = {"col": col, "k": k, "m": m, "built_epochs": layout.get("epochs", [])}
+    meta = {
+        "col": col,
+        "k": k,
+        "m": m,
+        "bits_per_row": bits_per_row,
+        "built_epochs": layout.get("epochs", []),
+    }
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)

@@ -383,3 +383,34 @@ def test_bloom_string_keys(spark, tmp_path):
     assert found is not None
     assert sorted(r.name for r in found.collect()) == ["k-399", "k-7"]
     assert kept <= total
+
+
+def test_optimize_rebuilds_bloom_sidecar(spark, tmp_path):
+    """OPTIMIZE re-clusters cells, so per-cell bitmaps are wholesale
+    invalid — it must rebuild registered sidecars against the new
+    layout (not leave a missing/stale one for the next lookup)."""
+    from fs_indexer_elasticsearch_spark.sinks.zorder import (
+        build_zorder_bloom,
+        optimize_zordered,
+        read_zordered_bloom,
+    )
+
+    path = str(tmp_path / "zbloomopt")
+    dims = {"x": F.col("x"), "y": F.col("y")}
+    df = spark.range(600).select(
+        (F.col("id") % 32).cast("int").alias("x"),
+        (F.col("id") / 32).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    write_zordered(df, path, dims, bits=5, cells=4)
+    build_zorder_bloom(spark, path, "payload", k=4, bits_per_row=12)
+    optimize_zordered(spark, path, dims, cells=8)
+    found, kept, total = read_zordered_bloom(spark, path, "payload", [599])
+    assert found is not None and found.count() == 1
+    assert total == 8 or total <= 8  # re-gridded cell count
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_BLOOM_payload.json")) as f:
+        meta = _json.load(f)
+    assert meta["k"] == 4 and meta["bits_per_row"] == 12
