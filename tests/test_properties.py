@@ -529,3 +529,46 @@ def test_dyadic_cms_random_turnstile_windows(spark, tmp_path):
             assert est >= exact, (seed, W, x, est, exact)
             if W == 1024:  # collision-free: exact
                 assert est == exact, (seed, x, est, exact)
+
+
+def test_bloom_sidecar_never_false_negative(spark, tmp_path):
+    """Bloom soundness across a deterministic randomized matrix of
+    layouts, key types and probe sets: every key present in the data
+    MUST be returned by the sidecar-pruned read (false positives only
+    cost extra cells; a false negative is data loss). One multi-case
+    run, not per-example Spark jobs."""
+    import random
+
+    from fs_indexer_elasticsearch_spark.sinks.zorder import (
+        build_zorder_bloom,
+        read_zordered_bloom,
+        write_zordered,
+    )
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        n = rnd.choice([200, 500, 900])
+        cells = rnd.choice([4, 8, 16])
+        path = str(tmp_path / f"zb{trial}")
+        df = spark.range(n).select(
+            (F.col("id") % 37).cast("int").alias("x"),
+            (F.col("id") % 53).cast("int").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        write_zordered(
+            df, path, {"x": F.col("x"), "y": F.col("y")}, bits=6, cells=cells
+        )
+        build_zorder_bloom(
+            spark, path, "payload",
+            k=rnd.choice([2, 3, 4]),
+            bits_per_row=rnd.choice([8, 10, 14]),
+        )
+        present = rnd.sample(range(n), 12)
+        absent = [n + 10_000 + i for i in range(3)]
+        got, kept, total = read_zordered_bloom(
+            spark, path, "payload", present + absent
+        )
+        assert got is not None
+        vals = sorted(r.payload for r in got.collect())
+        assert vals == sorted(present), (trial, n, cells)
+        assert 0 < kept <= total
