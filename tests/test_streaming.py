@@ -3469,3 +3469,101 @@ def test_streaming_maintained_pipeline_sessions_view(spark, tmp_path):
         assert view_now() == scratch()
     finally:
         q.stop()
+
+
+def test_streaming_maintained_pipeline_retention_view(spark, tmp_path):
+    """The retention-triangle decomposition at streaming cadence: the
+    maintained object is the per-user contribution frame (distinct
+    active weeks + cohort tag) on the keyed-slice algebra; each cycle
+    the frame must equal a from-scratch recompute over the post state
+    — including the cohort-RETAG cycle where an update moves a user's
+    first activity later (their whole cohort column changes)."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import maintain_keyed_slices
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("u", T.LongType()),
+            T.StructField("wk", T.LongType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="id", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key="cid", version_col="wk",
+        num_buckets=2,
+    )
+
+    def contrib(df):
+        w = df.select("u", "wk").distinct()
+        c = w.groupBy("u").agg(F.min("wk").alias("cohort"))
+        return (
+            w.join(c, "u")
+            .select("u", "wk", "cohort")
+            .withColumn("cid", F.concat_ws("#", "u", "wk"))
+        )
+
+    def derive(v_after):
+        return contrib(store.read(version=v_after))
+
+    def maintain(reflected, v_after, old_view):
+        feed = store.read_changes(reflected, v_after, update_images="both")
+        touched = feed.select("u").distinct()
+        post = store.read(version=v_after)
+        return maintain_keyed_slices(
+            old_view,
+            touched,
+            "u",
+            lambda tk: contrib(post.join(tk, ["u"], "left_semi")),
+        )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def view_now():
+        return {(r.u, r.wk, r.cohort) for r in view_store.read().collect()}
+
+    def scratch():
+        return {(r.u, r.wk, r.cohort) for r in contrib(store.read()).collect()}
+
+    # u1 active weeks {0, 2}; u2 active {1}
+    drop("b1", [("a", 1, 1, 0), ("b", 1, 1, 2), ("c", 1, 2, 1)])
+    q = streaming_maintained_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        store,
+        view_store,
+        str(tmp_path / "ckpt"),
+        derive=derive,
+        maintain=maintain,
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == {(1, 0, 0), (1, 2, 0), (2, 1, 1)}
+        assert view_now() == scratch()
+
+        # RETAG: u1's first activity MOVES from week 0 to week 5 (same
+        # id, higher v) — the cohort of u1's remaining week-2 row must
+        # flip 0 -> 2; u2 carries forward untouched
+        drop("b2", [("a", 2, 1, 5)])
+        q.processAllAvailable()
+        assert view_now() == {(1, 2, 2), (1, 5, 2), (2, 1, 1)}
+        assert view_now() == scratch()
+
+        # growth: a new week for u2 keeps its cohort stable
+        drop("b3", [("d", 1, 2, 4)])
+        q.processAllAvailable()
+        assert view_now() == {(1, 2, 2), (1, 5, 2), (2, 1, 1), (2, 4, 1)}
+        assert view_now() == scratch()
+    finally:
+        q.stop()
