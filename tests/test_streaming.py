@@ -3567,3 +3567,134 @@ def test_streaming_maintained_pipeline_retention_view(spark, tmp_path):
         assert view_now() == scratch()
     finally:
         q.stop()
+
+
+def test_streaming_maintained_pipeline_funnel_view(spark, tmp_path):
+    """The ordered-funnel algebra at streaming cadence on the generic
+    maintained-view skeleton: the maintained object is the per-user
+    (t1, t2, t3) step table on the keyed-slice algebra. Exercises the
+    step-CASCADE cycle per-row patching cannot express: an update that
+    moves the first view LATER resurrects nothing — the click that was
+    'after t1' may now precede it, so t2/t3 must recompute downstream.
+    Every cycle must equal a from-scratch funnel over the post state."""
+    from fs_indexer_elasticsearch_spark.operators.ivm import maintain_keyed_slices
+    from fs_indexer_elasticsearch_spark.streaming.pipeline import (
+        streaming_maintained_pipeline,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("u", T.LongType()),
+            T.StructField("t", T.LongType()),
+            T.StructField("typ", T.StringType()),
+        ]
+    )
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    store = SnapshotStore(
+        spark, str(tmp_path / "base"), key="id", version_col="v", num_buckets=4
+    )
+    view_store = SnapshotStore(
+        spark, str(tmp_path / "view"), key="u", version_col="t1", num_buckets=2
+    )
+
+    def funnel(df):
+        ev = df.select(
+            "u",
+            F.timestamp_seconds(F.col("t")).alias("ts"),
+            F.col("typ"),
+        )
+        v = (
+            ev.filter(F.col("typ") == "view")
+            .groupBy("u")
+            .agg(F.min("ts").alias("t1"))
+        )
+        c = (
+            ev.filter(F.col("typ") == "click")
+            .join(v, "u")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("u")
+            .agg(F.min("ts").alias("t2"))
+        )
+        p = (
+            ev.filter(F.col("typ") == "purchase")
+            .join(c, "u")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("u")
+            .agg(F.min("ts").alias("t3"))
+        )
+        return (
+            v.join(c, "u", "left")
+            .join(p, "u", "left")
+            .select("u", F.col("t1").cast("long").alias("t1"),
+                    F.col("t2").cast("long").alias("t2"),
+                    F.col("t3").cast("long").alias("t3"))
+        )
+
+    def derive(v_after):
+        return funnel(store.read(version=v_after))
+
+    def maintain(reflected, v_after, old_view):
+        feed = store.read_changes(reflected, v_after, update_images="both")
+        touched = feed.select("u").distinct()
+        post = store.read(version=v_after)
+        return maintain_keyed_slices(
+            old_view,
+            touched,
+            "u",
+            lambda tk: funnel(post.join(tk, ["u"], "left_semi")),
+        )
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(inp / name))
+
+    def view_now():
+        return {(r.u, r.t1, r.t2, r.t3) for r in view_store.read().collect()}
+
+    def scratch():
+        return {(r.u, r.t1, r.t2, r.t3) for r in funnel(store.read()).collect()}
+
+    # u1 completes the funnel: view@10, click@20, purchase@30
+    drop(
+        "b1",
+        [
+            ("e1", 1, 1, 10, "view"),
+            ("e2", 1, 1, 20, "click"),
+            ("e3", 1, 1, 30, "purchase"),
+        ],
+    )
+    q = streaming_maintained_pipeline(
+        spark,
+        str(inp) + "/*",
+        schema,
+        store,
+        view_store,
+        str(tmp_path / "ckpt"),
+        derive=derive,
+        maintain=maintain,
+    )
+    try:
+        q.processAllAvailable()
+        assert view_now() == {(1, 10, 20, 30)}
+        assert view_now() == scratch()
+
+        # CASCADE: the first view MOVES past the click (t=25) — the
+        # click at 20 no longer follows t1, so t2 must fall to NULL
+        # and t3 cascades to NULL with it
+        drop("b2", [("e1", 2, 1, 25, "view")])
+        q.processAllAvailable()
+        assert view_now() == {(1, 25, None, None)}
+        assert view_now() == scratch()
+
+        # a later click re-arms the funnel; purchase@30 now precedes
+        # the new click, so t3 stays NULL
+        drop("b3", [("e4", 1, 1, 40, "click")])
+        q.processAllAvailable()
+        assert view_now() == {(1, 25, 40, None)}
+        assert view_now() == scratch()
+    finally:
+        q.stop()
