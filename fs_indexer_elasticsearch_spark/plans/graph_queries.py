@@ -172,6 +172,32 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
 _LPA_ROUNDS = 4
 
 
+def label_propagation(sym: DataFrame, rounds: int) -> DataFrame:
+    """Deterministic synchronous LPA over a SYMMETRIZED edge list
+    (u, v): every node starts as its own label; each round every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties to the smallest label. Returns (node, lab) after ``rounds``
+    rounds. Each round = one O(|E|) equi-join on the neighbor id +
+    hash-agg count per (node, label) + argmax via min-over-struct
+    ((-count, label)) — the same total order as ORDER BY count DESC,
+    label."""
+    labels = sym.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("lab")
+    )
+    for _ in range(rounds):
+        labels = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), "lab"), "v"
+            )
+            .groupBy("u", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("u")
+            .agg(F.min(F.struct((-F.col("c")).alias("negc"), F.col("lab"))).alias("best"))
+            .select(F.col("u").alias("node"), F.col("best.lab").alias("lab"))
+        )
+    return labels
+
+
 def _lpa_oracle() -> str:
     pairs = ORACLES["dedup_minhash_lsh"]
     rounds = []
@@ -246,20 +272,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .localCheckpoint(eager=False)
     )
-    labels = sym.select("u").distinct().select(
-        F.col("u").alias("node"), F.col("u").alias("lab")
-    )
-    for _ in range(_LPA_ROUNDS):
-        labels = (
-            sym.join(
-                labels.select(F.col("node").alias("v"), "lab"), "v"
-            )
-            .groupBy("u", "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy("u")
-            .agg(F.min(F.struct((-F.col("c")).alias("negc"), F.col("lab"))).alias("best"))
-            .select(F.col("u").alias("node"), F.col("best.lab").alias("lab"))
-        )
+    labels = label_propagation(sym, _LPA_ROUNDS)
     return (
         labels.groupBy(F.col("lab").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

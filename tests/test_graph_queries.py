@@ -115,3 +115,31 @@ def test_label_propagation_refines_components(spark):
     comp_sizes = Counter(find(n) for n in parent)
     for r in rows:
         assert comp_sizes[find(r.community)] >= r.n_nodes
+
+
+def test_label_propagation_separates_cliques(spark):
+    """Crafted two-clique graph: a 4-clique {1..4} and a 4-clique
+    {11..14} joined by ONE bridge edge (4, 11). CC would merge all 8
+    nodes into one component; LPA must keep the two dense cores as
+    distinct communities (the finer-granularity claim, on a graph
+    where the right answer is known by construction)."""
+    from fs_indexer_elasticsearch_spark.plans.graph_queries import (
+        label_propagation,
+    )
+
+    def clique(ns):
+        return [(a, b) for a in ns for b in ns if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([11, 12, 13, 14]) + [(4, 11)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    labs = {r.node: r.lab for r in label_propagation(sym, 4).collect()}
+    left = {labs[n] for n in (1, 2, 3)}
+    right = {labs[n] for n in (12, 13, 14)}
+    # each core is internally uniform...
+    assert len(left) == 1 and len(right) == 1
+    # ...and the two cores carry DIFFERENT labels (no cross-bridge
+    # takeover — the clique majority outvotes the single bridge edge)
+    assert left != right
