@@ -510,7 +510,22 @@ def bloom_prune(
 
 
 def _key_ddl(values: list) -> str:
-    return "string" if values and isinstance(values[0], str) else "long"
+    """Probe-frame schema for the lookup values. Only integer and
+    string keys are supported — xxhash64 over a float column would
+    hash the DOUBLE bit pattern, and a caller passing 5.0 for a long
+    column would probe the wrong positions and (soundly but uselessly)
+    prune nothing or, worse, silently look up nothing. Refuse loudly
+    instead."""
+    if not values:
+        raise ValueError("bloom probe needs at least one lookup value")
+    if all(isinstance(v, str) for v in values):
+        return "string"
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in values):
+        return "long"
+    raise TypeError(
+        f"bloom lookup supports homogeneous int or str keys, got "
+        f"{sorted({type(v).__name__ for v in values})}"
+    )
 
 
 def read_zordered_bloom(

@@ -414,3 +414,22 @@ def test_optimize_rebuilds_bloom_sidecar(spark, tmp_path):
     with open(_os.path.join(path, "_BLOOM_payload.json")) as f:
         meta = _json.load(f)
     assert meta["k"] == 4 and meta["bits_per_row"] == 12
+
+
+def test_bloom_rejects_mixed_or_float_keys(spark, grid_store):
+    """Float or mixed-type probe values would hash the wrong bit
+    patterns — the probe must refuse loudly, not silently miss."""
+    import pytest as _pytest
+
+    from fs_indexer_elasticsearch_spark.sinks.zorder import (
+        bloom_prune,
+        build_zorder_bloom,
+    )
+
+    build_zorder_bloom(spark, grid_store, "payload")
+    with _pytest.raises(TypeError, match="homogeneous"):
+        bloom_prune(spark, grid_store, "payload", [1.5, 2])
+    with _pytest.raises(TypeError, match="homogeneous"):
+        bloom_prune(spark, grid_store, "payload", ["a", 1])
+    with _pytest.raises(ValueError, match="at least one"):
+        bloom_prune(spark, grid_store, "payload", [])
