@@ -406,30 +406,34 @@ def connected_components(
     )
     prev: tuple | None = None
     for _ in range(max_iter):
-        nbr = (
-            sym.join(
-                lab.select(F.col("u").alias("v"), F.col("l").alias("_nl")),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.min("_nl").alias("_nl"))
-        )
-        hop = lab.select(F.col("l").alias("_h"), F.col("u").alias("_hu"))
+        # One join + one groupBy per round (optimization round r14 —
+        # the previous shape was a lab⋈lab pointer join, a sym⋈lab
+        # neighbor join + groupBy, and a 3-way least() join: ~5
+        # exchanges per round where the data needs 2). Encode all
+        # three label sources as EDGES into one candidate list:
+        #   (u, u)     → contributes l(u)        (own label)
+        #   (u, l(u))  → contributes l(l(u))     (pointer doubling)
+        #   sym        → contributes l(Γ(u))     (neighbor labels)
+        # then newl(u) = min over the joined labels — row-for-row the
+        # same value as least(l, l(l), min-neighbor-l), so the label
+        # sequence, round count and fixpoint are IDENTICAL to the old
+        # shape. Every l(u) is a member id of u's component (it has
+        # edges), and (u, u) guarantees each u survives the inner
+        # join, so no left-join/coalesce is needed.
+        cand = sym.unionByName(
+            lab.select("u", F.col("l").alias("v"))
+        ).unionByName(lab.select("u", F.col("u").alias("v")))
         # Lazy checkpoint: the signature action below is the round's
         # ONE job — it materializes the checkpoint as a side effect
         # (eager=True would spend a second job per round on the same
         # materialization).
         lab = (
-            lab.join(hop, lab.l == hop._hu, "left")
-            .join(nbr, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("l"),
-                    F.coalesce(F.col("_h"), F.col("l")),
-                    F.coalesce(F.col("_nl"), F.col("l")),
-                ).alias("l"),
+            cand.join(
+                lab.select(F.col("u").alias("v"), F.col("l").alias("_nl")),
+                "v",
             )
+            .groupBy("u")
+            .agg(F.min("_nl").alias("l"))
             .localCheckpoint(eager=False)
         )
         # Fixpoint signature: count + order-independent xor of row

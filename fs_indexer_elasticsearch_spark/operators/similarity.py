@@ -175,7 +175,17 @@ def recall_against(approx: DataFrame, exact: DataFrame, label: str) -> DataFrame
     sets. One equi-join on the id pair + two 1-row aggregates — the
     metric costs nothing next to the searches it grades. Returns a
     single row (method, n_queries, n_truth, n_hits, recall_at_k)."""
-    e = exact.select("query_id", "neighbor_id")
+    # ``exact`` is consumed twice (the totals row and the hit join) and
+    # is typically the brute-force O(corpus × queries) truth scan —
+    # without a checkpoint every recall query computed its ground truth
+    # TWICE (guide §7.2: duplicated subtrees). EAGER, deliberately: a
+    # lazy checkpoint materializes on first touch, and when both
+    # consumers run inside one action their tasks RACE on the same
+    # blocks and each computes the subtree anyway ("Block rdd_N already
+    # exists" — measured as a regression, not a win, in this round's
+    # interleaved A/B). Eager spends one k-row job at build time and
+    # guarantees every consumer reads blocks.
+    e = exact.select("query_id", "neighbor_id").localCheckpoint(eager=True)
     a = approx.select("query_id", "neighbor_id")
     tot = e.agg(
         F.count(F.lit(1)).alias("n_truth"),
@@ -361,6 +371,22 @@ def ivfpq_ann_topk(
     stable_round before every rank cut.
     """
     cv = centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    # Optimization round r14 — the original wiring consumed the coarse
+    # assignment three times (residual encode, the ADC scan's cell
+    # lookup, and — through the residual subframe — the codebook
+    # build), and Spark duplicates a reused subtree per consumer: the
+    # physical plan scanned the corpus parquet 18 times and re-ran the
+    # broadcast-argmin assignment with every scan (guide §7.2). The
+    # fix is structural, not materialization (an interleaved A/B
+    # measured lazy localCheckpoints SLOWER at sf0.1 — three extra
+    # barrier jobs against a tiny corpus — and only 2× better at 10×
+    # data than this shape): (1) the codebook is derived from a
+    # semi-join-PRUNED 16-row corpus slice instead of the full
+    # residual frame, (2) ``codes`` carries the cell id through its
+    # group-by (cid is functionally determined by neighbor_id, so the
+    # groups are unchanged), which deletes the corpus_cells re-join in
+    # the ADC scan. The corpus-side pipeline is now one linear chain:
+    # scan → assign → residual → explode → encode → ADC → shortlist.
     corpus_cells = assign_cells(
         corpus, centroids, id_col, vec_col, "neighbor_id", "nvec", 1
     )
@@ -387,26 +413,43 @@ def ivfpq_ann_topk(
     # Deterministic shared residual codebook: the residual subvectors
     # of the codebook_src ids, renumbered 0..15 by id rank (dense, so
     # the code domain is exactly [0, 16) regardless of which ids the
-    # caller sampled).
+    # caller sampled). Built from its OWN pruned corpus slice (the
+    # semi-join keeps only the 16 codebook rows before any residual
+    # work) — same rows as filtering the full residual frame, without
+    # hanging a second consumer off the corpus-wide pipeline.
     src_ranked = (
         codebook_src.select(F.col(id_col).alias("_sid"))
         .distinct()
         .agg(F.array_sort(F.collect_list("_sid")).alias("_ids"))
         .select(F.posexplode("_ids").alias("j", "_sid"))
     )
+    cb_slice = corpus.join(
+        F.broadcast(src_ranked.select(F.col("_sid").alias(id_col))),
+        id_col,
+        "left_semi",
+    )
+    cb_res = (
+        assign_cells(cb_slice, centroids, id_col, vec_col, "neighbor_id", "nvec", 1)
+        .join(F.broadcast(cv), "cid")
+        .select(
+            "neighbor_id",
+            F.zip_with("nvec", "cv", lambda a, b: a - b).alias("r"),
+        )
+    )
     cb = (
-        rsub.join(
+        subframe(cb_res, ["neighbor_id"])
+        .join(
             F.broadcast(src_ranked),
-            rsub["neighbor_id"] == src_ranked["_sid"],
+            F.col("neighbor_id") == src_ranked["_sid"],
         )
         .select("j", "s", F.col("sub").alias("cw"))
     )
     codes = (
         rsub.join(F.broadcast(cb), "s")
-        .select("neighbor_id", "s", sub_d2.alias("d2"), "j")
-        .groupBy("neighbor_id", "s")
+        .select("neighbor_id", "cid", "s", sub_d2.alias("d2"), "j")
+        .groupBy("neighbor_id", "cid", "s")
         .agg(F.min(F.struct("d2", "j")).alias("best"))
-        .select("neighbor_id", "s", F.col("best.j").alias("code"))
+        .select("neighbor_id", "cid", "s", F.col("best.j").alias("code"))
     )
     query_cells = assign_cells(
         queries, centroids, id_col, vec_col, "query_id", "qvec", nprobe
@@ -429,8 +472,7 @@ def ivfpq_ann_topk(
         "d2",
     )
     scored = (
-        codes.join(corpus_cells.select("neighbor_id", "cid"), "neighbor_id")
-        .join(
+        codes.join(
             F.broadcast(lut_q),
             (F.col("cid") == F.col("qcid"))
             & (F.col("s") == F.col("qs"))

@@ -162,6 +162,22 @@ _PRIORITY = [
     # read |terms| buckets; tombstone deletions adjust the turnstile
     # normalizer via the doc-keyed length sidecar in O(removal)).
     "bm25_store_search_topk",
+    # Rotated into the prefix for the r14 OPTIMIZATION round (plans
+    # changed, mechanical rule): the embeddings-family scan now
+    # round-robin spreads past the single-file parquet scan before the
+    # per-row fold work (spread_small — no-op on wide real scans), the
+    # recall gates checkpoint their ground truth EAGERLY instead of
+    # recomputing it per consumer, and dedup_embedding_cosine /
+    # the k-means family inherit the spread through their shared
+    # augmented/fitted frames.
+    "similarity_bruteforce_topk",
+    "dedup_embedding_cosine",
+    "quantized_ann_int8_topk",
+    "semantic_dedup_clusters",
+    "embedding_outliers",
+    "kmeans_cluster_profile",
+    "ann_neardup_recall_lsh",
+    "ann_neardup_recall_multiprobe",
     # Rotated into the prefix for r14 (plans changed, mechanical rule):
     # dedup_simhash — single-int band key (band<<16 | value) self-join;
     # similarity_ivf_topk / ann_recall_at_k — assign_cells' n_keep=1
@@ -237,7 +253,6 @@ _PRIORITY = [
     # hermetic RIFF/PCM parse (decode_wav) under the oracle gate —
     # sample sum / peak / duration / raw-PCM md5 reproduced from the
     # closed-form sample function.
-    "multimodal_wav_stats",
     # ... and the last composition-matrix cell: joined TOP-K — the
     # k-deep extremum over fact⋈dim through both feeds (horizon rule
     # + dim-move candidates, deduped against the feed's own images).
@@ -254,8 +269,6 @@ _PRIORITY = [
     # with the two-term decomposition, no recompute branch); and the
     # HLL sketch dual for insert-only near-unique distinct counts
     # (union == from-scratch; delete-bearing windows refused loudly)
-    "incremental_view_histogram",
-    "incremental_view_topk",
     # New in r11 — one driver round old: the composed IVM algebras
     # (extremum measures over a joined view, both stores changing),
     # the NULL-group joined view (r10 verdict #4/#5), the combined
@@ -268,7 +281,6 @@ _PRIORITY = [
     # diff vs the r9 base, tools/rotation_check.py): the min/max IVM
     # recompute became a broadcast semi-join; frame sampling became a
     # real container demux with new gated columns
-    "incremental_view_minmax",
     "multimodal_frame_sample",
     # r9 prefix carried forward
     "incremental_view_joined",
@@ -288,10 +300,6 @@ _PRIORITY = [
     # Text analysis / profiling
     "text_quality_stats",
     # Corpus curation / analytics layer (r5; first driver rows)
-    "dedup_keep_best",
-    "vocab_concentration",
-    "token_budget_mixture",
-    "collocations_pmi",
     # Training-export layer (r6): packing, sharding, curriculum,
     # context sizing, sampling
     "sequence_packing_stats",
@@ -300,6 +308,20 @@ _PRIORITY = [
     # Event-time windows and temporal joins (+ r6 range-frame MA) —
     # window_moving_avg_7d is the family's prefix anchor
     "window_moving_avg_7d",
+    # Evicted from the prefix by the r14 optimization round's eight
+    # rotations (plans unchanged since their last driver green;
+    # families stay anchored: wav_stats16/pcm_windows/frame_sample for
+    # multimodal, joined/join_membership/sketch pair for IVM,
+    # text_quality_stats + sequence_packing_stats for text analytics,
+    # dedup_exact/minhash/CC for dedup):
+    "multimodal_wav_stats",
+    "incremental_view_histogram",
+    "incremental_view_topk",
+    "incremental_view_minmax",
+    "vocab_concentration",
+    "token_budget_mixture",
+    "collocations_pmi",
+    "dedup_keep_best",
     # Rebalanced below the boundary for the r14-late admissions
     # (IVF-PQ pair, label propagation, bloom lookup, retention +
     # the earlier nine r14-late newcomers): fourteen multi-round
@@ -365,7 +387,6 @@ _PRIORITY = [
     "robust_zscore_by_lang",
     "pagerank_neardup_graph",
     "incremental_agg_maintenance",
-    "quantized_ann_int8_topk",
     "char_bigram_nll",
     "curriculum_quality_deciles",
     # Rotated below in r12 (driver-green r9-r11, plans unchanged in
@@ -373,7 +394,6 @@ _PRIORITY = [
     # feed, dedup_exact/minhash/cc for dedup, ann_recall_at_k +
     # quantized_ann for recall):
     "store_read_changes_hardlink",
-    "ann_neardup_recall_multiprobe",
     "dedup_incremental_rebucket",
     "ann_incremental_ivf_manifest",
     "incremental_view_maintenance",
@@ -385,7 +405,6 @@ _PRIORITY = [
     # incremental_curation_cycle for curation):
     "multimodal_ppm_decode",
     "store_read_changes_rebucket",
-    "ann_neardup_recall_lsh",
     "curation_pipeline_e2e",
     "decontaminate_clean",
     "store_point_lookup",
@@ -400,9 +419,7 @@ _PRIORITY = [
     "dedup_incremental_batch_manifest",
     "ann_incremental_ivf_topk",
     "q01_pricing_summary",
-    "embedding_outliers",
     "retention_cohorts",
-    "semantic_dedup_clusters",
     "funnel_view_click_purchase",
     "token_count_exact",
     "url_canonical_dedup",
@@ -421,8 +438,6 @@ _PRIORITY = [
     "chunk_documents",
     "context_truncation_loss",
     "mixture_temperature_weights",
-    "dedup_embedding_cosine",
-    "kmeans_cluster_profile",
     "tfidf_top_terms",
     "dataset_split_summary",
     "stratified_sample_per_lang",
@@ -434,7 +449,6 @@ _PRIORITY = [
     "doc_fingerprints",
     "window_tumbling_10m",
     "ngram_jaccard_pairs",
-    "similarity_bruteforce_topk",
     "window_hopping_10m_5m",
     "sql_api_passthrough",
     "lang_id_confusion",

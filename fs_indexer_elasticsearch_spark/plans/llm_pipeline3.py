@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.vectors import cosine
 from ..operators.clustering import assign_clusters, kmeans_fit
-from ..tables import load
+from ..tables import load, spread_small
 from .llm_queries import _AUG_CTE_SQL, augmented_embeddings
 from .registry import query, stable_round
 
@@ -109,7 +109,11 @@ def _fit_and_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit k-means on the augmented embeddings, assign every vector.
 
     Returns (vec_id, v double[64], cluster_id, sq_dist)."""
-    emb = load(spark, sf_dir, "embeddings")
+    # spread_small (optimization round r14): aug is eager-checkpointed
+    # below and every Lloyd iteration + downstream consumer inherits
+    # its partitioning — from the 1-task parquet scan, ALL of k-means
+    # ran serially on one core. Spread before the checkpoint.
+    emb = spread_small(load(spark, sf_dir, "embeddings"))
     # Materialize the augmented fixture before building any assignment
     # expression: the per-dimension perturbation lambdas would otherwise
     # be inlined k times per centroid into every Lloyd plan, blowing up

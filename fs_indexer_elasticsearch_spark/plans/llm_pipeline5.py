@@ -366,7 +366,7 @@ def quantized_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxabs = F.array_max(
         F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
     )
-    emb = load(spark, sf_dir, "embeddings").filter(maxabs > 0)
+    emb = spread_small(load(spark, sf_dir, "embeddings")).filter(maxabs > 0)
     scale = F.lit(127.0) / maxabs
     coded = emb.select(
         "vec_id",
@@ -518,10 +518,19 @@ def quantized_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and stable_round flattens its ulp-level association drift before
     the shortlist cut and the hash.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    # spread_small (optimization round r14): the embeddings parquet is
+    # one small file, so the encode chain's per-row fold work ran as a
+    # single task; the spread buys scan-stage parallelism and no-ops on
+    # real (wide) scans.
+    emb = spread_small(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("e"),
     )
+    # NOT checkpointed (optimization round r14): the subvector frame
+    # feeds three consumers, but it is a narrow explode+slice over one
+    # scan — an interleaved A/B measured the materialization barrier
+    # SLOWER at sf0.1 (1.6 vs 1.4 s) and a wash at 10× data, so the
+    # recompute stays.
     sub = emb.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
@@ -811,7 +820,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed shape and determinism argument."""
     from ..operators.similarity import ivfpq_ann_topk
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    # spread_small: see quantized_ann_pq_topk — the cascade's heavy
+    # assign/residual/encode chain otherwise runs on the 1-task scan.
+    emb = spread_small(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )

@@ -28,7 +28,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.similarity import brute_force_topk, lsh_ann_topk
-from ..tables import load
+from ..tables import load, spread_small
 from .registry import query, stable_round
 
 # --------------------------------------------------------------------------
@@ -490,8 +490,16 @@ _COS_SQL = """
 )
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 for 8 query vectors: broadcast queries ×
-    corpus scan, fold-based dot products, per-query window top-k."""
-    emb = load(spark, sf_dir, "embeddings")
+    corpus scan, fold-based dot products, per-query window top-k.
+
+    spread_small (optimization round r14): the embeddings parquet is a
+    single sub-128 MB file at every test SF, so the scan is ONE task —
+    and the per-row work here (8 query × 64-dim interpreted HOF folds)
+    ran serially on one core: measured 19 s of single-task CPU at the
+    10× amplified SF, wall ≈ CPU. The round-robin spread costs one
+    shuffle of the raw vectors and buys 32-way parallelism; at real
+    scale the scan is already wide and spread_small no-ops."""
+    emb = spread_small(load(spark, sf_dir, "embeddings"))
     return brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=3
     )
@@ -538,7 +546,7 @@ def similarity_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grades the multi-table OR-construction in LSH's design regime
     (near-dup retrieval), where it hits recall 1.0 at ~3%
     candidate volume."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread_small(load(spark, sf_dir, "embeddings"))
     return lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding",
         k=3, num_planes=8,
@@ -633,7 +641,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w md5-derived) so real near-dups exist at every SF."""
     from ..functions.vectors import cosine, lsh_bucket
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread_small(load(spark, sf_dir, "embeddings"))
     aug = augmented_embeddings(emb)
     coded = aug.select(
         "vec_id", "emb", lsh_bucket("emb", 8).alias("bucket")
@@ -715,7 +723,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest cells only."""
     from ..operators.similarity import ivf_ann_topk
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = spread_small(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
     )
@@ -775,7 +783,12 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     under `extra`."""
     from ..operators.similarity import recall_against
 
-    bf = similarity_bruteforce_topk(spark, sf_dir)
+    # The exact ground truth feeds BOTH gates (and recall_against reads
+    # its truth twice): checkpoint once or the O(corpus × queries)
+    # brute-force scoring runs four times per invocation. Eager — a
+    # lazy checkpoint's consumers race-compute the blocks inside one
+    # action (see recall_against).
+    bf = similarity_bruteforce_topk(spark, sf_dir).localCheckpoint(eager=True)
     lsh = recall_against(similarity_lsh_ann_topk(spark, sf_dir), bf, "lsh")
     ivf = recall_against(similarity_ivf_topk(spark, sf_dir), bf, "ivf")
     return lsh.unionByName(ivf)
@@ -840,7 +853,7 @@ def _neardup_ground_truth(
     # joins anyway).
     n_slices = spark.sparkContext.defaultParallelism
     aug = (
-        augmented_embeddings(load(spark, sf_dir, "embeddings"))
+        augmented_embeddings(spread_small(load(spark, sf_dir, "embeddings")))
         .repartition(n_slices, "vec_id")
         .localCheckpoint(eager=False)
     )

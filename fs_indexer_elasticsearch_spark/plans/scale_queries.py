@@ -2918,8 +2918,12 @@ def _cc_chain_frames(spark: SparkSession, sf_dir: str):
     return nodes, base, adds, removed
 
 
-def _cc_edge_store(spark: SparkSession, sf_dir: str):
-    _, base, adds, removed = _cc_chain_frames(spark, sf_dir)
+def _cc_edge_store(spark: SparkSession, sf_dir: str, frames=None):
+    # ``frames``: a prebuilt _cc_chain_frames tuple — the chain
+    # construction is EAGER (a per-partition-counts collect + range
+    # shuffle), so a caller that also needs the node frame passes its
+    # own rather than paying the construction twice per invocation.
+    _, base, adds, removed = frames or _cc_chain_frames(spark, sf_dir)
     return _demo_store(
         spark,
         sf_dir,
@@ -2978,8 +2982,9 @@ def dedup_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import maintain_connected_components
     from pyspark.sql import Window
 
-    store = _cc_edge_store(spark, sf_dir)
-    nodes, _, _, _ = _cc_chain_frames(spark, sf_dir)
+    frames = _cc_chain_frames(spark, sf_dir)
+    store = _cc_edge_store(spark, sf_dir, frames)
+    nodes = frames[0]
     labels = maintain_connected_components(
         store, 1, 2, src="u", dst="vtx", nodes=nodes
     )
