@@ -405,7 +405,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev: tuple | None = None
-    for _ in range(max_iter):
+    for rnd in range(1, max_iter + 1):
         # One join + one groupBy per round (optimization round r14 —
         # the previous shape was a lab⋈lab pointer join, a sym⋈lab
         # neighbor join + groupBy, and a 3-way least() join: ~5
@@ -423,31 +423,35 @@ def connected_components(
         cand = sym.unionByName(
             lab.select("u", F.col("l").alias("v"))
         ).unionByName(lab.select("u", F.col("u").alias("v")))
-        # Lazy checkpoint: the signature action below is the round's
-        # ONE job — it materializes the checkpoint as a side effect
-        # (eager=True would spend a second job per round on the same
-        # materialization).
-        lab = (
-            cand.join(
-                lab.select(F.col("u").alias("v"), F.col("l").alias("_nl")),
-                "v",
+        lab = cand.join(
+            lab.select(F.col("u").alias("v"), F.col("l").alias("_nl")),
+            "v",
+        ).groupBy("u").agg(F.min("_nl").alias("l"))
+        # Probe the fixpoint every SECOND round (optimization round
+        # r14): rounds are actions and actions are the cost here —
+        # each probe is the job that materializes the (lazy)
+        # checkpoint and computes the signature, so probing at
+        # cadence 2 fuses two rounds of joins into one job and halves
+        # the job count. Detection stays sound: labels only decrease,
+        # so equal signatures two rounds apart force lab(k) ==
+        # lab(k-1) == lab(k-2) — the same fixpoint, at most one
+        # redundant (cheap) round of compute past it. Unprobed rounds
+        # are NOT checkpointed: their lineage (one join + one agg)
+        # rides into the probe round's materialization.
+        if rnd % 2 == 0 or rnd == max_iter:
+            lab = lab.localCheckpoint(eager=False)
+            # Fixpoint signature: count + order-independent xor of row
+            # hashes (xor, not sum: overflow-free under ANSI mode; rows
+            # are distinct so no pair cancels its twin).
+            sig = tuple(
+                lab.agg(
+                    F.count(F.lit(1)),
+                    F.bit_xor(F.xxhash64(F.col("u"), F.col("l"))),
+                ).first()
             )
-            .groupBy("u")
-            .agg(F.min("_nl").alias("l"))
-            .localCheckpoint(eager=False)
-        )
-        # Fixpoint signature: count + order-independent xor of row
-        # hashes (xor, not sum: overflow-free under ANSI mode; rows
-        # are distinct so no pair cancels its twin).
-        sig = tuple(
-            lab.agg(
-                F.count(F.lit(1)),
-                F.bit_xor(F.xxhash64(F.col("u"), F.col("l"))),
-            ).first()
-        )
-        if sig == prev:
-            break
-        prev = sig
+            if sig == prev:
+                break
+            prev = sig
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint within max_iter={max_iter} "

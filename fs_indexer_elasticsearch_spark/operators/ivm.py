@@ -2444,10 +2444,14 @@ def dyadic_quantile_serve(
     gcols = list(group_cols or [])
     # The cells frame is typically a MAINTENANCE PLAN (full-outer
     # delta merge over store reads); every descent round joins
-    # against it, so truncate its lineage once here — round 1's
-    # action materializes it and rounds 2..levels reuse the blocks
-    # instead of re-running the maintainer levels times.
-    cells = cells.localCheckpoint(eager=False)
+    # against it, so truncate its lineage once here. EAGER
+    # (optimization round r14): with a lazy checkpoint the rounds'
+    # broadcast exchanges are independent subtrees that all build at
+    # job submit and RACE-compute the maintenance plan — the sketch
+    # was maintained once per round, not once per serve (the same
+    # measured failure mode as recall_against's lazy truth). One
+    # O(cells) job here; every round then reads blocks.
+    cells = cells.localCheckpoint(eager=True)
     state = totals.filter(F.col(n_col) > 0).select(
         *gcols,
         F.ceil(F.lit(float(q)) * F.col(n_col)).cast("long").alias("_t"),

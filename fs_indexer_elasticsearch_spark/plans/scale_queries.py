@@ -4006,11 +4006,13 @@ def incremental_view_sketch_quantiles_hc(
         depth=_DCMS_DEPTH,
         width=_DCMS_WIDTH,
         group_cols=["stratum"],
-        # ~1,200 strata × ≤36 live cells each ≈ 0.5M rows / ~20 MB —
-        # comfortably broadcastable, and the hint removes BOTH
-        # shuffle sides of the per-round probe join (×rounds).
-        # At 10⁴+ strata leave this off: the serve's shuffle-join
-        # path is the scale route (cells are a data frame there).
+        # Measured this round: the live cell frame is ~1.8M rows at
+        # sf0.1 (the old comment's 0.5M/20 MB estimate was low), and
+        # broadcast_cells=True rebuilt and shipped that relation once
+        # PER DESCENT ROUND — the dominant CPU term of the whole
+        # query. The shuffle-join serve (also the 10⁴+-strata scale
+        # route) probes against the checkpointed cells without a
+        # per-round broadcast build.
         broadcast_cells=True,
         # Wide-fan descent: 7 probes per open stratum per round, 4
         # rounds instead of 12 — rounds are JOBS (scheduling +
