@@ -382,7 +382,7 @@ def connected_components(
     # eager one would spend a dedicated job on the caller's upstream
     # plan before the loop even starts).
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=False
+        eager=True
     )
     # Node list from BOTH raw endpoints of the CHECKPOINTED edge list:
     # a node whose only edges are self-loops (u,u) has no row in the
@@ -395,14 +395,14 @@ def connected_components(
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    sym = _symmetrize(e).localCheckpoint(eager=False)
+    sym = _symmetrize(e).localCheckpoint(eager=True)
     # l0(u) = min({u} ∪ Γ(u)); nodes without non-loop edges are
     # absent here and re-enter as singletons in the final join.
     lab = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select("u", F.least("u", "mv").alias("l"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     prev: tuple | None = None
     for rnd in range(1, max_iter + 1):
@@ -604,7 +604,7 @@ def maintain_connected_components(
             F.max(F.when(is_post, pair)).alias("_post"),
         )
         .filter(~F.col("_pre").eqNullSafe(F.col("_post")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     adds = pairs.filter(F.col("_post").isNotNull()).select(
         F.col("_post.u").alias("u"), F.col("_post.v").alias("v")
@@ -633,7 +633,7 @@ def maintain_connected_components(
             nodes["node"],
             F.coalesce(F.col("_oc"), nodes["node"]).alias("cluster"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     # -- Phase 1: adds merge at CLUSTER grain ------------------------------
@@ -656,7 +656,7 @@ def maintain_connected_components(
         .select(
             "node", F.coalesce("_mroot", "cluster").alias("cluster")
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     if dels.isEmpty():
         return labels1

@@ -165,7 +165,7 @@ def maintain_min_max(
                 F.lit(False),
             ),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     kept = j.filter(~F.col("_recompute") & (F.col("_n_new") > 0)).select(
         *g,
@@ -304,7 +304,7 @@ def maintain_joined_agg(
             group_col,
             sign_of(F.col("_change")).alias("_dsign"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
     per_key = (
@@ -462,7 +462,7 @@ def maintain_joined_min_max(
     ).otherwise(F.lit(-1))
     feed = fact_store.read_changes(
         v_from, v_to, update_images="both"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     is_add = F.col("_change").isin("insert", "update_postimage")
     # Term 1 (n/s algebra + removal threats): fact feed under the
     # PRE-state dim — removals happened to rows grouped by D1.
@@ -494,7 +494,7 @@ def maintain_joined_min_max(
             group_col,
             sign_of(F.col("_change")).alias("_dsign"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
     per_key = (
@@ -507,7 +507,7 @@ def maintain_joined_min_max(
             F.min(cents).alias("_kmin"),
             F.max(cents).alias("_kmax"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     dj = dfeed.join(per_key, F.col("_dk") == F.col(fact_key_col), "left")
     t2 = dj.groupBy(group_col).agg(
@@ -601,7 +601,7 @@ def maintain_joined_min_max(
                 F.lit(False),
             ),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     kept = j.filter(~F.col("_recompute") & (F.col("_n_new") > 0)).select(
         group_col,
@@ -920,7 +920,7 @@ def maintain_top_k(
                 F.lit(False),
             ),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # Typed empty fallbacks (slice-to-zero of the OTHER side) — a bare
     # F.array() is array<void> and won't coerce to the value type. A
@@ -1150,7 +1150,7 @@ def maintain_joined_value_counts(
             group_col,
             sign_of(F.col("_change")).alias("_dsign"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
     per_key_val = (
@@ -1331,7 +1331,7 @@ def maintain_join_membership(
     # collapsed feed already carries post-images for insert/update and
     # pre-images for delete, so pks(update|delete) drop and rows
     # (insert|update) re-enter through the add path.
-    ffeed = fact_store.read_changes(v_from, v_to).localCheckpoint(eager=False)
+    ffeed = fact_store.read_changes(v_from, v_to).localCheckpoint(eager=True)
     gone_pks = ffeed.filter(F.col("_change").isin("update", "delete")).select(
         *pks
     )
@@ -1341,7 +1341,7 @@ def maintain_join_membership(
 
     # Dim feed: only insert/delete change key existence. A collapsed
     # 'update' has the key present on both sides of the window.
-    dfeed = dim_store.read_changes(v_from, v_to).localCheckpoint(eager=False)
+    dfeed = dim_store.read_changes(v_from, v_to).localCheckpoint(eager=True)
     appeared = (
         dfeed.filter(F.col("_change") == "insert")
         .select(F.col(dim_key_col).alias("_ak"), F.lit(True).alias("_ap"))
@@ -1459,13 +1459,13 @@ def maintain_rollup_cascade(
             F.sum(sign).alias("_dn"),
             F.sum(sign * val).alias("_ds"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     if old_fine is None and old_coarse is None:
         base = store.read(version=v_from)
         old_fine = base.groupBy(fine_col).agg(
             F.count(F.lit(1)).alias("n"), F.sum(val).cast("long").alias("s")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         old_coarse = old_fine.groupBy(
             coarse_of(F.col(fine_col)).alias(coarse_col)
         ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
@@ -1596,7 +1596,7 @@ def join_membership_delta(
     fact_pk = fact_store.key
     pks = [fact_pk] if isinstance(fact_pk, str) else list(fact_pk)
 
-    ffeed = fact_store.read_changes(v_from, v_to).localCheckpoint(eager=False)
+    ffeed = fact_store.read_changes(v_from, v_to).localCheckpoint(eager=True)
     removed = ffeed.filter(F.col("_change") == "delete").select(*pks)
     adds = ffeed.filter(F.col("_change").isin("insert", "update")).drop(
         "_change"
@@ -1728,7 +1728,7 @@ def maintain_joined3_agg(
             F.col(dim1_attr_col).alias("_d1a"),
             sign_of(F.col("_change")).alias("_d1s"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     d2feed = (
         dim2_store.read_changes(d2vf, d2vt, update_images="both")
@@ -1737,7 +1737,7 @@ def maintain_joined3_agg(
             group_col,
             sign_of(F.col("_change")).alias("_d2s"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     changed_cks = d1feed.select(F.col("_d1k").alias("_ck")).distinct()
     changed_nks = d2feed.select(F.col("_d2k").alias("_nk")).distinct()
@@ -1747,7 +1747,7 @@ def maintain_joined3_agg(
         dim1_store.read(version=d1vt)
         .select(dim1_key_col, dim1_attr_col)
         .join(changed_nks, F.col(dim1_attr_col) == F.col("_nk"), "left_semi")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     combined_keys = changed_cks.unionByName(
         c2_changed.select(F.col(dim1_key_col).alias("_ck"))
@@ -1755,7 +1755,7 @@ def maintain_joined3_agg(
     f_slice = (
         fact_store.read(version=v_to)
         .join(combined_keys, F.col(fact_key_col) == F.col("_ck"), "left_semi")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     # Term 2: F2 ⋈ ΔC ⋈ N1 — per-key fact aggregates move whole.
@@ -1886,7 +1886,7 @@ def maintain_joined_top_k(
             fact_store.read(version=v_from)
             .join(d_prev, F.col(fact_key_col) == F.col(dim_key_col))
             .select(group_col, cents.alias("_c"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         w = Window.partitionBy(group_col).orderBy(F.desc("_c"))
         old = (
@@ -1907,7 +1907,7 @@ def maintain_joined_top_k(
     ).otherwise(F.lit(-1))
     feed = fact_store.read_changes(
         v_from, v_to, update_images="both"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     is_add = F.col("_change").isin("insert", "update_postimage")
     # n/s algebra + removal threats under the PRE-state dim.
     ffeed = feed.join(d_prev, F.col(fact_key_col) == F.col(dim_key_col))
@@ -1925,7 +1925,7 @@ def maintain_joined_top_k(
             group_col,
             sign_of(F.col("_change")).alias("_dsign"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
     fact_pk = fact_store.key
@@ -1934,7 +1934,7 @@ def maintain_joined_top_k(
         fact_store.read(version=v_to)
         .join(changed_keys, F.col(fact_key_col) == F.col("_ck"), "left_semi")
         .select(*pks, F.col(fact_key_col).alias("_fk"), cents.alias("_c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     per_key = f_slice.groupBy("_fk").agg(
         F.count(F.lit(1)).alias("_kn"), F.sum("_c").alias("_ks")
@@ -2042,7 +2042,7 @@ def maintain_joined_top_k(
                 F.lit(False),
             ),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     empty_arr = F.slice(F.coalesce("_cand", "_tk0"), 1, 0)
     kept = j.filter(~F.col("_recompute") & (F.col("_n_new") > 0)).select(

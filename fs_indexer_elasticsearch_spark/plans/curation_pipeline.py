@@ -199,7 +199,7 @@ def curate_stages(
     canon = F.lower(F.col("url"))
     for pat, rep in CANON_STEPS:
         canon = F.regexp_replace(canon, pat, rep)
-    base = d.withColumn("canonical_url", canon).localCheckpoint(eager=False)
+    base = d.withColumn("canonical_url", canon).localCheckpoint(eager=True)
 
     w_url = Window.partitionBy("canonical_url").orderBy("doc_id")
     s1 = (
@@ -222,7 +222,7 @@ def curate_stages(
         .drop("rk2")
         # s4 feeds the n_exact rollup AND the packing window AND the
         # selected rollup; share one computation of the whole chain.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     w_pack = (
         Window.partitionBy("lang")

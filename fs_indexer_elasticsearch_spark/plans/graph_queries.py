@@ -130,7 +130,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             F.greatest("id_a", "id_b").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -265,12 +265,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("id_a", "id_b").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sym = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     labels = label_propagation(sym, _LPA_ROUNDS)
     return (
@@ -308,7 +308,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("id_a", "id_b").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))

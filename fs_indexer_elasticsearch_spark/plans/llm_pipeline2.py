@@ -182,7 +182,7 @@ def split_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query, which leaks across repeated invocations.
     sh = d.select(
         "doc_id", "split", word_shingles(F.col("tk"), 3).alias("shingles")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     train_sh = (
         sh.filter(F.col("split") == "train")
         .select(F.explode("shingles").alias("s"))

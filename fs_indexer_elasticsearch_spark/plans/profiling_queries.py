@@ -250,7 +250,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = (
         spread_small(load(spark, sf_dir, "documents"))
         .select(F.explode(tokens("text")).alias("tok"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     def bucket(d_col: Column, tok_col: Column) -> Column:

@@ -152,7 +152,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("late")
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     l1 = li.filter(F.col("late") == 1).alias("l1")
     ontime = li.filter(F.col("late") == 0).select(

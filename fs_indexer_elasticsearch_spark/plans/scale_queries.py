@@ -147,19 +147,19 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         _aug_corpus(spark, sf_dir), "doc_id", "text",
         num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     sym = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     # n is loop-invariant: attach it to the degree table ONCE (1-row
     # broadcast join, plan-audit whitelisted scalar pattern) so the
     # iteration body contains only keyed joins.
-    degn = deg.join(F.broadcast(nn)).localCheckpoint(eager=False)
+    degn = deg.join(F.broadcast(nn)).localCheckpoint(eager=True)
     ranks = degn.select(
         F.col("u").alias("node"), F.round(1.0 / F.col("n") + 1e-12, 10).alias("rank")
     )
@@ -1745,7 +1745,7 @@ def incremental_view_joined_chained(
         fact_key_col="o_custkey",
         dim_key_col="c_custkey",
         group_col="c_nationkey",
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     view = maintain_joined_agg(
         fact, dim, 2, 3,
         fact_key_col="o_custkey",
@@ -1907,7 +1907,7 @@ def incremental_curation_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", F.size("toks").alias("n_tokens"))
         # Three consumers (probe input, anti-join, rollup) share one
         # computation of the tokenize+score chain.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     with _store_lock(path):
         store = MinHashBandStore(spark, path, num_buckets=32)
