@@ -160,7 +160,14 @@ def minhash_lsh_pairs(
     recall follows the curve.
     """
     _validate_minhash_config(num_hashes, bands)
-    sh = shingle_sets(df, id_col, text_col, shingle_n).cache()
+    # Eager checkpoint, not cache (optimization round r14): the frame
+    # has three parallel consumers (the signature chain and both
+    # verify legs), and BOTH cache() and a lazy checkpoint let those
+    # consumers race-compute the partitions on first materialization;
+    # cache() additionally persists keyed on the logical plan, leaking
+    # reuse across repeated invocations in one session (bench warm
+    # runs must recompute). One job here; consumers read blocks.
+    sh = shingle_sets(df, id_col, text_col, shingle_n).localCheckpoint(eager=True)
     # Base hash materialized in its own projection: ONE md5 per
     # shingle; the 16 permutations are integer arithmetic over it
     # (universal-hash family — 16× less hashing than keyed-md5-min).
@@ -184,9 +191,11 @@ def minhash_lsh_pairs(
             ).alias("band"),
         )
         .select("sid", "band.b", "band.h")
-        # cache: the self-join would otherwise execute the whole
-        # minhash pipeline twice (once per side).
-        .cache()
+        # Eager checkpoint: the self-join would otherwise execute the
+        # whole minhash pipeline twice — once per side, and cache()
+        # does NOT prevent that (both legs race on first
+        # materialization); see sh above.
+        .localCheckpoint(eager=True)
     )
     a = long.alias("a")
     b_ = long.alias("b")
@@ -279,7 +288,10 @@ def simhash_pairs(
             simhash32_from_hashes("th_lo").alias("lo"),
             simhash32_from_hashes("th_hi").alias("hi"),
         )
-        .cache()
+        # Eager checkpoint, not cache: the band self-join's two legs
+        # race-compute a cached frame on first materialization (see
+        # minhash_lsh_pairs).
+        .localCheckpoint(eager=True)
     )
     def byte(k: int) -> F.Column:
         word = F.col("lo") if k < 4 else F.col("hi")
@@ -485,7 +497,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("sid"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
         distinct_tokens(F.col(text_col)).alias("toks"),
-    ).cache()
+        # Eager checkpoint, not cache: self-joined — see minhash_lsh_pairs.
+    ).localCheckpoint(eager=True)
     a = t.alias("a")
     b = t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))

@@ -178,6 +178,12 @@ _PRIORITY = [
     "kmeans_cluster_profile",
     "ann_neardup_recall_lsh",
     "ann_neardup_recall_multiprobe",
+    # ... and the minhash/ngram operators' shared frames moved from
+    # cache() to eager checkpoints (cache let the self-join legs race
+    # and leaked reuse across warm runs): the two callers not already
+    # behind their own checkpoint rotate in.
+    "dedup_cascade_attrition",
+    "ngram_jaccard_pairs",
     # Rotated into the prefix for r14 (plans changed, mechanical rule):
     # dedup_simhash — single-int band key (band<<16 | value) self-join;
     # similarity_ivf_topk / ann_recall_at_k — assign_cells' n_keep=1
@@ -281,11 +287,9 @@ _PRIORITY = [
     # diff vs the r9 base, tools/rotation_check.py): the min/max IVM
     # recompute became a broadcast semi-join; frame sampling became a
     # real container demux with new gated columns
-    "multimodal_frame_sample",
     # r9 prefix carried forward
     "incremental_view_joined",
     "store_read_changes",
-    "incremental_curation_cycle",
     # New in r8 — two driver rounds old. Displaced below the boundary
     # this round to make room for the r10 newcomers:
     # decontaminate_clean, store_point_lookup,
@@ -308,6 +312,8 @@ _PRIORITY = [
     # Event-time windows and temporal joins (+ r6 range-frame MA) —
     # window_moving_avg_7d is the family's prefix anchor
     "window_moving_avg_7d",
+    "incremental_curation_cycle",
+    "multimodal_frame_sample",
     # Evicted from the prefix by the r14 optimization round's eight
     # rotations (plans unchanged since their last driver green;
     # families stay anchored: wav_stats16/pcm_windows/frame_sample for
@@ -425,7 +431,6 @@ _PRIORITY = [
     "url_canonical_dedup",
     "domain_extract_counts",
     "domain_blocklist_filter",
-    "dedup_cascade_attrition",
     "gopher_quality_flags",
     "column_profile",
     "crossdoc_shingle_boilerplate",
@@ -448,7 +453,6 @@ _PRIORITY = [
     "binary_header_parse",
     "doc_fingerprints",
     "window_tumbling_10m",
-    "ngram_jaccard_pairs",
     "window_hopping_10m_5m",
     "sql_api_passthrough",
     "lang_id_confusion",
