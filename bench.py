@@ -522,6 +522,8 @@ def main() -> None:
         pass  # read-only checkout: the stdout detail line still carries it
     # Detail first, compact headline LAST — the driver captures the tail.
     print(json.dumps(detail, sort_keys=True))
+    if headline.get("box_alert"):
+        print(f"BENCH WARNING — {headline['box_alert']}", file=sys.stderr)
     print(json.dumps(headline))
     spark.stop()
 
@@ -617,6 +619,16 @@ def build_payloads(
         "cpu_canary_sec": canary_sec,
         "canary_spread": canary_spread,
         "box_drifted": (canary_spread is not None and canary_spread > 0.10),
+        # Loud one-line alert (r14 verdict #2): spread > 0.3 means the
+        # box changed speed >30% WITHIN the run — r14's 32-core bench
+        # (spread 0.503) read as a 3x code regression on untouched
+        # queries. A run carrying this key must never be compared
+        # query-by-query against another run; re-bench on a quiet box.
+        **(
+            {"box_alert": f"UNRELIABLE: canary spread {canary_spread} > 0.3"}
+            if canary_spread is not None and canary_spread > 0.30
+            else {}
+        ),
         # I/O-speed twin of the CPU canary (r14): the store-backed
         # extras are commit-bound (hardlink/listdir/tiny-write), and
         # r13 proved that FS speed can move 20%+ while md5 moves 2% —

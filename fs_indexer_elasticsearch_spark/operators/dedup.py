@@ -39,7 +39,7 @@ from ..functions.text import (
     word_shingles,
 )
 from ..functions.rounding import stable_round
-from ..tables import spread_small
+from ..tables import ckpt_shared, spread_small
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -167,7 +167,7 @@ def minhash_lsh_pairs(
     # cache() additionally persists keyed on the logical plan, leaking
     # reuse across repeated invocations in one session (bench warm
     # runs must recompute). One job here; consumers read blocks.
-    sh = shingle_sets(df, id_col, text_col, shingle_n).localCheckpoint(eager=True)
+    sh = shingle_sets(df, id_col, text_col, shingle_n).transform(ckpt_shared)
     # Base hash materialized in its own projection: ONE md5 per
     # shingle; the 16 permutations are integer arithmetic over it
     # (universal-hash family — 16× less hashing than keyed-md5-min).
@@ -195,7 +195,7 @@ def minhash_lsh_pairs(
         # whole minhash pipeline twice — once per side, and cache()
         # does NOT prevent that (both legs race on first
         # materialization); see sh above.
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     a = long.alias("a")
     b_ = long.alias("b")
@@ -291,7 +291,7 @@ def simhash_pairs(
         # Eager checkpoint, not cache: the band self-join's two legs
         # race-compute a cached frame on first materialization (see
         # minhash_lsh_pairs).
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     def byte(k: int) -> F.Column:
         word = F.col("lo") if k < 4 else F.col("hi")
@@ -390,11 +390,13 @@ def connected_components(
     labeling that silently under-merges duplicate clusters is strictly
     worse than a loud retry-with-higher-budget.
     """
-    # Lazy checkpoint: round 1's fixpoint action materializes it (an
-    # eager one would spend a dedicated job on the caller's upstream
-    # plan before the loop even starts).
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
+    # EAGER: _symmetrize references e TWICE (forward + swapped legs of
+    # one union), so a lazy checkpoint would race-compute the caller's
+    # upstream plan — for LSH dedup, the expensive candidate-pair
+    # pipeline — inside lab's materialization job (ckpt_shared =
+    # size-gated policy, tables.py).
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).transform(
+        ckpt_shared
     )
     # Node list from BOTH raw endpoints of the CHECKPOINTED edge list:
     # a node whose only edges are self-loops (u,u) has no row in the
@@ -407,14 +409,19 @@ def connected_components(
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    sym = _symmetrize(e).localCheckpoint(eager=True)
+    # LAZY, deliberately (r15 — one job less per CC invocation): sym's
+    # first consumer is lab's EAGER materialization right below, which
+    # references sym exactly ONCE (no intra-job race) and stores its
+    # blocks as a byproduct; every round's cand then reads blocks. An
+    # eager sym would spend a dedicated job on the same work.
+    sym = _symmetrize(e).localCheckpoint(eager=False)
     # l0(u) = min({u} ∪ Γ(u)); nodes without non-loop edges are
     # absent here and re-enter as singletons in the final join.
     lab = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select("u", F.least("u", "mv").alias("l"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     prev: tuple | None = None
     for rnd in range(1, max_iter + 1):
@@ -498,7 +505,7 @@ def ngram_jaccard_pairs(
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
         distinct_tokens(F.col(text_col)).alias("toks"),
         # Eager checkpoint, not cache: self-joined — see minhash_lsh_pairs.
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt_shared)
     a = t.alias("a")
     b = t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
@@ -617,7 +624,7 @@ def maintain_connected_components(
             F.max(F.when(is_post, pair)).alias("_post"),
         )
         .filter(~F.col("_pre").eqNullSafe(F.col("_post")))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     adds = pairs.filter(F.col("_post").isNotNull()).select(
         F.col("_post.u").alias("u"), F.col("_post.v").alias("v")
@@ -646,7 +653,7 @@ def maintain_connected_components(
             nodes["node"],
             F.coalesce(F.col("_oc"), nodes["node"]).alias("cluster"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
 
     # -- Phase 1: adds merge at CLUSTER grain ------------------------------
@@ -669,7 +676,7 @@ def maintain_connected_components(
         .select(
             "node", F.coalesce("_mroot", "cluster").alias("cluster")
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     if dels.isEmpty():
         return labels1

@@ -72,6 +72,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..tables import ckpt_shared
+
 from .store_common import read_pruned
 
 
@@ -123,7 +125,7 @@ class Bm25IndexStore:
             F.col(id_col).alias("doc_id"),
             tokens(F.col(text_col)).alias("tk"),
         ).select("doc_id", "tk", F.size("tk").alias("dl"))
-        toks = toks.localCheckpoint(eager=True)  # two consumers
+        toks = toks.transform(ckpt_shared)  # two consumers
         postings = (
             toks.select("doc_id", "dl", F.explode("tk").alias("term"))
             .groupBy("term", "doc_id", "dl")
@@ -170,7 +172,7 @@ class Bm25IndexStore:
         """One-time full-corpus build; later cycles are O(delta) adds.
         The stats commit atomically with the rows (meta payload)."""
         postings, doclens = self._rows(corpus, id_col, text_col, 0)
-        doclens = doclens.localCheckpoint(eager=True)  # agg + write
+        doclens = doclens.transform(ckpt_shared)  # agg + write
         agg = doclens.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
@@ -212,7 +214,7 @@ class Bm25IndexStore:
         if int(seq) <= int(meta.get("stats_seq", 0)):
             # Replay of an already-folded batch: rows only.
             return self.store.merge(postings)
-        doclens = doclens.localCheckpoint(eager=True)  # agg + write
+        doclens = doclens.transform(ckpt_shared)  # agg + write
         agg = doclens.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
@@ -252,7 +254,7 @@ class Bm25IndexStore:
 
         ids = doc_ids.select(
             F.col(doc_ids.columns[0]).alias("doc_id")
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt_shared)
         meta = dict(self._stats_meta())
         listed = set(meta.get("tombstoned") or [])
         # O(removal): only the removed ids' buckets of the sidecar.

@@ -46,6 +46,8 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..tables import ckpt_shared
+
 
 def maintain_min_max(
     store,
@@ -165,7 +167,7 @@ def maintain_min_max(
                 F.lit(False),
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     kept = j.filter(~F.col("_recompute") & (F.col("_n_new") > 0)).select(
         *g,
@@ -304,7 +306,7 @@ def maintain_joined_agg(
             group_col,
             sign_of(F.col("_change")).alias("_dsign"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
     per_key = (
@@ -462,7 +464,7 @@ def maintain_joined_min_max(
     ).otherwise(F.lit(-1))
     feed = fact_store.read_changes(
         v_from, v_to, update_images="both"
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt_shared)
     is_add = F.col("_change").isin("insert", "update_postimage")
     # Term 1 (n/s algebra + removal threats): fact feed under the
     # PRE-state dim — removals happened to rows grouped by D1.
@@ -494,7 +496,7 @@ def maintain_joined_min_max(
             group_col,
             sign_of(F.col("_change")).alias("_dsign"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
     per_key = (
@@ -507,7 +509,7 @@ def maintain_joined_min_max(
             F.min(cents).alias("_kmin"),
             F.max(cents).alias("_kmax"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     dj = dfeed.join(per_key, F.col("_dk") == F.col(fact_key_col), "left")
     t2 = dj.groupBy(group_col).agg(
@@ -601,7 +603,7 @@ def maintain_joined_min_max(
                 F.lit(False),
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     kept = j.filter(~F.col("_recompute") & (F.col("_n_new") > 0)).select(
         group_col,
@@ -920,7 +922,7 @@ def maintain_top_k(
                 F.lit(False),
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     # Typed empty fallbacks (slice-to-zero of the OTHER side) — a bare
     # F.array() is array<void> and won't coerce to the value type. A
@@ -1150,7 +1152,7 @@ def maintain_joined_value_counts(
             group_col,
             sign_of(F.col("_change")).alias("_dsign"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
     per_key_val = (
@@ -1331,7 +1333,7 @@ def maintain_join_membership(
     # collapsed feed already carries post-images for insert/update and
     # pre-images for delete, so pks(update|delete) drop and rows
     # (insert|update) re-enter through the add path.
-    ffeed = fact_store.read_changes(v_from, v_to).localCheckpoint(eager=True)
+    ffeed = fact_store.read_changes(v_from, v_to).transform(ckpt_shared)
     gone_pks = ffeed.filter(F.col("_change").isin("update", "delete")).select(
         *pks
     )
@@ -1341,7 +1343,7 @@ def maintain_join_membership(
 
     # Dim feed: only insert/delete change key existence. A collapsed
     # 'update' has the key present on both sides of the window.
-    dfeed = dim_store.read_changes(v_from, v_to).localCheckpoint(eager=True)
+    dfeed = dim_store.read_changes(v_from, v_to).transform(ckpt_shared)
     appeared = (
         dfeed.filter(F.col("_change") == "insert")
         .select(F.col(dim_key_col).alias("_ak"), F.lit(True).alias("_ap"))
@@ -1459,13 +1461,13 @@ def maintain_rollup_cascade(
             F.sum(sign).alias("_dn"),
             F.sum(sign * val).alias("_ds"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     if old_fine is None and old_coarse is None:
         base = store.read(version=v_from)
         old_fine = base.groupBy(fine_col).agg(
             F.count(F.lit(1)).alias("n"), F.sum(val).cast("long").alias("s")
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt_shared)
         old_coarse = old_fine.groupBy(
             coarse_of(F.col(fine_col)).alias(coarse_col)
         ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
@@ -1596,7 +1598,7 @@ def join_membership_delta(
     fact_pk = fact_store.key
     pks = [fact_pk] if isinstance(fact_pk, str) else list(fact_pk)
 
-    ffeed = fact_store.read_changes(v_from, v_to).localCheckpoint(eager=True)
+    ffeed = fact_store.read_changes(v_from, v_to).transform(ckpt_shared)
     removed = ffeed.filter(F.col("_change") == "delete").select(*pks)
     adds = ffeed.filter(F.col("_change").isin("insert", "update")).drop(
         "_change"
@@ -1728,7 +1730,7 @@ def maintain_joined3_agg(
             F.col(dim1_attr_col).alias("_d1a"),
             sign_of(F.col("_change")).alias("_d1s"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     d2feed = (
         dim2_store.read_changes(d2vf, d2vt, update_images="both")
@@ -1737,7 +1739,7 @@ def maintain_joined3_agg(
             group_col,
             sign_of(F.col("_change")).alias("_d2s"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     changed_cks = d1feed.select(F.col("_d1k").alias("_ck")).distinct()
     changed_nks = d2feed.select(F.col("_d2k").alias("_nk")).distinct()
@@ -1747,7 +1749,7 @@ def maintain_joined3_agg(
         dim1_store.read(version=d1vt)
         .select(dim1_key_col, dim1_attr_col)
         .join(changed_nks, F.col(dim1_attr_col) == F.col("_nk"), "left_semi")
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     combined_keys = changed_cks.unionByName(
         c2_changed.select(F.col(dim1_key_col).alias("_ck"))
@@ -1755,7 +1757,7 @@ def maintain_joined3_agg(
     f_slice = (
         fact_store.read(version=v_to)
         .join(combined_keys, F.col(fact_key_col) == F.col("_ck"), "left_semi")
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
 
     # Term 2: F2 ⋈ ΔC ⋈ N1 — per-key fact aggregates move whole.
@@ -1886,7 +1888,7 @@ def maintain_joined_top_k(
             fact_store.read(version=v_from)
             .join(d_prev, F.col(fact_key_col) == F.col(dim_key_col))
             .select(group_col, cents.alias("_c"))
-            .localCheckpoint(eager=True)
+            .transform(ckpt_shared)
         )
         w = Window.partitionBy(group_col).orderBy(F.desc("_c"))
         old = (
@@ -1907,7 +1909,7 @@ def maintain_joined_top_k(
     ).otherwise(F.lit(-1))
     feed = fact_store.read_changes(
         v_from, v_to, update_images="both"
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt_shared)
     is_add = F.col("_change").isin("insert", "update_postimage")
     # n/s algebra + removal threats under the PRE-state dim.
     ffeed = feed.join(d_prev, F.col(fact_key_col) == F.col(dim_key_col))
@@ -1925,7 +1927,7 @@ def maintain_joined_top_k(
             group_col,
             sign_of(F.col("_change")).alias("_dsign"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     changed_keys = dfeed.select(F.col("_dk").alias("_ck")).distinct()
     fact_pk = fact_store.key
@@ -1934,7 +1936,7 @@ def maintain_joined_top_k(
         fact_store.read(version=v_to)
         .join(changed_keys, F.col(fact_key_col) == F.col("_ck"), "left_semi")
         .select(*pks, F.col(fact_key_col).alias("_fk"), cents.alias("_c"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     per_key = f_slice.groupBy("_fk").agg(
         F.count(F.lit(1)).alias("_kn"), F.sum("_c").alias("_ks")
@@ -2042,7 +2044,7 @@ def maintain_joined_top_k(
                 F.lit(False),
             ),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     empty_arr = F.slice(F.coalesce("_cand", "_tk0"), 1, 0)
     kept = j.filter(~F.col("_recompute") & (F.col("_n_new") > 0)).select(
@@ -2451,7 +2453,7 @@ def dyadic_quantile_serve(
     # was maintained once per round, not once per serve (the same
     # measured failure mode as recall_against's lazy truth). One
     # O(cells) job here; every round then reads blocks.
-    cells = cells.localCheckpoint(eager=True)
+    cells = cells.transform(ckpt_shared)
     state = totals.filter(F.col(n_col) > 0).select(
         *gcols,
         F.ceil(F.lit(float(q)) * F.col(n_col)).cast("long").alias("_t"),
@@ -2470,7 +2472,7 @@ def dyadic_quantile_serve(
         length = -(-length // arity)
         rounds += 1
     cuts = F.array(*[F.lit(i).cast("long") for i in range(1, arity)])
-    for _ in range(rounds):
+    for rnd in range(1, rounds + 1):
         # arity-1 probes per open interval, each CLAMPED into
         # [1, 2^levels - 1]: an open interval's probes satisfy that
         # already; a CONVERGED group's ranks are ignored by the
@@ -2543,7 +2545,22 @@ def dyadic_quantile_serve(
             )
             .otherwise(F.col("_hi"))
             .alias("_hi"),
-        ).localCheckpoint(eager=False)
+        )
+        # Lineage cut every FOURTH round, not every round (optimization
+        # round r15 — r14 verdict #5). A per-round lazy checkpoint
+        # compiles each round into its OWN plan segment, so the
+        # broadcast_cells builds (``depth`` broadcast exchanges per
+        # round, each rebuilding a cells slice) can never be shared:
+        # the hc serve shipped the ~1.8M-row cell frame 16 times per
+        # invocation. Rounds left UNCHECKPOINTED fuse into one compiled
+        # plan where ReuseExchange collapses the identical
+        # Filter(d=k)-over-checkpoint broadcast builds to ``depth``
+        # TOTAL per segment. Cadence 4 (not "never") bounds plan depth
+        # for the arity=2 binary descent (12 rounds) — the same
+        # plan-O(1) hygiene as before, paid 4x less often. State rows
+        # are O(groups); each checkpoint is one narrow job.
+        if rnd % 4 == 0 and rnd < rounds:
+            state = state.localCheckpoint(eager=False)
     return state.select(*gcols, F.col("_lo").alias(out_col))
 
 

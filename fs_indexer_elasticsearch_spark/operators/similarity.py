@@ -15,6 +15,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..tables import ckpt_shared
+
 from ..functions.vectors import cosine, lsh_bucket
 from ..functions.rounding import stable_round
 
@@ -185,7 +187,7 @@ def recall_against(approx: DataFrame, exact: DataFrame, label: str) -> DataFrame
     # exists" — measured as a regression, not a win, in this round's
     # interleaved A/B). Eager spends one k-row job at build time and
     # guarantees every consumer reads blocks.
-    e = exact.select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    e = exact.select("query_id", "neighbor_id").transform(ckpt_shared)
     a = approx.select("query_id", "neighbor_id")
     tot = e.agg(
         F.count(F.lit(1)).alias("n_truth"),

@@ -54,7 +54,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.text import TOKS_SQL, tokens
-from ..tables import load
+from ..tables import ckpt_shared, load
 from .domain_queries import _BLOCKLIST, CANON_STEPS
 from .llm_pipeline5 import QUALITY_SCORE_SQL, quality_score_expr
 from .registry import query
@@ -199,7 +199,7 @@ def curate_stages(
     canon = F.lower(F.col("url"))
     for pat, rep in CANON_STEPS:
         canon = F.regexp_replace(canon, pat, rep)
-    base = d.withColumn("canonical_url", canon).localCheckpoint(eager=True)
+    base = d.withColumn("canonical_url", canon).transform(ckpt_shared)
 
     w_url = Window.partitionBy("canonical_url").orderBy("doc_id")
     s1 = (
@@ -222,7 +222,7 @@ def curate_stages(
         .drop("rk2")
         # s4 feeds the n_exact rollup AND the packing window AND the
         # selected rollup; share one computation of the whole chain.
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     w_pack = (
         Window.partitionBy("lang")

@@ -32,6 +32,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..tables import ckpt_shared
+
 from ..operators.dedup import minhash_lsh_pairs
 from .llm_queries import _aug_corpus
 from .registry import ORACLES, query, stable_round
@@ -130,7 +132,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             F.greatest("id_a", "id_b").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -265,12 +267,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("id_a", "id_b").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     sym = (
         e.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     labels = label_propagation(sym, _LPA_ROUNDS)
     return (
@@ -308,7 +310,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("id_a", "id_b").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))

@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..functions.text import tokens, word_shingles
-from ..tables import load, spread_small
+from ..tables import ckpt_shared, load, spread_small
 from .registry import query, stable_round
 
 # --------------------------------------------------------------------------
@@ -182,7 +182,7 @@ def split_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query, which leaks across repeated invocations.
     sh = d.select(
         "doc_id", "split", word_shingles(F.col("tk"), 3).alias("shingles")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt_shared)
     train_sh = (
         sh.filter(F.col("split") == "train")
         .select(F.explode("shingles").alias("s"))

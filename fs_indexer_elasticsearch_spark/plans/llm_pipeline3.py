@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.vectors import cosine
 from ..operators.clustering import assign_clusters, kmeans_fit
-from ..tables import load, spread_small
+from ..tables import ckpt_shared, load, spread_small
 from .llm_queries import _AUG_CTE_SQL, augmented_embeddings
 from .registry import query, stable_round
 
@@ -120,7 +120,7 @@ def _fit_and_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # analysis time ~6x. Production reads embeddings as a plain parquet
     # column, which this truncated lineage reproduces; the checkpoint is
     # n x (64 doubles) — the fit's working set, not the corpus text.
-    aug = augmented_embeddings(emb).localCheckpoint(eager=True)
+    aug = augmented_embeddings(emb).transform(ckpt_shared)
     centroids = kmeans_fit(
         aug, id_col="vec_id", vec_col="emb", k=_K, iterations=_ITERATIONS
     )

@@ -52,7 +52,7 @@ from ..functions.text import (
     word_shingles,
 )
 from ..functions.vectors import hyperplane_weight
-from ..tables import load, spread_small
+from ..tables import ckpt_shared, load, spread_small
 from .llm_pipeline2 import _SPLIT_CASE_SQL
 from .registry import query, stable_round
 
@@ -279,7 +279,7 @@ def crossdoc_shingle_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(word_shingles(F.col("toks"), 5)).alias("shingle"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs_sh"))
     cov = (
@@ -1011,7 +1011,7 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band"),
         )
         .select("sid", "band.b", "band.h")
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     a, b_ = long.alias("a"), long.alias("b")
     cands = (
@@ -1157,7 +1157,7 @@ def dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import minhash_lsh_pairs
 
-    corpus = _aug_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    corpus = _aug_corpus(spark, sf_dir).transform(ckpt_shared)
     n_raw = corpus.agg(F.count(F.lit(1)).alias("n_raw"))
     # NULL-text rows are excluded before hashing, like
     # operators/dedup.exact_duplicates: md5(NULL) groups every
@@ -1168,7 +1168,7 @@ def dedup_cascade_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     pairs = minhash_lsh_pairs(
         corpus, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3, threshold=0.5
@@ -1276,7 +1276,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.select("doc_id", F.explode(pos_sh).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.shingle").alias("shingle"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     hot = (
         sh.groupBy("shingle")
@@ -1372,7 +1372,7 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .select("doc_id", tokens("text").alias("toks"))
         .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
 
     pos_sh = positional_word_shingles(F.col("toks"), K)
@@ -1384,7 +1384,7 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.pos").alias("pos"),
             F.col("s.shingle").alias("shingle"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     hot = (
         sh.groupBy("shingle")
@@ -1512,7 +1512,7 @@ def decontaminate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", _split_col().alias("split"), tokens("text").alias("toks")
         )
         .filter(F.size("toks") > 0)
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     train = d.filter(F.col("split") == "train")
     pos_sh = positional_word_shingles(F.col("toks"), K)
@@ -1763,7 +1763,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train = sh.filter(F.col("split") == "train").select(
         "doc_id", F.explode("shingles").alias("s")
-    ).localCheckpoint(eager=True)  # two consumers: totals + probe
+    ).transform(ckpt_shared)  # two consumers: totals + probe
     totals = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     survivors = train.filter(
         might_contain(_bloom_positions(F.col("s")))

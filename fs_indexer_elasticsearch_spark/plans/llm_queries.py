@@ -28,7 +28,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.similarity import brute_force_topk, lsh_ann_topk
-from ..tables import load, spread_small
+from ..tables import ckpt_shared, load, spread_small
 from .registry import query, stable_round
 
 # --------------------------------------------------------------------------
@@ -788,7 +788,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute-force scoring runs four times per invocation. Eager — a
     # lazy checkpoint's consumers race-compute the blocks inside one
     # action (see recall_against).
-    bf = similarity_bruteforce_topk(spark, sf_dir).localCheckpoint(eager=True)
+    bf = similarity_bruteforce_topk(spark, sf_dir).transform(ckpt_shared)
     lsh = recall_against(similarity_lsh_ann_topk(spark, sf_dir), bf, "lsh")
     ivf = recall_against(similarity_ivf_topk(spark, sf_dir), bf, "ivf")
     return lsh.unionByName(ivf)
@@ -813,59 +813,42 @@ def _multi_table_bucket_sql(emb: str, num_planes: int, num_tables: int) -> str:
     return " UNION ALL ".join(one(t) for t in range(num_tables))
 
 
-# One (aug, queries, exact-top-1) triple per (session, dataset) —
-# shared by BOTH near-dup recall gates. The exact ground truth is
-# quadratic BY DEFINITION of recall measurement; computing it twice
-# (once per gate) made the pair ~26% of the extra bench suite (r8
-# verdict #7). The brute-force result is lazily checkpointed, so the
-# second gate reuses the materialized blocks instead of re-scoring
-# corpus x queries. Keyed by applicationId + dataset fingerprint (a
-# new session or regenerated parquet can never serve stale blocks);
-# held to ONE entry so checkpoint blocks from other SFs don't accrue.
-_NEARDUP_GT_CACHE: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
-
-
 def _neardup_ground_truth(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    import os
+    """One (aug, queries, exact-top-1) triple PER INVOCATION. A
+    session-keyed module-level cache used to share the triple across
+    the two near-dup gates — removed in optimization round r15 (r14
+    verdict #4): the memoized checkpoint blocks let bench's TIMED warm
+    runs read ground truth computed in the UNTIMED cold run, the exact
+    reuse class the r14 round ripped out of the dedup operators'
+    cache(). Each gate now recomputes its own truth; the timed numbers
+    are honest.
 
-    from .scale_queries import _dataset_fingerprint
-
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir),
-        _dataset_fingerprint(sf_dir, "embeddings"),
-    )
-    hit = _NEARDUP_GT_CACHE.get(key)
-    if hit is not None:
-        return hit
-    # Lazy localCheckpoints: ``aug`` feeds four consumers per gate
-    # (corpus + query side of both the ANN search and the ground
-    # truth); ``bf`` feeds both gates. Computed once at first
-    # materialization — registering queries stays plan-only.
-    # The repartition matters as much as the checkpoint: the embeddings
-    # parquet is a couple of files, and a checkpoint inherits its
-    # partitioning — every downstream cosine/bucket stage would run
-    # 2-wide on a 32-core box (measured: the LSH search was 9.3 s with
-    # 2 partitions, 2.5x faster spread). Hash on vec_id keeps the
-    # planted twins colocation-free (they must shuffle to their bucket
-    # joins anyway).
+    ``aug`` is checkpointed EAGERLY: it feeds four consumers inside
+    one gate (corpus + query side of both the ANN search and the
+    ground truth), and lazy checkpoints race-compute under parallel
+    consumers (the r14 measured failure mode). ``bf`` carries no
+    checkpoint — its single consumer, recall_against, eagerly
+    checkpoints its 2-column projection itself.
+    The repartition matters as much as the checkpoint: the embeddings
+    parquet is a couple of files, and a checkpoint inherits its
+    partitioning — every downstream cosine/bucket stage would run
+    2-wide on a 32-core box (measured: the LSH search was 9.3 s with
+    2 partitions, 2.5x faster spread). Hash on vec_id keeps the
+    planted twins colocation-free (they must shuffle to their bucket
+    joins anyway)."""
     n_slices = spark.sparkContext.defaultParallelism
     aug = (
         augmented_embeddings(spread_small(load(spark, sf_dir, "embeddings")))
         .repartition(n_slices, "vec_id")
-        .localCheckpoint(eager=False)
+        .transform(ckpt_shared)
     )
     q = aug.filter(
         (F.col("vec_id") >= 1_000_000_000_000)
         & (F.col("vec_id") < 1_000_000_000_040)
     )
-    bf = brute_force_topk(aug, q, "vec_id", "emb", k=1).localCheckpoint(
-        eager=False
-    )
-    _NEARDUP_GT_CACHE.clear()
-    _NEARDUP_GT_CACHE[key] = (aug, q, bf)
+    bf = brute_force_topk(aug, q, "vec_id", "emb", k=1)
     return aug, q, bf
 
 

@@ -39,7 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..functions.text import TOKS_SQL, tokens
-from ..tables import load
+from ..tables import ckpt_shared, load
 from .registry import query, stable_round
 
 # ---------------------------------------------------------------------------
@@ -250,7 +250,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = (
         spread_small(load(spark, sf_dir, "documents"))
         .select(F.explode(tokens("text")).alias("tok"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
 
     def bucket(d_col: Column, tok_col: Column) -> Column:

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..tables import load
+from ..tables import ckpt_shared, load
 from .registry import query, stable_round
 
 
@@ -152,7 +152,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).alias("late")
         )
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     l1 = li.filter(F.col("late") == 1).alias("l1")
     ontime = li.filter(F.col("late") == 0).select(

@@ -32,7 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import minhash_lsh_pairs
-from ..tables import load
+from ..tables import ckpt_shared, load
 from .llm_queries import _aug_corpus
 from .registry import ORACLES, query, stable_round
 
@@ -147,19 +147,19 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         _aug_corpus(spark, sf_dir), "doc_id", "text",
         num_hashes=16, bands=4, shingle_n=3, threshold=0.5,
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt_shared)
     sym = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     # n is loop-invariant: attach it to the degree table ONCE (1-row
     # broadcast join, plan-audit whitelisted scalar pattern) so the
     # iteration body contains only keyed joins.
-    degn = deg.join(F.broadcast(nn)).localCheckpoint(eager=True)
+    degn = deg.join(F.broadcast(nn)).transform(ckpt_shared)
     ranks = degn.select(
         F.col("u").alias("node"), F.round(1.0 / F.col("n") + 1e-12, 10).alias("rank")
     )
@@ -251,7 +251,7 @@ def _pin(df: DataFrame) -> DataFrame:
     /tmp store cannot delete parquet the caller hasn't collected yet —
     the flock serializes the seed/merge/vacuum cycle, but never the
     caller's collect (review r8: the lazy read outlived the lock)."""
-    return df.localCheckpoint(eager=True)
+    return df.transform(ckpt_shared)
 
 
 def _incremental_dedup_oracle() -> str:
@@ -1745,7 +1745,7 @@ def incremental_view_joined_chained(
         fact_key_col="o_custkey",
         dim_key_col="c_custkey",
         group_col="c_nationkey",
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt_shared)
     view = maintain_joined_agg(
         fact, dim, 2, 3,
         fact_key_col="o_custkey",
@@ -1907,7 +1907,7 @@ def incremental_curation_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", F.size("toks").alias("n_tokens"))
         # Three consumers (probe input, anti-join, rollup) share one
         # computation of the tokenize+score chain.
-        .localCheckpoint(eager=True)
+        .transform(ckpt_shared)
     )
     with _store_lock(path):
         store = MinHashBandStore(spark, path, num_buckets=32)
@@ -2858,50 +2858,26 @@ def _cc_chain_frames(spark: SparkSession, sf_dir: str):
     edges (merging fragments) and DELETES the %50==17 edges (new
     splits) — both maintenance directions in one window.
 
-    The ids are assigned DISTRIBUTIVELY (r12 verdict #4): a global
-    ``row_number().over(Window.orderBy(...))`` sorts the entire fact
-    table into ONE partition — invisible at sf0.01, a driver-adjacent
-    single-task sort at 100x. Instead: range-repartition on the key
-    (each partition owns a contiguous key range, ascending pid =
-    ascending range), rank WITHIN each partition, and add per-
-    partition offsets from a prefix sum over the per-partition counts
-    — a bounded driver collect (one row per partition, the
-    justified-collect class), identical ids to the global window by
-    construction (o_orderkey is unique). The lazy localCheckpoint
-    pins the range boundaries so both consumers (the counts action
-    and the final plan) see one physical partitioning."""
-    from pyspark.sql import Window
-
-    part = (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey")
-        .repartitionByRange(16, "o_orderkey")
-        .localCheckpoint(eager=False)
-    )
-    ranked = part.withColumn("_pid", F.spark_partition_id()).select(
-        "_pid",
-        F.row_number()
-        .over(Window.partitionBy("_pid").orderBy("o_orderkey"))
-        .cast("long")
-        .alias("_lrn"),
-    )
-    per_part = sorted(
-        (r._pid, r.n)
-        for r in ranked.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()  # bounded: one row per partition
-    )
-    offs, cnt = [], 0
-    for pid, n in per_part:
-        offs.append((pid, cnt))
-        cnt += n
-    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
-    nodes = ranked.join(F.broadcast(off_df), "_pid").select(
-        (F.col("_off") + F.col("_lrn")).alias("node")
-    )
-    rn = F.col("node")
-    e = nodes.filter(rn < cnt).select(
-        rn.alias("eid"), rn.alias("u"), (rn + 1).alias("vtx")
+    The ids are just 1..N: ``rank of o_orderkey`` over a table whose
+    key is UNIQUE is, as a SET, exactly {1..count(orders)} — and every
+    downstream consumer (node universe, chain edges, the oracle's
+    labeling) depends only on the id VALUES, never on which orderkey
+    maps to which rank. Earlier rounds derived the ranks
+    distributively (range-repartition + per-partition window + a
+    per-partition-counts collect + broadcast offset join — the r12
+    verdict #4 fix for the global-window version); optimization round
+    r15 removed that machinery outright (guide §1.2 step 1: don't
+    compute what the result doesn't depend on): one count() action
+    pins N, ``spark.range`` emits the ids with no shuffle, no window,
+    no collect — per invocation, and bench pays this three times
+    (1 cold + 2 warm). Output rows are identical by the set argument
+    above; the oracle hash gate pins it."""
+    cnt = load(spark, sf_dir, "orders").count()
+    nodes = spark.range(1, cnt + 1).select(F.col("id").alias("node"))
+    e = spark.range(1, cnt).select(
+        F.col("id").alias("eid"),
+        F.col("id").alias("u"),
+        (F.col("id") + 1).alias("vtx"),
     )
     tag = lambda df, v: df.select(  # noqa: E731
         "eid", F.lit(v).alias("v"), "u", "vtx"

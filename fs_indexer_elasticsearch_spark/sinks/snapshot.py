@@ -202,9 +202,15 @@ def classify_changes(
     )
     if update_images == "both":
         # Two consumers (post rows + pre rows) would re-execute the
-        # full-outer join; lazy localCheckpoint materializes it once
-        # (blocks GC-released — the repo's multi-consumer idiom).
-        classified = classified.localCheckpoint(eager=False)
+        # full-outer join. EAGER (r15; the r14 sweep missed this site):
+        # the two consumers are branches of one UNION plan, so a lazy
+        # checkpoint's blocks are race-computed inside the first action
+        # and the join ran twice anyway — in EVERY
+        # read_changes(update_images="both") consumer (~40 queries).
+        # ckpt_shared applies the size-gated policy (tables.py).
+        from ..tables import ckpt_shared
+
+        classified = ckpt_shared(classified)
     out = classified.select(
         *[
             F.when(post, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
@@ -631,15 +637,31 @@ class SnapshotStore:
         except (FileNotFoundError, ValueError):
             return None
 
-    def _commit_cfg(self, version: int) -> None:
+    def _commit_cfg(self, version: int, schema=None) -> None:
         """Record the bucket count version ``version`` is being written
         under — before its pointer swap, same crash contract as meta:
         an orphan _STORECFG with n > pointer is never read (exact-
-        version resolution) and vacuum GCs it."""
+        version resolution) and vacuum GCs it.
+
+        ``schema`` (r15, optimization): the written DataFrame's schema
+        (``_bucket`` excluded), recorded as Spark schema JSON so reads
+        of this version can PIN it instead of re-inferring from
+        parquet footers — every ``spark.read.parquet`` without a
+        schema costs a driver-side footer fetch per call, and the
+        store-backed queries issue several reads per maintenance
+        cycle. Versions committed before this field existed fall back
+        to inference (read paths check for the key)."""
         import time
 
         n = self.num_buckets
         cfg: dict = {"num_buckets": n, "committed_at": round(time.time(), 3)}
+        if schema is not None:
+            import json as _json
+
+            fields = [f for f in schema.fields if f.name != "_bucket"]
+            cfg["schema_json"] = _json.dumps(
+                {"type": "struct", "fields": [f.jsonValue() for f in fields]}
+            )
         if self._rebucket_base is not None:
             # Provenance tag: this version is a PURE REBUCKET of that
             # base — same rows, new physical layout. The change feed
@@ -652,6 +674,17 @@ class SnapshotStore:
             json.dump(cfg, f)
         os.replace(tmp, self._cfg_path(version))
         self._cfg_cache = (version, n)
+
+    def _pinned_schema(self, cfg: dict | None):
+        """StructType recorded at commit time for a version (None for
+        legacy versions → the caller infers from footers)."""
+        if not cfg or "schema_json" not in cfg:
+            return None
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(_json.loads(cfg["schema_json"]))
 
     # -- per-version meta payload --------------------------------------------
     # A small JSON document committed WITH each version by the same
@@ -749,10 +782,13 @@ class SnapshotStore:
             # to the current version's count would mislabel rows after
             # a later rebucket.
             n = cfg.get("num_buckets") if cfg else self._default_buckets
-            return (
-                self.spark.read.option("recursiveFileLookup", "true")
-                .parquet(*paths)
-                .withColumn("_bucket", self._bucket_col(n))
+            reader = self.spark.read.option("recursiveFileLookup", "true")
+            pinned = self._pinned_schema(cfg)
+            if pinned is not None:
+                # Commit-time schema: no footer inference (r15).
+                reader = reader.schema(pinned)
+            return reader.parquet(*paths).withColumn(
+                "_bucket", self._bucket_col(n)
             )
         return self._read_version(v).filter(F.col("_bucket").isin(list(wanted)))
 
@@ -1212,10 +1248,14 @@ class SnapshotStore:
             cfg = self._read_cfg(v)
             # Same legacy-count rule as read_buckets above.
             n = cfg.get("num_buckets") if cfg else self._default_buckets
-            return (
-                self.spark.read.option("recursiveFileLookup", "true")
-                .parquet(*paths)
-                .withColumn("_bucket", self._bucket_col(n))
+            reader = self.spark.read.option("recursiveFileLookup", "true")
+            pinned = self._pinned_schema(cfg)
+            if pinned is not None:
+                # Schema recorded at commit time: skip the per-call
+                # footer-inference round trip (r15 optimization).
+                reader = reader.schema(pinned)
+            return reader.parquet(*paths).withColumn(
+                "_bucket", self._bucket_col(n)
             )
         return self._read_version(v)
 
@@ -1229,6 +1269,16 @@ class SnapshotStore:
         )
         if not has_buckets:
             return self._empty_df()
+        pinned = self._pinned_schema(self._read_cfg(v))
+        if pinned is not None:
+            # Commit-time schema + the _bucket partition column (its
+            # values come from the _bucket=N directory names, as with
+            # inference — int, matching the writer's cast): no footer
+            # inference per read (r15).
+            from pyspark.sql.types import IntegerType, StructField
+
+            full = pinned.add(StructField("_bucket", IntegerType()))
+            return self.spark.read.schema(full).parquet(vdir)
         return self.spark.read.parquet(vdir)
 
     def _write_buckets(self, df: DataFrame, out: str) -> None:
@@ -1274,7 +1324,7 @@ class SnapshotStore:
                 self._write_buckets(df, out)
             self._record_schema(df)
             self._write_identity()
-            self._commit_cfg(v)
+            self._commit_cfg(v, schema=df.schema)
             self._commit_meta(v, meta)
             self._swap_pointer(v)
         return v
@@ -1613,7 +1663,11 @@ class SnapshotStore:
             manifest.update(new_files)
             self._write_manifest(v, manifest)
             self._write_identity()
-            self._commit_cfg(v)
+            # Touched buckets were rewritten under the batch's schema;
+            # untouched files carry the same one (drift took the
+            # migrate/overwrite path above), so the batch schema IS the
+            # version's schema.
+            self._commit_cfg(v, schema=batch.schema)
             self._commit_meta(v, meta)
             self._swap_pointer(v)
             return v
@@ -1661,7 +1715,10 @@ class SnapshotStore:
                     continue
                 os.link(os.path.join(src, fname), os.path.join(dst, fname))
         self._write_identity()
-        self._commit_cfg(v)
+        # Same-schema rule as the manifest path: drift took the
+        # migrate/overwrite branch, so the batch schema is the
+        # version's file schema.
+        self._commit_cfg(v, schema=batch.schema)
         self._commit_meta(v, meta)
         self._swap_pointer(v)
         return v

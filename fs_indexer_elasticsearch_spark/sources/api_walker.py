@@ -27,6 +27,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
+from ..tables import ckpt_shared
+
 from ..functions import skip_filter
 
 # One listed entry: mirrors the LucidLink payload shape
@@ -121,7 +123,7 @@ def api_bfs_scan(
     # every round's cache — without this each scan pins one cached
     # DataFrame per level for the life of the session (the exact leak
     # walker.py:308-318 documents and fixes).
-    out = collected.dropDuplicates(["path"]).localCheckpoint(eager=True)
+    out = collected.dropDuplicates(["path"]).transform(ckpt_shared)
     for r in rounds:
         r.unpersist()
     return out

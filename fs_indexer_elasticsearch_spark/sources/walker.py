@@ -34,6 +34,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
+from ..tables import ckpt_shared
+
 from ..functions import ancestors  # noqa: F401  (re-exported for callers)
 
 _SCAN_SCHEMA = T.StructType(
@@ -314,7 +316,7 @@ def scan_filesystem(
         # lineage, then RELEASE every round's pinned partitions — without
         # this each pipeline cycle leaks one persisted scan per round
         # for the life of the session.
-        deep = deep.localCheckpoint(eager=True)
+        deep = deep.transform(ckpt_shared)
         for r in rounds:
             r.unpersist()
 

@@ -28,6 +28,7 @@ from pyspark.sql.types import StructType
 
 from ..functions import composite_id
 from ..sinks.snapshot import SnapshotStore
+from ..tables import ckpt_shared
 
 
 def _dedup_newest(batch: DataFrame, store: SnapshotStore) -> DataFrame:
@@ -917,13 +918,13 @@ def streaming_changefeed_pipeline(
             touched = sorted(
                 r._bucket for r in tagged.select("_bucket").distinct().collect()
             )
-            # Lazy localCheckpoint: the slice feeds both the would-be
-            # merge result and the classification join's old side.
-            old = (
-                store.read_buckets(touched)
-                .drop("_bucket")
-                .localCheckpoint(eager=False)
-            )
+            # EAGER (r15): the slice feeds both the would-be merge
+            # result and the classification join's old side — two
+            # branches of the ONE plan the feed probe executes, so a
+            # lazy checkpoint's blocks were race-computed inside that
+            # action and the pruned read ran twice per epoch (the r14
+            # measured failure mode). ckpt_shared = size-gated policy.
+            old = ckpt_shared(store.read_buckets(touched).drop("_bucket"))
             new = upsert_newer_wins(old, deduped, store.key, store.version_col)
             feed = classify_changes(old, new, keys)
         feed = feed.withColumn("epoch", F.lit(epoch_id).cast("long"))

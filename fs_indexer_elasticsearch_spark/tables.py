@@ -111,6 +111,66 @@ def spread_small(df: DataFrame, min_factor: int = 2) -> DataFrame:
     return df
 
 
+#: Shared-subtree materialization policy (r14 verdict #3). Below this
+#: many estimated bytes a multi-consumer frame is localCheckpoint-ed
+#: (blocks on executors — fast, NOT fault-tolerant: a lost executor
+#: kills the query instead of recomputing). Above it, the frame goes
+#: to the RELIABLE checkpoint dir when one is configured
+#: (``SparkContext.setCheckpointDir`` / spark.graft.checkpoint.dir) or
+#: stays UNMATERIALIZED (consumers recompute — at 100 TB, re-deriving
+#: a corpus-wide frame beats pinning it on executor storage). The
+#: default keeps every bench-SF frame on the local path, so driver
+#: bench numbers stay comparable; a cluster deployment lowers it.
+CKPT_LOCAL_MAX_BYTES_CONF = "spark.graft.checkpoint.localMaxBytes"
+CKPT_LOCAL_MAX_BYTES_DEFAULT = 64 * 1024**3  # 64 GiB
+
+#: Catalyst returns this class of value when a plan's size is unknown
+#: (defaultSizeInBytes ~ Long.MaxValue); treat anything this large as
+#: "no estimate" rather than "huge".
+_SIZE_UNKNOWN = 1 << 62
+
+
+def ckpt_shared(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """Materialize a MULTI-CONSUMER frame once, with a size-gated
+    policy (r14 verdict #3 — unconditional ``localCheckpoint(eager=
+    True)`` is the right call at bench SF but pins all columns on
+    executor storage with truncated lineage, which at 100 TB means a
+    lost executor fails the query and a corpus-wide frame squats on
+    cluster memory/disk):
+
+    - estimated size <= ``spark.graft.checkpoint.localMaxBytes``
+      (default 64 GiB): ``localCheckpoint(eager=eager)`` — one
+      materialization job, every consumer reads blocks. Eager by
+      default because lazy checkpoints RACE under parallel consumers
+      inside one action (the r14 measured failure mode).
+    - above the threshold with a reliable checkpoint dir configured:
+      ``checkpoint(eager=eager)`` — fault-tolerant materialization.
+    - above the threshold with no checkpoint dir: returned UNCHANGED —
+      consumers recompute the subtree; duplicated compute, but no
+      cluster-sized frame pinned on non-fault-tolerant storage.
+
+    Size is Catalyst's optimized-plan estimate; an UNKNOWN estimate
+    routes to the local path (today's behavior — the unknown cases
+    here are checkpoint-fed frames that are small by construction).
+    Row-level semantics are identical on every path."""
+    spark = df.sparkSession
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are best-effort
+        est = _SIZE_UNKNOWN
+    limit = int(
+        spark.conf.get(
+            CKPT_LOCAL_MAX_BYTES_CONF, str(CKPT_LOCAL_MAX_BYTES_DEFAULT)
+        )
+    )
+    if est < _SIZE_UNKNOWN and est > limit:
+        sc = spark.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint(eager=eager)
+        return df
+    return df.localCheckpoint(eager=eager)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL surface)."""
     for name in TABLES:

@@ -124,6 +124,7 @@ def test_bench_headline_stays_inside_driver_tail_capture():
     )
     assert parsed["canary_spread"] == round((0.480 - 0.470) / 0.475, 3)
     assert parsed["box_drifted"] is False
+    assert "box_alert" not in parsed  # quiet box: no loud alert key
     for m in parsed["ann_recall"].values():
         assert "regime" in m and "value" in m
     # Detail carries what the headline dropped (r14: the raw canary
@@ -154,3 +155,28 @@ def test_bench_canary_drift_flag():
     assert headline["cpu_canary_sec"] == 0.44
     assert headline["canary_spread"] == round((0.57 - 0.43) / 0.44, 3)
     assert headline["box_drifted"] is True
+    # This sample set's spread (0.318) also crosses the 0.30 loud-
+    # alert line; the dedicated test below covers the key's content.
+    assert "box_alert" in headline
+
+
+def test_bench_canary_alert_flag():
+    """spread > 30% adds the LOUD box_alert key (r14 verdict #2): that
+    round's 32-core bench ran at spread 0.503 and its raw numbers read
+    as a 3x regression on queries with zero code changes — a run this
+    contaminated must carry its own warning label in the artifact."""
+    import bench
+
+    headline, _ = bench.build_payloads(
+        sf=0.1,
+        timings={"q": 1.0},
+        cold={"q": 1.0},
+        rows={"q": 1},
+        extra={},
+        ann_recall={},
+        ingest={},
+        errors={},
+        canary_samples=[0.43, 0.44, 0.89, 0.43, 0.62],
+    )
+    assert headline["canary_spread"] > 0.30
+    assert "UNRELIABLE" in headline["box_alert"]

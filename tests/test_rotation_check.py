@@ -41,6 +41,25 @@ def test_unchanged_fingerprints_affect_nothing():
     assert check_rotation(["q_a", "q_b"], {}, prefix_n=1) == []
 
 
+def test_checkpoint_topology_component_and_legacy_migration():
+    """r15: fingerprints carry a second '/'-joined component hashing
+    the build-time checkpoint events (executed-plan topology — the
+    r14 verdict #5 hole: eager-vs-lazy flips are invisible to the
+    analyzed-plan hash). A LEGACY single-hash baseline compares plan
+    components only, so the format migration flags nothing by itself;
+    thereafter a checkpoint-topology-only change IS flagged."""
+    legacy = {"q_a": "aaaa", "q_b": "bbbb"}
+    # Migration round: plan hashes unchanged, ckpt component new.
+    new = {"q_a": "aaaa/1111", "q_b": "bbbb/2222"}
+    assert affected_queries(legacy, new) == {}
+    # Plan part changed vs legacy baseline: still flagged.
+    assert set(affected_queries(legacy, {"q_a": "AAAA/1111"})) == {"q_a"}
+    # Post-migration: a ckpt-topology-only flip (same plan hash) flags.
+    old = {"q_a": "aaaa/1111"}
+    assert set(affected_queries(old, {"q_a": "aaaa/9999"})) == {"q_a"}
+    assert affected_queries(old, {"q_a": "aaaa/1111"}) == {}
+
+
 def test_normalize_plan_strips_session_counters():
     a = (
         "Project [sid#12L, transform(mh#3, lambdafunction(md5(lambda "
