@@ -162,6 +162,18 @@ _PRIORITY = [
     # read |terms| buckets; tombstone deletions adjust the turnstile
     # normalizer via the doc-keyed length sidecar in O(removal)).
     "bm25_store_search_topk",
+    # Rotated into the prefix for the r15 OPTIMIZATION round (r14
+    # verdict #10): the five queries whose r14 eager-checkpoint flips
+    # changed executed-plan topology WITHOUT changing analyzed plans —
+    # the hole the plan-only rotation rule could not see (fingerprints
+    # now carry a checkpoint-topology component so this class rotates
+    # mechanically from r16 on). All five also ride this round's
+    # ckpt_shared policy conversion.
+    "pagerank_neardup_graph",
+    "curation_pipeline_e2e",
+    "q21_waiting_suppliers",
+    "crossdoc_shingle_boilerplate",
+    "substring_dedup_clean",
     # Rotated into the prefix for the r14 OPTIMIZATION round (plans
     # changed, mechanical rule): the embeddings-family scan now
     # round-robin spreads past the single-file parquet scan before the
@@ -202,26 +214,21 @@ _PRIORITY = [
     # frame-vs-interleaved-sample accounting, channel interleave
     # proven byte-exact by the raw-PCM md5).
     "multimodal_pcm_windows",
-    "multimodal_wav_stats16",
     # ... and the maintained dyadic count-min RANK sketch: the
     # turnstile quantile complement (one CMS per dyadic level;
     # rank(x) = sum of min-over-depth reads along [0,x)'s <=levels
     # nodes) — deletes subtract exactly, state O(levels*depth*width),
     # the one-sided rank guarantee pinned as a gated column.
-    "incremental_view_quantile_sketch",
     # ... and its GROUPED form: one independent sketch per stratum
     # (the per-language length-quantile shape curation caps need),
     # maintained by the same single signed aggregation.
-    "incremental_view_quantile_sketch_grouped",
     # ... and the composed IVF maintenance policy (split-until-quiesce
     # + hysteresis cold merge in ONE maintain_cells invocation — the
     # call the streaming growth-hint/cadence triggers fire), proven
     # content-preserving by an all-cells probe vs brute force.
-    "ann_ivf_maintain_topk",
     # Rotated into the prefix for r13: q15's scalar max moved from an
     # unpartitioned window to a 1-row aggregate + keyless broadcast
     # join (r12 verdict #5) — plan changed, so the driver re-verifies.
-    "q15_top_suppliers",
     # New in r12 (late additions) — the join-membership (semi/anti
     # partition) maintenance pair: every fact row tagged with live dim
     # membership, dim-key appearance/disappearance flipping flags on
@@ -377,6 +384,17 @@ _PRIORITY = [
     # last driver round), recent, or anchors a §2 family; everything
     # below is driver-green from an earlier round and stays green
     # under the local replica gate) ---
+    # Displaced below the boundary by the r15 rotation (all driver-
+    # green in r14, plans unchanged this round; families stay
+    # anchored above: sketch_quantiles_hc for the dyadic sketch,
+    # pcm_windows for multimodal decode, the IVF-PQ pair +
+    # similarity_ivf_topk for IVF maintenance, q21_waiting_suppliers
+    # for TPC-H relational):
+    "multimodal_wav_stats16",
+    "incremental_view_quantile_sketch",
+    "incremental_view_quantile_sketch_grouped",
+    "ann_ivf_maintain_topk",
+    "q15_top_suppliers",
     # Rotated below late in r12 to make room for the 8 late-r12
     # newcomers (all driver-green multiple rounds, plans unchanged;
     # families still anchored above: window_session_30m + window_moving_avg_7d for windows,
@@ -391,7 +409,6 @@ _PRIORITY = [
     "length_percentile_band",
     "binary_payload_meta",
     "robust_zscore_by_lang",
-    "pagerank_neardup_graph",
     "incremental_agg_maintenance",
     "char_bigram_nll",
     "curriculum_quality_deciles",
@@ -411,7 +428,6 @@ _PRIORITY = [
     # incremental_curation_cycle for curation):
     "multimodal_ppm_decode",
     "store_read_changes_rebucket",
-    "curation_pipeline_e2e",
     "decontaminate_clean",
     "store_point_lookup",
     "substring_incremental_tombstone",
@@ -421,7 +437,6 @@ _PRIORITY = [
     "dedup_incremental_batch",
     "substring_dup_incremental",
     "substring_dup_spans",
-    "substring_dedup_clean",
     "dedup_incremental_batch_manifest",
     "ann_incremental_ivf_topk",
     "q01_pricing_summary",
@@ -433,7 +448,6 @@ _PRIORITY = [
     "domain_blocklist_filter",
     "gopher_quality_flags",
     "column_profile",
-    "crossdoc_shingle_boilerplate",
     "token_count_histogram",
     "approx_distinct_tolerance",
     "cms_heavy_hitters",
@@ -470,7 +484,6 @@ _PRIORITY = [
     "q09_product_profit",
     "q12_late_shipping",
     "q16_supplier_diversity",
-    "q21_waiting_suppliers",
     "distinct_pairs",
     "left_join_enrich",
     "anti_join_missing",

@@ -183,29 +183,29 @@ def test_registry_priority_prefix_covers_llm_layer():
         "dedup_simhash",
         "similarity_ivf_topk",
         "multimodal_pcm_windows",
-        "multimodal_wav_stats16",
-        "incremental_view_quantile_sketch",
-        "incremental_view_quantile_sketch_grouped",
-        "ann_ivf_maintain_topk",
-        "q15_top_suppliers",
         "incremental_view_join_membership",
         "decontaminate_bloom",
         "dedup_incremental_cc",
-        "multimodal_wav_stats",
-        "incremental_view_histogram",
-        "incremental_view_topk",
-        "multimodal_frame_sample",
-        "incremental_view_minmax", "incremental_view_joined",
-        "incremental_curation_cycle",
+        "incremental_view_joined",
         "dedup_incremental_tombstone",
         "store_read_changes",
         "text_quality_stats",
         "ann_recall_at_k",
-        "dedup_keep_best", "token_budget_mixture", "collocations_pmi",
-        "vocab_concentration",
         "sequence_packing_stats",
         "skew_salted_hot_join",
         "window_moving_avg_7d",
+        # r15 rotation (r14 verdict #10): the five queries whose r14
+        # eager-checkpoint flips changed executed-plan topology without
+        # changing analyzed plans — rotated in for driver verification.
+        # (This set was STALE after the r14 rebalance — nine displaced
+        # queries were still listed here, and the resulting red test is
+        # what the r14 driver's tests_ok:false tail actually hid; the
+        # required set now tracks the committed _PRIORITY prefix.)
+        "pagerank_neardup_graph",
+        "curation_pipeline_e2e",
+        "q21_waiting_suppliers",
+        "crossdoc_shingle_boilerplate",
+        "substring_dedup_clean",
     }
     assert required <= first50, sorted(required - first50)
     assert len(names) == len(set(names))
