@@ -4,6 +4,7 @@ O(delta) and idempotent, search prunes to the probed cells' buckets."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from fs_indexer_elasticsearch_spark.operators.incremental_ann import IvfIndexStore
 from fs_indexer_elasticsearch_spark.operators.similarity import ivf_ann_topk
@@ -346,6 +347,7 @@ def test_add_retry_is_generation_pinned(spark, tmp_path):
     assert store.store.read().filter(F.col("vec_id") >= 35).count() == 0
 
 
+@pytest.mark.slow
 def test_split_hot_cells_rebalances_and_search_stays_correct(spark, tmp_path):
     """r10 verdict #7: a cell absorbing the bulk of the adds splits
     into two children — the parent centroid is retired, ONLY hot-cell
@@ -852,6 +854,7 @@ def test_merge_cold_cells_race_raises_retryable_not_terminal(spark, tmp_path):
         del store.store.current_version
 
 
+@pytest.mark.slow
 def test_repeated_maintenance_never_duplicates_rows(spark, tmp_path):
     """r13 regression: repeated split/merge maintenance compounded
     EXACT duplicate rows geometrically — a moved vec's batch row
@@ -935,6 +938,7 @@ def test_repeated_maintenance_never_duplicates_rows(spark, tmp_path):
         assert vis == expected, (vid, vis, expected)
 
 
+@pytest.mark.slow
 def test_large_centroid_regime_sidecar(spark, tmp_path):
     """The 10⁵-centroid regime (r13 verdict #3): seeding past
     CENTROID_META_MAX spills the centroid rows to a versioned parquet

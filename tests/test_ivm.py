@@ -760,7 +760,9 @@ def test_moments_closed_under_deletes_and_overflow_safe(spark, tmp_path):
     assert versioned_reads == [1]  # only cycle 1's derivation
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize(
+    "seed", [7, pytest.param(23, marks=pytest.mark.slow)]
+)
 def test_ivm_model_random_program_all_maintainers(spark, tmp_path, seed):
     """Model-based IVM check (the store-model idiom applied to the
     view algebra): a seeded random program of merges (upserts +
@@ -1269,7 +1271,9 @@ def test_maintain_cms_turnstile_equals_scratch(spark, tmp_path):
     assert est(300) >= 1
 
 
-@pytest.mark.parametrize("seed", [11, 42])
+@pytest.mark.parametrize(
+    "seed", [pytest.param(11, marks=pytest.mark.slow), 42]
+)
 def test_join_membership_model_random_program(spark, tmp_path, seed):
     """Model-based check for the semi/anti partition maintainer: a
     seeded random program drives BOTH stores — fact upserts that move
@@ -1466,7 +1470,9 @@ def test_maintain_joined3_chained_equals_scratch(spark, tmp_path):
     assert as_d(w2) == scratch(3)
 
 
-@pytest.mark.parametrize("seed", [5, 31])
+@pytest.mark.parametrize(
+    "seed", [pytest.param(5, marks=pytest.mark.slow), 31]
+)
 def test_joined_ivm_model_random_program(spark, tmp_path, seed):
     """Model-based check for the JOINED maintainers: one seeded random
     program drives a fact store, a dim store and a second (snowflake)
@@ -1633,6 +1639,7 @@ def test_joined_ivm_model_random_program(spark, tmp_path, seed):
         }, f"joined top-k diverged at cycle {cycle} ({seed=})"
 
 
+@pytest.mark.slow
 def test_maintain_joined_top_k_all_branches(spark, tmp_path):
     """Joined top-k across two chained windows with both stores
     changing: pure-merge cycles (adds below/above the horizon),
@@ -2126,6 +2133,7 @@ def test_dyadic_rank_probe_matches_driver_serve(spark):
                 ), (bc, g, x)
 
 
+@pytest.mark.slow
 def test_dyadic_quantile_serve_binary_matches_driver(spark):
     """dyadic_quantile_serve(arity=2) reproduces dyadic_quantile's
     binary probe path byte-for-byte per group — the parity its
@@ -2218,7 +2226,9 @@ def test_dyadic_quantile_serve_wide_fan_one_sided(spark):
             assert runs[0][g] <= exact, (q, g, runs[0][g], exact)
 
 
-@pytest.mark.parametrize("seed", [5, 31])
+@pytest.mark.parametrize(
+    "seed", [5, pytest.param(31, marks=pytest.mark.slow)]
+)
 def test_bm25_model_random_program(spark, tmp_path, seed):
     """Model-based check for BOTH BM25 regimes (r14): a seeded random
     program of document upserts + deletions over a small colliding

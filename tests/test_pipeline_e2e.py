@@ -4,6 +4,7 @@ snapshot-diff behavior, main.py:245-362)."""
 
 from __future__ import annotations
 
+import pytest
 import glob
 import json
 import os
@@ -383,6 +384,7 @@ def test_index_cli_exposes_publish_mode_and_merge_retries(
     assert 1 <= sum(1 for a in acts if "index" in a) <= 3
 
 
+@pytest.mark.slow
 def test_pipeline_retention_bounds_versions(spark, tmp_path):
     """5 cycles with keep_versions=2 must leave at most 2 version dirs
     per store, the current pointer readable, and shared (hard-linked)

@@ -228,7 +228,10 @@ def test_store_agrees_with_model_under_random_programs(
             )
 
 
-@pytest.mark.parametrize("layout,seed", [("hardlink", 3), ("manifest", 5)])
+@pytest.mark.parametrize(
+    "layout,seed",
+    [("hardlink", 3), pytest.param("manifest", 5, marks=pytest.mark.slow)],
+)
 def test_feed_survives_vacuumed_intermediate_versions(
     spark, tmp_path, layout, seed
 ):

@@ -6,6 +6,7 @@ see it. Numbers are recorded in SCALE.md."""
 
 from __future__ import annotations
 
+import pytest
 import hashlib
 import os
 import time
@@ -43,6 +44,7 @@ def _disk_stats(path: str) -> tuple[int, int, int]:
     return n_manifests, n_files, total
 
 
+@pytest.mark.slow
 def test_store_soak_bounded_disk_and_flat_latency(spark, tmp_path):
     path = str(tmp_path / "soak")
     store = SnapshotStore(
@@ -104,6 +106,7 @@ def test_store_soak_bounded_disk_and_flat_latency(spark, tmp_path):
     assert leftovers == []
 
 
+@pytest.mark.slow
 def test_soak_with_rebucket_policy_in_the_loop(spark, tmp_path):
     """The nightly cycle a 100 TB deployment actually runs: merge →
     maybe_rebucket → vacuum, every cycle. The policy must stay quiet

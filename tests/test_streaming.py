@@ -3,6 +3,7 @@ aggregations, driven synchronously with processAllAvailable."""
 
 from __future__ import annotations
 
+import pytest
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
@@ -671,6 +672,7 @@ def test_streaming_changefeed_effectively_once(spark, tmp_path):
     assert feed_store.current_version() == n_feed_versions
 
 
+@pytest.mark.slow
 def test_streaming_maintained_view_zero_base_rescans(spark, tmp_path):
     """r10 verdict #6: the declared (n, min_v, max_v, s) view is
     maintained INSIDE the streaming loop from each cycle's feed with
@@ -1174,6 +1176,7 @@ def test_streaming_maintained_pipeline_generic_topk(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_streaming_joined_histogram_dim_out_of_band(spark, tmp_path):
     """The joined maintained view at streaming cadence: fact
     micro-batches flow through the stream while the dim store is
@@ -1296,6 +1299,7 @@ def test_streaming_joined_histogram_dim_out_of_band(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_streaming_maintained_pipeline_cascade_zero_base_reads(
     spark, tmp_path
 ):
@@ -1544,6 +1548,7 @@ def test_streaming_partition_delta_publication(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_streaming_maintained_pipeline_cms_zero_base_reads(spark, tmp_path):
     """The generic maintained-view stream with the COUNT-MIN SKETCH
     algebra plugged in: the maintained cells must bit-equal a
@@ -1734,6 +1739,7 @@ def test_streaming_module_has_single_dedup_implementation():
     assert 'withColumn("_rn"' in dedup_src
 
 
+@pytest.mark.slow
 def test_streaming_ivf_maintenance_keeps_hot_cell_bounded(spark, tmp_path):
     """r12 verdict #2: the streaming IVF feed never invoked the cell
     maintenance policy — a skewed stream degraded probe cost
@@ -2060,6 +2066,7 @@ def test_streaming_pcm_window_features_maintained(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_streaming_joined3_dims_out_of_band(spark, tmp_path):
     """r12 verdict #6: the THREE-table joined view at streaming
     cadence on the N-store skeleton — fact micro-batches stream in
@@ -2454,6 +2461,7 @@ def test_streaming_maintained_pipeline_dyadic_rank_sketch(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_streaming_ivf_growth_hint_triggers_early_maintenance(
     spark, tmp_path
 ):
@@ -2551,6 +2559,7 @@ def test_streaming_ivf_growth_hint_triggers_early_maintenance(
     assert len(store.store.read_meta()["centroids"]) > 2
 
 
+@pytest.mark.slow
 def test_streaming_nstore_replay_is_idempotent(spark, tmp_path):
     """Forced replay of the N-store skeleton's last epoch (checkpoint
     commit deleted): the re-merged batch LWW-collapses, every store's
@@ -2635,6 +2644,7 @@ def test_streaming_nstore_replay_is_idempotent(spark, tmp_path):
     assert view.read_meta()["store_versions"] == meta_before
 
 
+@pytest.mark.slow
 def test_streaming_maintained_pipeline_grouped_rank_sketch(spark, tmp_path):
     """The generic maintained-view stream with the GROUPED dyadic
     rank-sketch algebra plugged in: per-stratum cells (including a
@@ -3109,6 +3119,7 @@ def test_streaming_bm25_standing_queries(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_streaming_ivf_maintenance_large_regime_sidecar(spark, tmp_path):
     """The streaming growth-hint maintenance against a LARGE-REGIME
     (sidecar-backed) IVF store (r14): k > CENTROID_META_MAX tips the
@@ -3239,6 +3250,7 @@ def test_streaming_ivf_maintenance_large_regime_sidecar(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_streaming_maintained_pipeline_asof_view(spark, tmp_path):
     """The AS-OF algebra on the generic maintained-view skeleton — the
     streaming twin of incremental_view_asof: each micro-batch merges
@@ -3569,6 +3581,7 @@ def test_streaming_maintained_pipeline_retention_view(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_streaming_maintained_pipeline_funnel_view(spark, tmp_path):
     """The ordered-funnel algebra at streaming cadence on the generic
     maintained-view skeleton: the maintained object is the per-user

@@ -89,6 +89,25 @@ def main() -> int:
             ],
         ),
     ]
+    # The SLOW test tier (r15): soak/stress/multi-seed-model tests are
+    # deselected from the default run by pytest.ini so the external
+    # driver's `pytest tests/ -x -q` finishes inside its wall-clock
+    # budget (r14's tests_ok:false was a budget cut at 63%). They are
+    # NOT optional: the gate runs them explicitly here, every round.
+    steps.append(
+        (
+            "slow-tier",
+            [
+                sys.executable,
+                "-m",
+                "pytest",
+                os.path.join(REPO, "tests"),
+                "-m",
+                "slow",
+                "-q",
+            ],
+        )
+    )
     if a.repeat_races:
         steps.append(
             (
